@@ -1,0 +1,66 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S1–S4 (SURVEY.md §2.1): sources and table storage.
+  *
+  * The reference reads raw parquet directories and registers Delta tables
+  * (reference: src/ETL/Bronze-Ingestion-Orders.py:26,40-45). No Delta jars
+  * exist on this classpath, so a "table" here is a parquet directory with a
+  * tiny version pointer: every write lands in a fresh `v_NNNNN` subdirectory
+  * and `_current` is atomically repointed afterwards. That preserves the two
+  * Delta properties the reference actually relies on — readers never observe
+  * a half-written table, and a failed write never corrupts the previous
+  * version — while staying plain Spark + parquet (partition pruning and
+  * predicate pushdown work unchanged on the partitioned layout).
+  */
+object Tables {
+
+  /** S1: raw parquet scan of a driver testdata table. */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
+
+/** A versioned parquet table (Delta-semantics emulation, SURVEY.md §7.1).
+  *
+  * Layout: `<path>/v_00001/...parquet` + `<path>/_current` (text file holding
+  * the live version name). Writes are copy-on-write: new version dir, then
+  * pointer swap — safe to read the table while rewriting it (the reference
+  * needs this for its read-merge-write loops, e.g.
+  * src/ETL/Bronze-Ingestion-Orders.py:49-58).
+  */
+final class ParquetTable(val path: String, val partitionColumns: Seq[String] = Nil) {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private def pointer = Paths.get(path, "_current")
+
+  def exists: Boolean = Files.exists(pointer)
+
+  private def currentVersion: Option[String] =
+    if (exists) Some(Files.readString(pointer).trim) else None
+
+  def read(spark: SparkSession): DataFrame = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"table at $path does not exist"))
+    spark.read.parquet(s"$path/$v")
+  }
+
+  /** S2: create the table from `df` if absent; no-op when it exists. */
+  def createIfNotExists(df: DataFrame): ParquetTable = {
+    if (!exists) overwrite(df)
+    this
+  }
+
+  /** Full rewrite as a new version + atomic pointer swap. */
+  def overwrite(df: DataFrame): ParquetTable = {
+    val next = f"v_${currentVersion.map(_.drop(2).toInt).getOrElse(0) + 1}%05d"
+    val w = df.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
+      .parquet(s"$path/$next")
+    val tmp = Paths.get(path, "_current.tmp")
+    Files.writeString(tmp, next)
+    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    this
+  }
+}

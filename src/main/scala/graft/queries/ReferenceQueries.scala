@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.merge.MergeOps
+import graft.validate.Validators
+
+/** SURVEY.md §2 operator inventory expressed over the driver testdata
+  * (entity→analog mapping in FIXTURES.md §B). Each query has a matching
+  * DuckDB oracle in [[Oracles]]; column names and types are aligned on both
+  * sides (the driver hash-compares values after sorting columns by name).
+  *
+  * Numeric-parity rules used throughout (so Spark and DuckDB hash-match):
+  *   - money sums → integer cents: `sum(cast(round(x*100, 0) as long))` —
+  *     per-row double ops are IEEE-deterministic, the sum is exact;
+  *   - averages → `round(sum/count, 4)`: one exact division, then round;
+  *   - year/month/week/datediff → cast to INT on the DuckDB side (Spark
+  *     emits IntegerType, DuckDB BIGINT by default).
+  */
+object ReferenceQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.read(s, dir, n)
+
+  /** A1–A3 analog (reference Gold-Orders-By-City.py:38,
+    * Gold-Customer-Breakdown.py:29): grouped multi-aggregate over the fact
+    * table. Partial aggregation (map-side combine) + single shuffle on the
+    * 2-column group key; scales linearly.
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("order_count"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"),
+        round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"))
+
+  /** O1 + J1/J2 flagship (reference Seed-Store-Dashboard.py:22-28): top-5
+    * "cities" (nations) by BUILDING-segment customers. Dimension joins are
+    * broadcast-eligible (nation: 25 rows, region: 5); top-k compiles to
+    * TakeOrderedAndProject — no global sort.
+    */
+  def q02TopSegmentNations(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region")
+    customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("customer_count"))
+      .orderBy(col("customer_count").desc, col("n_name"))
+      .limit(5)
+  }
+
+  /** W4 (reference Gold-Customer-Status-By-City.py:32-33): latest order per
+    * customer via rank()=1 — `rank` (not row_number) keeps date ties, as the
+    * reference does. One window shuffle on o_custkey.
+    */
+  def q03LatestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc)
+    t(s, dir, "orders")
+      .withColumn("__rnk", rank().over(w))
+      .filter(col("__rnk") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+  }
+
+  /** E3 gold_customer_status_by_city analog (reference
+    * Gold-Customer-Status-By-City.py:25-48): latest-order window → two left
+    * joins → grouped count. count("o_orderkey") is null-skipping (A2), so
+    * customers without orders count in customer_count but not
+    * with_order_count.
+    */
+  def q04CustomerCityStatus(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc)
+    val latest = t(s, dir, "orders")
+      .withColumn("__rnk", rank().over(w))
+      .filter(col("__rnk") === 1)
+      .select(col("o_custkey"), col("o_orderkey"))
+    t(s, dir, "customer")
+      .join(latest, col("c_custkey") === col("o_custkey"), "left")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("customer_count"),
+        count(col("o_orderkey")).as("with_order_count"))
+  }
+
+  /** gold_orders_by_customer_week analog (reference
+    * Gold-Orders-By-Customer-Week.py:30-38): ISO week bucketing.
+    */
+  def q05OrdersByCustomerWeek(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .withColumn("order_week", weekofyear(col("o_orderdate")))
+      .groupBy(col("o_custkey"), col("order_year"), col("order_week"))
+      .agg(count(col("o_orderkey")).as("order_count"))
+
+  /** gold_orders_by_city / gold_orders_type_delivery_time analog (reference
+    * Gold-Orders-By-City.py:30-38): fact-fact join + datediff + grouped
+    * count/avg. The orders side is ~15× smaller than lineitem — broadcast at
+    * test SF, shuffle-hash at 100 TB (AQE decides).
+    */
+  def q06DeliveryByPriorityMonth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delivery_days",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        round(sum(col("delivery_days")).cast("double") / count(lit(1)), 4)
+          .as("avg_delivery_days"))
+
+  /** W5 analog (reference Seed-Store-Dashboard.py:43-48): relative frequency
+    * via an unordered analytic window — share of each segment within its
+    * nation.
+    */
+  def q07SegmentShareByNation(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("segment_count"))
+    counts.withColumn("share_pct",
+      round(col("segment_count") * lit(100.0) /
+        sum(col("segment_count")).over(Window.partitionBy(col("c_nationkey"))), 4))
+  }
+
+  /** S6 (reference Bronze-Ingestion-Orders.py:51-58): insert-only MERGE —
+    * re-ingesting the full source into a partial target must restore exactly
+    * the source (idempotent append), keyed here on o_orderkey.
+    */
+  def q08MergeInsertIfAbsent(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val target = orders.filter(col("o_orderstatus") === "F")
+    MergeOps.insertIfAbsent(target, orders, Seq("o_orderkey"))
+  }
+
+  /** J7 as left-semi (reference check_ingestion_status rewritten,
+    * CommonFunctions.py:203-241): customers having at least one order.
+    */
+  def q09CustomersWithOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+
+  /** J6 as left-anti (reference validate_relationship rewritten,
+    * CommonFunctions.py:174-198): customers with no order in 1998 — the
+    * anti-join side is filtered first so the result is non-empty.
+    */
+  def q10CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(year(col("o_orderdate")) === 1998),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+
+  /** V5 (reference identify_duplicates, CommonFunctions.py:249-313) over the
+    * events table keyed by (user_id, event_type): summary of the duplicate
+    * policy — both branches exercised by deriving ingestion status from the
+    * event type.
+    */
+  def q11DuplicatePolicySummary(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Validators.initDiagnostics(t(s, dir, "events"))
+      .withColumn("silver_ingestion_status",
+        when(col("event_type").isin("click", "view"), "ingested")
+          .otherwise("not_ingested"))
+    val validated = Validators.finalizeValid(
+      Validators.identifyDuplicates(seeded, Seq("user_id", "event_type"), "ts"))
+    validated
+      .groupBy(col("validation_status"), col("is_duplicate"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** V2 chain (reference validate_column, CommonFunctions.py:123-169) over
+    * events: numeric check then accepted-values check, preserving the
+    * invalid_columns wrap quirk; summarized by final status + first
+    * diagnostic element.
+    */
+  def q12ValidateColumnSummary(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Validators.initDiagnostics(t(s, dir, "events"))
+    val v1 = Validators.validateColumn(seeded, "value", "numeric")
+    val v2 = Validators.validateColumn(v1, "event_type", "string",
+      acceptedValues = Seq("click", "view", "purchase"))
+    Validators.finalizeValid(v2)
+      .groupBy(col("validation_status"),
+        when(size(col("invalid_columns")) > 0, element_at(col("invalid_columns"), 1))
+          .as("first_invalid"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_top_segment_nations" -> (q02TopSegmentNations _),
+    "q03_latest_order_per_customer" -> (q03LatestOrderPerCustomer _),
+    "q04_customer_city_status" -> (q04CustomerCityStatus _),
+    "q05_orders_by_customer_week" -> (q05OrdersByCustomerWeek _),
+    "q06_delivery_by_priority_month" -> (q06DeliveryByPriorityMonth _),
+    "q07_segment_share_by_nation" -> (q07SegmentShareByNation _),
+    "q08_merge_insert_if_absent" -> (q08MergeInsertIfAbsent _),
+    "q09_customers_with_orders" -> (q09CustomersWithOrders _),
+    "q10_customers_without_orders" -> (q10CustomersWithoutOrders _),
+    "q11_duplicate_policy_summary" -> (q11DuplicatePolicySummary _),
+    "q12_validate_column_summary" -> (q12ValidateColumnSummary _),
+  )
+}
+
+/** DuckDB oracle SQL for every [[ReferenceQueries]] entry. Column names and
+  * types are matched to the Spark output (casts where DuckDB's defaults
+  * differ: year/week/month/datediff → INT, sums of ints → BIGINT).
+  */
+object Oracles {
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         count(*) AS order_count,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         round(sum(l_quantity) / count(*), 4) AS avg_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_top_segment_nations" ->
+      """SELECT n_name, count(*) AS customer_count
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY n_name
+         ORDER BY customer_count DESC, n_name
+         LIMIT 5""",
+
+    "q03_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC) AS rnk
+           FROM orders) WHERE rnk = 1""",
+
+    "q04_customer_city_status" ->
+      """WITH latest AS (
+           SELECT o_custkey, o_orderkey FROM (
+             SELECT o_custkey, o_orderkey,
+                    rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC) AS rnk
+             FROM orders) WHERE rnk = 1)
+         SELECT n_name, c_mktsegment,
+                count(*) AS customer_count,
+                count(o_orderkey) AS with_order_count
+         FROM customer
+         LEFT JOIN latest ON c_custkey = o_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, c_mktsegment""",
+
+    "q05_orders_by_customer_week" ->
+      """SELECT o_custkey,
+                CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                CAST(weekofyear(o_orderdate) AS INTEGER) AS order_week,
+                count(o_orderkey) AS order_count
+         FROM orders GROUP BY 1, 2, 3""",
+
+    "q06_delivery_by_priority_month" ->
+      """SELECT o_orderpriority,
+                CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                CAST(month(o_orderdate) AS INTEGER) AS order_month,
+                count(*) AS order_count,
+                round(CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE) / count(*), 4) AS avg_delivery_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2, 3""",
+
+    "q07_segment_share_by_nation" ->
+      """SELECT c_nationkey, c_mktsegment,
+                count(*) AS segment_count,
+                round(CAST(count(*) AS DOUBLE) * 100.0 /
+                      sum(count(*)) OVER (PARTITION BY c_nationkey), 4) AS share_pct
+         FROM customer GROUP BY c_nationkey, c_mktsegment""",
+
+    "q08_merge_insert_if_absent" ->
+      """SELECT * FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT * FROM orders
+         WHERE o_orderkey NOT IN
+           (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""",
+
+    "q09_customers_with_orders" ->
+      """SELECT * FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+
+    "q10_customers_without_orders" ->
+      """SELECT * FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND year(o.o_orderdate) = 1998)""",
+
+    "q11_duplicate_policy_summary" ->
+      """WITH d AS (
+           SELECT CASE WHEN event_type IN ('click','view')
+                       THEN 'ingested' ELSE 'not_ingested' END AS st,
+                  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS rn,
+                  count(*) OVER (PARTITION BY user_id, event_type) AS cnt
+           FROM events),
+         flagged AS (
+           SELECT CASE WHEN (st = 'not_ingested' AND cnt > 1)
+                         OR (st = 'ingested' AND cnt > 1 AND rn > 1)
+                       THEN 'invalid' ELSE 'valid' END AS validation_status,
+                  ((st = 'not_ingested' AND cnt > 1)
+                   OR (st = 'ingested' AND cnt > 1 AND rn > 1)) AS is_duplicate
+           FROM d)
+         SELECT validation_status, is_duplicate, count(*) AS n
+         FROM flagged GROUP BY 1, 2""",
+
+    "q12_validate_column_summary" ->
+      """WITH s1 AS (
+           SELECT event_type,
+                  CASE WHEN try_cast(value AS BIGINT) IS NULL THEN 'invalid' ELSE '' END AS st1,
+                  CASE WHEN try_cast(value AS BIGINT) IS NULL THEN 'value' ELSE NULL END AS ic1
+           FROM events),
+         s2 AS (
+           SELECT CASE WHEN event_type NOT IN ('click','view','purchase')
+                       THEN 'invalid' ELSE st1 END AS st2,
+                  CASE WHEN event_type NOT IN ('click','view','purchase')
+                       THEN 'event_type' || CASE WHEN ic1 IS NULL THEN '' ELSE ', ' || ic1 END
+                       ELSE ic1 END AS first_invalid
+           FROM s1)
+         SELECT CASE WHEN st2 = '' THEN 'valid' ELSE st2 END AS validation_status,
+                first_invalid, count(*) AS n
+         FROM s2 GROUP BY 1, 2""",
+  )
+}
