@@ -51,6 +51,15 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     this
   }
 
+  /** S6–S9 write pattern: first write initializes the table with `updates`,
+    * later writes store `merge(current, updates)`. (An empty partitioned
+    * parquet dir is unreadable, so "create empty then merge" is not an
+    * option — initialize directly instead.)
+    */
+  def writeMerged(spark: SparkSession, updates: DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame): ParquetTable =
+    overwrite(if (exists) merge(read(spark), updates) else updates)
+
   /** Full rewrite as a new version + atomic pointer swap. */
   def overwrite(df: DataFrame): ParquetTable = {
     val next = f"v_${currentVersion.map(_.drop(2).toInt).getOrElse(0) + 1}%05d"

@@ -1,6 +1,6 @@
 package graft.merge
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** S6–S11 (SURVEY.md §2.1): Delta-MERGE semantics as plain DataFrame algebra.
@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * shuffle on the keys, and AQE handles skew — none of which a row-by-row
   * merge loop would get.
   *
-  * Null semantics deliberately mirror SQL MERGE: an equality condition never
-  * matches on NULL keys, so NULL-keyed update rows always insert
-  * (`insertIfAbsent`) and never update (`updateMatched`/`upsert`).
+  * Deliberate divergence from SQL MERGE: keys compare **null-safely**
+  * (`<=>`). A plain equality condition never matches NULL keys, so a NULL-
+  * keyed row (e.g. a bronze row whose derived `year` partition is NULL
+  * because its date failed to parse) would be re-inserted on every re-run —
+  * breaking exactly the idempotence these merges exist to provide. The
+  * reference inherits that leak from Delta; we fix it.
   */
 object MergeOps {
 
@@ -30,16 +33,26 @@ object MergeOps {
   private def aligned(target: DataFrame, updates: DataFrame): DataFrame =
     updates.select(target.columns.map(col).toIndexedSeq: _*)
 
+  /** Null-safe key condition against a copy of `keyed` whose key columns are
+    * renamed with `prefix` (left_anti/left joins need unambiguous names).
+    */
+  private def renamedKeys(keyed: DataFrame, keys: Seq[String],
+      prefix: String): (DataFrame, Column) = {
+    val renamed = keys.foldLeft(keyed.select(keys.map(col).toIndexedSeq: _*).distinct()) {
+      (d, c) => d.withColumnRenamed(c, s"$prefix$c")
+    }
+    val cond = keys.map(c => col(c) <=> col(s"$prefix$c")).reduce(_ && _)
+    (renamed, cond)
+  }
+
   /** S6/S7: `whenNotMatchedInsert` — append update rows whose key tuple is
     * absent from the target (idempotent re-ingestion). Returns the new table
     * content.
     */
   def insertIfAbsent(target: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
-    val missing = aligned(target, updates)
-      .join(target.select(keys.map(col).toIndexedSeq: _*).distinct(),
-        keys, "left_anti")
-    target.unionByName(missing)
+    val (targetKeys, cond) = renamedKeys(target, keys, "__t_")
+    target.unionByName(aligned(target, updates).join(targetKeys, cond, "left_anti"))
   }
 
   /** S8: `whenMatchedUpdate` only — rewrite `setCols` of matched target rows
@@ -53,9 +66,12 @@ object MergeOps {
       setCols: Seq[String]): DataFrame = {
     val u0 = updates.dropDuplicates(keys)
       .select((keys ++ setCols).map(col).toIndexedSeq: _*)
-    val u = setCols.foldLeft(u0)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
-      .withColumn("__matched", lit(true))
-    target.join(u, keys, "left")
+    val u = keys.foldLeft(
+      setCols.foldLeft(u0)((d, c) => d.withColumnRenamed(c, s"__u_$c"))) {
+      (d, c) => d.withColumnRenamed(c, s"__k_$c")
+    }.withColumn("__matched", lit(true))
+    val cond = keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    target.join(u, cond, "left")
       .select(target.columns.toIndexedSeq.map {
         case c if setCols.contains(c) =>
           when(col("__matched"), col(s"__u_$c")).otherwise(col(c)).as(c)
@@ -69,8 +85,7 @@ object MergeOps {
   def upsert(target: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
     val u = aligned(target, updates).dropDuplicates(keys)
-    target.join(u.select(keys.map(col).toIndexedSeq: _*).distinct(),
-        keys, "left_anti")
-      .unionByName(u)
+    val (updateKeys, cond) = renamedKeys(u, keys, "__u_")
+    target.join(updateKeys, cond, "left_anti").unionByName(u)
   }
 }

@@ -3,7 +3,7 @@ package graft.validate
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, TimestampType}
 
 /** V2–V6 (SURVEY.md §2.4): the reference's validation operators.
   *
@@ -56,7 +56,10 @@ object Validators {
           case _ => throw new IllegalArgumentException(
             "For strings, pass either a comparison column or accepted values")
         }
-      case "numeric"   => c.try_cast(LongType).isNull
+      // The reference's legacy-mode LongType cast parses any decimal string
+      // ("9.99" → 9), so null-ness must be probed via a double cast —
+      // try_cast(LongType) would reject decimal strings the reference accepts.
+      case "numeric"   => c.try_cast(DoubleType).isNull
       case "timestamp" => c.try_cast(TimestampType).isNull
       case other => throw new IllegalArgumentException(
         s"datatype '$other' not allowed; use 'string', 'numeric' or 'timestamp'")
@@ -73,7 +76,10 @@ object Validators {
       parent: DataFrame, parentIdCol: String): DataFrame = {
     val parentKeys = parent.select(col(parentIdCol).as("__parent_key")).distinct()
     val invalid = col("__parent_key").isNull && col(childIdCol).isNotNull
-    child.join(parentKeys, col(childIdCol) === col("__parent_key"), "left")
+    // Compare on string form: a dirty (uncastable) child FK must simply miss,
+    // not blow up the ANSI implicit cast the typed equality would insert.
+    child.join(parentKeys,
+        col(childIdCol).cast("string") === col("__parent_key").cast("string"), "left")
       .withColumn(StatusCol, when(invalid, lit("invalid")).otherwise(col(StatusCol)))
       .withColumn(InvalidRelCol,
         when(invalid, array(concat_ws(", ", lit(childIdCol))))

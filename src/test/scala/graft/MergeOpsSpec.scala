@@ -37,11 +37,21 @@ class MergeOpsSpec extends AnyFunSuite {
     TestSpark.assertSameRows(merged, Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
   }
 
-  test("insertIfAbsent inserts NULL-keyed update rows (MERGE null semantics)") {
+  test("insertIfAbsent merges NULL keys null-safely (idempotent, unlike SQL MERGE)") {
     val target = Seq((Some(1), "a")).toDF("id", "v")
     val updates = Seq((Option.empty[Int], "n")).toDF("id", "v")
     val merged = MergeOps.insertIfAbsent(target, updates, Seq("id"))
     TestSpark.assertSameRows(merged, Seq(Seq(1, "a"), Seq(null, "n")))
+    // re-running with the same NULL-keyed update must NOT insert again
+    val again = MergeOps.insertIfAbsent(merged, updates, Seq("id"))
+    assert(again.count() == 2)
+  }
+
+  test("upsert replaces NULL-keyed grains instead of duplicating them") {
+    val target = Seq((Option.empty[String], 1L)).toDF("grain", "n")
+    val updates = Seq((Option.empty[String], 9L)).toDF("grain", "n")
+    val merged = MergeOps.upsert(target, updates, Seq("grain"))
+    TestSpark.assertSameRows(merged, Seq(Seq(null, 9L)))
   }
 
   test("updateMatched rewrites only matched rows and set columns") {

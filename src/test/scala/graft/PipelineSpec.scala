@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gold.{Dashboard, GoldBuilds}
+import graft.pipeline.{SeedStore, Warehouse}
+
+/** E1→E2→E2'→E3 end-to-end: dirty sources through Bronze → Silver/DLQ →
+  * DLQ cleansing → Gold → dashboard, with the reference's recovery and
+  * reconciliation semantics (FIXTURES.md §A6 fixture shapes).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val clock = () => to_timestamp(lit("2024-01-01 00:00:00"))
+
+  private def sources: Map[String, DataFrame] = Map(
+    "customers" -> Seq(
+      (1, "individual", "regular", "2023-02-01 10:00:00"),
+      (2, "affiliate", "VIP", "2023-02-08 11:00:00"),
+      (3, "Individual!", "Regular", "2023-02-15 12:00:00"), // dirty → recoverable
+      (4, "individual", "vip", "2023-03-01 09:00:00"),      // vip → VIP recoverable
+      (5, "junk", "regular", "not-a-date"),                 // unrecoverable
+      (6, "individual", "regular", "2023-03-05 08:00:00"),  // dup (×2) → invalid
+      (6, "individual", "regular", "2023-03-05 08:00:00"))
+      .toDF("id", "type", "status", "CreatedOn"),
+    "addresses" -> Seq(
+      ("2023-01-05 09:00:00", "Phoenix", "Arizona", "Us", 10, "123 Main St"),
+      ("2023-01-06 09:00:00", "phoenix!!", "Arizona", "Us", 11, "456 Oak Ave"), // dirty city
+      ("2023-01-07 09:00:00", "Tucson", "Arizona", "US", 12, "789 Pine Rd"),    // country US
+      ("2023-01-08 09:00:00", "Mesa", "Arizona", "Us", 13, "1 Elm St"))
+      .toDF("createdOn", "city", "state", "country", "id", "addressline"),
+    "items" -> Seq(
+      ("C1", "Widget", 1000, "9.99"),   // decimal string price is valid (legacy cast)
+      ("C2", "Gadget", 1001, "free"))   // unrecoverable
+      .toDF("Codes", "Descriptions", "id", "price"),
+    "orders" -> Seq(
+      (1, "2023-02-02 10:00:00", 10, "2023-02-05", "2023-02-06", 100),
+      (2, "2023-02-09 10:00:00", 11, "2023-02-12", "2023-02-20", 101), // addr recovered
+      (99, "2023-02-10 10:00:00", 10, "2023-02-12", "2023-02-13", 102), // FK miss
+      (3, "2023-03-02 10:00:00", 12, "2023-03-05", "2023-03-08", 103), // both recovered
+      (4, "bad-date", 13, "2023-03-06", "2023-03-07", 104))            // bad timestamp
+      .toDF("customerId", "createdOn", "addressId", "deliveryDate", "deliveredOn", "id"),
+    "order_details" -> Seq(
+      (100, 1000, 2), (100, 1000, 2), // exact dup → both invalid
+      (101, 1000, 1),                 // valid
+      (103, 9999, 5))                 // FK miss on item
+      .toDF("OrderId", "ItemId", "Quantity"))
+
+  private def silverCount(w: Warehouse, e: String): Long =
+    w.silverByName(e).read(spark).count()
+  private def invalidDlqCount(w: Warehouse, e: String): Long =
+    w.table(s"dlq_$e").read(spark)
+      .filter(col("validation_status") === "invalid").count()
+
+  test("medallion run: validation, DLQ recovery, reconciliation, gold, dashboard") {
+    val w = new Warehouse(Files.createTempDirectory("graft_wh").toString)
+    SeedStore.runAll(spark, w, sources, clock)
+
+    // silver landed the valid + recovered rows
+    assert(silverCount(w, "customers") == 4)
+    assert(silverCount(w, "addresses") == 4)
+    assert(silverCount(w, "items") == 1)
+    assert(silverCount(w, "orders") == 3)
+    assert(silverCount(w, "order_details") == 1)
+
+    // still-invalid DLQ remainders
+    assert(invalidDlqCount(w, "customers") == 3) // id5 + 2× dup id6
+    assert(invalidDlqCount(w, "addresses") == 0) // all recovered
+    assert(invalidDlqCount(w, "items") == 1)
+    assert(invalidDlqCount(w, "orders") == 2)    // FK miss + bad date
+    assert(invalidDlqCount(w, "order_details") == 3)
+
+    // DLQ repair normalized the dirty values before promotion (V10)
+    val sc = w.silverByName("customers").read(spark)
+    TestSpark.assertSameRows(sc.select("id", "type", "status"), Seq(
+      Seq(1L, "individual", "regular"),
+      Seq(2L, "affiliate", "VIP"),
+      Seq(3L, "individual", "regular"),
+      Seq(4L, "individual", "VIP")))
+    // declared silver schema applied (bigint id, timestamp created_on)
+    assert(sc.schema("id").dataType.typeName == "long")
+    assert(sc.schema("created_on").dataType.typeName == "timestamp")
+    // address city repaired into the silver partition column
+    val sa = w.silverByName("addresses").read(spark)
+    TestSpark.assertSameRows(sa.select("id", "city", "country"), Seq(
+      Seq(10L, "Phoenix", "Us"), Seq(11L, "Phoenix", "Us"),
+      Seq(12L, "Tucson", "Us"), Seq(13L, "Mesa", "Us")))
+
+    // gold + dashboard (E3)
+    new GoldBuilds(spark, w, clock).buildAll()
+    val dash = new Dashboard(spark, w)
+
+    TestSpark.assertSameRows(
+      w.gold("customer_breakdown").read(spark), Seq(
+        Seq("individual", "regular", 2L),
+        Seq("affiliate", "VIP", 1L),
+        Seq("individual", "VIP", 1L)))
+
+    assert(dash.totalCustomers.head.getLong(0) == 4L)
+
+    TestSpark.assertSameRows(
+      dash.topVipCities.select("city", "customer_count"),
+      Seq(Seq("Phoenix", 1L), Seq(null, 1L)))
+
+    TestSpark.assertSameRows(
+      w.gold("orders_by_city_year_month").read(spark)
+        .select("city", "year", "month", "order_count", "avg_delivery_time"),
+      Seq(
+        Seq("Phoenix", 2023, 2, 2L, 7.5),
+        Seq("Tucson", 2023, 3, 1L, 6.0)))
+
+    TestSpark.assertSameRows(
+      dash.lateOrderShare(7).select("order_type", "total_orders", "late_orders"),
+      Seq(Seq("affiliate", 1L, 1L)))
+
+    // idempotent re-run: bronze/silver stable, reconciliations still pass
+    SeedStore.runAll(spark, w, sources, clock)
+    new GoldBuilds(spark, w, clock).buildAll()
+    assert(silverCount(w, "customers") == 4)
+    assert(silverCount(w, "orders") == 3)
+    assert(invalidDlqCount(w, "orders") == 2)
+    assert(w.table("bronze_customers").read(spark).count() == 7)
+    assert(dash.totalCustomers.head.getLong(0) == 4L)
+  }
+}
