@@ -1,0 +1,91 @@
+package graft.northstar
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north-star: language-ID, quality scoring, token counting,
+  * fingerprinting — beyond the reference's surface).
+  *
+  * Everything is pure Column algebra over built-ins (split / HOFs / hash),
+  * so it runs partition-local with zero shuffles: at 100 TB these are
+  * embarrassingly parallel map stages whose cost is bounded by the parquet
+  * scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (split("\\s+") yields a leading ""
+    * for leading whitespace).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) /
+        length(text))
+
+  /** English-ish stopword list used by the quality score. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Share of tokens that are stopwords (0 for empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(
+        typedLit(Stopwords), lower(t)))) / size(toks))
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)) / size(toks))
+  }
+
+  /** Per-language marker-word profiles for the n-gram/stopword language-ID
+    * heuristic. Deterministic scoring — the testdata's `lang` labels are
+    * synthetic, so correctness means "same scores every engine", not label
+    * recovery.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "value", "fast", "table"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "vector", "agg"),
+    "es" -> Seq("el", "la", "y", "los", "que", "stream", "row"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "window", "query"),
+    "zh" -> Seq("zh", "cn", "hanzi", "merge", "join", "batch", "big"))
+
+  /** Marker-hit count for one profile. */
+  def langScore(text: Column, profile: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(typedLit(profile), lower(t))))
+
+  /** Argmax language by (score, lang) — struct comparison breaks ties by
+    * the lexicographically larger language code, mirrored exactly by
+    * DuckDB's list_max over structs in the oracle.
+    */
+  def langId(text: Column): Column = {
+    val scored = LangProfiles.map { case (lang, profile) =>
+      struct(langScore(text, profile).as("s"), lit(lang).as("l"))
+    }
+    greatest(scored: _*).getField("l")
+  }
+
+  /** Canonical-text fingerprint: md5 over the lowercased,
+    * whitespace-collapsed text — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(trim(regexp_replace(lower(text), "\\s+", " ")), lit("utf-8")))
+
+  /** Rolling k-gram hashes (document shingles hashed with xxhash64) — the
+    * building block for minhash and containment fingerprints.
+    */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(xxhash64(concat_ws(" ", toks)))).otherwise(
+      transform(sequence(lit(0), size(toks) - k),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+}

@@ -195,6 +195,87 @@ object ReferenceQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** A1 + P4 (reference Gold-Customer-Breakdown.py:29 with the
+    * when/otherwise derivation of V6): breakdown over a derived status
+    * dimension.
+    */
+  def q13CustomerValueBreakdown(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"),
+        when(col("c_acctbal") < 0, "delinquent").otherwise("regular")
+          .as("acct_status"))
+      .agg(count(lit(1)).as("customer_count"))
+
+  /** D4/D5 analog (reference Seed-Store-Dashboard.py:57-67): partition-
+    * pruning-style filter on (year, week) then per-customer order counts
+    * rolled up into a profile.
+    */
+  def q14WeekOrderProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1997 &&
+        weekofyear(col("o_orderdate")) === 10)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("active_customers"),
+        sum(col("cnt")).as("total_orders"),
+        round(sum(col("cnt")).cast("double") / count(lit(1)), 4)
+          .as("avg_orders_per_customer"))
+
+  /** D6 / A8 (reference Seed-Store-Dashboard.py:75-80): weighted average
+    * over a pre-aggregated monthly CTE — weight avg_delivery by order_count.
+    */
+  def q15WeightedAvgDelivery(s: SparkSession, dir: String): DataFrame = {
+    val monthly = q06DeliveryByPriorityMonth(s, dir)
+    monthly.groupBy(col("o_orderpriority")).agg(
+      sum(col("order_count")).as("order_count"),
+      round(sum(col("avg_delivery_days") * col("order_count")) /
+        sum(col("order_count")), 2).as("weighted_avg_delivery_days"))
+  }
+
+  /** D8 / J5 (reference Seed-Store-Dashboard.py:104-123): two CTE
+    * aggregates joined — late-shipment share by priority.
+    */
+  def q16LateShareByPriority(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delivery_days",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+    val total = joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("total_lineitems"))
+    val late = joined.filter(col("delivery_days") > 60)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("late_lineitems"))
+    total.join(late, Seq("o_orderpriority"), "inner")
+      .select(col("o_orderpriority"), col("total_lineitems"), col("late_lineitems"),
+        round(col("late_lineitems").cast("double") / col("total_lineitems"), 4)
+          .as("late_share"))
+  }
+
+  /** V1 as an oracle-checked query (reference CommonFunctions.py:77-117):
+    * clean a deliberately dirtied concatenation; the DuckDB oracle emulates
+    * initcap via list_transform.
+    */
+  def q17CleanStrings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey"),
+      graft.clean.Strings.cleanString(
+        concat(col("p_name"), lit("\t "), col("p_brand"), lit("##"), col("p_type")))
+        .as("cleaned"))
+
+  /** Tumbling-window aggregation over the event stream (batch form of the
+    * streaming module; SURVEY.md §2.11 extension). `ts` arrives as ns-since-
+    * epoch (nanosAsLong) — integer DIV to µs keeps full precision.
+    */
+  def q18EventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("events"), col("value_cents"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segment_nations" -> (q02TopSegmentNations _),
@@ -208,6 +289,12 @@ object ReferenceQueries {
     "q10_customers_without_orders" -> (q10CustomersWithoutOrders _),
     "q11_duplicate_policy_summary" -> (q11DuplicatePolicySummary _),
     "q12_validate_column_summary" -> (q12ValidateColumnSummary _),
+    "q13_customer_value_breakdown" -> (q13CustomerValueBreakdown _),
+    "q14_week_order_profile" -> (q14WeekOrderProfile _),
+    "q15_weighted_avg_delivery" -> (q15WeightedAvgDelivery _),
+    "q16_late_share_by_priority" -> (q16LateShareByPriority _),
+    "q17_clean_strings" -> (q17CleanStrings _),
+    "q18_events_hourly" -> (q18EventsHourly _),
   )
 }
 
@@ -312,6 +399,70 @@ object Oracles {
            FROM d)
          SELECT validation_status, is_duplicate, count(*) AS n
          FROM flagged GROUP BY 1, 2""",
+
+    "q13_customer_value_breakdown" ->
+      """SELECT c_mktsegment,
+                CASE WHEN c_acctbal < 0 THEN 'delinquent' ELSE 'regular' END AS acct_status,
+                count(*) AS customer_count
+         FROM customer GROUP BY 1, 2""",
+
+    "q14_week_order_profile" ->
+      """WITH per_cust AS (
+           SELECT o_custkey, count(*) AS cnt FROM orders
+           WHERE year(o_orderdate) = 1997 AND weekofyear(o_orderdate) = 10
+           GROUP BY o_custkey)
+         SELECT count(*) AS active_customers,
+                CAST(sum(cnt) AS BIGINT) AS total_orders,
+                round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS avg_orders_per_customer
+         FROM per_cust""",
+
+    "q15_weighted_avg_delivery" ->
+      """WITH monthly AS (
+           SELECT o_orderpriority,
+                  count(*) AS order_count,
+                  round(CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE) / count(*), 4) AS avg_delivery_days
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority, year(o_orderdate), month(o_orderdate))
+         SELECT o_orderpriority,
+                CAST(sum(order_count) AS BIGINT) AS order_count,
+                round(sum(avg_delivery_days * order_count) / sum(order_count), 2) AS weighted_avg_delivery_days
+         FROM monthly GROUP BY o_orderpriority""",
+
+    "q16_late_share_by_priority" ->
+      """WITH joined AS (
+           SELECT o_orderpriority,
+                  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delivery_days
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         total AS (
+           SELECT o_orderpriority, count(*) AS total_lineitems
+           FROM joined GROUP BY 1),
+         late AS (
+           SELECT o_orderpriority, count(*) AS late_lineitems
+           FROM joined WHERE delivery_days > 60 GROUP BY 1)
+         SELECT o_orderpriority, total_lineitems, late_lineitems,
+                round(CAST(late_lineitems AS DOUBLE) / total_lineitems, 4) AS late_share
+         FROM total JOIN late USING (o_orderpriority)""",
+
+    "q17_clean_strings" ->
+      """SELECT p_partkey,
+                trim(regexp_replace(
+                  array_to_string(list_transform(
+                    string_split(
+                      regexp_replace(
+                        regexp_replace(p_name || chr(9) || ' ' || p_brand || '##' || p_type,
+                                       chr(9), ' ', 'g'),
+                        '[^a-zA-Z ]', ' ', 'g'), ' '),
+                    w -> CASE WHEN len(w) = 0 THEN w
+                              ELSE upper(w[1]) || lower(w[2:]) END), ' '),
+                  '\s+', ' ', 'g')) AS cleaned
+         FROM part""",
+
+    "q18_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+                event_type,
+                count(*) AS events,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2""",
 
     "q12_validate_column_summary" ->
       """WITH s1 AS (
