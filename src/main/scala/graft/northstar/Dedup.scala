@@ -1,0 +1,182 @@
+package graft.northstar
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at corpus scale (BASELINE.json north-star).
+  *
+  * Four families, all built from Spark primitives so Catalyst plans the
+  * shuffles:
+  *
+  *  - exact:    hash-groupBy on a canonical fingerprint (1 shuffle);
+  *  - MinHash + LSH: shingle → k-permutation minhash → banded bucket join —
+  *    candidate generation is a self-join on (band, bucket-hash), never the
+  *    O(n²) cross join;
+  *  - SimHash: 64-bit signature via HOF bit aggregation, near-dups through
+  *    banded buckets + popcount verify;
+  *  - embedding cosine: random-hyperplane LSH buckets + exact cosine verify.
+  *
+  * At 100 TB the only shuffles are the bucket joins, whose fan-in is
+  * controlled by (bands × rows) resp. hyperplane count; everything else is
+  * map-side.
+  */
+object Dedup {
+
+  // ---- MinHash ----
+
+  /** Deterministic per-permutation seeds (avoid runtime RNG — resumable,
+    * cluster-reproducible).
+    */
+  private def seeds(numPerm: Int): Seq[Int] = (0 until numPerm).map(i => i * 2654435761L.toInt + 1)
+
+  /** k-permutation MinHash signature over word shingles: for each seed s,
+    * min over shingles of xxhash64(seed, shingle). Entirely map-side.
+    */
+  def minhashSignature(text: Column, numPerm: Int, shingleSize: Int): Column = {
+    val shingles = TextAnalysis.tokens(text)
+    val grams =
+      when(size(shingles) < shingleSize, array(concat_ws(" ", shingles)))
+        .otherwise(transform(sequence(lit(0), size(shingles) - shingleSize),
+          i => concat_ws(" ", slice(shingles, i + 1, lit(shingleSize)))))
+    val sig = seeds(numPerm).map(s =>
+      array_min(transform(grams, g => xxhash64(lit(s), g))))
+    array(sig: _*)
+  }
+
+  /** LSH banding: explode the signature into (band_id, band_hash) rows.
+    * Equal band hash in any band → candidate pair.
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band_id"),
+        xxhash64(concat_ws(",",
+          slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))).as("band_hash")))
+    df.select(col(idCol), explode(bandHashes).as("b"))
+      .select(col(idCol), col("b.band_id"), col("b.band_hash"))
+  }
+
+  /** Candidate pairs from banded signatures: self-join on (band_id,
+    * band_hash), deduplicated across bands. Pair order (a < b) keeps each
+    * pair once.
+    */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val left = bandsDf.withColumnRenamed(idCol, "id_a")
+    val right = bandsDf.withColumnRenamed(idCol, "id_b")
+    left.join(right, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** MinHash near-duplicate pairs with exact Jaccard verification over the
+    * shingle sets (verification joins the two shingle arrays back in and
+    * computes |∩|/|∪| with array ops).
+    */
+  def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val withSig = docs.select(col(idCol),
+      minhashSignature(col(textCol), numPerm, shingleSize).as("__sig"),
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize))
+        .as("__shingles"))
+    withSig.cache()
+    val pairs = candidatePairs(lshBands(withSig, idCol, "__sig", bands, rowsPerBand), idCol)
+    val a = withSig.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
+    val b = withSig.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard over all pairs sharing at least one shingle —
+    * the no-approximation baseline: explode shingles, join on shingle,
+    * count shared per pair, derive |∪| from per-doc set sizes. Equivalent
+    * to (but far cheaper than) the cross join: only colliding pairs
+    * materialize.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    sets.cache()
+    val exploded = sets.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    val shared = exploded.as("x").join(exploded.as("y"), Seq("g"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** Bit masks 1L<<0 … 1L<<63 as an array literal (lambda variables cannot
+    * be shift amounts in the Column API, so bits are tested by mask).
+    */
+  private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)
+
+  /** 64-bit SimHash over whitespace tokens: per token hash, each bit votes
+    * ±1; the signature bit is 1 where the vote sum is positive. Pure HOF
+    * fold — map-side only.
+    */
+  def simhash64(text: Column): Column = {
+    val masks = typedLit(BitMasks)
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val votes = aggregate(hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        transform(masks, m => when(h.bitwiseAND(m) =!= 0, lit(1)).otherwise(lit(-1))),
+        (a, v) => a + v))
+    aggregate(zip_with(votes, masks,
+      (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicates: band the 64 bits into `bands` chunks (equal
+    * chunk → candidate, guaranteed to catch any pair within bands-1 bit
+    * flips), verify by popcount.
+    */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bits = 64 / bands
+    val withSig = docs.select(col(idCol), simhash64(col(textCol)).as("__sim"))
+    withSig.cache()
+    // band chunks built with Scala-side shift amounts (plain Ints)
+    val chunks = array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftrightunsigned(col("__sim"), b * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("chunk"))
+    }: _*)
+    val banded = withSig.select(col(idCol), col("__sim"),
+      explode(chunks).as("b"))
+      .select(col(idCol), col("__sim"), col("b.band_id"), col("b.chunk"))
+    val left = banded.select(col(idCol).as("id_a"), col("__sim").as("__sim_a"),
+      col("band_id"), col("chunk"))
+    val right = banded.select(col(idCol).as("id_b"), col("__sim").as("__sim_b"),
+      col("band_id"), col("chunk"))
+    left.join(right, Seq("band_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("__sim_a"), col("__sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicates via Similarity's LSH machinery. */
+  def embeddingNearDuplicates(embeddings: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.95, planes: Int = 16): DataFrame =
+    Similarity.cosineNearDuplicates(embeddings, idCol, vecCol, threshold, planes)
+}

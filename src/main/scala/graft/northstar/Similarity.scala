@@ -1,0 +1,126 @@
+package graft.northstar
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (BASELINE.json north-star).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: broadcast the (small) query set, one scan of
+  *    the corpus, per-query top-k via window — the exactness baseline;
+  *  - random-hyperplane LSH: deterministic ±1 hyperplanes → L bucket tables,
+  *    candidates only within matching buckets, exact cosine verify. The
+  *    scale path: candidate generation is L bucket-hash self-joins instead
+  *    of the O(n²) cross join.
+  *
+  * All arithmetic in double with sequential index-order folds, so results
+  * are bit-identical across engines computing the same formula.
+  */
+object Similarity {
+
+  def toDoubleVec(vec: Column): Column = transform(vec, _.cast("double"))
+
+  /** Sequential dot product (index-order fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Exact top-k cosine neighbors for each query row (excluding self).
+    * Queries are broadcast; the corpus is scanned once; ranking shuffles on
+    * query_id only.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic ±1 hyperplane components for (table, plane, dim) —
+    * seeded JVM RNG, same planes every run and every executor.
+    */
+  private def hyperplanes(tables: Int, planes: Int, dims: Int): Seq[Seq[Array[Double]]] = {
+    val rng = new java.util.Random(42L)
+    Seq.fill(tables)(Seq.fill(planes)(Array.fill(dims)(if (rng.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** One bucket id per table: the sign-bit pattern of the vector against
+    * each hyperplane. Map-side only.
+    */
+  def lshBuckets(vec: Column, tables: Int, planes: Int, dims: Int): Column = {
+    val hp = hyperplanes(tables, planes, dims)
+    array(hp.zipWithIndex.map { case (tablePlanes, t) =>
+      val bucket = tablePlanes.zipWithIndex.map { case (plane, p) =>
+        when(dot(vec, typedLit(plane.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(t).as("table_id"), bucket.as("bucket"))
+    }: _*)
+  }
+
+  /** All-pairs near-duplicates by cosine ≥ threshold: candidates collide in
+    * at least one of the L bucket tables; verified with exact cosine.
+    */
+  def cosineNearDuplicates(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 12, tables: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val base = embeddings.select(col(idCol).as("id"),
+      toDoubleVec(col(vecCol)).as("__v"))
+    base.cache()
+    val banded = base.select(col("id"),
+      explode(lshBuckets(col("__v"), tables, planes, dims)).as("b"))
+      .select(col("id"), col("b.table_id"), col("b.bucket"))
+    val pairs = banded.as("x").join(banded.as("y"), Seq("table_id", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val va = base.select(col("id").as("id_a"), col("__v").as("__va"))
+    val vb = base.select(col("id").as("id_b"), col("__v").as("__vb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Approximate top-k: rank only within LSH candidate sets. May return
+    * fewer than k neighbors per query (documented approximation — recall is
+    * tuned by planes/tables).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 10, tables: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("__qv"))
+    val cb = c.select(col("neighbor_id"), col("__cv"),
+      explode(lshBuckets(col("__cv"), tables, planes, dims)).as("b"))
+      .select(col("neighbor_id"), col("__cv"), col("b.table_id"), col("b.bucket"))
+    val qb = q.select(col("query_id"), col("__qv"),
+      explode(lshBuckets(col("__qv"), tables, planes, dims)).as("b"))
+      .select(col("query_id"), col("__qv"), col("b.table_id"), col("b.bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cb.join(broadcast(qb), Seq("table_id", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .distinct()
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

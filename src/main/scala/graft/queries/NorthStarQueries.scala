@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.northstar.TextAnalysis
+import graft.northstar.{Dedup, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators (BASELINE.json) over the
   * documents/embeddings testdata, with DuckDB oracles where the computation
@@ -60,11 +60,60 @@ object NorthStarQueries {
         min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("copies"))
 
+  /** MinHash + LSH near-duplicates (64 perms, 16 bands → ~0.5 similarity
+    * knee) with exact-Jaccard verification. The oracle computes the exact
+    * pair set — sound because every pair ≥ the 0.5 threshold in this corpus
+    * sits at ≥0.98 Jaccard, where 16-band LSH recall is 1 − (1−s⁴)¹⁶ ≈ 1.
+    */
+  def q24MinhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+      numPerm = 64, bands = 16, shingleSize = 3, jaccardThreshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Exact word-trigram Jaccard pairs (no approximation): explode-join on
+    * shared shingles — only colliding pairs materialize, never the O(n²)
+    * cross join.
+    */
+  def q25NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, threshold = 0.3)
+
+  /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10) —
+    * the exactness baseline for ANN; ranking on the rounded cosine with id
+    * tie-break is engine-stable.
+    */
+  def q26KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
+  /** SimHash near-duplicates: 64-bit signatures, 4×16-bit bands (catches
+    * every pair within 3 flipped bits), popcount verify. Not DuckDB-
+    * expressible (xxhash64) → rows-only check.
+    */
+  def q27SimhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+      bands = 4, maxHamming = 3)
+
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH (8 tables ×
+    * 6 planes for the moderate 0.4 threshold this corpus supports).
+    * Approximate by design → rows-only check.
+    */
+  def q28EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.4, planes = 6)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
     "q22_langid_matrix" -> (q22LangIdMatrix _),
     "q23_exact_dedup" -> (q23ExactDedup _),
+    "q24_minhash_near_dups" -> (q24MinhashNearDups _),
+    "q25_ngram_jaccard" -> (q25NgramJaccard _),
+    "q26_knn_brute" -> (q26KnnBrute _),
+    "q27_simhash_near_dups" -> (q27SimhashNearDups _),
+    "q28_embedding_near_dups" -> (q28EmbeddingNearDups _),
   )
 
   private val tokensSql =
@@ -109,5 +158,48 @@ object NorthStarQueries {
          CAST(min(doc_id) AS BIGINT) AS canonical_id,
          count(*) AS copies
          FROM documents GROUP BY 1""",
+
+    "q24_minhash_near_dups" -> ngramJaccardOracle(0.5),
+    "q25_ngram_jaccard" -> ngramJaccardOracle(0.3),
+
+    "q26_knn_brute" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
+         q AS (SELECT * FROM v WHERE vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.ve, c.ve) /
+                        (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))), 6) AS cosine
+           FROM v c, q WHERE c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+         FROM ranked WHERE rnk <= 5""",
   )
+
+  /** Exact trigram-Jaccard pair set in DuckDB (mirrors Dedup's shingle
+    * construction; Jaccard over distinct shingles, exact division, round 6).
+    */
+  private def ngramJaccardOracle(threshold: Double): String =
+    s"""WITH toks AS (
+          SELECT doc_id, $tokensSql AS tk FROM documents),
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                      ELSE list_transform(range(len(tk) - 2),
+                             i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END) AS sh
+          FROM toks),
+        e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sets),
+        shared AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n AS n_a, y.n AS n_b,
+                 count(*) AS inter
+          FROM e x JOIN e y USING (g)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+        FROM shared
+        WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= $threshold"""
 }

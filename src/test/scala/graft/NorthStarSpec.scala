@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.northstar.{Dedup, Similarity, TextAnalysis}
+
+/** Known-answer tests for the LLM-pipeline operators. */
+class NorthStarSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "completely different words entirely unrelated here"),
+    (4L, "the quick brown fox jumps over the lazy dog"))  // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("tokenCount / quality signals") {
+    val got = docs.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.stopwordRatio($"text").as("sr"))
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getInt(1)).toSeq == Seq(9, 9, 6, 9))
+    assert(got(0).getDouble(2) == 2.0 / 9) // "the" twice
+    assert(got(2).getDouble(2) == 0.0)
+  }
+
+  test("langId is deterministic and total") {
+    val got = docs.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(got.forall(TextAnalysis.LangProfiles.map(_._1).contains))
+    // "the" hits only the en profile → doc 1 must be en
+    assert(got(0) == "en")
+  }
+
+  test("exact fingerprint collapses exact duplicates only") {
+    val fp = docs.groupBy(TextAnalysis.fingerprint($"text").as("f"))
+      .agg(min("doc_id").as("c"), count(lit(1)).as("n"))
+    val rows = fp.collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == 2)   // docs 1+4 collapse
+    assert(rows(2L) == 1)
+    assert(rows(3L) == 1)
+  }
+
+  test("minhash LSH finds the near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      numPerm = 64, bands = 16, shingleSize = 3, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))  // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)))  // near dup (6/8 shared trigrams = 0.6)
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard exact pairs match expected values") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 4L)) == 1.0)
+    assert(math.abs(got((1L, 2L)) - 6.0 / 8.0) < 1e-9)
+  }
+
+  test("simhash: identical docs have hamming 0, near-dups small") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+      bands = 4, maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.get((1L, 2L)).forall(_ <= 10))
+  }
+
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L))
+    assert(got(0).getDouble(2) > 0.99)       // 1~2 nearly parallel
+    assert(got(1).getDouble(2) == 0.0)       // orthogonal
+    assert(got(2).getDouble(2) == -1.0)      // opposite
+  }
+
+  test("cosine LSH near-duplicates finds the parallel pair") {
+    val pairs = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
+      threshold = 0.9, planes = 4, tables = 8, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+}
