@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §2.11: the
+  * reference is batch-only — its incremental behavior comes from idempotent
+  * MERGE re-runs; this module expresses the same pipeline as a stream, the
+  * natural Spark form at 100 TB/day ingest).
+  *
+  * The parquet source carries TIMESTAMP(NANOS) read as long ns
+  * (nanosAsLong); `eventTime` converts by integer division to µs so no
+  * precision is lost to a double round-trip.
+  */
+object EventStream {
+
+  /** events.parquet schema under nanosAsLong. */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over the testdata events parquet. `ts DIV 1000` is
+    * integer division — a double round-trip would lose precision above 2^53.
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(EventSchema)
+      // the file-stream source wants a directory; filter to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+
+  /** Watermarked tumbling-window aggregation — the streaming form of
+    * q18_events_hourly. Append-mode-safe: results finalize once the
+    * watermark passes the window end.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("events"), col("value_cents"))
+
+  final case class SessionEvent(user_id: Long, event_time: java.sql.Timestamp,
+      value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator (KeyValueGroupedDataset +
+    * flatMapGroupsWithState): sessionization with a gap timeout — emits a
+    * session row once `gapMinutes` pass with no event from the user. State
+    * per user is O(1); the shuffle is on user_id only.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(_.event_time.getTime)
+      var closed = List.empty[UserSession]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.event_time.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        val out = cur.map(s => UserSession(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.n, s.total))
+        state.remove()
+        return (closed.reverse ++ out).iterator
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+      closed.reverse.iterator
+    }
+
+    events
+      .withWatermark("event_time", "1 hour")
+      .select(col("user_id"), col("event_time"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** Structured Streaming: the streaming hourly aggregation must converge to
+  * the batch answer (q18), and sessionization must emit plausible sessions.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly counts converge to the batch q18 result") {
+    val q = EventStream.hourlyCounts(EventStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = TestSpark.rows(spark.table("hourly"))
+    val batch = TestSpark.rows(
+      SparkEntry.queries("q18_events_hourly")(spark, dir))
+    assert(streamed == batch)
+  }
+
+  test("sessionize emits gap-separated sessions per user") {
+    val q = EventStream.sessionize(EventStream.readEvents(spark, dir), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val sessions = spark.table("sessions").collect()
+    // with event-time timeouts, sessions only close once the watermark
+    // passes; a single static batch closes sessions via the final watermark
+    assert(sessions.nonEmpty)
+    assert(sessions.forall(r =>
+      !r.getTimestamp(1).after(r.getTimestamp(2)) && r.getLong(3) >= 1))
+  }
+}
