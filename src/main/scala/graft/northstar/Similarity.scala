@@ -37,14 +37,20 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // norms precomputed once per row: one dot product per pair, not three
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDoubleVec(col(vecCol)).as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("__denom", col("__qn") * col("__cn"))
+      .withColumn("cosine", round(
+        when(col("__denom") === 0, lit(0.0))
+          .otherwise(dot(col("__qv"), col("__cv")) / col("__denom")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
