@@ -276,6 +276,21 @@ object ReferenceQueries {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("events"), col("value_cents"))
 
+  /** E3 step 9 (reference Seed-Store-Dashboard.py): the SQL entry path —
+    * text through the Spark SQL parser with GROUP BY ordinal (A9) and an
+    * unpartitioned analytic window (W5), exactly how the dashboard issues
+    * queries. Doubles are forced with CAST (a bare `100.0` literal is
+    * DECIMAL in both engines, with different division rounding).
+    */
+  def q19SqlDashboard(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority,
+                count(*) AS order_count,
+                round(CAST(count(*) AS DOUBLE) * 100 / SUM(count(*)) OVER (), 2) AS pct
+         FROM orders_v GROUP BY 1""")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segment_nations" -> (q02TopSegmentNations _),
@@ -295,6 +310,7 @@ object ReferenceQueries {
     "q16_late_share_by_priority" -> (q16LateShareByPriority _),
     "q17_clean_strings" -> (q17CleanStrings _),
     "q18_events_hourly" -> (q18EventsHourly _),
+    "q19_sql_dashboard" -> (q19SqlDashboard _),
   )
 }
 
@@ -463,6 +479,12 @@ object Oracles {
                 count(*) AS events,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
+
+    "q19_sql_dashboard" ->
+      """SELECT o_orderpriority,
+                count(*) AS order_count,
+                round(CAST(count(*) AS DOUBLE) * 100 / SUM(count(*)) OVER (), 2) AS pct
+         FROM orders GROUP BY 1""",
 
     "q12_validate_column_summary" ->
       """WITH s1 AS (
