@@ -37,20 +37,17 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    // norms precomputed once per row: one dot product per pair, not three
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("__qv"))
-      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDoubleVec(col(vecCol)).as("__cv"))
-      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("__denom", col("__qn") * col("__cn"))
+      // native fused expression: stays inside whole-stage codegen on the
+      // pair loop (the HOF fold would interpret per element)
       .withColumn("cosine", round(
-        when(col("__denom") === 0, lit(0.0))
-          .otherwise(dot(col("__qv"), col("__cv")) / col("__denom")), 6))
+        graft.functions.GraftFunctions.cosine_sim(col("__qv"), col("__cv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -96,7 +93,8 @@ object Similarity {
     val va = base.select(col("id").as("id_a"), col("__v").as("__va"))
     val vb = base.select(col("id").as("id_b"), col("__v").as("__vb"))
     pairs.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("cosine", round(
+        graft.functions.GraftFunctions.cosine_sim(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -124,7 +122,8 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
       .distinct()
-      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cosine", round(
+        graft.functions.GraftFunctions.cosine_sim(col("__qv"), col("__cv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))

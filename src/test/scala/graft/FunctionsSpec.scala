@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.io.Tables
+import graft.northstar.Similarity
+
+/** Native Catalyst expression: correctness, HOF-equivalence, SQL path. */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine_sim matches the HOF fold bit-for-bit on real embeddings") {
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(100)
+      .select(Similarity.toDoubleVec(col("embedding")).as("v"))
+    val pairs = emb.withColumn("id", monotonically_increasing_id())
+      .crossJoin(emb.withColumnRenamed("v", "w").limit(5))
+    val diff = pairs.select(
+      (GraftFunctions.cosine_sim(col("v"), col("w")) -
+        Similarity.cosine(col("v"), col("w"))).as("d"))
+      .agg(max(abs(col("d")))).head.getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("cosine_sim handles zero vectors and known values") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0), 0.0))
+      .toDF("a", "b", "expected")
+    val got = df.select(GraftFunctions.cosine_sim($"a", $"b").as("c"), $"expected")
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("cosine_sim casts float arrays and registers for SQL") {
+    GraftFunctions.register(spark)
+    Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      """SELECT cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+                           CAST(b.embedding AS ARRAY<DOUBLE>)) AS c
+         FROM emb_v a JOIN emb_v b ON a.vec_id = 0 AND b.vec_id = 0""").head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
