@@ -19,6 +19,20 @@ object Tables {
   /** S1: raw parquet scan of a driver testdata table. */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Bucketed catalog table write: co-locates join keys so repeated joins
+    * and aggregations on `bucketCols` run shuffle-free (the plan shows a
+    * SortMergeJoin with NO Exchange on either side). The 100 TB pattern for
+    * fact-fact joins that recur across a pipeline — pay the shuffle once at
+    * write time, never again.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
 }
 
 /** A versioned parquet table (Delta-semantics emulation, SURVEY.md §7.1).

@@ -1,0 +1,69 @@
+package graft.northstar
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path beyond
+  * LSH (BASELINE.json north-star: "an IVF or LSH-bucketed variant").
+  *
+  * Build: KMeans (seeded, deterministic) coarse-quantizes the corpus into
+  * `nlist` cells; each vector is stored under its nearest centroid — at
+  * 100 TB this is a partitioned layout (`partitionBy(cell)`) so a probe
+  * only scans `nprobe / nlist` of the data (partition pruning).
+  *
+  * Search: score each query against the (tiny, broadcast-as-literal)
+  * centroid table, take the `nprobe` nearest cells, then rank exact cosine
+  * only within those cells.
+  */
+final class IvfIndex private (val nlist: Int,
+    val centroids: Array[(Int, Seq[Double])], val assigned: DataFrame) {
+
+  /** Per-query nprobe nearest cells → exact cosine rank within them. */
+  def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      Similarity.toDoubleVec(col(vecCol)).as("__qv"))
+    // distance of the query to every centroid, as an array of structs —
+    // centroids ride along as literals (they are nlist × dims doubles)
+    val cellScores = array(centroids.map { case (cell, c) =>
+      struct((lit(-1.0) * GraftFunctions.cosine_sim(col("__qv"), typedLit(c)))
+        .as("d"), lit(cell).as("cell"))
+    }.toIndexedSeq: _*)
+    val probed = q
+      .withColumn("__cells",
+        slice(array_sort(cellScores), 1, nprobe).getField("cell"))
+      .select(col("query_id"), col("__qv"), explode(col("__cells")).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(GraftFunctions.cosine_sim(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}
+
+object IvfIndex {
+
+  /** Fit the coarse quantizer and assign every corpus vector to its cell. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      seed: Long = 42L): IvfIndex = {
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      Similarity.toDoubleVec(col(vecCol)).as("__cv"))
+      .withColumn("features", array_to_vector(col("__cv")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("neighbor_id"), col("__cv"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+    new IvfIndex(nlist, centroids, assigned)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Tables
+import graft.scale.SkewJoin
+
+/** Scale machinery: salted joins preserve semantics; bucketed tables join
+  * without a shuffle.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("saltedJoin equals the plain join (inner and left)") {
+    val li = Tables.read(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.read(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"), "inner")
+    val salted = SkewJoin.saltedJoin(li, o, Seq("l_orderkey"), saltBuckets = 7)
+    assert(TestSpark.rows(salted) == TestSpark.rows(plain))
+
+    val plainLeft = li.join(o, Seq("l_orderkey"), "left")
+    val saltedLeft = SkewJoin.saltedJoin(li, o, Seq("l_orderkey"), 7, "left")
+    assert(TestSpark.rows(saltedLeft) == TestSpark.rows(plainLeft))
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    Tables.writeBucketed(
+      Tables.read(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      "li_bucketed", Seq("l_orderkey"), numBuckets = 4)
+    Tables.writeBucketed(
+      Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "ord_bucketed", Seq("l_orderkey"), numBuckets = 4)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free but plan has an Exchange:\n$plan")
+      assert(joined.count() > 0)
+
+      // the same join on unbucketed data DOES shuffle — the bucketing is
+      // what removed it
+      val unbucketed = Tables.read(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .join(Tables.read(spark, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+          Seq("l_orderkey"))
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
