@@ -107,12 +107,24 @@ object Dedup {
     * materialize.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxDocFrequency: Option[Int] = None): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize)).as("sh"))
       .withColumn("n", size(col("sh")))
     sets.cache()
-    val exploded = sets.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    val exploded0 = sets.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    // Stop-shingle cap: a shingle present in d docs contributes d² join rows,
+    // so one ubiquitous shingle turns the join quadratic AND lands on a
+    // single shuffle key (skew). Dropping shingles above maxDocFrequency
+    // bounds both; |∪| still uses the full per-doc set sizes, so Jaccard is
+    // only *under*-estimated for pairs whose overlap was mostly stop-shingles
+    // — the standard trade at corpus scale.
+    val exploded = maxDocFrequency.fold(exploded0) { maxDf =>
+      val hot = exploded0.groupBy(col("g"))
+        .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+      exploded0.join(hot, Seq("g"), "left_anti")
+    }
     val shared = exploded.as("x").join(exploded.as("y"), Seq("g"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),

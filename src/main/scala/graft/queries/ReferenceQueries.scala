@@ -291,6 +291,19 @@ object ReferenceQueries {
          FROM orders_v GROUP BY 1""")
   }
 
+  /** A4 grand totals (reference Gold-Customer-Breakdown.py:33 global sum)
+    * extended with distinct aggregates — count-distinct runs as the
+    * expand+two-phase aggregate at scale, no driver collect.
+    */
+  def q29GlobalTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("lineitems"),
+      countDistinct(col("l_orderkey")).as("distinct_orders"),
+      countDistinct(col("l_partkey"), col("l_suppkey")).as("distinct_part_supp"),
+      sum(col("l_quantity")).as("total_qty"),
+      sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long")).as("revenue_cents"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segment_nations" -> (q02TopSegmentNations _),
@@ -311,6 +324,7 @@ object ReferenceQueries {
     "q17_clean_strings" -> (q17CleanStrings _),
     "q18_events_hourly" -> (q18EventsHourly _),
     "q19_sql_dashboard" -> (q19SqlDashboard _),
+    "q29_global_totals" -> (q29GlobalTotals _),
   )
 }
 
@@ -479,6 +493,14 @@ object Oracles {
                 count(*) AS events,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
+
+    "q29_global_totals" ->
+      """SELECT count(*) AS lineitems,
+                count(DISTINCT l_orderkey) AS distinct_orders,
+                count(DISTINCT (l_partkey, l_suppkey)) AS distinct_part_supp,
+                sum(l_quantity) AS total_qty,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem""",
 
     "q19_sql_dashboard" ->
       """SELECT o_orderpriority,

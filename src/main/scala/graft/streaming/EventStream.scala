@@ -49,6 +49,23 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("events"), col("value_cents"))
 
+  /** Streaming medallion ingest: each micro-batch lands in the bronze table
+    * through the same insert-only merge the batch pipeline uses
+    * (foreachBatch + MergeOps.insertIfAbsent) — exactly-once by content key,
+    * replay-safe, mirroring the reference's idempotent re-run semantics in
+    * streaming form.
+    */
+  def incrementalIngest(events: DataFrame, table: graft.io.ParquetTable,
+      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        table.writeMerged(batch.sparkSession, batch.toDF())(
+          graft.merge.MergeOps.insertIfAbsent(_, _, keys))
+        ()
+      }
+      .start()
+
   final case class SessionEvent(user_id: Long, event_time: java.sql.Timestamp,
       value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)

@@ -59,6 +59,13 @@ class NorthStarSpec extends AnyFunSuite {
     assert(math.abs(got((1L, 2L)) - 6.0 / 8.0) < 1e-9)
   }
 
+  test("ngram jaccard stop-shingle cap: lenient cap keeps results identical") {
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3,
+      maxDocFrequency = Some(10))
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+    assert(TestSpark.rows(capped) == TestSpark.rows(uncapped))
+  }
+
   test("simhash: identical docs have hamming 0, near-dups small") {
     val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
       bands = 4, maxHamming = 10)

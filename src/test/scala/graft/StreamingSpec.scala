@@ -23,6 +23,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("incremental ingest lands events exactly once, replay-safe") {
+    val table = new graft.io.ParquetTable(
+      java.nio.file.Files.createTempDirectory("graft_stream").toString + "/bronze_events")
+    val expected = graft.io.Tables.read(spark, dir, "events").count()
+
+    def runOnce(): Unit = {
+      val q = EventStream.incrementalIngest(
+        EventStream.readEvents(spark, dir), table, Seq("event_id"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(table.read(spark).count() == expected)
+    // replaying the same source (fresh stream, no checkpoint) must not duplicate
+    runOnce()
+    assert(table.read(spark).count() == expected)
+  }
+
   test("sessionize emits gap-separated sessions per user") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions")
