@@ -42,13 +42,27 @@ object NorthStarQueries {
 
   /** Language-ID prediction matrix: labeled lang × predicted lang counts.
     * The heuristic is deterministic marker-word scoring with struct-max
-    * tie-breaking, mirrored by list_max in DuckDB.
+    * tie-breaking, mirrored by list_max in DuckDB. Computed explode-style —
+    * one tokenization pass feeding all five profile scores as conditional
+    * sums (the Column-level `langId` would inline tokenization 5×).
     */
-  def q22LangIdMatrix(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted_lang"))
+  def q22LangIdMatrix(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val scoreCols = TextAnalysis.LangProfiles.map { case (lang, profile) =>
+      sum(when(lower(col("tok")).isin(profile: _*), 1).otherwise(0))
+        .cast("int").as(s"__s_$lang")
+    }
+    val scored = toks.groupBy(col("doc_id"), col("lang"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val predicted = greatest(TextAnalysis.LangProfiles.map { case (lang, _) =>
+      struct(col(s"__s_$lang").as("s"), lit(lang).as("l"))
+    }: _*).getField("l")
+    scored.select(col("lang"), predicted.as("predicted_lang"))
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** Exact deduplication: canonical doc per md5 fingerprint of the
     * normalized text (hash-groupBy — one shuffle on the fingerprint).

@@ -304,6 +304,41 @@ object ReferenceQueries {
       sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
         .cast("long")).as("revenue_cents"))
 
+  /** TPC-H Q5-shape: six-table join (two broadcast dims, three shuffle
+    * joins Catalyst is free to reorder) + filter + grouped sum. The widest
+    * plan in the suite — exercises join reordering and AQE.
+    */
+  def q30RegionalRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" && year(col("o_orderdate")) === 1997)
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("lineitems"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"))
+
+  /** TPC-H Q18-shape: grouped HAVING filter joined back to the fact tables
+    * (aggregate → filter → join — the "large orders" pattern).
+    */
+  def q31BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segment_nations" -> (q02TopSegmentNations _),
@@ -325,6 +360,8 @@ object ReferenceQueries {
     "q18_events_hourly" -> (q18EventsHourly _),
     "q19_sql_dashboard" -> (q19SqlDashboard _),
     "q29_global_totals" -> (q29GlobalTotals _),
+    "q30_regional_revenue" -> (q30RegionalRevenue _),
+    "q31_big_orders" -> (q31BigOrders _),
   )
 }
 
@@ -493,6 +530,24 @@ object Oracles {
                 count(*) AS events,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
+
+    "q30_regional_revenue" ->
+      """SELECT n_name, count(*) AS lineitems,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA' AND year(o_orderdate) = 1997
+         GROUP BY n_name""",
+
+    "q31_big_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(l_quantity) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
 
     "q29_global_totals" ->
       """SELECT count(*) AS lineitems,
