@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.clean.Strings
+import graft.merge.MergeOps
+import graft.northstar.Dedup
+import graft.validate.Validators
+
+/** Property-based invariants (SURVEY.md §5 plan): cleaning idempotence,
+  * duplicate-policy survivor counts, merge algebra laws.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic seeded sampling (scalatestplus is not on the offline
+    * classpath — drive ScalaCheck generators directly).
+    */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val dirtyString: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.const('\t'),
+      2 -> Gen.oneOf("!@#$%^&*()/.,-_".toSeq))).map(_.mkString)
+
+  test("property: cleanString is idempotent and emits only [A-Za-z ]") {
+    samples(Gen.listOfN(20, dirtyString), 8).filter(_.nonEmpty).foreach { strings =>
+      {
+        val df = strings.zipWithIndex.map(_.swap).toDF("id", "s")
+        val once = df.select(col("id"), Strings.cleanString(col("s")).as("c"))
+        val twice = once.select(col("id"), Strings.cleanString(col("c")).as("c"))
+        val o = once.orderBy("id").collect().map(_.getString(1)).toSeq
+        val t = twice.orderBy("id").collect().map(_.getString(1)).toSeq
+        assert(o == t)
+        assert(o.forall(_.matches("[A-Za-z ]*")))
+        assert(o.forall(s => s == s.trim && !s.contains("  ")))
+      }
+    }
+  }
+
+  test("property: identify_duplicates keeps exactly one ingested survivor per key") {
+    val genRows = Gen.listOfN(40, for {
+      id <- Gen.choose(1, 8)
+      ts <- Gen.choose(1000, 9999)
+    } yield (id, f"2024-01-01 00:$ts%04d".take(19), "ingested"))
+    samples(genRows, 8)
+      .map(_.distinctBy(r => (r._1, r._2)))
+      .filter(_.nonEmpty).foreach { rows =>
+      {
+        val df = Validators.initDiagnostics(
+          rows.toDF("id", "ingestion_timestamp", "silver_ingestion_status"))
+        val out = Validators.identifyDuplicates(df, Seq("id"), "ingestion_timestamp")
+        val survivors = out.filter(col("validation_status") =!= "invalid")
+          .groupBy("id").count().collect()
+        // every key retains exactly one valid row, regardless of copies
+        assert(survivors.forall(_.getLong(1) == 1))
+        assert(survivors.length == rows.map(_._1).distinct.size)
+      }
+    }
+  }
+
+  test("property: insertIfAbsent is idempotent and monotone") {
+    val genTable = Gen.listOfN(15, for {
+      k <- Gen.choose(1, 10); v <- Gen.alphaStr.map(_.take(4))
+    } yield (k, v))
+    samples(genTable.flatMap(a => genTable.map(b => (a, b))), 8)
+      .filter(p => p._1.nonEmpty && p._2.nonEmpty).foreach { case (a, b) =>
+      {
+        val ta = a.distinct.toDF("k", "v").dropDuplicates("k")
+        val tb = b.distinct.toDF("k", "v").dropDuplicates("k")
+        val merged = MergeOps.insertIfAbsent(ta, tb, Seq("k"))
+        // idempotent
+        assert(TestSpark.rows(MergeOps.insertIfAbsent(merged, tb, Seq("k"))) ==
+          TestSpark.rows(merged))
+        // key set is the union; target rows win
+        val keys = merged.select("k").collect().map(_.getInt(0)).toSet
+        assert(keys == (ta.collect().map(_.getInt(0)).toSet ++
+          tb.collect().map(_.getInt(0)).toSet))
+      }
+    }
+  }
+
+  test("property: minhash jaccard estimate tracks true jaccard") {
+    // construct doc pairs with known overlap from a fixed vocabulary
+    val vocab = (0 until 30).map(i => s"w$i")
+    samples(Gen.choose(0, 30), 8).foreach { overlap =>
+      val a = vocab.take(overlap) ++ (0 until (30 - overlap)).map(i => s"a$i")
+      val b = vocab.take(overlap) ++ (0 until (30 - overlap)).map(i => s"b$i")
+      val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text")
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", numPerm = 64,
+        shingleSize = 1)
+      val Seq(s1, s2) = sig.orderBy("doc_id").collect()
+        .map(_.getSeq[Long](1)).toSeq
+      val est = s1.zip(s2).count { case (x, y) => x == y } / 64.0
+      val truth = if (overlap == 0) 0.0 else overlap.toDouble / (60 - overlap)
+      assert(math.abs(est - truth) < 0.25, s"overlap=$overlap est=$est truth=$truth")
+    }
+  }
+}

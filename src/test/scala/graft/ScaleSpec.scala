@@ -28,6 +28,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(TestSpark.rows(saltedLeft) == TestSpark.rows(plainLeft))
   }
 
+  test("partitioned warehouse tables prune partitions on filter") {
+    val t = new graft.io.ParquetTable(
+      java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders_part",
+      partitionColumns = Seq("order_year"))
+    t.overwrite(Tables.read(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate"))))
+    val filtered = t.read(spark).filter(col("order_year") === 1997)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("order_year") && scan.contains("1997"),
+      s"expected partition pruning in:\n$scan")
+    assert(filtered.count() > 0)
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     Tables.writeBucketed(
       Tables.read(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
