@@ -118,6 +118,43 @@ object NorthStarQueries {
     Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
       "embedding", threshold = 0.4, planes = 6)
 
+  /** Batch sessionization — gaps-and-islands with lag + running sum (the
+    * batch mirror of streaming.EventStream.sessionize): 30-minute gap opens
+    * a new session; per-session event count, bounds and value. Ties broken
+    * by event_id so the session split is engine-stable.
+    */
+  def q32UserSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_time"), col("event_id"))
+    val marked = t(s, dir, "events")
+      .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("new_session",
+        when(lag(col("event_time"), 1).over(byUser).isNull ||
+          unix_micros(col("event_time")) -
+            unix_micros(lag(col("event_time"), 1).over(byUser)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+    marked.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_time")).as("session_start"),
+        max(col("event_time")).as("session_end"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+  }
+
+  /** ROLLUP aggregation (hierarchical totals year → priority → grand total)
+    * — the grouping-sets shape the reference lacks but any warehouse user
+    * expects; one expand + single shuffle.
+    */
+  def q33SalesRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .rollup(col("order_year"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -128,6 +165,8 @@ object NorthStarQueries {
     "q26_knn_brute" -> (q26KnnBrute _),
     "q27_simhash_near_dups" -> (q27SimhashNearDups _),
     "q28_embedding_near_dups" -> (q28EmbeddingNearDups _),
+    "q32_user_sessions" -> (q32UserSessions _),
+    "q33_sales_rollup" -> (q33SalesRollup _),
   )
 
   private val tokensSql =
@@ -172,6 +211,35 @@ object NorthStarQueries {
          CAST(min(doc_id) AS BIGINT) AS canonical_id,
          count(*) AS copies
          FROM documents GROUP BY 1""",
+
+    "q32_user_sessions" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, value,
+                  CAST(ts AS TIMESTAMP) AS event_time
+           FROM events),
+         marked AS (
+           SELECT *, CASE WHEN lag(event_time) OVER w IS NULL
+                            OR epoch_us(event_time) - epoch_us(lag(event_time) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY event_time, event_id)),
+         numbered AS (
+           SELECT *, CAST(sum(new_session) OVER
+             (PARTITION BY user_id ORDER BY event_time, event_id) AS BIGINT) AS session_id
+           FROM marked)
+         SELECT user_id, session_id,
+                count(*) AS n_events,
+                min(event_time) AS session_start,
+                max(event_time) AS session_end,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM numbered GROUP BY 1, 2""",
+
+    "q33_sales_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                o_orderpriority,
+                count(*) AS orders,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders
+         GROUP BY ROLLUP (order_year, o_orderpriority)""",
 
     "q24_minhash_near_dups" -> ngramJaccardOracle(0.5),
     "q25_ngram_jaccard" -> ngramJaccardOracle(0.3),
