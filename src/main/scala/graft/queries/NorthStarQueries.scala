@@ -155,6 +155,45 @@ object NorthStarQueries {
         count(lit(1)).as("orders"),
         sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
 
+  /** As-of join (operators.AsOfJoin): each event picks up the user's most
+    * recent order at or before the event time — one key shuffle via the
+    * union-window technique, checked against DuckDB's native ASOF JOIN.
+    */
+  def q34AsofLastOrder(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+      .select(col("event_id"), col("user_id"), col("event_time"))
+    val lastOrders = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"),
+        col("o_orderdate").as("last_order_date"))
+      .agg(max(col("o_orderkey")).as("last_order_key"))
+    graft.operators.AsOfJoin.asOf(events, lastOrders, Seq("user_id"),
+      col("event_time"), col("last_order_date"),
+      Seq("last_order_key", "last_order_date"))
+      .select(col("event_id"), col("user_id"),
+        col("last_order_key"), col("last_order_date"))
+  }
+
+  /** Equi + range join: clicks within ±1 hour of each error event for the
+    * same user. The equi key keeps it a hash/sort-merge join with the range
+    * as residual condition — never a nested-loop cross product.
+    */
+  def q35EventBurst(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("et", expr("timestamp_micros(ts DIV 1000)"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("et").as("error_time"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("et").as("click_time"))
+    errors.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          abs(unix_micros(col("click_time")) - unix_micros(col("error_time")))
+            <= 3600000000L, "left")
+      .groupBy(col("error_id"), col("user_id"))
+      .agg(count(col("click_time")).as("nearby_clicks"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -167,6 +206,8 @@ object NorthStarQueries {
     "q28_embedding_near_dups" -> (q28EmbeddingNearDups _),
     "q32_user_sessions" -> (q32UserSessions _),
     "q33_sales_rollup" -> (q33SalesRollup _),
+    "q34_asof_last_order" -> (q34AsofLastOrder _),
+    "q35_event_burst" -> (q35EventBurst _),
   )
 
   private val tokensSql =
@@ -240,6 +281,34 @@ object NorthStarQueries {
                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders
          GROUP BY ROLLUP (order_year, o_orderpriority)""",
+
+    "q34_asof_last_order" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS event_time
+           FROM events),
+         ord AS (
+           SELECT o_custkey AS user_id, o_orderdate AS last_order_date,
+                  CAST(max(o_orderkey) AS BIGINT) AS last_order_key
+           FROM orders GROUP BY 1, 2)
+         SELECT ev.event_id, ev.user_id, ord.last_order_key, ord.last_order_date
+         FROM ev ASOF LEFT JOIN ord
+           ON ev.user_id = ord.user_id AND ev.event_time >= ord.last_order_date""",
+
+    "q35_event_burst" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS et
+           FROM events),
+         errors AS (
+           SELECT event_id AS error_id, user_id, et AS error_time
+           FROM ev WHERE event_type = 'error'),
+         clicks AS (
+           SELECT user_id AS c_user_id, et AS click_time
+           FROM ev WHERE event_type = 'click')
+         SELECT error_id, user_id, count(click_time) AS nearby_clicks
+         FROM errors LEFT JOIN clicks
+           ON user_id = c_user_id
+          AND abs(epoch_us(click_time) - epoch_us(error_time)) <= 3600000000
+         GROUP BY 1, 2""",
 
     "q24_minhash_near_dups" -> ngramJaccardOracle(0.5),
     "q25_ngram_jaccard" -> ngramJaccardOracle(0.3),
