@@ -164,6 +164,28 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** DataFrame-level SimHash: one tokenize+hash pass exploded, 64 vote
+    * sums as map-side partial aggregates (the Column-level [[simhash64]]
+    * folds votes through interpreted HOF lambdas — fine for ad-hoc columns,
+    * ~8× slower at corpus scale). Same semantics: votes over ALL tokens
+    * (non-distinct), bit set where the vote sum is positive.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val perTok = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
+    val votes = BitMasks.zipWithIndex.map { case (m, b) =>
+      sum(when(col("__h").bitwiseAND(lit(m)) =!= 0, 1).otherwise(-1)).as(s"__v$b")
+    }
+    perTok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        BitMasks.zipWithIndex.map { case (m, b) =>
+          when(col(s"__v$b") > 0, lit(m)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("__sim"))
+  }
+
   /** SimHash near-duplicates: band the 64 bits into `bands` chunks (equal
     * chunk → candidate, guaranteed to catch any pair within bands-1 bit
     * flips), verify by popcount.
@@ -171,7 +193,7 @@ object Dedup {
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val bits = 64 / bands
-    val withSig = docs.select(col(idCol), simhash64(col(textCol)).as("__sim"))
+    val withSig = simhashSignatures(docs, idCol, textCol)
     withSig.cache()
     // band chunks built with Scala-side shift amounts (plain Ints)
     val chunks = array((0 until bands).map { b =>

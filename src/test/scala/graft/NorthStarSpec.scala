@@ -66,6 +66,14 @@ class NorthStarSpec extends AnyFunSuite {
     assert(TestSpark.rows(capped) == TestSpark.rows(uncapped))
   }
 
+  test("simhashSignatures (DataFrame) equals simhash64 (Column) exactly") {
+    val viaDf = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val viaCol = docs.select($"doc_id", Dedup.simhash64($"text").as("s"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(viaDf == viaCol)
+  }
+
   test("simhash: identical docs have hamming 0, near-dups small") {
     val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
       bands = 4, maxHamming = 10)
