@@ -88,7 +88,16 @@ object Dedup {
       array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize))
         .as("__shingles"))
     shingleSets.cache()
-    val withSig = minhashSignatures(docs, idCol, textCol, numPerm, shingleSize)
+    // signatures derive from the cached shingle sets — tokenize once, not twice
+    val mins = seeds(numPerm).zipWithIndex.map { case (s, i) =>
+      min(xxhash64(lit(s), col("__g"))).as(s"__m$i")
+    }
+    val withSig = shingleSets
+      .select(col(idCol), explode(col("__shingles")).as("__g"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numPerm).map(i => col(s"__m$i")): _*).as("__sig"))
     val pairs = candidatePairs(lshBands(withSig, idCol, "__sig", bands, rowsPerBand), idCol)
     val a = shingleSets.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
     val b = shingleSets.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
