@@ -339,6 +339,19 @@ object ReferenceQueries {
         col("o_orderdate"), col("total_qty"))
   }
 
+  /** Exact percentiles (sort-based distributed percentile — beyond the
+    * reference's aggregate surface; matches DuckDB quantile_cont's linear
+    * interpolation bit-for-bit at round-4).
+    */
+  def q36Quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segment_nations" -> (q02TopSegmentNations _),
@@ -362,6 +375,7 @@ object ReferenceQueries {
     "q29_global_totals" -> (q29GlobalTotals _),
     "q30_regional_revenue" -> (q30RegionalRevenue _),
     "q31_big_orders" -> (q31BigOrders _),
+    "q36_quantiles" -> (q36Quantiles _),
   )
 }
 
@@ -530,6 +544,14 @@ object Oracles {
                 count(*) AS events,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
+
+    "q36_quantiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q30_regional_revenue" ->
       """SELECT n_name, count(*) AS lineitems,

@@ -119,6 +119,29 @@ class PipelineSpec extends AnyFunSuite {
       dash.lateOrderShare(7).select("order_type", "total_orders", "late_orders"),
       Seq(Seq("affiliate", 1L, 1L)))
 
+    // D3: share within type — two individual groups of 2 and 1 → 66.67/33.33
+    TestSpark.assertSameRows(
+      dash.customerBreakdownShare
+        .select("type", "status", "relative_frequency_by_type_status"),
+      Seq(
+        Seq("affiliate", "VIP", 100.0),
+        Seq("individual", "regular", 66.67),
+        Seq("individual", "VIP", 33.33)))
+
+    // D4/D5: orders in the ISO week of 2023-02-02 (week 5)
+    assert(dash.ordersInWeek(2023, 5).count() == 1)
+    assert(dash.lowVolumeAffiliates(2023, 5).count() == 0) // cust1 is individual
+
+    // D6: Phoenix profile — 2 orders in its single month, weighted delivery 7.5
+    val phoenix = dash.cityDeliveryProfile("Phoenix").head
+    assert(phoenix.getDouble(0) == 2.0)
+    assert(phoenix.getDouble(1) == 7.5)
+
+    // D7: per-city averages (ordered by city)
+    TestSpark.assertSameRows(dash.cityAverages(),
+      Seq(Seq("Phoenix", 2.0, 7.5), Seq("Tucson", 1.0, 6.0)))
+    assert(dash.cityAverages(byYear = true).columns.contains("year"))
+
     // idempotent re-run: bronze/silver stable, reconciliations still pass
     SeedStore.runAll(spark, w, sources, clock)
     new GoldBuilds(spark, w, clock).buildAll()
