@@ -352,6 +352,19 @@ object ReferenceQueries {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
 
+  /** Sketch-based approximate aggregates (HLL++ count-distinct, quantile
+    * sketch) — the constant-memory forms of q29/q36 for 100 TB cardinality
+    * work. Engine-specific sketches → rows-only check; AccuracySpec bounds
+    * them against the exact answers.
+    */
+  def q37ApproxStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50_price"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segment_nations" -> (q02TopSegmentNations _),
@@ -376,6 +389,7 @@ object ReferenceQueries {
     "q30_regional_revenue" -> (q30RegionalRevenue _),
     "q31_big_orders" -> (q31BigOrders _),
     "q36_quantiles" -> (q36Quantiles _),
+    "q37_approx_stats" -> (q37ApproxStats _),
   )
 }
 
