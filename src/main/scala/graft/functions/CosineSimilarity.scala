@@ -15,11 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Why native instead of `zip_with`/`aggregate` HOFs: higher-order
   * functions evaluate their lambda per element through the interpreter and
   * break the surrounding codegen stage; on the ANN hot path (corpus ×
-  * queries pairs) that interpreter overhead dominates. A `Float`/`Double`
-  * array input is implicitly cast by `ImplicitCastInputTypes`.
+  * queries pairs) that interpreter overhead dominates. Inputs must be
+  * `array<double>` — the Column wrapper [[GraftFunctions.cosine_sim]] casts
+  * float/int arrays up; SQL callers cast explicitly.
   *
   * Semantics match `Similarity.cosine` bit-for-bit: sequential index-order
-  * accumulation, `0.0` for zero-norm inputs, NULL if either side is NULL.
+  * accumulation, `0.0` for zero-norm inputs, NULL if either side is NULL;
+  * NULL *elements* contribute 0.0 (identically in both eval paths).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,12 +40,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(x.length, y.length)
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      val xv = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
+      val yv = if (y.isNullAt(i)) 0.0 else y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
     }
     val denom = math.sqrt(nx) * math.sqrt(ny)
     if (denom == 0.0) 0.0 else dot / denom
@@ -63,8 +67,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
+         |  double $xv = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
+         |  double $yv = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);

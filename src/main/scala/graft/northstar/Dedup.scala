@@ -37,14 +37,24 @@ object Dedup {
     * shuffle carries only (id, k longs).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      numPerm: Int, shingleSize: Int): DataFrame = {
-    val perGram = docs.select(col(idCol),
-      explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize)))
-        .as("__g"))
+      numPerm: Int, shingleSize: Int): DataFrame =
+    signaturesFromShingles(
+      docs.select(col(idCol),
+        array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize))
+          .as("__shingles")),
+      idCol, numPerm)
+
+  /** Signature aggregation from a (id, __shingles) frame — shared by the
+    * standalone signature op and the near-duplicate path so the permutation
+    * scheme cannot drift between them.
+    */
+  private def signaturesFromShingles(shingleSets: DataFrame, idCol: String,
+      numPerm: Int): DataFrame = {
     val mins = seeds(numPerm).zipWithIndex.map { case (s, i) =>
       min(xxhash64(lit(s), col("__g"))).as(s"__m$i")
     }
-    perGram.groupBy(col(idCol))
+    shingleSets.select(col(idCol), explode(col("__shingles")).as("__g"))
+      .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
         array((0 until numPerm).map(i => col(s"__m$i")): _*).as("__sig"))
@@ -83,21 +93,17 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       jaccardThreshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm) — a zero-width band " +
+        "hashes every signature identically and degenerates to the full " +
+        "cross product; a non-dividing count silently drops permutations")
     val rowsPerBand = numPerm / bands
     val shingleSets = docs.select(col(idCol),
       array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize))
         .as("__shingles"))
     shingleSets.cache()
     // signatures derive from the cached shingle sets — tokenize once, not twice
-    val mins = seeds(numPerm).zipWithIndex.map { case (s, i) =>
-      min(xxhash64(lit(s), col("__g"))).as(s"__m$i")
-    }
-    val withSig = shingleSets
-      .select(col(idCol), explode(col("__shingles")).as("__g"))
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until numPerm).map(i => col(s"__m$i")): _*).as("__sig"))
+    val withSig = signaturesFromShingles(shingleSets, idCol, numPerm)
     val pairs = candidatePairs(lshBands(withSig, idCol, "__sig", bands, rowsPerBand), idCol)
     val a = shingleSets.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
     val b = shingleSets.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))

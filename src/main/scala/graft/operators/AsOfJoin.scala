@@ -34,6 +34,10 @@ object AsOfJoin {
       .withColumn("__tag", lit(1))
       .withColumn("__payload", lit(null).cast(payloadType))
     val rSide0 = right
+      // equi-join semantics: a NULL key never matches — drop NULL-keyed
+      // right rows so NULL-keyed left rows get a NULL payload instead of
+      // silently pairing inside the NULL window partition
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .select(keys.map(col).toIndexedSeq ++ Seq(rightTime.as("__t"),
         struct(payloadCols.map(col).toIndexedSeq: _*).as("__payload")): _*)
       .withColumn("__tag", lit(0))

@@ -138,7 +138,8 @@ final class EntityPipeline(spark: SparkSession, warehouse: Warehouse,
 
     var df = Validators.initDiagnostics(bronze, withRelationship = cfg.fkChecks.nonEmpty)
     df = Validators.checkIngestionStatus(df, ingestedSilver, cfg.idColumns)
-    df = Validators.identifyDuplicates(df, cfg.idColumns, "bronze_ingestion_time")
+    df = Validators.identifyDuplicates(df, cfg.idColumns, "bronze_ingestion_time",
+      tieBreakers = Seq("window_id"))
     df = cfg.validations.foldLeft(df)(applyRule)
     df = cfg.fkChecks.foldLeft(df) { (d, fk) =>
       Validators.validateRelationship(d, fk.childColumn,

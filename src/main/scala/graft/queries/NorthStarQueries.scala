@@ -54,10 +54,14 @@ object NorthStarQueries {
       sum(when(lower(col("tok")).isin(profile: _*), 1).otherwise(0))
         .cast("int").as(s"__s_$lang")
     }
-    val scored = toks.groupBy(col("doc_id"), col("lang"))
+    val scored0 = toks.groupBy(col("doc_id"), col("lang"))
       .agg(scoreCols.head, scoreCols.tail: _*)
+    // token-less docs vanish from the explode — join them back with zero
+    // scores so the matrix covers every document, like the oracle does
+    val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(scored0.drop("lang"), Seq("doc_id"), "left")
     val predicted = greatest(TextAnalysis.LangProfiles.map { case (lang, _) =>
-      struct(col(s"__s_$lang").as("s"), lit(lang).as("l"))
+      struct(coalesce(col(s"__s_$lang"), lit(0)).as("s"), lit(lang).as("l"))
     }: _*).getField("l")
     scored.select(col("lang"), predicted.as("predicted_lang"))
       .groupBy(col("lang"), col("predicted_lang"))

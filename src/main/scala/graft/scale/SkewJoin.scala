@@ -20,6 +20,11 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    // join types that preserve unmatched small-side rows would emit
+    // saltBuckets null-padded copies of each (the small side is replicated)
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves semantics only for inner/left joins, got $joinType")
     val bigSalted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
         .cast("int"))

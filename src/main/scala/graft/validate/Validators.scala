@@ -99,7 +99,13 @@ object Validators {
     val keys0 = ingested.select(idColumns.map(col).toIndexedSeq: _*).distinct()
     val keys = idColumns.foldLeft(keys0)((d, c) => d.withColumnRenamed(c, s"__k_$c"))
       .withColumn("__ingested", lit(true))
-    val cond = idColumns.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    // String-form comparison (like validateRelationship): a raw bronze key
+    // may be a dirty string while silver is already cast — a typed `<=>`
+    // would make ANSI insert a crashing numeric cast on the dirty rows, the
+    // very rows validation exists to route to the DLQ. Also faithful to the
+    // reference, which compares concat_ws string forms.
+    val cond = idColumns.map(c =>
+      col(c).cast("string") <=> col(s"__k_$c").cast("string")).reduce(_ && _)
     validation.join(keys, cond, "left")
       .withColumn(statusCol,
         when(col("__ingested"), "ingested").otherwise("not_ingested"))
@@ -116,11 +122,17 @@ object Validators {
     */
   def identifyDuplicates(df: DataFrame, idColumns: Seq[String],
       ingestionTimestamp: String,
-      statusCol: String = "silver_ingestion_status"): DataFrame = {
+      statusCol: String = "silver_ingestion_status",
+      tieBreakers: Seq[String] = Nil): DataFrame = {
     val idStr = idColumns.mkString(", ")
     val byId = Window.partitionBy(idColumns.map(col).toIndexedSeq: _*)
+    // tieBreakers make the surviving copy deterministic when ingestion
+    // timestamps tie (one batch stamps every row with the same clock) —
+    // the reference leaves this nondeterministic; the pipeline passes
+    // window_id.
+    val ordering = (ingestionTimestamp +: tieBreakers).map(col)
     val counted = df
-      .withColumn("__rn", row_number().over(byId.orderBy(col(ingestionTimestamp))))
+      .withColumn("__rn", row_number().over(byId.orderBy(ordering.toIndexedSeq: _*)))
       .withColumn("__cnt", count(lit(1)).over(byId))
     val dup = (col(statusCol) === "not_ingested" && col("__cnt") > 1) ||
       (col(statusCol) === "ingested" && col("__cnt") > 1 && col("__rn") > 1)

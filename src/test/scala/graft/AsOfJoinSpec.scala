@@ -29,4 +29,14 @@ class AsOfJoinSpec extends AnyFunSuite {
     TestSpark.assertSameRows(got, Seq(
       Seq(1L, null), Seq(2L, "a"), Seq(3L, "b"), Seq(4L, "b"), Seq(5L, null)))
   }
+
+  test("NULL keys never match (equi-join semantics, like native ASOF)") {
+    val left = Seq((1L, Option.empty[Long], 50L), (2L, Option(100L), 50L))
+      .toDF("event_id", "key", "t")
+    val right = Seq((Option.empty[Long], 10L, "nullkey"), (Option(100L), 10L, "real"))
+      .toDF("key", "rt", "payload")
+    val got = AsOfJoin.asOf(left, right, Seq("key"), col("t"), col("rt"),
+      Seq("payload")).select("event_id", "payload")
+    TestSpark.assertSameRows(got, Seq(Seq(1L, null), Seq(2L, "real")))
+  }
 }

@@ -37,6 +37,14 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("cosine_sim treats NULL elements as 0.0 in both eval paths") {
+    val df = Seq((Seq(Option(3.0), Option.empty[Double]), Seq(Option(3.0), Option(4.0))))
+      .toDF("a", "b")
+    // (3,null)·(3,4) with null→0: dot=9, |a|=3, |b|=5 → 0.6
+    val viaCodegen = df.select(GraftFunctions.cosine_sim($"a", $"b")).head.getDouble(0)
+    assert(viaCodegen == 0.6)
+  }
+
   test("cosine_sim casts float arrays and registers for SQL") {
     GraftFunctions.register(spark)
     Tables.read(spark, "/root/testdata/sf0.001", "embeddings")

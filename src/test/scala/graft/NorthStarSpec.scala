@@ -59,6 +59,15 @@ class NorthStarSpec extends AnyFunSuite {
     assert(math.abs(got((1L, 2L)) - 6.0 / 8.0) < 1e-9)
   }
 
+  test("minhash rejects band counts that do not divide the permutations") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text", numPerm = 64, bands = 100)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text", numPerm = 64, bands = 24)
+    }
+  }
+
   test("ngram jaccard stop-shingle cap: lenient cap keeps results identical") {
     val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3,
       maxDocFrequency = Some(10))

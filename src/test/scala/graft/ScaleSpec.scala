@@ -28,6 +28,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(TestSpark.rows(saltedLeft) == TestSpark.rows(plainLeft))
   }
 
+  test("saltedJoin rejects join types that would duplicate the small side") {
+    val df = Tables.read(spark, dir, "orders").limit(1)
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, df, Seq("o_orderkey"), 4, "right")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, df, Seq("o_orderkey"), 4, "full_outer")
+    }
+  }
+
   test("partitioned warehouse tables prune partitions on filter") {
     val t = new graft.io.ParquetTable(
       java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders_part",

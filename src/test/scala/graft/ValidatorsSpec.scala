@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.validate.Validators
@@ -215,6 +215,32 @@ class ValidatorsSpec extends AnyFunSuite {
         Seq(1, 2, "2024-02-14 12:00:00", "", Nil, false),
         Seq(4, 1, "2024-02-14 12:03:00", "invalid", List("name"), false),
         Seq(2, 1, "2024-02-14 12:01:00", "invalid", List("id1, id2"), true)))
+  }
+
+  test("check_ingestion_status survives dirty string keys vs typed silver keys") {
+    // raw bronze: string ids including an uncastable one; silver: bigint ids.
+    // A typed comparison would make ANSI insert a crashing cast on "abc".
+    val bronze = spark.createDataFrame(java.util.Arrays.asList(
+      Row("1"), Row("abc"), Row("7")),
+      StructType(Seq(StructField("id", StringType))))
+    val silver = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L), Row(2L)),
+      StructType(Seq(StructField("id", LongType))))
+    val got = Validators.checkIngestionStatus(bronze, silver, Seq("id"))
+    TestSpark.assertSameRows(got, Seq(
+      Seq("1", "ingested"), Seq("abc", "not_ingested"), Seq("7", "not_ingested")))
+  }
+
+  test("identify_duplicates tie-breaker makes the survivor deterministic") {
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1, 2, "2024-01-01 00:00:00", "", Seq.empty[String], "ingested"),
+      Row(1, 1, "2024-01-01 00:00:00", "", Seq.empty[String], "ingested")),
+      idSchema)
+    val got = Validators.identifyDuplicates(df, Seq("id1"),
+      "ingestion_timestamp", tieBreakers = Seq("id2"))
+    // id2=1 sorts first → survives; id2=2 is the duplicate
+    TestSpark.assertSameRows(got.select("id2", "validation_status"), Seq(
+      Seq(1, ""), Seq(2, "invalid")))
   }
 
   test("finalizeValid labels untouched rows") {
