@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection at corpus scale (BASELINE.json north-star).
   *
+  * Algorithms are the published classics: MinHash resemblance sketches
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * banded LSH (Indyk & Motwani, 1998; banding analysis as in Mining of
+  * Massive Datasets ch. 3), SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002).
+  *
   * Four families, all built from Spark primitives so Catalyst plans the
   * shuffles:
   *

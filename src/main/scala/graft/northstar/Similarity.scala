@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over embedding columns
-  * (BASELINE.json north-star).
+  * (BASELINE.json north-star). Random-hyperplane LSH per Charikar (STOC
+  * 2002); the IVF companion ([[IvfIndex]]) follows the inverted-file
+  * coarse-quantization scheme popularized by FAISS (Johnson et al., 2017).
   *
   * Two paths:
   *  - brute-force cosine top-k: broadcast the (small) query set, one scan of
