@@ -365,6 +365,20 @@ object ReferenceQueries {
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
         expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50_price"))
 
+  /** Semi-structured extraction: pull a typed value out of the JSON props
+    * column and aggregate on it — the ubiquitous event-payload pattern
+    * (get_json_object is codegen'd path extraction, no full JSON parse).
+    */
+  def q38JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("with_k"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segment_nations" -> (q02TopSegmentNations _),
@@ -390,6 +404,7 @@ object ReferenceQueries {
     "q31_big_orders" -> (q31BigOrders _),
     "q36_quantiles" -> (q36Quantiles _),
     "q37_approx_stats" -> (q37ApproxStats _),
+    "q38_json_extract" -> (q38JsonExtract _),
   )
 }
 
@@ -558,6 +573,17 @@ object Oracles {
                 count(*) AS events,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
+
+    "q38_json_extract" ->
+      """SELECT event_type,
+                count(k) AS with_k,
+                CAST(sum(k) AS BIGINT) AS k_sum,
+                CAST(min(k) AS BIGINT) AS k_min,
+                CAST(max(k) AS BIGINT) AS k_max
+         FROM (SELECT event_type,
+                      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type""",
 
     "q36_quantiles" ->
       """SELECT l_returnflag,

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkSessionExtensions wiring: a session built with GraftExtensions has
+  * cosine_sim available in SQL without manual registration; GraftCatalog
+  * makes the testdata drivable from pure SQL.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val base = TestSpark.spark
+
+  test("withExtensions injects cosine_sim into a fresh session") {
+    base.sparkContext // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      val r = extended.sql(
+        "SELECT cosine_sim(array(1.0d, 0.0d), array(0.5d, 0.0d))").head.getDouble(0)
+      assert(r == 1.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("GraftCatalog enables pure-SQL querying of the testdata") {
+    GraftCatalog.registerAll(base, "/root/testdata/sf0.001")
+    val n = base.sql(
+      """SELECT count(*) FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""")
+      .head.getLong(0)
+    assert(n == 150)
+  }
+}
