@@ -150,5 +150,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(invalidDlqCount(w, "orders") == 2)
     assert(w.table("bronze_customers").read(spark).count() == 7)
     assert(dash.totalCustomers.head.getLong(0) == 4L)
+
+    // batch 2: the source has grown (the reference re-reads the whole source
+    // dir each run) — new valid customer + new order for them; later clock
+    val clock2 = () => to_timestamp(lit("2024-02-01 00:00:00"))
+    val grown = sources
+      .updated("customers", sources("customers").unionByName(
+        Seq((7, "affiliate", "regular", "2023-04-01 10:00:00"))
+          .toDF("id", "type", "status", "CreatedOn")))
+      .updated("orders", sources("orders").unionByName(
+        Seq((7, "2023-04-02 10:00:00", 13, "2023-04-05", "2023-04-06", 105))
+          .toDF("customerId", "createdOn", "addressId", "deliveryDate", "deliveredOn", "id")))
+    SeedStore.runAll(spark, w, grown, clock2)
+    new GoldBuilds(spark, w, clock2).buildAll()
+
+    assert(w.table("bronze_customers").read(spark).count() == 8)
+    assert(silverCount(w, "customers") == 5)   // id 7 landed
+    assert(silverCount(w, "orders") == 4)      // order 105 landed
+    assert(invalidDlqCount(w, "orders") == 2)  // old failures unchanged
+    assert(dash.totalCustomers.head.getLong(0) == 5L)
+    // gold upsert refreshed the existing grains and added the new ones
+    TestSpark.assertSameRows(
+      w.gold("customer_breakdown").read(spark), Seq(
+        Seq("individual", "regular", 2L),
+        Seq("affiliate", "regular", 1L),
+        Seq("affiliate", "VIP", 1L),
+        Seq("individual", "VIP", 1L)))
   }
 }
