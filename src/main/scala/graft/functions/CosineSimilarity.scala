@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * float/int arrays up; SQL callers cast explicitly.
   *
   * Semantics match `Similarity.cosine` bit-for-bit: sequential index-order
-  * accumulation, `0.0` for zero-norm inputs, NULL if either side is NULL;
-  * NULL *elements* contribute 0.0 (identically in both eval paths).
+  * accumulation, `0.0` for zero-norm inputs, NULL if either side is NULL
+  * or the dimensions differ (zip_with null-pads a length mismatch, which
+  * poisons its fold to NULL — never a silent prefix cosine); NULL
+  * *elements* contribute 0.0 (identically in both eval paths).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,7 +44,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched dimensions → NULL (like the zip_with fold, which
+    // null-pads and poisons the sum) — never a silent prefix cosine
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xv = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
@@ -64,15 +69,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
-         |  double $yv = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
+         |    double $yv = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
          |}
-         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 

@@ -41,7 +41,11 @@ final class GoldBuilds(spark: SparkSession, warehouse: Warehouse,
   private def publish(name: String, update: DataFrame, grain: Seq[String],
       countCol: String, expected: Long): ParquetTable = {
     val t = warehouse.gold(name)
-    t.writeMerged(spark, update)(MergeOps.upsert(_, _, grain))
+    // each build is a full recompute, so vanished grains must be deleted —
+    // a plain upsert would keep stale rows and poison the sum invariant on
+    // the next incremental run
+    t.writeMerged(spark, update)(
+      MergeOps.upsert(_, _, grain, deleteUnmatched = true))
     val stored = sumOf(t.read(spark), countCol)
     require(stored == expected,
       s"gold_$name invariant: stored sum $stored != source count $expected")

@@ -80,12 +80,19 @@ object MergeOps {
   }
 
   /** S9: full upsert — matched target rows are replaced by their update row,
-    * unmatched update rows are inserted (the gold refresh pattern).
+    * unmatched update rows are inserted (the gold refresh pattern). With
+    * `deleteUnmatched` (MERGE's WHEN NOT MATCHED BY SOURCE THEN DELETE),
+    * target grains absent from the update are dropped — required when the
+    * update is a full recompute and grains can legitimately vanish (e.g. a
+    * customer's latest-order city moved).
     */
-  def upsert(target: DataFrame, updates: DataFrame,
-      keys: Seq[String]): DataFrame = {
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      deleteUnmatched: Boolean = false): DataFrame = {
     val u = aligned(target, updates).dropDuplicates(keys)
     val (updateKeys, cond) = renamedKeys(u, keys, "__u_")
-    target.join(updateKeys, cond, "left_anti").unionByName(u)
+    val kept =
+      if (deleteUnmatched) target.limit(0)
+      else target.join(updateKeys, cond, "left_anti")
+    kept.unionByName(u)
   }
 }

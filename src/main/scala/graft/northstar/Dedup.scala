@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * At 100 TB the only shuffles are the bucket joins, whose fan-in is
   * controlled by (bands × rows) resp. hyperplane count; everything else is
   * map-side.
+  *
+  * Caching contract: the pair-finding operators cache an intermediate
+  * (shingle sets / signatures) that the returned lazy plan references from
+  * multiple branches. The cache lives until the session drops it — callers
+  * running many invocations in one long-lived session should
+  * `spark.catalog.clearCache()` between them (Verify/Bench do).
   */
 object Dedup {
 
@@ -213,6 +219,10 @@ object Dedup {
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands >= 2 && bands <= 64 && 64 % bands == 0,
+      s"bands ($bands) must divide 64 with at least 2 bands — bands=1 has " +
+        "no collision-filtering power and a non-divisor leaves top bits " +
+        "outside every band")
     val bits = 64 / bands
     val withSig = simhashSignatures(docs, idCol, textCol)
     withSig.cache()

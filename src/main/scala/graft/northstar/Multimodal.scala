@@ -85,14 +85,15 @@ object Multimodal {
 
   /** Resize stub: deterministic byte-level downsample to `targetBytes`
     * (every k-th byte) — the real implementation would call an image
-    * library here.
+    * library here. Byte slices are reassembled with binary `concat` via an
+    * aggregate fold — a string round-trip would UTF-8-mangle non-text
+    * payloads.
     */
   def resizeStub(payload: org.apache.spark.sql.Column,
       targetBytes: Int): org.apache.spark.sql.Column = {
     val stride = greatest(length(payload) / targetBytes, lit(1))
-    // sample every stride-th byte and reassemble
-    to_binary(concat_ws("",
-      transform(sequence(lit(1), least(length(payload), lit(targetBytes))),
-        i => substring(payload, ((i - 1) * stride + 1).cast("int"), lit(1)))), lit("utf-8"))
+    val slices = transform(sequence(lit(1), least(length(payload), lit(targetBytes))),
+      i => substring(payload, ((i - 1) * stride + 1).cast("int"), lit(1)))
+    aggregate(slices, lit(Array.emptyByteArray), (acc, b) => concat(acc, b))
   }
 }

@@ -68,9 +68,16 @@ object Similarity {
     */
   def lshBuckets(vec: Column, tables: Int, planes: Int, dims: Int): Column = {
     val hp = hyperplanes(tables, planes, dims)
+    // guard the dims contract: a shorter/longer vector would null-pad the
+    // zip_with dot, turn every plane test false, and collapse ALL rows into
+    // bucket 0 — silently degenerating the bucket join to the O(n²) cross
+    // product. Fail loudly instead.
+    val checked = when(size(vec) === dims, vec).otherwise(
+      raise_error(concat(lit(s"lshBuckets: expected $dims-dim vector, got "),
+        size(vec).cast("string"))))
     array(hp.zipWithIndex.map { case (tablePlanes, t) =>
       val bucket = tablePlanes.zipWithIndex.map { case (plane, p) =>
-        when(dot(vec, typedLit(plane.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+        when(dot(checked, typedLit(plane.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
       struct(lit(t).as("table_id"), bucket.as("bucket"))
     }: _*)

@@ -162,9 +162,16 @@ final class EntityPipeline(spark: SparkSession, warehouse: Warehouse,
       silverT.writeMerged(spark, silverRows)(
         MergeOps.insertIfAbsent(_, _, cfg.idColumns))
 
+      // DLQ insert keyed on the STABLE row identity (dlqUpdateKeys: business
+      // key + window_id + unclean snapshots) rather than the full row — the
+      // cleansing stage mutates stored payload columns, so a full-row key
+      // would re-insert a copy of every repaired row on each re-run
+      // (unbounded DLQ growth; the reference has this leak).
+      val dlqInsertKeys =
+        if (cfg.dlqUpdateKeys.nonEmpty) cfg.dlqUpdateKeys
+        else MergeOps.mergeKeyColumns(dlqRows.columns.toSeq)
       warehouse.dlq(cfg).writeMerged(spark, dlqRows)(
-        MergeOps.insertIfAbsent(_, _,
-          MergeOps.mergeKeyColumns(dlqRows.columns.toSeq)))
+        MergeOps.insertIfAbsent(_, _, dlqInsertKeys))
     } finally df.unpersist()
   }
 
@@ -197,9 +204,13 @@ final class EntityPipeline(spark: SparkSession, warehouse: Warehouse,
         dlq = Validators.finalizeValid(dlq).cache()
         try {
           val promoted = promoteToSilver(dlq.filter(col(StatusCol) === "valid"))
+          // promotion keyed on the business id like validateSilver's silver
+          // merge — the reference keys this merge on the full row
+          // (Silver-DLQ-Customers.py:76), which could seat a second copy of
+          // an id already in silver; keying on idColumns keeps silver's
+          // one-row-per-key invariant under every input.
           silverT.writeMerged(spark, promoted)(
-            MergeOps.insertIfAbsent(_, _,
-              MergeOps.mergeKeyColumns(promoted.columns.toSeq)))
+            MergeOps.insertIfAbsent(_, _, cfg.idColumns))
           val refreshed = Validators.checkIngestionStatus(
             dlq.drop("silver_ingestion_status"), silverT.read(spark), cfg.idColumns)
           updateDlq(dlqT, refreshed)

@@ -91,7 +91,10 @@ object EventStream {
         val t = e.event_time.getTime
         cur match {
           case Some(s) if t - s.last <= gapMs =>
-            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+            // a cross-batch out-of-order event (t < s.last, still above the
+            // watermark) must not shrink the session bounds or its timeout
+            cur = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
           case Some(s) =>
             closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.last), s.n, s.total)

@@ -37,6 +37,14 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("cosine_sim returns NULL on mismatched dimensions (like the HOF fold)") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val native = df.select(GraftFunctions.cosine_sim($"a", $"b")).head
+    assert(native.isNullAt(0))
+    val hof = df.select(Similarity.cosine($"a", $"b")).head
+    assert(hof.isNullAt(0))
+  }
+
   test("cosine_sim treats NULL elements as 0.0 in both eval paths") {
     val df = Seq((Seq(Option(3.0), Option.empty[Double]), Seq(Option(3.0), Option(4.0))))
       .toDF("a", "b")

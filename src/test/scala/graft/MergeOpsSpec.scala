@@ -69,6 +69,13 @@ class MergeOpsSpec extends AnyFunSuite {
     TestSpark.assertSameRows(merged, Seq(Seq(1, null)))
   }
 
+  test("upsert with deleteUnmatched drops vanished grains (full-recompute refresh)") {
+    val target = Seq(("Phoenix", 1L), ("Tucson", 2L)).toDF("grain", "n")
+    val updates = Seq(("Tucson", 3L), ("Mesa", 1L)).toDF("grain", "n")
+    val merged = MergeOps.upsert(target, updates, Seq("grain"), deleteUnmatched = true)
+    TestSpark.assertSameRows(merged, Seq(Seq("Tucson", 3L), Seq("Mesa", 1L)))
+  }
+
   test("upsert replaces matched grains and inserts new ones (gold refresh)") {
     val target = Seq(("cityA", 10L), ("cityB", 20L)).toDF("grain", "n")
     val updates = Seq(("cityB", 25L), ("cityC", 5L)).toDF("grain", "n")

@@ -40,4 +40,14 @@ class MultimodalSpec extends AnyFunSuite {
       length(Multimodal.resizeStub(col("payload"), 16)).as("n")).collect()
     assert(resized.forall(_.getInt(0) <= 16))
   }
+
+  test("resize stub preserves raw non-UTF8 bytes (no string round-trip)") {
+    import spark.implicits._
+    val raw = Array[Byte](0xFF.toByte, 0x00, 0xAB.toByte, 0x10, 0xC3.toByte, 0x28)
+    val out = Seq(Tuple1(raw)).toDF("payload")
+      .select(Multimodal.resizeStub(col("payload"), 3).as("r"))
+      .head.getAs[Array[Byte]](0)
+    // stride = 6/3 = 2 → bytes at positions 1,3,5 (1-based)
+    assert(out.toSeq == Seq(0xFF.toByte, 0xAB.toByte, 0xC3.toByte))
+  }
 }

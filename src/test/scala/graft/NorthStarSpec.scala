@@ -107,6 +107,25 @@ class NorthStarSpec extends AnyFunSuite {
     assert(got(2).getDouble(2) == -1.0)      // opposite
   }
 
+  test("simhash rejects degenerate band configurations") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDuplicates(docs, "doc_id", "text", bands = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDuplicates(docs, "doc_id", "text", bands = 5)
+    }
+  }
+
+  test("cosine LSH fails loudly on a dims mismatch instead of bucket-collapsing") {
+    val bad = intercept[Exception] {
+      Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
+        threshold = 0.9, planes = 4, tables = 2, dims = 8) // vectors are 4-dim
+        .count()
+    }
+    assert(bad.getMessage.contains("lshBuckets") ||
+      Option(bad.getCause).exists(_.getMessage.contains("lshBuckets")))
+  }
+
   test("cosine LSH near-duplicates finds the parallel pair") {
     val pairs = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
       threshold = 0.9, planes = 4, tables = 8, dims = 4)

@@ -149,6 +149,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(silverCount(w, "orders") == 3)
     assert(invalidDlqCount(w, "orders") == 2)
     assert(w.table("bronze_customers").read(spark).count() == 7)
+    // the DLQ must not grow on re-runs even though cleansing mutated its
+    // payload columns (insert keyed on the stable unclean identity)
+    assert(w.table("dlq_customers").read(spark).count() == 5)
     assert(dash.totalCustomers.head.getLong(0) == 4L)
 
     // batch 2: the source has grown (the reference re-reads the whole source
