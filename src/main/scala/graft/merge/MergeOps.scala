@@ -95,4 +95,68 @@ object MergeOps {
       else target.join(updateKeys, cond, "left_anti")
     kept.unionByName(u)
   }
+
+  /** Seed an SCD Type 2 dimension from its first snapshot: every row becomes
+    * the current version, open-ended (`valid_to` NULL, typed like
+    * `effective` so later merges union cleanly).
+    */
+  def scdType2Init(updates: DataFrame, keys: Seq[String], attrs: Seq[String],
+      effective: Column): DataFrame =
+    updates.select((keys ++ attrs).map(col).toIndexedSeq: _*)
+      .dropDuplicates(keys)
+      .withColumn("valid_from", effective)
+      .withColumn("valid_to", when(lit(false), effective))
+      .withColumn("is_current", lit(true))
+
+  /** SCD Type 2 history merge (Kimball slowly-changing dimension, the
+    * `MERGE`-with-history pattern Delta users hand-roll). Target schema:
+    * `keys ++ attrs ++ (valid_from, valid_to, is_current)`; `updates` is the
+    * new snapshot (`keys ++ attrs`), `effective` the version timestamp.
+    *
+    *  - changed attributes → the current row is CLOSED (`valid_to =
+    *    effective`, `is_current = false`) and a new open version inserted;
+    *  - unchanged / absent-from-update keys → pass through untouched
+    *    (an absent key means "no new observation", not a delete);
+    *  - brand-new keys → inserted open;
+    *  - closed history rows are never revisited.
+    *
+    * Keys and attribute changes compare null-safely (`<=>`), consistent
+    * with the other merge shapes. One shuffle on the keys: history and
+    * current are two filters off the target scan, and the three output
+    * branches are projections of ONE full-outer join (Catalyst reuses the
+    * exchange; at 100 TB the join is key-partitioned and the union is
+    * partition-local).
+    */
+  def scdType2(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      attrs: Seq[String], effective: Column): DataFrame = {
+    val tCols = target.columns.toIndexedSeq
+    val u0 = updates.select((keys ++ attrs).map(col).toIndexedSeq: _*)
+      .dropDuplicates(keys)
+    val uRen = (keys ++ attrs).foldLeft(u0.withColumn("__m", lit(true))) {
+      (d, c) => d.withColumnRenamed(c, s"__u_$c")
+    }
+    val history = target.filter(!col("is_current"))
+    val current = target.filter(col("is_current")).withColumn("__t", lit(true))
+    val cond = keys.map(c => col(c) <=> col(s"__u_$c")).reduce(_ && _)
+    val joined = current.join(uRen, cond, "full_outer")
+    val changed = col("__t").isNotNull && col("__m").isNotNull &&
+      !attrs.map(a => col(a) <=> col(s"__u_$a")).reduce(_ && _)
+    val untouched = joined.filter(col("__t").isNotNull && !changed)
+      .select(tCols.map(col): _*)
+    val closed = joined.filter(changed).select(tCols.map {
+      case "valid_to" => effective.as("valid_to")
+      case "is_current" => lit(false).as("is_current")
+      case c => col(c)
+    }: _*)
+    // update-side columns drive the opened rows (matched-changed rows have
+    // both sides; brand-new keys have only the update side)
+    val opened = joined.filter(changed || col("__t").isNull).select(tCols.map {
+      case "valid_from" => effective.as("valid_from")
+      case "valid_to" => when(lit(false), effective).as("valid_to")
+      case "is_current" => lit(true).as("is_current")
+      case c if keys.contains(c) || attrs.contains(c) => col(s"__u_$c").as(c)
+      case c => col(c)
+    }: _*)
+    history.unionByName(untouched).unionByName(closed).unionByName(opened)
+  }
 }

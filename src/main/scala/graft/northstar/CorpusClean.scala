@@ -1,0 +1,53 @@
+package graft.northstar
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** C4-style corpus cleaning composite (Raffel et al., "Exploring the Limits
+  * of Transfer Learning with a Unified Text-to-Text Transformer", JMLR 2020,
+  * §2.2 — length / punctuation / stopword heuristics + exact dedup), built
+  * entirely from [[TextAnalysis]] signals so the filter thresholds and the
+  * dedup key are the same expressions the standalone quality queries use.
+  *
+  * Scale shape: the quality filter is map-side only (evaluated inside the
+  * parquet scan stage, so rejected documents are never shuffled); the exact
+  * dedup is ONE shuffle on the md5 fingerprint. At 100 TB the filter
+  * typically drops the majority of raw crawl bytes before the only wide
+  * stage, which is the whole point of running it first.
+  */
+object CorpusClean {
+
+  /** Cleaning thresholds. Defaults are tuned to the synthetic `documents`
+    * corpus (token counts 10–100, no punctuation); production corpora tune
+    * per-source.
+    */
+  final case class Config(
+      minTokens: Int = 20,
+      maxTokens: Int = 90,
+      maxPunctRatio: Double = 0.3,
+      minStopwordRatio: Double = 0.02)
+
+  /** Heuristic quality gate — pure map-side predicate over the text column. */
+  def qualityFilter(df: DataFrame, textCol: String, cfg: Config): DataFrame = {
+    val text = col(textCol)
+    df.filter(
+      TextAnalysis.tokenCount(text).between(cfg.minTokens, cfg.maxTokens) &&
+        TextAnalysis.punctRatio(text) <= cfg.maxPunctRatio &&
+        TextAnalysis.stopwordRatio(text) >= cfg.minStopwordRatio)
+  }
+
+  /** Quality filter + exact dedup: one survivor per canonical-text
+    * fingerprint, the smallest `idCol` (deterministic canonical choice).
+    */
+  def clean(df: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val w = Window
+      .partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    qualityFilter(df, textCol, cfg)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+}

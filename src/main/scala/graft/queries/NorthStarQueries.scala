@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.northstar.{Dedup, Similarity, TextAnalysis}
+import graft.merge.MergeOps
+import graft.northstar.{CorpusClean, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators (BASELINE.json) over the
   * documents/embeddings testdata, with DuckDB oracles where the computation
@@ -198,6 +199,63 @@ object NorthStarQueries {
       .agg(count(col("click_time")).as("nearby_clicks"))
   }
 
+  /** SCD Type 2 dimension build: each customer's latest order priority,
+    * versioned across the 1995-01-01 boundary — pre-1995 snapshot seeds the
+    * dimension, the 1995+ snapshot merges in; changed priorities close the
+    * old version and open a new one.
+    */
+  def q39Scd2CustomerPriority(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    def latest(pred: org.apache.spark.sql.Column): DataFrame =
+      t(s, dir, "orders").filter(pred)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("o_custkey").as("customer_id"),
+          col("o_orderpriority").as("priority"))
+    val boundary = lit("1995-01-01").cast("date")
+    val b1 = latest(col("o_orderdate") < boundary)
+    val b2 = latest(col("o_orderdate") >= boundary)
+    val dim = MergeOps.scdType2Init(b1, Seq("customer_id"), Seq("priority"),
+      lit("1992-01-01").cast("date"))
+    MergeOps.scdType2(dim, b2, Seq("customer_id"), Seq("priority"), boundary)
+  }
+
+  /** Deterministic stratified sample: 50 documents per language, picked by
+    * the multiplicative-hash key (stable across re-runs, partitioning and
+    * cluster size — unlike df.sample).
+    */
+  def q40StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedTopK(
+      t(s, dir, "documents").select(col("lang"), col("doc_id")),
+      Seq("lang"), 50, Sampling.modKey(col("doc_id")), Seq(col("doc_id")))
+
+  val SplitWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Train/val/test split manifest: every document deterministically
+    * assigned by key range, counted per (lang, split) with token totals —
+    * the reproducible-split bookkeeping a training pipeline publishes.
+    */
+  def q41TrainSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split",
+        Sampling.splitLabel(Sampling.modKey(col("doc_id"), seed = 7L), SplitWeights))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+
+  /** C4-style corpus cleaning: length + stopword quality gate (map-side),
+    * exact dedup on the canonical fingerprint (one shuffle), then per-lang
+    * survivor stats.
+    */
+  def q42CorpusClean(s: SparkSession, dir: String): DataFrame =
+    CorpusClean.clean(t(s, dir, "documents"), "doc_id", "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("kept_tokens"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -212,6 +270,10 @@ object NorthStarQueries {
     "q33_sales_rollup" -> (q33SalesRollup _),
     "q34_asof_last_order" -> (q34AsofLastOrder _),
     "q35_event_burst" -> (q35EventBurst _),
+    "q39_scd2_customer_priority" -> (q39Scd2CustomerPriority _),
+    "q40_stratified_sample" -> (q40StratifiedSample _),
+    "q41_train_split" -> (q41TrainSplit _),
+    "q42_corpus_clean" -> (q42CorpusClean _),
   )
 
   private val tokensSql =
@@ -332,7 +394,87 @@ object NorthStarQueries {
            FROM scored)
          SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
          FROM ranked WHERE rnk <= 5""",
+
+    "q39_scd2_customer_priority" ->
+      """WITH ranked AS (
+           SELECT o_custkey, o_orderpriority,
+                  o_orderdate >= DATE '1995-01-01' AS era,
+                  row_number() OVER (
+                    PARTITION BY o_custkey, (o_orderdate >= DATE '1995-01-01')
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders),
+         b1 AS (SELECT o_custkey AS customer_id, o_orderpriority AS priority
+                FROM ranked WHERE rn = 1 AND NOT era),
+         b2 AS (SELECT o_custkey AS customer_id, o_orderpriority AS priority
+                FROM ranked WHERE rn = 1 AND era),
+         j AS (
+           SELECT coalesce(b1.customer_id, b2.customer_id) AS customer_id,
+                  b1.priority AS p1, b2.priority AS p2,
+                  b1.customer_id IS NOT NULL AS in1,
+                  b2.customer_id IS NOT NULL AS in2
+           FROM b1 FULL JOIN b2 ON b1.customer_id = b2.customer_id)
+         SELECT customer_id, p1 AS priority,
+                DATE '1992-01-01' AS valid_from,
+                CASE WHEN in2 AND p1 <> p2 THEN DATE '1995-01-01' END AS valid_to,
+                NOT (in2 AND p1 <> p2) AS is_current
+         FROM j WHERE in1
+         UNION ALL
+         SELECT customer_id, p2 AS priority,
+                DATE '1995-01-01' AS valid_from,
+                CAST(NULL AS DATE) AS valid_to,
+                true AS is_current
+         FROM j WHERE in2 AND (NOT in1 OR p1 <> p2)""",
+
+    "q40_stratified_sample" ->
+      s"""SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY (doc_id * ${Sampling.Knuth} + 1) % ${Sampling.Modulus},
+                              doc_id) AS rn
+            FROM documents) WHERE rn <= 50""",
+
+    "q41_train_split" -> trainSplitOracle,
+
+    "q42_corpus_clean" ->
+      s"""WITH sig AS (
+            SELECT doc_id, lang, text,
+                   len($tokensSql) AS n,
+                   CASE WHEN len($tokensSql) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter($tokensSql, t -> lower(t) IN (${
+        TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      }))) AS DOUBLE) / len($tokensSql) END AS sw,
+                   CASE WHEN len(text) = 0 THEN 0.0
+                        ELSE CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) END AS pr
+            FROM documents),
+          q AS (SELECT * FROM sig
+                WHERE n BETWEEN 20 AND 90 AND pr <= 0.3 AND sw >= 0.02),
+          d AS (SELECT *, row_number() OVER (
+                  PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn
+                FROM q)
+          SELECT lang, count(*) AS kept_docs,
+                 CAST(sum(n) AS BIGINT) AS kept_tokens
+          FROM d WHERE rn = 1 GROUP BY lang""",
   )
+
+  /** The split-label CASE is generated from the SAME rounded bounds
+    * [[Sampling.splitBounds]] gives `splitLabel`, so oracle and engine can
+    * never disagree on a boundary key.
+    */
+  private def trainSplitOracle: String = {
+    val keySql = s"(doc_id * ${Sampling.Knuth} + 7) % ${Sampling.Modulus}"
+    val bounds = Sampling.splitBounds(SplitWeights)
+    val cases = bounds.init
+      .map { case (label, upper) => s"WHEN $keySql < $upper THEN '$label'" }
+      .mkString(" ")
+    s"""WITH labeled AS (
+          SELECT lang,
+                 CASE $cases ELSE '${bounds.last._1}' END AS split,
+                 len($tokensSql) AS n
+          FROM documents)
+        SELECT lang, split, count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens
+        FROM labeled GROUP BY 1, 2"""
+  }
 
   /** Exact trigram-Jaccard pair set in DuckDB (mirrors Dedup's shingle
     * construction; Jaccard over distinct shingles, exact division, round 6).

@@ -86,4 +86,62 @@ class MergeOpsSpec extends AnyFunSuite {
     val again = MergeOps.upsert(merged, updates, Seq("grain"))
     assert(TestSpark.rows(again) == TestSpark.rows(merged))
   }
+
+  private val d1 = java.sql.Date.valueOf("2020-01-01")
+  private val d2 = java.sql.Date.valueOf("2021-01-01")
+  private val d3 = java.sql.Date.valueOf("2022-01-01")
+  private def eff(d: java.sql.Date) =
+    org.apache.spark.sql.functions.lit(d.toString).cast("date")
+
+  test("scdType2: changed attr closes the version, new keys insert, absent keys persist") {
+    val init = MergeOps.scdType2Init(
+      Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier"),
+      Seq("id"), Seq("tier"), eff(d1))
+    val merged = MergeOps.scdType2(init,
+      Seq((1L, "platinum"), (3L, "bronze")).toDF("id", "tier"),
+      Seq("id"), Seq("tier"), eff(d2))
+    TestSpark.assertSameRows(merged, Seq(
+      Seq(1L, "gold", d1, d2, false),     // closed
+      Seq(1L, "platinum", d2, null, true), // reopened
+      Seq(2L, "silver", d1, null, true),   // absent from update → untouched
+      Seq(3L, "bronze", d2, null, true)))  // brand-new key
+  }
+
+  test("scdType2 with an unchanged snapshot is a no-op (no spurious versions)") {
+    val snap = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
+    val init = MergeOps.scdType2Init(snap, Seq("id"), Seq("tier"), eff(d1))
+    val merged = MergeOps.scdType2(init, snap, Seq("id"), Seq("tier"), eff(d2))
+    assert(TestSpark.rows(merged) == TestSpark.rows(init))
+  }
+
+  test("scdType2 keeps closed history intact across further merges") {
+    val init = MergeOps.scdType2Init(
+      Seq((1L, "gold")).toDF("id", "tier"), Seq("id"), Seq("tier"), eff(d1))
+    val v2 = MergeOps.scdType2(init,
+      Seq((1L, "platinum")).toDF("id", "tier"), Seq("id"), Seq("tier"), eff(d2))
+    // value flips BACK — must open a third version, not resurrect the first
+    val v3 = MergeOps.scdType2(v2,
+      Seq((1L, "gold")).toDF("id", "tier"), Seq("id"), Seq("tier"), eff(d3))
+    TestSpark.assertSameRows(v3, Seq(
+      Seq(1L, "gold", d1, d2, false),
+      Seq(1L, "platinum", d2, d3, false),
+      Seq(1L, "gold", d3, null, true)))
+  }
+
+  test("scdType2 compares keys and attrs null-safely") {
+    val init = MergeOps.scdType2Init(
+      Seq((Option.empty[Long], Option("x")), (Some(1L), Option.empty[String]))
+        .toDF("id", "tier"),
+      Seq("id"), Seq("tier"), eff(d1))
+    // NULL key gets a changed attr → versioned, not duplicated; NULL attr
+    // unchanged → untouched
+    val merged = MergeOps.scdType2(init,
+      Seq((Option.empty[Long], Option("y")), (Some(1L), Option.empty[String]))
+        .toDF("id", "tier"),
+      Seq("id"), Seq("tier"), eff(d2))
+    TestSpark.assertSameRows(merged, Seq(
+      Seq(null, "x", d1, d2, false),
+      Seq(null, "y", d2, null, true),
+      Seq(1L, null, d1, null, true)))
+  }
 }

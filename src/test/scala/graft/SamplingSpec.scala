@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.northstar.{CorpusClean, Sampling}
+
+/** Deterministic-sampling and corpus-cleaning operators. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids = (1L to 1000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+
+  test("bernoulli sample is deterministic and roughly sized") {
+    val key = Sampling.modKey($"id")
+    val a = Sampling.bernoulli(ids, key, 0.2).collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(ids, key, 0.2).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.size > 120 && a.size < 280, s"20% of 1000 ids, got ${a.size}")
+  }
+
+  test("bernoulli samples are nested: fraction 0.1 ⊆ fraction 0.3") {
+    val key = Sampling.modKey($"id")
+    val small = Sampling.bernoulli(ids, key, 0.1).collect().map(_.getLong(0)).toSet
+    val large = Sampling.bernoulli(ids, key, 0.3).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("bernoulli edge fractions keep none / all") {
+    val key = Sampling.modKey($"id")
+    assert(Sampling.bernoulli(ids, key, 0.0).count() == 0)
+    assert(Sampling.bernoulli(ids, key, 1.0).count() == 1000)
+    intercept[IllegalArgumentException](Sampling.bernoulli(ids, key, 1.5))
+  }
+
+  test("stratifiedTopK takes exactly k per stratum, all when short") {
+    val got = Sampling.stratifiedTopK(ids, Seq("grp"), 10,
+      Sampling.modKey($"id"), Seq($"id"))
+    val perGrp = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGrp.values.forall(_ == 10) && perGrp.size == 4)
+    // stratum smaller than k keeps everything
+    val small = Seq((1L, "x"), (2L, "x")).toDF("id", "grp")
+    assert(Sampling.stratifiedTopK(small, Seq("grp"), 10,
+      Sampling.modKey($"id"), Seq($"id")).count() == 2)
+  }
+
+  test("splitLabel covers every row with the expected proportions") {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = ids.withColumn("s",
+      Sampling.splitLabel(Sampling.modKey($"id", seed = 7L), weights))
+    val counts = labeled.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts.keySet == Set("train", "val", "test"))
+    intercept[IllegalArgumentException](
+      Sampling.splitLabel($"id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
+  test("hashKey stays in [0, Modulus) including negative xxhash values") {
+    val got = ids.select(Sampling.hashKey($"id", $"grp").as("k"))
+      .agg(min("k"), max("k")).head
+    assert(got.getLong(0) >= 0 && got.getLong(1) < Sampling.Modulus)
+  }
+
+  test("corpus clean: quality gate + exact dedup keeps the canonical doc") {
+    val docs = Seq(
+      (1L, "en", ("the cat sat on the mat and looked for a value " * 3).trim),
+      (2L, "en", ("the cat sat on the mat and looked for a value " * 3).trim), // exact dup
+      (3L, "en", "too short"),
+      (4L, "de", ("word " * 50).trim), // no stopwords → fails quality
+      (5L, "fr", ("of and to in is on for with the a an value table " * 3).trim))
+      .toDF("doc_id", "lang", "text")
+    val cfg = CorpusClean.Config(minTokens = 20, maxTokens = 90,
+      maxPunctRatio = 0.3, minStopwordRatio = 0.02)
+    val kept = CorpusClean.clean(docs, "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L))
+  }
+}
