@@ -89,12 +89,83 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native fused dot product over two `array<double>` columns.
+  *
+  * Exact NULL parity with the HOF formulation `aggregate(zip_with(a, b,
+  * _ * _), 0.0, _ + _)`: NULL if either array is NULL, if the lengths
+  * differ (zip_with null-pads), or if ANY element is NULL (the product
+  * poisons the fold) — unlike [[CosineSimilarity]], which zero-fills NULL
+  * elements. Used on the LSH bucket hot path where the interpreted HOF
+  * lambda per element dominated.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects two array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var dot = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i); i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $dot += $a.getDouble($i) * $b.getDouble($i); }
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Column-API entry point for the native cosine; float/int arrays are
     * cast up to array<double> here (the expression itself is strict).
     */
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.toColumn(CosineSimilarity(
+      GraftBridge.toExpression(a.cast("array<double>")),
+      GraftBridge.toExpression(b.cast("array<double>"))))
+
+  /** Column-API entry point for the native dot product (HOF-fold NULL
+    * semantics — see [[DotProduct]]).
+    */
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.toColumn(DotProduct(
       GraftBridge.toExpression(a.cast("array<double>")),
       GraftBridge.toExpression(b.cast("array<double>"))))
 

@@ -199,8 +199,11 @@ object Dedup {
     */
   def simhashSignatures(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // explode the raw split and drop empties with a codegen'd WHERE — the
+    // filter() HOF would run its lambda through the interpreter per token
     val perTok = docs
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
       .select(col(idCol), xxhash64(col("__tok")).as("__h"))
     val votes = BitMasks.zipWithIndex.map { case (m, b) =>
       sum(when(col("__h").bitwiseAND(lit(m)) =!= 0, 1).otherwise(-1)).as(s"__v$b")

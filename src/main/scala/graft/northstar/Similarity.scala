@@ -75,9 +75,12 @@ object Similarity {
     val checked = when(size(vec) === dims, vec).otherwise(
       raise_error(concat(lit(s"lshBuckets: expected $dims-dim vector, got "),
         size(vec).cast("string"))))
+    // native dot keeps all tables × planes sign tests inside one codegen
+    // stage (the HOF fold would interpret per element, per plane)
     array(hp.zipWithIndex.map { case (tablePlanes, t) =>
       val bucket = tablePlanes.zipWithIndex.map { case (plane, p) =>
-        when(dot(checked, typedLit(plane.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+        when(graft.functions.GraftFunctions.dot_product(
+          checked, typedLit(plane.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
       struct(lit(t).as("table_id"), bucket.as("bucket"))
     }: _*)

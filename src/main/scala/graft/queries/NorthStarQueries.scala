@@ -48,9 +48,12 @@ object NorthStarQueries {
     * sums (the Column-level `langId` would inline tokenization 5×).
     */
   def q22LangIdMatrix(s: SparkSession, dir: String): DataFrame = {
+    // raw split + codegen'd WHERE instead of the filter() HOF (interpreted
+    // per token); empty strings from leading whitespace are dropped the same
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
     val scoreCols = TextAnalysis.LangProfiles.map { case (lang, profile) =>
       sum(when(lower(col("tok")).isin(profile: _*), 1).otherwise(0))
         .cast("int").as(s"__s_$lang")

@@ -25,6 +25,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff == 0.0)
   }
 
+  test("dot_product matches the HOF fold bit-for-bit, incl. NULL poisoning") {
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50)
+      .select(Similarity.toDoubleVec(col("embedding")).as("v"))
+    val pairs = emb.crossJoin(emb.withColumnRenamed("v", "w").limit(5))
+    val diff = pairs.select(
+      (GraftFunctions.dot_product(col("v"), col("w")) -
+        Similarity.dot(col("v"), col("w"))).as("d"))
+      .agg(max(abs(col("d")))).head.getDouble(0)
+    assert(diff == 0.0)
+    // HOF parity on the edges: NULL element poisons, length mismatch → NULL
+    val edge = Seq(
+      (Seq(Option(1.0), None), Seq(Option(2.0), Option(3.0))),
+      (Seq(Option(1.0), Option(2.0)), Seq(Option(2.0))))
+      .toDF("a", "b")
+    val got = edge.select(GraftFunctions.dot_product($"a", $"b").as("n"),
+      Similarity.dot($"a", $"b").as("h")).collect()
+    got.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
   test("cosine_sim handles zero vectors and known values") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
