@@ -259,6 +259,70 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("kept_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("kept_tokens"))
 
+  private val Priorities = Seq(
+    "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+    "4-NOT SPECIFIED" -> "not_specified", "5-LOW" -> "low")
+
+  /** Pivot (wide crosstab): order counts by year × priority with an
+    * EXPLICIT value list — the implicit-values form runs an extra distinct
+    * job over 100 TB just to learn the columns; missing cells coalesce to 0.
+    */
+  def q43PriorityPivot(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .groupBy(col("order_year"))
+      .pivot("o_orderpriority", Priorities.map(_._1))
+      .agg(count(lit(1)))
+    p.select(col("order_year") +: Priorities.map { case (v, alias) =>
+      coalesce(col(v), lit(0L)).as(alias)
+    }: _*)
+  }
+
+  /** Vector ops over the embedding corpus: L2 norm + worst-component
+    * round-trip error of symmetric absmax int8 quantization (the 4×
+    * storage-reduction path). Scalars ride the native dot_product; all
+    * map-side.
+    */
+  def q44VectorQuantize(s: SparkSession, dir: String): DataFrame = {
+    import graft.northstar.VectorOps
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("__scale", VectorOps.quantScale(VectorOps.maxAbs(col("v"))))
+      .select(col("vec_id"),
+        round(VectorOps.l2Norm(col("v")), 6).as("l2_norm"),
+        round(VectorOps.maxQuantError(col("v"), col("__scale")), 6).as("max_q_err"))
+  }
+
+  /** CSV source round-trip: write `nation` as headered CSV (quoted commas
+    * and all), re-read it schema-first through the corrupt-record-routing
+    * reader, aggregate — the oracle runs on the original parquet, so any
+    * parse loss breaks the hash.
+    */
+  def q45CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val (clean, _) = graft.sources.TextSources.split(
+      graft.sources.TextSources.readCsv(s, tmp, nation.schema))
+    clean.groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("nations"), sum(col("n_nationkey")).as("key_sum"))
+  }
+
+  /** JSON-lines source round-trip with a deliberately injected corrupt
+    * line: the malformed record routes to the DLQ side of the split and
+    * the clean aggregate still matches the parquet oracle exactly.
+    */
+  def q46JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_rt")
+    region.coalesce(1).write.mode("overwrite").json(tmp.toString)
+    java.nio.file.Files.writeString(tmp.resolve("corrupt.json"), "{not json at all\n")
+    val (clean, _) = graft.sources.TextSources.split(
+      graft.sources.TextSources.readJsonl(s, tmp.toString, region.schema))
+    clean.agg(count(lit(1)).as("regions"),
+      sum(length(col("r_name"))).as("name_chars"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -277,6 +341,10 @@ object NorthStarQueries {
     "q40_stratified_sample" -> (q40StratifiedSample _),
     "q41_train_split" -> (q41TrainSplit _),
     "q42_corpus_clean" -> (q42CorpusClean _),
+    "q43_priority_pivot" -> (q43PriorityPivot _),
+    "q44_vector_quantize" -> (q44VectorQuantize _),
+    "q45_csv_roundtrip" -> (q45CsvRoundtrip _),
+    "q46_jsonl_roundtrip" -> (q46JsonlRoundtrip _),
   )
 
   private val tokensSql =
@@ -437,6 +505,40 @@ object NorthStarQueries {
             FROM documents) WHERE rn <= 50""",
 
     "q41_train_split" -> trainSplitOracle,
+
+    "q43_priority_pivot" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, ${
+        Priorities.map { case (v, alias) =>
+          s"count(CASE WHEN o_orderpriority = '$v' THEN 1 END) AS $alias"
+        }.mkString(", ")}
+          FROM orders GROUP BY 1""",
+
+    "q44_vector_quantize" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, ve,
+                  CASE WHEN list_max(list_transform(ve, x -> abs(x))) = 0
+                       THEN 1.0
+                       ELSE 127.0 / list_max(list_transform(ve, x -> abs(x)))
+                  END AS scale
+           FROM v)
+         SELECT vec_id,
+                round(sqrt(list_dot_product(ve, ve)), 6) AS l2_norm,
+                round(list_max(list_transform(ve,
+                  x -> abs(round(x * scale) / scale - x))), 6) AS max_q_err
+         FROM s""",
+
+    "q45_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS nations,
+                CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+         FROM nation GROUP BY 1""",
+
+    "q46_jsonl_roundtrip" ->
+      """SELECT count(*) AS regions,
+                CAST(sum(len(r_name)) AS BIGINT) AS name_chars
+         FROM region""",
 
     "q42_corpus_clean" ->
       s"""WITH sig AS (
