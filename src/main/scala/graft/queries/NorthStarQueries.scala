@@ -323,6 +323,68 @@ object NorthStarQueries {
       sum(length(col("r_name"))).as("name_chars"))
   }
 
+  /** Distinctive terms per language by tf·idf, with a RATIONAL idf
+    * (N/df instead of ln(N/df)): the ranking must reproduce bit-for-bit in
+    * the SQL oracle, and two engines' `ln` libms aren't guaranteed to agree
+    * in the last ulp — the rational variant ranks identically for idf
+    * monotone in N/df. One token explode, two shuffles (df, tf), top-5 per
+    * lang by (score, token) — at 100 TB the df table is vocabulary-sized
+    * and broadcast-eligible.
+    */
+  def q47TfIdfTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val total = docs.count().toDouble
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val df = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score",
+        round(col("tf") * lit(total) / col("df"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("tok"), col("score"), col("rank"))
+  }
+
+  /** Near-containment pairs: |A∩B| / |A| ≥ 0.9 — catches "document A is a
+    * chunk of document B", which symmetric Jaccard misses when B is much
+    * larger (Broder's containment, 1997). Same explode-join shape as q25;
+    * both directions kept (containment is asymmetric).
+    */
+  def q48Containment(s: SparkSession, dir: String): DataFrame = {
+    val sets = t(s, dir, "documents").select(col("doc_id").as("id"),
+      array_distinct(TextAnalysis.shingleHashes(col("text"), 3)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    sets.cache()
+    val e = sets.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    e.as("x").join(e.as("y"), Seq("g"))
+      .filter(col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n").as("n_a"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= 0.9)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /** Unpivot (melt): the year × priority crosstab back to long form — the
+    * narrow-transform complement of q43, zero shuffles beyond the pivot's
+    * own aggregation.
+    */
+  def q49PriorityUnpivot(s: SparkSession, dir: String): DataFrame =
+    q43PriorityPivot(s, dir).unpivot(
+      Array(col("order_year")),
+      Priorities.map { case (_, alias) => col(alias) }.toArray,
+      "priority", "orders")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -345,6 +407,9 @@ object NorthStarQueries {
     "q44_vector_quantize" -> (q44VectorQuantize _),
     "q45_csv_roundtrip" -> (q45CsvRoundtrip _),
     "q46_jsonl_roundtrip" -> (q46JsonlRoundtrip _),
+    "q47_tfidf_terms" -> (q47TfIdfTerms _),
+    "q48_containment" -> (q48Containment _),
+    "q49_priority_unpivot" -> (q49PriorityUnpivot _),
   )
 
   private val tokensSql =
@@ -539,6 +604,57 @@ object NorthStarQueries {
       """SELECT count(*) AS regions,
                 CAST(sum(len(r_name)) AS BIGINT) AS name_chars
          FROM region""",
+
+    "q47_tfidf_terms" ->
+      s"""WITH toks AS (
+            SELECT doc_id, lang, unnest($tokensSql) AS tok FROM documents),
+          df AS (
+            SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY tok),
+          tf AS (
+            SELECT lang, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+          scored AS (
+            SELECT lang, tok,
+                   round(tf * (SELECT CAST(count(*) AS DOUBLE) FROM documents) / df, 6) AS score
+            FROM tf JOIN df USING (tok)),
+          ranked AS (
+            SELECT *, row_number() OVER
+              (PARTITION BY lang ORDER BY score DESC, tok) AS rank
+            FROM scored)
+          SELECT lang, tok, score, CAST(rank AS INTEGER) AS rank
+          FROM ranked WHERE rank <= 5""",
+
+    "q48_containment" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $tokensSql AS tk FROM documents),
+          sets AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                        ELSE list_transform(range(len(tk) - 2),
+                               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END) AS sh
+            FROM toks),
+          e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sets),
+          shared AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n AS n_a,
+                   count(*) AS inter
+            FROM e x JOIN e y USING (g)
+            WHERE x.doc_id != y.doc_id
+            GROUP BY 1, 2, 3)
+          SELECT id_a, id_b,
+                 round(CAST(inter AS DOUBLE) / n_a, 6) AS containment
+          FROM shared
+          WHERE CAST(inter AS DOUBLE) / n_a >= 0.9""",
+
+    "q49_priority_unpivot" ->
+      s"""WITH wide AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, ${
+        Priorities.map { case (v, alias) =>
+          s"count(CASE WHEN o_orderpriority = '$v' THEN 1 END) AS $alias"
+        }.mkString(", ")}
+            FROM orders GROUP BY 1)
+          ${Priorities.map { case (_, alias) =>
+        s"SELECT order_year, '$alias' AS priority, $alias AS orders FROM wide"
+      }.mkString(" UNION ALL ")}""",
 
     "q42_corpus_clean" ->
       s"""WITH sig AS (
