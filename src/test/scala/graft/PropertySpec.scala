@@ -101,4 +101,48 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(est - truth) < 0.25, s"overlap=$overlap est=$est truth=$truth")
     }
   }
+
+  test("property: scdType2 keeps exactly one current version per key, " +
+    "closed intervals chain, and row count grows only by real changes") {
+    // random snapshot sequences over a small key space force every branch:
+    // new key, changed attr, unchanged attr, absent key, flip-back
+    val genSnapshot = Gen.listOfN(6, for {
+      id <- Gen.choose(1L, 4L)
+      tier <- Gen.oneOf("a", "b", "c")
+    } yield (id, tier)).map(_.distinctBy(_._1))
+    samples(Gen.listOfN(4, genSnapshot), 6).filter(_.forall(_.nonEmpty))
+      .foreach { snapshots =>
+        val dates = (1 to snapshots.size).map(i => s"2020-0$i-01")
+        var dim = MergeOps.scdType2Init(
+          snapshots.head.toDF("id", "tier"), Seq("id"), Seq("tier"),
+          lit(dates.head).cast("date"))
+        snapshots.tail.zip(dates.tail).foreach { case (snap, d) =>
+          dim = MergeOps.scdType2(dim, snap.toDF("id", "tier"),
+            Seq("id"), Seq("tier"), lit(d).cast("date"))
+        }
+        val rows = dim.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDate(2).toString, Option(r.getDate(3)).map(_.toString),
+          r.getBoolean(4)))
+        // exactly one open (current) version per key, and it is the only
+        // row with valid_to = NULL
+        rows.groupBy(_._1).foreach { case (id, vs) =>
+          assert(vs.count(_._5) == 1, s"key $id: ${vs.count(_._5)} current rows")
+          assert(vs.forall(v => v._5 == v._4.isEmpty))
+          // closed versions chain: sort by valid_from; each valid_to equals
+          // the successor's valid_from
+          val sorted = vs.sortBy(_._3)
+          sorted.sliding(2).foreach {
+            case Array(prev, next) =>
+              assert(prev._4.contains(next._3),
+                s"key $id: ${prev._4} does not chain to ${next._3}")
+            case _ =>
+          }
+          // adjacent versions always differ in the attribute (no no-op versions)
+          sorted.sliding(2).foreach {
+            case Array(prev, next) => assert(prev._2 != next._2)
+            case _ =>
+          }
+        }
+      }
+  }
 }
