@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct, ShingleHashes}
 import graft.io.Tables
 
 /** Session extension wiring — the deployment path for graft's native SQL
@@ -15,8 +15,10 @@ import graft.io.Tables
   *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
   * }}}
   *
-  * Injects `cosine_sim(array<double>, array<double>)` into every session
-  * built with the extension (no per-session register() call needed).
+  * Injects the native functions — `cosine_sim(array<double>,
+  * array<double>)`, `dot_product(array<double>, array<double>)`,
+  * `shingle_hashes(string, k)` — into every session built with the
+  * extension (no per-session register() call needed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -24,6 +26,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
+        GraftExtensions.literalInt(exprs(1), "shingle_hashes k"))))
+  }
+}
+
+object GraftExtensions {
+  /** k must be a foldable int literal — it parameterizes the expression,
+    * it is not a per-row input.
+    */
+  private[graft] def literalInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 }
 

@@ -169,8 +169,17 @@ object GraftFunctions {
       GraftBridge.toExpression(a.cast("array<double>")),
       GraftBridge.toExpression(b.cast("array<double>"))))
 
-  /** Register graft SQL functions on a session (`SELECT cosine_sim(a, b)`). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register graft SQL functions on a session (`SELECT cosine_sim(a, b)`,
+    * `dot_product(a, b)`, `shingle_hashes(text, 3)`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs(0),
+        graft.GraftExtensions.literalInt(exprs(1), "shingle_hashes k")), "scala_udf")
+  }
 }

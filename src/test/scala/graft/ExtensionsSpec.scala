@@ -23,6 +23,12 @@ class ExtensionsSpec extends AnyFunSuite {
       val r = extended.sql(
         "SELECT cosine_sim(array(1.0d, 0.0d), array(0.5d, 0.0d))").head.getDouble(0)
       assert(r == 1.0)
+      val d = extended.sql(
+        "SELECT dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d))").head.getDouble(0)
+      assert(d == 23.0)
+      val sh = extended.sql(
+        "SELECT size(shingle_hashes('a b c d', 3))").head.getInt(0)
+      assert(sh == 2)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
