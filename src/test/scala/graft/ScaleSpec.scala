@@ -82,4 +82,39 @@ class ScaleSpec extends AnyFunSuite {
       assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("map-side operators plan with zero Exchange (DESIGN.md claims)") {
+    import graft.northstar.{Sampling, VectorOps}
+    val docs = Tables.read(spark, dir, "documents")
+    // Bernoulli sample + split label: pure scan-stage predicates/projections
+    val sampled = Sampling.bernoulli(docs, Sampling.modKey(col("doc_id")), 0.5)
+      .withColumn("split", Sampling.splitLabel(
+        Sampling.modKey(col("doc_id"), 7L),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"),
+      "sampling/split must not shuffle")
+    // vector norms + quantization error: map-side over the embedding scan
+    val vec = Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.northstar.Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("scale", VectorOps.quantScale(VectorOps.maxAbs(col("v"))))
+      .select(VectorOps.l2Norm(col("v")), VectorOps.maxQuantError(col("v"), col("scale")))
+    assert(!vec.queryExecution.executedPlan.toString.contains("Exchange"),
+      "vector ops must not shuffle")
+  }
+
+  test("corpus quality gate filters inside the scan stage, before any shuffle") {
+    import graft.northstar.CorpusClean
+    val plan = CorpusClean.clean(
+      Tables.read(spark, dir, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // exactly one Exchange — the fingerprint window; the quality Filter sits
+    // below it (later in the bottom-up plan string)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, plan:\n$plan")
+    // plans print top-down: the scan-side quality filter is the LAST Filter,
+    // and it must sit under the Exchange (greater string index)
+    assert(plan.lastIndexOf("Filter") > plan.indexOf("Exchange"),
+      s"quality filter must be below the shuffle (scan side), plan:\n$plan")
+  }
 }

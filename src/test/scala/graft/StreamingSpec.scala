@@ -40,6 +40,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.read(spark).count() == expected)
   }
 
+  test("watermark-bounded streaming dedup drops replayed events") {
+    // two independent reads of the events table unioned = every event twice
+    val doubled = EventStream.readEvents(spark, dir)
+      .union(EventStream.readEvents(spark, dir))
+    val q = EventStream.dedupEvents(doubled)
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("deduped").count()
+    val distinctIds = graft.io.Tables.read(spark, dir, "events")
+      .select("event_id").distinct().count()
+    assert(got == distinctIds)
+  }
+
   test("sessionize emits gap-separated sessions per user") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions")
