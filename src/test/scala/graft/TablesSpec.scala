@@ -32,4 +32,36 @@ class TablesSpec extends AnyFunSuite {
     TestSpark.assertSameRows(t.read(spark).select("id", "year"),
       Seq(Seq(1, 2023), Seq(2, 2024)))
   }
+
+  test("time travel reads retained versions; vacuum drops all but the live one") {
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/t3")
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(t.version == 2)
+    TestSpark.assertSameRows(t.readVersion(spark, 1), Seq(Seq(1, "a")))
+    TestSpark.assertSameRows(t.read(spark), Seq(Seq(1, "a"), Seq(2, "b")))
+    t.vacuum()
+    intercept[IllegalArgumentException](t.readVersion(spark, 1))
+    TestSpark.assertSameRows(t.read(spark), Seq(Seq(1, "a"), Seq(2, "b")))
+  }
+
+  test("changesBetween emits insert/delete pairs, null-safe on every column") {
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/t4")
+    // v1: an unchanged NULL-bearing row, a row that will be updated, one deleted
+    t.overwrite(Seq(
+      (1L, Option.empty[String]), (2L, Some("old")), (3L, Some("gone")))
+      .toDF("id", "v"))
+    // v2: NULL row untouched, id=2 updated, id=3 deleted, id=4 inserted
+    t.overwrite(Seq(
+      (1L, Option.empty[String]), (2L, Some("new")), (4L, Some("add")))
+      .toDF("id", "v"))
+    val changes = t.changesBetween(spark, 1, 2)
+    TestSpark.assertSameRows(changes, Seq(
+      Seq(2L, "new", "insert"),
+      Seq(4L, "add", "insert"),
+      Seq(2L, "old", "delete"),
+      Seq(3L, "gone", "delete")))
+  }
 }
