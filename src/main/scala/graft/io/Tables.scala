@@ -127,6 +127,23 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       .unionByName(minus(from, to).withColumn("_change_type", lit("delete")))
   }
 
+  /** Small-file compaction (Delta OPTIMIZE): rewrite the live version into
+    * `targetPartitions` files, optionally clustered by `sortCols`
+    * (Z-order-lite — sorted row groups give parquet min/max skipping on
+    * those columns). At 100 TB the streaming/merge write paths produce many
+    * small files per partition; periodic compaction keeps scan task counts
+    * and footer overhead bounded.
+    */
+  def compact(spark: SparkSession, targetPartitions: Int,
+      sortCols: Seq[String] = Nil): ParquetTable = {
+    import org.apache.spark.sql.functions.col
+    val df0 = read(spark).repartition(targetPartitions)
+    val df = if (sortCols.nonEmpty)
+      df0.sortWithinPartitions(sortCols.map(col).toIndexedSeq: _*)
+    else df0
+    overwrite(df)
+  }
+
   /** Drop all version dirs except the live one (Delta VACUUM). */
   def vacuum(): ParquetTable = {
     val keep = currentVersion.toSet

@@ -385,6 +385,17 @@ object NorthStarQueries {
       Priorities.map { case (_, alias) => col(alias) }.toArray,
       "priority", "orders")
 
+  /** IVF ANN top-k — the partition-pruned scale path (KMeans cells, nprobe
+    * probing, exact cosine only within probed cells). Approximate by
+    * design → rows-only check; IvfSpec pins recall against brute force.
+    */
+  def q50IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+      .search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -410,6 +421,7 @@ object NorthStarQueries {
     "q47_tfidf_terms" -> (q47TfIdfTerms _),
     "q48_containment" -> (q48Containment _),
     "q49_priority_unpivot" -> (q49PriorityUnpivot _),
+    "q50_ivf_topk" -> (q50IvfTopK _),
   )
 
   private val tokensSql =

@@ -16,7 +16,9 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q01_pricing_summary", "q02_top_segment_nations", "q06_delivery_by_priority_month")
+      "q01_pricing_summary", "q02_top_segment_nations",
+      "q06_delivery_by_priority_month", "q24_minhash_near_dups",
+      "q41_train_split", "q42_corpus_clean", "q44_vector_quantize")
     names.foreach { n =>
       println(s"================ $n ================")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -46,6 +46,23 @@ class TablesSpec extends AnyFunSuite {
     TestSpark.assertSameRows(t.read(spark), Seq(Seq(1, "a"), Seq(2, "b")))
   }
 
+  test("compact collapses small files and preserves content") {
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/t5")
+    t.overwrite(spark.range(1000).toDF("id").repartition(16))
+    def partFiles = {
+      val v = Files.list(java.nio.file.Paths.get(s"$dir/t5"))
+        .filter(_.getFileName.toString.startsWith("v_")).sorted().toArray.last
+      Files.list(v.asInstanceOf[java.nio.file.Path]).filter(
+        _.getFileName.toString.endsWith(".parquet")).count()
+    }
+    assert(partFiles == 16)
+    val before = TestSpark.rows(t.read(spark))
+    t.compact(spark, targetPartitions = 2, sortCols = Seq("id"))
+    assert(partFiles == 2)
+    assert(TestSpark.rows(t.read(spark)) == before)
+  }
+
   test("changesBetween emits insert/delete pairs, null-safe on every column") {
     val dir = Files.createTempDirectory("graft_tbl").toString
     val t = new ParquetTable(s"$dir/t4")
