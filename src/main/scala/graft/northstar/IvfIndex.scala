@@ -52,14 +52,25 @@ final class IvfIndex private (val nlist: Int,
 
 object IvfIndex {
 
-  /** Fit the coarse quantizer and assign every corpus vector to its cell. */
+  /** Fit the coarse quantizer and assign every corpus vector to its cell.
+    * The quantizer trains on a bounded deterministic sample (~256 vectors
+    * per cell, the FAISS heuristic) with capped iterations — at 100 TB you
+    * never run KMeans over the full corpus to place cell centers; only the
+    * cheap assignment pass (`transform`) sees every vector.
+    */
   def build(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
       seed: Long = 42L): IvfIndex = {
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       Similarity.toDoubleVec(col(vecCol)).as("__cv"))
       .withColumn("features", array_to_vector(col("__cv")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .fit(vecs)
+    val trainTarget = nlist * 256
+    val n = vecs.count()
+    val train =
+      if (n <= trainTarget) vecs
+      else vecs.sample(withReplacement = false, trainTarget.toDouble / n, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(train)
     val assigned = model.transform(vecs)
       .select(col("neighbor_id"), col("__cv"), col("prediction").as("cell"))
     val centroids = model.clusterCenters.zipWithIndex
