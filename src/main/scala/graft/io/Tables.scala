@@ -102,29 +102,35 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     spark.read.parquet(dir.toString)
   }
 
-  /** Change-data-feed emulation between two retained versions: full-row
-    * anti-joins in both directions. `_change_type` ∈ insert|delete; an
-    * updated row appears as delete(old)+insert(new), exactly like Delta CDF
-    * without update tracking. At 100 TB this is 2 shuffles on the full row
-    * hash — a real CDF log records changes at write time instead; this is
-    * the after-the-fact form the versioned layout gives for free.
+  /** Change-data-feed emulation between two retained versions, with
+    * MULTISET semantics: per full-row tuple, the copy-count delta between
+    * the versions is emitted as that many insert/delete rows (a row going
+    * 1→3 copies reports 2 inserts, like Delta CDF). Updates surface as
+    * delete(old)+insert(new). NULL-safe throughout — grouping collates NULL
+    * values, and the version join compares with `<=>`. Two shuffles (one
+    * count per side sharing the join's partitioning); a real CDF log
+    * records changes at write time instead — this is the after-the-fact
+    * form the versioned layout gives for free.
     */
   def changesBetween(spark: SparkSession, fromV: Int, toV: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val from = readVersion(spark, fromV)
-    val to = readVersion(spark, toV)
-    val cols = from.columns.toIndexedSeq
-    // null-safe (<=>) anti-joins — plain equality would report every
-    // NULL-bearing row as changed on both sides
-    def minus(a: DataFrame, b: DataFrame): DataFrame = {
-      val renamed = cols.foldLeft(b.dropDuplicates()) {
-        (d, c) => d.withColumnRenamed(c, s"__o_$c")
-      }
-      a.join(renamed, cols.map(c => col(c) <=> col(s"__o_$c")).reduce(_ && _),
-        "left_anti")
-    }
-    minus(to, from).withColumn("_change_type", lit("insert"))
-      .unionByName(minus(from, to).withColumn("_change_type", lit("delete")))
+    import org.apache.spark.sql.functions._
+    val cols = readVersion(spark, fromV).columns.toIndexedSeq
+    val f = readVersion(spark, fromV).groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__n_from"))
+    val t0 = readVersion(spark, toV).groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__n_to"))
+    val t = cols.foldLeft(t0)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
+    val cond = cols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    val delta = coalesce(col("__n_to"), lit(0L)) -
+      coalesce(col("__n_from"), lit(0L))
+    f.join(t, cond, "full_outer")
+      .withColumn("__delta", delta)
+      .filter(col("__delta") =!= 0)
+      // one output row per changed copy
+      .withColumn("__i", explode(sequence(lit(1L), abs(col("__delta")))))
+      .select(cols.map(c => coalesce(col(c), col(s"__t_$c")).as(c)) :+
+        when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("_change_type"): _*)
   }
 
   /** Small-file compaction (Delta OPTIMIZE): rewrite the live version into
@@ -144,17 +150,27 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     overwrite(df)
   }
 
-  /** Drop all version dirs except the live one (Delta VACUUM). */
+  /** Drop all version dirs except the live one (Delta VACUUM). The
+    * directory streams are closed explicitly — leaked directory fds from
+    * repeated vacuums would eventually starve the driver of file handles.
+    */
   def vacuum(): ParquetTable = {
     val keep = currentVersion.toSet
     val dir = Paths.get(path)
     if (Files.exists(dir)) {
-      Files.list(dir).forEach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("v_") && !keep.contains(name)) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.delete(f))
-        }
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(dir)
+      val old =
+        try listing.iterator().asScala.filter { p =>
+          val name = p.getFileName.toString
+          name.startsWith("v_") && !keep.contains(name)
+        }.toList
+        finally listing.close()
+      old.foreach { p =>
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+        finally walk.close()
       }
     }
     this

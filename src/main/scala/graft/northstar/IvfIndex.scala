@@ -63,6 +63,8 @@ object IvfIndex {
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       Similarity.toDoubleVec(col(vecCol)).as("__cv"))
       .withColumn("features", array_to_vector(col("__cv")))
+    // three actions read this projection (count, fit, transform) — cache it
+    vecs.cache()
     val trainTarget = nlist * 256
     val n = vecs.count()
     val train =

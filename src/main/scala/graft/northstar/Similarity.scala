@@ -66,24 +66,30 @@ object Similarity {
   /** One bucket id per table: the sign-bit pattern of the vector against
     * each hyperplane. Map-side only.
     */
+  /** Returns NULL (not an array) for unhashable vectors — NULL vector or
+    * NULL element — so `explode` drops the row from candidate generation
+    * instead of (a) crashing the query or (b) silently collapsing it into
+    * bucket 0 with every other unhashable row, which would degenerate the
+    * bucket join toward the O(n²) cross product.
+    */
   def lshBuckets(vec: Column, tables: Int, planes: Int, dims: Int): Column = {
     val hp = hyperplanes(tables, planes, dims)
-    // guard the dims contract: a shorter/longer vector would null-pad the
-    // zip_with dot, turn every plane test false, and collapse ALL rows into
-    // bucket 0 — silently degenerating the bucket join to the O(n²) cross
-    // product. Fail loudly instead.
+    // the dims CONTRACT is still loud: a present, fully-non-NULL vector of
+    // the wrong length is a caller bug (every plane test would go false) —
+    // fail with the offending size in the message
     val checked = when(size(vec) === dims, vec).otherwise(
       raise_error(concat(lit(s"lshBuckets: expected $dims-dim vector, got "),
-        size(vec).cast("string"))))
+        coalesce(size(vec).cast("string"), lit("NULL")))))
     // native dot keeps all tables × planes sign tests inside one codegen
     // stage (the HOF fold would interpret per element, per plane)
-    array(hp.zipWithIndex.map { case (tablePlanes, t) =>
+    val buckets = array(hp.zipWithIndex.map { case (tablePlanes, t) =>
       val bucket = tablePlanes.zipWithIndex.map { case (plane, p) =>
         when(graft.functions.GraftFunctions.dot_product(
           checked, typedLit(plane.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
       struct(lit(t).as("table_id"), bucket.as("bucket"))
     }: _*)
+    when(vec.isNull || exists(vec, x => x.isNull), lit(null)).otherwise(buckets)
   }
 
   /** All-pairs near-duplicates by cosine ≥ threshold: candidates collide in

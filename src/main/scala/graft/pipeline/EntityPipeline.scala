@@ -208,8 +208,18 @@ final class EntityPipeline(spark: SparkSession, warehouse: Warehouse,
           // merge — the reference keys this merge on the full row
           // (Silver-DLQ-Customers.py:76), which could seat a second copy of
           // an id already in silver; keying on idColumns keeps silver's
-          // one-row-per-key invariant under every input.
-          silverT.writeMerged(spark, promoted)(
+          // one-row-per-key invariant under every input. The promoted batch
+          // itself can also carry two valid rows for one key (each DLQ
+          // batch's duplicate flags only saw its own rows), so keep ONE per
+          // key deterministically: smallest non-key tuple wins.
+          val orderCols = cfg.silverColumns.filterNot(cfg.idColumns.contains)
+            .map(col)
+          val onePerKey = Window.partitionBy(cfg.idColumns.map(col): _*)
+            .orderBy((if (orderCols.isEmpty) Seq(lit(1)) else orderCols): _*)
+          val dedupedPromo = promoted
+            .withColumn("__rk", row_number().over(onePerKey))
+            .filter(col("__rk") === 1).drop("__rk")
+          silverT.writeMerged(spark, dedupedPromo)(
             MergeOps.insertIfAbsent(_, _, cfg.idColumns))
           val refreshed = Validators.checkIngestionStatus(
             dlq.drop("silver_ingestion_status"), silverT.read(spark), cfg.idColumns)

@@ -298,9 +298,16 @@ object NorthStarQueries {
     * reader, aggregate — the oracle runs on the original parquet, so any
     * parse loss breaks the hash.
     */
+  /** Fixed per-sfDir scratch path: repeated Bench/Verify runs overwrite in
+    * place instead of accumulating unbounded temp copies.
+    */
+  private def scratch(kind: String, dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_rt",
+      kind + "_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+
   def q45CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val nation = t(s, dir, "nation")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val tmp = scratch("csv", dir).toString
     nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
     val (clean, _) = graft.sources.TextSources.split(
       graft.sources.TextSources.readCsv(s, tmp, nation.schema))
@@ -314,7 +321,7 @@ object NorthStarQueries {
     */
   def q46JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val region = t(s, dir, "region")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_rt")
+    val tmp = scratch("jsonl", dir)
     region.coalesce(1).write.mode("overwrite").json(tmp.toString)
     java.nio.file.Files.writeString(tmp.resolve("corrupt.json"), "{not json at all\n")
     val (clean, _) = graft.sources.TextSources.split(

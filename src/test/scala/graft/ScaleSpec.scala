@@ -112,9 +112,12 @@ class ScaleSpec extends AnyFunSuite {
     // below it (later in the bottom-up plan string)
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected exactly 1 shuffle, plan:\n$plan")
-    // plans print top-down: the scan-side quality filter is the LAST Filter,
+    // plans print top-down: the scan-side quality filter is the LAST
+    // "Filter (" NODE (the "(" excludes the scan's PushedFilters metadata,
+    // which always prints at the bottom and would make the check vacuous),
     // and it must sit under the Exchange (greater string index)
-    assert(plan.lastIndexOf("Filter") > plan.indexOf("Exchange"),
+    assert(plan.contains("Filter (") &&
+      plan.lastIndexOf("Filter (") > plan.indexOf("Exchange"),
       s"quality filter must be below the shuffle (scan side), plan:\n$plan")
   }
 }

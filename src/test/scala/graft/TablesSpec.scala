@@ -81,4 +81,20 @@ class TablesSpec extends AnyFunSuite {
       Seq(2L, "old", "delete"),
       Seq(3L, "gone", "delete")))
   }
+
+  test("changesBetween has multiset semantics: copy-count deltas are reported") {
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/t6")
+    t.overwrite(Seq((1L, "x")).toDF("id", "v"))
+    // the same row now appears 3 times, plus a doubled brand-new row
+    t.overwrite(Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"))
+      .toDF("id", "v"))
+    TestSpark.assertSameRows(t.changesBetween(spark, 1, 2), Seq(
+      Seq(1L, "x", "insert"), Seq(1L, "x", "insert"),
+      Seq(2L, "y", "insert"), Seq(2L, "y", "insert")))
+    // and the reverse direction reports the symmetric deletes
+    TestSpark.assertSameRows(t.changesBetween(spark, 2, 1), Seq(
+      Seq(1L, "x", "delete"), Seq(1L, "x", "delete"),
+      Seq(2L, "y", "delete"), Seq(2L, "y", "delete")))
+  }
 }
