@@ -403,6 +403,32 @@ object NorthStarQueries {
         k = 5, nprobe = 4)
   }
 
+  /** Rolling 90-day revenue per customer — a RANGE window frame (peers by
+    * value, not row position): one shuffle on the customer key; the frame
+    * slides within each partition with O(1) incremental state.
+    */
+  def q51RollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_date(col("o_orderdate").cast("date")))
+      .rangeBetween(-89, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        sum(col("cents")).over(w).as("cents_90d"))
+  }
+
+  /** CUBE: all four grouping combinations of (priority, year) in one
+    * expand + single shuffle — completes the grouping-sets family next to
+    * q33's ROLLUP.
+    */
+  def q52SalesCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .cube(col("o_orderpriority"), col("order_year"))
+      .agg(count(lit(1)).as("orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -429,6 +455,8 @@ object NorthStarQueries {
     "q48_containment" -> (q48Containment _),
     "q49_priority_unpivot" -> (q49PriorityUnpivot _),
     "q50_ivf_topk" -> (q50IvfTopK _),
+    "q51_rolling_revenue" -> (q51RollingRevenue _),
+    "q52_sales_cube" -> (q52SalesCube _),
   )
 
   private val tokensSql =
@@ -663,6 +691,21 @@ object NorthStarQueries {
                  round(CAST(inter AS DOUBLE) / n_a, 6) AS containment
           FROM shared
           WHERE CAST(inter AS DOUBLE) / n_a >= 0.9""",
+
+    "q51_rolling_revenue" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+                  PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                  RANGE BETWEEN INTERVAL 89 DAY PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cents_90d
+         FROM orders""",
+
+    "q52_sales_cube" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                count(*) AS orders,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders
+         GROUP BY CUBE (o_orderpriority, order_year)""",
 
     "q49_priority_unpivot" ->
       s"""WITH wide AS (

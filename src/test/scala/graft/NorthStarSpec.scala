@@ -116,6 +116,19 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine LSH drops NULL-vector and NULL-element rows instead of crashing or collapsing") {
+    val withNulls = Seq(
+      (1L, Some(Seq(Option(1.0), Option(0.0), Option(0.0), Option(0.0)))),
+      (2L, Some(Seq(Option(1.0), Option(0.0), Option(0.0), Option(0.0)))),
+      (3L, Option.empty[Seq[Option[Double]]]),                          // NULL vector
+      (4L, Some(Seq(Option(1.0), Option.empty[Double], Option(0.0), Option(0.0)))))  // NULL element
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDuplicates(withNulls, "vec_id", "embedding",
+      threshold = 0.9, planes = 4, tables = 8, dims = 4).collect()
+    // the parallel pair (1,2) is found; rows 3 and 4 are silently excluded
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("cosine LSH fails loudly on a dims mismatch instead of bucket-collapsing") {
     val bad = intercept[Exception] {
       Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
