@@ -429,6 +429,47 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("orders"),
         sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
 
+  /** Fixed-width histogram of order totals: integer bucket arithmetic (no
+    * two-pass min/max), one shuffle on the bucket id.
+    */
+  def q53PriceHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("bucket", floor(col("o_totalprice") / 25000).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
+
+  /** NTILE quartiles of customers by account balance within each market
+    * segment — deterministic via the (balance, key) total order.
+    */
+  def q54BalanceQuartiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("customers"),
+        sum(round(col("c_acctbal") * 100, 0).cast("long")).as("balance_cents"))
+  }
+
+  /** Fuzzy name matching: supplier pairs within edit distance 2 — the
+    * string-similarity complement of the shingle dedup family. All-pairs
+    * within the (small) supplier dim; at corpus scale the same predicate
+    * runs behind a blocking key (q48-style shared-shingle join) instead of
+    * the cross product.
+    */
+  def q55FuzzySuppliers(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("key_a"), col("s_name").as("name_a"))
+    val b = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("key_b"), col("s_name").as("name_b"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= 2)
+      .select(col("key_a"), col("key_b"), col("edit_dist"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -457,6 +498,9 @@ object NorthStarQueries {
     "q50_ivf_topk" -> (q50IvfTopK _),
     "q51_rolling_revenue" -> (q51RollingRevenue _),
     "q52_sales_cube" -> (q52SalesCube _),
+    "q53_price_histogram" -> (q53PriceHistogram _),
+    "q54_balance_quartiles" -> (q54BalanceQuartiles _),
+    "q55_fuzzy_suppliers" -> (q55FuzzySuppliers _),
   )
 
   private val tokensSql =
@@ -706,6 +750,30 @@ object NorthStarQueries {
                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders
          GROUP BY CUBE (o_orderpriority, order_year)""",
+
+    "q53_price_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS INTEGER) AS bucket,
+                count(*) AS orders,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY 1""",
+
+    "q54_balance_quartiles" ->
+      """WITH q AS (
+           SELECT c_mktsegment,
+                  ntile(4) OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal, c_custkey) AS quartile,
+                  c_acctbal
+           FROM customer)
+         SELECT c_mktsegment, CAST(quartile AS INTEGER) AS quartile,
+                count(*) AS customers,
+                CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS balance_cents
+         FROM q GROUP BY 1, 2""",
+
+    "q55_fuzzy_suppliers" ->
+      """SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+                CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+         FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+         WHERE levenshtein(a.s_name, b.s_name) <= 2""",
 
     "q49_priority_unpivot" ->
       s"""WITH wide AS (
