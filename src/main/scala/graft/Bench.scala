@@ -30,8 +30,13 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // -1.0 failure markers must not be summed — they would understate the
+    // total and make it non-monotonic with failures
+    val total = results.values.filter(_ >= 0).sum
+    // stop Spark BEFORE printing so no shutdown logging can land after the
+    // JSON — the driver parses the final stdout line as the result object
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Console.out.flush()
   }
 }

@@ -39,6 +39,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  // Returns NULL on dimension mismatch even when both inputs are
+  // non-nullable, so nullability must not be inherited from the children:
+  // with nullable=false the optimizer would propagate a wrong constraint
+  // and nullSafeCodeGen would assign to a FalseLiteral isNull (uncompilable
+  // generated code → silent codegen fallback). Same reasoning as DotProduct.
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -127,6 +127,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Stop-shingle cap for explode-join candidate generation: a shingle
+    * present in d docs contributes d² join rows, so one ubiquitous shingle
+    * turns the join quadratic AND lands the whole blowup on a single
+    * shuffle key (maximal skew). Dropping shingles whose document frequency
+    * exceeds `maxDf` bounds per-key join fan-in at maxDf² rows regardless
+    * of corpus size — the standard trade at scale (cf. Ed-Join's frequency
+    * filtering, Xiao et al., VLDB 2008). `exploded` must carry a shingle
+    * column named `g`; the df table is shingle-keyed (vocabulary-sized,
+    * broadcast-eligible after the `> maxDf` filter, which keeps only the
+    * few hot shingles).
+    */
+  def capHotShingles(exploded: DataFrame, maxDf: Int): DataFrame = {
+    val hot = exploded.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+    exploded.join(broadcast(hot), Seq("g"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard over all pairs sharing at least one shingle —
     * the no-approximation baseline: explode shingles, join on shingle,
     * count shared per pair, derive |∪| from per-doc set sizes. Equivalent
@@ -141,17 +158,9 @@ object Dedup {
       .withColumn("n", size(col("sh")))
     sets.cache()
     val exploded0 = sets.select(col("id"), col("n"), explode(col("sh")).as("g"))
-    // Stop-shingle cap: a shingle present in d docs contributes d² join rows,
-    // so one ubiquitous shingle turns the join quadratic AND lands on a
-    // single shuffle key (skew). Dropping shingles above maxDocFrequency
-    // bounds both; |∪| still uses the full per-doc set sizes, so Jaccard is
-    // only *under*-estimated for pairs whose overlap was mostly stop-shingles
-    // — the standard trade at corpus scale.
-    val exploded = maxDocFrequency.fold(exploded0) { maxDf =>
-      val hot = exploded0.groupBy(col("g"))
-        .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
-      exploded0.join(hot, Seq("g"), "left_anti")
-    }
+    // |∪| still uses the full per-doc set sizes, so Jaccard is only
+    // *under*-estimated for pairs whose overlap was mostly stop-shingles.
+    val exploded = maxDocFrequency.fold(exploded0)(capHotShingles(exploded0, _))
     val shared = exploded.as("x").join(exploded.as("y"), Seq("g"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -208,12 +217,20 @@ object Dedup {
     val votes = BitMasks.zipWithIndex.map { case (m, b) =>
       sum(when(col("__h").bitwiseAND(lit(m)) =!= 0, 1).otherwise(-1)).as(s"__v$b")
     }
-    perTok.groupBy(col(idCol))
+    val agg = perTok.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol),
         BitMasks.zipWithIndex.map { case (m, b) =>
           when(col(s"__v$b") > 0, lit(m)).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b)).as("__sim"))
+    // Token-less docs vanish in the explode, but simhash64 gives them
+    // signature 0 (empty vote fold) — and NULL for NULL text. Join every id
+    // back so identical empty docs can still pair downstream. The join key
+    // is the groupBy key, so AQE plans it shuffle-free on the agg side.
+    docs.select(col(idCol), col(textCol).isNotNull.as("__has_text"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__has_text"), coalesce(col("__sim"), lit(0L))).as("__sim"))
   }
 
   /** SimHash near-duplicates: band the 64 bits into `bands` chunks (equal

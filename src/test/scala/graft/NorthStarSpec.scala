@@ -83,6 +83,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(viaDf == viaCol)
   }
 
+  test("simhashSignatures matches simhash64 on token-less and NULL docs") {
+    val edge = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
+      (4L, "real words here"))
+      .toDF("doc_id", "text")
+    val viaDf = Dedup.simhashSignatures(edge, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+    val viaCol = edge.select($"doc_id", Dedup.simhash64($"text").as("s"))
+      .orderBy("doc_id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+    assert(viaDf == viaCol)
+    // empty and whitespace-only docs share signature 0 → they can pair
+    assert(viaDf(0).contains(0L) && viaDf(1).contains(0L) && viaDf(2).isEmpty)
+    val pairs = Dedup.simhashNearDuplicates(edge, "doc_id", "text",
+      bands = 4, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "identical token-less docs must pair with hamming 0")
+  }
+
   test("simhash: identical docs have hamming 0, near-dups small") {
     val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
       bands = 4, maxHamming = 10)

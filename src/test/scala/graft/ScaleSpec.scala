@@ -103,6 +103,56 @@ class ScaleSpec extends AnyFunSuite {
       "vector ops must not shuffle")
   }
 
+  test("persisted IVF index prunes the corpus scan to probed cell partitions") {
+    import graft.northstar.IvfIndex
+    val emb = Tables.read(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    val persisted = built.persist(spark,
+      java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx")
+    val res = persisted.search(queries, "vec_id", "embedding", k = 3, nprobe = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      s"expected a static partition filter on cell in:\n$plan")
+    // pruning must not change results: persisted == in-memory search
+    val inMem = built.search(queries, "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(TestSpark.rows(res) == TestSpark.rows(inMem))
+    assert(res.count() > 0)
+  }
+
+  test("hot-shingle cap bounds per-key join fan-in under an injected ubiquitous shingle") {
+    import graft.northstar.{Dedup, TextAnalysis}
+    val spark2 = spark
+    import spark2.implicits._
+    // every doc carries the same hot trigram; docs 1/2 additionally share
+    // real content (true near-dups through non-hot shingles)
+    val n = 40
+    val docs = (1 to n).map { i =>
+      val unique =
+        if (i <= 2) "shared payload text across the near duplicate pair"
+        else s"unique body $i with filler ${i * 7} noise ${i * 13} tail"
+      (i.toLong, s"common hot shingle $unique")
+    }.toDF("doc_id", "text")
+    val exploded = docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.shingleHashes(col("text"), 3))).as("g"))
+    val maxDf = 8
+    // uncapped: the hot shingle lands n rows on one shuffle key → n² join
+    // fan-in; capped: every surviving key is bounded by maxDf
+    val uncappedMax = exploded.groupBy("g").count()
+      .agg(max("count")).head.getLong(0)
+    assert(uncappedMax >= n, s"fixture must contain a ubiquitous shingle, max df=$uncappedMax")
+    val cappedMax = Dedup.capHotShingles(exploded, maxDf).groupBy("g").count()
+      .agg(max("count")).head.getLong(0)
+    assert(cappedMax <= maxDf,
+      s"cap must bound per-key fan-in at $maxDf, got $cappedMax")
+    // and the capped pair search still finds the genuine near-dup pair
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3,
+      maxDocFrequency = Some(maxDf))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"capped jaccard must keep true near-dups and drop hot-shingle-only pairs, got $pairs")
+  }
+
   test("corpus quality gate filters inside the scan stage, before any shuffle") {
     import graft.northstar.CorpusClean
     val plan = CorpusClean.clean(
