@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** S5 (SURVEY.md §2.1): the cloud-storage authentication seam. The
+  * reference configures Azure ABFS SAS credentials on the Hadoop conf
+  * before any table access (reference: src/ETL/CommonFunctions.py:32-35,
+  * creds template .env.example:1-5). On local FS there is nothing to
+  * configure, so the production impl is environment-specific and out of
+  * scope — but the SEAM must exist so a real deployment plugs in without
+  * touching pipeline code: every pipeline entry point invokes
+  * [[StorageAuth.authenticate]] before its first read, exactly where the
+  * reference notebooks call `authenticate_to_storage()`.
+  */
+trait StorageAuth {
+  /** Configure `spark`'s Hadoop conf for the target storage. Must be
+    * idempotent — pipeline entry points call it once each, like the
+    * reference calls `authenticate_to_storage()` at the top of every
+    * notebook.
+    */
+  def authenticate(spark: SparkSession): Unit
+}
+
+object StorageAuth {
+  /** Local-filesystem deployment: nothing to configure. */
+  object NoOp extends StorageAuth {
+    override def authenticate(spark: SparkSession): Unit = ()
+  }
+}
+
+/** S4 (SURVEY.md §2.1): literal catalog DDL. The reference creates its
+  * database and makes it current before registering tables (reference:
+  * src/ETL/Bronze-Ingestion-Orders.py:16-17):
+  *
+  * {{{
+  * spark.sql(f"CREATE DATABASE IF NOT EXISTS {database_name}")
+  * spark.catalog.setCurrentDatabase(database_name)
+  * }}}
+  *
+  * Spark's in-memory session catalog supports both without a Hive
+  * metastore, so warehouse tables are addressable as `spark.table(name)` /
+  * `spark.sql("SELECT ... FROM name")` — the surface a user porting the
+  * reference expects on day one.
+  */
+object Catalog {
+
+  /** CREATE DATABASE IF NOT EXISTS + setCurrentDatabase, verbatim S4. */
+  def ensureDatabase(spark: SparkSession, database: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    spark.catalog.setCurrentDatabase(database)
+  }
+
+  /** Register a versioned table's LIVE version in the session catalog as an
+    * external parquet table. Re-registering after a write repoints the
+    * catalog entry at the new version dir (drop + create — the in-memory
+    * catalog has no REPLACE for external location tables). Partitioned
+    * layouts get their partitions recovered so partition pruning works
+    * through the catalog path too.
+    */
+  def registerTable(spark: SparkSession, database: String, name: String,
+      table: ParquetTable): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$name`")
+    spark.sql(s"CREATE TABLE `$database`.`$name` USING parquet " +
+      s"LOCATION '${table.currentPath}'")
+    // a caller registering by name only may not know the partition spec —
+    // detect the hive-style layout (`col=value` child dirs) from disk
+    val partitioned = table.partitionColumns.nonEmpty || {
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(
+        java.nio.file.Paths.get(table.currentPath))
+      try listing.iterator().asScala.exists(p =>
+        java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.contains("="))
+      finally listing.close()
+    }
+    if (partitioned)
+      spark.catalog.recoverPartitions(s"`$database`.`$name`")
+  }
+}

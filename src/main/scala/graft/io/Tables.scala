@@ -53,11 +53,16 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   private def currentVersion: Option[String] =
     if (exists) Some(Files.readString(pointer).trim) else None
 
-  def read(spark: SparkSession): DataFrame = {
+  /** Directory of the live version — what a catalog registration points
+    * at ([[Catalog.registerTable]]).
+    */
+  def currentPath: String = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"table at $path does not exist"))
-    spark.read.parquet(s"$path/$v")
+    s"$path/$v"
   }
+
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(currentPath)
 
   /** S2: create the table from `df` if absent; no-op when it exists. */
   def createIfNotExists(df: DataFrame): ParquetTable = {
@@ -80,6 +85,21 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     val w = df.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(s"$path/$next")
+    // An EMPTY partitioned write leaves no parquet files at all (there are
+    // no partition values to create dirs for), which makes the version
+    // unreadable — schema inference has nothing to read. Detect via a free
+    // directory walk (no Spark job) and lay down a schema-only file by
+    // rewriting the empty frame unpartitioned. Empty tables are routine in
+    // the DLQ loop (a batch where every row is valid writes an empty DLQ).
+    if (partitionColumns.nonEmpty) {
+      val verDir = Paths.get(path, next)
+      val walk = Files.walk(verDir)
+      val hasData =
+        try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
+      if (!hasData)
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(verDir.toString)
+    }
     val tmp = Paths.get(path, "_current.tmp")
     Files.writeString(tmp, next)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,

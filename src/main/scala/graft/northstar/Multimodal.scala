@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * Media are opaque `binary` payloads with a typed metadata struct; the
   * Spark-side plumbing — schema, partition-friendly batch iteration, typed
-  * encoders, frame slicing — is real and tested. The actual codec calls are
-  * STUBBED with a deterministic fake (this container ships no image/audio
-  * libraries): `decodeStub` derives features from raw bytes so pipelines
-  * exercise realistic shapes end-to-end.
+  * encoders, frame slicing — is real and tested. Image dimensions are
+  * parsed for real from PNG/JPEG container headers in pure JVM code
+  * ([[Multimodal.MediaDecoder.ImageHeaders]]); full pixel/sample decode
+  * remains behind the same pluggable [[Multimodal.MediaDecoder]] seam
+  * (this container ships no codec libraries — a deployment binds one
+  * there; [[Multimodal.MediaDecoder.Fake]] is the deterministic test
+  * double).
   *
   * Scale notes: payload processing is `mapPartitions` over an iterator
   * (the genuinely imperative case — per-row codec calls), so it streams
@@ -24,7 +27,76 @@ object Multimodal {
       sample_rate: Int, duration_ms: Long)
   final case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-      byte_histogram: Array[Long], checksum: Long)
+      byte_histogram: Array[Long], checksum: Long,
+      width: Option[Int], height: Option[Int])
+
+  /** The pluggable decode seam: a real deployment binds a codec library
+    * here; the Spark plumbing (typed mapPartitions, schema, batch shape)
+    * is identical for every implementation. Must be Serializable — it
+    * ships to executors inside the mapPartitions closure.
+    */
+  trait MediaDecoder extends Serializable {
+    /** (width, height) if the payload is a recognized image container. */
+    def dimensions(payload: Array[Byte]): Option[(Int, Int)]
+  }
+
+  object MediaDecoder {
+
+    /** Pure-JVM container-header parse — REAL dimensions from real bytes,
+      * no codec library needed: PNG's IHDR chunk (width/height at fixed
+      * offsets 16/20 per the PNG spec, RFC 2083 §3.1) and JPEG's SOFn
+      * marker segment (height/width big-endian after precision, ITU T.81
+      * §B.2.2), found by walking the marker stream.
+      */
+    object ImageHeaders extends MediaDecoder {
+      override def dimensions(b: Array[Byte]): Option[(Int, Int)] =
+        png(b).orElse(jpeg(b))
+
+      private def be16(b: Array[Byte], i: Int): Int =
+        ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      private def be32(b: Array[Byte], i: Int): Int =
+        ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+          ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+      private val PngSig =
+        Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+      private def png(b: Array[Byte]): Option[(Int, Int)] =
+        if (b.length >= 24 && b.startsWith(PngSig) &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+          Some((be32(b, 16), be32(b, 20)))
+        else None
+
+      private def jpeg(b: Array[Byte]): Option[(Int, Int)] = {
+        if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+          return None
+        var i = 2
+        while (i + 3 < b.length) {
+          if ((b(i) & 0xff) != 0xff) return None // desynced marker stream
+          val marker = b(i + 1) & 0xff
+          if (marker == 0xff) i += 1 // fill byte
+          else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8))
+            i += 2 // standalone markers carry no length
+          else if ((marker >= 0xc0 && marker <= 0xcf) &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            // SOFn: len(2) precision(1) height(2) width(2)
+            return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5)))
+            else None
+          } else i += 2 + be16(b, i + 2) // skip the segment
+        }
+        None
+      }
+    }
+
+    /** Deterministic test double standing in for a full codec — the role
+      * the r1 `fakeDecode` played, now behind the same seam production
+      * binds to.
+      */
+    object Fake extends MediaDecoder {
+      override def dimensions(payload: Array[Byte]): Option[(Int, Int)] =
+        Some((payload.length % 512, payload.length % 384))
+    }
+  }
 
   /** Synthesize a media table from any (id, text) source — deterministic
     * fake payloads (UTF-8 bytes) with metadata, standing in for real decoded
@@ -45,18 +117,20 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Feature extraction over payload bytes. The decode step is a STUB —
-    * a real deployment swaps `fakeDecode` for the codec call; everything
-    * around it (typed mapPartitions, batch shape, output schema) is the
-    * production plumbing.
+  /** Feature extraction over payload bytes. Byte statistics (histogram +
+    * rolling checksum) are computed inline; image dimensions come from the
+    * pluggable `decoder` — [[MediaDecoder.ImageHeaders]] reads real
+    * PNG/JPEG headers, [[MediaDecoder.Fake]] is the deterministic test
+    * double, and a production deployment binds a full codec at the same
+    * seam. Full pixel/sample statistics stay out of scope in this container
+    * (no codec libraries) — that remaining stub IS the decoder seam.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+      decoder: MediaDecoder = MediaDecoder.ImageHeaders): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        // STUB: deterministic fake decode — byte histogram + rolling checksum
-        // stands in for pixel/sample statistics.
         val hist = new Array[Long](16)
         var checksum = 1125899906842597L
         var i = 0
@@ -65,7 +139,9 @@ object Multimodal {
           checksum = checksum * 31 + (r.payload(i) & 0xff)
           i += 1
         }
-        MediaFeatures(r.media_id, r.meta.kind, r.payload.length, hist, checksum)
+        val dims = decoder.dimensions(r.payload)
+        MediaFeatures(r.media_id, r.meta.kind, r.payload.length, hist, checksum,
+          dims.map(_._1), dims.map(_._2))
       }
     }
   }

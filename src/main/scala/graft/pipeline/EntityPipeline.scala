@@ -64,11 +64,38 @@ final case class EntityConfig(
     dlqUpdateKeys: Seq[String] = Nil)
 
 /** Physical home of the medallion tables: one versioned parquet table per
-  * (layer, entity).
+  * (layer, entity). `auth` is the S5 storage-authentication seam — pipeline
+  * entry points invoke it before their first read, mirroring the reference
+  * notebooks' `authenticate_to_storage()` preamble
+  * (reference: src/ETL/CommonFunctions.py:32-35).
   */
-final class Warehouse(val root: String) {
+final class Warehouse(val root: String,
+    val auth: graft.io.StorageAuth = graft.io.StorageAuth.NoOp) {
   def table(name: String, partitionColumns: Seq[String] = Nil): ParquetTable =
     new ParquetTable(s"$root/$name", partitionColumns)
+
+  /** S4: make every existing warehouse table addressable through the
+    * session catalog — `CREATE DATABASE IF NOT EXISTS` +
+    * `setCurrentDatabase` + one external-table registration per live
+    * version dir (reference: src/ETL/Bronze-Ingestion-Orders.py:16-17).
+    * Call again after writes to repoint registrations at new versions.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession,
+      database: String = "graft_warehouse"): Unit = {
+    auth.authenticate(spark)
+    graft.io.Catalog.ensureDatabase(spark, database)
+    val dir = java.nio.file.Paths.get(root)
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(dir)
+    val names =
+      try listing.iterator().asScala.filter(p =>
+        java.nio.file.Files.exists(p.resolve("_current")))
+        .map(_.getFileName.toString).toList
+      finally listing.close()
+    names.sorted.foreach { n =>
+      graft.io.Catalog.registerTable(spark, database, n, table(n))
+    }
+  }
 
   def bronze(cfg: EntityConfig): ParquetTable =
     table(s"bronze_${cfg.name}", cfg.partitionColumns)
@@ -96,6 +123,10 @@ final class Warehouse(val root: String) {
   */
 final class EntityPipeline(spark: SparkSession, warehouse: Warehouse,
     cfg: EntityConfig, clock: () => Column = () => current_timestamp()) {
+
+  // S5: authenticate before any table access — the reference notebooks call
+  // authenticate_to_storage() in their preamble (CommonFunctions.py:32-35)
+  warehouse.auth.authenticate(spark)
 
   import Validators.{InvalidColsCol, InvalidRelCol, StatusCol}
 

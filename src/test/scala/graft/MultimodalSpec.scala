@@ -28,6 +28,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
   }
 
+  test("ImageHeaders decoder reads real dimensions from handcrafted PNG/JPEG headers") {
+    import Multimodal.MediaDecoder.ImageHeaders
+    // minimal PNG: 8-byte signature, IHDR length, "IHDR", width=640, height=480
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',                   // len + type
+      0x00, 0x00, 0x02, 0x80,                                       // width 640
+      0x00, 0x00, 0x01, 0xe0,                                       // height 480
+      0x08, 0x06, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(ImageHeaders.dimensions(png).contains((640, 480)))
+    // minimal JPEG: SOI, APP0 segment (skipped), SOF0 with height=120 width=320
+    val jpeg = Array(0xff, 0xd8,                                     // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,                           // APP0 len 4
+      0xff, 0xc0, 0x00, 0x11, 0x08,                                 // SOF0 len 17, prec 8
+      0x00, 0x78,                                                   // height 120
+      0x01, 0x40,                                                   // width 320
+      0x03, 0x01, 0x22, 0x00).map(_.toByte)
+    assert(ImageHeaders.dimensions(jpeg).contains((320, 120)))
+    // non-image payloads decode to None, not garbage
+    assert(ImageHeaders.dimensions("plain text".getBytes).isEmpty)
+    assert(ImageHeaders.dimensions(Array[Byte]()).isEmpty)
+    assert(ImageHeaders.dimensions(png.take(20)).isEmpty)
+  }
+
+  test("extractFeatures surfaces decoded dims through the pluggable seam") {
+    import spark.implicits._
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x00, 0x40, 0x00, 0x00, 0x00, 0x20, 0x08).map(_.toByte)
+    val ds = Seq(
+      Multimodal.MediaRow(1L, png, Multimodal.MediaMeta("image", 0, 0, 0, 0L)),
+      Multimodal.MediaRow(2L, "not an image".getBytes,
+        Multimodal.MediaMeta("audio", 0, 0, 16000, 0L))).toDS()
+    val feats = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(feats(0).width.contains(64) && feats(0).height.contains(32))
+    assert(feats(1).width.isEmpty && feats(1).height.isEmpty)
+    // the Fake double rides the same seam
+    val fake = Multimodal.extractFeatures(ds, Multimodal.MediaDecoder.Fake)
+      .collect().sortBy(_.media_id)
+    assert(fake(0).width.contains(png.length % 512))
+  }
+
   test("frame sampling yields n frames per payload") {
     val frames = Multimodal.sampleFrames(media.toDF(), n = 4, frameBytes = 8)
     val counts = frames.groupBy("media_id").count().collect()

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.gold.{Dashboard, GoldBuilds}
-import graft.pipeline.{SeedStore, Warehouse}
+import graft.pipeline.{EntityPipeline, SeedStore, Warehouse}
 
 /** E1→E2→E2'→E3 end-to-end: dirty sources through Bronze → Silver/DLQ →
   * DLQ cleansing → Gold → dashboard, with the reference's recovery and
@@ -179,5 +179,38 @@ class PipelineSpec extends AnyFunSuite {
         Seq("affiliate", "regular", 1L),
         Seq("affiliate", "VIP", 1L),
         Seq("individual", "VIP", 1L)))
+
+    // S4: literal catalog DDL — after register(), silver/gold tables are
+    // addressable via spark.table()/SQL in the current database, matching
+    // the reference's CREATE DATABASE + setCurrentDatabase + per-table
+    // registration (Bronze-Ingestion-Orders.py:16-17)
+    w.register(spark, "graft_wh_spec")
+    assert(spark.catalog.currentDatabase == "graft_wh_spec")
+    assert(spark.table("silver_customers").count() ==
+      silverCount(w, "customers"))
+    assert(spark.sql("SELECT count(*) FROM gold_customer_breakdown")
+      .head.getLong(0) == 4L)
+    // partitioned bronze registrations keep their partition columns
+    assert(spark.table("bronze_customers").columns.contains("year"))
+    assert(spark.table("bronze_customers").count() == 8L)
+    // re-register after another write repoints at the new live version
+    SeedStore.runAll(spark, w, grown, clock2)
+    w.register(spark, "graft_wh_spec")
+    assert(spark.table("silver_customers").count() == 5L)
+  }
+
+  test("S5 auth hook runs before the pipeline touches storage") {
+    var calls = 0
+    val recording = new graft.io.StorageAuth {
+      override def authenticate(s: org.apache.spark.sql.SparkSession): Unit =
+        calls += 1
+    }
+    val w = new Warehouse(
+      Files.createTempDirectory("graft_wh_auth").toString, recording)
+    assert(calls == 0)
+    val p = new EntityPipeline(spark, w, SeedStore.customers, clock)
+    assert(calls == 1, "constructing the pipeline must authenticate first")
+    p.ingestBronze(sources("customers"))
+    assert(w.table("bronze_customers").read(spark).count() > 0)
   }
 }

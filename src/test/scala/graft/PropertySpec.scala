@@ -102,6 +102,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: DLQ loop converges — re-running the medallion over " +
+    "adversarial sources is a fixpoint and silver stays consistent") {
+    import graft.pipeline.{EntityPipeline, SeedStore, Warehouse}
+    val clock = () => to_timestamp(lit("2024-01-01 00:00:00"))
+    // adversarial generators: duplicate business keys, dirty-but-repairable
+    // and unrepairable enum values, garbage timestamps, dangling FKs
+    val genCustomer = for {
+      id <- Gen.choose(1, 6)                      // small space → dup keys
+      tpe <- Gen.oneOf("affiliate", "individual", " Affiliate! ", "unknown")
+      status <- Gen.oneOf("regular", "VIP", " vip ", "gold")
+      ts <- Gen.oneOf("2023-02-0", "not-a-date#")
+      d <- Gen.choose(1, 9)
+    } yield (id, tpe, status, if (ts.startsWith("2023")) s"$ts$d 10:00:00" else ts)
+    val genOrder = for {
+      custId <- Gen.choose(1, 9)                  // 7–9 dangle (dirty FK)
+      addrId <- Gen.choose(10, 13)                // 12–13 dangle
+      ts <- Gen.oneOf("2023-03-01 10:00:00", "bad-ts")
+    } yield (custId, ts, addrId, "2023-03-05", "2023-03-06")
+    samples(Gen.zip(Gen.listOfN(12, genCustomer), Gen.listOfN(8, genOrder)), 3)
+      .foreach { case (custRows, orderRows) =>
+        val sources = Map(
+          "customers" -> custRows.toDF("id", "type", "status", "CreatedOn"),
+          "addresses" -> Seq(
+            ("2023-01-01 10:00:00", "Phoenix", "Az", "Us", 10, "1 Main St"),
+            ("2023-01-02 10:00:00", "Tucson", "Az", "Us", 11, "2 Oak Ave"))
+            .toDF("createdOn", "city", "state", "country", "id", "addressline"),
+          "orders" -> orderRows.zipWithIndex.map { case (o, i) =>
+            (o._1, o._2, o._3, o._4, o._5, 100 + i)
+          }.toDF("customerId", "createdOn", "addressId",
+            "deliveryDate", "deliveredOn", "id"))
+        val w = new Warehouse(
+          java.nio.file.Files.createTempDirectory("graft_fix").toString)
+        def runOnce(): Unit =
+          Seq(SeedStore.customers, SeedStore.addresses, SeedStore.orders)
+            .foreach { cfg =>
+              val p = new EntityPipeline(spark, w, cfg, clock)
+              p.ingestBronze(sources(cfg.name))
+              p.validateSilver() // throws if count reconciliation breaks
+              p.cleanseDlq()
+            }
+        def state(): Map[String, Long] =
+          Seq("bronze_customers", "silver_customers", "dlq_customers",
+            "bronze_orders", "silver_orders", "dlq_orders")
+            .map(t => t -> w.table(t).read(spark).count()).toMap ++
+            Seq("dlq_customers", "dlq_orders").map(t => s"${t}_invalid" ->
+              w.table(t).read(spark)
+                .filter(col("validation_status") === "invalid").count())
+        runOnce()
+        val s1 = state()
+        runOnce() // validate→cleanse→validate again over identical sources
+        val s2 = state()
+        assert(s1 == s2, s"DLQ loop must be a fixpoint; drift: $s1 vs $s2")
+        // silver consistency after convergence: unique business keys and
+        // no dangling customer FK among landed orders
+        val silverCust = w.silverByName("customers").read(spark)
+        assert(silverCust.groupBy("id").count()
+          .filter(col("count") > 1).isEmpty, "silver customer ids must be unique")
+        val landedCust = silverCust.select("id").collect().map(_.getLong(0)).toSet
+        val orderFks = w.silverByName("orders").read(spark)
+          .select("customer_id").collect().map(_.getLong(0)).toSet
+        assert(orderFks.subsetOf(landedCust),
+          s"silver orders reference missing customers: ${orderFks -- landedCust}")
+      }
+  }
+
   test("property: scdType2 keeps exactly one current version per key, " +
     "closed intervals chain, and row count grows only by real changes") {
     // random snapshot sequences over a small key space force every branch:

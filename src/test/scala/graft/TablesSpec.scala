@@ -33,6 +33,21 @@ class TablesSpec extends AnyFunSuite {
       Seq(Seq(1, 2023), Seq(2, 2024)))
   }
 
+  test("empty partitioned write stays readable with its schema") {
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/t_empty", partitionColumns = Seq("year"))
+    val empty = Seq((1, 2024, "x")).toDF("id", "year", "v").filter("id < 0")
+    t.overwrite(empty)
+    // a naive partitioned write of zero rows creates no parquet files and
+    // the table becomes uninferable — the DLQ loop hits this whenever a
+    // batch has nothing invalid
+    assert(t.read(spark).count() == 0)
+    assert(t.read(spark).columns.toSet == Set("id", "year", "v"))
+    // and a later non-empty overwrite restores the partitioned layout
+    t.overwrite(Seq((1, 2024, "x")).toDF("id", "year", "v"))
+    assert(t.read(spark).count() == 1)
+  }
+
   test("time travel reads retained versions; vacuum drops all but the live one") {
     val dir = Files.createTempDirectory("graft_tbl").toString
     val t = new ParquetTable(s"$dir/t3")
