@@ -50,4 +50,23 @@ object CorpusClean {
       .filter(col("__rk") === 1)
       .drop("__rk")
   }
+
+  /** Benchmark decontamination: ids of training documents that share any
+    * verbatim word-`n`-gram with the benchmark set — the standard
+    * n-gram-overlap decontamination LLM training pipelines run against
+    * held-out eval sets. The benchmark gram set is tiny relative to the
+    * corpus, so it broadcasts: the training-side explode never shuffles
+    * and the semi join cannot fan out on hot grams (a semi join emits each
+    * training row at most once).
+    */
+  def contaminatedIds(training: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), n))
+        .as("__g"))
+    val bench = grams(benchmark).select(col("__g")).distinct()
+    grams(training)
+      .join(broadcast(bench), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
 }

@@ -14,6 +14,36 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Shared PII patterns — deliberately conservative, portable between
+    * Java regex (Spark codegen) and RE2 (DuckDB oracle): no lookaround, no
+    * backreferences.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scrub: replace emails/phones with typed placeholder tags — the
+    * pass every training corpus runs before tokenization. Codegen'd
+    * regexp_replace, zero shuffles.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  /** Occurrences a [[redactPii]] pass would replace, per kind. */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
+  /** Verbatim word n-grams as strings (space-joined), empty array for docs
+    * shorter than n tokens. The `when` guard matters: Spark's
+    * `sequence(1, 0)` counts DOWN, so the unguarded form would emit
+    * phantom grams for short docs.
+    */
+  def wordNGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Whitespace tokens, empties dropped (split("\\s+") yields a leading ""
     * for leading whitespace).
     */

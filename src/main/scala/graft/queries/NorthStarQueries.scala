@@ -478,6 +478,83 @@ object NorthStarQueries {
       t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
       "s_suppkey", "s_name", maxDist = 2)
 
+  private val EmailRe = TextAnalysis.EmailRe
+  private val PhoneRe = TextAnalysis.PhoneRe
+
+  /** PII redaction pass — the scrub every training corpus runs before the
+    * tokenizer sees it. The synthetic corpus carries no PII, so the query
+    * first INJECTS deterministic doc_id-derived emails/phones (both engines
+    * construct the identical augmented text), then redacts with shared
+    * Java/RE2-portable regexes and accounts per language: occurrences
+    * replaced and bytes removed. Map-side except the one lang-key shuffle;
+    * regexp_replace/regexp_count are codegen'd, no UDF.
+    */
+  def q56PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents").withColumn("aug",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" call 555-000-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+    val red = aug.withColumn("redacted", TextAnalysis.redactPii(col("aug")))
+    red.groupBy(col("lang")).agg(
+      count(lit(1)).as("docs"),
+      sum(TextAnalysis.emailCount(col("aug"))).cast("long").as("emails"),
+      sum(TextAnalysis.phoneCount(col("aug"))).cast("long").as("phones"),
+      sum((length(col("aug")) - length(col("redacted"))).cast("long"))
+        .as("chars_removed"))
+  }
+
+  /** Repetition-based quality filter (the Gopher rules' shape: drop docs
+    * whose vocabulary collapses — low type-token ratio or one token
+    * dominating). Thresholds are expressed in INTEGER cross-multiplication
+    * (ttr < 2/5, top-share > 3/20) so the classification is bit-identical
+    * across engines — no float literal, no division before the final
+    * rounded aggregate ratio. One explode + two shuffles (per-doc token
+    * counts, then the lang×class rollup), all partial-agg friendly.
+    */
+  def q57RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val perTok = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perTok.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+    perDoc
+      .withColumn("repetitive",
+        col("n_distinct") * 5 < col("n_tokens") * 2 ||
+          col("top_cnt") * 20 > col("n_tokens") * 3)
+      .groupBy(col("lang"), col("repetitive"))
+      .agg(count(lit(1)).as("docs"),
+        round(sum(col("n_distinct")).cast("double") / sum(col("n_tokens")), 6)
+          .as("distinct_ratio"))
+  }
+
+  /** Benchmark decontamination — remove/flag training documents that
+    * share any verbatim word-8-gram with the held-out benchmark set (the
+    * standard n-gram-overlap decontamination of LLM training pipelines;
+    * benchmark here = doc_id ≡ 0 mod 10). The benchmark gram set is tiny
+    * relative to the corpus → broadcast semi join: the training-side
+    * explode never shuffles, and a semi join cannot fan out on hot grams.
+    */
+  def q58Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    CorpusClean.contaminatedIds(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text", n = 8)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("contaminated"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -509,6 +586,9 @@ object NorthStarQueries {
     "q53_price_histogram" -> (q53PriceHistogram _),
     "q54_balance_quartiles" -> (q54BalanceQuartiles _),
     "q55_fuzzy_suppliers" -> (q55FuzzySuppliers _),
+    "q56_pii_redaction" -> (q56PiiRedaction _),
+    "q57_repetition_filter" -> (q57RepetitionFilter _),
+    "q58_decontamination" -> (q58Decontamination _),
   )
 
   private val tokensSql =
@@ -782,6 +862,58 @@ object NorthStarQueries {
                 CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
          FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
          WHERE levenshtein(a.s_name, b.s_name) <= 2""",
+
+    "q56_pii_redaction" ->
+      s"""WITH aug AS (
+            SELECT lang, text
+              || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS aug
+            FROM documents),
+          red AS (
+            SELECT lang, aug,
+              regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g') AS redacted
+            FROM aug)
+          SELECT lang, count(*) AS docs,
+            CAST(sum(len(regexp_extract_all(aug, '$EmailRe'))) AS BIGINT) AS emails,
+            CAST(sum(len(regexp_extract_all(aug, '$PhoneRe'))) AS BIGINT) AS phones,
+            CAST(sum(len(aug) - len(redacted)) AS BIGINT) AS chars_removed
+          FROM red GROUP BY lang""",
+
+    "q57_repetition_filter" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang, unnest($tokensSql) AS tok FROM documents),
+          per_tok AS (
+            SELECT doc_id, lang, tok, count(*) AS c
+            FROM t GROUP BY 1, 2, 3),
+          per_doc AS (
+            SELECT doc_id, lang, sum(c) AS n_tokens,
+                   count(*) AS n_distinct, max(c) AS top_cnt
+            FROM per_tok GROUP BY 1, 2)
+          SELECT lang,
+            (n_distinct * 5 < n_tokens * 2 OR top_cnt * 20 > n_tokens * 3)
+              AS repetitive,
+            count(*) AS docs,
+            round(CAST(sum(n_distinct) AS DOUBLE) / sum(n_tokens), 6)
+              AS distinct_ratio
+          FROM per_doc GROUP BY 1, 2""",
+
+    "q58_decontamination" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang, $tokensSql AS ts FROM documents),
+          g AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, greatest(len(ts) - 7, 0)),
+                     i -> array_to_string(ts[i:i+7], ' '))) AS g8
+            FROM t),
+          bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 10 = 0),
+          flagged AS (
+            SELECT DISTINCT g.doc_id, g.lang
+            FROM g JOIN bench USING (g8) WHERE g.doc_id % 10 != 0)
+          SELECT lang, count(*) AS contaminated FROM flagged GROUP BY 1""",
 
     "q49_priority_unpivot" ->
       s"""WITH wide AS (

@@ -83,6 +83,50 @@ class NorthStarSpec extends AnyFunSuite {
     assert(viaDf == viaCol)
   }
 
+  test("PII redaction replaces emails/phones with typed tags and counts them") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org or call 555-123-4567 now"),
+      (2L, "two mails a@b.co c@d.io and 555-000-1111 555-222-3333"),
+      (3L, "no pii here at all"))
+      .toDF("id", "s")
+      .select($"id", TextAnalysis.redactPii($"s").as("r"),
+        TextAnalysis.emailCount($"s").as("e"), TextAnalysis.phoneCount($"s").as("p"))
+      .orderBy("id").collect()
+    assert(df(0).getString(1) == "mail me at <EMAIL> or call <PHONE> now")
+    assert((df(0).getInt(2), df(0).getInt(3)) == (1, 1))
+    assert((df(1).getInt(2), df(1).getInt(3)) == (2, 2))
+    assert(df(2).getString(1) == "no pii here at all")
+    assert((df(2).getInt(2), df(2).getInt(3)) == (0, 0))
+  }
+
+  test("wordNGrams emits verbatim n-grams and an EMPTY array for short docs") {
+    val got = Seq((1L, "a b c d"), (2L, "a b"), (3L, ""), (4L, "x y z"))
+      .toDF("id", "s")
+      .select($"id",
+        TextAnalysis.wordNGrams(TextAnalysis.tokens($"s"), 3).as("g"))
+      .orderBy("id").collect()
+      .map(_.getSeq[String](1).toList)
+    assert(got(0) == List("a b c", "b c d"))
+    assert(got(1) == Nil) // shorter than n: no phantom grams from sequence(1,0)
+    assert(got(2) == Nil)
+    assert(got(3) == List("x y z"))
+  }
+
+  test("decontamination flags exactly the docs sharing an 8-gram with the benchmark") {
+    val run = "one two three four five six seven eight"
+    val training = Seq(
+      (1L, s"prefix words $run trailing text"),     // contains the bench 8-gram
+      (2L, "totally unrelated content with many distinct words here"),
+      (3L, s"$run"),                                // the 8-gram exactly
+      (4L, "one two three four five six seven"))    // only a 7-gram prefix
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"$run and more")).toDF("doc_id", "text")
+    val flagged = graft.northstar.CorpusClean
+      .contaminatedIds(training, bench, "doc_id", "text", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 3L))
+  }
+
   test("simhashSignatures matches simhash64 on token-less and NULL docs") {
     val edge = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
       (4L, "real words here"))
