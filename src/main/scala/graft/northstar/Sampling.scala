@@ -52,6 +52,25 @@ object Sampling {
     df.filter(key < lit(math.round(Modulus * fraction)))
   }
 
+  /** Mixture resampling: keep each row with a per-source rate (training
+    * data mixing — up/down-weight corpora toward a target mixture). Same
+    * nested-monotone deterministic key as [[bernoulli]], so raising a
+    * source's rate only ADDS documents (never churns the existing subset),
+    * and the whole thing is one map-side predicate — no shuffle, no
+    * per-source jobs.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      key: Column): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "mixture rates must be in [0, 1]")
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(Modulus * defaultRate))) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(math.round(Modulus * r))).otherwise(acc)
+    }
+    df.filter(key < threshold)
+  }
+
   /** Exactly `k` rows per stratum, chosen by ascending deterministic key
     * (ties broken by `tieBreak` so the pick is total-ordered). Strata with
     * fewer than `k` rows keep all of them.

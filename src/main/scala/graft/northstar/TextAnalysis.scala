@@ -44,6 +44,27 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Fixed-window token chunking with overlap — context-window preparation
+    * for training: windows of `chunkSize` tokens starting every `stride`
+    * tokens (stride < chunkSize ⇒ overlap), the tail window shorter.
+    * Returns array<struct<chunk_start, n_tokens, chunk>>; empty array for
+    * token-less docs (sequence-with-step errors on an empty range under
+    * ANSI, hence the guard). Map-side only — chunking 100 TB is
+    * embarrassingly parallel.
+    */
+  def chunk(toks: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize >= 1 && stride >= 1,
+      s"chunkSize ($chunkSize) and stride ($stride) must be >= 1")
+    when(size(toks) >= 1,
+      transform(sequence(lit(1), size(toks), lit(stride)),
+        st => struct(
+          st.as("chunk_start"),
+          least(lit(chunkSize), size(toks) - st + 1).as("n_tokens"),
+          concat_ws(" ", slice(toks, st, lit(chunkSize))).as("chunk"))))
+      .otherwise(array().cast(
+        "array<struct<chunk_start:int,n_tokens:int,chunk:string>>"))
+  }
+
   /** Whitespace tokens, empties dropped (split("\\s+") yields a leading ""
     * for leading whitespace).
     */

@@ -555,6 +555,55 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("contaminated"))
   }
 
+  /** Context-window chunking: 32-token windows every 24 tokens (8-token
+    * overlap), tail windows shorter — the sequence-preparation step before
+    * tokenizer packing. One generator expansion inside the scan stage;
+    * the chunk rows shuffle nowhere.
+    */
+  def q59DocChunks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.chunk(TextAnalysis.tokens(col("text")),
+          chunkSize = 32, stride = 24)).as("c"))
+      .select(col("doc_id"), col("c.chunk_start"), col("c.n_tokens"),
+        col("c.chunk"))
+
+  /** Source mixture resampling toward a target corpus mix: per-source keep
+    * rates over the deterministic content key ([[Sampling.mixtureSample]]),
+    * rolled up as kept-per-source. Map-side predicate — no shuffle beyond
+    * the final count rollup.
+    */
+  def q60SourceMixture(s: SparkSession, dir: String): DataFrame =
+    graft.northstar.Sampling.mixtureSample(
+      t(s, dir, "documents"), "source",
+      rates = Map("src0" -> 1.0, "src1" -> 0.2, "src2" -> 0.5),
+      defaultRate = 0.75,
+      key = graft.northstar.Sampling.modKey(col("doc_id"), seed = 7L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"))
+
+  /** Zipf profile: top-20 tokens by corpus frequency with rank and share
+    * of all tokens — the vocabulary skew check before building BPE merges
+    * or frequency-pruned vocabularies. Token counts partial-aggregate
+    * map-side; the corpus total rides the same DAG as a broadcast 1-row
+    * aggregate (q47 pattern).
+    */
+  def q61ZipfProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("__total"))
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("tok"), col("c").as("occurrences"),
+        round(col("c").cast("double") / col("__total"), 6).as("share"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -589,6 +638,9 @@ object NorthStarQueries {
     "q56_pii_redaction" -> (q56PiiRedaction _),
     "q57_repetition_filter" -> (q57RepetitionFilter _),
     "q58_decontamination" -> (q58Decontamination _),
+    "q59_doc_chunks" -> (q59DocChunks _),
+    "q60_source_mixture" -> (q60SourceMixture _),
+    "q61_zipf_profile" -> (q61ZipfProfile _),
   )
 
   private val tokensSql =
@@ -900,6 +952,42 @@ object NorthStarQueries {
             round(CAST(sum(n_distinct) AS DOUBLE) / sum(n_tokens), 6)
               AS distinct_ratio
           FROM per_doc GROUP BY 1, 2""",
+
+    "q59_doc_chunks" ->
+      s"""WITH t AS (
+            SELECT doc_id, $tokensSql AS ts FROM documents),
+          c AS (
+            SELECT doc_id, st,
+                   CAST(least(32, len(ts) - st + 1) AS INTEGER) AS n_tokens,
+                   array_to_string(ts[st:st+31], ' ') AS chunk
+            FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts), 24)) AS st)
+            WHERE len(ts) >= 1)
+          SELECT doc_id, CAST(st AS INTEGER) AS chunk_start, n_tokens, chunk
+          FROM c""",
+
+    "q60_source_mixture" ->
+      s"""SELECT source, count(*) AS kept FROM documents
+          WHERE (doc_id * ${Sampling.Knuth} + 7) % ${Sampling.Modulus} <
+            CASE source
+              WHEN 'src0' THEN ${math.round(Sampling.Modulus * 1.0)}
+              WHEN 'src1' THEN ${math.round(Sampling.Modulus * 0.2)}
+              WHEN 'src2' THEN ${math.round(Sampling.Modulus * 0.5)}
+              ELSE ${math.round(Sampling.Modulus * 0.75)} END
+          GROUP BY source""",
+
+    "q61_zipf_profile" ->
+      s"""WITH t AS (
+            SELECT unnest($tokensSql) AS tok FROM documents),
+          counts AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+          ranked AS (
+            SELECT tok, c,
+                   CAST(row_number() OVER (ORDER BY c DESC, tok) AS INTEGER)
+                     AS rank
+            FROM counts)
+          SELECT rank, tok, c AS occurrences,
+                 round(CAST(c AS DOUBLE) / (SELECT sum(c) FROM counts), 6)
+                   AS share
+          FROM ranked WHERE rank <= 20""",
 
     "q58_decontamination" ->
       s"""WITH t AS (

@@ -112,6 +112,23 @@ class NorthStarSpec extends AnyFunSuite {
     assert(got(3) == List("x y z"))
   }
 
+  test("chunk windows overlap by chunkSize-stride and the tail is short") {
+    val got = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""))
+      .toDF("id", "s")
+      .select($"id", explode_outer(
+        TextAnalysis.chunk(TextAnalysis.tokens($"s"), chunkSize = 4, stride = 3))
+        .as("c"))
+      .orderBy($"id", $"c.chunk_start").collect()
+    val chunks = got.filter(!_.isNullAt(1)).map { r =>
+      val c = r.getStruct(1); (c.getInt(0), c.getInt(1), c.getString(2))
+    }
+    assert(chunks.toSeq == Seq(
+      (1, 4, "t1 t2 t3 t4"), (4, 4, "t4 t5 t6 t7"),
+      (7, 4, "t7 t8 t9 t10"), (10, 1, "t10")))
+    // empty doc → no chunks (explode_outer kept the row as NULL)
+    assert(got.count(_.isNullAt(1)) == 1)
+  }
+
   test("decontamination flags exactly the docs sharing an 8-gram with the benchmark") {
     val run = "one two three four five six seven eight"
     val training = Seq(

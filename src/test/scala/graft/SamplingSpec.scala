@@ -65,6 +65,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.getLong(0) >= 0 && got.getLong(1) < Sampling.Modulus)
   }
 
+  test("mixtureSample applies per-source rates and stays nested-monotone") {
+    val docs = (1L to 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val key = Sampling.modKey($"id", seed = 7L)
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.3)
+    val kept = Sampling.mixtureSample(docs, "source", rates, 0.6, key)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == 250)            // rate 1.0 keeps everything
+    assert(!kept.contains("src1"))         // rate 0.0 keeps nothing
+    assert(kept("src2") > 40 && kept("src2") < 110)  // ~30% of 250
+    assert(kept("src3") > 110 && kept("src3") < 190) // default ~60% of 250
+    // raising src2's rate only ADDS rows (nested keys, no churn)
+    val low = Sampling.mixtureSample(docs, "source", rates, 0.6, key)
+      .filter($"source" === "src2").collect().map(_.getLong(0)).toSet
+    val high = Sampling.mixtureSample(docs, "source",
+      rates.updated("src2", 0.8), 0.6, key)
+      .filter($"source" === "src2").collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+  }
+
   test("corpus clean: quality gate + exact dedup keeps the canonical doc") {
     val docs = Seq(
       (1L, "en", ("the cat sat on the mat and looked for a value " * 3).trim),
