@@ -595,10 +595,13 @@ object NorthStarQueries {
       .filter(length(col("tok")) > 0)
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("__total"))
-    val w = Window.orderBy(col("c").desc, col("tok"))
-    counts
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
+    // top-20 via orderBy+limit → TakeOrderedAndProject (map-side partial
+    // top-k, never a full vocabulary sort); the rank window then runs over
+    // 20 rows, not 100M — a bare row_number over `counts` would drag the
+    // whole vocabulary onto one partition
+    counts.orderBy(col("c").desc, col("tok")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))))
       .crossJoin(broadcast(total))
       .select(col("rank"), col("tok"), col("c").as("occurrences"),
         round(col("c").cast("double") / col("__total"), 6).as("share"))

@@ -153,6 +153,27 @@ class ScaleSpec extends AnyFunSuite {
       s"capped jaccard must keep true near-dups and drop hot-shingle-only pairs, got $pairs")
   }
 
+  test("new corpus ops keep their promised plan shapes") {
+    // q59 chunking: pure scan-stage generator — zero Exchange
+    val chunkPlan = graft.queries.NorthStarQueries
+      .q59DocChunks(spark, dir).queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking must not shuffle:\n$chunkPlan")
+    // q61 zipf: distributed top-k (TakeOrderedAndProject), never a full
+    // vocabulary sort on a single partition
+    val zipfPlan = graft.queries.NorthStarQueries
+      .q61ZipfProfile(spark, dir).queryExecution.executedPlan.toString
+    assert(zipfPlan.contains("TakeOrderedAndProject"),
+      s"zipf top-k must plan TakeOrderedAndProject:\n$zipfPlan")
+    // q58 decontamination: the gram membership test is a broadcast semi
+    // join — the training-side explode must not shuffle on the gram key
+    val decontPlan = graft.queries.NorthStarQueries
+      .q58Decontamination(spark, dir).queryExecution.executedPlan.toString
+    assert(decontPlan.contains("BroadcastHashJoin") &&
+      decontPlan.contains("LeftSemi"),
+      s"decontamination must broadcast-semi-join the benchmark grams:\n$decontPlan")
+  }
+
   test("corpus quality gate filters inside the scan stage, before any shuffle") {
     import graft.northstar.CorpusClean
     val plan = CorpusClean.clean(
