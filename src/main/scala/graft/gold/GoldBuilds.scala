@@ -18,6 +18,9 @@ import graft.pipeline.Warehouse
 final class GoldBuilds(spark: SparkSession, warehouse: Warehouse,
     clock: () => Column = () => current_timestamp()) {
 
+  // S5: same authenticate-before-first-read preamble as the pipelines
+  warehouse.auth.authenticate(spark)
+
   private def silver(entity: String): DataFrame =
     warehouse.silverByName(entity).read(spark)
 
@@ -135,6 +138,9 @@ final class GoldBuilds(spark: SparkSession, warehouse: Warehouse,
   * the gold tables, as DataFrame programs.
   */
 final class Dashboard(spark: SparkSession, warehouse: Warehouse) {
+
+  // S5: same authenticate-before-first-read preamble as the pipelines
+  warehouse.auth.authenticate(spark)
 
   private def gold(name: String): DataFrame = warehouse.gold(name).read(spark)
 
