@@ -69,4 +69,26 @@ object CorpusClean {
       .join(broadcast(bench), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
   }
+
+  /** The full corpus-preparation pipeline in one call — what a training-data
+    * job actually runs end to end: quality gate → exact dedup →
+    * benchmark decontamination → context-window chunking. Returns one row
+    * per chunk (id, chunk_start, n_tokens, chunk). Every stage is the
+    * individually-proven operator, composed lazily so Catalyst plans the
+    * whole thing as one DAG: the quality predicate stays in the scan stage,
+    * dedup is the only wide shuffle, the contaminated-id and benchmark-gram
+    * sets broadcast, and chunking is a scan-stage generator.
+    */
+  def prepareTrainingCorpus(training: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, cfg: Config = Config(),
+      chunkSize: Int = 32, stride: Int = 24, ngram: Int = 8): DataFrame = {
+    val cleaned = clean(training, idCol, textCol, cfg)
+    val bad = contaminatedIds(cleaned, benchmark, idCol, textCol, ngram)
+    cleaned.join(broadcast(bad), Seq(idCol), "left_anti")
+      .select(col(idCol),
+        explode(TextAnalysis.chunk(TextAnalysis.tokens(col(textCol)),
+          chunkSize, stride)).as("__c"))
+      .select(col(idCol), col("__c.chunk_start"), col("__c.n_tokens"),
+        col("__c.chunk"))
+  }
 }

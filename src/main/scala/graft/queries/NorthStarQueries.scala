@@ -607,6 +607,45 @@ object NorthStarQueries {
         round(col("c").cast("double") / col("__total"), 6).as("share"))
   }
 
+  /** Sequence packing — the concatenate-then-chop layout step of training
+    * prep: within each source, documents are laid end-to-end in
+    * deterministic doc_id order and assigned to the 256-token context bin
+    * their start offset falls in. The running total is a window over the
+    * SOURCE partition (never an unpartitioned global window — that would
+    * drag the corpus onto one task); bins are integer offset arithmetic,
+    * exactly reproducible by the oracle.
+    */
+  def q62SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("start_offset") / 256).cast("long"))
+  }
+
+  /** The end-to-end corpus-preparation pipeline as one lazy DAG
+    * ([[CorpusClean.prepareTrainingCorpus]]): quality gate → exact dedup →
+    * benchmark decontamination (vs the held-out doc_id ≡ 0 mod 10 set) →
+    * 32/24 context-window chunking, rolled up per language. The flagship
+    * composition proof: every stage is an individually-oracled operator
+    * and the COMPOSITE still hash-matches DuckDB.
+    */
+  def q63CorpusPrep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    CorpusClean.prepareTrainingCorpus(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("chunks"),
+        sum(col("n_tokens")).cast("long").as("chunk_tokens"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -644,6 +683,8 @@ object NorthStarQueries {
     "q59_doc_chunks" -> (q59DocChunks _),
     "q60_source_mixture" -> (q60SourceMixture _),
     "q61_zipf_profile" -> (q61ZipfProfile _),
+    "q62_sequence_packing" -> (q62SequencePacking _),
+    "q63_corpus_prep" -> (q63CorpusPrep _),
   )
 
   private val tokensSql =
@@ -991,6 +1032,59 @@ object NorthStarQueries {
                  round(CAST(c AS DOUBLE) / (SELECT sum(c) FROM counts), 6)
                    AS share
           FROM ranked WHERE rank <= 20""",
+
+    "q63_corpus_prep" ->
+      s"""WITH sig AS (
+            SELECT doc_id, lang, text,
+                   len($tokensSql) AS n,
+                   CASE WHEN len($tokensSql) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter($tokensSql, t -> lower(t) IN (${
+        TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      }))) AS DOUBLE) / len($tokensSql) END AS sw,
+                   CASE WHEN len(text) = 0 THEN 0.0
+                        ELSE CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) END AS pr
+            FROM documents WHERE doc_id % 10 != 0),
+          q AS (SELECT * FROM sig
+                WHERE n BETWEEN 20 AND 90 AND pr <= 0.3 AND sw >= 0.02),
+          d AS (SELECT *, row_number() OVER (
+                  PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn
+                FROM q),
+          cleaned AS (SELECT doc_id, lang, $tokensSql AS ts
+                      FROM d WHERE rn = 1),
+          bench AS (
+            SELECT DISTINCT g8 FROM (
+              SELECT unnest(list_transform(generate_series(1, greatest(len(ts) - 7, 0)),
+                i -> array_to_string(ts[i:i+7], ' '))) AS g8
+              FROM (SELECT $tokensSql AS ts FROM documents WHERE doc_id % 10 = 0))),
+          bad AS (
+            SELECT DISTINCT tg.doc_id FROM (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(ts) - 7, 0)),
+                       i -> array_to_string(ts[i:i+7], ' '))) AS g8
+              FROM cleaned) tg JOIN bench USING (g8)),
+          keep AS (SELECT * FROM cleaned
+                   WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+          chunks AS (
+            SELECT doc_id, lang, least(32, len(ts) - st + 1) AS nt
+            FROM keep, LATERAL (SELECT unnest(generate_series(1, len(ts), 24)) AS st)
+            WHERE len(ts) >= 1)
+          SELECT lang, count(*) AS chunks, CAST(sum(nt) AS BIGINT) AS chunk_tokens
+          FROM chunks GROUP BY lang""",
+
+    "q62_sequence_packing" ->
+      s"""WITH t AS (
+            SELECT doc_id, source, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+            FROM documents),
+          o AS (
+            SELECT doc_id, source, n_tokens,
+              coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS start_offset
+            FROM t)
+          SELECT doc_id, source, n_tokens, start_offset,
+                 CAST(start_offset // 256 AS BIGINT) AS bin
+          FROM o""",
 
     "q58_decontamination" ->
       s"""WITH t AS (

@@ -85,6 +85,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(low.subsetOf(high))
   }
 
+  test("prepareTrainingCorpus: gate → dedup → decontaminate → chunk composes") {
+    // 30 stopword-bearing tokens pass the default quality gate (20..90)
+    def body(tag: String) = (1 to 15).map(i => s"the w$tag$i").mkString(" ")
+    val run8 = "the q1 the q2 the q3 the q4" // an 8-token run for the bench
+    val training = Seq(
+      (1L, body("a")),                  // clean survivor
+      (2L, body("a")),                  // exact dup of 1 → deduped
+      (3L, s"$run8 ${body("b")}"),      // contaminated (shares the 8-gram)
+      (4L, "too short"),                // fails the quality gate
+      (5L, body("c")))                  // clean survivor
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"$run8 tail words")).toDF("doc_id", "text")
+    val chunks = CorpusClean.prepareTrainingCorpus(training, bench,
+      "doc_id", "text", CorpusClean.Config(), chunkSize = 16, stride = 16)
+    val byDoc = chunks.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only docs 1 and 5 survive; 30 tokens at 16/16 → 2 chunks each
+    assert(byDoc == Map(1L -> 2L, 5L -> 2L), s"got $byDoc")
+  }
+
   test("corpus clean: quality gate + exact dedup keeps the canonical doc") {
     val docs = Seq(
       (1L, "en", ("the cat sat on the mat and looked for a value " * 3).trim),
