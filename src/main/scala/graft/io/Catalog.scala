@@ -12,6 +12,23 @@ import org.apache.spark.sql.SparkSession
   * [[StorageAuth.authenticate]] before its first read, exactly where the
   * reference notebooks call `authenticate_to_storage()`.
   */
+/** Shared java.nio directory listing with guaranteed stream close — leaked
+  * directory fds from repeated listings starve the driver of handles.
+  * Returns Nil for a missing/non-directory path, so callers treat "nothing
+  * there yet" as an empty listing rather than a crash.
+  */
+private[graft] object FsUtil {
+  def listDir(path: java.nio.file.Path): List[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(path)) Nil
+    else {
+      val listing = java.nio.file.Files.list(path)
+      try listing.iterator().asScala.toList
+      finally listing.close()
+    }
+  }
+}
+
 trait StorageAuth {
   /** Configure `spark`'s Hadoop conf for the target storage. Must be
     * idempotent — pipeline entry points call it once each, like the
@@ -62,17 +79,15 @@ object Catalog {
     spark.sql(s"DROP TABLE IF EXISTS `$database`.`$name`")
     spark.sql(s"CREATE TABLE `$database`.`$name` USING parquet " +
       s"LOCATION '${table.currentPath}'")
-    // a caller registering by name only may not know the partition spec —
-    // detect the hive-style layout (`col=value` child dirs) from disk
-    val partitioned = table.partitionColumns.nonEmpty || {
-      import scala.jdk.CollectionConverters._
-      val listing = java.nio.file.Files.list(
-        java.nio.file.Paths.get(table.currentPath))
-      try listing.iterator().asScala.exists(p =>
-        java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.contains("="))
-      finally listing.close()
-    }
+    // Recover partitions ONLY when the live version actually has the
+    // hive-style `col=value` layout on disk. The declared partitionColumns
+    // are deliberately NOT consulted: an empty partitioned write falls back
+    // to a schema-only flat file (Tables.overwrite), which CREATE TABLE
+    // registers as unpartitioned — recoverPartitions would then throw.
+    val partitioned = FsUtil
+      .listDir(java.nio.file.Paths.get(table.currentPath))
+      .exists(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.contains("="))
     if (partitioned)
       spark.catalog.recoverPartitions(s"`$database`.`$name`")
   }

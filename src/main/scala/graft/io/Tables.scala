@@ -176,22 +176,15 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     */
   def vacuum(): ParquetTable = {
     val keep = currentVersion.toSet
-    val dir = Paths.get(path)
-    if (Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      val listing = Files.list(dir)
-      val old =
-        try listing.iterator().asScala.filter { p =>
-          val name = p.getFileName.toString
-          name.startsWith("v_") && !keep.contains(name)
-        }.toList
-        finally listing.close()
-      old.foreach { p =>
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-        finally walk.close()
-      }
+    val old = FsUtil.listDir(Paths.get(path)).filter { p =>
+      val name = p.getFileName.toString
+      name.startsWith("v_") && !keep.contains(name)
+    }
+    old.foreach { p =>
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
     }
     this
   }

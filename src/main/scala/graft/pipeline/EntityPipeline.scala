@@ -84,14 +84,11 @@ final class Warehouse(val root: String,
       database: String = "graft_warehouse"): Unit = {
     auth.authenticate(spark)
     graft.io.Catalog.ensureDatabase(spark, database)
-    val dir = java.nio.file.Paths.get(root)
-    import scala.jdk.CollectionConverters._
-    val listing = java.nio.file.Files.list(dir)
-    val names =
-      try listing.iterator().asScala.filter(p =>
-        java.nio.file.Files.exists(p.resolve("_current")))
-        .map(_.getFileName.toString).toList
-      finally listing.close()
+    // a fresh warehouse (no writes yet → no root dir) registers zero
+    // tables — FsUtil.listDir returns Nil rather than throwing
+    val names = graft.io.FsUtil.listDir(java.nio.file.Paths.get(root))
+      .filter(p => java.nio.file.Files.exists(p.resolve("_current")))
+      .map(_.getFileName.toString)
     names.sorted.foreach { n =>
       graft.io.Catalog.registerTable(spark, database, n, table(n))
     }

@@ -95,9 +95,9 @@ object NorthStarQueries {
   /** Exact word-trigram Jaccard pairs (no approximation): explode-join on
     * shared shingles — only colliding pairs materialize, never the O(n²)
     * cross join. The df-64 stop-shingle cap bounds per-key join fan-in at
-    * 64² rows however large the corpus; it is lossless here (max shingle
-    * df in the testdata is 7 at sf0.01, 25 at sf0.1) and at production
-    * scale would be tuned as a corpus fraction.
+    * 64² rows however large the corpus; the oracle mirrors the cap, so
+    * parity holds at any scale factor (at production scale the cap would
+    * be tuned as a corpus fraction).
     */
   def q25NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -370,7 +370,7 @@ object NorthStarQueries {
     * chunk of document B", which symmetric Jaccard misses when B is much
     * larger (Broder's containment, 1997). Same explode-join shape as q25,
     * with the same df-64 stop-shingle cap bounding per-key join fan-in
-    * (lossless on the testdata — max shingle df is 25 at sf0.1); both
+    * (mirrored in the oracle — parity at any scale factor); both
     * directions kept (containment is asymmetric).
     */
   def q48Containment(s: SparkSession, dir: String): DataFrame = {
@@ -788,7 +788,7 @@ object NorthStarQueries {
          GROUP BY 1, 2""",
 
     "q24_minhash_near_dups" -> ngramJaccardOracle(0.5),
-    "q25_ngram_jaccard" -> ngramJaccardOracle(0.3),
+    "q25_ngram_jaccard" -> ngramJaccardOracle(0.3, maxDf = Some(64)),
 
     "q26_knn_brute" ->
       """WITH v AS (
@@ -909,10 +909,12 @@ object NorthStarQueries {
                                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END) AS sh
             FROM toks),
           e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sets),
+          hot AS (SELECT g FROM e GROUP BY g HAVING count(*) > 64),
+          ec AS (SELECT * FROM e WHERE g NOT IN (SELECT g FROM hot)),
           shared AS (
             SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n AS n_a,
                    count(*) AS inter
-            FROM e x JOIN e y USING (g)
+            FROM ec x JOIN ec y USING (g)
             WHERE x.doc_id != y.doc_id
             GROUP BY 1, 2, 3)
           SELECT id_a, id_b,
@@ -1153,9 +1155,19 @@ object NorthStarQueries {
   }
 
   /** Exact trigram-Jaccard pair set in DuckDB (mirrors Dedup's shingle
-    * construction; Jaccard over distinct shingles, exact division, round 6).
+    * construction; Jaccard over distinct shingles, exact division, round 6;
+    * the df-`maxDf` stop-shingle cap mirrored from `Dedup.capHotShingles` —
+    * intersections ignore hot shingles, |∪| keeps full set sizes — so the
+    * oracle stays hash-identical at ANY scale factor, not just ones where
+    * no shingle exceeds the cap).
     */
-  private def ngramJaccardOracle(threshold: Double): String =
+  private def ngramJaccardOracle(threshold: Double,
+      maxDf: Option[Int] = None): String = {
+    val capCtes = maxDf.fold(
+      "ec AS (SELECT * FROM e)") { cap =>
+      s"""hot AS (SELECT g FROM e GROUP BY g HAVING count(*) > $cap),
+        ec AS (SELECT * FROM e WHERE g NOT IN (SELECT g FROM hot))"""
+    }
     s"""WITH toks AS (
           SELECT doc_id, $tokensSql AS tk FROM documents),
         sets AS (
@@ -1165,14 +1177,16 @@ object NorthStarQueries {
                              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END) AS sh
           FROM toks),
         e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sets),
+        $capCtes,
         shared AS (
           SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n AS n_a, y.n AS n_b,
                  count(*) AS inter
-          FROM e x JOIN e y USING (g)
+          FROM ec x JOIN ec y USING (g)
           WHERE x.doc_id < y.doc_id
           GROUP BY 1, 2, 3, 4)
         SELECT id_a, id_b,
                round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
         FROM shared
         WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= $threshold"""
+  }
 }

@@ -199,6 +199,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table("silver_customers").count() == 5L)
   }
 
+  test("register on a fresh warehouse and on empty partitioned tables is safe") {
+    // fresh warehouse: root dir doesn't exist yet → create db, zero tables
+    val fresh = new Warehouse(
+      Files.createTempDirectory("graft_wh_fresh").toString + "/nonexistent")
+    fresh.register(spark, "graft_wh_fresh_db")
+    // listTables includes session-global TEMP views from other suites —
+    // only permanent tables count
+    assert(spark.catalog.listTables("graft_wh_fresh_db")
+      .collect().forall(_.isTemporary))
+    // empty partitioned table: schema-only fallback file registers as an
+    // unpartitioned location — recoverPartitions must not be attempted
+    val w = new Warehouse(Files.createTempDirectory("graft_wh_empty").toString)
+    val t = w.table("bronze_empty", partitionColumns = Seq("year"))
+    t.overwrite(Seq((1, 2024)).toDF("id", "year").filter("id < 0"))
+    graft.io.Catalog.registerTable(spark, "graft_wh_fresh_db", "bronze_empty", t)
+    assert(spark.table("graft_wh_fresh_db.bronze_empty").count() == 0)
+  }
+
   test("S5 auth hook runs before the pipeline touches storage") {
     var calls = 0
     val recording = new graft.io.StorageAuth {
