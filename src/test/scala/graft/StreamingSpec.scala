@@ -55,6 +55,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == distinctIds)
   }
 
+  test("streaming corpus intake equals the batch transform exactly") {
+    import graft.streaming.CorpusStream
+    val q = CorpusStream.intake(CorpusStream.readDocuments(spark, dir))
+      .writeStream.format("memory").queryName("intake")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = TestSpark.rows(spark.table("intake"))
+    val batch = TestSpark.rows(
+      CorpusStream.intake(graft.io.Tables.read(spark, dir, "documents")))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize emits gap-separated sessions per user") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions")
