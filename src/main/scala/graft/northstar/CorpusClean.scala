@@ -61,8 +61,17 @@ object CorpusClean {
     */
   def contaminatedIds(training: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    // native one-pass shingle hashing (functions.ShingleHashes) — the HOF
+    // n-gram build (transform + slice + concat per position) ran its lambda
+    // through the interpreter per gram and dominated the query (~4 s at
+    // sf0.1; ~1 s with the compiled pass). Matching by 64-bit shingle hash
+    // carries the same negligible-collision assumption as the whole shingle
+    // dedup family. Docs with fewer than n tokens contribute ONE whole-text
+    // shingle (ShingleHashes' short-doc form): two short docs "overlap"
+    // only when their full token sequences match verbatim — which IS
+    // contamination.
     def grams(df: DataFrame) = df.select(col(idCol),
-      explode(TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), n))
+      explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), n)))
         .as("__g"))
     val bench = grams(benchmark).select(col("__g")).distinct()
     grams(training)

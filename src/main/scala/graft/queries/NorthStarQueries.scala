@@ -1056,14 +1056,16 @@ object NorthStarQueries {
                       FROM d WHERE rn = 1),
           bench AS (
             SELECT DISTINCT g8 FROM (
-              SELECT unnest(list_transform(generate_series(1, greatest(len(ts) - 7, 0)),
-                i -> array_to_string(ts[i:i+7], ' '))) AS g8
+              SELECT unnest(CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+                ELSE list_transform(generate_series(1, len(ts) - 7),
+                  i -> array_to_string(ts[i:i+7], ' ')) END) AS g8
               FROM (SELECT $tokensSql AS ts FROM documents WHERE doc_id % 10 = 0))),
           bad AS (
             SELECT DISTINCT tg.doc_id FROM (
               SELECT doc_id,
-                     unnest(list_transform(generate_series(1, greatest(len(ts) - 7, 0)),
-                       i -> array_to_string(ts[i:i+7], ' '))) AS g8
+                     unnest(CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+                       ELSE list_transform(generate_series(1, len(ts) - 7),
+                         i -> array_to_string(ts[i:i+7], ' ')) END) AS g8
               FROM cleaned) tg JOIN bench USING (g8)),
           keep AS (SELECT * FROM cleaned
                    WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
@@ -1093,8 +1095,9 @@ object NorthStarQueries {
             SELECT doc_id, lang, $tokensSql AS ts FROM documents),
           g AS (
             SELECT doc_id, lang,
-                   unnest(list_transform(generate_series(1, greatest(len(ts) - 7, 0)),
-                     i -> array_to_string(ts[i:i+7], ' '))) AS g8
+                   unnest(CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+                     ELSE list_transform(generate_series(1, len(ts) - 7),
+                       i -> array_to_string(ts[i:i+7], ' ')) END) AS g8
             FROM t),
           bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 10 = 0),
           flagged AS (
