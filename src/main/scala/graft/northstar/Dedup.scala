@@ -271,4 +271,71 @@ object Dedup {
   def embeddingNearDuplicates(embeddings: DataFrame, idCol: String,
       vecCol: String, threshold: Double = 0.95, planes: Int = 16): DataFrame =
     Similarity.cosineNearDuplicates(embeddings, idCol, vecCol, threshold, planes)
+
+  // ---- duplicate-cluster resolution ----
+
+  /** Connected components over a near-duplicate pair set by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * id reachable from it, which doubles as the cluster's canonical id.
+    * Pair-level dedup alone under-deletes — near-duplication is transitive
+    * in practice (A≈B, B≈C ⇒ keep ONE of {A,B,C}), so production dedup
+    * resolves clusters, not pairs.
+    *
+    * Scale shape: each round is one edge⨝label join + a min aggregate —
+    * all shuffles on the node id. Rounds needed = cluster diameter, and
+    * near-dup clusters are dense (quasi-cliques), so diameter is tiny;
+    * for adversarial long-chain graphs the published fix is
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014) — same join primitive, O(log n)
+    * rounds. Each round materializes (cache + unpersist previous) so
+    * lineage stays O(1) deep; convergence is probed with a LIMIT 1
+    * existence check, not a full count. Throws if maxIter rounds don't
+    * converge — a silent partial clustering would under-delete quietly.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    edges.cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    labels.cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("__nc")).as("__nbmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nbmin"), col("comp"))).as("comp"))
+      updated.cache()
+      val changed = updated
+        .join(labels.select(col("id"), col("comp").as("__old")), "id")
+        .filter(col("comp") =!= col("__old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0L
+      i += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter or switch to large-star/small-star for this graph")
+    labels
+  }
+
+  /** Duplicate clusters from near-dup pairs: one row per multi-member
+    * cluster with its canonical (smallest) id and member count.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("comp").as("canonical_id"))
+      .agg(count(lit(1)).as("members"))
+      .filter(col("members") >= 2)
 }

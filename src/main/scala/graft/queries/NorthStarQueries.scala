@@ -646,6 +646,15 @@ object NorthStarQueries {
         sum(col("n_tokens")).cast("long").as("chunk_tokens"))
   }
 
+  /** Duplicate-cluster resolution: connected components over the q24
+    * near-dup pair graph → one row per transitive cluster (canonical id +
+    * member count). Pair output alone under-deletes; this is the step that
+    * turns "A≈B, B≈C" into "keep one of three". The oracle computes the
+    * same closure with a recursive CTE.
+    */
+  def q64DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(q24MinhashNearDups(s, dir))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -685,6 +694,7 @@ object NorthStarQueries {
     "q61_zipf_profile" -> (q61ZipfProfile _),
     "q62_sequence_packing" -> (q62SequencePacking _),
     "q63_corpus_prep" -> (q63CorpusPrep _),
+    "q64_dedup_clusters" -> (q64DedupClusters _),
   )
 
   private val tokensSql =
@@ -1034,6 +1044,36 @@ object NorthStarQueries {
                  round(CAST(c AS DOUBLE) / (SELECT sum(c) FROM counts), 6)
                    AS share
           FROM ranked WHERE rank <= 20""",
+
+    "q64_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+            SELECT doc_id, $tokensSql AS tk FROM documents),
+          sets AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                        ELSE list_transform(range(len(tk) - 2),
+                               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END) AS sh
+            FROM toks),
+          e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sets),
+          shared AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n AS n_a, y.n AS n_b,
+                   count(*) AS inter
+            FROM e x JOIN e y USING (g)
+            WHERE x.doc_id < y.doc_id
+            GROUP BY 1, 2, 3, 4),
+          pairs AS (
+            SELECT id_a, id_b FROM shared
+            WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5),
+          bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS id FROM bidir),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT bidir.dst, reach.r FROM reach JOIN bidir ON reach.id = bidir.src),
+          comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+          SELECT comp AS canonical_id, count(*) AS members
+          FROM comp GROUP BY 1 HAVING count(*) >= 2""",
 
     "q63_corpus_prep" ->
       s"""WITH sig AS (

@@ -144,6 +144,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(flagged == Set(1L, 3L))
   }
 
+  test("connectedComponents resolves transitive clusters, chains, and isolates") {
+    // {1-2-3 via pairs (1,2),(2,3)}, {5,6}, long chain 10..15, pair (20,21)
+    val chain = (10L to 14L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (5L, 6L), (20L, 21L)) ++ chain)
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(comps(_) == 1L))   // transitive via 2
+    assert(Seq(5L, 6L).forall(comps(_) == 5L))
+    assert((10L to 15L).forall(comps(_) == 10L))     // 6-node chain converges
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 3L, 5L -> 2L, 10L -> 6L, 20L -> 2L))
+    // non-convergence fails loudly instead of returning a partial clustering
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+  }
+
   test("simhashSignatures matches simhash64 on token-less and NULL docs") {
     val edge = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
       (4L, "real words here"))
