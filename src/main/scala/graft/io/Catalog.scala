@@ -12,23 +12,6 @@ import org.apache.spark.sql.SparkSession
   * [[StorageAuth.authenticate]] before its first read, exactly where the
   * reference notebooks call `authenticate_to_storage()`.
   */
-/** Shared java.nio directory listing with guaranteed stream close — leaked
-  * directory fds from repeated listings starve the driver of handles.
-  * Returns Nil for a missing/non-directory path, so callers treat "nothing
-  * there yet" as an empty listing rather than a crash.
-  */
-private[graft] object FsUtil {
-  def listDir(path: java.nio.file.Path): List[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.isDirectory(path)) Nil
-    else {
-      val listing = java.nio.file.Files.list(path)
-      try listing.iterator().asScala.toList
-      finally listing.close()
-    }
-  }
-}
-
 trait StorageAuth {
   /** Configure `spark`'s Hadoop conf for the target storage. Must be
     * idempotent — pipeline entry points call it once each, like the
@@ -90,5 +73,22 @@ object Catalog {
         p.getFileName.toString.contains("="))
     if (partitioned)
       spark.catalog.recoverPartitions(s"`$database`.`$name`")
+  }
+}
+
+/** Shared java.nio directory listing with guaranteed stream close — leaked
+  * directory fds from repeated listings starve the driver of handles.
+  * Returns Nil for a missing/non-directory path, so callers treat "nothing
+  * there yet" as an empty listing rather than a crash.
+  */
+private[graft] object FsUtil {
+  def listDir(path: java.nio.file.Path): List[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(path)) Nil
+    else {
+      val listing = java.nio.file.Files.list(path)
+      try listing.iterator().asScala.toList
+      finally listing.close()
+    }
   }
 }

@@ -287,10 +287,11 @@ object Dedup {
     * for adversarial long-chain graphs the published fix is
     * large-star/small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC 2014) — same join primitive, O(log n)
-    * rounds. Each round materializes (cache + unpersist previous) so
-    * lineage stays O(1) deep; convergence is probed with a LIMIT 1
-    * existence check, not a full count. Throws if maxIter rounds don't
-    * converge — a silent partial clustering would under-delete quietly.
+    * rounds. Each round fully materializes the new labels (the convergence
+    * count forces every partition into the cache) before the previous
+    * round is unpersisted, so lineage stays O(1) deep. Throws if maxIter
+    * rounds don't converge — a silent partial clustering would
+    * under-delete quietly.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -303,30 +304,39 @@ object Dedup {
     labels.cache()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("__nc")).as("__nbmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("__nbmin"), col("comp"))).as("comp"))
-      updated.cache()
-      val changed = updated
-        .join(labels.select(col("id"), col("comp").as("__old")), "id")
-        .filter(col("comp") =!= col("__old"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0L
-      i += 1
+    try {
+      while (!converged && i < maxIter) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("__nc")).as("__nbmin"))
+        val updated = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("__nbmin"), col("comp"))).as("comp"))
+        updated.cache()
+        // the FULL count both decides convergence and forces every
+        // partition of `updated` into the cache BEFORE the old labels are
+        // unpersisted — a short-circuiting limit(1) probe could leave
+        // `updated` partially cached and later rounds recomputing through
+        // ever-deeper lineage
+        val changed = updated
+          .join(labels.select(col("id"), col("comp").as("__old")), "id")
+          .filter(col("comp") =!= col("__old"))
+          .count()
+        labels.unpersist()
+        labels = updated
+        converged = changed == 0L
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "raise maxIter or switch to large-star/small-star for this graph")
+      labels
+    } finally {
+      edges.unpersist()
+      if (!converged) labels.unpersist() // don't pin the cache on the throw path
     }
-    edges.unpersist()
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "raise maxIter or switch to large-star/small-star for this graph")
-    labels
   }
 
   /** Duplicate clusters from near-dup pairs: one row per multi-member

@@ -33,10 +33,15 @@ object TextAnalysis {
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
   def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
 
-  /** Verbatim word n-grams as strings (space-joined), empty array for docs
-    * shorter than n tokens. The `when` guard matters: Spark's
-    * `sequence(1, 0)` counts DOWN, so the unguarded form would emit
-    * phantom grams for short docs.
+  /** Verbatim word n-grams as STRINGS (space-joined), EMPTY array for docs
+    * shorter than n tokens — for consumers that need the literal gram text
+    * (inspection, reporting, external-engine parity). NOTE the deliberate
+    * short-doc contrast with [[shingleHashes]], which the shingle-dedup
+    * family (and `CorpusClean.contaminatedIds`) uses instead: that one
+    * emits ONE whole-text shingle for short docs, so full-text matches
+    * between short docs still collide. Pick by semantics, not habit.
+    * The `when` guard matters: Spark's `sequence(1, 0)` counts DOWN, so
+    * the unguarded form would emit phantom grams for short docs.
     */
   def wordNGrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,

@@ -1046,21 +1046,7 @@ object NorthStarQueries {
           FROM ranked WHERE rank <= 20""",
 
     "q64_dedup_clusters" ->
-      s"""WITH RECURSIVE toks AS (
-            SELECT doc_id, $tokensSql AS tk FROM documents),
-          sets AS (
-            SELECT doc_id,
-                   list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-                        ELSE list_transform(range(len(tk) - 2),
-                               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END) AS sh
-            FROM toks),
-          e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sets),
-          shared AS (
-            SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n AS n_a, y.n AS n_b,
-                   count(*) AS inter
-            FROM e x JOIN e y USING (g)
-            WHERE x.doc_id < y.doc_id
-            GROUP BY 1, 2, 3, 4),
+      s"""WITH RECURSIVE ${ngramPairCtes(None)},
           pairs AS (
             SELECT id_a, id_b FROM shared
             WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5),
@@ -1197,21 +1183,20 @@ object NorthStarQueries {
         FROM labeled GROUP BY 1, 2"""
   }
 
-  /** Exact trigram-Jaccard pair set in DuckDB (mirrors Dedup's shingle
-    * construction; Jaccard over distinct shingles, exact division, round 6;
-    * the df-`maxDf` stop-shingle cap mirrored from `Dedup.capHotShingles` —
-    * intersections ignore hot shingles, |∪| keeps full set sizes — so the
-    * oracle stays hash-identical at ANY scale factor, not just ones where
-    * no shingle exceeds the cap).
+  /** Shared CTE block for the exact trigram pair computation (mirrors
+    * Dedup's shingle construction; distinct shingles, short-doc whole-text
+    * fallback, optional df cap from `Dedup.capHotShingles` — intersections
+    * ignore hot shingles, |∪| keeps full set sizes, so the capped oracle
+    * stays hash-identical at ANY scale factor). SINGLE-SOURCED so the q24
+    * pair set and the q64 cluster closure can never drift apart.
     */
-  private def ngramJaccardOracle(threshold: Double,
-      maxDf: Option[Int] = None): String = {
+  private def ngramPairCtes(maxDf: Option[Int]): String = {
     val capCtes = maxDf.fold(
       "ec AS (SELECT * FROM e)") { cap =>
       s"""hot AS (SELECT g FROM e GROUP BY g HAVING count(*) > $cap),
         ec AS (SELECT * FROM e WHERE g NOT IN (SELECT g FROM hot))"""
     }
-    s"""WITH toks AS (
+    s"""toks AS (
           SELECT doc_id, $tokensSql AS tk FROM documents),
         sets AS (
           SELECT doc_id,
@@ -1226,10 +1211,15 @@ object NorthStarQueries {
                  count(*) AS inter
           FROM ec x JOIN ec y USING (g)
           WHERE x.doc_id < y.doc_id
-          GROUP BY 1, 2, 3, 4)
+          GROUP BY 1, 2, 3, 4)"""
+  }
+
+  /** Exact trigram-Jaccard pair set in DuckDB (exact division, round 6). */
+  private def ngramJaccardOracle(threshold: Double,
+      maxDf: Option[Int] = None): String =
+    s"""WITH ${ngramPairCtes(maxDf)}
         SELECT id_a, id_b,
                round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
         FROM shared
         WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= $threshold"""
-  }
 }
