@@ -348,4 +348,17 @@ object Dedup {
       .groupBy(col("comp").as("canonical_id"))
       .agg(count(lit(1)).as("members"))
       .filter(col("members") >= 2)
+
+  /** The deletion step: drop every non-canonical cluster member from the
+    * corpus, keeping the smallest id of each near-dup cluster (and all
+    * unclustered docs). The redundant-id set is cluster-members-sized
+    * (duplicates only, ≪ corpus) → broadcast anti join, no corpus shuffle.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val redundant = connectedComponents(pairs)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(redundant), Seq(idCol), "left_anti")
+  }
 }

@@ -655,6 +655,17 @@ object NorthStarQueries {
   def q64DedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateClusters(q24MinhashNearDups(s, dir))
 
+  /** The deletion step applied: corpus minus non-canonical near-dup
+    * cluster members, summarized per language — what actually ships to
+    * the tokenizer after q24's pairs and q64's clusters.
+    */
+  def q65DedupedCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicates(
+      t(s, dir, "documents"), q24MinhashNearDups(s, dir), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -695,6 +706,7 @@ object NorthStarQueries {
     "q62_sequence_packing" -> (q62SequencePacking _),
     "q63_corpus_prep" -> (q63CorpusPrep _),
     "q64_dedup_clusters" -> (q64DedupClusters _),
+    "q65_deduped_corpus" -> (q65DedupedCorpus _),
   )
 
   private val tokensSql =
@@ -1044,6 +1056,26 @@ object NorthStarQueries {
                  round(CAST(c AS DOUBLE) / (SELECT sum(c) FROM counts), 6)
                    AS share
           FROM ranked WHERE rank <= 20""",
+
+    "q65_deduped_corpus" ->
+      s"""WITH RECURSIVE ${ngramPairCtes(None)},
+          pairs AS (
+            SELECT id_a, id_b FROM shared
+            WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5),
+          bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS id FROM bidir),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT bidir.dst, reach.r FROM reach JOIN bidir ON reach.id = bidir.src),
+          redundant AS (
+            SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+            WHERE comp != id)
+          SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM redundant)
+          GROUP BY lang""",
 
     "q64_dedup_clusters" ->
       s"""WITH RECURSIVE ${ngramPairCtes(None)},

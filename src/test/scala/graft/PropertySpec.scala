@@ -167,6 +167,34 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("property: connectedComponents matches driver-side union-find on random graphs") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    // few samples on purpose: every CC round is real Spark jobs
+    // (join + count per iteration), so this test is wall-clock-expensive;
+    // 3 random 15-edge graphs over 14 nodes still hit merge/chain/isolate
+    // shapes (the deterministic NorthStarSpec case covers the rest)
+    val genEdges = Gen.listOfN(15, for {
+      a <- Gen.choose(1L, 14L); b <- Gen.choose(1L, 14L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    samples(genEdges, 3).filter(_.nonEmpty).foreach { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges),
+        s"edges=$edges\n got=$got\n want=${unionFind(edges)}")
+    }
+  }
+
   test("property: scdType2 keeps exactly one current version per key, " +
     "closed intervals chain, and row count grows only by real changes") {
     // random snapshot sequences over a small key space force every branch:
