@@ -172,6 +172,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(decontPlan.contains("BroadcastHashJoin") &&
       decontPlan.contains("LeftSemi"),
       s"decontamination must broadcast-semi-join the benchmark grams:\n$decontPlan")
+    // near-dup deletion: the redundant-id set broadcasts into an anti
+    // join — the corpus side must never shuffle for the deletion itself
+    val dedupPlan = graft.northstar.Dedup.dropNearDuplicates(
+      Tables.read(spark, dir, "documents"),
+      graft.queries.NorthStarQueries.q24MinhashNearDups(spark, dir), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(dedupPlan.contains("BroadcastHashJoin") &&
+      dedupPlan.contains("LeftAnti"),
+      s"near-dup deletion must broadcast-anti-join:\n$dedupPlan")
   }
 
   test("corpus quality gate filters inside the scan stage, before any shuffle") {
