@@ -68,6 +68,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming corpus intake lands in the warehouse exactly once, replay-safe") {
+    import graft.streaming.{CorpusStream, EventStream}
+    val table = new graft.io.ParquetTable(
+      java.nio.file.Files.createTempDirectory("graft_corpus").toString + "/bronze_docs")
+    val expected = CorpusStream
+      .intake(graft.io.Tables.read(spark, dir, "documents")).count()
+    def runOnce(): Unit = {
+      val q = EventStream.incrementalIngest(
+        CorpusStream.intake(CorpusStream.readDocuments(spark, dir)),
+        table, Seq("doc_id"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(table.read(spark).count() == expected)
+    runOnce() // replay must not duplicate (content-keyed insert-if-absent)
+    assert(table.read(spark).count() == expected)
+  }
+
   test("sessionize emits gap-separated sessions per user") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions")
