@@ -666,6 +666,36 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("docs"),
         sum(col("n_chars")).cast("long").as("chars"))
 
+  /** Embedding-norm outlier gate: trim vectors whose L2 norm falls outside
+    * the [p1, p99] band — the vector-quality filter that catches collapsed
+    * (near-zero) and exploded embeddings before they poison ANN indexes.
+    * Norms ride the native fused dot product; the percentile thresholds are
+    * a broadcast 1-row aggregate on the same DAG. Classification compares
+    * round-6 norms to round-4 thresholds — both cross-engine bit-stable
+    * (q36 precedent), so the boundary can't flip on a libm ulp.
+    */
+  def q66EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    import graft.northstar.VectorOps
+    val norms = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(VectorOps.l2Norm(Similarity.toDoubleVec(col("embedding"))), 6)
+          .as("norm"))
+      .filter(col("norm").isNotNull)
+    val bounds = norms.agg(
+      round(expr("percentile(norm, 0.01)"), 4).as("p01"),
+      round(expr("percentile(norm, 0.99)"), 4).as("p99"))
+    norms.crossJoin(broadcast(bounds))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("norm") < col("p01"), 1).otherwise(0)).cast("long")
+          .as("dropped_low"),
+        sum(when(col("norm") > col("p99"), 1).otherwise(0)).cast("long")
+          .as("dropped_high"),
+        sum(when(col("norm") >= col("p01") && col("norm") <= col("p99"), 1)
+          .otherwise(0)).cast("long").as("kept"),
+        min(col("p01")).as("p01"), min(col("p99")).as("p99"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -707,6 +737,7 @@ object NorthStarQueries {
     "q63_corpus_prep" -> (q63CorpusPrep _),
     "q64_dedup_clusters" -> (q64DedupClusters _),
     "q65_deduped_corpus" -> (q65DedupedCorpus _),
+    "q66_embedding_outliers" -> (q66EmbeddingOutliers _),
   )
 
   private val tokensSql =
@@ -1056,6 +1087,25 @@ object NorthStarQueries {
                  round(CAST(c AS DOUBLE) / (SELECT sum(c) FROM counts), 6)
                    AS share
           FROM ranked WHERE rank <= 20""",
+
+    "q66_embedding_outliers" ->
+      """WITH norms AS (
+           SELECT vec_id,
+                  round(sqrt(list_dot_product(ve, ve)), 6) AS norm
+           FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                 FROM embeddings)
+           WHERE sqrt(list_dot_product(ve, ve)) IS NOT NULL),
+         b AS (
+           SELECT round(quantile_cont(norm, 0.01), 4) AS p01,
+                  round(quantile_cont(norm, 0.99), 4) AS p99
+           FROM norms)
+         SELECT count(*) AS total,
+                CAST(sum(CASE WHEN norm < p01 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_low,
+                CAST(sum(CASE WHEN norm > p99 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_high,
+                CAST(sum(CASE WHEN norm >= p01 AND norm <= p99 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                min(p01) AS p01, min(p99) AS p99
+         FROM norms, b""",
 
     "q65_deduped_corpus" ->
       s"""WITH RECURSIVE ${ngramPairCtes(None)},
