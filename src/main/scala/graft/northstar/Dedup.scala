@@ -281,62 +281,128 @@ object Dedup {
     * in practice (A≈B, B≈C ⇒ keep ONE of {A,B,C}), so production dedup
     * resolves clusters, not pairs.
     *
-    * Scale shape: each round is one edge⨝label join + a min aggregate —
-    * all shuffles on the node id. Rounds needed = cluster diameter, and
+    * Scale shape: each round is one edge⨝label join + a min aggregate +
+    * the label update join — all shuffles on the node id; the convergence
+    * check rides the cached update (old label carried in-row), costing no
+    * extra join. Rounds needed = cluster diameter, and
     * near-dup clusters are dense (quasi-cliques), so diameter is tiny;
     * for adversarial long-chain graphs the published fix is
     * large-star/small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC 2014) — same join primitive, O(log n)
-    * rounds. Each round fully materializes the new labels (the convergence
-    * count forces every partition into the cache) before the previous
-    * round is unpersisted, so lineage stays O(1) deep. Throws if maxIter
-    * rounds don't converge — a silent partial clustering would
+    * rounds. Each round eagerly `localCheckpoint`s the new labels: caching
+    * alone only truncates EXECUTION — the analyzed logical plan would
+    * still nest the prior round's plan twice (join + convergence compare)
+    * and grow exponentially with rounds, blowing analysis time and
+    * eventually the stack on plan traversal. The checkpoint resets the
+    * plan to a LogicalRDD, so per-round analysis cost is O(1). (On a real
+    * cluster, swap in reliable `checkpoint()` with a checkpoint dir if
+    * executor loss must not force a from-scratch re-run.) Throws if
+    * maxIter rounds don't converge — a silent partial clustering would
     * under-delete quietly.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // eager localCheckpoint: materialized once, plan truncated to a
+    // LogicalRDD — every round's plan then starts from O(1)-size leaves
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-    edges.cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-    labels.cache()
+      .localCheckpoint()
     var converged = false
     var i = 0
-    try {
-      while (!converged && i < maxIter) {
-        val neighborMin = edges
-          .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min(col("__nc")).as("__nbmin"))
-        val updated = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("__nbmin"), col("comp"))).as("comp"))
-        updated.cache()
-        // the FULL count both decides convergence and forces every
-        // partition of `updated` into the cache BEFORE the old labels are
-        // unpersisted — a short-circuiting limit(1) probe could leave
-        // `updated` partially cached and later rounds recomputing through
-        // ever-deeper lineage
-        val changed = updated
-          .join(labels.select(col("id"), col("comp").as("__old")), "id")
-          .filter(col("comp") =!= col("__old"))
-          .count()
-        labels.unpersist()
-        labels = updated
-        converged = changed == 0L
-        i += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds — " +
-            "raise maxIter or switch to large-star/small-star for this graph")
-      labels
-    } finally {
-      edges.unpersist()
-      if (!converged) labels.unpersist() // don't pin the cache on the throw path
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("__nc")).as("__nbmin"))
+      // carry the OLD label alongside the new one so convergence needs no
+      // re-join against the previous round — one fewer shuffle per round
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("__nbmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = updated.filter(col("comp") =!= col("__old")).count()
+      labels = updated
+      converged = changed == 0L
+      i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter or switch to large-star/small-star for this graph")
+    labels.select(col("id"), col("comp"))
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the adversarial-graph companion to
+    * [[connectedComponents]]: min-label propagation needs
+    * cluster-DIAMETER rounds (unbounded on long chains), this variant
+    * converges in logarithmically many rounds regardless of graph shape
+    * (the paper's bound for the alternating algorithm), at the cost of a
+    * distinct + set-equality check per round.
+    *
+    * Large-star hangs every node's larger neighbors onto the minimum of
+    * its neighborhood; small-star re-hangs the smaller neighbors. Both
+    * preserve connectivity and monotonically shrink the potential, and
+    * the fixpoint is a star forest centered at each component's minimum
+    * id — so the surviving edges ARE the (member → canonical) labels.
+    * Every step is a groupBy/join on the node id; nothing is ever
+    * driver-side.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+    // canonical undirected edge (lo < hi); self-loops carry no information.
+    // Eager localCheckpoint per round truncates the plan to a LogicalRDD —
+    // without it the union re-references each round's plan twice and the
+    // analyzed tree grows exponentially with rounds (see
+    // [[connectedComponents]]).
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint()
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: from each endpoint u, hang every LARGER neighbor v
+      // onto m = min(Γ(u) ∪ {u})
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val nbrMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      val large = sym.join(nbrMin, "u")
+        .filter(col("v") > col("u"))
+        .select(least(col("u"), col("mn")).as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+      // small-star: per node u, re-hang its SMALLER neighbors (keyed by
+      // hi in the canonical orientation) onto their collective minimum
+      val smMin = large.groupBy(col("hi").as("u")).agg(min(col("lo")).as("mn"))
+      val rehung = large.join(smMin, col("hi") === col("u"))
+      val next = rehung.select(col("mn").as("lo"), col("hi"))
+        .union(rehung.filter(col("lo") =!= col("mn"))
+          .select(col("mn").as("lo"), col("lo").as("hi")))
+        .distinct()
+        .localCheckpoint()
+      val nextCount = next.count()
+      val stable = nextCount == edgeCount && next.except(edges).isEmpty
+      edges = next
+      edgeCount = nextCount
+      converged = stable
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint star forest: every child appears as hi exactly once
+    nodes.join(edges.select(col("hi").as("id"), col("lo").as("comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Duplicate clusters from near-dup pairs: one row per multi-member

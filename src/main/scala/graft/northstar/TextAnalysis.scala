@@ -144,4 +144,41 @@ object TextAnalysis {
     */
   def shingleHashes(text: Column, k: Int): Column =
     graft.functions.ShingleFunctions.shingle_hashes(text, k)
+
+  /** Winnowed fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — MOSS): md5 every character k-gram of the normalized text,
+    * slide a w-gram window, keep each window's minimum hash. Returns one
+    * row per selected window (id, n_grams, fp) — fps repeat across
+    * adjacent windows; aggregate with DISTINCT. Guarantee: documents
+    * sharing any substring of ≥ w+k-1 characters share a fingerprint.
+    * md5 hex strings compare lexicographically the same way in every
+    * engine, so window minima are cross-engine exact.
+    *
+    * Scale shape: the position explode is map-side and linear in corpus
+    * characters; the only shuffle is the window's hash partitioning on
+    * the doc id, which downstream per-doc aggregation reuses.
+    */
+  def winnowedFingerprints(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 4,
+      w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, s"k=$k, w=$w must be positive")
+    val grams = docs
+      .select(col(idCol),
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("__t"))
+      .withColumn("n_grams", (length(col("__t")) - (k - 1)).cast("long"))
+      .filter(col("n_grams") >= 1)
+      .select(col(idCol), col("n_grams"),
+        explode(sequence(lit(1L), col("n_grams"))).as("__i"), col("__t"))
+      .select(col(idCol), col("n_grams"), col("__i"),
+        md5(expr(s"substr(__t, cast(__i as int), $k)")).as("__h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("__h")).over(win))
+      // full windows only; a doc shorter than w grams still yields its
+      // single all-grams window (winnowing's ≥1-fingerprint guarantee)
+      .filter(col("__i") <= greatest(col("n_grams") - (w - 1), lit(1L)))
+      .select(col(idCol), col("n_grams"), col("fp"))
+  }
 }

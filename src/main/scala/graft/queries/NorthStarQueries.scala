@@ -696,6 +696,31 @@ object NorthStarQueries {
         min(col("p01")).as("p01"), min(col("p99")).as("p99"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): hash every character k-gram of the
+    * normalized text, slide a w-gram window, keep each window's minimum
+    * hash. The selected set is a position-robust fingerprint ~2/(w+1) the
+    * size of the full gram set, with the winnowing guarantee that any
+    * shared substring of length ≥ w+k-1 yields a shared fingerprint.
+    * Hashes are md5 hex strings compared lexicographically — bit-identical
+    * in both engines, so the window minima agree exactly.
+    *
+    * Scale shape: the explode is linear in corpus characters and fully
+    * map-side; the window and the final rollup share ONE shuffle on
+    * doc_id (Catalyst reuses the window's hash partitioning for the
+    * groupBy — no second exchange). No joins, no skew surface: every
+    * doc_id key carries only its own grams.
+    */
+  def q67WinnowingFingerprints(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowedFingerprints(
+      t(s, dir, "documents"), "doc_id", "text", k = 4, w = 4)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        countDistinct(col("fp")).as("n_fingerprints"),
+        min(col("fp")).as("min_fp"))
+      .withColumn("density",
+        round(col("n_fingerprints").cast("double") / col("n_grams"), 6))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -738,6 +763,7 @@ object NorthStarQueries {
     "q64_dedup_clusters" -> (q64DedupClusters _),
     "q65_deduped_corpus" -> (q65DedupedCorpus _),
     "q66_embedding_outliers" -> (q66EmbeddingOutliers _),
+    "q67_winnowing_fingerprints" -> (q67WinnowingFingerprints _),
   )
 
   private val tokensSql =
@@ -1244,6 +1270,33 @@ object NorthStarQueries {
           SELECT lang, count(*) AS kept_docs,
                  CAST(sum(n) AS BIGINT) AS kept_tokens
           FROM d WHERE rn = 1 GROUP BY lang""",
+
+    "q67_winnowing_fingerprints" ->
+      """WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         pos AS (
+           SELECT doc_id, t, CAST(length(t) AS BIGINT) - 3 AS n_grams,
+                  UNNEST(generate_series(1, length(t) - 3)) AS i
+           FROM norm),
+         grams AS (
+           SELECT doc_id, i, n_grams,
+                  md5(substr(t, CAST(i AS INTEGER), 4)) AS h
+           FROM pos),
+         win AS (
+           SELECT doc_id, i, n_grams,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM grams),
+         sel AS (
+           SELECT doc_id, n_grams, fp FROM win
+           WHERE i <= greatest(n_grams - 3, 1))
+         SELECT doc_id, max(n_grams) AS n_grams,
+                CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+                min(fp) AS min_fp,
+                round(CAST(count(DISTINCT fp) AS DOUBLE) / max(n_grams), 6)
+                  AS density
+         FROM sel GROUP BY doc_id""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

@@ -164,6 +164,35 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: guarantee, short-doc floor, and density bound") {
+    val k = 4; val w = 4
+    // docs 1 and 2 share a 12-char substring ("shared middle"-ish) —
+    // length ≥ w+k-1 = 7, so the winnowing guarantee forces ≥1 common fp
+    val wdocs = Seq(
+      (1L, "aaaa shared middle part zzzz"),
+      (2L, "qqqq shared middle part rrrr"),
+      (3L, "totally unrelated body text"),
+      (4L, "abc"),                       // 3 chars < k → no grams at all
+      (5L, "abcde"))                     // 2 grams < w → single clipped window
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowedFingerprints(wdocs, "doc_id", "text", k, w)
+    val byDoc = fps.select($"doc_id", $"fp").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(!byDoc.contains(4L))                         // too short: absent
+    assert(byDoc(5L).size == 1)                         // floor: exactly 1 fp
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)            // winnowing guarantee
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)             // no spurious overlap
+    // every fingerprint is the md5 of a real k-gram of its own doc
+    val grams1 = "aaaa shared middle part zzzz".sliding(k).map { g =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.toSet
+    assert(byDoc(1L).subsetOf(grams1))
+    // density ≈ 2/(w+1), never above 1 window per position
+    val n1 = fps.filter($"doc_id" === 1L).count()
+    assert(n1 == ("aaaa shared middle part zzzz".length - k + 1) - (w - 1))
+  }
+
   test("simhashSignatures matches simhash64 on token-less and NULL docs") {
     val edge = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
       (4L, "real words here"))

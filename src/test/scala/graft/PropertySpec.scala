@@ -192,7 +192,19 @@ class PropertySpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == unionFind(edges),
         s"edges=$edges\n got=$got\n want=${unionFind(edges)}")
+      // the star variant must agree with the same oracle on the same graph
+      val star = Dedup.connectedComponentsStar(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == unionFind(edges),
+        s"star: edges=$edges\n got=$star\n want=${unionFind(edges)}")
     }
+    // adversarial long chain: diameter 127 defeats label propagation's
+    // 20-round budget but star-contraction needs only ~log2(128) rounds
+    val chain = (1L until 128L).map(i => (i, i + 1))
+    val starChain = Dedup.connectedComponentsStar(
+      chain.toDF("id_a", "id_b"), maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 128L).forall(starChain(_) == 1L))
   }
 
   test("property: scdType2 keeps exactly one current version per key, " +

@@ -181,6 +181,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(dedupPlan.contains("BroadcastHashJoin") &&
       dedupPlan.contains("LeftAnti"),
       s"near-dup deletion must broadcast-anti-join:\n$dedupPlan")
+    // q67 winnowing: the window and the per-doc distinct rollup share ONE
+    // hash partitioning on doc_id — a second Exchange would mean the
+    // groupBy failed to reuse the window's clustering
+    val winnowPlan = graft.queries.NorthStarQueries
+      .q67WinnowingFingerprints(spark, dir).queryExecution.executedPlan.toString
+    val winnowExchanges = "Exchange".r.findAllIn(winnowPlan).size
+    assert(winnowExchanges == 1,
+      s"winnowing must shuffle exactly once (doc_id), plan:\n$winnowPlan")
   }
 
   test("corpus quality gate filters inside the scan stage, before any shuffle") {
