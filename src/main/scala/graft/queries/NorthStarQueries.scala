@@ -721,6 +721,43 @@ object NorthStarQueries {
       .withColumn("density",
         round(col("n_fingerprints").cast("double") / col("n_grams"), 6))
 
+  /** Byte-pair-encoding pre-tokenization stats: a GPT-2-style regex
+    * splits raw payloads into BPE pre-pieces (contraction suffixes, words,
+    * digit runs, punctuation runs — each with its optional leading space),
+    * rolled up against whitespace tokenization as the fertility baseline
+    * (pieces per whitespace token — the tokenizer-budget planning number).
+    * The pattern avoids lookarounds on purpose so Java regex (Spark) and
+    * RE2 (DuckDB) match identically; both engines use leftmost-first
+    * alternation. Runs over events.props — the corpus with real
+    * punctuation and digits.
+    *
+    * Scale shape: extraction + filtering are map-side HOF algebra inside
+    * the scan stage; the only shuffle is the final per-type rollup with
+    * partial aggregation.
+    */
+  def q68BpePretokenize(s: SparkSession, dir: String): DataFrame = {
+    val pat = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+    t(s, dir, "events")
+      .select(col("event_type"),
+        filter(regexp_extract_all(lower(col("props")), lit(pat), lit(0)),
+          p => !(p rlike "^\\s+$")).as("ps"),
+        TextAnalysis.tokenCount(col("props")).as("n_ws"))
+      .select(col("event_type"), size(col("ps")).as("n_pieces"),
+        expr("aggregate(ps, cast(0 as bigint), (a, p) -> a + length(p))")
+          .as("piece_chars"),
+        col("n_ws"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_pieces")).cast("long").as("total_pieces"),
+        sum(col("n_ws")).cast("long").as("total_ws_tokens"),
+        sum(col("piece_chars")).as("__chars"))
+      .withColumn("fertility",
+        round(col("total_pieces").cast("double") / col("total_ws_tokens"), 6))
+      .withColumn("avg_piece_chars",
+        round(col("__chars").cast("double") / col("total_pieces"), 6))
+      .drop("__chars")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_doc_quality" -> (q21DocQuality _),
@@ -764,6 +801,7 @@ object NorthStarQueries {
     "q65_deduped_corpus" -> (q65DedupedCorpus _),
     "q66_embedding_outliers" -> (q66EmbeddingOutliers _),
     "q67_winnowing_fingerprints" -> (q67WinnowingFingerprints _),
+    "q68_bpe_pretokenize" -> (q68BpePretokenize _),
   )
 
   private val tokensSql =
@@ -1297,6 +1335,25 @@ object NorthStarQueries {
                 round(CAST(count(DISTINCT fp) AS DOUBLE) / max(n_grams), 6)
                   AS density
          FROM sel GROUP BY doc_id""",
+
+    "q68_bpe_pretokenize" ->
+      s"""WITH pieces AS (
+            SELECT event_type,
+                   list_filter(
+                     regexp_extract_all(lower(props),
+                       '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+'),
+                     p -> NOT regexp_matches(p, '^\\s+$$')) AS ps,
+                   len(list_filter(string_split_regex(props, '\\s+'),
+                     t -> len(t) > 0)) AS n_ws
+            FROM events)
+          SELECT event_type, count(*) AS docs,
+                 CAST(sum(len(ps)) AS BIGINT) AS total_pieces,
+                 CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+                 round(CAST(sum(len(ps)) AS DOUBLE) / sum(n_ws), 6)
+                   AS fertility,
+                 round(CAST(sum(len(array_to_string(ps, ''))) AS DOUBLE)
+                   / sum(len(ps)), 6) AS avg_piece_chars
+          FROM pieces GROUP BY event_type""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

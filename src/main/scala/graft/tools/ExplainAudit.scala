@@ -19,7 +19,8 @@ object ExplainAudit {
       "q01_pricing_summary", "q02_top_segment_nations",
       "q06_delivery_by_priority_month", "q24_minhash_near_dups",
       "q41_train_split", "q42_corpus_clean", "q44_vector_quantize",
-      "q55_fuzzy_suppliers", "q58_decontamination", "q61_zipf_profile")
+      "q55_fuzzy_suppliers", "q58_decontamination", "q61_zipf_profile",
+      "q67_winnowing_fingerprints", "q68_bpe_pretokenize")
     names.foreach { n =>
       println(s"================ $n ================")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

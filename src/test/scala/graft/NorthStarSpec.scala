@@ -193,6 +193,16 @@ class NorthStarSpec extends AnyFunSuite {
     assert(n1 == ("aaaa shared middle part zzzz".length - k + 1) - (w - 1))
   }
 
+  test("BPE pre-tokenizer splits contractions, digit runs, and punct runs") {
+    val pat = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+    val got = Seq(Tuple1("Customer#000000042's order, it'll ship!"))
+      .toDF("s")
+      .select(regexp_extract_all(lower($"s"), lit(pat), lit(0)).as("ps"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("customer", "#", "000000042", "'s", " order", ",",
+      " it", "'ll", " ship", "!"))
+  }
+
   test("simhashSignatures matches simhash64 on token-less and NULL docs") {
     val edge = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
       (4L, "real words here"))
