@@ -26,7 +26,7 @@ object Strings {
       } else {
         regexp_replace(noTabs, "[^a-zA-Z ]", " ")
       }
-    trim(regexp_replace(initcap(despecialed), "\\s+", " "))
+    trim(regexp_replace(initcap(despecialed), graft.northstar.TextAnalysis.WsClass + "+", " "))
   }
 
   /** DataFrame form mirroring the reference signature: clean

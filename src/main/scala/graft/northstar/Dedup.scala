@@ -211,7 +211,7 @@ object Dedup {
     // explode the raw split and drop empties with a codegen'd WHERE — the
     // filter() HOF would run its lambda through the interpreter per token
     val perTok = docs
-      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__tok"))
+      .select(col(idCol), explode(split(col(textCol), TextAnalysis.WsClass + "+")).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .select(col(idCol), xxhash64(col("__tok")).as("__h"))
     val votes = BitMasks.zipWithIndex.map { case (m, b) =>
@@ -325,10 +325,14 @@ object Dedup {
           least(col("comp"), coalesce(col("__nbmin"), col("comp"))).as("comp"))
         .localCheckpoint()
       val changed = updated.filter(col("comp") =!= col("__old")).count()
+      // the new checkpoint is self-contained — drop the superseded round's
+      // blocks now instead of waiting for the RDD to be GC'd
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(labels)
       labels = updated
       converged = changed == 0L
       i += 1
     }
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(edges)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
@@ -391,6 +395,9 @@ object Dedup {
         .localCheckpoint()
       val nextCount = next.count()
       val stable = nextCount == edgeCount && next.except(edges).isEmpty
+      // superseded round's blocks are dead once `next` is materialized and
+      // the stability compare has read the old set
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(edges)
       edges = next
       edgeCount = nextCount
       converged = stable

@@ -70,11 +70,24 @@ object TextAnalysis {
         "array<struct<chunk_start:int,n_tokens:int,chunk:string>>"))
   }
 
-  /** Whitespace tokens, empties dropped (split("\\s+") yields a leading ""
+  /** The whitespace characters of Java-regex `\s`, spelled out. Written
+    * as an explicit class because `\s` itself is NOT cross-engine stable:
+    * Java includes vertical tab (U+000B), RE2 (DuckDB's engine) does not
+    * — a corpus containing a VT would tokenize differently in engine and
+    * oracle. Every whitespace regex in this library and every oracle SQL
+    * interpolates these constants, so both engines see byte-identical
+    * patterns with an explicitly agreed character set.
+    */
+  val WsChars: String = " \\t\\n\\x0B\\f\\r"
+
+  /** `[ \t\n\x0B\f\r]` — the shared whitespace character class. */
+  val WsClass: String = s"[$WsChars]"
+
+  /** Whitespace tokens, empties dropped (splitting yields a leading ""
     * for leading whitespace).
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    filter(split(text, WsClass + "+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -129,11 +142,19 @@ object TextAnalysis {
     greatest(scored: _*).getField("l")
   }
 
-  /** Canonical-text fingerprint: md5 over the lowercased,
-    * whitespace-collapsed text — the exact-dedup key.
+  /** Canonical text: lowercased, whitespace runs collapsed to one space,
+    * trimmed — the ONE normalization shared by the exact-dedup fingerprint
+    * and the winnowing fingerprints (they must never drift apart, or the
+    * two dedup families would disagree on what "the same text" means).
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), WsClass + "+", " "))
+
+  /** Canonical-text fingerprint: md5 over [[normalizedText]] — the
+    * exact-dedup key.
     */
   def fingerprint(text: Column): Column =
-    md5(to_binary(trim(regexp_replace(lower(text), "\\s+", " ")), lit("utf-8")))
+    md5(to_binary(normalizedText(text), lit("utf-8")))
 
   /** Rolling k-gram hashes (document shingles) — the building block for
     * minhash and containment fingerprints. Delegates to the native
@@ -164,8 +185,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && w >= 1, s"k=$k, w=$w must be positive")
     val grams = docs
-      .select(col(idCol),
-        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("__t"))
+      .select(col(idCol), normalizedText(col(textCol)).as("__t"))
       .withColumn("n_grams", (length(col("__t")) - (k - 1)).cast("long"))
       .filter(col("n_grams") >= 1)
       .select(col(idCol), col("n_grams"),

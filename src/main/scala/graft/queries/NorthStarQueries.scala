@@ -52,7 +52,7 @@ object NorthStarQueries {
     // per token); empty strings from leading whitespace are dropped the same
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), "\\s+")).as("tok"))
+        explode(split(col("text"), TextAnalysis.WsClass + "+")).as("tok"))
       .filter(length(col("tok")) > 0)
     val scoreCols = TextAnalysis.LangProfiles.map { case (lang, profile) =>
       sum(when(lower(col("tok")).isin(profile: _*), 1).otherwise(0))
@@ -349,7 +349,7 @@ object NorthStarQueries {
     val total = docs.agg(count(lit(1)).cast("double").as("__total"))
     val toks = docs
       .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), "\\s+")).as("tok"))
+        explode(split(col("text"), TextAnalysis.WsClass + "+")).as("tok"))
       .filter(length(col("tok")) > 0)
     val df = toks.groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -519,7 +519,7 @@ object NorthStarQueries {
   def q57RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
     val perTok = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), "\\s+")).as("tok"))
+        explode(split(col("text"), TextAnalysis.WsClass + "+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("doc_id"), col("lang"), col("tok"))
       .agg(count(lit(1)).as("c"))
@@ -591,7 +591,7 @@ object NorthStarQueries {
   def q61ZipfProfile(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = t(s, dir, "documents")
-      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .select(explode(split(col("text"), TextAnalysis.WsClass + "+")).as("tok"))
       .filter(length(col("tok")) > 0)
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("__total"))
@@ -735,12 +735,12 @@ object NorthStarQueries {
     * the scan stage; the only shuffle is the final per-type rollup with
     * partial aggregation.
     */
-  def q68BpePretokenize(s: SparkSession, dir: String): DataFrame = {
-    val pat = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+  def q68BpePretokenize(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_type"),
-        filter(regexp_extract_all(lower(col("props")), lit(pat), lit(0)),
-          p => !(p rlike "^\\s+$")).as("ps"),
+        filter(regexp_extract_all(lower(col("props")),
+            lit(BpePiecePattern), lit(0)),
+          p => !(p rlike s"^${TextAnalysis.WsClass}+$$")).as("ps"),
         TextAnalysis.tokenCount(col("props")).as("n_ws"))
       .select(col("event_type"), size(col("ps")).as("n_pieces"),
         expr("aggregate(ps, cast(0 as bigint), (a, p) -> a + length(p))")
@@ -756,7 +756,16 @@ object NorthStarQueries {
       .withColumn("avg_piece_chars",
         round(col("__chars").cast("double") / col("total_pieces"), 6))
       .drop("__chars")
-  }
+
+  /** The GPT-2-style pre-tokenization pattern, single-sourced: the q68
+    * engine query, its DuckDB oracle, and the known-answer spec all read
+    * this constant, so the three can never drift. Lookaround-free and
+    * whitespace spelled as [[graft.northstar.TextAnalysis.WsClass]] so
+    * Java regex and RE2 agree byte-for-byte.
+    */
+  val BpePiecePattern: String =
+    s"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+" +
+      s"| ?[^a-z0-9${TextAnalysis.WsChars}]+|${TextAnalysis.WsClass}+"
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
@@ -804,8 +813,18 @@ object NorthStarQueries {
     "q68_bpe_pretokenize" -> (q68BpePretokenize _),
   )
 
+  /** Whitespace + canonical-text SQL snippets, interpolated into every
+    * oracle so DuckDB's RE2 sees byte-identical regexes with the engine's
+    * Java patterns — `\s` itself differs between the two engines on
+    * U+000B, so both sides spell the class out
+    * ([[graft.northstar.TextAnalysis.WsChars]]).
+    */
+  private val wsSql = TextAnalysis.WsClass
+  private val normTextSql =
+    s"trim(regexp_replace(lower(text), '$wsSql+', ' ', 'g'))"
+
   private val tokensSql =
-    """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
+    s"""list_filter(string_split_regex(text, '$wsSql+'), t -> len(t) > 0)"""
 
   private def langScoreSql(profile: Seq[String]): String =
     s"""len(list_filter($tokensSql, t -> len(t) > 0 AND lower(t) IN (${
@@ -842,7 +861,7 @@ object NorthStarQueries {
           FROM scored GROUP BY 1, 2""",
 
     "q23_exact_dedup" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      s"""SELECT md5($normTextSql) AS fingerprint,
          CAST(min(doc_id) AS BIGINT) AS canonical_id,
          count(*) AS copies
          FROM documents GROUP BY 1""",
@@ -1221,7 +1240,7 @@ object NorthStarQueries {
           q AS (SELECT * FROM sig
                 WHERE n BETWEEN 20 AND 90 AND pr <= 0.3 AND sw >= 0.02),
           d AS (SELECT *, row_number() OVER (
-                  PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                  PARTITION BY md5($normTextSql)
                   ORDER BY doc_id) AS rn
                 FROM q),
           cleaned AS (SELECT doc_id, lang, $tokensSql AS ts
@@ -1302,7 +1321,7 @@ object NorthStarQueries {
           q AS (SELECT * FROM sig
                 WHERE n BETWEEN 20 AND 90 AND pr <= 0.3 AND sw >= 0.02),
           d AS (SELECT *, row_number() OVER (
-                  PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                  PARTITION BY md5($normTextSql)
                   ORDER BY doc_id) AS rn
                 FROM q)
           SELECT lang, count(*) AS kept_docs,
@@ -1310,8 +1329,8 @@ object NorthStarQueries {
           FROM d WHERE rn = 1 GROUP BY lang""",
 
     "q67_winnowing_fingerprints" ->
-      """WITH norm AS (
-           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      s"""WITH norm AS (
+           SELECT doc_id, $normTextSql AS t
            FROM documents),
          pos AS (
            SELECT doc_id, t, CAST(length(t) AS BIGINT) - 3 AS n_grams,
@@ -1341,9 +1360,9 @@ object NorthStarQueries {
             SELECT event_type,
                    list_filter(
                      regexp_extract_all(lower(props),
-                       '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+'),
-                     p -> NOT regexp_matches(p, '^\\s+$$')) AS ps,
-                   len(list_filter(string_split_regex(props, '\\s+'),
+                       '${BpePiecePattern.replace("'", "''")}'),
+                     p -> NOT regexp_matches(p, '^$wsSql+$$')) AS ps,
+                   len(list_filter(string_split_regex(props, '$wsSql+'),
                      t -> len(t) > 0)) AS n_ws
             FROM events)
           SELECT event_type, count(*) AS docs,

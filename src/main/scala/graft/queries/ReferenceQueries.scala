@@ -554,7 +554,7 @@ object Oracles {
          FROM total JOIN late USING (o_orderpriority)""",
 
     "q17_clean_strings" ->
-      """SELECT p_partkey,
+      s"""SELECT p_partkey,
                 trim(regexp_replace(
                   array_to_string(list_transform(
                     string_split(
@@ -564,7 +564,8 @@ object Oracles {
                         '[^a-zA-Z ]', ' ', 'g'), ' '),
                     w -> CASE WHEN len(w) = 0 THEN w
                               ELSE upper(w[1]) || lower(w[2:]) END), ' '),
-                  '\s+', ' ', 'g')) AS cleaned
+                  '${graft.northstar.TextAnalysis.WsClass}+', ' ', 'g'))
+                  AS cleaned
          FROM part""",
 
     "q18_events_hourly" ->

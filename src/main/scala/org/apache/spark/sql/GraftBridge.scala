@@ -11,4 +11,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Deterministically drop the storage blocks behind a `localCheckpoint`ed
+    * Dataset. `Dataset.unpersist` only talks to the CacheManager, which does
+    * not track checkpoint RDDs — without this, every superseded iteration of
+    * an iterative algorithm (connected components) pins its MEMORY_AND_DISK
+    * blocks until the RDD happens to be GC'd. Only call on a checkpoint that
+    * nothing downstream will read again: the truncated lineage cannot
+    * recompute freed blocks.
+    */
+  def freeLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -194,7 +194,7 @@ class NorthStarSpec extends AnyFunSuite {
   }
 
   test("BPE pre-tokenizer splits contractions, digit runs, and punct runs") {
-    val pat = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+    val pat = graft.queries.NorthStarQueries.BpePiecePattern
     val got = Seq(Tuple1("Customer#000000042's order, it'll ship!"))
       .toDF("s")
       .select(regexp_extract_all(lower($"s"), lit(pat), lit(0)).as("ps"))
