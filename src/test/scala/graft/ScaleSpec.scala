@@ -52,6 +52,63 @@ class ScaleSpec extends AnyFunSuite {
     assert(filtered.count() > 0)
   }
 
+  test("dim-filtered joins prune fact partitions dynamically (DPP)") {
+    // the cluster-scale payoff of the partitioned layout: a filter on the
+    // DIMENSION side must prune the FACT scan at runtime (dynamic partition
+    // pruning), not just static literals — otherwise every dim-filtered
+    // star join reads the full 100 TB fact table
+    val t = new graft.io.ParquetTable(
+      java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/orders_by_prio",
+      partitionColumns = Seq("prio"))
+    t.overwrite(Tables.read(spark, dir, "orders")
+      .withColumn("prio", col("o_orderpriority")))
+    val dim = Tables.read(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio")).distinct()
+      .withColumn("urgent", col("prio").startsWith("1"))
+    val joined = t.read(spark)
+      .join(dim.filter(col("urgent")), Seq("prio"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression in the fact scan's " +
+        s"PartitionFilters:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("AQE splits a skewed shuffle partition in a sort-merge join") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // thresholds scaled down so the deliberately skewed key qualifies at
+      // test size — at cluster scale the defaults (256 MB) play this role
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying ~all rows vs a uniform other side
+      val big = (1 to 60000).map(i => (if (i % 100 == 0) i.toLong else 0L, i))
+        .toDF("k", "v")
+      val small = (0 to 600).map(i => (i.toLong * 100, s"n$i")).toDF("k", "name")
+      val joined = big.join(small, "k")
+      // materialize THIS Dataset's own query execution (count() would spin
+      // up a separate one and leave this plan un-adapted)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed SMJ partition (skew=true):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     Tables.writeBucketed(
       Tables.read(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
