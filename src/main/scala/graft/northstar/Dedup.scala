@@ -127,6 +127,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** A persisted near-duplicate index: the banded LSH table plus the
+    * shingle sets of the already-landed corpus. This is the production
+    * shape at 100 TB — pairing is INCREMENTAL: each incoming batch is
+    * banded and probed against the index instead of re-pairing the whole
+    * corpus (which is quadratic in ingest count if done per batch).
+    */
+  final case class NearDupIndex(bands: DataFrame, sets: DataFrame)
+
+  /** Build the [[NearDupIndex]] frames for a corpus — same shingle and
+    * permutation scheme as [[minhashNearDuplicates]], so incremental
+    * results are identical to what a full-batch re-pairing would find.
+    * Persist both frames through `ParquetTable` and read them back to get
+    * a durable index.
+    */
+  def buildNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 64, bands: Int = 16, shingleSize: Int = 3): NearDupIndex = {
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val sets = docs.select(col(idCol),
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize))
+        .as("__shingles"))
+    NearDupIndex(
+      lshBands(signaturesFromShingles(sets, idCol, numPerm),
+        idCol, "__sig", bands, numPerm / bands),
+      sets)
+  }
+
+  /** Near-duplicate pairs of an incoming batch against (and within)
+    * a persisted index — the index side is only ever probed:
+    * the batch's band table broadcasts into the (corpus-sized) index
+    * join, so the index never shuffles; the exact-Jaccard verification
+    * joins shingle sets for candidate ids only (candidate-sized, ≪
+    * corpus). Pair ids are canonicalized (id_a < id_b) to match the
+    * batch operators.
+    */
+  def incrementalNearDuplicates(index: NearDupIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, numPerm: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val newSets = newDocs.select(col(idCol),
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize))
+        .as("__shingles"))
+    newSets.cache()
+    val newBands = lshBands(signaturesFromShingles(newSets, idCol, numPerm),
+      idCol, "__sig", bands, numPerm / bands)
+    // batch vs corpus: broadcast the small batch into the big index
+    val crossCand = index.bands
+      .select(col(idCol).as("__ia"), col("band_id"), col("band_hash"))
+      .join(broadcast(newBands
+        .select(col(idCol).as("__ib"), col("band_id"), col("band_hash"))),
+        Seq("band_id", "band_hash"))
+      .filter(col("__ia") =!= col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
+      .distinct()
+    // batch vs batch: the ordinary banded self-join, batch-sized
+    val newCand = candidatePairs(newBands, idCol)
+    val cand = crossCand.union(newCand).distinct()
+    val all = index.sets.union(newSets)
+    val a = all.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
+    val b = all.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Stop-shingle cap for explode-join candidate generation: a shingle
     * present in d docs contributes d² join rows, so one ubiquitous shingle
     * turns the join quadratic AND lands the whole blowup on a single

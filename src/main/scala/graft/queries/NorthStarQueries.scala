@@ -757,6 +757,30 @@ object NorthStarQueries {
         round(col("__chars").cast("double") / col("total_pieces"), 6))
       .drop("__chars")
 
+  /** Incremental near-duplicate detection: the corpus's LSH band index
+    * and shingle sets are PERSISTED parquet tables; an incoming batch
+    * (doc_id ≡ 7 mod 10 plays the role of "today's crawl") is banded and
+    * probed against the index — the corpus is never re-paired. At 100 TB
+    * this is the only tractable dedup cadence: per-batch cost is
+    * batch-sized, the index side joins against a broadcast of the batch
+    * bands, and exact-Jaccard verification touches candidate ids only.
+    * Identical pair semantics to q24 (same shingles, same permutations),
+    * so the oracle is the exact trigram-Jaccard pair set restricted to
+    * pairs touching the batch.
+    */
+  def q69IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val landed = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+    val base = scratch("ndidx", dir).toString
+    val idx = Dedup.buildNearDupIndex(landed, "doc_id", "text")
+    val bandsT = new graft.io.ParquetTable(base + "/bands").overwrite(idx.bands)
+    val setsT = new graft.io.ParquetTable(base + "/sets").overwrite(idx.sets)
+    Dedup.incrementalNearDuplicates(
+      Dedup.NearDupIndex(bandsT.read(s), setsT.read(s)),
+      batch, "doc_id", "text")
+  }
+
   /** The GPT-2-style pre-tokenization pattern, single-sourced: the q68
     * engine query, its DuckDB oracle, and the known-answer spec all read
     * this constant, so the three can never drift. Lookaround-free and
@@ -811,6 +835,7 @@ object NorthStarQueries {
     "q66_embedding_outliers" -> (q66EmbeddingOutliers _),
     "q67_winnowing_fingerprints" -> (q67WinnowingFingerprints _),
     "q68_bpe_pretokenize" -> (q68BpePretokenize _),
+    "q69_incremental_dedup" -> (q69IncrementalDedup _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -924,6 +949,9 @@ object NorthStarQueries {
          GROUP BY 1, 2""",
 
     "q24_minhash_near_dups" -> ngramJaccardOracle(0.5),
+
+    "q69_incremental_dedup" -> ngramJaccardOracle(0.5,
+      pairPredicate = "AND (id_a % 10 = 7 OR id_b % 10 = 7)"),
     "q25_ngram_jaccard" -> ngramJaccardOracle(0.3, maxDf = Some(64)),
 
     "q26_knn_brute" ->
@@ -1425,12 +1453,16 @@ object NorthStarQueries {
           GROUP BY 1, 2, 3, 4)"""
   }
 
-  /** Exact trigram-Jaccard pair set in DuckDB (exact division, round 6). */
+  /** Exact trigram-Jaccard pair set in DuckDB (exact division, round 6).
+    * `pairPredicate` restricts the pair set (e.g. to pairs touching an
+    * incremental batch) — prefixed with AND when non-empty.
+    */
   private def ngramJaccardOracle(threshold: Double,
-      maxDf: Option[Int] = None): String =
+      maxDf: Option[Int] = None, pairPredicate: String = ""): String =
     s"""WITH ${ngramPairCtes(maxDf)}
         SELECT id_a, id_b,
                round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
         FROM shared
-        WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= $threshold"""
+        WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= $threshold
+          $pairPredicate"""
 }

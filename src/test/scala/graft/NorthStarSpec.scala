@@ -144,6 +144,25 @@ class NorthStarSpec extends AnyFunSuite {
     assert(flagged == Set(1L, 3L))
   }
 
+  test("incremental near-dup against an index equals full-batch pairs touching the batch") {
+    // index = docs {1,3}, incoming batch = {2,4}: the incremental result
+    // must be exactly the full-batch pair set restricted to pairs with at
+    // least one batch member — batch-vs-corpus AND batch-vs-batch
+    val full = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      numPerm = 64, bands = 16, shingleSize = 3, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batchIds = Set(2L, 4L)
+    val want = full.filter { case ((a, b), _) =>
+      batchIds.contains(a) || batchIds.contains(b) }
+    val idx = Dedup.buildNearDupIndex(
+      docs.filter(!$"doc_id".isin(batchIds.toSeq: _*)), "doc_id", "text")
+    val got = Dedup.incrementalNearDuplicates(
+      idx, docs.filter($"doc_id".isin(batchIds.toSeq: _*)), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(want.nonEmpty) // the fixture must actually exercise both shapes
+  }
+
   test("connectedComponents resolves transitive clusters, chains, and isolates") {
     // {1-2-3 via pairs (1,2),(2,3)}, {5,6}, long chain 10..15, pair (20,21)
     val chain = (10L to 14L).map(i => (i, i + 1))

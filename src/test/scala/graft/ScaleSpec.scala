@@ -265,4 +265,21 @@ class ScaleSpec extends AnyFunSuite {
       plan.lastIndexOf("Filter (") > plan.indexOf("Exchange"),
       s"quality filter must be below the shuffle (scan side), plan:\n$plan")
   }
+
+  test("incremental near-dup probe broadcasts the batch, never shuffles the index") {
+    import graft.northstar.Dedup
+    val docs = Tables.read(spark, dir, "documents")
+    val idx = Dedup.buildNearDupIndex(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), "doc_id", "text")
+    val plan = Dedup.incrementalNearDuplicates(
+      idx, docs.filter(pmod(col("doc_id"), lit(10)) === 7), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the band probe is the only join keyed on band_hash; at corpus scale the
+    // index side is 100 TB-derived, so that join MUST be a broadcast of the
+    // batch bands — a SortMergeJoin there would shuffle the whole index
+    val bandJoins = plan.linesIterator.filter(_.contains("band_hash"))
+      .filter(l => l.contains("Join") || l.contains("join")).toSeq
+    assert(bandJoins.nonEmpty && bandJoins.forall(_.contains("BroadcastHashJoin")),
+      s"band probe must broadcast-hash-join, got:\n${bandJoins.mkString("\n")}\n\n$plan")
+  }
 }
