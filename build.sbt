@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the FINAL stdout line as the result JSON; sbt's
+// "[success] Total time" epilogue would land after graft.Bench's output and
+// break that parse (BENCH_r01/r02 both recorded "parsed": null).
+Global / showSuccess := false
+// ...and the forked JVM must write straight to stdout, not through sbt's
+// logger, which would decorate the JSON line with an "[info] " prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

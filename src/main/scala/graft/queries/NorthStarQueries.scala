@@ -1301,8 +1301,8 @@ object NorthStarQueries {
             FROM documents),
           o AS (
             SELECT doc_id, source, n_tokens,
-              coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                 AS start_offset
             FROM t)
           SELECT doc_id, source, n_tokens, start_offset,

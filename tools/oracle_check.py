@@ -47,6 +47,19 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
                 n_fail += 1
                 continue
+            # Arrow-level dtype check: fetchall() hides e.g. DuckDB HUGEINT
+            # (sum over BIGINT) vs Spark BIGINT — both become Python ints —
+            # but the driver hashes through arrow/pandas where they differ.
+            s_arrow = {c.lower(): str(t) for c, t in
+                       zip(spark_rel.columns, spark_rel.arrow().schema.types)}
+            d_arrow = {c.lower(): str(t) for c, t in
+                       zip(duck_rel.columns, duck_rel.arrow().schema.types)}
+            mism = {c: (s_arrow[c], d_arrow[c]) for c in s_arrow
+                    if s_arrow[c] != d_arrow[c]}
+            if mism:
+                print(f"FAIL {name}: dtype mismatch {mism}")
+                n_fail += 1
+                continue
             s = table(spark_rel.fetchall(), s_cols)
             d = table(duck_rel.fetchall(), d_cols)
             if len(s) != len(d):
