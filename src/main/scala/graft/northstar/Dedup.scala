@@ -36,17 +36,16 @@ object Dedup {
 
   // ---- MinHash ----
 
-  /** Deterministic per-permutation seeds (avoid runtime RNG — resumable,
-    * cluster-reproducible).
-    */
-  private def seeds(numPerm: Int): Seq[Int] = (0 until numPerm).map(i => i * 2654435761L.toInt + 1)
-
   /** k-permutation MinHash signatures. Shingle strings are hashed ONCE
-    * (xxhash64); each permutation then re-mixes the 64-bit base hash with
-    * its seed — never re-tokenizing per permutation (inlining the shingle
-    * expression into all k min() terms recomputes tokenization k times and
-    * is ~50× slower). Explode + groupBy keeps the partial min map-side; the
-    * shuffle carries only (id, k longs).
+    * (native [[TextAnalysis.shingleHashes]] pass); the full signature is
+    * then a single map-side expression over the hash array
+    * ([[graft.functions.MinHashSignature]]) — NO explode, NO aggregate
+    * exchange. Signature building shuffles nothing; the first exchange of
+    * the MinHash pipeline is the LSH band join itself. (The previous
+    * explode + groupBy + k·min() formulation kept partials map-side, but
+    * the row expansion and the aggregate exchange were the dominant cost
+    * of every MinHash query — and its per-permutation hash scheme is
+    * replicated bit-for-bit here, pinned by MinhashParitySpec.)
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numPerm: Int, shingleSize: Int): DataFrame =
@@ -56,21 +55,18 @@ object Dedup {
           .as("__shingles")),
       idCol, numPerm)
 
-  /** Signature aggregation from a (id, __shingles) frame — shared by the
-    * standalone signature op and the near-duplicate path so the permutation
-    * scheme cannot drift between them.
+  /** Signatures from a (id, __shingles) frame — shared by the standalone
+    * signature op and the near-duplicate path so the permutation scheme
+    * cannot drift between them. Documents with an empty shingle array get
+    * a NULL signature and are dropped, matching the exploded formulation
+    * (no rows after explode → no aggregate row).
     */
   private def signaturesFromShingles(shingleSets: DataFrame, idCol: String,
-      numPerm: Int): DataFrame = {
-    val mins = seeds(numPerm).zipWithIndex.map { case (s, i) =>
-      min(xxhash64(lit(s), col("__g"))).as(s"__m$i")
-    }
-    shingleSets.select(col(idCol), explode(col("__shingles")).as("__g"))
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until numPerm).map(i => col(s"__m$i")): _*).as("__sig"))
-  }
+      numPerm: Int): DataFrame =
+    shingleSets.select(col(idCol),
+        graft.functions.MinHashFunctions
+          .minhash_signature(col("__shingles"), numPerm).as("__sig"))
+      .filter(col("__sig").isNotNull)
 
   /** LSH banding: explode the signature into (band_id, band_hash) rows.
     * Equal band hash in any band → candidate pair.

@@ -48,6 +48,24 @@ object ProfileDedup {
       }
       spark.catalog.clearCache()
     }
+
+    // --- q24 stage attribution ---
+    val sets = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.shingleHashes(col("text"), 3)).as("__shingles"))
+    for (i <- 1 to 2) {
+      sets.cache()
+      time(s"q24a sets materialize #$i") { sets.count() }
+      time(s"q24b signatures agg #$i") {
+        Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3)
+          .agg(max(element_at(col("__sig"), 1))).head
+      }
+      time(s"q24c sig+bands+cand #$i") {
+        Dedup.candidatePairs(
+          Dedup.lshBands(Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3),
+            "doc_id", "__sig", 16, 4), "doc_id").count()
+      }
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
