@@ -210,11 +210,40 @@ object Dedup {
     exploded.join(broadcast(hot), Seq("g"), "left_anti")
   }
 
+  /** Canonical shared-shingle pair counts (id_a < id_b) via an INVERTED
+    * INDEX: group occurrences by shingle into posting lists, drop lists
+    * longer than `maxDf` (the stop-shingle cap — free here, where the
+    * join-shape formulation needs a separate frequency aggregate plus an
+    * anti join), then expand each list's pairs map-side with a double
+    * explode. One exchange builds the index and one aggregates the pairs —
+    * versus FOUR for the exploded self-join (df aggregate + two join
+    * sides + pair aggregate), and the cap bounds both the per-key memory
+    * (maxDf postings) and the pair fan-out (maxDf² rows) per shingle.
+    *
+    * `sets` must carry (id, sh: array, n = |sh|) with `sh` per-doc
+    * distinct, so a list's length IS the shingle's document frequency.
+    * Returns (id_a, id_b, n_a, n_b, inter) — enough to derive Jaccard
+    * (symmetric) or containment in either direction without re-joining.
+    */
+  def sharedShinglePairs(sets: DataFrame,
+      maxDf: Option[Int] = None): DataFrame = {
+    val postings = sets
+      .select(explode(col("sh")).as("g"), struct(col("id"), col("n")).as("e"))
+      .groupBy(col("g")).agg(collect_list(col("e")).as("lst"))
+    val bounded = maxDf.fold(postings)(d => postings.filter(size(col("lst")) <= d))
+    bounded
+      .select(explode(col("lst")).as("x"), col("lst"))
+      .select(col("x"), explode(col("lst")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
   /** Exact n-gram Jaccard over all pairs sharing at least one shingle —
-    * the no-approximation baseline: explode shingles, join on shingle,
-    * count shared per pair, derive |∪| from per-doc set sizes. Equivalent
-    * to (but far cheaper than) the cross join: only colliding pairs
-    * materialize.
+    * the no-approximation baseline, on the [[sharedShinglePairs]] inverted
+    * index: only colliding pairs ever materialize, never the O(n²) cross
+    * join.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
@@ -222,17 +251,9 @@ object Dedup {
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize)).as("sh"))
       .withColumn("n", size(col("sh")))
-    sets.cache()
-    val exploded0 = sets.select(col("id"), col("n"), explode(col("sh")).as("g"))
     // |∪| still uses the full per-doc set sizes, so Jaccard is only
     // *under*-estimated for pairs whose overlap was mostly stop-shingles.
-    val exploded = maxDocFrequency.fold(exploded0)(capHotShingles(exploded0, _))
-    val shared = exploded.as("x").join(exploded.as("y"), Seq("g"))
-      .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
-    shared
+    sharedShinglePairs(sets, maxDocFrequency)
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -368,24 +368,21 @@ object NorthStarQueries {
 
   /** Near-containment pairs: |A∩B| / |A| ≥ 0.9 — catches "document A is a
     * chunk of document B", which symmetric Jaccard misses when B is much
-    * larger (Broder's containment, 1997). Same explode-join shape as q25,
-    * with the same df-64 stop-shingle cap bounding per-key join fan-in
-    * (mirrored in the oracle — parity at any scale factor); both
-    * directions kept (containment is asymmetric).
+    * larger (Broder's containment, 1997). Rides the same inverted-index
+    * pair pass as q25 with the df-64 stop-shingle cap (mirrored in the
+    * oracle — parity at any scale factor); containment is asymmetric, so
+    * BOTH directions derive from one canonical pair scan (inter/n_a and
+    * inter/n_b) instead of doubling the join.
     */
   def q48Containment(s: SparkSession, dir: String): DataFrame = {
     val sets = t(s, dir, "documents").select(col("doc_id").as("id"),
       array_distinct(TextAnalysis.shingleHashes(col("text"), 3)).as("sh"))
       .withColumn("n", size(col("sh")))
-    sets.cache()
-    val e = Dedup.capHotShingles(
-      sets.select(col("id"), col("n"), explode(col("sh")).as("g")), maxDf = 64)
-    e.as("x").join(e.as("y"), Seq("g"))
-      .filter(col("x.id") =!= col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.n").as("n_a"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("containment", col("inter").cast("double") / col("n_a"))
+    val pairs = Dedup.sharedShinglePairs(sets, maxDf = Some(64))
+    pairs.select(col("id_a"), col("id_b"), col("n_a").as("n"), col("inter"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("n_b").as("n"), col("inter")))
+      .withColumn("containment", col("inter").cast("double") / col("n"))
       .filter(col("containment") >= 0.9)
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"))
