@@ -521,4 +521,52 @@ object Dedup {
       .select(col("id").as(idCol))
     docs.join(broadcast(redundant), Seq(idCol), "left_anti")
   }
+
+  /** Exact duplicate-SPAN removal (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — the span-level
+    * complement of document dedup): cut every document into consecutive
+    * non-overlapping `spanTokens`-token spans, drop every span whose exact
+    * text already occurred earlier in the corpus (first occurrence by
+    * (id, span position) wins, globally deterministic), and reassemble
+    * each document from its surviving spans. Catches boilerplate and
+    * quoted passages that document-level dedup can never see — a doc that
+    * is 90% template and 10% novel keeps exactly its novel 10%.
+    *
+    * One corpus scan, two exchanges: the span-hash window (first-occurrence
+    * ranking) and the per-doc regroup. Span construction is map-side
+    * Column algebra — no explode-then-regroup for the spans themselves.
+    * Span-hash keys are md5 over ~`spanTokens` words: effectively unique,
+    * so the window carries no skew surface; documents with zero tokens
+    * have no spans and are excluded by construction.
+    *
+    * Returns (id, clean_text, spans_dropped) — clean_text is "" for a doc
+    * whose every span occurred earlier (a full duplicate).
+    */
+  def dropDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanTokens >= 1, s"spanTokens ($spanTokens) must be >= 1")
+    val spans = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("n_spans",
+        ceil(size(col("tk")).cast("double") / spanTokens).cast("int"))
+      .select(col("id"),
+        posexplode(when(col("n_spans") >= 1,
+          transform(sequence(lit(0), col("n_spans") - 1),
+            i => concat_ws(" ",
+              slice(col("tk"), i * spanTokens + 1, lit(spanTokens)))))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnsRenamed(Map("pos" -> "span_idx", "col" -> "span"))
+    val w = Window.partitionBy(md5(to_binary(col("span"), lit("utf-8"))))
+      .orderBy(col("id"), col("span_idx"))
+    spans.withColumn("__rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__rn") === 1, struct(col("span_idx"), col("span"))))),
+          x => x.getField("span")), " ").as("clean_text"),
+        (count(lit(1)) - sum(when(col("__rn") === 1, 1).otherwise(0)))
+          .cast("int").as("spans_dropped"))
+  }
 }

@@ -146,4 +146,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Semantic deduplication (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023): cluster
+    * the embedding space with a k-means coarse quantizer, then compare
+    * pairs ONLY within each cluster and drop every vector that has a
+    * lower-id cluster-mate above the cosine threshold. The clustering
+    * bounds the pairwise work at Σ|cellᵢ|² instead of n² — exactly the
+    * paper's trick — at the cost of missing the (rare) near-pairs the
+    * quantizer splits across cells.
+    *
+    * Deterministic end to end: the quantizer is the seeded driver-side
+    * [[IvfIndex]] fit (bounded sample, bit-stable centers), assignment is
+    * map-side argmin, and the drop rule ("a lower id ≥ threshold exists in
+    * my cell") depends on no iteration order. The within-cell self-join
+    * shuffles on `cell`; hot cells are exactly the skewed-shuffle case AQE
+    * skew-split handles (ScaleSpec proves the mechanism), and `nClusters`
+    * scales with corpus size to keep cells bounded.
+    *
+    * Returns one row per vector: (id, cell, kept).
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double, seed: Long = 42L): DataFrame = {
+    val assigned = IvfIndex.build(embeddings, idCol, vecCol, nClusters, seed)
+      .assigned  // (neighbor_id, __cv, cell) — map-side after the fit
+    val x = assigned.select(col("cell"), col("neighbor_id").as("id_a"),
+      col("__cv").as("__va"))
+    val y = assigned.select(col("cell"), col("neighbor_id").as("id_b"),
+      col("__cv").as("__vb"))
+    val dropped = x.join(y, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.GraftFunctions
+        .cosine_sim(col("__va"), col("__vb")), 6) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("neighbor_id").as("id"), col("cell"))
+      .join(dropped.withColumn("__d", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("__d").isNull.as("kept"))
+  }
 }

@@ -166,6 +166,54 @@ object TextAnalysis {
   def shingleHashes(text: Column, k: Int): Column =
     graft.functions.ShingleFunctions.shingle_hashes(text, k)
 
+  /** Corpus-model fluency scoring — the shape of CCNet's LM quality
+    * filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020), with the n-gram model
+    * trained ON the corpus itself: score every document by the average
+    * add-one-smoothed conditional probability of its word bigrams,
+    * p(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V). Repetitive documents built
+    * from the corpus's common collocations score high; documents full of
+    * rare transitions score low — the standard relative-fluency gate
+    * before training.
+    *
+    * Cross-engine determinism: each bigram's probability is an exact
+    * rational, materialized as floor((c_bg+1)·10⁹ / (c_w1+V)) in pure
+    * integer arithmetic; per-document scores SUM those integers (exact,
+    * order-free) and perform one final double division — so engine and
+    * oracle agree bit-for-bit, which a float log-prob sum never could
+    * (addition order differs between engines).
+    *
+    * Scale shape: bigram construction is map-side array algebra (no
+    * token explode-regroup); the model is two vocabulary-sized aggregates
+    * plus a vocabulary-sized join; scoring is one probe join on (w1,w2)
+    * and a per-doc aggregate. Docs with fewer than 2 tokens have no
+    * bigrams and are excluded by construction.
+    */
+  def bigramFluency(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val bg = toks.select(col(idCol),
+      explode(when(size(col("tk")) >= 2,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+    val bgCounts = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val w1Counts = bgCounts.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
+    val vocab = toks.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val model = bgCounts.join(w1Counts, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        expr("((c_bg + 1) * 1000000000L) div (c_w1 + v)").as("term"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term")).cast("double") /
+          (count(lit(1)) * lit(1000000000.0)), 6).as("fluency"))
+  }
+
   /** Winnowed fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
     * 2003 — MOSS): md5 every character k-gram of the normalized text,
     * slide a w-gram window, keep each window's minimum hash. Returns one

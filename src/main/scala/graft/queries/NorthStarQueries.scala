@@ -778,6 +778,45 @@ object NorthStarQueries {
       batch, "doc_id", "text")
   }
 
+  /** Duplicate-SPAN removal (Lee et al., ACL 2022): 20-token spans deduped
+    * corpus-wide by exact text, first occurrence kept, documents
+    * reassembled from their surviving spans — the span-level complement of
+    * q23/q24's document dedup (a doc that is 90% boilerplate keeps its
+    * novel 10%). First-occurrence ranking is globally deterministic
+    * ((doc_id, span position) tie-break) and the oracle replays it
+    * row-for-row, so the rebuilt texts hash-match exactly.
+    */
+  def q70DuplicateSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+      spanTokens = 20)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Corpus-model bigram fluency (CCNet's LM-filter shape, Wenzek et al.,
+    * LREC 2020): every doc scored by the mean add-one-smoothed conditional
+    * probability of its word bigrams under a model trained on the corpus
+    * itself. Per-bigram probabilities are integer-scaled rationals summed
+    * exactly, so engine and oracle agree bit-for-bit — a float log-prob
+    * sum could never hash-match across engines (addition order differs).
+    */
+  def q71BigramFluency(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramFluency(t(s, dir, "documents"), "doc_id", "text")
+
+  /** SemDeDup (Abbas et al., 2023): k-means-cluster the embedding space,
+    * compare only within clusters, drop vectors with a lower-id
+    * cluster-mate above the cosine threshold — Σ|cell|² pairwise work
+    * instead of n². Approximate by design (quantizer-split pairs are
+    * missed) and the cluster ids come from the seeded k-means fit, not
+    * DuckDB-expressible → rows-only check; SimilaritySpec pins the drop
+    * rule and determinism.
+    */
+  def q72SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      nClusters = 16, threshold = 0.4)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("kept"), 0).otherwise(1)).cast("long").as("dropped"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("long").as("kept"))
+
   /** The GPT-2-style pre-tokenization pattern, single-sourced: the q68
     * engine query, its DuckDB oracle, and the known-answer spec all read
     * this constant, so the three can never drift. Lookaround-free and
@@ -833,6 +872,9 @@ object NorthStarQueries {
     "q67_winnowing_fingerprints" -> (q67WinnowingFingerprints _),
     "q68_bpe_pretokenize" -> (q68BpePretokenize _),
     "q69_incremental_dedup" -> (q69IncrementalDedup _),
+    "q70_duplicate_spans" -> (q70DuplicateSpans _),
+    "q71_bigram_fluency" -> (q71BigramFluency _),
+    "q72_semantic_dedup" -> (q72SemanticDedup _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -1398,6 +1440,51 @@ object NorthStarQueries {
                  round(CAST(sum(len(array_to_string(ps, ''))) AS DOUBLE)
                    / sum(len(ps)), 6) AS avg_piece_chars
           FROM pieces GROUP BY event_type""",
+
+    "q70_duplicate_spans" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $tokensSql AS tk FROM documents),
+          idx AS (
+            SELECT doc_id, tk,
+                   unnest(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT)))
+                     AS span_idx
+            FROM toks),
+          spans AS (
+            SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx,
+                   array_to_string(tk[span_idx*20+1 : span_idx*20+20], ' ')
+                     AS span
+            FROM idx),
+          ranked AS (
+            SELECT *, row_number() OVER (
+                        PARTITION BY md5(span)
+                        ORDER BY doc_id, span_idx) AS rn
+            FROM spans)
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                   ORDER BY span_idx), '') AS clean_text,
+                 CAST(count(*) - count(*) FILTER (rn = 1) AS INTEGER)
+                   AS spans_dropped
+          FROM ranked GROUP BY doc_id""",
+
+    "q71_bigram_fluency" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $tokensSql AS tk FROM documents),
+          bg AS (
+            SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                  FROM toks)),
+          bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+          w1c AS (SELECT w1, sum(c_bg) AS c_w1 FROM bgc GROUP BY 1),
+          voc AS (SELECT count(DISTINCT w) AS v
+                  FROM (SELECT unnest(tk) AS w FROM toks)),
+          model AS (
+            SELECT w1, w2, ((c_bg + 1) * 1000000000) // (c_w1 + v) AS term
+            FROM bgc JOIN w1c USING (w1) CROSS JOIN voc)
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(CAST(sum(term) AS DOUBLE)
+                   / (count(*) * 1000000000.0), 6) AS fluency
+          FROM bg JOIN model USING (w1, w2)
+          GROUP BY doc_id""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

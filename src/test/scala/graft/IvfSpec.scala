@@ -39,4 +39,41 @@ class IvfSpec extends AnyFunSuite {
       .select("neighbor_id", "cell")
     assert(TestSpark.rows(a) == TestSpark.rows(b))
   }
+
+  test("semantic dedup: dropped iff a lower-id cluster-mate is >= threshold") {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val threshold = 0.4
+    val res = Similarity
+      .semanticDedup(emb, "vec_id", "embedding", nClusters = 4, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(res.length == emb.count())
+    // replay the drop rule driver-side from the raw vectors (same round-6
+    // cosine the engine applies)
+    val vecs = emb.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0
+      else BigDecimal(dot / d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((_, members) <- res.groupBy(_._2); (id, _, kept) <- members) {
+      val hasLowerMate = members.exists { case (o, _, _) =>
+        o < id && cos6(vecs(o), vecs(id)) >= threshold }
+      assert(kept == !hasLowerMate,
+        s"vec $id kept=$kept but lower-mate-above-threshold=$hasLowerMate")
+    }
+    // and something must actually be dropped on this corpus, or the
+    // threshold is vacuous
+    assert(res.exists(!_._3))
+  }
+
+  test("semantic dedup is deterministic across runs") {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val a = Similarity.semanticDedup(emb, "vec_id", "embedding", 4, 0.4)
+    val b = Similarity.semanticDedup(emb, "vec_id", "embedding", 4, 0.4)
+    assert(TestSpark.rows(a) == TestSpark.rows(b))
+  }
 }

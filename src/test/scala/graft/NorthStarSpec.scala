@@ -75,6 +75,51 @@ class NorthStarSpec extends AnyFunSuite {
     assert(TestSpark.rows(capped) == TestSpark.rows(uncapped))
   }
 
+  test("duplicate-span removal keeps first occurrence, rebuilds docs in order") {
+    // spans of 2 tokens: doc 1 = [ab, cd], doc 2 = [ab, ef] (ab repeats),
+    // doc 3 = [ab, cd] (everything repeats), doc 4 is span-less
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "a b c d"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateSpans(d, "doc_id", "text", spanTokens = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, "a b c d", 0),   // first occurrence of both spans
+      (2L, "e f", 1),       // "a b" already seen in doc 1
+      (3L, "", 2)))         // full duplicate → everything dropped
+    // doc 4 has no spans → excluded by construction
+  }
+
+  test("duplicate-span removal keeps the short tail span and dedups it too") {
+    val d = Seq((1L, "a b c"), (2L, "x y c")).toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateSpans(d, "doc_id", "text", spanTokens = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // tail spans are the single token "c": doc 1 keeps it, doc 2 drops it
+    assert(got.toSeq == Seq((1L, "a b c", 0), (2L, "x y", 1)))
+  }
+
+  test("bigram fluency: exact rational scores on a hand-computed corpus") {
+    // corpus: "a b a b" + "a b" → bigrams ab:3 (2 from doc1's "a b a b"?
+    // no — doc1 bigrams: (a,b),(b,a),(a,b) → ab:2, ba:1; doc2: ab:1.
+    // c(ab)=3, c(ba)=1, c_w1(a·)=3, c_w1(b·)=1, V=2 distinct tokens.
+    val d = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // term(ab) = floor((3+1)e9 / (3+2)) = 8e8 → p=0.8
+    // term(ba) = floor((1+1)e9 / (1+2)) = 666666666 → p≈0.666666666
+    // doc1: (0.8 + 0.666666666 + 0.8)/3 = 0.755556 (round 6)
+    // doc2: 0.8
+    assert(got.length == 2)
+    assert(got(0) == ((1L, 3L, 0.755556)))
+    assert(got(1) == ((2L, 1L, 0.8)))
+  }
+
   test("simhashSignatures (DataFrame) equals simhash64 (Column) exactly") {
     val viaDf = Dedup.simhashSignatures(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
