@@ -287,38 +287,21 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** DataFrame-level SimHash: one tokenize+hash pass exploded, 64 vote
-    * sums as map-side partial aggregates (the Column-level [[simhash64]]
-    * folds votes through interpreted HOF lambdas — fine for ad-hoc columns,
-    * ~8× slower at corpus scale). Same semantics: votes over ALL tokens
-    * (non-distinct), bit set where the vote sum is positive.
+  /** DataFrame-level SimHash: ONE compiled pass per row over the raw
+    * whitespace split (the native [[graft.functions.SimHash64]] expression
+    * skips the split's empty-string artifacts itself) — NO explode, NO
+    * 64-column vote aggregate, NO join-back. Same semantics as the
+    * Column-level [[simhash64]], which NorthStarSpec pins bit-for-bit:
+    * votes over ALL tokens (non-distinct), bit set where the vote sum is
+    * positive, 0L for token-less docs, NULL for NULL text. (History: the
+    * interpreted HOF fold was ~8× slower than the exploded vote aggregate;
+    * the native pass beats both and shuffles nothing.)
     */
   def simhashSignatures(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    // explode the raw split and drop empties with a codegen'd WHERE — the
-    // filter() HOF would run its lambda through the interpreter per token
-    val perTok = docs
-      .select(col(idCol), explode(split(col(textCol), TextAnalysis.WsClass + "+")).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
-    val votes = BitMasks.zipWithIndex.map { case (m, b) =>
-      sum(when(col("__h").bitwiseAND(lit(m)) =!= 0, 1).otherwise(-1)).as(s"__v$b")
-    }
-    val agg = perTok.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        BitMasks.zipWithIndex.map { case (m, b) =>
-          when(col(s"__v$b") > 0, lit(m)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("__sim"))
-    // Token-less docs vanish in the explode, but simhash64 gives them
-    // signature 0 (empty vote fold) — and NULL for NULL text. Join every id
-    // back so identical empty docs can still pair downstream. The join key
-    // is the groupBy key, so AQE plans it shuffle-free on the agg side.
-    docs.select(col(idCol), col(textCol).isNotNull.as("__has_text"))
-      .join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("__has_text"), coalesce(col("__sim"), lit(0L))).as("__sim"))
-  }
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.SimHashFunctions.simhash64(
+        split(col(textCol), TextAnalysis.WsClass + "+")).as("__sim"))
 
   /** SimHash near-duplicates: band the 64 bits into `bands` chunks (equal
     * chunk → candidate, guaranteed to catch any pair within bands-1 bit

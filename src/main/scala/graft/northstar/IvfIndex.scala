@@ -112,17 +112,21 @@ object IvfIndex {
     import graft.functions.GraftFunctions
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       Similarity.toDoubleVec(col(vecCol)).as("__cv"))
-    // two actions read this projection (count, sample-collect); the
-    // assignment pass that follows also reuses it
+    // the sample-collect materializes this projection; the assignment
+    // pass that follows reuses it
     vecs.cache()
     val trainTarget = nlist * 256
-    val n = vecs.count()
-    val sample =
-      (if (n <= trainTarget) vecs
-       else vecs.sample(withReplacement = false, trainTarget.toDouble / n, seed))
-        // deterministic collect order no matter how the scan partitioned
-        .orderBy(col("neighbor_id"))
-        .select(col("__cv")).collect().map(_.getSeq[Double](0).toArray)
+    // Bounded deterministic sample WITHOUT a count job: the first
+    // trainTarget vectors by id (TakeOrdered — no full sort, no extra
+    // corpus pass to size a Bernoulli fraction). Fraction sampling was
+    // also only pseudo-deterministic: seeded Bernoulli membership is
+    // per-partition, so a different scan layout changed the training
+    // set; first-N-by-id cannot. FAISS likewise trains on whatever
+    // bounded subset it is handed — ids carry no embedding information
+    // here, so prefix-by-id is as unbiased as a random draw.
+    val sample = vecs
+      .orderBy(col("neighbor_id")).limit(trainTarget)
+      .select(col("__cv")).collect().map(_.getSeq[Double](0).toArray)
     val centers = LocalKMeans.fit(sample, nlist, seed, maxIter = 10)
     val cellScores = array(centers.zipWithIndex.map { case (c, i) =>
       val normSq = c.map(x => x * x).sum
