@@ -210,6 +210,36 @@ class ScaleSpec extends AnyFunSuite {
       s"capped jaccard must keep true near-dups and drop hot-shingle-only pairs, got $pairs")
   }
 
+  test("inverted-index pair generation: two exchanges, no join operator") {
+    import graft.northstar.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, s"some shared words body $i"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3,
+      maxDocFrequency = Some(8)).queryExecution.executedPlan.toString
+    // the posting-list build and the pair aggregate — nothing else may
+    // shuffle, and pair expansion must be a generator, not a join
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"expected exactly 2 exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"pair expansion must not plan a join:\n$plan")
+  }
+
+  test("duplicate-span removal: span build is map-side, two exchanges, no join") {
+    import graft.northstar.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, s"alpha beta gamma delta $i"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.dropDuplicateSpans(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    // the first-occurrence window (hash partition) and the per-doc regroup
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"expected exactly 2 exchanges:\n$plan")
+    assert(!plan.contains("Join"),
+      s"span dedup must not plan a join:\n$plan")
+  }
+
   test("new corpus ops keep their promised plan shapes") {
     // q59 chunking: pure scan-stage generator — zero Exchange
     val chunkPlan = graft.queries.NorthStarQueries
