@@ -33,5 +33,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8g, NOT bigger: Spark's ContextCleaner reclaims shuffle/broadcast
+  // state only when the JVM garbage-collects, and a 24g heap in a
+  // 75-query single-JVM run GC'd so rarely that late queries hit
+  // 10-45 s full-GC stalls (measured: bench total 74-159 s at 24g,
+  // 56-60 s at 8g on the same data — the smaller heap collects often
+  // and briefly)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

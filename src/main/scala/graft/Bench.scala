@@ -10,6 +10,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // drive the ContextCleaner even if the heap never fills: accumulated
+      // shuffle/broadcast state from 70+ queries otherwise survives until
+      // an expensive full GC lands mid-query (see build.sbt's -Xmx note)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-footer paths so per-query timings

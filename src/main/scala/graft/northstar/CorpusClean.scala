@@ -79,6 +79,41 @@ object CorpusClean {
       .select(col(idCol)).distinct()
   }
 
+  /** Bloom-filter benchmark decontamination: the same word-`n`-gram-overlap
+    * semantics as [[contaminatedIds]], but the membership test runs against
+    * a Bloom filter of the benchmark gram set INSIDE the training-side scan
+    * stage ([[graft.functions.BloomMightContain]]) — no explode of the
+    * corpus, no join, no shuffle of any kind on the big side. Returns the
+    * training rows with a `__contaminated` flag column.
+    *
+    * Contract: NO false negatives — every document sharing a verbatim
+    * n-gram with the benchmark is flagged (a Bloom filter never misses a
+    * member). False positives flag extra clean documents at a rate bounded
+    * by `gramsPerDoc × fpp`; for decontamination that errs in the safe
+    * direction (slightly over-dropping), which is why real pipelines run
+    * exactly this trade. `expectedGrams` is a caller-supplied capacity
+    * estimate so the build needs no counting pre-pass (an over-estimate
+    * only costs bits: ~1.2 MB per million grams at fpp=0.01).
+    *
+    * The filter build aggregates the (tiny) benchmark side distributed and
+    * merges on the driver (`DataFrameStatFunctions.bloomFilter`, a
+    * tree-aggregate) — the same small-side/driver split as the IVF
+    * quantizer fit; the corpus side never moves.
+    */
+  def bloomContaminatedFlags(training: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      expectedGrams: Long = 1L << 16, fpp: Double = 0.001): DataFrame = {
+    import graft.functions.BloomFunctions
+    val bloom = benchmark
+      .select(explode(array_distinct(
+        TextAnalysis.shingleHashes(col(textCol), n))).as("__g"))
+      .stat.bloomFilter("__g", expectedGrams, fpp)
+    val bytes = BloomFunctions.serialize(bloom)
+    training.withColumn("__contaminated",
+      exists(array_distinct(TextAnalysis.shingleHashes(col(textCol), n)),
+        g => BloomFunctions.mightContain(g, bytes)))
+  }
+
   /** The full corpus-preparation pipeline in one call — what a training-data
     * job actually runs end to end: quality gate → exact dedup →
     * benchmark decontamination → context-window chunking. Returns one row

@@ -91,6 +91,37 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Token-multiset collision statistics in ONE scan-stage pass: a
+    * run-length fold over the sorted token array yielding
+    * `struct(s2 = Σ cᵢ², d = distinct tokens)` where cᵢ are per-token
+    * occurrence counts. Powers the Rényi-2 (collision) diversity gate
+    * (q74): both outputs are exact integers, so downstream ratios are
+    * cross-engine bit-stable — and the equivalent explode+groupBy
+    * formulation would shuffle one row per token OCCURRENCE, where this
+    * shuffles nothing. Empty/whitespace-only text folds to (0, 0).
+    */
+  def collisionStats(text: Column): Column = {
+    val sorted = array_sort(tokens(text))
+    // fold state: (prev token, current run length, Σ run², distinct runs);
+    // "" can never equal a real token (empties are dropped), so the seed
+    // prev is safe and the first token always opens a run.
+    aggregate(
+      sorted,
+      struct(lit("").as("p"), lit(0L).as("r"), lit(0L).as("s2"),
+        lit(0L).as("d")),
+      (acc, tok) => {
+        val same = tok === acc("p")
+        struct(
+          tok.as("p"),
+          when(same, acc("r") + 1L).otherwise(lit(1L)).as("r"),
+          when(same, acc("s2"))
+            .otherwise(acc("s2") + acc("r") * acc("r")).as("s2"),
+          when(same, acc("d")).otherwise(acc("d") + 1L).as("d"))
+      },
+      acc => struct((acc("s2") + acc("r") * acc("r")).as("s2"),
+        acc("d").as("d")))
+  }
+
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(

@@ -816,6 +816,90 @@ object NorthStarQueries {
         sum(when(col("kept"), 0).otherwise(1)).cast("long").as("dropped"),
         sum(when(col("kept"), 1).otherwise(0)).cast("long").as("kept"))
 
+  /** Temperature-weighted source mixture (the multilingual-LM sampling rule,
+    * Conneau et al. XLM-R, ACL 2020 §3.1): per-source sampling weights
+    * `w_s = n_s^τ / Σ n_t^τ` flatten the natural size distribution toward
+    * uniform as τ→0, then a token budget turns weights into per-source
+    * keep rates. τ = 0.5, so the power is `sqrt` — IEEE 754 requires
+    * sqrt to be correctly rounded, which makes the per-source weight
+    * numerators BIT-IDENTICAL across engines (a general `pow(x, 0.7)`
+    * would be libm-dependent); the 20-term denominator sum and the final
+    * round(·, 6) leave ~1e-15 relative drift against a 5e-7 rounding
+    * boundary — the q57/q61 exact-ratio discipline, extended one rung.
+    *
+    * Scale shape: one partial-aggregated shuffle on the source key (tens
+    * of keys at any corpus size), then a broadcast 1-row total on the
+    * same DAG (q47 pattern). Nothing here grows with corpus rows.
+    */
+  def q73TemperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val budget = 50000L
+    val per = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("__w", sqrt(col("n_tokens").cast("double")))
+    val total = per.agg(sum(col("__w")).as("__wsum"))
+    per.crossJoin(broadcast(total))
+      .withColumn("weight", round(col("__w") / col("__wsum"), 6))
+      .withColumn("target_tokens",
+        floor(lit(budget.toDouble) * col("__w") / col("__wsum")).cast("long"))
+      .withColumn("keep_rate",
+        round(least(lit(1.0),
+          col("target_tokens").cast("double") / col("n_tokens")), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("target_tokens"), col("keep_rate"))
+  }
+
+  /** Token-diversity gibberish gate via COLLISION entropy (Rényi-2), not
+    * Shannon: the collision probability Σc_i²/n² and its inverse (the
+    * "effective vocabulary" — how many equally-likely tokens would look
+    * this repetitive) are ratios of EXACT integers, so engine and oracle
+    * agree bit-for-bit where a Shannon Σ p·log p never could (q71's
+    * rationale). Low effective-vocab-to-distinct ratio = a few tokens
+    * dominate = boilerplate/spam, the complement of q57's max-token rule.
+    *
+    * Scale shape: ZERO shuffles. Run-length folding over the per-row
+    * sorted token array (one aggregate HOF, integer accumulator) computes
+    * Σc² and the distinct count inside the scan stage — the per-(doc,token)
+    * explode+groupBy formulation would shuffle one row per token occurrence
+    * (at 100 TB: trillions); this shuffles none.
+    */
+  def q74CollisionDiversity(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.collisionStats(col("text")).as("__f"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        col("__f.d").as("distinct_tokens"), col("__f.s2").as("sum_sq"),
+        round(col("__f.s2").cast("double") / (col("n_tokens") * col("n_tokens")),
+          6).as("collision_prob"),
+        round(col("n_tokens").cast("double") * col("n_tokens") / col("__f.s2"),
+          4).as("effective_vocab"))
+  }
+
+  /** Bloom-filter benchmark decontamination
+    * ([[CorpusClean.bloomContaminatedFlags]]): q58's n-gram-overlap
+    * semantics with the membership test folded into the corpus scan stage
+    * as a codegen'd Bloom probe — zero shuffles and zero joins over the
+    * training side, the 100 TB cadence. No false negatives by
+    * construction; the fpp=0.001 false-positive tail over-flags at most a
+    * handful of clean docs (BloomSpec pins the superset guarantee and the
+    * FP bound against the exact q58 ids). The sketch's hash layout is not
+    * DuckDB-expressible → rows-only driver check, like the other
+    * approximation ops.
+    */
+  def q75BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    CorpusClean.bloomContaminatedFlags(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text", n = 8, expectedGrams = 1L << 16, fpp = 0.001)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("__contaminated"), 1L).otherwise(0L)).as("flagged"))
+  }
+
   /** The GPT-2-style pre-tokenization pattern, single-sourced: the q68
     * engine query, its DuckDB oracle, and the known-answer spec all read
     * this constant, so the three can never drift. Lookaround-free and
@@ -874,6 +958,9 @@ object NorthStarQueries {
     "q70_duplicate_spans" -> (q70DuplicateSpans _),
     "q71_bigram_fluency" -> (q71BigramFluency _),
     "q72_semantic_dedup" -> (q72SemanticDedup _),
+    "q73_temperature_mixture" -> (q73TemperatureMixture _),
+    "q74_collision_diversity" -> (q74CollisionDiversity _),
+    "q75_bloom_decontaminate" -> (q75BloomDecontaminate _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -1484,6 +1571,34 @@ object NorthStarQueries {
                    / (count(*) * 1000000000.0), 6) AS fluency
           FROM bg JOIN model USING (w1, w2)
           GROUP BY doc_id""",
+
+    "q73_temperature_mixture" ->
+      s"""WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
+                   sqrt(CAST(sum(len($tokensSql)) AS DOUBLE)) AS w
+            FROM documents GROUP BY source),
+          tot AS (SELECT sum(w) AS wsum FROM per)
+          SELECT source, n_docs, n_tokens,
+                 round(w / wsum, 6) AS weight,
+                 CAST(floor(50000.0 * w / wsum) AS BIGINT) AS target_tokens,
+                 round(least(1.0,
+                   CAST(floor(50000.0 * w / wsum) AS DOUBLE) / n_tokens), 6)
+                   AS keep_rate
+          FROM per CROSS JOIN tot""",
+
+    "q74_collision_diversity" ->
+      s"""WITH t AS (
+            SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+          c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS d,
+                       CAST(sum(c * c) AS BIGINT) AS s2
+                FROM c GROUP BY 1)
+          SELECT doc_id, n AS n_tokens, d AS distinct_tokens, s2 AS sum_sq,
+                 round(CAST(s2 AS DOUBLE) / (n * n), 6) AS collision_prob,
+                 round(CAST(n AS DOUBLE) * n / s2, 4) AS effective_vocab
+          FROM p""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

@@ -189,6 +189,92 @@ class NorthStarSpec extends AnyFunSuite {
     assert(flagged == Set(1L, 3L))
   }
 
+  test("collisionStats run-length fold equals the explode+groupBy formulation") {
+    val d = Seq(
+      (1L, "a a a b b c"),          // counts 3,2,1 → s2=14, d=3, n=6
+      (2L, "same same same same"),  // 4² = 16, d=1
+      (3L, "all distinct words here now"),
+      (4L, "  "),                   // whitespace-only → (0, 0)
+      (5L, "z"))
+      .toDF("doc_id", "text")
+    val got = d.select($"doc_id",
+      TextAnalysis.collisionStats($"text").as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    assert(got(1L) == ((14L, 3L)))
+    assert(got(2L) == ((16L, 1L)))
+    assert(got(3L) == ((5L, 5L)))
+    assert(got(4L) == ((0L, 0L)))
+    assert(got(5L) == ((1L, 1L)))
+    // cross-check against the shuffle formulation on the same rows
+    val exploded = d
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c" * $"c").as("s2"), count(lit(1)).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exploded.foreach { case (id, v) => assert(got(id) == v, s"doc $id") }
+  }
+
+  test("bloom decontamination flags a superset of the exact ids, never misses") {
+    val run = "one two three four five six seven eight"
+    val training = Seq(
+      (1L, s"prefix words $run trailing text"),
+      (2L, "totally unrelated content with many distinct words here"),
+      (3L, s"$run"),
+      (4L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"$run and more")).toDF("doc_id", "text")
+    val exact = graft.northstar.CorpusClean
+      .contaminatedIds(training, bench, "doc_id", "text", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    val flagged = graft.northstar.CorpusClean
+      .bloomContaminatedFlags(training, bench, "doc_id", "text", n = 8,
+        expectedGrams = 1024, fpp = 0.001)
+      .filter($"__contaminated")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged), s"false negatives: ${exact -- flagged}")
+    // at fpp=0.001 over a handful of grams, expect zero false positives
+    assert(flagged == exact, s"unexpected FPs at tiny scale: ${flagged -- exact}")
+  }
+
+  test("bloom decontamination at sf0.001 is a superset of exact with a bounded FP tail") {
+    val docs = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val train = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val bench = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val exact = graft.northstar.CorpusClean
+      .contaminatedIds(train, bench, "doc_id", "text", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    val flagged = graft.northstar.CorpusClean
+      .bloomContaminatedFlags(train, bench, "doc_id", "text", n = 8,
+        expectedGrams = 1L << 16, fpp = 0.001)
+      .filter($"__contaminated")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged), s"false negatives: ${exact -- flagged}")
+    val clean = train.count() - exact.size
+    // ~90 grams/doc × fpp 0.001 ⇒ per-doc FP odds ≲ 9%; allow 3× slack
+    assert(flagged.size - exact.size <= math.max(5L, clean * 3 / 10),
+      s"FP tail too fat: ${flagged.size - exact.size} of $clean clean docs")
+  }
+
+  test("temperature mixture: weights normalize, targets respect the budget") {
+    val rows = graft.queries.NorthStarQueries
+      .q73TemperatureMixture(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length >= 2)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum <= 50000L)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      // flattening: every source's weight exceeds half its natural share
+      val natural = r.getAs[Long]("n_tokens").toDouble /
+        rows.map(_.getAs[Long]("n_tokens")).sum
+      assert(r.getAs[Double]("weight") >= natural / 2 - 1e-9,
+        s"source ${r.getAs[String]("source")} under-weighted")
+    }
+  }
+
   test("incremental near-dup against an index equals full-batch pairs touching the batch") {
     // index = docs {1,3}, incoming batch = {2,4}: the incremental result
     // must be exactly the full-batch pair set restricted to pairs with at

@@ -278,6 +278,33 @@ class ScaleSpec extends AnyFunSuite {
       s"winnowing must shuffle exactly once (doc_id), plan:\n$winnowPlan")
   }
 
+  test("round-3 corpus ops keep their promised plan shapes") {
+    // q74 collision diversity: the run-length fold happens inside the scan
+    // stage — ZERO exchanges (the explode+groupBy formulation it replaces
+    // shuffles one row per token occurrence)
+    val divPlan = graft.queries.NorthStarQueries
+      .q74CollisionDiversity(spark, dir).queryExecution.executedPlan.toString
+    assert(!divPlan.contains("Exchange"),
+      s"collision diversity must not shuffle:\n$divPlan")
+    // q75 bloom decontamination: membership is a scan-stage predicate —
+    // no join anywhere; the only exchange is the final per-lang rollup
+    val bloomPlan = graft.queries.NorthStarQueries
+      .q75BloomDecontaminate(spark, dir).queryExecution.executedPlan.toString
+    assert(!bloomPlan.contains("Join"),
+      s"bloom decontamination must not plan a join:\n$bloomPlan")
+    assert("Exchange".r.findAllIn(bloomPlan).size == 1,
+      s"bloom decontamination must shuffle only the lang rollup:\n$bloomPlan")
+    // q73 temperature mixture: one hash exchange on the source key plus
+    // the broadcast of the 1-row total — nothing scales with corpus rows
+    val mixPlan = graft.queries.NorthStarQueries
+      .q73TemperatureMixture(spark, dir).queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastNestedLoopJoin") ||
+      mixPlan.contains("BroadcastExchange"),
+      s"mixture total must broadcast:\n$mixPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(mixPlan).size <= 2,
+      s"mixture must shuffle only the source rollup:\n$mixPlan")
+  }
+
   test("corpus quality gate filters inside the scan stage, before any shuffle") {
     import graft.northstar.CorpusClean
     val plan = CorpusClean.clean(
