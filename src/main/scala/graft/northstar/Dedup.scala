@@ -49,11 +49,19 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numPerm: Int, shingleSize: Int): DataFrame =
+    minhashSignaturesWith(docs, idCol, textCol, numPerm, shingleSize, Nil)
+
+  /** [[minhashSignatures]] carrying extra columns through (the streaming
+    * near-dup path needs the event-time column alongside the signature) —
+    * same shingle/permutation scheme by construction.
+    */
+  def minhashSignaturesWith(docs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int, shingleSize: Int, carry: Seq[String]): DataFrame =
     signaturesFromShingles(
-      docs.select(col(idCol),
+      docs.select(col(idCol) +: carry.map(col) :+
         array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize))
-          .as("__shingles")),
-      idCol, numPerm)
+          .as("__shingles"): _*),
+      idCol, numPerm, carry)
 
   /** Signatures from a (id, __shingles) frame — shared by the standalone
     * signature op and the near-duplicate path so the permutation scheme
@@ -62,23 +70,32 @@ object Dedup {
     * (no rows after explode → no aggregate row).
     */
   private def signaturesFromShingles(shingleSets: DataFrame, idCol: String,
-      numPerm: Int): DataFrame =
-    shingleSets.select(col(idCol),
+      numPerm: Int, carry: Seq[String] = Nil): DataFrame =
+    shingleSets.select(col(idCol) +: carry.map(col) :+
         graft.functions.MinHashFunctions
-          .minhash_signature(col("__shingles"), numPerm).as("__sig"))
+          .minhash_signature(col("__shingles"), numPerm).as("__sig"): _*)
       .filter(col("__sig").isNotNull)
 
   /** LSH banding: explode the signature into (band_id, band_hash) rows.
     * Equal band hash in any band → candidate pair.
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int): DataFrame =
+    lshBandsWith(df, idCol, sigCol, bands, rowsPerBand, Nil)
+
+  /** [[lshBands]] carrying extra columns through — same band-hash formula
+    * by construction (the streaming path rides the event-time column
+    * alongside each banded row).
+    */
+  def lshBandsWith(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int, carry: Seq[String]): DataFrame = {
     val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band_id"),
         xxhash64(concat_ws(",",
           slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))).as("band_hash")))
-    df.select(col(idCol), explode(bandHashes).as("b"))
-      .select(col(idCol), col("b.band_id"), col("b.band_hash"))
+    df.select(col(idCol) +: carry.map(col) :+ explode(bandHashes).as("b"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("b.band_id") :+ col("b.band_hash"): _*)
   }
 
   /** Candidate pairs from banded signatures: self-join on (band_id,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * Spark-side plumbing — schema, partition-friendly batch iteration, typed
   * encoders, frame slicing — is real and tested. Image dimensions are
   * parsed for real from PNG/JPEG container headers in pure JVM code
-  * ([[Multimodal.MediaDecoder.ImageHeaders]]); full pixel/sample decode
+  * ([[Multimodal.MediaDecoder.ContainerHeaders]]); full pixel/sample decode
   * remains behind the same pluggable [[Multimodal.MediaDecoder]] seam
   * (this container ships no codec libraries — a deployment binds one
   * there; [[Multimodal.MediaDecoder.Fake]] is the deterministic test
@@ -28,7 +28,11 @@ object Multimodal {
   final case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       byte_histogram: Array[Long], checksum: Long,
-      width: Option[Int], height: Option[Int])
+      width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], channels: Option[Int])
+
+  final case class AudioFormat(sample_rate: Int, channels: Int,
+      bits_per_sample: Int)
 
   /** The pluggable decode seam: a real deployment binds a codec library
     * here; the Spark plumbing (typed mapPartitions, schema, batch shape)
@@ -38,19 +42,52 @@ object Multimodal {
   trait MediaDecoder extends Serializable {
     /** (width, height) if the payload is a recognized image container. */
     def dimensions(payload: Array[Byte]): Option[(Int, Int)]
+    /** Sample format if the payload is a recognized audio container. */
+    def audioFormat(payload: Array[Byte]): Option[AudioFormat] = None
   }
 
   object MediaDecoder {
 
-    /** Pure-JVM container-header parse — REAL dimensions from real bytes,
+    /** Pure-JVM container-header parse — REAL metadata from real bytes,
       * no codec library needed: PNG's IHDR chunk (width/height at fixed
-      * offsets 16/20 per the PNG spec, RFC 2083 §3.1) and JPEG's SOFn
+      * offsets 16/20 per the PNG spec, RFC 2083 §3.1), JPEG's SOFn
       * marker segment (height/width big-endian after precision, ITU T.81
-      * §B.2.2), found by walking the marker stream.
+      * §B.2.2) found by walking the marker stream, and WAV's `fmt ` chunk
+      * (channels/sample-rate/bits little-endian, RIFF/WAVE per the
+      * Microsoft/IBM WAVE spec) found by walking the RIFF chunk list.
       */
-    object ImageHeaders extends MediaDecoder {
+    object ContainerHeaders extends MediaDecoder {
       override def dimensions(b: Array[Byte]): Option[(Int, Int)] =
         png(b).orElse(jpeg(b))
+
+      override def audioFormat(b: Array[Byte]): Option[AudioFormat] = {
+        // RIFF<size>WAVE then a chunk walk: id(4) size(4,LE) payload
+        if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+          b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+          b(11) != 'E') return None
+        var i = 12
+        while (i + 8 <= b.length) {
+          val size = le32(b, i + 4)
+          if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+            b(i + 3) == ' ') {
+            // fmt: format(2) channels(2) sampleRate(4) byteRate(4)
+            //      blockAlign(2) bitsPerSample(2) — all little-endian
+            return if (size >= 16 && i + 8 + 16 <= b.length)
+              Some(AudioFormat(le32(b, i + 12), le16(b, i + 10),
+                le16(b, i + 22)))
+            else None
+          }
+          if (size < 0) return None // corrupt size would loop forever
+          i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+        }
+        None
+      }
+
+      private def le16(b: Array[Byte], i: Int): Int =
+        (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      private def le32(b: Array[Byte], i: Int): Int =
+        (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+          ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
       private def be16(b: Array[Byte], i: Int): Int =
         ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
@@ -119,14 +156,14 @@ object Multimodal {
 
   /** Feature extraction over payload bytes. Byte statistics (histogram +
     * rolling checksum) are computed inline; image dimensions come from the
-    * pluggable `decoder` — [[MediaDecoder.ImageHeaders]] reads real
+    * pluggable `decoder` — [[MediaDecoder.ContainerHeaders]] reads real
     * PNG/JPEG headers, [[MediaDecoder.Fake]] is the deterministic test
     * double, and a production deployment binds a full codec at the same
     * seam. Full pixel/sample statistics stay out of scope in this container
     * (no codec libraries) — that remaining stub IS the decoder seam.
     */
   def extractFeatures(media: Dataset[MediaRow],
-      decoder: MediaDecoder = MediaDecoder.ImageHeaders): Dataset[MediaFeatures] = {
+      decoder: MediaDecoder = MediaDecoder.ContainerHeaders): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -140,8 +177,10 @@ object Multimodal {
           i += 1
         }
         val dims = decoder.dimensions(r.payload)
+        val audio = decoder.audioFormat(r.payload)
         MediaFeatures(r.media_id, r.meta.kind, r.payload.length, hist, checksum,
-          dims.map(_._1), dims.map(_._2))
+          dims.map(_._1), dims.map(_._2),
+          audio.map(_.sample_rate), audio.map(_.channels))
       }
     }
   }

@@ -20,7 +20,9 @@ object ExplainAudit {
       "q06_delivery_by_priority_month", "q24_minhash_near_dups",
       "q41_train_split", "q42_corpus_clean", "q44_vector_quantize",
       "q55_fuzzy_suppliers", "q58_decontamination", "q61_zipf_profile",
-      "q67_winnowing_fingerprints", "q68_bpe_pretokenize")
+      "q67_winnowing_fingerprints", "q68_bpe_pretokenize",
+      "q73_temperature_mixture", "q74_collision_diversity",
+      "q75_bloom_decontaminate")
     names.foreach { n =>
       println(s"================ $n ================")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -28,15 +28,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
   }
 
-  test("ImageHeaders decoder reads real dimensions from handcrafted PNG/JPEG headers") {
-    import Multimodal.MediaDecoder.ImageHeaders
+  test("ContainerHeaders reads real dimensions from handcrafted PNG/JPEG headers") {
+    import Multimodal.MediaDecoder.ContainerHeaders
     // minimal PNG: 8-byte signature, IHDR length, "IHDR", width=640, height=480
     val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
       0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',                   // len + type
       0x00, 0x00, 0x02, 0x80,                                       // width 640
       0x00, 0x00, 0x01, 0xe0,                                       // height 480
       0x08, 0x06, 0x00, 0x00, 0x00).map(_.toByte)
-    assert(ImageHeaders.dimensions(png).contains((640, 480)))
+    assert(ContainerHeaders.dimensions(png).contains((640, 480)))
     // minimal JPEG: SOI, APP0 segment (skipped), SOF0 with height=120 width=320
     val jpeg = Array(0xff, 0xd8,                                     // SOI
       0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,                           // APP0 len 4
@@ -44,11 +44,33 @@ class MultimodalSpec extends AnyFunSuite {
       0x00, 0x78,                                                   // height 120
       0x01, 0x40,                                                   // width 320
       0x03, 0x01, 0x22, 0x00).map(_.toByte)
-    assert(ImageHeaders.dimensions(jpeg).contains((320, 120)))
+    assert(ContainerHeaders.dimensions(jpeg).contains((320, 120)))
     // non-image payloads decode to None, not garbage
-    assert(ImageHeaders.dimensions("plain text".getBytes).isEmpty)
-    assert(ImageHeaders.dimensions(Array[Byte]()).isEmpty)
-    assert(ImageHeaders.dimensions(png.take(20)).isEmpty)
+    assert(ContainerHeaders.dimensions("plain text".getBytes).isEmpty)
+    assert(ContainerHeaders.dimensions(Array[Byte]()).isEmpty)
+    assert(ContainerHeaders.dimensions(png.take(20)).isEmpty)
+  }
+
+  test("ContainerHeaders reads WAV sample format from a handcrafted RIFF header") {
+    import Multimodal.MediaDecoder.ContainerHeaders
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff)
+    // RIFF/WAVE with a JUNK chunk before fmt — the walker must skip it
+    // (odd-sized, so word-alignment padding is exercised too)
+    val wav = (Seq('R', 'I', 'F', 'F').map(_.toInt) ++ le32(64) ++
+      Seq('W', 'A', 'V', 'E').map(_.toInt) ++
+      Seq('J', 'U', 'N', 'K').map(_.toInt) ++ le32(3) ++
+      Seq(0, 0, 0, 0) ++ // 3 junk bytes + 1 alignment pad
+      Seq('f', 'm', 't', ' ').map(_.toInt) ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++
+      le16(4) ++ le16(16)).map(_.toByte).toArray
+    val got = ContainerHeaders.audioFormat(wav)
+    assert(got.contains(Multimodal.AudioFormat(44100, 2, 16)))
+    // non-audio payloads decode to None, not garbage
+    assert(ContainerHeaders.audioFormat("plain text".getBytes).isEmpty)
+    assert(ContainerHeaders.audioFormat(wav.take(16)).isEmpty)
+    assert(ContainerHeaders.dimensions(wav).isEmpty)
   }
 
   test("extractFeatures surfaces decoded dims through the pluggable seam") {

@@ -86,6 +86,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.read(spark).count() == expected)
   }
 
+  test("streaming near-dup candidates equal the batch LSH candidate pair set") {
+    import graft.streaming.CorpusStream
+    import graft.northstar.Dedup
+    import org.apache.spark.sql.functions._
+    // documents with a synthetic event time (same instant — no eviction
+    // during the run, so every batch-colliding pair must also stream out)
+    val docs = graft.io.Tables.read(spark, dir, "documents")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndin")
+    docs.write.mode("overwrite").parquet(tmp.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp.toString)
+    val q = CorpusStream.nearDupCandidates(stream, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("ndcand")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ndcand").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.candidatePairs(
+      Dedup.lshBands(
+        Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3),
+        "doc_id", "__sig", 16, 4), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"stream-only=${got -- want} batch-only=${want -- got}")
+    assert(want.nonEmpty)
+  }
+
+  test("streaming near-dup bucket state is evicted once the watermark passes") {
+    import graft.streaming.CorpusStream
+    // identical docs 6h apart, with watermark-advancing filler between:
+    // the twin arriving after its bucket expired must pair with nothing
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndev").toString
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    def rows(xs: (Long, String, String)*) = xs
+      .map { case (id, t, txt) => (id, txt, java.sql.Timestamp.valueOf(t)) }
+      .toDF("doc_id", "text", "ts")
+    val schema = rows((0L, "2026-01-01 00:00:00", "x")).schema
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+    val q = CorpusStream.nearDupCandidates(stream, "doc_id", "text", "ts",
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("ndev")
+      .outputMode("append").start()
+    try {
+      // batch 0: the twin pair inside one window → pair (1,2) emits
+      rows((1L, "2026-01-01 00:00:00", dup), (2L, "2026-01-01 00:00:00", dup))
+        .write.mode("append").parquet(tmp)
+      q.processAllAvailable()
+      // batch 1: filler advances max event time to 06:00 (wm still old)
+      rows((3L, "2026-01-01 06:00:00", "totally different filler words one"))
+        .write.mode("append").parquet(tmp)
+      q.processAllAvailable()
+      // batch 2: more filler runs with wm = 05:00 → the hour-0 bucket
+      // (timeout 01:00) receives no data and is evicted here
+      rows((5L, "2026-01-01 06:00:02", "other unrelated filler words two"))
+        .write.mode("append").parquet(tmp)
+      q.processAllAvailable()
+      // batch 3: the late twin lands in a FRESH bucket → no pair
+      rows((4L, "2026-01-01 06:00:03", dup))
+        .write.mode("append").parquet(tmp)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("ndev").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)), s"same-window twin pair must emit: $out")
+    assert(!out.exists { case (a, b) => a == 4L || b == 4L },
+      s"doc 4 arrived after the bucket expired — no cross-window pair: $out")
+  }
+
   test("sessionize emits gap-separated sessions per user") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions")
