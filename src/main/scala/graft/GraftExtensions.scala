@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, ShingleHashes}
+import graft.functions.{CosineSimilarity, DotProduct, ShingleHashes, TokenCollisionStats}
 import graft.io.Tables
 
 /** Session extension wiring — the deployment path for graft's native SQL
@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
         GraftExtensions.literalInt(exprs(1), "shingle_hashes k"))))
+    extensions.injectFunction((
+      FunctionIdentifier("token_collision_stats"),
+      new ExpressionInfo(classOf[TokenCollisionStats].getName,
+        "token_collision_stats"),
+      (exprs: Seq[Expression]) => TokenCollisionStats(exprs.head)))
   }
 }
 

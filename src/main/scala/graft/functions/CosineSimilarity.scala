@@ -187,5 +187,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs(0),
         graft.GraftExtensions.literalInt(exprs(1), "shingle_hashes k")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "token_collision_stats", exprs => TokenCollisionStats(exprs(0)),
+      "scala_udf")
   }
 }

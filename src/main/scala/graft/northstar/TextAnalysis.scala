@@ -91,16 +91,28 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Token-multiset collision statistics in ONE scan-stage pass: a
-    * run-length fold over the sorted token array yielding
+  /** Token-multiset collision statistics in ONE scan-stage pass:
     * `struct(s2 = Σ cᵢ², d = distinct tokens)` where cᵢ are per-token
     * occurrence counts. Powers the Rényi-2 (collision) diversity gate
     * (q74): both outputs are exact integers, so downstream ratios are
     * cross-engine bit-stable — and the equivalent explode+groupBy
     * formulation would shuffle one row per token OCCURRENCE, where this
     * shuffles nothing. Empty/whitespace-only text folds to (0, 0).
+    * Runs as the native [[graft.functions.TokenCollisionStats]] compiled
+    * pass; [[collisionStatsHof]] is the Column-algebra reference form
+    * NorthStarSpec pins it against.
     */
-  def collisionStats(text: Column): Column = {
+  def collisionStats(text: Column): Column =
+    graft.functions.TokenCollisionFunctions.token_collision_stats(text)
+
+  /** Reference formulation of [[collisionStats]]: a run-length fold over
+    * the sorted token array via the `aggregate` higher-order function.
+    * Semantically identical (modulo the hash-collision caveat documented
+    * on the native expression); kept for the bit-parity spec — HOF
+    * lambdas run interpreted per token, so the native pass is what ships
+    * in the scan stage.
+    */
+  def collisionStatsHof(text: Column): Column = {
     val sorted = array_sort(tokens(text))
     // fold state: (prev token, current run length, Σ run², distinct runs);
     // "" can never equal a real token (empties are dropped), so the seed

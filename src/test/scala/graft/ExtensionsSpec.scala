@@ -42,4 +42,11 @@ class ExtensionsSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(n == 150)
   }
+
+  test("token_collision_stats is SQL-callable after registration") {
+    GraftCatalog.registerAll(base, "/root/testdata/sf0.001")
+    val r = base.sql(
+      "SELECT token_collision_stats('a a a b b c') AS f").head.getStruct(0)
+    assert((r.getLong(0), r.getLong(1)) == ((14L, 3L)))
+  }
 }

@@ -189,7 +189,7 @@ class NorthStarSpec extends AnyFunSuite {
     assert(flagged == Set(1L, 3L))
   }
 
-  test("collisionStats run-length fold equals the explode+groupBy formulation") {
+  test("collisionStats: native pass ≡ HOF fold ≡ explode+groupBy") {
     val d = Seq(
       (1L, "a a a b b c"),          // counts 3,2,1 → s2=14, d=3, n=6
       (2L, "same same same same"),  // 4² = 16, d=1
@@ -197,16 +197,19 @@ class NorthStarSpec extends AnyFunSuite {
       (4L, "  "),                   // whitespace-only → (0, 0)
       (5L, "z"))
       .toDF("doc_id", "text")
-    val got = d.select($"doc_id",
-      TextAnalysis.collisionStats($"text").as("f"))
-      .collect().map(r => r.getLong(0) ->
-        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    def stats(c: org.apache.spark.sql.Column) =
+      d.select($"doc_id", c.as("f"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    val got = stats(TextAnalysis.collisionStats($"text"))
     assert(got(1L) == ((14L, 3L)))
     assert(got(2L) == ((16L, 1L)))
     assert(got(3L) == ((5L, 5L)))
     assert(got(4L) == ((0L, 0L)))
     assert(got(5L) == ((1L, 1L)))
-    // cross-check against the shuffle formulation on the same rows
+    // the interpreted HOF reference form must agree bit-for-bit
+    assert(stats(TextAnalysis.collisionStatsHof($"text")) == got)
+    // and so must the shuffle formulation on the same rows
     val exploded = d
       .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
@@ -214,6 +217,11 @@ class NorthStarSpec extends AnyFunSuite {
       .agg(sum($"c" * $"c").as("s2"), count(lit(1)).as("d"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     exploded.foreach { case (id, v) => assert(got(id) == v, s"doc $id") }
+    // corpus-scale parity: native vs HOF across every sf0.001 document
+    val docs = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val native = docs.select($"doc_id", TextAnalysis.collisionStats($"text").as("f"))
+    val hof = docs.select($"doc_id", TextAnalysis.collisionStatsHof($"text").as("f"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
   test("bloom decontamination flags a superset of the exact ids, never misses") {
