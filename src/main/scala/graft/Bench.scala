@@ -20,6 +20,21 @@ object Bench {
     // measure steady state, not first-query startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+
+    // Hypervisor CPU-steal during the run, in seconds of stolen CPU time
+    // (field 8 of /proc/stat's cpu line, USER_HZ ticks summed over all
+    // vCPUs). Host-level steal bursts freeze the whole JVM for tens of
+    // seconds and land on whichever query is running — recording the
+    // delta lets a reader tell a real regression from a noisy-neighbor
+    // episode before comparing totals across runs.
+    def stealTicks(): Long =
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).getOrElse("")
+        val f = line.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } catch { case _: Throwable => 0L }
+    val steal0 = stealTicks()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must not masquerade as a fast healthy one — record
@@ -37,10 +52,11 @@ object Bench {
     // -1.0 failure markers must not be summed — they would understate the
     // total and make it non-monotonic with failures
     val total = results.values.filter(_ >= 0).sum
+    val stealSec = (stealTicks() - steal0) / 100.0
     // stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON — the driver parses the final stdout line as the result object
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_sec":$stealSec,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

@@ -900,6 +900,34 @@ object NorthStarQueries {
         sum(when(col("__contaminated"), 1L).otherwise(0L)).as("flagged"))
   }
 
+  /** Count-Min-Sketch heavy hitters ([[graft.functions.CmsEstimate]]):
+    * the exact q61-style top-20 tokens annotated with their sketch
+    * frequency estimates and overcounts — the sketch vs ground-truth
+    * audit a pipeline runs before trusting CMS lookups at a scale where
+    * the exact term-frequency table no longer fits. The sketch builds in
+    * one tree-aggregated pass (a few-KB mergeable table, no
+    * vocabulary-sized shuffle); probes are codegen'd scan-stage lookups.
+    * CMS never undercounts and overcounts by ≤ ε·N w.h.p. (AccuracySpec
+    * pins both); the seeded sketch is deterministic but its hash layout
+    * is not DuckDB-expressible → rows-only driver check.
+    */
+  def q76HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.CmsFunctions
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val bytes = CmsFunctions.serialize(
+      toks.stat.countMinSketch("tok", eps = 0.0005, confidence = 0.99,
+        seed = 42))
+    val est = CmsFunctions.cms_estimate(col("tok"), bytes)
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("tok")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("occurrences").desc, col("tok"))))
+      .select(col("rank"), col("tok"), col("occurrences"),
+        est.as("estimated"), (est - col("occurrences")).as("overcount"))
+  }
+
   /** The GPT-2-style pre-tokenization pattern, single-sourced: the q68
     * engine query, its DuckDB oracle, and the known-answer spec all read
     * this constant, so the three can never drift. Lookaround-free and
@@ -961,6 +989,7 @@ object NorthStarQueries {
     "q73_temperature_mixture" -> (q73TemperatureMixture _),
     "q74_collision_diversity" -> (q74CollisionDiversity _),
     "q75_bloom_decontaminate" -> (q75BloomDecontaminate _),
+    "q76_heavy_hitters" -> (q76HeavyHitters _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every

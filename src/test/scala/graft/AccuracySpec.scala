@@ -27,4 +27,35 @@ class AccuracySpec extends AnyFunSuite {
         s"$flag: approx p50 $aP50 vs $eP50")
     }
   }
+
+  test("count-min sketch never undercounts and overcounts within eps*N") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CmsFunctions
+    import graft.northstar.TextAnalysis
+    val eps = 0.0005
+    val toks = graft.io.Tables.read(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val bytes = CmsFunctions.serialize(
+      toks.stat.countMinSketch("tok", eps, 0.99, 42))
+    val n = toks.count()
+    // audit EVERY distinct token, not just the heavy hitters
+    val audited = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .select(col("tok"), col("exact"),
+        CmsFunctions.cms_estimate(col("tok"), bytes).as("est"))
+      .collect()
+    assert(audited.nonEmpty)
+    audited.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted ${r.getString(0)}: ${r.getLong(2)} < ${r.getLong(1)}")
+    }
+    // ε·N bound holds w.p. ≥ 1−δ per key; allow a 1% violator tail (δ)
+    val bound = eps * n
+    val violators = audited.count(r => (r.getLong(2) - r.getLong(1)) > bound)
+    assert(violators <= math.max(1, audited.length / 100),
+      s"$violators of ${audited.length} tokens exceed the eps*N=$bound overcount")
+    // q76 surfaces the same numbers for the top-20 with exact ranks
+    val q76 = SparkEntry.queries("q76_heavy_hitters")(spark, dir).collect()
+    assert(q76.length == 20)
+    assert(q76.forall(r => r.getAs[Long]("overcount") >= 0L))
+  }
 }
