@@ -163,12 +163,30 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   def compact(spark: SparkSession, targetPartitions: Int,
       sortCols: Seq[String] = Nil): ParquetTable = {
     import org.apache.spark.sql.functions.col
-    val df0 = read(spark).repartition(targetPartitions)
+    // sorted compaction must RANGE-partition on the sort key: a
+    // round-robin repartition + in-partition sort clusters row groups
+    // inside each file but leaves every FILE spanning the full key range,
+    // so footer min/max stats prune nothing at the file level (ScaleSpec
+    // measures exactly this)
+    val src = read(spark)
     val df = if (sortCols.nonEmpty)
-      df0.sortWithinPartitions(sortCols.map(col).toIndexedSeq: _*)
-    else df0
+      src.repartitionByRange(targetPartitions,
+          sortCols.map(col).toIndexedSeq: _*)
+        .sortWithinPartitions(sortCols.map(col).toIndexedSeq: _*)
+    else src.repartition(targetPartitions)
     overwrite(df)
   }
+
+  /** OPTIMIZE ZORDER BY: rewrite clustered on the Morton code of `zCols`
+    * so parquet footer stats prune scans filtered on ANY of them — a
+    * linear `compact(sortCols)` only skips on its leading column
+    * ([[graft.scale.ZOrder]]; ScaleSpec quantifies the per-file width
+    * collapse on the second dimension).
+    */
+  def compactZOrder(spark: SparkSession, targetPartitions: Int,
+      zCols: Seq[String], bits: Int = 16): ParquetTable =
+    overwrite(graft.scale.ZOrder.layout(read(spark), zCols,
+      targetPartitions, bits))
 
   /** Drop all version dirs except the live one (Delta VACUUM). The
     * directory streams are closed explicitly — leaked directory fds from

@@ -278,6 +278,48 @@ class ScaleSpec extends AnyFunSuite {
       s"winnowing must shuffle exactly once (doc_id), plan:\n$winnowPlan")
   }
 
+  test("z-order compaction collapses per-file ranges on BOTH dimensions") {
+    import graft.io.ParquetTable
+    val li = Tables.read(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val base = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val linear = new ParquetTable(base + "/linear")
+    linear.overwrite(li)
+    linear.compact(spark, targetPartitions = 8, sortCols = Seq("l_orderkey"))
+    val zt = new ParquetTable(base + "/z")
+    zt.overwrite(li)
+    zt.compactZOrder(spark, targetPartitions = 8,
+      zCols = Seq("l_orderkey", "l_partkey"))
+
+    // mean per-FILE value range, normalized by the global range — exactly
+    // what parquet footer min/max pruning sees for a filter on that column
+    def meanWidth(t: ParquetTable, c: String): Double = {
+      val stats = t.read(spark)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).cast("double").as("lo"),
+          max(col(c)).cast("double").as("hi"))
+        .collect()
+      assert(stats.length >= 6, s"expected ~8 files, got ${stats.length}")
+      val glo = stats.map(_.getDouble(1)).min
+      val ghi = stats.map(_.getDouble(2)).max
+      stats.map(r => (r.getDouble(2) - r.getDouble(1)) / (ghi - glo)).sum /
+        stats.length
+    }
+
+    // linear sort: leading column skips, the second dimension cannot —
+    // every file spans (nearly) the full partkey range
+    assert(meanWidth(linear, "l_orderkey") < 0.3,
+      "linear sort must cluster its leading column")
+    assert(meanWidth(linear, "l_partkey") > 0.8,
+      "linear sort leaves the second dimension unclustered (the problem)")
+    // z-order: BOTH dimensions collapse — footer stats prune scans
+    // filtered on either column
+    assert(meanWidth(zt, "l_orderkey") < 0.65,
+      "z-order must bound the first dimension per file")
+    assert(meanWidth(zt, "l_partkey") < 0.65,
+      "z-order must bound the second dimension per file")
+  }
+
   test("round-3 corpus ops keep their promised plan shapes") {
     // q74 collision diversity: the run-length fold happens inside the scan
     // stage — ZERO exchanges (the explode+groupBy formulation it replaces
