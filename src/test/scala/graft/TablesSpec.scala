@@ -76,6 +76,11 @@ class TablesSpec extends AnyFunSuite {
     t.compact(spark, targetPartitions = 2, sortCols = Seq("id"))
     assert(partFiles == 2)
     assert(TestSpark.rows(t.read(spark)) == before)
+    // z-order rewrite: same multiset, helper column gone, file budget kept
+    t.compactZOrder(spark, targetPartitions = 4, zCols = Seq("id"))
+    assert(partFiles == 4)
+    assert(TestSpark.rows(t.read(spark)) == before)
+    assert(!t.read(spark).columns.contains("__z"))
   }
 
   test("changesBetween emits insert/delete pairs, null-safe on every column") {
