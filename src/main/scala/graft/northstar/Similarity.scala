@@ -156,31 +156,62 @@ object Similarity {
     * paper's trick — at the cost of missing the (rare) near-pairs the
     * quantizer splits across cells.
     *
+    * The hot-cell worst case is bounded EXPLICITLY, not by AQE luck: a
+    * cell larger than `maxCellSize` is sub-sharded by a hash of the id
+    * into ⌈|cell|/maxCellSize⌉ shards and the drop rule runs within each
+    * shard, so pairwise work is ≤ Σshards·(≈maxCellSize)² even when the
+    * quantizer degenerates to one giant cell. Sub-sharding misses
+    * cross-shard pairs the same way the quantizer already misses
+    * cross-cell pairs — SemDeDup's recall tolerates quantizer splits by
+    * design (the paper's own k grows with corpus size for the same
+    * reason). The candidate exchange carries (cell, shard, id) ONLY;
+    * vectors join in by id afterwards, so the skewed shuffle key never
+    * carries the fat payload.
+    *
     * Deterministic end to end: the quantizer is the seeded driver-side
     * [[IvfIndex]] fit (bounded sample, bit-stable centers), assignment is
-    * map-side argmin, and the drop rule ("a lower id ≥ threshold exists in
-    * my cell") depends on no iteration order. The within-cell self-join
-    * shuffles on `cell`; hot cells are exactly the skewed-shuffle case AQE
-    * skew-split handles (ScaleSpec proves the mechanism), and `nClusters`
-    * scales with corpus size to keep cells bounded.
+    * map-side argmin, sharding is a pure hash of the id, and the drop
+    * rule ("a lower id ≥ threshold exists in my shard") depends on no
+    * iteration order.
     *
     * Returns one row per vector: (id, cell, kept).
     */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int, threshold: Double, seed: Long = 42L): DataFrame = {
+      nClusters: Int, threshold: Double, seed: Long = 42L,
+      maxCellSize: Int = 8192): DataFrame = {
     val assigned = IvfIndex.build(embeddings, idCol, vecCol, nClusters, seed)
       .assigned  // (neighbor_id, __cv, cell) — map-side after the fit
-    val x = assigned.select(col("cell"), col("neighbor_id").as("id_a"),
-      col("__cv").as("__va"))
-    val y = assigned.select(col("cell"), col("neighbor_id").as("id_b"),
-      col("__cv").as("__vb"))
-    val dropped = x.join(y, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = semanticDedupCandidates(assigned, maxCellSize)
+    val va = assigned.select(col("neighbor_id").as("id_a"), col("__cv").as("__va"))
+    val vb = assigned.select(col("neighbor_id").as("id_b"), col("__cv").as("__vb"))
+    val dropped = cand
+      .join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .filter(round(graft.functions.GraftFunctions
         .cosine_sim(col("__va"), col("__vb")), 6) >= threshold)
       .select(col("id_b").as("id")).distinct()
     assigned.select(col("neighbor_id").as("id"), col("cell"))
       .join(dropped.withColumn("__d", lit(1)), Seq("id"), "left")
       .select(col("id"), col("cell"), col("__d").isNull.as("kept"))
+  }
+
+  /** Candidate (id_a < id_b) pairs for [[semanticDedup]]: the within-cell
+    * self-join, sub-sharded so no shuffle key ever fans out more than
+    * ≈maxCellSize rows. Ids only — the vector payload joins in later.
+    * Exposed for the spec that proves the pair-work bound on an
+    * adversarial all-one-cell corpus.
+    */
+  private[graft] def semanticDedupCandidates(assigned: DataFrame,
+      maxCellSize: Int): DataFrame = {
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
+    // per-cell sizes are ≤ nClusters rows — broadcast back for the shard
+    // count; `/` is fractional division in Spark SQL, so ceil is exact
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val ids = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("__shard", pmod(xxhash64(col("neighbor_id")),
+        greatest(lit(1L), ceil(col("__n") / lit(maxCellSize)).cast("long"))))
+      .select(col("cell"), col("__shard"), col("neighbor_id"))
+    ids.as("x").join(ids.as("y"), Seq("cell", "__shard"))
+      .filter(col("x.neighbor_id") < col("y.neighbor_id"))
+      .select(col("x.neighbor_id").as("id_a"), col("y.neighbor_id").as("id_b"))
   }
 }

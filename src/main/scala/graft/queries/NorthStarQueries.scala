@@ -120,9 +120,11 @@ object NorthStarQueries {
     Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
       bands = 4, maxHamming = 3)
 
-  /** Embedding-cosine near-duplicates via random-hyperplane LSH (8 tables ×
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH (4 tables ×
     * 6 planes for the moderate 0.4 threshold this corpus supports).
-    * Approximate by design → rows-only check.
+    * Approximate by design → rows-only check;
+    * [[graft.tools.Accuracy]] gates recall against the brute-force
+    * cos≥0.4 pair set and the structural precision=1.
     */
   def q28EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
@@ -803,10 +805,13 @@ object NorthStarQueries {
   /** SemDeDup (Abbas et al., 2023): k-means-cluster the embedding space,
     * compare only within clusters, drop vectors with a lower-id
     * cluster-mate above the cosine threshold — Σ|cell|² pairwise work
-    * instead of n². Approximate by design (quantizer-split pairs are
-    * missed) and the cluster ids come from the seeded k-means fit, not
-    * DuckDB-expressible → rows-only check; SimilaritySpec pins the drop
-    * rule and determinism.
+    * instead of n², with oversized cells sub-sharded so the worst-case
+    * pair work per shuffle key is capped at ≈maxCellSize² regardless of
+    * quantizer degeneracy (and the candidate exchange carries ids only).
+    * Approximate by design (quantizer-split pairs are missed) and the
+    * cluster ids come from the seeded k-means fit, not
+    * DuckDB-expressible → rows-only check; IvfSpec pins the drop rule,
+    * determinism, and the adversarial all-one-cell pair-work bound.
     */
   def q72SemanticDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",

@@ -70,6 +70,41 @@ class IvfSpec extends AnyFunSuite {
     assert(res.exists(!_._3))
   }
 
+  test("semantic dedup pair work is bounded on an adversarial all-one-cell corpus") {
+    import spark.implicits._
+    val n = 120
+    val cap = 16
+    // the quantizer's worst case, handed in directly: every vector in ONE cell
+    val assigned = (0L until n.toLong).map(i => (i, Seq.fill(8)(1.0), 0))
+      .toDF("neighbor_id", "__cv", "cell")
+    val pairs = Similarity.semanticDedupCandidates(assigned, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val unsharded = n * (n - 1) / 2
+    assert(pairs.length < unsharded / 3,
+      s"sub-sharding did not cut pair work: ${pairs.length} vs $unsharded unsharded")
+    // replay the bound from the candidate set itself: an id's pair degree is
+    // its shard size - 1, so max degree + 1 bounds the largest shard
+    val degrees = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map(_._2.length)
+    val maxShard = degrees.max + 1
+    val nShards = math.ceil(n.toDouble / cap).toInt
+    assert(maxShard <= 3 * cap, s"hash sharding left a $maxShard-row shard (cap $cap)")
+    assert(pairs.length <= nShards * maxShard * (maxShard - 1) / 2)
+
+    // the full operator on identical vectors: within each shard everything
+    // but the lowest id is dropped, so survivors = non-empty shards
+    val emb = (0L until n.toLong).map(i => (i, Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.9, maxCellSize = cap)
+    val kept = res.filter(col("kept")).count()
+    assert(kept >= 2 && kept <= nShards,
+      s"expected one survivor per non-empty shard (<= $nShards), got $kept")
+    // with the default cap no sharding kicks in: exactly one survivor
+    val res0 = Similarity.semanticDedup(emb, "vec_id", "embedding", 4, 0.9)
+    assert(res0.filter(col("kept")).count() == 1)
+  }
+
   test("semantic dedup is deterministic across runs") {
     val emb = Tables.read(spark, dir, "embeddings")
     val a = Similarity.semanticDedup(emb, "vec_id", "embedding", 4, 0.4)
