@@ -35,7 +35,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * that means benchmark decontamination costs one map pass over the corpus
   * plus a few megabytes of broadcast-equivalent task state.
   */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContain(child: Expression, filterBytes: SketchBytes)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -49,7 +49,7 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   // conservative default (child.nullable) from UnaryExpression.
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes.bytes))
 
   /** Entry point for generated code (must be public). */
   def mightContain(hash: Long): Boolean = bloom.mightContainLong(hash)
@@ -80,6 +80,6 @@ object BloomFunctions {
 
   /** `hash MIGHT-BE-IN filter` as a codegen'd scan-stage predicate. */
   def mightContain(hash: Column, filterBytes: Array[Byte]): Column =
-    GraftBridge.toColumn(
-      BloomMightContain(GraftBridge.toExpression(hash), filterBytes))
+    GraftBridge.toColumn(BloomMightContain(
+      GraftBridge.toExpression(hash), new SketchBytes(filterBytes)))
 }

@@ -29,7 +29,7 @@ import org.apache.spark.util.sketch.CountMinSketch
   * a 100 TB corpus answers "how often does token X occur" without
   * materializing the full term-frequency table.
   */
-case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
+case class CmsEstimate(child: Expression, sketchBytes: SketchBytes)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -40,7 +40,7 @@ case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
   override def dataType: DataType = LongType
 
   @transient private lazy val cms: CountMinSketch =
-    CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes))
+    CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes.bytes))
 
   /** Entry point for generated code (must be public). */
   def estimate(key: org.apache.spark.unsafe.types.UTF8String): Long =
@@ -69,6 +69,6 @@ object CmsFunctions {
 
   /** `estimated_count(key)` as a codegen'd scan-stage lookup. */
   def cms_estimate(key: Column, sketchBytes: Array[Byte]): Column =
-    GraftBridge.toColumn(
-      CmsEstimate(GraftBridge.toExpression(key), sketchBytes))
+    GraftBridge.toColumn(CmsEstimate(
+      GraftBridge.toExpression(key), new SketchBytes(sketchBytes)))
 }

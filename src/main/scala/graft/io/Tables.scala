@@ -162,16 +162,22 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     */
   def compact(spark: SparkSession, targetPartitions: Int,
       sortCols: Seq[String] = Nil): ParquetTable = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, xxhash64}
     // sorted compaction must RANGE-partition on the sort key: a
     // round-robin repartition + in-partition sort clusters row groups
     // inside each file but leaves every FILE spanning the full key range,
     // so footer min/max stats prune nothing at the file level (ScaleSpec
-    // measures exactly this)
+    // measures exactly this). A full-row hash rides along as the LAST
+    // range key: with a heavily skewed sort key the range sampler would
+    // otherwise concentrate one hot key's rows into a single
+    // near-corpus-sized file; the tiebreaker splits equal-key runs evenly
+    // across partitions while file-level key ranges stay contiguous, so
+    // the file-SIZE budget holds without costing any footer pruning.
     val src = read(spark)
     val df = if (sortCols.nonEmpty)
       src.repartitionByRange(targetPartitions,
-          sortCols.map(col).toIndexedSeq: _*)
+          (sortCols.map(col) :+
+            xxhash64(src.columns.map(col).toIndexedSeq: _*)).toIndexedSeq: _*)
         .sortWithinPartitions(sortCols.map(col).toIndexedSeq: _*)
     else src.repartition(targetPartitions)
     overwrite(df)

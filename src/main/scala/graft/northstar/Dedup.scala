@@ -210,28 +210,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Stop-shingle cap for explode-join candidate generation: a shingle
-    * present in d docs contributes d² join rows, so one ubiquitous shingle
-    * turns the join quadratic AND lands the whole blowup on a single
-    * shuffle key (maximal skew). Dropping shingles whose document frequency
-    * exceeds `maxDf` bounds per-key join fan-in at maxDf² rows regardless
-    * of corpus size — the standard trade at scale (cf. Ed-Join's frequency
-    * filtering, Xiao et al., VLDB 2008). `exploded` must carry a shingle
-    * column named `g`; the df table is shingle-keyed (vocabulary-sized,
-    * broadcast-eligible after the `> maxDf` filter, which keeps only the
-    * few hot shingles).
-    */
-  def capHotShingles(exploded: DataFrame, maxDf: Int): DataFrame = {
-    val hot = exploded.groupBy(col("g"))
-      .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
-    exploded.join(broadcast(hot), Seq("g"), "left_anti")
-  }
-
   /** Canonical shared-shingle pair counts (id_a < id_b) via an INVERTED
     * INDEX: group occurrences by shingle into posting lists, drop lists
-    * longer than `maxDf` (the stop-shingle cap — free here, where the
-    * join-shape formulation needs a separate frequency aggregate plus an
-    * anti join), then expand each list's pairs map-side with a double
+    * longer than `maxDf` (the stop-shingle cap, cf. Ed-Join's frequency
+    * filtering, Xiao et al., VLDB 2008 — free here, where a join-shape
+    * formulation would need a separate frequency aggregate plus an anti
+    * join), then expand each list's pairs map-side with a double
     * explode. One exchange builds the index and one aggregates the pairs —
     * versus FOUR for the exploded self-join (df aggregate + two join
     * sides + pair aggregate), and the cap bounds both the per-key memory
@@ -383,8 +367,11 @@ object Dedup {
     * eventually the stack on plan traversal. The checkpoint resets the
     * plan to a LogicalRDD, so per-round analysis cost is O(1). (On a real
     * cluster, swap in reliable `checkpoint()` with a checkpoint dir if
-    * executor loss must not force a from-scratch re-run.) Throws if
-    * maxIter rounds don't converge — a silent partial clustering would
+    * executor loss must not force a from-scratch re-run.) If maxIter
+    * rounds don't converge — the graph's diameter exceeded the budget —
+    * the call ESCALATES to [[connectedComponentsStar]] (O(log n) rounds
+    * regardless of shape) instead of failing: callers shouldn't need to
+    * know graph diameter, and a silent partial clustering would
     * under-delete quietly.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
@@ -420,11 +407,13 @@ object Dedup {
       i += 1
     }
     org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(edges)
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "raise maxIter or switch to large-star/small-star for this graph")
-    labels.select(col("id"), col("comp"))
+    if (!converged) {
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(labels)
+      System.err.println(
+        s"[graft] connectedComponents: diameter exceeded $maxIter " +
+          "min-label rounds — escalating to large-star/small-star")
+      connectedComponentsStar(pairs, aCol, bCol)
+    } else labels.select(col("id"), col("comp"))
   }
 
   /** Connected components by alternating large-star / small-star rounds

@@ -77,7 +77,10 @@ object Multimodal {
                 le16(b, i + 22)))
             else None
           }
-          if (size < 0) return None // corrupt size would loop forever
+          // corrupt sizes: negative would loop forever, near-Int.MaxValue
+          // would overflow `i` negative and index out of bounds — any
+          // chunk claiming more than the remaining bytes is rejected
+          if (size < 0 || size > b.length - i - 8) return None
           i += 8 + size + (size & 1) // RIFF chunks are word-aligned
         }
         None

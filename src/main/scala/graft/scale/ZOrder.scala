@@ -15,14 +15,24 @@ import org.apache.spark.sql.functions._
   * ANY of the z-ordered columns. That is the difference between reading one
   * file and reading all of them at 100 TB, for the price of one rewrite.
   *
-  * Mechanics: per-column bounds come from a broadcast 1-row aggregate on
-  * the same DAG (no separate driver job); values are min-max scaled to
-  * `bits`-wide integer ranks; ranks are bit-interleaved into a single long
-  * with pure Column algebra (codegen'd shifts/masks, no UDF); the rewrite
-  * is `repartitionByRange` on the z-value (one range-sampled shuffle) +
-  * in-partition sort. ScaleSpec quantifies the effect on real parquet
-  * footers: per-file width on the second dimension collapses versus a
-  * linear sort.
+  * Mechanics: per-column PERCENTILE cut points come from a one-pass
+  * `percentile_approx` sketch in a broadcast 1-row aggregate on the same
+  * DAG (no separate driver job); each value's rank is its bin among those
+  * cut points via the native binary-search expression
+  * ([[graft.functions.RankBin]], codegen'd, O(bits) comparisons/row);
+  * ranks are bit-interleaved into a single long with pure Column algebra
+  * (codegen'd shifts/masks, no UDF); the rewrite is `repartitionByRange`
+  * on the z-value (one range-sampled shuffle) + in-partition sort.
+  *
+  * Rank binning, NOT min-max scaling, on purpose: min-max bounds collapse
+  * under a single outlier (one 1e9 value maps every normal row of that
+  * column to rank 0, erasing the multi-dimension skipping the operator
+  * exists for) and compress skewed-but-legitimate distributions into few
+  * distinct ranks. Percentile bins give every column a near-uniform rank
+  * distribution regardless of value distribution — the same reason
+  * Delta's OPTIMIZE ZORDER range-partitions per column rather than
+  * scaling. ScaleSpec quantifies the footer effect and pins the
+  * outlier-robustness case.
   */
 object ZOrder {
 
@@ -33,23 +43,20 @@ object ZOrder {
     require(cols.nonEmpty, "z-order needs at least one column")
     require(bits * cols.size <= 62,
       s"bits=$bits × ${cols.size} columns exceeds a long's mantissa-safe range")
-    val bounds = df.agg(
-      min(col(cols.head)).cast("double").as(s"__min_${cols.head}"),
-      (cols.tail.flatMap(c => Seq(
-        min(col(c)).cast("double").as(s"__min_$c"),
-        max(col(c)).cast("double").as(s"__max_$c"))) :+
-        max(col(cols.head)).cast("double").as(s"__max_${cols.head}")): _*)
-    val maxRank = (1L << bits) - 1
+    val bins = 1L << bits
+    // cut points at q = i/bins, i in 1..bins-1; rank = #cutpoints <= value
+    // ∈ [0, bins-1]. The sketch accuracy tracks the bin count (its memory
+    // is O(accuracy) ints — a few MB at 2^17, merged tree-wise).
+    val pcts = typedLit((1L until bins).map(_.toDouble / bins))
+    val accuracy = math.min(1 << 17, math.max(10000, 2 * bins)).toInt
+    val cutAggs = cols.map(c => percentile_approx(col(c).cast("double"),
+      pcts, lit(accuracy)).as(s"__qb_$c"))
+    val bounds = df.agg(cutAggs.head, cutAggs.tail: _*)
     val withRanks = df.crossJoin(broadcast(bounds))
-    val rank: String => Column = c => {
-      val lo = col(s"__min_$c")
-      val hi = col(s"__max_$c")
-      val scaled = floor((col(c).cast("double") - lo) / (hi - lo) * maxRank)
-      // degenerate range (hi == lo) and NULLs both rank 0; clamp the
-      // hi endpoint (value == hi scales exactly to maxRank)
-      coalesce(least(greatest(scaled, lit(0.0)), lit(maxRank.toDouble)), lit(0.0))
-        .cast("long")
-    }
+    // NULL value (or an all-NULL column, whose sketch is NULL) ranks 0
+    val rank: String => Column = c => coalesce(
+      graft.functions.RankBinFunctions.rank_bin(col(c), col(s"__qb_$c")),
+      lit(0L))
     // interleave: bit b of column j lands at position b * ncols + j
     val n = cols.size
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
@@ -59,7 +66,7 @@ object ZOrder {
       }
     }
     withRanks.withColumn("__z", z)
-      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+      .drop(cols.map(c => s"__qb_$c"): _*)
   }
 
   /** Rewrite `df` z-ordered into `targetPartitions` output partitions:

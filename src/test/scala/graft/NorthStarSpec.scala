@@ -316,10 +316,21 @@ class NorthStarSpec extends AnyFunSuite {
     val clusters = Dedup.duplicateClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters == Map(1L -> 3L, 5L -> 2L, 10L -> 6L, 20L -> 2L))
-    // non-convergence fails loudly instead of returning a partial clustering
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, maxIter = 1)
-    }
+    // diameter exhaustion escalates to star contraction instead of
+    // failing or returning a partial clustering — same answer
+    val escalated = Dedup.connectedComponents(pairs, maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(escalated == comps)
+  }
+
+  test("duplicateClusters survives a chain deeper than the min-label budget") {
+    // diameter 30 exceeds connectedComponents' default 20-round budget;
+    // the auto-escalation to large-star/small-star must make the caller
+    // whole with no manual variant selection
+    val chain = (100L until 130L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(100L -> 31L))
   }
 
   test("winnowing: guarantee, short-doc floor, and density bound") {

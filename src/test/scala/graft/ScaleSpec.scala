@@ -193,15 +193,22 @@ class ScaleSpec extends AnyFunSuite {
     val exploded = docs.select(col("doc_id"),
       explode(array_distinct(TextAnalysis.shingleHashes(col("text"), 3))).as("g"))
     val maxDf = 8
-    // uncapped: the hot shingle lands n rows on one shuffle key → n² join
-    // fan-in; capped: every surviving key is bounded by maxDf
     val uncappedMax = exploded.groupBy("g").count()
       .agg(max("count")).head.getLong(0)
     assert(uncappedMax >= n, s"fixture must contain a ubiquitous shingle, max df=$uncappedMax")
-    val cappedMax = Dedup.capHotShingles(exploded, maxDf).groupBy("g").count()
-      .agg(max("count")).head.getLong(0)
-    assert(cappedMax <= maxDf,
-      s"cap must bound per-key fan-in at $maxDf, got $cappedMax")
+    // posting-list form: a shingle present in d docs would expand d²/2
+    // candidate rows; the built-in df cap drops lists longer than maxDf
+    // BEFORE expansion, so the ubiquitous shingles contribute nothing
+    val sets = docs.select(col("doc_id").as("id"),
+      array_distinct(TextAnalysis.shingleHashes(col("text"), 3)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val uncappedCand = Dedup.sharedShinglePairs(sets, None).count()
+    assert(uncappedCand >= n.toLong * (n - 1) / 2,
+      s"uncapped must materialize every hot-shingle pair, got $uncappedCand")
+    val cappedCand = Dedup.sharedShinglePairs(sets, Some(maxDf))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedCand == Set((1L, 2L)),
+      s"capped candidates must be exactly the real-content pair, got $cappedCand")
     // and the capped pair search still finds the genuine near-dup pair
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3,
       maxDocFrequency = Some(maxDf))
@@ -318,6 +325,38 @@ class ScaleSpec extends AnyFunSuite {
       "z-order must bound the first dimension per file")
     assert(meanWidth(zt, "l_partkey") < 0.65,
       "z-order must bound the second dimension per file")
+  }
+
+  test("z-order rank binning survives an outlier that collapses min-max scaling") {
+    import graft.scale.ZOrder
+    val spark2 = spark
+    import spark2.implicits._
+    // 1000 well-spread values plus one 1e9 outlier: min-max scaling to
+    // 2^16 ranks maps every normal value to floor(v/1e9 * 65535) = 0 —
+    // the whole column degenerates to TWO distinct ranks and file
+    // skipping on it dies. Rank binning must keep the bulk spread out.
+    val vals = (0L until 1000L) :+ 1000000000L
+    val df = vals.map(v => (v, v % 7)).toDF("a", "b")
+    val minMaxRanks = {
+      val (lo, hi) = (vals.min.toDouble, vals.max.toDouble)
+      vals.map(v => math.floor((v - lo) / (hi - lo) * 65535).toLong).distinct.size
+    }
+    assert(minMaxRanks <= 2,
+      s"fixture must make min-max scaling degenerate, got $minMaxRanks ranks")
+    // single-column z-value == the rank itself: count distinct ranks
+    val zRanks = ZOrder.withZValue(df, Seq("a"))
+      .agg(countDistinct(col("__z"))).head.getLong(0)
+    assert(zRanks >= 500,
+      s"rank binning must keep the bulk spread over many ranks, got $zRanks")
+    // and ranks must stay monotone in the value (a permuted binning would
+    // destroy range locality instead of normalizing it)
+    val pairsSorted = ZOrder.withZValue(df, Seq("a"))
+      .select(col("a"), col("__z")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(pairsSorted.sliding(2).forall(w => w(0)._2 <= w(1)._2),
+      "rank binning must be monotone in the underlying value")
+    assert(pairsSorted.last._2 == pairsSorted.map(_._2).max,
+      "the outlier must still rank at the top")
   }
 
   test("round-3 corpus ops keep their promised plan shapes") {
