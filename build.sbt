@@ -41,3 +41,33 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // and briefly)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// `sbt test` wall time: one sequential forked JVM ran the 20 suites'
+// thousands of tiny local[4] Spark stages end to end (>1 h under host CPU
+// steal). Suites are independent — each talks to its own TestSpark session
+// and its own temp warehouse — so split them into forked GROUPS that run
+// CONCURRENTLY, one JVM per group: process isolation keeps every
+// session-global mutation (ScaleSpec's broadcast-threshold toggle,
+// PipelineSpec's catalog registration) scoped to its group, which
+// suite-level in-JVM parallelism would not. The long poles get a JVM each;
+// everything else hash-buckets into the remainder. 7 groups × local[4] ×
+// 8g fits 32 cores / 128 GiB with room to spare.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withWorkingDirectory((Test / baseDirectory).value)
+  val soloSuites = Set("graft.PipelineSpec", "graft.PropertySpec",
+    "graft.NorthStarSpec", "graft.QueriesSpec", "graft.StreamingSpec",
+    "graft.ScaleSpec")
+  val (solo, rest) = tests.partition(t => soloSuites.contains(t.name))
+  val restGroups = rest.groupBy(t => math.abs(t.name.hashCode) % 2)
+  (solo.map(t => Tests.Group(t.name, Seq(t), Tests.SubProcess(forkOpts))) ++
+    restGroups.toSeq.sortBy(_._1).map { case (i, ts) =>
+      Tests.Group(s"graft.rest$i", ts, Tests.SubProcess(forkOpts))
+    }).toVector
+}
+// Forked test groups are serialized by default (ForkedTestGroup limit 1);
+// let all groups run at once.
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 8),
+  Tags.limitAll(16))
