@@ -338,10 +338,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-duplicates via Similarity's LSH machinery. */
+  /** Embedding-cosine near-duplicates via Similarity's LSH machinery.
+    * `planes` trades per-table selectivity against per-table recall;
+    * `tables` buys recall back linearly in banding cost (recall per pair
+    * at similarity s is 1-(1-p^planes)^tables with p = 1-θ(s)/π), so a
+    * LOW threshold wants FEWER planes and MORE tables — see q28's 4×8 for
+    * threshold 0.4 vs the 16-plane default for 0.95.
+    */
   def embeddingNearDuplicates(embeddings: DataFrame, idCol: String,
-      vecCol: String, threshold: Double = 0.95, planes: Int = 16): DataFrame =
-    Similarity.cosineNearDuplicates(embeddings, idCol, vecCol, threshold, planes)
+      vecCol: String, threshold: Double = 0.95, planes: Int = 16,
+      tables: Int = 4): DataFrame =
+    Similarity.cosineNearDuplicates(embeddings, idCol, vecCol, threshold,
+      planes, tables)
 
   // ---- duplicate-cluster resolution ----
 

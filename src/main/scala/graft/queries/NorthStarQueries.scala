@@ -120,15 +120,19 @@ object NorthStarQueries {
     Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
       bands = 4, maxHamming = 3)
 
-  /** Embedding-cosine near-duplicates via random-hyperplane LSH (4 tables ×
-    * 6 planes for the moderate 0.4 threshold this corpus supports).
-    * Approximate by design → rows-only check;
-    * [[graft.tools.Accuracy]] gates recall against the brute-force
-    * cos≥0.4 pair set and the structural precision=1.
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH — 4 planes
+    * × 8 tables, tuned for the LOW 0.4 threshold: at cos 0.4 a hyperplane
+    * agrees w.p. ≈0.63, so 6-plane tables collided near-threshold pairs
+    * at only ≈6% each (measured recall 0.34 over the exact pair set);
+    * shorter 4-bit keys with twice the tables lift the collision rate to
+    * ≈0.75 at the threshold and ≈0.9+ above it. Approximate by design →
+    * rows-only check; [[graft.tools.Accuracy]] gates recall against the
+    * brute-force cos≥0.4 pair set and the structural precision=1 (every
+    * candidate is verified with the exact round-6 cosine).
     */
   def q28EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id",
-      "embedding", threshold = 0.4, planes = 6)
+      "embedding", threshold = 0.4, planes = 4, tables = 8)
 
   /** Batch sessionization — gaps-and-islands with lag + running sum (the
     * batch mirror of streaming.EventStream.sessionize): 30-minute gap opens
@@ -404,14 +408,18 @@ object NorthStarQueries {
     * layout), probes resolved against literal centroids and pushed as
     * static PartitionFilters, exact cosine only inside probed cells.
     * Approximate by design → rows-only check; IvfSpec pins recall against
-    * brute force and ScaleSpec proves the pruned scan.
+    * brute force and ScaleSpec proves the pruned scan. nprobe = half the
+    * cells: synthetic near-random embeddings are the quantizer's worst
+    * case (neighbors spread ~uniformly over cells, so recall tracks the
+    * probed fraction plus the centroid-ranking lift) — nprobe=4 measured
+    * 0.48 recall@5 where 8 holds ≥0.6 ([[graft.tools.Accuracy]] gates it).
     */
   def q50IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
       .persist(s, scratch("ivf", dir).toString)
       .search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nprobe = 4)
+        k = 5, nprobe = 8)
   }
 
   /** Rolling 90-day revenue per customer — a RANGE window frame (peers by
@@ -815,7 +823,7 @@ object NorthStarQueries {
     */
   def q72SemanticDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-      nClusters = 16, threshold = 0.4)
+      nClusters = 8, threshold = 0.4)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("total"),
         sum(when(col("kept"), 0).otherwise(1)).cast("long").as("dropped"),

