@@ -385,10 +385,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
     // eager localCheckpoint: materialized once, plan truncated to a
-    // LogicalRDD — every round's plan then starts from O(1)-size leaves
+    // LogicalRDD — every round's plan then starts from O(1)-size leaves.
+    // Pre-partitioned on the join key: the edge set is the loop
+    // INVARIANT, so shuffling it into place once lets every round's join
+    // reuse the materialized partitioning and move only the (smaller)
+    // label side.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -396,15 +401,20 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("__nc")).as("__nbmin"))
-      // carry the OLD label alongside the new one so convergence needs no
-      // re-join against the previous round — one fewer shuffle per round
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("__nbmin"), col("comp"))).as("comp"))
+      // one round = ONE join + ONE aggregate: propagate each node's label
+      // to its neighbors, then per node take the min over {own label} ∪
+      // {neighbor labels}. Tagging the own-label row lets the same
+      // aggregate carry the previous label out for the convergence test;
+      // the join-shape update (propagate + groupBy + join-back) computes
+      // the same answer with a third label-sized exchange per round.
+      val prop = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"), lit(false).as("__own"))
+      val updated = labels.select(col("id"), col("comp"), lit(true).as("__own"))
+        .union(prop)
+        .groupBy("id")
+        .agg(min(col("comp")).as("comp"),
+          min(when(col("__own"), col("comp"))).as("__old"))
         .localCheckpoint()
       val changed = updated.filter(col("comp") =!= col("__old")).count()
       // the new checkpoint is self-contained — drop the superseded round's
