@@ -420,4 +420,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(bandJoins.nonEmpty && bandJoins.forall(_.contains("BroadcastHashJoin")),
       s"band probe must broadcast-hash-join, got:\n${bandJoins.mkString("\n")}\n\n$plan")
   }
+
+  test("semantic-dedup candidate join carries ids only, never the vectors") {
+    import graft.northstar.{IvfIndex, Similarity}
+    val emb = Tables.read(spark, dir, "embeddings")
+    val assigned = IvfIndex.build(emb, "vec_id", "embedding", 4).assigned
+    // the (cell, shard) self-join is the operator's only skew-prone
+    // exchange; at 100 TB its payload must be the 8-byte id, not the
+    // embedding — a vector column reaching either join input means the
+    // fat payload rides the hot shuffle key. The optimized plan's join
+    // inputs ARE the exchange rows (column pruning has run by then).
+    val lp = Similarity.semanticDedupCandidates(assigned, maxCellSize = 64)
+      .queryExecution.optimizedPlan
+    val joinInputCols = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.children.flatMap(_.output.map(_.name))
+    }
+    assert(joinInputCols.nonEmpty, s"expected a self-join:\n$lp")
+    val leaked = joinInputCols.flatten.filter(_.contains("__cv"))
+    assert(leaked.isEmpty,
+      s"candidate join inputs must not carry vectors, leaked: $leaked\n$lp")
+  }
 }
