@@ -232,13 +232,16 @@ object Dedup {
       .select(explode(col("sh")).as("g"), struct(col("id"), col("n")).as("e"))
       .groupBy(col("g")).agg(collect_list(col("e")).as("lst"))
     val bounded = maxDf.fold(postings)(d => postings.filter(size(col("lst")) <= d))
+    // group on the PAIR alone — the set sizes are functionally dependent
+    // on their ids, so they ride as min() aggregates instead of widening
+    // the exchange's sort/compare key
     bounded
       .select(explode(col("lst")).as("x"), col("lst"))
       .select(col("x"), explode(col("lst")).as("y"))
       .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("x.n")).as("n_a"), min(col("y.n")).as("n_b"))
   }
 
   /** Exact n-gram Jaccard over all pairs sharing at least one shingle —
