@@ -1664,10 +1664,11 @@ object NorthStarQueries {
 
   /** Shared CTE block for the exact trigram pair computation (mirrors
     * Dedup's shingle construction; distinct shingles, short-doc whole-text
-    * fallback, optional df cap from `Dedup.capHotShingles` — intersections
-    * ignore hot shingles, |∪| keeps full set sizes, so the capped oracle
-    * stays hash-identical at ANY scale factor). SINGLE-SOURCED so the q24
-    * pair set and the q64 cluster closure can never drift apart.
+    * fallback, optional df cap mirroring `sharedShinglePairs`' posting-list
+    * size filter — intersections ignore hot shingles, |∪| keeps full set
+    * sizes, so the capped oracle stays hash-identical at ANY scale
+    * factor). SINGLE-SOURCED so the q24 pair set and the q64 cluster
+    * closure can never drift apart.
     */
   private def ngramPairCtes(maxDf: Option[Int]): String = {
     val capCtes = maxDf.fold(
