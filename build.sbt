@@ -49,8 +49,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // session-global mutation (ScaleSpec's broadcast-threshold toggle,
 // PipelineSpec's catalog registration) scoped to its group, which
 // suite-level in-JVM parallelism would not. The long poles get a JVM each;
-// everything else hash-buckets into the remainder. 7 groups × local[4] ×
-// 8g fits 32 cores / 128 GiB with room to spare.
+// everything else hash-buckets into the remainder. 8 groups (6 solo + 2
+// hash buckets) × local[4] × 8g fits 32 cores / 128 GiB with room to spare.
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val forkOpts = ForkOptions()
@@ -67,7 +67,9 @@ Test / testGrouping := {
     }).toVector
 }
 // Forked test groups are serialized by default (ForkedTestGroup limit 1);
-// let all groups run at once.
+// let all groups run at once. `:=` (not `++=`) intentionally REPLACES
+// sbt's default restrictions (incl. the CPU-tag limit) — the forked JVMs
+// do the real work here and the remaining in-process tasks are cheap.
 Global / concurrentRestrictions := Seq(
   Tags.limit(Tags.ForkedTestGroup, 8),
   Tags.limitAll(16))

@@ -1,8 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark entry point. Prints ONE JSON line on stdout:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"steal_sec":S,...}
+/** Benchmark entry point. Prints ONE compact JSON line on stdout
+  * ({"metric":"total",...,"queries":{short-name:sec},...,"value":N} —
+  * sized to survive the driver's 2000-char tail capture, headline total
+  * LAST) and writes the full record (long query names, every raw run,
+  * per-run steal) to BENCH_DETAIL.json for committing.
   *
   * Timing on this host is contaminated by hypervisor CPU steal (round-3
   * adjudication measured ~950 s of stolen CPU in a 300 s wall window), so a
@@ -27,10 +30,40 @@ object Bench {
   private val MaxAttempts = 5
   private val StealRunTolSec = 0.5
   private val RetryBudgetSec = 300.0
+  // A run window averaging more than half a vCPU of continuous steal is
+  // not measuring this code; label the artifact so a reader (or a driver
+  // comparing totals across rounds) can reject it mechanically instead of
+  // adjudicating. Round-3's contaminated run measured ~3.2 stolen
+  // CPU-seconds per wall second; clean runs sit near 0.
+  private val ContaminatedStealRate = 0.5
+  private val ContaminatedDirtyQueries = 3
+
+  // Hypervisor CPU-steal in seconds of stolen CPU time (field 8 of
+  // /proc/stat's cpu line, USER_HZ ticks summed over all vCPUs).
+  private def stealTicks(): Long =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = line.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Pre-flight steal probe BEFORE any Spark work: a host that is already
+    // under contention will contaminate every pass, and sampling it while
+    // idle is the only window where steal is unambiguously not ours.
+    // SPARK_GRAFT_STEAL_PROBE_SEC=0 skips it for local iteration.
+    val probeSec =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_PROBE_SEC", "30").toDouble
+    val preflightRate =
+      if (probeSec <= 0) 0.0
+      else {
+        val s0 = stealTicks()
+        Thread.sleep((probeSec * 1000).toLong)
+        (stealTicks() - s0) / 100.0 / probeSec
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,16 +80,6 @@ object Bench {
     // measure steady state, not first-query startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-
-    // Hypervisor CPU-steal in seconds of stolen CPU time (field 8 of
-    // /proc/stat's cpu line, USER_HZ ticks summed over all vCPUs).
-    def stealTicks(): Long =
-      try {
-        val line = scala.io.Source.fromFile("/proc/stat").getLines()
-          .find(_.startsWith("cpu ")).getOrElse("")
-        val f = line.trim.split("\\s+")
-        if (f.length > 8) f(8).toLong else 0L
-      } catch { case _: Throwable => 0L }
 
     final case class Run(sec: Double, stealSec: Double, failed: Boolean)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -82,6 +105,7 @@ object Bench {
       Run(sec, (stealTicks() - s0) / 100.0, failed = !ok)
     }
 
+    val wall0 = System.nanoTime()
     val steal0 = stealTicks()
     for (_ <- 1 to Passes)
       for (name <- rng.shuffle(names)) runs(name) = runs(name) :+ runOne(name)
@@ -106,6 +130,7 @@ object Bench {
       }
     }
     val stealSec = (stealTicks() - steal0) / 100.0
+    val wallSec = (System.nanoTime() - wall0) / 1e9
 
     def bestOf(rs: Vector[Run]): Double = {
       val okRuns = rs.filter(!_.failed)
@@ -115,7 +140,10 @@ object Bench {
         (if (clean.nonEmpty) clean else okRuns).map(_.sec).min
       }
     }
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: a comma-decimal default locale would make this line
+    // unparseable as JSON
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val best = names.map(n => n -> bestOf(runs(n))).toMap
     val qs = names.map(n => s"\"$n\":${fmt(best(n))}").mkString("{", ",", "}")
     val detail = names.map { n =>
@@ -128,10 +156,73 @@ object Bench {
     // total and make it non-monotonic with failures
     val total = best.values.filter(_ >= 0).sum
     val dirty = names.count(n => !runs(n).exists(r => !r.failed && r.stealSec <= StealRunTolSec))
+    val stealRate = if (wallSec > 0) stealSec / wallSec else 0.0
+    val contaminated = stealRate > ContaminatedStealRate ||
+      preflightRate > ContaminatedStealRate ||
+      dirty >= ContaminatedDirtyQueries
+
+    // The driver's artifact keeps only the LAST 2000 chars of the final
+    // stdout line — every pre-round-5 artifact lost the total and q01-q59
+    // to that cap. So: the FULL record (long query names, every raw run,
+    // per-run steal) goes to a file the repo commits, and the final stdout
+    // line stays well under 2000 chars by shortening query keys to their
+    // first '_'-segment (extended only where names collide) and putting
+    // the headline "value" LAST so even a truncated tail retains it.
+    def shorten(ns: Seq[String]): Map[String, String] = {
+      def seg(n: String, k: Int) = n.split('_').take(k).mkString("_")
+      var depth = ns.map(n => n -> 1).toMap
+      var done = false
+      while (!done) {
+        val dups = ns.groupBy(n => seg(n, depth(n)))
+          .filter(_._2.size > 1).values.flatten.toSet
+        if (dups.isEmpty) done = true
+        else depth = depth.map { case (n, k) =>
+          n -> (if (dups(n) && seg(n, k) != n) k + 1 else k)
+        }
+      }
+      ns.map(n => n -> seg(n, depth(n))).toMap
+    }
+    val short = shorten(names)
+    val qsShort = names.map(n => s"\"${short(n)}\":${fmt(best(n))}")
+      .mkString("{", ",", "}")
+    val summary = Seq(
+      s""""metric":"total"""",
+      s""""unit":"sec"""",
+      s""""sf":"$sfDir"""",
+      s""""passes":$Passes""",
+      s""""seed":$seed""",
+      s""""queries":$qsShort""",
+      s""""wall_sec":${fmt(wallSec)}""",
+      s""""steal_sec":${fmt(stealSec)}""",
+      s""""preflight_steal_rate":${fmt(preflightRate)}""",
+      s""""dirty_queries":$dirty""",
+      s""""contaminated":$contaminated""",
+      s""""value":${fmt(total)}""").mkString("{", ",", "}")
+    val full = Seq(
+      s""""metric":"total"""",
+      s""""value":${fmt(total)}""",
+      s""""unit":"sec"""",
+      s""""queries":$qs""",
+      s""""wall_sec":${fmt(wallSec)}""",
+      s""""steal_sec":${fmt(stealSec)}""",
+      s""""preflight_steal_rate":${fmt(preflightRate)}""",
+      s""""passes":$Passes""",
+      s""""dirty_queries":$dirty""",
+      s""""contaminated":$contaminated""",
+      s""""seed":$seed""",
+      s""""detail":$detail""",
+      s""""sf":"$sfDir"""").mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     // stop Spark BEFORE printing so no shutdown logging can land after the
     // JSON — the driver parses the final stdout line as the result object
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"steal_sec":${fmt(stealSec)},"passes":$Passes,"dirty_queries":$dirty,"seed":$seed,"detail":$detail,"sf":"$sfDir"}""")
+    println(summary)
     Console.out.flush()
   }
 }

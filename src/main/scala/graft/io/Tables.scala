@@ -16,9 +16,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  /** S1: raw parquet scan of a driver testdata table. */
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** S1: raw parquet scan of a driver testdata table.
+    *
+    * The events table's `ts` column has shipped in two vintages:
+    * TIMESTAMP(NANOS) (surfaced as long ns via the nanosAsLong legacy
+    * conf) and plain timestamp[µs] (surfaced as TIMESTAMP_NTZ). Every
+    * consumer — queries, streaming, the DuckDB oracles — was built
+    * against the long-ns contract, so a timestamp-typed `ts` is
+    * normalized back to ns-since-epoch here (sessions run UTC, so the
+    * NTZ wall clock IS the instant). Column-pruned scans are unaffected:
+    * the conversion is a projection over the pruned scan.
+    */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
+  }
 
   /** Bucketed catalog table write: co-locates join keys so repeated joins
     * and aggregations on `bucketCols` run shuffle-free (the plan shows a
@@ -174,12 +193,30 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     // across partitions while file-level key ranges stay contiguous, so
     // the file-SIZE budget holds without costing any footer pruning.
     val src = read(spark)
-    val df = if (sortCols.nonEmpty)
+    // The tiebreaker hash may only cover hashable columns: xxhash64 on a
+    // MapType raises AnalysisException (maps have no canonical order), so
+    // tables carrying map columns would fail to compact at all. Dropping
+    // unhashable columns from the hash loses nothing — the tiebreaker only
+    // needs to be ~uniform within equal-sort-key runs, and the sort keys
+    // themselves stay covered by the leading range keys.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: MapType => false
+        case s: StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: ArrayType => hashable(a.elementType)
+        case _ => true
+      }
+    }
+    val hashCols = src.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name)).toIndexedSeq
+    val df = if (sortCols.nonEmpty) {
+      val tiebreak =
+        if (hashCols.nonEmpty) Seq(xxhash64(hashCols: _*)) else Nil
       src.repartitionByRange(targetPartitions,
-          (sortCols.map(col) :+
-            xxhash64(src.columns.map(col).toIndexedSeq: _*)).toIndexedSeq: _*)
+          (sortCols.map(col) ++ tiebreak).toIndexedSeq: _*)
         .sortWithinPartitions(sortCols.map(col).toIndexedSeq: _*)
-    else src.repartition(targetPartitions)
+    } else src.repartition(targetPartitions)
     overwrite(df)
   }
 
@@ -190,7 +227,7 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     * collapse on the second dimension).
     */
   def compactZOrder(spark: SparkSession, targetPartitions: Int,
-      zCols: Seq[String], bits: Int = 16): ParquetTable =
+      zCols: Seq[String], bits: Int = 12): ParquetTable =
     overwrite(graft.scale.ZOrder.layout(read(spark), zCols,
       targetPartitions, bits))
 

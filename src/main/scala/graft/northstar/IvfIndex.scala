@@ -86,11 +86,46 @@ final class IvfIndex private (val nlist: Int,
     // small files); clustered, each inverted list is one contiguous file
     table.overwrite(assigned.repartition(col("cell")))
     if (!retainHistory) table.vacuum()
+    // Quantizer sidecar: the centroids are the only state not already on
+    // disk, so writing them (nlist × dims doubles — KBs) makes the index
+    // RELOADABLE by a later session without refitting. Lives next to the
+    // v_* dirs; vacuum only deletes v_*-prefixed entries, never this.
+    val lines = centroids.map { case (i, c) => i + "," + c.mkString(",") }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, IvfIndex.CentroidsFile),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     new IvfIndex(nlist, centroids, table.read(spark), persisted = true)
   }
 }
 
 object IvfIndex {
+
+  private[northstar] val CentroidsFile = "_centroids.csv"
+
+  /** Reopen a [[persist]]ed index from disk — centroids from the sidecar,
+    * inverted lists from the partitioned table — without refitting the
+    * quantizer or rewriting anything. `None` when no complete index exists
+    * at `path` (callers fall back to build+persist). This is the serving
+    * path at scale: the index is built once per corpus version and probed
+    * by many later jobs.
+    */
+  def load(spark: SparkSession, path: String): Option[IvfIndex] = {
+    val sidecar = java.nio.file.Paths.get(path, CentroidsFile)
+    if (!java.nio.file.Files.exists(sidecar)) None
+    else
+      try {
+        import scala.jdk.CollectionConverters._
+        val centroids = java.nio.file.Files.readAllLines(sidecar).asScala
+          .filter(_.nonEmpty)
+          .map { line =>
+            val parts = line.split(',')
+            (parts.head.toInt, parts.tail.map(_.toDouble).toSeq)
+          }.toArray
+        val table = new ParquetTable(path, partitionColumns = Seq("cell"))
+        Some(new IvfIndex(centroids.length, centroids, table.read(spark),
+          persisted = true))
+      } catch { case _: Exception => None }
+  }
 
   /** Fit the coarse quantizer and assign every corpus vector to its cell.
     * The quantizer trains on a bounded deterministic sample (~256 vectors

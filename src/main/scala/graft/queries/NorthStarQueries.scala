@@ -403,23 +403,42 @@ object NorthStarQueries {
       Priorities.map { case (_, alias) => col(alias) }.toArray,
       "priority", "orders")
 
-  /** IVF ANN top-k — the partition-pruned scale path: KMeans cells
-    * PERSISTED as a cell-partitioned parquet table (the FAISS inverted-list
-    * layout), probes resolved against literal centroids and pushed as
-    * static PartitionFilters, exact cosine only inside probed cells.
-    * Approximate by design → rows-only check; IvfSpec pins recall against
-    * brute force and ScaleSpec proves the pruned scan. nprobe = half the
-    * cells: synthetic near-random embeddings are the quantizer's worst
-    * case (neighbors spread ~uniformly over cells, so recall tracks the
-    * probed fraction plus the centroid-ranking lift) — nprobe=4 measured
-    * 0.48 recall@5 where 8 holds ≥0.6 ([[graft.tools.Accuracy]] gates it).
+  /** IVF ANN, build side — KMeans cells PERSISTED as a cell-partitioned
+    * parquet table (the FAISS inverted-list layout) plus the centroid
+    * sidecar; returns the per-cell inverted-list sizes (rows-only check:
+    * the cell assignment is quantizer state, not SQL). Split from the
+    * probe on purpose: build is a once-per-corpus-version cost while probe
+    * is the per-query serving cost that must not regress at 100× scale —
+    * one monolithic timing hid which side moved.
     */
-  def q50IvfTopK(s: SparkSession, dir: String): DataFrame = {
+  def q50IvfBuild(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
       .persist(s, scratch("ivf", dir).toString)
-      .search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nprobe = 8)
+      .assigned
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("vectors"))
+  }
+
+  /** IVF ANN, probe side — reopens the persisted index (building it first
+    * only if q50_ivf_build has not run in this scratch dir yet), resolves
+    * probe cells against literal centroids, pushes them as static
+    * PartitionFilters, exact cosine only inside probed cells. Approximate
+    * by design → rows-only check; IvfSpec pins recall against brute force
+    * and ScaleSpec proves the pruned scan. nprobe = half the cells:
+    * synthetic near-random embeddings are the quantizer's worst case
+    * (neighbors spread ~uniformly over cells, so recall tracks the probed
+    * fraction plus the centroid-ranking lift) — nprobe=4 measured 0.48
+    * recall@5 where 8 holds ≥0.6 ([[graft.tools.Accuracy]] gates it).
+    */
+  def q50IvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = graft.northstar.IvfIndex.load(s, scratch("ivf", dir).toString)
+      .getOrElse(
+        graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+          .persist(s, scratch("ivf", dir).toString))
+    idx.search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nprobe = 8)
   }
 
   /** Rolling 90-day revenue per customer — a RANGE window frame (peers by
@@ -976,7 +995,8 @@ object NorthStarQueries {
     "q47_tfidf_terms" -> (q47TfIdfTerms _),
     "q48_containment" -> (q48Containment _),
     "q49_priority_unpivot" -> (q49PriorityUnpivot _),
-    "q50_ivf_topk" -> (q50IvfTopK _),
+    "q50_ivf_build" -> (q50IvfBuild _),
+    "q50_ivf_probe" -> (q50IvfProbe _),
     "q51_rolling_revenue" -> (q51RollingRevenue _),
     "q52_sales_cube" -> (q52SalesCube _),
     "q53_price_histogram" -> (q53PriceHistogram _),

@@ -38,11 +38,25 @@ object ZOrder {
 
   /** `df` plus a `__z` Morton code over `cols` (numeric columns; NULLs
     * rank 0). `bits` per column; `bits × cols.size` must fit in a long.
+    *
+    * Default bits=12 (4096 bins/column), NOT higher: the cut-point plan
+    * literal and driver Seq are O(2^bits) PER COLUMN, and file-level
+    * skipping saturates once bins ≥ output file count — 4096 bins already
+    * over-resolves any realistic compaction target, at ~1/16 the plan
+    * bytes of the former bits=16 default.
     */
-  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 12): DataFrame = {
     require(cols.nonEmpty, "z-order needs at least one column")
     require(bits * cols.size <= 62,
       s"bits=$bits × ${cols.size} columns exceeds a long's mantissa-safe range")
+    // The per-column cut-point literal and percentile sketch are both
+    // O(2^bits): bits=20 is ~1M doubles per column — already far past any
+    // realistic file count; beyond that the driver Seq + plan literal OOM
+    // or hang where coarser bins behave identically for skipping.
+    require(bits <= 20,
+      s"bits=$bits: the percentile-sketch cut-point set is O(2^bits) " +
+        "driver memory and plan size; use <= 20 (file-level skipping " +
+        "saturates around 12)")
     val bins = 1L << bits
     // cut points at q = i/bins, i in 1..bins-1; rank = #cutpoints <= value
     // ∈ [0, bins-1]. The sketch accuracy tracks the bin count (its memory
@@ -75,7 +89,7 @@ object ZOrder {
     * `ParquetTable.compactZOrder`).
     */
   def layout(df: DataFrame, cols: Seq[String], targetPartitions: Int,
-      bits: Int = 16): DataFrame =
+      bits: Int = 12): DataFrame =
     withZValue(df, cols, bits)
       .repartitionByRange(targetPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -10,30 +10,32 @@ import org.apache.spark.sql.types._
   * MERGE re-runs; this module expresses the same pipeline as a stream, the
   * natural Spark form at 100 TB/day ingest).
   *
-  * The parquet source carries TIMESTAMP(NANOS) read as long ns
-  * (nanosAsLong); `eventTime` converts by integer division to µs so no
-  * precision is lost to a double round-trip.
+  * The parquet source's `ts` has shipped as both TIMESTAMP(NANOS)-as-long
+  * and timestamp[µs]; [[readEvents]] sniffs the footer schema (a stream
+  * source needs a declared schema) and normalizes to the long-ns contract
+  * the rest of the engine uses. `ts DIV 1000` conversions are integer
+  * division so no precision is lost to a double round-trip.
   */
 object EventStream {
 
-  /** events.parquet schema under nanosAsLong. */
-  val EventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-stream source over the testdata events parquet. `ts DIV 1000` is
-    * integer division — a double round-trip would lose precision above 2^53.
+  /** File-stream source over the testdata events parquet, `ts` normalized
+    * to long ns-since-epoch regardless of the file vintage. The one batch
+    * read is footer-only (schema inference), not a data scan.
     */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(EventSchema)
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(fileSchema)
       // the file-stream source wants a directory; filter to the events table
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+    val normalized = fileSchema("ts").dataType match {
+      case TimestampNTZType | TimestampType =>
+        stream.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => stream
+    }
+    normalized.withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+  }
 
   /** Watermarked tumbling-window aggregation — the streaming form of
     * q18_events_hourly. Append-mode-safe: results finalize once the

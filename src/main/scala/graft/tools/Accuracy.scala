@@ -34,8 +34,11 @@ object Accuracy {
       case "<=" => value <= bound
       case "==" => value == bound
     }
-    def json: String =
-      f""""$metric":{"value":$value%.6f,"op":"$op","bound":$bound,"pass":$pass}"""
+    def json: String = {
+      // Locale.ROOT: a comma-decimal default locale would break the JSON
+      val v = String.format(java.util.Locale.ROOT, "%.6f", Double.box(value))
+      s""""$metric":{"value":$v,"op":"$op","bound":$bound,"pass":$pass}"""
+    }
   }
 
   private def cos6(a: Array[Double], b: Array[Double]): Double = {
@@ -154,7 +157,7 @@ object Accuracy {
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
     val approx = pairs(IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
       .search(queries, "vec_id", "embedding", k = 5, nprobe = 8))
-    Seq(Gate("q50_ivf_topk", "recall_at_5_vs_brute_force",
+    Seq(Gate("q50_ivf_probe", "recall_at_5_vs_brute_force",
       (exact & approx).size.toDouble / exact.size, ">=", 0.6))
   }
 

@@ -6,7 +6,7 @@ import graft.SparkEntry
 
 /** Scratch timer: run named SparkEntry queries N times each and print
   * per-run wall seconds (not part of the surface; Bench is the measured
-  * contract). Usage: runMain graft.tools.TimeQuery <sfDir> q50_ivf_topk ...
+  * contract). Usage: runMain graft.tools.TimeQuery <sfDir> q50_ivf_probe ...
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {

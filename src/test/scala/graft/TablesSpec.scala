@@ -83,6 +83,23 @@ class TablesSpec extends AnyFunSuite {
     assert(!t.read(spark).columns.contains("__z"))
   }
 
+  test("sorted compact works on a table carrying a map column") {
+    // the skew tiebreaker hashes rows; xxhash64 on a MapType is an
+    // AnalysisException, so the hash must skip unhashable columns rather
+    // than fail the whole compaction
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/t5m")
+    t.overwrite(spark.range(100).toDF("id")
+      .withColumn("attrs", org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("k"),
+        org.apache.spark.sql.functions.col("id")))
+      .repartition(8))
+    t.compact(spark, targetPartitions = 2, sortCols = Seq("id"))
+    assert(t.read(spark).count() == 100)
+    assert(t.read(spark).select("attrs").first().getMap[String, Long](0)
+      .nonEmpty)
+  }
+
   test("changesBetween emits insert/delete pairs, null-safe on every column") {
     val dir = Files.createTempDirectory("graft_tbl").toString
     val t = new ParquetTable(s"$dir/t4")
