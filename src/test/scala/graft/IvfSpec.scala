@@ -31,6 +31,23 @@ class IvfSpec extends AnyFunSuite {
     assert(approx.forall(_._2 >= 0))
   }
 
+  test("persisted index reloads from the centroid sidecar and reproduces search") {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_load").toString + "/idx"
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      .persist(spark, path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.isDefined, "sidecar-backed load must succeed after persist")
+    val q = emb.filter(col("vec_id") < 10)
+    val a = built.search(q, "vec_id", "embedding", k = 5, nprobe = 4)
+    val b = loaded.get.search(q, "vec_id", "embedding", k = 5, nprobe = 4)
+    assert(TestSpark.rows(a) == TestSpark.rows(b))
+    // a dir with no index yields None (callers fall back to build), not a throw
+    assert(IvfIndex.load(spark, java.nio.file.Files
+      .createTempDirectory("graft_ivf_none").toString).isEmpty)
+  }
+
   test("IVF build is deterministic for a fixed seed") {
     val emb = Tables.read(spark, dir, "embeddings").limit(200)
     val a = IvfIndex.build(emb, "vec_id", "embedding", 4).assigned

@@ -359,6 +359,16 @@ class ScaleSpec extends AnyFunSuite {
       "the outlier must still rank at the top")
   }
 
+  test("z-order rejects sketch-hostile bit widths") {
+    import graft.scale.ZOrder
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    // the cut-point literal and percentile sketch are O(2^bits) per column;
+    // the guard must refuse widths the sketch cannot support
+    intercept[IllegalArgumentException](ZOrder.withZValue(df, Seq("a"), bits = 21))
+  }
+
   test("round-3 corpus ops keep their promised plan shapes") {
     // q74 collision diversity: the run-length fold happens inside the scan
     // stage — ZERO exchanges (the explode+groupBy formulation it replaces
