@@ -216,18 +216,27 @@ object NorthStarQueries {
     * old version and open a new one.
     */
   def q39Scd2CustomerPriority(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    def latest(pred: org.apache.spark.sql.Column): DataFrame =
-      t(s, dir, "orders").filter(pred)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("o_custkey").as("customer_id"),
-          col("o_orderpriority").as("priority"))
     val boundary = lit("1995-01-01").cast("date")
-    val b1 = latest(col("o_orderdate") < boundary)
-    val b2 = latest(col("o_orderdate") >= boundary)
+    // BOTH era snapshots from ONE scan + ONE shuffle on the customer key:
+    // max_by over an ordering struct that is NULL outside the era skips
+    // those rows (aggregates ignore null ordering keys), so each column
+    // independently resolves "latest order in its era" — replacing the
+    // previous two scan+window passes (was the 8-shuffle worst case of
+    // PLANAUDIT). (o_orderdate, o_orderkey) is unique per customer, so
+    // max_by is deterministic and matches the old rn=1 desc/desc pick.
+    val snaps = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("customer_id"))
+      .agg(
+        max_by(col("o_orderpriority"),
+          when(col("o_orderdate") < boundary,
+            struct(col("o_orderdate"), col("o_orderkey")))).as("__p1"),
+        max_by(col("o_orderpriority"),
+          when(col("o_orderdate") >= boundary,
+            struct(col("o_orderdate"), col("o_orderkey")))).as("__p2"))
+    val b1 = snaps.filter(col("__p1").isNotNull)
+      .select(col("customer_id"), col("__p1").as("priority"))
+    val b2 = snaps.filter(col("__p2").isNotNull)
+      .select(col("customer_id"), col("__p2").as("priority"))
     val dim = MergeOps.scdType2Init(b1, Seq("customer_id"), Seq("priority"),
       lit("1992-01-01").cast("date"))
     MergeOps.scdType2(dim, b2, Seq("customer_id"), Seq("priority"), boundary)
