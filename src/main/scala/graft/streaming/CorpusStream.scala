@@ -18,17 +18,16 @@ import graft.northstar.{CorpusClean, Dedup, TextAnalysis}
   */
 object CorpusStream {
 
-  /** documents.parquet schema (explicit — a streaming source cannot infer). */
-  val DocumentSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
-  /** File-stream source over the testdata documents parquet. */
+  /** File-stream source over the testdata documents parquet. A stream
+    * source cannot infer its schema, so it is sniffed from the live file's
+    * footer (a metadata-only batch read) rather than hardcoded — the
+    * driver regenerates testdata between rounds and a silently drifted
+    * column type would otherwise corrupt the stream (the events table's
+    * ts column did exactly that; see [[EventStream.readEvents]]).
+    */
   def readDocuments(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(DocumentSchema)
+    spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/documents.parquet").schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
 
