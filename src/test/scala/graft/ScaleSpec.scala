@@ -359,6 +359,21 @@ class ScaleSpec extends AnyFunSuite {
       "the outlier must still rank at the top")
   }
 
+  test("scd2 merge computes its join once (no per-branch re-plan)") {
+    // the union-of-filtered-projections shape re-planned the full-outer
+    // join per output branch (6 fact-table scans in the q39 plan); the
+    // case-array explode shape must keep exactly one join and one scan
+    // per input side
+    val plan = graft.queries.NorthStarQueries
+      .q39Scd2CustomerPriority(spark, dir).queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(scans <= 2, s"scd2 must scan each join side once, got $scans:\n$plan")
+    assert(joins == 1, s"scd2 must plan exactly one join, got $joins:\n$plan")
+  }
+
   test("z-order rejects sketch-hostile bit widths") {
     import graft.scale.ZOrder
     val spark2 = spark
