@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.merge.MergeOps
-import graft.northstar.{CorpusClean, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.northstar.{CorpusClean, Dedup, EventOps, Sampling, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators (BASELINE.json) over the
   * documents/embeddings testdata, with DuckDB oracles where the computation
@@ -969,6 +969,35 @@ object NorthStarQueries {
         est.as("estimated"), (est - col("occurrences")).as("overcount"))
   }
 
+  /** Conversion funnel over the event stream (view → click → purchase,
+    * each stage strictly after the user's previous stage time): stage
+    * user-counts plus the exact summed transition lag. A sequential-
+    * pattern workload the grouped/windowed family doesn't cover — the
+    * "did the user do X then Y then Z, and how long did each hop take"
+    * question every product-analytics warehouse answers.
+    *
+    * Scale shape: three filter→groupBy(user) cascades, every shuffle and
+    * join keyed on user_id only (timestamps never leave their user's
+    * partition), 1-row aggregates unioned at the end. Lags sum as exact
+    * integer µs (`ts` is long ns; per-user diffs are µs-multiples), so
+    * the DuckDB oracle hash-matches bit-for-bit.
+    */
+  def q77FunnelConversion(s: SparkSession, dir: String): DataFrame =
+    EventOps.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+
+  /** Weekly retention cohorts: users grouped by the ISO week of their
+    * FIRST event, crossed with every week they were active — the cohort
+    * retention matrix behind every "do users come back" dashboard.
+    *
+    * Scale shape: one groupBy(user) for the cohort, one distinct on
+    * (user, week), one user-keyed join, then a cohort×week aggregate over
+    * weeks-sized output. Nothing holds more than (users × active weeks)
+    * rows, and every wide operation is keyed on user_id.
+    */
+  def q78RetentionCohorts(s: SparkSession, dir: String): DataFrame =
+    EventOps.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
+
   /** The GPT-2-style pre-tokenization pattern, single-sourced: the q68
     * engine query, its DuckDB oracle, and the known-answer spec all read
     * this constant, so the three can never drift. Lookaround-free and
@@ -1032,6 +1061,8 @@ object NorthStarQueries {
     "q74_collision_diversity" -> (q74CollisionDiversity _),
     "q75_bloom_decontaminate" -> (q75BloomDecontaminate _),
     "q76_heavy_hitters" -> (q76HeavyHitters _),
+    "q77_funnel_conversion" -> (q77FunnelConversion _),
+    "q78_retention_cohorts" -> (q78RetentionCohorts _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -1670,6 +1701,42 @@ object NorthStarQueries {
                  round(CAST(s2 AS DOUBLE) / (n * n), 6) AS collision_prob,
                  round(CAST(n AS DOUBLE) * n / s2, 4) AS effective_vocab
           FROM p""",
+    "q77_funnel_conversion" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS et
+           FROM events),
+         v AS (SELECT user_id, min(et) AS t_view
+               FROM ev WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.et) AS t_click, min(v.t_view) AS t_view
+               FROM ev e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.et > v.t_view GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.et) AS t_purchase,
+                      min(c.t_click) AS t_click
+               FROM ev e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.et > c.t_click GROUP BY 1)
+         SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users,
+                CAST(0 AS BIGINT) AS total_lag_us FROM v
+         UNION ALL
+         SELECT '2_click', CAST(count(*) AS BIGINT),
+                CAST(COALESCE(sum(epoch_us(t_click) - epoch_us(t_view)), 0)
+                  AS BIGINT) FROM c
+         UNION ALL
+         SELECT '3_purchase', CAST(count(*) AS BIGINT),
+                CAST(COALESCE(sum(epoch_us(t_purchase) - epoch_us(t_click)), 0)
+                  AS BIGINT) FROM p""",
+    "q78_retention_cohorts" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+           FROM events),
+         f AS (SELECT user_id, CAST(weekofyear(min(d)) AS INTEGER) AS cohort_week
+               FROM ev GROUP BY 1),
+         a AS (SELECT DISTINCT user_id,
+                      CAST(weekofyear(d) AS INTEGER) AS active_week
+               FROM ev)
+         SELECT f.cohort_week, a.active_week,
+                CAST(count(DISTINCT f.user_id) AS BIGINT) AS users
+         FROM f JOIN a USING (user_id)
+         GROUP BY 1, 2""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.northstar.{Dedup, Similarity, TextAnalysis}
+import graft.northstar.{Dedup, EventOps, Similarity, TextAnalysis}
 
 /** Known-answer tests for the LLM-pipeline operators. */
 class NorthStarSpec extends AnyFunSuite {
@@ -16,6 +16,36 @@ class NorthStarSpec extends AnyFunSuite {
     (3L, "completely different words entirely unrelated here"),
     (4L, "the quick brown fox jumps over the lazy dog"))  // exact dup of 1
     .toDF("doc_id", "text")
+
+  test("funnel counts only strictly-ordered stage sequences, lag summed exactly") {
+    // ns timestamps (µs multiples, per the events contract)
+    val ev = Seq(
+      (1L, "view", 10000L), (1L, "click", 20000L), (1L, "purchase", 30000L),
+      (2L, "click", 5000L), (2L, "view", 10000L), (2L, "purchase", 50000L),
+      (3L, "click", 10000L), (3L, "purchase", 20000L), // no view at all
+      (4L, "view", 10000L))
+      .toDF("user_id", "event_type", "ts")
+    val res = EventOps.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+    // u2's click precedes their first view → not stage 2; with no
+    // qualifying click their purchase can't count either. u3 never viewed.
+    TestSpark.assertSameRows(res, Seq(
+      Seq("1_view", 3L, 0L),
+      Seq("2_click", 1L, 10L),      // (20000-10000) ns = 10 µs
+      Seq("3_purchase", 1L, 10L)))
+  }
+
+  test("retention cohorts bucket users by first-event ISO week") {
+    def ns(daysFromJan1_2024: Int): Long =
+      (1704067200L + daysFromJan1_2024 * 86400L) * 1000000000L
+    val ev = Seq(
+      (1L, ns(0)), (1L, ns(7)),  // first week 1 (2024-01-01), active weeks 1+2
+      (2L, ns(7)), (2L, ns(8)))  // first week 2 (2024-01-08), active week 2
+      .toDF("user_id", "ts")
+    TestSpark.assertSameRows(
+      EventOps.retentionCohorts(ev, "user_id", "ts"), Seq(
+        Seq(1, 1, 1L), Seq(1, 2, 1L), Seq(2, 2, 1L)))
+  }
 
   test("tokenCount / quality signals") {
     val got = docs.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"),
