@@ -365,14 +365,18 @@ object NorthStarQueries {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), TextAnalysis.WsClass + "+")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val df = toks.groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val tf = toks.groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    // ONE aggregate at the (lang, tok) grain carries both statistics: a
+    // document has exactly one lang, so per-lang doc sets are disjoint and
+    // df(tok) = Σ_lang countDistinct(doc) — a window sum over the tok
+    // partition, replacing the former separate df aggregate + join (which
+    // re-planned the token explode and scanned documents twice).
+    val g = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("__df_l"))
+      .withColumn("df",
+        sum(col("__df_l")).over(Window.partitionBy(col("tok"))))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("score").desc, col("tok"))
-    tf.join(df, "tok")
-      .crossJoin(broadcast(total))
+    g.crossJoin(broadcast(total))
       .withColumn("score",
         round(col("tf") * col("__total") / col("df"), 6))
       .withColumn("rank", row_number().over(w))
