@@ -155,7 +155,13 @@ object Bench {
     // -1.0 failure markers must not be summed — they would understate the
     // total and make it non-monotonic with failures
     val total = best.values.filter(_ >= 0).sum
-    val dirty = names.count(n => !runs(n).exists(r => !r.failed && r.stealSec <= StealRunTolSec))
+    // "dirty" = SUCCEEDED somewhere but never in a low-steal window — a
+    // contention symptom. A query with zero successful runs is a FAILURE
+    // (code regression / OOM), counted separately: three broken queries on
+    // a perfectly quiet host must not read as steal contamination.
+    val failed = names.count(n => !runs(n).exists(!_.failed))
+    val dirty = names.count(n => runs(n).exists(!_.failed) &&
+      !runs(n).exists(r => !r.failed && r.stealSec <= StealRunTolSec))
     val stealRate = if (wallSec > 0) stealSec / wallSec else 0.0
     val contaminated = stealRate > ContaminatedStealRate ||
       preflightRate > ContaminatedStealRate ||
@@ -196,6 +202,7 @@ object Bench {
       s""""steal_sec":${fmt(stealSec)}""",
       s""""preflight_steal_rate":${fmt(preflightRate)}""",
       s""""dirty_queries":$dirty""",
+      s""""failed_queries":$failed""",
       s""""contaminated":$contaminated""",
       s""""value":${fmt(total)}""").mkString("{", ",", "}")
     val full = Seq(
@@ -208,6 +215,7 @@ object Bench {
       s""""preflight_steal_rate":${fmt(preflightRate)}""",
       s""""passes":$Passes""",
       s""""dirty_queries":$dirty""",
+      s""""failed_queries":$failed""",
       s""""contaminated":$contaminated""",
       s""""seed":$seed""",
       s""""detail":$detail""",

@@ -27,10 +27,16 @@ object Tables {
     * NTZ wall clock IS the instant). Column-pruned scans are unaffected:
     * the conversion is a projection over the pruned scan.
     */
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Normalize a timestamp-typed `ts` column to the engine-wide long-ns
+    * contract — SINGLE-SOURCED here so the batch and streaming readers
+    * can never drift apart on vintage handling.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampNTZType) | Some(TimestampType) =>
         df.withColumn("ts",

@@ -62,9 +62,13 @@ object EventOps {
       .select(col("__r.*"))
   }
 
-  /** Weekly retention cohorts: users bucketed by the ISO week of their
-    * first event, crossed with every ISO week they were active →
-    * (cohort_week, active_week, users).
+  /** Weekly retention cohorts: users bucketed by the week of their first
+    * event, crossed with every week they were active →
+    * (cohort_week, active_week, users). Weeks are identified by their
+    * Monday DATE (`date_trunc('week')`), NOT a bare week-of-year number —
+    * week numbers repeat every year, so a numeric bucket would merge week
+    * 5 of 2024 with week 5 of 2025 (and put late-December dates "before"
+    * their own cohort) on any corpus spanning a year boundary.
     *
     * Scale shape: one groupBy(user), one distinct on (user, week), one
     * user-keyed join, then an aggregate over weeks²-sized output.
@@ -72,12 +76,10 @@ object EventOps {
   def retentionCohorts(events: DataFrame, idCol: String,
       tsCol: String): DataFrame = {
     val ev = events.select(col(idCol),
-      expr(s"CAST(timestamp_micros($tsCol DIV 1000) AS DATE)").as("__d"))
-    val cohorts = ev.groupBy(col(idCol)).agg(min(col("__d")).as("__d0"))
-      .select(col(idCol), weekofyear(col("__d0")).as("cohort_week"))
-    val active = ev
-      .select(col(idCol), weekofyear(col("__d")).as("active_week"))
-      .distinct()
+      expr(s"CAST(date_trunc('week', timestamp_micros($tsCol DIV 1000)) AS DATE)")
+        .as("__wk"))
+    val cohorts = ev.groupBy(col(idCol)).agg(min(col("__wk")).as("cohort_week"))
+    val active = ev.select(col(idCol), col("__wk").as("active_week")).distinct()
     cohorts.join(active, idCol)
       .groupBy(col("cohort_week"), col("active_week"))
       .agg(countDistinct(col(idCol)).as("users"))

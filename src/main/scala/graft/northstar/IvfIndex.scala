@@ -90,10 +90,18 @@ final class IvfIndex private (val nlist: Int,
     // disk, so writing them (nlist × dims doubles — KBs) makes the index
     // RELOADABLE by a later session without refitting. Lives next to the
     // v_* dirs; vacuum only deletes v_*-prefixed entries, never this.
-    val lines = centroids.map { case (i, c) => i + "," + c.mkString(",") }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, IvfIndex.CentroidsFile),
+    // Written tmp-then-atomic-rename (the same discipline as the table's
+    // _current pointer) with a line-count header, so a crash mid-write can
+    // never leave a torn-but-parseable file that load would trust.
+    val lines = s"nlist=${centroids.length}" +:
+      centroids.map { case (i, c) => i + "," + c.mkString(",") }
+    val target = java.nio.file.Paths.get(path, IvfIndex.CentroidsFile)
+    val tmp = java.nio.file.Paths.get(path, IvfIndex.CentroidsFile + ".tmp")
+    java.nio.file.Files.write(tmp,
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     new IvfIndex(nlist, centroids, table.read(spark), persisted = true)
   }
 }
@@ -115,15 +123,24 @@ object IvfIndex {
     else
       try {
         import scala.jdk.CollectionConverters._
-        val centroids = java.nio.file.Files.readAllLines(sidecar).asScala
-          .filter(_.nonEmpty)
-          .map { line =>
+        val all = java.nio.file.Files.readAllLines(sidecar).asScala
+          .filter(_.nonEmpty).toVector
+        // header declares the centroid count; a mismatch (torn write, or a
+        // pre-header-format file) is treated as no-index, not best-effort
+        val declared = all.headOption
+          .filter(_.startsWith("nlist=")).map(_.drop(6).toInt)
+        val body = all.drop(1)
+        if (declared.isEmpty || declared.get != body.length || body.isEmpty)
+          None
+        else {
+          val centroids = body.map { line =>
             val parts = line.split(',')
             (parts.head.toInt, parts.tail.map(_.toDouble).toSeq)
           }.toArray
-        val table = new ParquetTable(path, partitionColumns = Seq("cell"))
-        Some(new IvfIndex(centroids.length, centroids, table.read(spark),
-          persisted = true))
+          val table = new ParquetTable(path, partitionColumns = Seq("cell"))
+          Some(new IvfIndex(centroids.length, centroids, table.read(spark),
+            persisted = true))
+        }
       } catch { case _: Exception => None }
   }
 

@@ -424,10 +424,29 @@ object NorthStarQueries {
     * is the per-query serving cost that must not regress at 100× scale —
     * one monolithic timing hid which side moved.
     */
+  /** IVF scratch path scoped by a metadata fingerprint (mtime ^ size) of
+    * the source embeddings file: the driver regenerates testdata between
+    * rounds at the SAME path, and a probe that reloads last round's
+    * persisted index would silently rank against the old corpus. A new
+    * data vintage changes the fingerprint, so stale indexes simply miss
+    * and the probe rebuilds. Metadata-only — no data job.
+    */
+  private def ivfScratch(dir: String): String = {
+    val fp =
+      try {
+        val attrs = java.nio.file.Files.readAttributes(
+          java.nio.file.Paths.get(dir, "embeddings.parquet"),
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        java.lang.Long.toHexString(
+          attrs.lastModifiedTime.toMillis ^ (attrs.size * 1315423911L))
+      } catch { case _: Exception => "na" }
+    scratch("ivf_" + fp, dir).toString
+  }
+
   def q50IvfBuild(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
-      .persist(s, scratch("ivf", dir).toString)
+      .persist(s, ivfScratch(dir))
       .assigned
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("vectors"))
@@ -446,10 +465,10 @@ object NorthStarQueries {
     */
   def q50IvfProbe(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idx = graft.northstar.IvfIndex.load(s, scratch("ivf", dir).toString)
+    val idx = graft.northstar.IvfIndex.load(s, ivfScratch(dir))
       .getOrElse(
         graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
-          .persist(s, scratch("ivf", dir).toString))
+          .persist(s, ivfScratch(dir)))
     idx.search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, nprobe = 8)
   }
@@ -1730,13 +1749,11 @@ object NorthStarQueries {
                   AS BIGINT) FROM p""",
     "q78_retention_cohorts" ->
       """WITH ev AS (
-           SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+           SELECT user_id,
+                  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
            FROM events),
-         f AS (SELECT user_id, CAST(weekofyear(min(d)) AS INTEGER) AS cohort_week
-               FROM ev GROUP BY 1),
-         a AS (SELECT DISTINCT user_id,
-                      CAST(weekofyear(d) AS INTEGER) AS active_week
-               FROM ev)
+         f AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, wk AS active_week FROM ev)
          SELECT f.cohort_week, a.active_week,
                 CAST(count(DISTINCT f.user_id) AS BIGINT) AS users
          FROM f JOIN a USING (user_id)

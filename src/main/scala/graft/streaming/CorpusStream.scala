@@ -25,11 +25,21 @@ object CorpusStream {
     * column type would otherwise corrupt the stream (the events table's
     * ts column did exactly that; see [[EventStream.readEvents]]).
     */
-  def readDocuments(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/documents.parquet").schema)
+  def readDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    // fallback for declaring the stream before any file has landed
+    val default = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val schema =
+      try spark.read.parquet(s"$sfDir/documents.parquet").schema
+      catch { case _: Exception => default }
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
+  }
 
   /** PII scrub then quality gate, in that order — nothing downstream ever
     * sees unredacted text, and the gate scores the text that will actually

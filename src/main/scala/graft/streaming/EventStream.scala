@@ -18,23 +18,35 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** Fallback schema (current timestamp[µs] vintage) for declaring the
+    * stream BEFORE any file has landed — the normal ingest pattern; footer
+    * sniffing would otherwise fail the declaration on an empty source.
+    */
+  private val DefaultEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-stream source over the testdata events parquet, `ts` normalized
-    * to long ns-since-epoch regardless of the file vintage. The one batch
-    * read is footer-only (schema inference), not a data scan.
+    * to long ns-since-epoch regardless of the file vintage
+    * ([[graft.io.Tables.normalizeTs]] — single-sourced with the batch
+    * reader). The one batch read is footer-only (schema inference); if no
+    * file exists yet the current-vintage default schema declares the
+    * stream.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val fileSchema =
+      try spark.read.parquet(s"$sfDir/events.parquet").schema
+      catch { case _: Exception => DefaultEventSchema }
     val stream = spark.readStream.schema(fileSchema)
       // the file-stream source wants a directory; filter to the events table
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    val normalized = fileSchema("ts").dataType match {
-      case TimestampNTZType | TimestampType =>
-        stream.withColumn("ts",
-          unix_micros(col("ts").cast(TimestampType)) * 1000L)
-      case _ => stream
-    }
-    normalized.withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+    graft.io.Tables.normalizeTs(stream)
+      .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
   }
 
   /** Watermarked tumbling-window aggregation — the streaming form of

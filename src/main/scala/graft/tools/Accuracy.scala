@@ -155,8 +155,16 @@ object Accuracy {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
-    val approx = pairs(IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
-      .search(queries, "vec_id", "embedding", k = 5, nprobe = 8))
+    // gate the path the q50_ivf_probe query actually serves: persist +
+    // sidecar load + partition-pruned search, not an in-memory shortcut
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_acc_ivf").toString + "/idx"
+    IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+      .persist(spark, path)
+    val loaded = IvfIndex.load(spark, path).getOrElse(
+      sys.error("persisted IVF index failed to load in the accuracy gate"))
+    val approx = pairs(
+      loaded.search(queries, "vec_id", "embedding", k = 5, nprobe = 8))
     Seq(Gate("q50_ivf_probe", "recall_at_5_vs_brute_force",
       (exact & approx).size.toDouble / exact.size, ">=", 0.6))
   }

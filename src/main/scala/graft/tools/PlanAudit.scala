@@ -56,8 +56,11 @@ object PlanAudit {
               bnlj = ops.exists(_.startsWith("BroadcastNestedLoopJoin")),
               err = None)
           } catch { case e: Throwable =>
+            // getMessage is null for NPEs and many wrapped JVM errors — a
+            // null here must record the query's failure, not kill the audit
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             Shape(-1, -1, -1, cartesian = false, bnlj = false,
-              err = Some(e.getMessage.takeWhile(_ != '\n').take(200)))
+              err = Some(msg.takeWhile(_ != '\n').take(200)))
           } finally spark.catalog.clearCache()
         name -> shape
     }

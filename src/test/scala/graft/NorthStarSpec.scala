@@ -35,16 +35,22 @@ class NorthStarSpec extends AnyFunSuite {
       Seq("3_purchase", 1L, 10L)))
   }
 
-  test("retention cohorts bucket users by first-event ISO week") {
+  test("retention cohorts bucket users by first-event week, year-aware") {
     def ns(daysFromJan1_2024: Int): Long =
       (1704067200L + daysFromJan1_2024 * 86400L) * 1000000000L
     val ev = Seq(
-      (1L, ns(0)), (1L, ns(7)),  // first week 1 (2024-01-01), active weeks 1+2
-      (2L, ns(7)), (2L, ns(8)))  // first week 2 (2024-01-08), active week 2
-      .toDF("user_id", "ts")
+      (1L, ns(0)), (1L, ns(7)),    // first 2024-01-01 (Mon), active 2 weeks
+      (2L, ns(7)), (2L, ns(8)),    // first 2024-01-08, active that week
+      (3L, ns(0)), (3L, ns(364)))  // active again 2024-12-30 — the ISO week
+      .toDF("user_id", "ts")       //   numbered 1 of 2025; a bare week-of-
+                                   //   year bucket would alias it to Jan
+    val d = java.sql.Date.valueOf(_: String)
     TestSpark.assertSameRows(
       EventOps.retentionCohorts(ev, "user_id", "ts"), Seq(
-        Seq(1, 1, 1L), Seq(1, 2, 1L), Seq(2, 2, 1L)))
+        Seq(d("2024-01-01"), d("2024-01-01"), 2L),
+        Seq(d("2024-01-01"), d("2024-01-08"), 1L),
+        Seq(d("2024-01-08"), d("2024-01-08"), 1L),
+        Seq(d("2024-01-01"), d("2024-12-30"), 1L)))
   }
 
   test("tokenCount / quality signals") {
