@@ -250,4 +250,73 @@ class PropertySpec extends AnyFunSuite {
         }
       }
   }
+
+  test("property: funnel matches a driver-side sequential reference") {
+    import graft.northstar.EventOps
+    val stages = Seq("view", "click", "purchase")
+    val eventGen = for {
+      u <- Gen.choose(1L, 8L)
+      t <- Gen.oneOf("view", "click", "purchase", "error", "signup")
+      ts <- Gen.choose(1L, 50L).map(_ * 1000L) // ns, µs multiples
+    } yield (u, t, ts)
+    samples(Gen.listOfN(60, eventGen), 6).foreach { evs =>
+      val got = EventOps.funnel(evs.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", stages)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // reference: per user, walk the stages picking each stage's first
+      // occurrence strictly after the previous stage's picked time
+      val perStage = stages.indices.map { i =>
+        evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+          var tPrev = Option.empty[Long]
+          var lag = 0L
+          var ok = true
+          for (j <- 0 to i if ok) {
+            val cand = es.collect {
+              case (_, t, ts) if t == stages(j) && tPrev.forall(ts > _) => ts
+            }
+            if (cand.isEmpty) ok = false
+            else {
+              val t = cand.min
+              lag = tPrev.map(p => (t - p) / 1000L).getOrElse(0L)
+              tPrev = Some(t)
+            }
+          }
+          if (ok) Some((u, lag)) else None
+        }
+      }
+      val expected = stages.indices.map { i =>
+        (s"${i + 1}_${stages(i)}", perStage(i).size.toLong,
+          if (i == 0) 0L else perStage(i).map(_._2).sum)
+      }.toSet
+      assert(got == expected, s"events=$evs")
+    }
+  }
+
+  test("property: retention matrix matches a driver-side reference") {
+    import graft.northstar.EventOps
+    import java.time.{DayOfWeek, LocalDate}
+    import java.time.temporal.TemporalAdjusters
+    val eventGen = for {
+      u <- Gen.choose(1L, 6L)
+      day <- Gen.choose(19700, 19760) // epoch days spanning ~9 weeks
+    } yield (u, day.toLong * 86400L * 1000000000L)
+    def monday(ns: Long): LocalDate =
+      LocalDate.ofEpochDay(ns / 86400000000000L)
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+    samples(Gen.listOfN(30, eventGen), 6).foreach { evs =>
+      val got = EventOps.retentionCohorts(evs.toDF("user_id", "ts"),
+          "user_id", "ts")
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getDate(1).toString, r.getLong(2)))
+        .toSet
+      val cohort = evs.groupBy(_._1).map { case (u, es) =>
+        u -> monday(es.map(_._2).min).toString
+      }
+      val expected = evs.map { case (u, ns) => (cohort(u), monday(ns).toString, u) }
+        .distinct.groupBy(p => (p._1, p._2))
+        .map { case ((c, w), us) => (c, w, us.map(_._3).distinct.size.toLong) }
+        .toSet
+      assert(got == expected, s"events=$evs")
+    }
+  }
 }
