@@ -59,9 +59,14 @@ object Catalog {
     */
   def registerTable(spark: SparkSession, database: String, name: String,
       table: ParquetTable): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$name`")
-    spark.sql(s"CREATE TABLE `$database`.`$name` USING parquet " +
-      s"LOCATION '${table.currentPath}'")
+    // escape for interpolation: a legal filesystem path may contain a
+    // single quote (user dirs like o'brien) and identifiers may carry
+    // backticks — unescaped either is a ParseException at registration
+    def qid(s: String): String = "`" + s.replace("`", "``") + "`"
+    val loc = table.currentPath.replace("'", "\\'")
+    spark.sql(s"DROP TABLE IF EXISTS ${qid(database)}.${qid(name)}")
+    spark.sql(s"CREATE TABLE ${qid(database)}.${qid(name)} USING parquet " +
+      s"LOCATION '$loc'")
     // Recover partitions ONLY when the live version actually has the
     // hive-style `col=value` layout on disk. The declared partitionColumns
     // are deliberately NOT consulted: an empty partitioned write falls back

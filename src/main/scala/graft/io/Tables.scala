@@ -243,10 +243,19 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     */
   def vacuum(): ParquetTable = {
     val keep = currentVersion.toSet
-    val old = FsUtil.listDir(Paths.get(path)).filter { p =>
-      val name = p.getFileName.toString
-      name.startsWith("v_") && !keep.contains(name)
-    }
+    val versions = FsUtil.listDir(Paths.get(path))
+      .filter(_.getFileName.toString.startsWith("v_"))
+    // vacuum is the ONE destructive operation on a table: with a lost or
+    // corrupted _current pointer, "keep the live version" degenerates to
+    // "keep nothing" and every version dir — including the recoverable
+    // data a manual pointer restore could have saved — would be deleted.
+    // The read accessors all throw on a missing pointer; so must this
+    // (a never-written table with no versions at all stays a no-op).
+    require(keep.nonEmpty || versions.isEmpty,
+      s"vacuum: no _current pointer at $path but ${versions.size} version " +
+        "dir(s) exist — refusing to delete every version; restore the " +
+        "pointer (or remove the directory deliberately) first")
+    val old = versions.filter(p => !keep.contains(p.getFileName.toString))
     old.foreach { p =>
       val walk = Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder())

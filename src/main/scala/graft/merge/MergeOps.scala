@@ -38,6 +38,9 @@ object MergeOps {
     */
   private def renamedKeys(keyed: DataFrame, keys: Seq[String],
       prefix: String): (DataFrame, Column) = {
+    // empty keys would crash the condition reduce with an opaque
+    // 'empty.reduce' at plan-build time — name the contract instead
+    require(keys.nonEmpty, "merge keys must be non-empty")
     val renamed = keys.foldLeft(keyed.select(keys.map(col).toIndexedSeq: _*).distinct()) {
       (d, c) => d.withColumnRenamed(c, s"$prefix$c")
     }
@@ -133,6 +136,10 @@ object MergeOps {
     */
   def scdType2(target: DataFrame, updates: DataFrame, keys: Seq[String],
       attrs: Seq[String], effective: Column): DataFrame = {
+    require(keys.nonEmpty, "scdType2 keys must be non-empty")
+    require(attrs.nonEmpty,
+      "scdType2 attrs must be non-empty — a presence-only dimension has " +
+        "no change to version; use insertIfAbsent")
     val tCols = target.columns.toIndexedSeq
     val u0 = updates.select((keys ++ attrs).map(col).toIndexedSeq: _*)
       .dropDuplicates(keys)

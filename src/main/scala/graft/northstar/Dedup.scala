@@ -65,9 +65,13 @@ object Dedup {
 
   /** Signatures from a (id, __shingles) frame — shared by the standalone
     * signature op and the near-duplicate path so the permutation scheme
-    * cannot drift between them. Documents with an empty shingle array get
-    * a NULL signature and are dropped, matching the exploded formulation
-    * (no rows after explode → no aggregate row).
+    * cannot drift between them. Documents with a NULL shingle array (NULL
+    * text) get a NULL signature and are dropped. Token-LESS documents are
+    * NOT dropped: they shingle to the one seed hash, so all empty docs are
+    * mutual jaccard-1.0 duplicates — semantically correct, but m identical
+    * docs (empty or not) always imply an m²/2 pair clique in ANY pairwise
+    * dedup; run exact dedup (content-hash groupBy) first to collapse
+    * identical docs, which the corpus-prep composite does.
     */
   private def signaturesFromShingles(shingleSets: DataFrame, idCol: String,
       numPerm: Int, carry: Seq[String] = Nil): DataFrame =
@@ -130,13 +134,22 @@ object Dedup {
     // signatures derive from the cached shingle sets — tokenize once, not twice
     val withSig = signaturesFromShingles(shingleSets, idCol, numPerm)
     val pairs = candidatePairs(lshBands(withSig, idCol, "__sig", bands, rowsPerBand), idCol)
-    val a = shingleSets.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
-    val b = shingleSets.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
-    pairs.join(a, "id_a").join(b, "id_b")
+    verifyJaccard(pairs, shingleSets, idCol, jaccardThreshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets —
+    * SINGLE-SOURCED for the batch and incremental paths so the formula
+    * (and its round-6 presentation) cannot drift between them.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val a = sets.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
+    val b = sets.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
           size(array_union(col("__sh_a"), col("__sh_b"))))
-      .filter(col("jaccard") >= jaccardThreshold)
+      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -145,8 +158,15 @@ object Dedup {
     * shape at 100 TB — pairing is INCREMENTAL: each incoming batch is
     * banded and probed against the index instead of re-pairing the whole
     * corpus (which is quadratic in ingest count if done per batch).
+    *
+    * The index RECORDS its scheme parameters: probing with a different
+    * numPerm/bands/shingleSize than the build would band different slices
+    * of different signatures over different shingles — near-zero matches,
+    * silently. [[incrementalNearDuplicates]] therefore takes its scheme
+    * from the index, never from the caller.
     */
-  final case class NearDupIndex(bands: DataFrame, sets: DataFrame)
+  final case class NearDupIndex(bands: DataFrame, sets: DataFrame,
+      numPerm: Int = 64, numBands: Int = 16, shingleSize: Int = 3)
 
   /** Build the [[NearDupIndex]] frames for a corpus — same shingle and
     * permutation scheme as [[minhashNearDuplicates]], so incremental
@@ -164,7 +184,7 @@ object Dedup {
     NearDupIndex(
       lshBands(signaturesFromShingles(sets, idCol, numPerm),
         idCol, "__sig", bands, numPerm / bands),
-      sets)
+      sets, numPerm, bands, shingleSize)
   }
 
   /** Near-duplicate pairs of an incoming batch against (and within)
@@ -176,12 +196,17 @@ object Dedup {
     * batch operators.
     */
   def incrementalNearDuplicates(index: NearDupIndex, newDocs: DataFrame,
-      idCol: String, textCol: String, numPerm: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
+      idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    // the banding scheme comes from the index — a caller-supplied scheme
+    // that differed from the build would probe near-nothing, silently
+    val numPerm = index.numPerm
+    val bands = index.numBands
     require(bands > 0 && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
     val newSets = newDocs.select(col(idCol),
-      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize))
+      array_distinct(
+        TextAnalysis.shingleHashes(col(textCol), index.shingleSize))
         .as("__shingles"))
     newSets.cache()
     val newBands = lshBands(signaturesFromShingles(newSets, idCol, numPerm),
@@ -199,15 +224,15 @@ object Dedup {
     // batch vs batch: the ordinary banded self-join, batch-sized
     val newCand = candidatePairs(newBands, idCol)
     val cand = crossCand.union(newCand).distinct()
-    val all = index.sets.union(newSets)
-    val a = all.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
-    val b = all.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
-    cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // An id present in BOTH the index and the batch (at-least-once
+    // re-delivery, possibly with updated text) must resolve to ONE shingle
+    // set — the batch's, the fresher observation. A plain union would keep
+    // both rows and fan every (id, x) candidate out into duplicate,
+    // conflicting pair rows.
+    val all = index.sets
+      .join(broadcast(newSets.select(col(idCol))), Seq(idCol), "left_anti")
+      .union(newSets)
+    verifyJaccard(cand, all, idCol, jaccardThreshold)
   }
 
   /** Canonical shared-shingle pair counts (id_a < id_b) via an INVERTED
@@ -350,9 +375,9 @@ object Dedup {
     */
   def embeddingNearDuplicates(embeddings: DataFrame, idCol: String,
       vecCol: String, threshold: Double = 0.95, planes: Int = 16,
-      tables: Int = 4): DataFrame =
+      tables: Int = 4, dims: Int = 64): DataFrame =
     Similarity.cosineNearDuplicates(embeddings, idCol, vecCol, threshold,
-      planes, tables)
+      planes, tables, dims)
 
   // ---- duplicate-cluster resolution ----
 

@@ -73,6 +73,12 @@ object Similarity {
     * bucket join toward the O(n²) cross product.
     */
   def lshBuckets(vec: Column, tables: Int, planes: Int, dims: Int): Column = {
+    // bucket bits live in one long: planes >= 64 would wrap 1L << p (shift
+    // is mod 64) and silently alias plane tests onto reused bits — reject
+    // loudly like the MinHash banding degenerate-parameter checks
+    require(planes >= 1 && planes <= 63,
+      s"planes=$planes: bucket bits must fit a long (1..63)")
+    require(tables >= 1, s"tables=$tables must be positive")
     val hp = hyperplanes(tables, planes, dims)
     // the dims CONTRACT is still loud: a present, fully-non-NULL vector of
     // the wrong length is a caller bug (every plane test would go false) —
@@ -128,18 +134,24 @@ object Similarity {
       toDoubleVec(col(vecCol)).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("__qv"))
-    val cb = c.select(col("neighbor_id"), col("__cv"),
+    // candidate generation and dedup ride (id, id) rows ONLY — the fat
+    // vector payloads rejoin by id afterwards, so the bucket join and the
+    // distinct never shuffle or compare dims-length arrays (the same
+    // ids-only-exchange rule semanticDedup documents)
+    val cb = c.select(col("neighbor_id"),
       explode(lshBuckets(col("__cv"), tables, planes, dims)).as("b"))
-      .select(col("neighbor_id"), col("__cv"), col("b.table_id"), col("b.bucket"))
-    val qb = q.select(col("query_id"), col("__qv"),
+      .select(col("neighbor_id"), col("b.table_id"), col("b.bucket"))
+    val qb = q.select(col("query_id"),
       explode(lshBuckets(col("__qv"), tables, planes, dims)).as("b"))
-      .select(col("query_id"), col("__qv"), col("b.table_id"), col("b.bucket"))
+      .select(col("query_id"), col("b.table_id"), col("b.bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cb.join(broadcast(qb), Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
       .withColumn("cosine", round(
         graft.functions.GraftFunctions.cosine_sim(col("__qv"), col("__cv")), 6))
       .withColumn("rank", row_number().over(w))
