@@ -44,7 +44,10 @@ case class CmsEstimate(child: Expression, sketchBytes: SketchBytes)
 
   /** Entry point for generated code (must be public). */
   def estimate(key: org.apache.spark.unsafe.types.UTF8String): Long =
-    cms.estimateCount(key.toString)
+    // the byte[] branch hashes the identical UTF-8 bytes addString stores
+    // (addString delegates to addBinary of the encoded bytes), so probing
+    // with the UTF8String's bytes skips a per-row String decode/re-encode
+    cms.estimateCount(key.getBytes)
 
   override def nullSafeEval(input: Any): Any =
     estimate(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])

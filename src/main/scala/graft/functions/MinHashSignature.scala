@@ -95,12 +95,17 @@ object MinHashUtil {
     java.util.Arrays.fill(out, Long.MaxValue)
     var j = 0
     while (j < n) {
-      val g = shingles.getLong(j)
-      var i = 0
-      while (i < numPerm) {
-        val h = XXH64.hashLong(g, seeds(i))
-        if (h < out(i)) out(i) = h
-        i += 1
+      // skip null slots: getLong on a null element returns the raw storage
+      // word (0L), which would fold a phantom shingle into every minimum
+      // and create false LSH collisions among all null-carrying inputs
+      if (!shingles.isNullAt(j)) {
+        val g = shingles.getLong(j)
+        var i = 0
+        while (i < numPerm) {
+          val h = XXH64.hashLong(g, seeds(i))
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
       }
       j += 1
     }

@@ -62,17 +62,22 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 object ShingleHashUtil {
 
   /** Same default seed as Spark's `xxhash64`. */
-  private final val Seed = 42L
+  private[functions] final val Seed = 42L
 
   private def isSpace(b: Byte): Boolean =
     b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
-  def compute(text: UTF8String, k: Int): ArrayData = {
+  /** Pass-1 tokenizer: xxhash64 of every whitespace-delimited token, into
+    * a grow-by-doubling scratch array (may be longer than the count —
+    * callers use the returned count). SINGLE-SOURCED: this is the
+    * tokenization that must match [[graft.northstar.TextAnalysis.tokens]]
+    * byte-for-byte, and both the shingle and collision-stats expressions
+    * call it — a whitespace-set change in one place moves both.
+    */
+  private[functions] def tokenHashes(text: UTF8String): (Array[Long], Int) = {
     val base = text.getBaseObject
     val offset = text.getBaseOffset
     val nBytes = text.numBytes()
-
-    // pass 1: hash each token in place (grow-by-doubling scratch array)
     var tokHashes = new Array[Long](math.max(8, nBytes / 6))
     var n = 0
     var i = 0
@@ -88,6 +93,11 @@ object ShingleHashUtil {
         n += 1
       }
     }
+    (tokHashes, n)
+  }
+
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val (tokHashes, n) = tokenHashes(text)
 
     // pass 2: xxhash64-chain each k-window (all tokens when fewer than k)
     if (n < k) {

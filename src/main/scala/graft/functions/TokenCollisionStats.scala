@@ -58,36 +58,15 @@ case class TokenCollisionStats(child: Expression) extends UnaryExpression {
   */
 object TokenCollisionUtil {
 
-  private final val Seed = 42L
-
-  private def isSpace(b: Byte): Boolean =
-    b == 0x20 || (b >= 0x09 && b <= 0x0d)
-
   def compute(text: UTF8String): InternalRow = {
-    val base = text.getBaseObject
-    val offset = text.getBaseOffset
-    val nBytes = text.numBytes()
-
-    var tokHashes = new Array[Long](math.max(8, nBytes / 6))
-    var n = 0
-    var i = 0
-    while (i < nBytes) {
-      while (i < nBytes && isSpace(Platform.getByte(base, offset + i))) i += 1
-      val start = i
-      while (i < nBytes && !isSpace(Platform.getByte(base, offset + i))) i += 1
-      if (i > start) {
-        if (n == tokHashes.length) {
-          tokHashes = java.util.Arrays.copyOf(tokHashes, n * 2)
-        }
-        tokHashes(n) = XXH64.hashUnsafeBytes(base, offset + start, i - start, Seed)
-        n += 1
-      }
-    }
+    // tokenization shared with the shingle expression
+    // ([[ShingleHashUtil.tokenHashes]]) so the two can never drift
+    val (tokHashes, n) = ShingleHashUtil.tokenHashes(text)
 
     java.util.Arrays.sort(tokHashes, 0, n)
     var s2 = 0L
     var d = 0L
-    i = 0
+    var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n && tokHashes(j) == tokHashes(i)) j += 1

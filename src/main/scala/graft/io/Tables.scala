@@ -45,6 +45,29 @@ object Tables {
     }
   }
 
+  /** File-stream source over one testdata table — shared by the streaming
+    * readers so the sniff-footer-with-fallback pattern exists once. The
+    * schema comes from the live file's footer; `default` applies ONLY when
+    * the path does not exist yet (declaring a stream before the first file
+    * lands). Any other read failure — corrupt footer, permissions, an
+    * unreadable vintage — propagates: silently declaring the default
+    * against a real but unreadable file would corrupt the stream where a
+    * loud failure at declaration is diagnosable.
+    */
+  def readStreamTable(spark: SparkSession, sfDir: String, name: String,
+      default: org.apache.spark.sql.types.StructType): DataFrame = {
+    val schema =
+      try spark.read.parquet(s"$sfDir/$name.parquet").schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => default
+      }
+    spark.readStream.schema(schema)
+      // the file-stream source wants a directory; filter to this table
+      .option("pathGlobFilter", s"$name.parquet")
+      .parquet(sfDir)
+  }
+
   /** Bucketed catalog table write: co-locates join keys so repeated joins
     * and aggregations on `bucketCols` run shuffle-free (the plan shows a
     * SortMergeJoin with NO Exchange on either side). The 100 TB pattern for

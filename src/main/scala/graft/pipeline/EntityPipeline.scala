@@ -285,13 +285,29 @@ final class EntityPipeline(spark: SparkSession, warehouse: Warehouse,
   }
 
   /** V7 + declared-schema coercion: project the silver columns, cast to the
-    * declared silver types (rows here have passed validation, so the casts
-    * are clean — try_cast keeps it total anyway), stamp ingestion time.
+    * declared silver types, stamp ingestion time.
+    *
+    * Integral targets fall back through a double cast: validation accepts
+    * decimal strings ("9.99") because the reference's legacy-mode cast
+    * parses them (Validators.scala numeric probe), but an ANSI
+    * `try_cast('9.99' AS BIGINT)` is NULL — which would seat a NULL where
+    * the reference writes the truncated integer, corrupting keyed merges
+    * downstream. The direct cast wins when it parses (exact long-range
+    * integers keep full precision); only otherwise does the value take the
+    * truncating double route the reference's cast implies.
     */
   private def promoteToSilver(validRows: DataFrame): DataFrame = {
     val casts = cfg.silverCasts.toMap
+    val integral =
+      Set("byte", "tinyint", "short", "smallint", "int", "integer",
+        "bigint", "long")
     validRows.select(cfg.silverColumns.toIndexedSeq.map { c =>
-      casts.get(c).fold(col(c))(t => col(c).try_cast(t).as(c))
+      casts.get(c).fold(col(c)) { t =>
+        if (integral.contains(t.toLowerCase))
+          coalesce(col(c).try_cast(t),
+            col(c).try_cast("double").try_cast(t)).as(c)
+        else col(c).try_cast(t).as(c)
+      }
     }: _*).withColumn("silver_ingestion_time", clock())
   }
 

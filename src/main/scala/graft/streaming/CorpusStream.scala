@@ -25,21 +25,15 @@ object CorpusStream {
     * column type would otherwise corrupt the stream (the events table's
     * ts column did exactly that; see [[EventStream.readEvents]]).
     */
-  def readDocuments(spark: SparkSession, sfDir: String): DataFrame = {
-    // fallback for declaring the stream before any file has landed
-    val default = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val schema =
-      try spark.read.parquet(s"$sfDir/documents.parquet").schema
-      catch { case _: Exception => default }
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
-  }
+  def readDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    graft.io.Tables.readStreamTable(spark, sfDir, "documents",
+      // fallback for declaring the stream before any file has landed
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
 
   /** PII scrub then quality gate, in that order — nothing downstream ever
     * sees unredacted text, and the gate scores the text that will actually
@@ -84,7 +78,9 @@ object CorpusStream {
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, numPerm: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, lateness: String = "1 hour"): Dataset[CandidatePair] = {
-    require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm) — and bands=0 would " +
+        "divide-by-zero before any banding happens")
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
     require(iv.months == 0, s"calendar-month lateness not supported: $lateness")

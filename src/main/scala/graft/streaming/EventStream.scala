@@ -37,17 +37,11 @@ object EventStream {
     * file exists yet the current-vintage default schema declares the
     * stream.
     */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val fileSchema =
-      try spark.read.parquet(s"$sfDir/events.parquet").schema
-      catch { case _: Exception => DefaultEventSchema }
-    val stream = spark.readStream.schema(fileSchema)
-      // the file-stream source wants a directory; filter to the events table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    graft.io.Tables.normalizeTs(stream)
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.io.Tables.normalizeTs(
+      graft.io.Tables.readStreamTable(spark, sfDir, "events",
+        DefaultEventSchema))
       .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
-  }
 
   /** Watermarked tumbling-window aggregation — the streaming form of
     * q18_events_hourly. Append-mode-safe: results finalize once the
@@ -116,11 +110,22 @@ object EventStream {
       sorted.foreach { e =>
         val t = e.event_time.getTime
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
+          case Some(s) if t - s.last <= gapMs && t >= s.start - gapMs =>
             // a cross-batch out-of-order event (t < s.last, still above the
-            // watermark) must not shrink the session bounds or its timeout
+            // watermark) must not shrink the session bounds or its timeout —
+            // but it only BELONGS to this session if it falls within gapMs
+            // of the session's span; the batch mirror (q32) would otherwise
+            // put it in its own earlier session
             cur = Some(s.copy(start = math.min(s.start, t),
               last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
+          case Some(s) if t < s.start - gapMs =>
+            // above-watermark straggler older than the open session by more
+            // than the gap: its own (already-elapsed) session, emitted now.
+            // Approximation vs batch: an even-later arrival within gapMs of
+            // THIS straggler can no longer merge with it — the alternative
+            // is unbounded multi-session state per key
+            closed ::= UserSession(userId, new java.sql.Timestamp(t),
+              new java.sql.Timestamp(t), 1, e.value)
           case Some(s) =>
             closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.last), s.n, s.total)

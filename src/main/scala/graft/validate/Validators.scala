@@ -81,6 +81,10 @@ object Validators {
     child.join(parentKeys,
         col(childIdCol).cast("string") === col("__parent_key").cast("string"), "left")
       .withColumn(StatusCol, when(invalid, lit("invalid")).otherwise(col(StatusCol)))
+      // deliberately OVERWRITES (not wraps) any previous invalid_relationship
+      // content — replicating the reference verbatim (CommonFunctions.py:
+      // 194-196 builds array(concat_ws(', ', lit(id_col_1))) with no
+      // reference to the prior value), unlike validate_column's wrap quirk
       .withColumn(InvalidRelCol,
         when(invalid, array(concat_ws(", ", lit(childIdCol))))
           .otherwise(col(InvalidRelCol)))

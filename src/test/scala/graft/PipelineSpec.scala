@@ -217,6 +217,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table("graft_wh_fresh_db.bronze_empty").count() == 0)
   }
 
+  test("decimal-string integrals survive silver coercion (legacy-cast parity)") {
+    // NumericRule probes via a double cast because the reference's
+    // legacy-mode cast parses "9.99" → 9; the silver promotion must not
+    // then NULL the value with a strict ANSI try_cast to the integral type
+    val w = new Warehouse(Files.createTempDirectory("graft_wh_cast").toString)
+    val cfg = graft.pipeline.EntityConfig(
+      name = "gauges", idColumns = Seq("id"),
+      validations = Seq(graft.pipeline.NumericRule("reading")),
+      silverColumns = Seq("id", "reading"),
+      silverCasts = Seq("id" -> "bigint", "reading" -> "bigint"))
+    val p = new EntityPipeline(spark, w, cfg, clock)
+    p.ingestBronze(Seq(("1", "7"), ("2", "9.99"), ("3", "junk"))
+      .toDF("id", "reading"))
+    p.validateSilver()
+    TestSpark.assertSameRows(
+      w.silverByName("gauges").read(spark).select("id", "reading"),
+      Seq(Seq(1L, 7L), Seq(2L, 9L)))  // "9.99" → 9, not NULL; "junk" → DLQ
+  }
+
   test("S5 auth hook runs before the pipeline touches storage") {
     var calls = 0
     val recording = new graft.io.StorageAuth {

@@ -155,6 +155,37 @@ class StreamingSpec extends AnyFunSuite {
       s"doc 4 arrived after the bucket expired — no cross-window pair: $out")
   }
 
+  test("sessionize keeps a too-old straggler out of the open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventStream.sessionize(
+        in.toDF().toDF("user_id", "event_time", "value"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("straggler_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // above the 1 h watermark (11:00) but 40 min before the open
+      // session's start — the batch mirror (q32) would never merge it
+      in.addData((1L, ts("2024-01-01 11:20:00"), 1.0),
+        (2L, ts("2024-01-01 15:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData((3L, ts("2024-01-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("straggler_sessions").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(u1.toSet == Set(
+      (ts("2024-01-01 11:20:00"), ts("2024-01-01 11:20:00"), 1L),
+      (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)),
+      s"straggler must be its own session, got: ${u1.mkString(", ")}")
+  }
+
   test("sessionize emits gap-separated sessions per user") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions")
