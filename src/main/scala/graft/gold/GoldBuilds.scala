@@ -15,8 +15,10 @@ import graft.pipeline.Warehouse
   * Gold-Customer-Status-By-City.py:74-81) and re-checks against the stored
   * table.
   */
-final class GoldBuilds(spark: SparkSession, warehouse: Warehouse,
-    clock: () => Column = () => current_timestamp()) {
+// no clock parameter on purpose: the reference gold tables carry no
+// ingestion timestamp (every Gold/*.py drops silver_ingestion_time and
+// stamps nothing), so there is nothing for an injected clock to feed
+final class GoldBuilds(spark: SparkSession, warehouse: Warehouse) {
 
   // S5: same authenticate-before-first-read preamble as the pipelines
   warehouse.auth.authenticate(spark)
@@ -197,6 +199,10 @@ final class Dashboard(spark: SparkSession, warehouse: Warehouse) {
       .agg(sum(col("order_count")).as("total_orders"))
     val late = base.filter(col("delivery_time") > thresholdDays)
       .groupBy(col("type")).agg(sum(col("order_count")).as("late_orders"))
+    // INNER join on purpose: a type with zero late orders drops out of the
+    // result entirely (no late_share=0 row) — replicating the reference
+    // dashboard verbatim (Seed-Store-Dashboard.py:118-123 joins the two
+    // CTEs with a plain JOIN)
     total.join(late, Seq("type"), "inner")
       .select(col("type").as("order_type"), col("total_orders"), col("late_orders"),
         (col("late_orders") / col("total_orders")).as("late_share"))

@@ -109,9 +109,14 @@ object CorpusClean {
         TextAnalysis.shingleHashes(col(textCol), n))).as("__g"))
       .stat.bloomFilter("__g", expectedGrams, fpp)
     val bytes = BloomFunctions.serialize(bloom)
+    // NULL text shingles to NULL → exists() is NULL; coalesce to false so
+    // NULL-text rows read as clean, matching contaminatedIds (the exact
+    // path), instead of being silently dropped by a !__contaminated filter
     training.withColumn("__contaminated",
-      exists(array_distinct(TextAnalysis.shingleHashes(col(textCol), n)),
-        g => BloomFunctions.mightContain(g, bytes)))
+      coalesce(
+        exists(array_distinct(TextAnalysis.shingleHashes(col(textCol), n)),
+          g => BloomFunctions.mightContain(g, bytes)),
+        lit(false)))
   }
 
   /** The full corpus-preparation pipeline in one call — what a training-data

@@ -88,15 +88,18 @@ final class IvfIndex private (val nlist: Int,
     if (!retainHistory) table.vacuum()
     // Quantizer sidecar: the centroids are the only state not already on
     // disk, so writing them (nlist × dims doubles — KBs) makes the index
-    // RELOADABLE by a later session without refitting. Lives next to the
-    // v_* dirs; vacuum only deletes v_*-prefixed entries, never this.
-    // Written tmp-then-atomic-rename (the same discipline as the table's
-    // _current pointer) with a line-count header, so a crash mid-write can
-    // never leave a torn-but-parseable file that load would trust.
+    // RELOADABLE by a later session without refitting. Lives INSIDE the
+    // live version dir (underscore-prefixed, so Spark's file index ignores
+    // it): centroids and the inverted lists they quantized then live and
+    // die together — a sidecar beside the v_* dirs could survive a rebuild
+    // whose sidecar write crashed, silently pairing OLD centroids with NEW
+    // lists. Written tmp-then-atomic-rename with a line-count header so a
+    // torn write reads as no-sidecar (→ rebuild), never as a short file.
     val lines = s"nlist=${centroids.length}" +:
       centroids.map { case (i, c) => i + "," + c.mkString(",") }
-    val target = java.nio.file.Paths.get(path, IvfIndex.CentroidsFile)
-    val tmp = java.nio.file.Paths.get(path, IvfIndex.CentroidsFile + ".tmp")
+    val versionDir = java.nio.file.Paths.get(table.currentPath)
+    val target = versionDir.resolve(IvfIndex.CentroidsFile)
+    val tmp = versionDir.resolve(IvfIndex.CentroidsFile + ".tmp")
     java.nio.file.Files.write(tmp,
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, target,
@@ -118,7 +121,13 @@ object IvfIndex {
     * by many later jobs.
     */
   def load(spark: SparkSession, path: String): Option[IvfIndex] = {
-    val sidecar = java.nio.file.Paths.get(path, CentroidsFile)
+    // resolve the sidecar through the live-version pointer (it lives with
+    // the lists it quantized); a missing pointer or sidecar is no-index
+    val sidecar =
+      try java.nio.file.Paths.get(
+        new ParquetTable(path, partitionColumns = Seq("cell")).currentPath,
+        CentroidsFile)
+      catch { case _: Exception => return None }
     if (!java.nio.file.Files.exists(sidecar)) None
     else
       try {
@@ -164,9 +173,10 @@ object IvfIndex {
     import graft.functions.GraftFunctions
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       Similarity.toDoubleVec(col(vecCol)).as("__cv"))
-    // the sample-collect materializes this projection; the assignment
-    // pass that follows reuses it
-    vecs.cache()
+    // deliberately NOT cached: the cache would pin the ENTIRE corpus
+    // vector projection in executor storage for the session's lifetime to
+    // save one extra (map-side) scan — at real corpus sizes that evicts
+    // useful caches and spills, a bad trade for avoiding a linear re-read
     val trainTarget = nlist * 256
     // Bounded deterministic sample WITHOUT a count job: the first
     // trainTarget vectors by id (TakeOrdered — no full sort, no extra

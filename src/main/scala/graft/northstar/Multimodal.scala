@@ -192,7 +192,11 @@ object Multimodal {
     * the payload (the video-keyframe access pattern) — pure Column algebra,
     * no decode needed for the slicing itself.
     */
-  def sampleFrames(media: DataFrame, n: Int, frameBytes: Int): DataFrame =
+  def sampleFrames(media: DataFrame, n: Int, frameBytes: Int): DataFrame = {
+    // sequence(0, n-1) COUNTS DOWN for n=0 (emitting phantom frames) and
+    // the stride division divides by zero — same hazard chunk() guards
+    require(n >= 1 && frameBytes >= 1,
+      s"n=$n, frameBytes=$frameBytes must be >= 1")
     media.select(col("media_id"), col("meta.kind").as("kind"),
       posexplode(transform(sequence(lit(0), lit(n - 1)),
         i => substring(col("payload"),
@@ -200,6 +204,7 @@ object Multimodal {
           lit(frameBytes)))))
       .withColumnRenamed("pos", "frame_id")
       .withColumnRenamed("col", "frame_bytes")
+  }
 
   /** Resize stub: deterministic byte-level downsample to `targetBytes`
     * (every k-th byte) — the real implementation would call an image
@@ -209,6 +214,9 @@ object Multimodal {
     */
   def resizeStub(payload: org.apache.spark.sql.Column,
       targetBytes: Int): org.apache.spark.sql.Column = {
+    // targetBytes=0 would duplicate the first byte via a counting-down
+    // sequence and divide by zero under ANSI
+    require(targetBytes >= 1, s"targetBytes=$targetBytes must be >= 1")
     val stride = greatest(length(payload) / targetBytes, lit(1))
     val slices = transform(sequence(lit(1), least(length(payload), lit(targetBytes))),
       i => substring(payload, ((i - 1) * stride + 1).cast("int"), lit(1)))

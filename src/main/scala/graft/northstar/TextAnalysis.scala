@@ -247,9 +247,16 @@ object TextAnalysis {
     val w1Counts = bgCounts.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
     val vocab = toks.select(explode(col("tk")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
+    // decimal intermediate: (c_bg + 1) * 1e9 overflows a long once a
+    // bigram's corpus count reaches ~9.2e9 — realistic for a stopword
+    // bigram at trillion-token scale (negative scores non-ANSI, a job-
+    // killing ARITHMETIC_OVERFLOW under ANSI). The quotient itself is
+    // ≤ 1e9 so `div`'s long result is safe; the oracle mirrors with
+    // HUGEINT.
     val model = bgCounts.join(w1Counts, "w1").crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
-        expr("((c_bg + 1) * 1000000000L) div (c_w1 + v)").as("term"))
+        expr("((CAST(c_bg AS DECIMAL(38,0)) + 1) * 1000000000) div (c_w1 + v)")
+          .as("term"))
     bg.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),

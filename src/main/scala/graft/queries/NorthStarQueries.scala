@@ -1689,7 +1689,9 @@ object NorthStarQueries {
           voc AS (SELECT count(DISTINCT w) AS v
                   FROM (SELECT unnest(tk) AS w FROM toks)),
           model AS (
-            SELECT w1, w2, ((c_bg + 1) * 1000000000) // (c_w1 + v) AS term
+            SELECT w1, w2,
+                   CAST(((CAST(c_bg AS HUGEINT) + 1) * 1000000000)
+                        // (c_w1 + v) AS BIGINT) AS term
             FROM bgc JOIN w1c USING (w1) CROSS JOIN voc)
           SELECT doc_id, count(*) AS n_bigrams,
                  round(CAST(sum(term) AS DOUBLE)

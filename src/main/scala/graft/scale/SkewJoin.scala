@@ -14,8 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Deterministic scatter: salt derived by hashing the big side's whole
-    * row (stable across retries — no RNG).
+  /** Positional scatter: salt from the row's position
+    * (`monotonically_increasing_id`), NOT a content hash. A content hash
+    * sends byte-identical duplicate rows of a hot key — the single most
+    * common skew shape (log duplication, default-valued rows) — all to ONE
+    * bucket, defeating the operator exactly when it's needed; it also
+    * cannot cover map-typed columns (xxhash64 rejects MapType). Position
+    * spreads every copy round-robin. The salt VALUE is not stable under a
+    * reshuffled upstream, which is benign here: correctness never depends
+    * on which bucket a row takes (the small side is replicated into all of
+    * them), only the spread does.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
@@ -26,7 +34,7 @@ object SkewJoin {
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin preserves semantics only for inner/left joins, got $joinType")
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
         .cast("int"))
     val smallReplicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -93,7 +93,7 @@ class PipelineSpec extends AnyFunSuite {
       Seq(12L, "Tucson", "Us"), Seq(13L, "Mesa", "Us")))
 
     // gold + dashboard (E3)
-    new GoldBuilds(spark, w, clock).buildAll()
+    new GoldBuilds(spark, w).buildAll()
     val dash = new Dashboard(spark, w)
 
     TestSpark.assertSameRows(
@@ -144,7 +144,7 @@ class PipelineSpec extends AnyFunSuite {
 
     // idempotent re-run: bronze/silver stable, reconciliations still pass
     SeedStore.runAll(spark, w, sources, clock)
-    new GoldBuilds(spark, w, clock).buildAll()
+    new GoldBuilds(spark, w).buildAll()
     assert(silverCount(w, "customers") == 4)
     assert(silverCount(w, "orders") == 3)
     assert(invalidDlqCount(w, "orders") == 2)
@@ -165,7 +165,7 @@ class PipelineSpec extends AnyFunSuite {
         Seq((7, "2023-04-02 10:00:00", 13, "2023-04-05", "2023-04-06", 105))
           .toDF("customerId", "createdOn", "addressId", "deliveryDate", "deliveredOn", "id")))
     SeedStore.runAll(spark, w, grown, clock2)
-    new GoldBuilds(spark, w, clock2).buildAll()
+    new GoldBuilds(spark, w).buildAll()
 
     assert(w.table("bronze_customers").read(spark).count() == 8)
     assert(silverCount(w, "customers") == 5)   // id 7 landed
