@@ -149,7 +149,11 @@ final class Dashboard(spark: SparkSession, warehouse: Warehouse) {
   /** D1 (:22-28): top-5 cities by VIP customers. */
   def topVipCities: DataFrame =
     gold("customer_status_by_city").filter(col("status") === "VIP")
-      .orderBy(col("customer_count").desc).limit(5)
+      // the reference (Seed-Store-Dashboard.py:24-28) orders by count
+      // alone, leaving the top-5 cut arbitrary under ties; the city
+      // tiebreak picks ONE of the reference's valid outcomes
+      // deterministically so results are stable run to run
+      .orderBy(col("customer_count").desc, col("city")).limit(5)
 
   /** D2 (:37-38): grand total customers. */
   def totalCustomers: DataFrame =

@@ -106,7 +106,10 @@ object Similarity {
       dims: Int = 64): DataFrame = {
     val base = embeddings.select(col(idCol).as("id"),
       toDoubleVec(col(vecCol)).as("__v"))
-    base.cache()
+    // deliberately NOT cached (same call as IvfIndex.build): pinning the
+    // full corpus vector projection for the session's lifetime to save
+    // map-side re-derivation evicts useful caches at real corpus sizes,
+    // and the returned DataFrame gives callers no unpersist handle
     val banded = base.select(col("id"),
       explode(lshBuckets(col("__v"), tables, planes, dims)).as("b"))
       .select(col("id"), col("b.table_id"), col("b.bucket"))

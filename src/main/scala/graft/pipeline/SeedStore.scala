@@ -18,6 +18,17 @@ object SeedStore {
   /** Bronze-Ingestion-Customers.py + Silver-Validation-Customers.py +
     * Silver-DLQ-Customers.py.
     */
+  // SHARED between validations and dlqValidations: the reference re-runs
+  // the identical rule set in the DLQ notebook (Silver-DLQ-Customers.py:
+  // 56-59) — two hand-maintained copies could silently diverge (a rule
+  // edited in one list would bounce repaired rows forever, or promote
+  // rows the silver gate rejects)
+  private val customerRules = Seq(
+    NumericRule("id"),
+    AcceptedValuesRule("type", Seq("affiliate", "individual")),
+    AcceptedValuesRule("status", Seq("regular", "VIP")),
+    TimestampRule("created_on"))
+
   val customers: EntityConfig = EntityConfig(
     name = "customers",
     renames = Seq("CreatedOn" -> "created_on"),
@@ -26,11 +37,7 @@ object SeedStore {
       .withColumn("month", month(col("CreatedOn").try_cast("timestamp"))),
     partitionColumns = Seq("year", "month"),
     idColumns = Seq("id"),
-    validations = Seq(
-      NumericRule("id"),
-      AcceptedValuesRule("type", Seq("affiliate", "individual")),
-      AcceptedValuesRule("status", Seq("regular", "VIP")),
-      TimestampRule("created_on")),
+    validations = customerRules,
     silverColumns = Seq("id", "type", "status", "created_on", "year", "month"),
     // Silver-Validation-Customers.py:24-32 declared schema
     silverCasts = Seq("id" -> "bigint", "created_on" -> "timestamp",
@@ -46,11 +53,7 @@ object SeedStore {
           when(length(col("status")) === 3, upper(col("status")))
             .otherwise(lower(col("status"))))
     },
-    dlqValidations = Seq(
-      NumericRule("id"),
-      AcceptedValuesRule("type", Seq("affiliate", "individual")),
-      AcceptedValuesRule("status", Seq("regular", "VIP")),
-      TimestampRule("created_on")),
+    dlqValidations = customerRules,
     dlqUpdateKeys = Seq("id", "created_on", "window_id", "unclean_type", "unclean_status"))
 
   /** Bronze-Ingestion-Addresses.py + Silver-Validation-Addresses.py +
@@ -89,12 +92,17 @@ object SeedStore {
         "country")
         .withColumn("address_line", col("clean_address_line"))
     },
+    // the reference DLQ notebook re-validates address_line too
+    // (Silver-DLQ-Addresses.py:61) — the compare rule also rejects EMPTY
+    // strings, so omitting it would promote a repaired row whose address
+    // cleaned down to "" where the reference keeps it invalid
     dlqValidations = Seq(
       TimestampRule("created_on"),
       CompareColumnRule("city", "partition_city"),
       CompareColumnRule("state", "clean_state"),
       AcceptedValuesRule("country", Seq("Us")),
-      NumericRule("id")),
+      NumericRule("id"),
+      CompareColumnRule("address_line", "clean_address_line")),
     dlqUpdateKeys = Seq("id", "created_on", "window_id", "unclean_city",
       "unclean_state", "unclean_country", "unclean_address_line"))
 
@@ -151,7 +159,6 @@ object SeedStore {
     name = "order_details",
     renames = Seq("OrderId" -> "order_id", "ItemId" -> "item_id",
       "Quantity" -> "quantity"),
-    derivePartitions = identity,
     partitionColumns = Seq("ItemId"),
     silverPartitionColumns = Some(Seq("item_id")),
     idColumns = Seq("order_id", "item_id"),

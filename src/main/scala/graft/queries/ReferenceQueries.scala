@@ -63,13 +63,20 @@ object ReferenceQueries {
     * customer via rank()=1 — `rank` (not row_number) keeps date ties, as the
     * reference does. One window shuffle on o_custkey.
     */
-  def q03LatestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+  /** Latest-order-per-customer window, SINGLE-SOURCED for q03 and q04 so
+    * the tie policy (rank, not row_number — date ties kept, as the
+    * reference does) cannot drift between them.
+    */
+  private def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc)
     t(s, dir, "orders")
       .withColumn("__rnk", rank().over(w))
       .filter(col("__rnk") === 1)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
   }
+
+  def q03LatestOrderPerCustomer(s: SparkSession, dir: String): DataFrame =
+    latestOrderPerCustomer(s, dir)
 
   /** E3 gold_customer_status_by_city analog (reference
     * Gold-Customer-Status-By-City.py:25-48): latest-order window → two left
@@ -78,10 +85,7 @@ object ReferenceQueries {
     * with_order_count.
     */
   def q04CustomerCityStatus(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc)
-    val latest = t(s, dir, "orders")
-      .withColumn("__rnk", rank().over(w))
-      .filter(col("__rnk") === 1)
+    val latest = latestOrderPerCustomer(s, dir)
       .select(col("o_custkey"), col("o_orderkey"))
     t(s, dir, "customer")
       .join(latest, col("c_custkey") === col("o_custkey"), "left")
@@ -371,7 +375,11 @@ object ReferenceQueries {
     */
   def q38JsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast, matching the oracle's TRY_CAST: under ANSI a plain cast
+      // would CRASH the query on a non-integral $.k instead of nulling it
+      // — and the driver regenerates testdata between rounds
+      .withColumn("k",
+        get_json_object(col("props"), "$.k").try_cast("long"))
       .groupBy(col("event_type"))
       .agg(
         count(col("k")).as("with_k"),

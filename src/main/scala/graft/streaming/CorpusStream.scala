@@ -88,9 +88,15 @@ object CorpusStream {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // NULL event-time or NULL id rows are poison pills downstream: the
+    // watermark late-filter KEEPS null-predicate rows, so a null ts would
+    // reach update() and NPE (and a null id fails the primitive-Long
+    // encoder) — crashing the query on every restart since the same file
+    // re-reads. A null-keyed doc carries no dedup information; drop it.
+    val clean = docs.filter(col(tsCol).isNotNull && col(idCol).isNotNull)
     val banded = Dedup.lshBandsWith(
       Dedup.minhashSignaturesWith(
-        docs.withWatermark(tsCol, lateness), idCol, textCol,
+        clean.withWatermark(tsCol, lateness), idCol, textCol,
         numPerm, shingleSize, carry = Seq(tsCol)),
       idCol, "__sig", bands, numPerm / bands, carry = Seq(tsCol))
       // NB: no cast on the event-time column — a Cast drops the watermark
