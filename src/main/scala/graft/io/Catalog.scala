@@ -60,10 +60,12 @@ object Catalog {
   def registerTable(spark: SparkSession, database: String, name: String,
       table: ParquetTable): Unit = {
     // escape for interpolation: a legal filesystem path may contain a
-    // single quote (user dirs like o'brien) and identifiers may carry
-    // backticks — unescaped either is a ParseException at registration
+    // single quote (user dirs like o'brien) or a backslash, and identifiers
+    // may carry backticks — unescaped any of these is a ParseException (or
+    // a silently mangled location) at registration. Backslashes FIRST so
+    // the quote escape's own backslash isn't double-escaped.
     def qid(s: String): String = "`" + s.replace("`", "``") + "`"
-    val loc = table.currentPath.replace("'", "\\'")
+    val loc = table.currentPath.replace("\\", "\\\\").replace("'", "\\'")
     spark.sql(s"DROP TABLE IF EXISTS ${qid(database)}.${qid(name)}")
     spark.sql(s"CREATE TABLE ${qid(database)}.${qid(name)} USING parquet " +
       s"LOCATION '$loc'")
@@ -95,5 +97,16 @@ private[graft] object FsUtil {
       try listing.iterator().asScala.toList
       finally listing.close()
     }
+  }
+
+  /** Depth-first recursive delete with guaranteed stream close; a missing
+    * path is a no-op (delete-if-exists semantics for scratch cleanup).
+    */
+  def deleteRecursively(path: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(path)) return
+    val walk = java.nio.file.Files.walk(path)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally walk.close()
   }
 }

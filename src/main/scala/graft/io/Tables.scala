@@ -39,6 +39,16 @@ object Tables {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampNTZType) | Some(TimestampType) =>
+        // The NTZ→instant cast below reads the SESSION time zone; the
+        // "NTZ wall clock IS the instant" contract above only holds under
+        // UTC. Every pinned entry point sets UTC, but Tables.read is a
+        // general API — fail loudly rather than silently shifting every
+        // ts by the caller's zone offset.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+          s"Tables.read normalizes timestamp 'ts' columns assuming a UTC " +
+            s"session (spark.sql.session.timeZone=$tz); set UTC on the " +
+            s"session before reading timestamp-typed tables")
         df.withColumn("ts",
           unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case _ => df
@@ -279,12 +289,7 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
         "dir(s) exist — refusing to delete every version; restore the " +
         "pointer (or remove the directory deliberately) first")
     val old = versions.filter(p => !keep.contains(p.getFileName.toString))
-    old.foreach { p =>
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-    }
+    old.foreach(FsUtil.deleteRecursively)
     this
   }
 }

@@ -34,8 +34,20 @@ final class IvfIndex private (val nlist: Int,
     */
   private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
       nprobe: Int): DataFrame = {
+    // Dimensionality guard: a query set whose vectors don't match the
+    // index's centroid dims would otherwise fail deep inside the cosine
+    // expression (or, worse, score wrong if the shorter prefix parses) —
+    // surface it as a clear per-row error instead. One size() branch per
+    // row, negligible next to the nlist cosine evaluations.
+    val dims = centroids.headOption.map(_._2.length).getOrElse(0)
     val q = queries.select(col(idCol).as("query_id"),
       Similarity.toDoubleVec(col(vecCol)).as("__qv"))
+      .withColumn("__qv",
+        when(size(col("__qv")) === lit(dims), col("__qv"))
+          .otherwise(raise_error(concat(
+            lit("IvfIndex: query vector dims "),
+            size(col("__qv")).cast("string"),
+            lit(s" do not match index dims $dims")))))
     // centroids ride along as literals (they are nlist × dims doubles)
     val cellScores = array(centroids.map { case (cell, c) =>
       struct((lit(-1.0) * GraftFunctions.cosine_sim(col("__qv"), typedLit(c)))
@@ -95,7 +107,9 @@ final class IvfIndex private (val nlist: Int,
     // whose sidecar write crashed, silently pairing OLD centroids with NEW
     // lists. Written tmp-then-atomic-rename with a line-count header so a
     // torn write reads as no-sidecar (→ rebuild), never as a short file.
-    val lines = s"nlist=${centroids.length}" +:
+    // header records count AND dims so load can validate shape up front
+    val dims = centroids.headOption.map(_._2.length).getOrElse(0)
+    val lines = s"nlist=${centroids.length};dims=$dims" +:
       centroids.map { case (i, c) => i + "," + c.mkString(",") }
     val versionDir = java.nio.file.Paths.get(table.currentPath)
     val target = versionDir.resolve(IvfIndex.CentroidsFile)
@@ -134,21 +148,28 @@ object IvfIndex {
         import scala.jdk.CollectionConverters._
         val all = java.nio.file.Files.readAllLines(sidecar).asScala
           .filter(_.nonEmpty).toVector
-        // header declares the centroid count; a mismatch (torn write, or a
-        // pre-header-format file) is treated as no-index, not best-effort
-        val declared = all.headOption
-          .filter(_.startsWith("nlist=")).map(_.drop(6).toInt)
+        // header declares centroid count AND dims; any mismatch (torn
+        // write, a pre-header-format file, or a centroid row whose dims
+        // disagree with the header) is treated as no-index, not
+        // best-effort — the caller rebuilds from the corpus
+        val HeaderRe = "nlist=(\\d+);dims=(\\d+)".r
+        val declared = all.headOption.collect {
+          case HeaderRe(n, d) => (n.toInt, d.toInt)
+        }
         val body = all.drop(1)
-        if (declared.isEmpty || declared.get != body.length || body.isEmpty)
-          None
-        else {
-          val centroids = body.map { line =>
-            val parts = line.split(',')
-            (parts.head.toInt, parts.tail.map(_.toDouble).toSeq)
-          }.toArray
-          val table = new ParquetTable(path, partitionColumns = Seq("cell"))
-          Some(new IvfIndex(centroids.length, centroids, table.read(spark),
-            persisted = true))
+        declared match {
+          case Some((n, dims)) if n == body.length && body.nonEmpty =>
+            val centroids = body.map { line =>
+              val parts = line.split(',')
+              (parts.head.toInt, parts.tail.map(_.toDouble).toSeq)
+            }.toArray
+            if (centroids.exists(_._2.length != dims)) None
+            else {
+              val table = new ParquetTable(path, partitionColumns = Seq("cell"))
+              Some(new IvfIndex(centroids.length, centroids,
+                table.read(spark), persisted = true))
+            }
+          case _ => None
         }
       } catch { case _: Exception => None }
   }

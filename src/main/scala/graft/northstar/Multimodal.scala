@@ -138,6 +138,138 @@ object Multimodal {
     }
   }
 
+  /** Real minimal container payloads, built byte-by-byte to spec — the
+    * encode-side counterpart of [[MediaDecoder.ContainerHeaders]]. Used to
+    * synthesize deterministic media fixtures that round-trip through the
+    * REAL header parser (q79), so the driver's oracle checks the parse
+    * path end-to-end rather than a fake. Byte lengths are closed-form in
+    * the inputs (and asserted by MultimodalSpec):
+    *   PNG  = 8 sig + 25 IHDR + (12+filler) tEXt + 12 IEND = 57+filler
+    *   JPEG = 2 SOI + (4+filler) COM + 13 SOF0 + 2 EOI     = 21+filler
+    *   WAV  = 12 RIFF/WAVE + 24 fmt + (8+filler) data      = 44+filler
+    * (WAV callers pass EVEN filler so RIFF word-alignment adds no pad.)
+    */
+  object MediaBuilders {
+    private def crc32(b: Array[Byte], from: Int, until: Int): Int = {
+      val c = new java.util.zip.CRC32
+      c.update(b, from, until - from)
+      c.getValue.toInt
+    }
+    private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+      b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+    }
+    private def putLe32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+      b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    private def putLe16(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+    }
+    private def putAscii(b: Array[Byte], i: Int, s: String): Unit = {
+      var j = 0
+      while (j < s.length) { b(i + j) = s.charAt(j).toByte; j += 1 }
+    }
+    /** Deterministic filler bytes so payload checksums are reproducible. */
+    private def fill(b: Array[Byte], from: Int, n: Int, seed: Long): Unit = {
+      var j = 0
+      while (j < n) { b(from + j) = ((seed + j * 131) & 0xff).toByte; j += 1 }
+    }
+
+    /** PNG: signature, IHDR (8-bit truecolor), a tEXt chunk of `filler`
+      * bytes, IEND — with real CRC32s, per RFC 2083.
+      */
+    def png(width: Int, height: Int, filler: Int, seed: Long): Array[Byte] = {
+      require(width >= 1 && height >= 1 && filler >= 0)
+      val b = new Array[Byte](57 + filler)
+      putAscii(b, 1, "PNG")
+      b(0) = 0x89.toByte; b(4) = 0x0d; b(5) = 0x0a; b(6) = 0x1a; b(7) = 0x0a
+      putBe32(b, 8, 13); putAscii(b, 12, "IHDR")
+      putBe32(b, 16, width); putBe32(b, 20, height)
+      b(24) = 8; b(25) = 2 // bit depth 8, color type 2 (truecolor)
+      putBe32(b, 29, crc32(b, 12, 29))
+      putBe32(b, 33, filler); putAscii(b, 37, "tEXt")
+      fill(b, 41, filler, seed)
+      putBe32(b, 41 + filler, crc32(b, 37, 41 + filler))
+      putBe32(b, 45 + filler, 0); putAscii(b, 49 + filler, "IEND")
+      putBe32(b, 53 + filler, crc32(b, 49 + filler, 53 + filler))
+      b
+    }
+
+    /** JPEG: SOI, a COM segment of `filler` bytes, a 1-component SOF0
+      * carrying height/width, EOI — per ITU T.81 marker layout.
+      */
+    def jpeg(width: Int, height: Int, filler: Int, seed: Long): Array[Byte] = {
+      require(width >= 1 && width <= 0xffff && height >= 1 &&
+        height <= 0xffff && filler >= 0)
+      val b = new Array[Byte](21 + filler)
+      b(0) = 0xff.toByte; b(1) = 0xd8.toByte // SOI
+      b(2) = 0xff.toByte; b(3) = 0xfe.toByte // COM
+      b(4) = ((filler + 2) >>> 8).toByte; b(5) = (filler + 2).toByte
+      fill(b, 6, filler, seed)
+      val s = 6 + filler
+      b(s) = 0xff.toByte; b(s + 1) = 0xc0.toByte // SOF0
+      b(s + 2) = 0; b(s + 3) = 11 // len: 2+1+2+2+1+3 (one component)
+      b(s + 4) = 8 // precision
+      b(s + 5) = (height >>> 8).toByte; b(s + 6) = height.toByte
+      b(s + 7) = (width >>> 8).toByte; b(s + 8) = width.toByte
+      b(s + 9) = 1 // 1 component: id, sampling, quant table
+      b(s + 10) = 1; b(s + 11) = 0x11; b(s + 12) = 0
+      b(s + 13) = 0xff.toByte; b(s + 14) = 0xd9.toByte // EOI
+      b
+    }
+
+    /** WAV: RIFF/WAVE header, 16-byte PCM `fmt ` chunk, a `data` chunk of
+      * `filler` bytes. `filler` must be even (RIFF word alignment).
+      */
+    def wav(sampleRate: Int, channels: Int, bitsPerSample: Int, filler: Int,
+        seed: Long): Array[Byte] = {
+      require(sampleRate >= 1 && channels >= 1 && filler >= 0 &&
+        filler % 2 == 0, s"filler=$filler must be even")
+      val b = new Array[Byte](44 + filler)
+      putAscii(b, 0, "RIFF"); putLe32(b, 4, 36 + filler)
+      putAscii(b, 8, "WAVE"); putAscii(b, 12, "fmt "); putLe32(b, 16, 16)
+      putLe16(b, 20, 1) // PCM
+      putLe16(b, 22, channels); putLe32(b, 24, sampleRate)
+      putLe32(b, 28, sampleRate * channels * (bitsPerSample / 8))
+      putLe16(b, 32, channels * (bitsPerSample / 8))
+      putLe16(b, 34, bitsPerSample)
+      putAscii(b, 36, "data"); putLe32(b, 40, filler)
+      fill(b, 44, filler, seed)
+      b
+    }
+  }
+
+  /** Deterministic synthetic media over the documents table: each doc_id
+    * maps (closed-form — mirrored verbatim by the q79 DuckDB oracle) to a
+    * REAL PNG/JPEG/WAV container built by [[MediaBuilders]]. The typed map
+    * is executor-side byte assembly — the same genuinely-imperative-codec
+    * case as [[extractFeatures]]; everything around it stays columnar.
+    */
+  def syntheticMediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val filler = (2 * (id % 32)).toInt
+      val w = (16 + (id * 7) % 1200).toInt
+      val h = (16 + (id * 13) % 900).toInt
+      val sr = (id % 4).toInt match {
+        case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+      }
+      val ch = (1 + id % 2).toInt
+      (id % 3).toInt match {
+        case 0 => MediaRow(id, MediaBuilders.png(w, h, filler, id),
+          MediaMeta("png", w, h, 0, 0L))
+        case 1 => MediaRow(id, MediaBuilders.jpeg(w, h, filler, id),
+          MediaMeta("jpeg", w, h, 0, 0L))
+        case _ => MediaRow(id, MediaBuilders.wav(sr, ch, 16, filler, id),
+          MediaMeta("wav", 0, 0, sr,
+            // duration of `filler` PCM bytes at sr·ch·2 bytes/sec
+            filler * 1000L / (sr.toLong * ch * 2)))
+      }
+    }
+  }
+
   /** Synthesize a media table from any (id, text) source — deterministic
     * fake payloads (UTF-8 bytes) with metadata, standing in for real decoded
     * uploads. Partitioned by kind for partition-pruned scans.

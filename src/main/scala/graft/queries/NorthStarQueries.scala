@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.merge.MergeOps
-import graft.northstar.{CorpusClean, Dedup, EventOps, Sampling, Similarity, TextAnalysis}
+import graft.northstar.{CorpusClean, Dedup, EventOps, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators (BASELINE.json) over the
   * documents/embeddings testdata, with DuckDB oracles where the computation
@@ -440,7 +440,19 @@ object NorthStarQueries {
         java.lang.Long.toHexString(
           attrs.lastModifiedTime.toMillis ^ (attrs.size * 1315423911L))
       } catch { case _: Exception => "na" }
-    scratch("ivf_" + fp, dir).toString
+    val live = scratch("ivf_" + fp, dir)
+    // Stale vintages never miss-then-linger: prior fingerprints' ivf_*
+    // dirs for the SAME sfDir are removed here, so scratch disk stays
+    // bounded across driver testdata regenerations (one live index per
+    // sfDir). Same-fingerprint dirs for other sfDirs are untouched.
+    val dirSlug = "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    try graft.io.FsUtil.listDir(live.getParent).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("ivf_") && n.endsWith(dirSlug) &&
+        n != live.getFileName.toString)
+        graft.io.FsUtil.deleteRecursively(p)
+    } catch { case _: Exception => () } // cleanup is best-effort
+    live.toString
   }
 
   def q50IvfBuild(s: SparkSession, dir: String): DataFrame = {
@@ -1021,6 +1033,30 @@ object NorthStarQueries {
   def q78RetentionCohorts(s: SparkSession, dir: String): DataFrame =
     EventOps.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
 
+  /** Multimodal header extraction, driver-checked end-to-end: each doc_id
+    * maps closed-form to a REAL PNG/JPEG/WAV container
+    * ([[Multimodal.MediaBuilders]]), whose bytes are then parsed back by
+    * the real header parser ([[Multimodal.MediaDecoder.ContainerHeaders]]
+    * — PNG IHDR, JPEG SOF0 marker walk, RIFF/WAVE fmt chunk walk) inside
+    * `extractFeatures`'s mapPartitions. The DuckDB oracle recomputes the
+    * same per-format aggregates from the closed forms alone, so any drift
+    * in builder OR parser (offsets, endianness, chunk walking, payload
+    * sizing) breaks the hash. Scale shape: map-side synthesis + parse,
+    * one 3-row aggregate — zero joins, one shuffle.
+    */
+  def q79MultimodalHeaders(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaFromDocs(t(s, dir, "documents"))
+    Multimodal.extractFeatures(media).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes").cast("long")).as("sum_bytes"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(col("sample_rate").cast("long")).as("sum_sample_rate"),
+        sum(col("channels").cast("long")).as("sum_channels"))
+  }
+
   /** The GPT-2-style pre-tokenization pattern, single-sourced: the q68
     * engine query, its DuckDB oracle, and the known-answer spec all read
     * this constant, so the three can never drift. Lookaround-free and
@@ -1086,6 +1122,7 @@ object NorthStarQueries {
     "q76_heavy_hitters" -> (q76HeavyHitters _),
     "q77_funnel_conversion" -> (q77FunnelConversion _),
     "q78_retention_cohorts" -> (q78RetentionCohorts _),
+    "q79_multimodal_headers" -> (q79MultimodalHeaders _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -1760,6 +1797,34 @@ object NorthStarQueries {
                 CAST(count(DISTINCT f.user_id) AS BIGINT) AS users
          FROM f JOIN a USING (user_id)
          GROUP BY 1, 2""",
+    // Closed-form mirror of Multimodal.syntheticMediaFromDocs' parameter
+    // derivation + MediaBuilders' byte-length formulas (PNG 57+filler,
+    // JPEG 21+filler, WAV 44+filler); the engine side round-trips through
+    // real container bytes, the oracle never sees them.
+    "q79_multimodal_headers" ->
+      """WITH m AS (
+           SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       ELSE 'wav' END AS kind,
+                  2 * (doc_id % 32) AS filler,
+                  16 + ((doc_id * 7) % 1200) AS w,
+                  16 + ((doc_id * 13) % 900) AS h,
+                  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+                  1 + (doc_id % 2) AS ch
+           FROM documents)
+         SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+                CAST(sum(CASE kind WHEN 'png' THEN 57 + filler
+                         WHEN 'jpeg' THEN 21 + filler
+                         ELSE 44 + filler END) AS BIGINT) AS sum_bytes,
+                CAST(sum(CASE WHEN kind IN ('png', 'jpeg') THEN w END)
+                  AS BIGINT) AS sum_width,
+                CAST(sum(CASE WHEN kind IN ('png', 'jpeg') THEN h END)
+                  AS BIGINT) AS sum_height,
+                CAST(sum(CASE WHEN kind = 'wav' THEN sr END)
+                  AS BIGINT) AS sum_sample_rate,
+                CAST(sum(CASE WHEN kind = 'wav' THEN ch END)
+                  AS BIGINT) AS sum_channels
+         FROM m GROUP BY 1""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

@@ -107,6 +107,19 @@ object EventStream {
       val sorted = rows.toSeq.sortBy(_.event_time.getTime)
       var closed = List.empty[UserSession]
       var cur = state.getOption
+      // Same-batch stragglers (older than the open session by more than the
+      // gap) accumulate here so CONSECUTIVE in-batch stragglers within gapMs
+      // of each other merge into one session, exactly as the batch mirror
+      // (q32) would — events are sorted, so no extra persisted state is
+      // needed. Only the CROSS-batch case (a later arrival in a future
+      // batch that would have merged with this straggler) remains the
+      // documented bounded-state approximation.
+      var strag: Option[SessionState] = None
+      def closeStrag(): Unit = strag.foreach { g =>
+        closed ::= UserSession(userId, new java.sql.Timestamp(g.start),
+          new java.sql.Timestamp(g.last), g.n, g.total)
+        strag = None
+      }
       sorted.foreach { e =>
         val t = e.event_time.getTime
         cur match {
@@ -119,13 +132,15 @@ object EventStream {
             cur = Some(s.copy(start = math.min(s.start, t),
               last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
           case Some(s) if t < s.start - gapMs =>
-            // above-watermark straggler older than the open session by more
-            // than the gap: its own (already-elapsed) session, emitted now.
-            // Approximation vs batch: an even-later arrival within gapMs of
-            // THIS straggler can no longer merge with it — the alternative
-            // is unbounded multi-session state per key
-            closed ::= UserSession(userId, new java.sql.Timestamp(t),
-              new java.sql.Timestamp(t), 1, e.value)
+            strag match {
+              case Some(g) if t - g.last <= gapMs =>
+                // sorted order guarantees t >= g.last here
+                strag = Some(g.copy(last = t, n = g.n + 1,
+                  total = g.total + e.value))
+              case _ =>
+                closeStrag()
+                strag = Some(SessionState(t, t, 1, e.value))
+            }
           case Some(s) =>
             closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.last), s.n, s.total)
@@ -134,6 +149,7 @@ object EventStream {
             cur = Some(SessionState(t, t, 1, e.value))
         }
       }
+      closeStrag()
       if (state.hasTimedOut) {
         val out = cur.map(s => UserSession(userId, new java.sql.Timestamp(s.start),
           new java.sql.Timestamp(s.last), s.n, s.total))

@@ -48,6 +48,36 @@ class IvfSpec extends AnyFunSuite {
       .createTempDirectory("graft_ivf_none").toString).isEmpty)
   }
 
+  test("sidecar shape validation: dims mismatch rejects load; mismatched " +
+    "query dims raise a clear error in search") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = Tables.read(spark, dir, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_dims").toString + "/idx"
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nlist = 4)
+      .persist(spark, path)
+    // corrupt the sidecar: declare the wrong dims in the header
+    val sidecar = java.nio.file.Paths.get(
+      new graft.io.ParquetTable(path, partitionColumns = Seq("cell"))
+        .currentPath, "_centroids.csv")
+    val lines = java.nio.file.Files.readAllLines(sidecar)
+    val dims = lines.get(0).split(";dims=")(1).toInt
+    lines.set(0, lines.get(0).replace(s";dims=$dims", s";dims=${dims + 1}"))
+    java.nio.file.Files.write(sidecar, lines)
+    assert(IvfIndex.load(spark, path).isEmpty,
+      "a header whose dims disagree with the centroid rows must read as no-index")
+    // search with wrong-dims query vectors fails with the clear message
+    val badQ = Seq((1L, Seq.fill(dims + 3)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      built.search(badQ, "vec_id", "embedding", k = 3, nprobe = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("do not match index dims")),
+      s"expected the dims-mismatch message, got: ${e.getMessage}")
+  }
+
   test("IVF build is deterministic for a fixed seed") {
     val emb = Tables.read(spark, dir, "embeddings").limit(200)
     val a = IvfIndex.build(emb, "vec_id", "embedding", 4).assigned

@@ -104,6 +104,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.forall(_.getInt(0) <= 16))
   }
 
+  test("MediaBuilders round-trip through ContainerHeaders; byte lengths match " +
+    "the closed forms the q79 oracle uses") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    val png = MediaBuilders.png(1215, 913, filler = 62, seed = 7L)
+    assert(png.length == 57 + 62) // oracle formula: 57 + filler
+    assert(MediaDecoder.ContainerHeaders.dimensions(png).contains((1215, 913)))
+    // PNG chunk CRCs are real — javax.imageio-grade readers check them
+    val crc = new java.util.zip.CRC32
+    crc.update(png, 12, 17) // IHDR type+data
+    assert(((png(29) << 24) | ((png(30) & 0xff) << 16) |
+      ((png(31) & 0xff) << 8) | (png(32) & 0xff)) == crc.getValue.toInt)
+    val jpg = MediaBuilders.jpeg(65535, 1, filler = 0, seed = 1L)
+    assert(jpg.length == 21) // oracle formula: 21 + filler
+    assert(MediaDecoder.ContainerHeaders.dimensions(jpg).contains((65535, 1)))
+    val wav = MediaBuilders.wav(22050, 2, 16, filler = 10, seed = 3L)
+    assert(wav.length == 44 + 10) // oracle formula: 44 + filler
+    assert(MediaDecoder.ContainerHeaders.audioFormat(wav)
+      .contains(Multimodal.AudioFormat(22050, 2, 16)))
+    // builders are deterministic in (params, seed)
+    assert(png.toSeq == MediaBuilders.png(1215, 913, 62, 7L).toSeq)
+    assert(wav.toSeq != MediaBuilders.wav(22050, 2, 16, 10, seed = 4L).toSeq)
+  }
+
+  test("syntheticMediaFromDocs: every payload parses back to its closed-form " +
+    "params (the q79 contract)") {
+    val docs = Tables.read(spark, dir, "documents")
+    val rows = Multimodal.extractFeatures(
+      Multimodal.syntheticMediaFromDocs(docs)).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { f =>
+      val id = f.media_id
+      val filler = (2 * (id % 32)).toInt
+      (id % 3).toInt match {
+        case 0 =>
+          assert(f.kind == "png" && f.n_bytes == 57 + filler)
+          assert(f.width.contains((16 + (id * 7) % 1200).toInt))
+          assert(f.height.contains((16 + (id * 13) % 900).toInt))
+          assert(f.sample_rate.isEmpty && f.channels.isEmpty)
+        case 1 =>
+          assert(f.kind == "jpeg" && f.n_bytes == 21 + filler)
+          assert(f.width.contains((16 + (id * 7) % 1200).toInt))
+          assert(f.height.contains((16 + (id * 13) % 900).toInt))
+        case _ =>
+          assert(f.kind == "wav" && f.n_bytes == 44 + filler)
+          assert(f.width.isEmpty && f.height.isEmpty)
+          assert(f.channels.contains((1 + id % 2).toInt))
+          val sr = (id % 4).toInt match {
+            case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+          }
+          assert(f.sample_rate.contains(sr))
+      }
+    }
+  }
+
   test("resize stub preserves raw non-UTF8 bytes (no string round-trip)") {
     import spark.implicits._
     val raw = Array[Byte](0xFF.toByte, 0x00, 0xAB.toByte, 0x10, 0xC3.toByte, 0x28)

@@ -217,6 +217,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table("graft_wh_fresh_db.bronze_empty").count() == 0)
   }
 
+  test("registerTable escapes quotes in the LOCATION path") {
+    // a single quote is a LEGAL filename char (user dirs like o'brien) —
+    // unescaped it would mangle the interpolated LOCATION literal.
+    // Backslash escaping is also implemented (Catalog.registerTable) but
+    // not end-to-end testable: Hadoop's glob layer rejects `\` in any
+    // DataSource path long before the catalog SQL runs.
+    val root = Files.createTempDirectory("graft_wh_esc").toString +
+      "/o'brien's dir"
+    val w = new Warehouse(root)
+    val t = w.table("bronze_esc")
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val prevDb = spark.catalog.currentDatabase
+    try {
+      graft.io.Catalog.ensureDatabase(spark, "graft_wh_esc_db")
+      graft.io.Catalog.registerTable(spark, "graft_wh_esc_db", "bronze_esc", t)
+      assert(spark.table("graft_wh_esc_db.bronze_esc").count() == 2)
+    } finally spark.catalog.setCurrentDatabase(prevDb)
+  }
+
   test("decimal-string integrals survive silver coercion (legacy-cast parity)") {
     // NumericRule probes via a double cast because the reference's
     // legacy-mode cast parses "9.99" → 9; the silver promotion must not

@@ -100,6 +100,25 @@ class TablesSpec extends AnyFunSuite {
       .nonEmpty)
   }
 
+  test("normalizeTs fails loudly outside a UTC session (no silent zone shift)") {
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts")
+    // UTC session: normalizes to long ns
+    assert(graft.io.Tables.normalizeTs(df).schema("ts").dataType.typeName
+      == "long")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        graft.io.Tables.normalizeTs(df)
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // non-ts frames pass through untouched regardless of zone
+    assert(graft.io.Tables.normalizeTs(Seq((1, "x")).toDF("id", "v"))
+      .columns.toSeq == Seq("id", "v"))
+  }
+
   test("changesBetween emits insert/delete pairs, null-safe on every column") {
     val dir = Files.createTempDirectory("graft_tbl").toString
     val t = new ParquetTable(s"$dir/t4")
