@@ -32,6 +32,17 @@ object EventOps {
     * ns, so integer DIV is exact and the DuckDB oracle hash-matches.
     */
   def funnel(events: DataFrame, idCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame =
+    funnelRollup(stageTimes(events, idCol, typeCol, tsCol, stages),
+      idCol, stages)
+
+  /** Per-user first-qualifying time of each stage (`__t0`..`__tN`, one row
+    * per user) — the funnel's sufficient statistic, shared by the batch
+    * rollup above and the incremental streaming mirror
+    * ([[graft.streaming.EventAnalyticsStream]]), so the chain semantics
+    * exist once.
+    */
+  def stageTimes(events: DataFrame, idCol: String, typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val w = Window.partitionBy(col(idCol))
@@ -44,9 +55,14 @@ object EventOps {
       df = df.withColumn(s"__t$i",
         min(when(col(typeCol) === stages(i) &&
           col(tsCol) > col(s"__t${i - 1}"), col(tsCol))).over(w))
-    val perUser = df.groupBy(col(idCol))
+    df.groupBy(col(idCol))
       .agg(min(col("__t0")).as("__t0"),
         (1 until stages.size).map(i => min(col(s"__t$i")).as(s"__t$i")): _*)
+  }
+
+  /** (stage, users, total_lag_us) rows from the per-user stage times. */
+  def funnelRollup(perUser: DataFrame, idCol: String,
+      stages: Seq[String]): DataFrame = {
     val totalCols = stages.indices.flatMap { i =>
       val lag =
         if (i == 0) lit(0L)
@@ -74,12 +90,24 @@ object EventOps {
     * user-keyed join, then an aggregate over weeks²-sized output.
     */
   def retentionCohorts(events: DataFrame, idCol: String,
-      tsCol: String): DataFrame = {
-    val ev = events.select(col(idCol),
+      tsCol: String): DataFrame =
+    cohortMatrix(userWeeks(events, idCol, tsCol), idCol)
+
+  /** Distinct (user, Monday-of-week) activity — the retention sufficient
+    * statistic (bounded by users × active weeks), shared with the
+    * streaming mirror.
+    */
+  def userWeeks(events: DataFrame, idCol: String, tsCol: String): DataFrame =
+    events.select(col(idCol),
       expr(s"CAST(date_trunc('week', timestamp_micros($tsCol DIV 1000)) AS DATE)")
         .as("__wk"))
-    val cohorts = ev.groupBy(col(idCol)).agg(min(col("__wk")).as("cohort_week"))
-    val active = ev.select(col(idCol), col("__wk").as("active_week")).distinct()
+      .distinct()
+
+  /** (cohort_week, active_week, users) from the distinct user-week rows. */
+  def cohortMatrix(userWeeks: DataFrame, idCol: String): DataFrame = {
+    val cohorts = userWeeks.groupBy(col(idCol))
+      .agg(min(col("__wk")).as("cohort_week"))
+    val active = userWeeks.select(col(idCol), col("__wk").as("active_week"))
     cohorts.join(active, idCol)
       .groupBy(col("cohort_week"), col("active_week"))
       .agg(countDistinct(col(idCol)).as("users"))

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.io.ParquetTable
+import graft.northstar.EventOps
+
+/** Streaming mirrors of the q77 funnel / q78 retention event analytics —
+  * incremental `foreachBatch` maintenance of each workload's sufficient
+  * statistic in a versioned [[ParquetTable]], with the SAME
+  * [[EventOps]] chain/matrix code computing the answer, so batch and
+  * stream can never drift semantically (the dedup/sessionize mirrors'
+  * pattern). Every micro-batch atomically refreshes a result table with
+  * the funnel/retention over ALL events seen so far (complete-mode
+  * semantics through the table pointer flip), and both state tables stay
+  * compacted:
+  *
+  *  - Funnel state = per (user, stage) the event times that can still
+  *    matter. The per-user chain times `t_i` are monotone non-increasing
+  *    as events accumulate (more events only shrink each stage's
+  *    first-qualifying min), so a stage-i time STRICTLY ABOVE the current
+  *    `t_i` can never become a future `t_i` — it is dropped each batch.
+  *    Kept: times ≤ `t_i` (they stay reachable if an earlier stage's time
+  *    later drops) and all times of still-unreached stages. State is
+  *    bounded by each user's pre-conversion activity; a production
+  *    deployment would additionally bound it with a conversion-window
+  *    TTL, the standard funnel contract.
+  *  - Retention state = distinct (user, Monday-of-week) rows — bounded by
+  *    users × active weeks, no compaction needed beyond distinct.
+  *
+  * Out-of-order and replayed events are absorbed exactly: both statistics
+  * are set-valued (distinct unions), so arrival order and duplicates
+  * cannot change the refreshed answer.
+  */
+object EventAnalyticsStream {
+
+  /** Incremental q77: refresh `result` with the full-history funnel each
+    * micro-batch; `state` holds the compacted (user, stage, ts) set.
+    */
+  def funnelStream(events: DataFrame, idCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], state: ParquetTable,
+      result: ParquetTable): StreamingQuery = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val incoming = batch.toDF()
+          .filter(col(typeCol).isin(stages: _*))
+          .select(col(idCol), col(typeCol), col(tsCol))
+          .distinct() // MIN-based chain: duplicate events carry nothing
+        val all =
+          (if (state.exists) state.read(s).unionByName(incoming)
+           else incoming).distinct()
+        val perUser = EventOps.stageTimes(all, idCol, typeCol, tsCol, stages)
+        // drop every stage-i time strictly above the current t_i — it can
+        // never be a future first-qualifying time (monotonicity, above)
+        val stillRelevant = stages.indices.map { i =>
+          col(typeCol) === stages(i) &&
+            (col(s"__t$i").isNull || col(tsCol) <= col(s"__t$i"))
+        }.reduce(_ || _)
+        val compacted = all.join(perUser, Seq(idCol))
+          .filter(stillRelevant)
+          .select(col(idCol), col(typeCol), col(tsCol))
+        // old versions remain readable during the flip, so `all`'s lazy
+        // scan of the prior state version is safe while this writes
+        state.overwrite(compacted)
+        result.overwrite(EventOps.funnelRollup(perUser, idCol, stages))
+        ()
+      }
+      .start()
+  }
+
+  /** Incremental q78: refresh `result` with the full-history cohort
+    * matrix each micro-batch; `state` holds distinct (user, week) rows.
+    */
+  def retentionStream(events: DataFrame, idCol: String, tsCol: String,
+      state: ParquetTable, result: ParquetTable): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val incoming = EventOps.userWeeks(batch.toDF(), idCol, tsCol)
+        val all =
+          (if (state.exists) state.read(s).unionByName(incoming)
+           else incoming).distinct()
+        state.overwrite(all)
+        result.overwrite(EventOps.cohortMatrix(all, idCol))
+        ()
+      }
+      .start()
+}

@@ -17,8 +17,10 @@ import graft.northstar.{CorpusClean, Dedup, IvfIndex, Similarity, TextAnalysis}
   * tier). Guarantees that are structural (SimHash banding's pigeonhole,
   * the LSH exact-cosine verify, CMS one-sided error, Bloom no-false-
   * negative) gate at their exact value; tunable-recall paths (LSH tables,
-  * IVF nprobe, SemDeDup quantizer splits) gate at a conservative floor
-  * under their measured recall so the gate survives data regeneration.
+  * IVF nprobe, SemDeDup quantizer splits) gate JUST below their measured
+  * recall (within ~0.05) — the testdata is seed-pinned so measurements
+  * reproduce across rounds, and tight bounds turn a silent quality
+  * regression into a failing gate instead of hiding it under slack.
   *
   * Usage: `runMain graft.tools.Accuracy [outPath]` (default
   * `ACCURACY.json`); scale dir from SPARK_GRAFT_SF_DIR (default sf0.01).
@@ -93,9 +95,12 @@ object Accuracy {
     * is the tunable (planes/tables): LSH's guarantee degrades smoothly
     * toward the threshold — a pair AT 0.4 collides each 4-plane table
     * w.p. ≈0.16 while one at 0.55 collides w.p. ≈0.22 — so the gate is
-    * two-sided: strong recall (0.75) on comfortably-above-threshold pairs
-    * (cos ≥ 0.55, the c-approximate contract) and a floor (0.5) on the
-    * whole set including the at-threshold tail.
+    * two-sided: strong recall (0.95) on comfortably-above-threshold pairs
+    * (cos ≥ 0.55, the c-approximate contract; measured 1.0) and a floor
+    * (0.68) on the whole set including the at-threshold tail (measured
+    * 0.729 — the bounds sit just under measurement so a 10-point recall
+    * regression fails instead of hiding under slack; the testdata is
+    * seed-pinned, so measurements reproduce across rounds).
     */
   def q28Gates(spark: SparkSession, dir: String): Seq[Gate] = {
     val vecs = vectors(spark, dir)
@@ -110,19 +115,20 @@ object Accuracy {
     Seq(
       Gate("q28_embedding_near_dups", "recall_vs_exact_cos04",
         if (exact.isEmpty) 1.0
-        else (exact & approx).size.toDouble / exact.size, ">=", 0.5),
+        else (exact & approx).size.toDouble / exact.size, ">=", 0.68),
       Gate("q28_embedding_near_dups", "recall_cos055_and_up",
         if (exactHigh.isEmpty) 1.0
-        else (exactHigh & approx).size.toDouble / exactHigh.size, ">=", 0.75),
+        else (exactHigh & approx).size.toDouble / exactHigh.size, ">=", 0.95),
       Gate("q28_embedding_near_dups", "precision",
         if (approx.isEmpty) 1.0
         else (exact & approx).size.toDouble / approx.size, "==", 1.0),
       Gate("q28_embedding_near_dups", "exact_pairs", exact.size.toDouble, ">=", 1.0))
   }
 
-  /** q37 — approximate aggregates vs exact: HLL distinct within 5%
-    * relative error, approx p50 within 2% (the documented bounds the
-    * AccuracySpec pins; reported here as the worst group's error).
+  /** q37 — approximate aggregates vs exact, reported as the worst group's
+    * error. Gated just above measurement (distinct 0.0057 → 0.02; p50
+    * 0.0002 → 0.005) rather than at the loose documented envelopes, so a
+    * sketch-parameter regression is caught while seed-pinned reruns pass.
     */
   def q37Gates(spark: SparkSession, dir: String): Seq[Gate] = {
     val li = Tables.read(spark, dir, "lineitem")
@@ -137,15 +143,16 @@ object Accuracy {
     val p50Err = approx.map { case (f, (_, a)) =>
       math.abs(a - exact(f)._2) / exact(f)._2 }.max
     Seq(
-      Gate("q37_approx_stats", "max_distinct_rel_err", distErr, "<=", 0.05),
-      Gate("q37_approx_stats", "max_p50_rel_err", p50Err, "<=", 0.02))
+      Gate("q37_approx_stats", "max_distinct_rel_err", distErr, "<=", 0.02),
+      Gate("q37_approx_stats", "max_p50_rel_err", p50Err, "<=", 0.005))
   }
 
   /** q50 — IVF recall@5 against the brute-force top-5, same parameters as
     * the bench query (nlist=16, nprobe=8: half the cells probed — the
     * synthetic embeddings are near-random, the quantizer's worst case, so
     * recall tracks the probed fraction plus the centroid-ranking lift;
-    * nprobe=4 measured 0.48 where 8 clears 0.6 with margin).
+    * nprobe=4 measured 0.48 where 8 measures 0.78 — gated at 0.72, just
+    * under measurement, so a recall regression can't hide under slack).
     */
   def q50Gates(spark: SparkSession, dir: String): Seq[Gate] = {
     val emb = Tables.read(spark, dir, "embeddings")
@@ -166,7 +173,7 @@ object Accuracy {
     val approx = pairs(
       loaded.search(queries, "vec_id", "embedding", k = 5, nprobe = 8))
     Seq(Gate("q50_ivf_probe", "recall_at_5_vs_brute_force",
-      (exact & approx).size.toDouble / exact.size, ">=", 0.6))
+      (exact & approx).size.toDouble / exact.size, ">=", 0.72))
   }
 
   /** q72 — two gates. (1) The within-cell drop rule must be implemented
@@ -178,8 +185,8 @@ object Accuracy {
     * cluster-scoped rule actually dropped — quantizer splits are the
     * documented miss. nClusters=8 mirrors q72 (the paper's k trades pair
     * cost against split-pair recall; the cell-size cap makes the larger
-    * cells safe); gate at 0.4 — near-random embeddings split maximally,
-    * the operator's worst case.
+    * cells safe); measured 0.453 on the near-random embeddings (maximal
+    * splitting, the operator's worst case), gated just under at 0.42.
     */
   def q72Gates(spark: SparkSession, dir: String): Seq[Gate] = {
     val emb = Tables.read(spark, dir, "embeddings")
@@ -203,14 +210,14 @@ object Accuracy {
         agree.sum.toDouble / agree.size, "==", 1.0),
       Gate("q72_semantic_dedup", "dup_recall_vs_brute_force",
         if (trueDups.isEmpty) 1.0
-        else (trueDups & dropped).size.toDouble / trueDups.size, ">=", 0.4))
+        else (trueDups & dropped).size.toDouble / trueDups.size, ">=", 0.42))
   }
 
   /** q75 — Bloom decontamination vs the exact 8-gram-overlap set (q58's
     * machinery): false negatives are structurally impossible (gate == 0);
     * the false-positive tail is bounded by fpp=0.001 per gram probe —
-    * gate the observed doc-level FP rate at 1% (10× the per-probe rate;
-    * a doc is flagged if ANY of its grams collides).
+    * gate the observed doc-level FP rate at 0.5% (5× the per-probe rate;
+    * a doc is flagged if ANY of its grams collides; measured 0.0).
     */
   def q75Gates(spark: SparkSession, dir: String): Seq[Gate] = {
     val docs = Tables.read(spark, dir, "documents")
@@ -229,12 +236,12 @@ object Accuracy {
         (exact -- flagged).size.toDouble, "==", 0.0),
       Gate("q75_bloom_decontaminate", "doc_false_positive_rate",
         if (clean == 0) 0.0 else (flagged -- exact).size.toDouble / clean,
-        "<=", 0.01))
+        "<=", 0.005))
   }
 
   /** q76 — CMS one-sided error audited over EVERY distinct token: zero
     * undercounts (structural), and the ε·N overcount bound holds for all
-    * but the δ tail (≤1% of tokens).
+    * but the δ tail (≤0.5% of tokens; measured 0 violators).
     */
   def q76Gates(spark: SparkSession, dir: String): Seq[Gate] = {
     import graft.functions.CmsFunctions
@@ -252,7 +259,7 @@ object Accuracy {
     Seq(
       Gate("q76_heavy_hitters", "undercounted_tokens", under.toDouble, "==", 0.0),
       Gate("q76_heavy_hitters", "epsN_overcount_violator_rate",
-        over.toDouble / audited.length, "<=", 0.01))
+        over.toDouble / audited.length, "<=", 0.005))
   }
 
   def allGates(spark: SparkSession, dir: String): Seq[Gate] =

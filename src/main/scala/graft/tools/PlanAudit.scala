@@ -1,6 +1,10 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 
 /** Whole-surface plan-shape audit: for EVERY SparkEntry query, count the
   * physical plan's shuffle exchanges, broadcast exchanges, parquet scans,
@@ -13,14 +17,133 @@ import org.apache.spark.sql.SparkSession
   * cartesian product is exactly the regression that stays invisible at
   * sf0.1 wall times but dominates at 100 TB. The ScaleSpec plan assertions
   * pin a handful of headline shapes; this audit covers the whole surface
-  * every round. `cartesian_free` is a top-level gate: BroadcastNestedLoop
-  * joins here are the justified broadcast-1-row-bounds pattern
-  * (flagged per query for review), CartesianProduct is never acceptable.
+  * every round.
+  *
+  * Top-level gates:
+  *  - `cartesian_free`: CartesianProduct is never acceptable.
+  *  - `bnlj_unexpected`: every BroadcastNestedLoopJoin must be one of the
+  *    [[PlanAudit.BnljAllowlist]]ed broadcast-1-row/vocab-bounds sites
+  *    (each individually reviewed: the broadcast side is a scalar bounds
+  *    frame or vocab-sized model). A NEW or extra BNLJ anywhere — the
+  *    accidental scale-killer this tool exists to catch — flips the gate
+  *    even though it is not a cartesian product.
+  *  - allowlisted BNLJs additionally record their broadcast side's
+  *    estimated size (`bnlj_bcast_bytes`); a "bounded" side that starts
+  *    estimating large shows up in the artifact diff.
+  *
+  * Shuffle VOLUME (not just count): per-exchange estimated input size
+  * (`shuffle_bytes`, from the child's logical-plan stats) and row count
+  * (`shuffle_rows`, −1 when stats carry no rowCount) — a plan that keeps
+  * 1 exchange but starts shuffling fat payloads is invisible to the
+  * count census but shows in these, diffable across rounds.
   *
   * Usage: `runMain graft.tools.PlanAudit [outPath]` (default
   * `PLANAUDIT.json`); scale dir from SPARK_GRAFT_SF_DIR (default sf0.01).
   */
 object PlanAudit {
+
+  /** The six reviewed broadcast-1-row/vocab BNLJ sites (count per query).
+    * q26: bounded query-set broadcast; q47/q61/q71/q73: 1-row totals /
+    * bounds frames; q66: 1-row centroid frame. Anything else is a
+    * regression.
+    */
+  val BnljAllowlist: Map[String, Int] = Map(
+    "q26_knn_brute" -> 1,
+    "q47_tfidf_terms" -> 1,
+    "q61_zipf_profile" -> 1,
+    "q66_embedding_outliers" -> 1,
+    "q71_bigram_fluency" -> 1,
+    "q73_temperature_mixture" -> 1)
+
+  final case class Shape(shuffles: Int, broadcasts: Int, scans: Int,
+      cartesian: Boolean, bnlj: Int, bnljBcastBytes: Seq[BigInt],
+      shuffleBytes: Seq[BigInt], shuffleRows: Seq[BigInt],
+      err: Option[String])
+
+  /** A plan line's operator name, tree-drawing prefix stripped. */
+  private def opName(line: String): String =
+    line.dropWhile(c => !c.isLetter)
+
+  /** The pre-execution physical tree. AdaptiveSparkPlanExec is a LEAF
+    * node (collect would find nothing under it) and its `inputPlan` is
+    * pre-EnsureRequirements (no exchanges yet) — its `executedPlan`
+    * accessor returns the current plan WITH exchanges without running
+    * the query.
+    */
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  /** Estimated (bytes, rows) of a physical node from its logical link's
+    * stats; rows is -1 when the estimate carries no rowCount. Wrapper
+    * nodes the planner inserts (exchanges, reused subtrees) carry no
+    * logicalLink of their own — descend to the first node that does.
+    */
+  private def estimate(p: SparkPlan): (BigInt, BigInt) = {
+    val linked = (p +: p.collect { case c if c.logicalLink.isDefined => c })
+      .find(_.logicalLink.isDefined)
+    linked.flatMap(_.logicalLink).map { lp =>
+      val st = lp.stats
+      (st.sizeInBytes, st.rowCount.getOrElse(BigInt(-1)))
+    }.getOrElse((BigInt(-1), BigInt(-1)))
+  }
+
+  def shapeOf(df: DataFrame): Shape = {
+    // Counts come from the rendered plan string (stable across rounds —
+    // it includes subquery sections tree-collect would miss); volume
+    // estimates come from the tree, where stats are reachable.
+    val ops = df.queryExecution.executedPlan.toString
+      .linesIterator.map(opName).toVector
+    val tree = physical(df)
+    val shuffleEst = tree.collect {
+      case s: ShuffleExchangeExec => estimate(s.child)
+    }
+    val bnljSides = tree.collect {
+      case j: BroadcastNestedLoopJoinExec =>
+        val side = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        estimate(side)._1
+    }
+    Shape(
+      shuffles = ops.count(_.startsWith("Exchange")),
+      broadcasts = ops.count(_.startsWith("BroadcastExchange")),
+      scans = ops.count(o => o.startsWith("FileScan") ||
+        o.startsWith("Scan parquet")),
+      cartesian = ops.exists(_.startsWith("CartesianProduct")),
+      bnlj = ops.count(_.startsWith("BroadcastNestedLoopJoin")),
+      bnljBcastBytes = bnljSides,
+      shuffleBytes = shuffleEst.map(_._1),
+      shuffleRows = shuffleEst.map(_._2),
+      err = None)
+  }
+
+  /** Audit every query; failures are recorded per query, never fatal. */
+  def audit(spark: SparkSession, dir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame])
+      : Seq[(String, Shape)] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val shape =
+        try shapeOf(fn(spark, dir))
+        catch { case e: Throwable =>
+          // getMessage is null for NPEs and many wrapped JVM errors — a
+          // null here must record the query's failure, not kill the audit
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          Shape(-1, -1, -1, cartesian = false, bnlj = -1, Nil, Nil, Nil,
+            err = Some(msg.takeWhile(_ != '\n').take(200)))
+        } finally spark.catalog.clearCache()
+      name -> shape
+    }
+
+  /** True iff some query carries a BNLJ beyond its allowlisted count. */
+  def bnljUnexpected(shapes: Seq[(String, Shape)]): Boolean =
+    shapes.exists { case (n, s) =>
+      s.bnlj > BnljAllowlist.getOrElse(n, 0)
+    }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val out = args.headOption.getOrElse("PLANAUDIT.json")
@@ -34,36 +157,7 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // A plan line's operator name, tree-drawing prefix stripped.
-    def opName(line: String): String =
-      line.dropWhile(c => !c.isLetter)
-
-    final case class Shape(shuffles: Int, broadcasts: Int, scans: Int,
-        cartesian: Boolean, bnlj: Boolean, err: Option[String])
-
-    val shapes = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val shape =
-          try {
-            val plan = fn(spark, dir).queryExecution.executedPlan.toString
-            val ops = plan.linesIterator.map(opName).toVector
-            Shape(
-              shuffles = ops.count(_.startsWith("Exchange")),
-              broadcasts = ops.count(_.startsWith("BroadcastExchange")),
-              scans = ops.count(o => o.startsWith("FileScan") ||
-                o.startsWith("Scan parquet")),
-              cartesian = ops.exists(_.startsWith("CartesianProduct")),
-              bnlj = ops.exists(_.startsWith("BroadcastNestedLoopJoin")),
-              err = None)
-          } catch { case e: Throwable =>
-            // getMessage is null for NPEs and many wrapped JVM errors — a
-            // null here must record the query's failure, not kill the audit
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            Shape(-1, -1, -1, cartesian = false, bnlj = false,
-              err = Some(msg.takeWhile(_ != '\n').take(200)))
-          } finally spark.catalog.clearCache()
-        name -> shape
-    }
+    val shapes = audit(spark, dir, graft.SparkEntry.queries)
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -72,16 +166,21 @@ object PlanAudit {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    def jarr(xs: Seq[BigInt]): String = xs.mkString("[", ",", "]")
     val body = shapes.map { case (n, s) =>
       val errJson = s.err.map(jstr).getOrElse("null")
       s"${jstr(n)}:{\"shuffles\":${s.shuffles},\"broadcasts\":${s.broadcasts}," +
         s"\"scans\":${s.scans},\"cartesian\":${s.cartesian}," +
-        s"\"bnlj\":${s.bnlj},\"err\":$errJson}"
+        s"\"bnlj\":${s.bnlj},\"bnlj_bcast_bytes\":${jarr(s.bnljBcastBytes)}," +
+        s"\"shuffle_bytes\":${jarr(s.shuffleBytes)}," +
+        s"\"shuffle_rows\":${jarr(s.shuffleRows)},\"err\":$errJson}"
     }.mkString(",")
     val cartesianFree = shapes.forall(!_._2.cartesian)
+    val unexpected = bnljUnexpected(shapes)
     val errCount = shapes.count(_._2.err.isDefined)
     val maxShuffles = shapes.map(_._2.shuffles).max
     val json = s"""{"sf":"$dir","cartesian_free":$cartesianFree,""" +
+      s""""bnlj_unexpected":$unexpected,""" +
       s""""errors":$errCount,"max_shuffles":$maxShuffles,"queries":{$body}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.PlanAudit
+
+/** The plan-shape audit's gates must actually catch regressions: a seeded
+  * stray BroadcastNestedLoopJoin (the accidental scale-killer) flips
+  * `bnlj_unexpected`, while the reviewed allowlisted sites do not.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def nonEquiJoin(s: SparkSession, d: String): DataFrame = {
+    val nation = s.read.parquet(s"$d/nation.parquet")
+    val region = s.read.parquet(s"$d/region.parquet")
+    // non-equi condition → Spark must plan a BroadcastNestedLoopJoin
+    nation.join(broadcast(region),
+      nation("n_regionkey") < region("r_regionkey"))
+  }
+
+  test("a seeded stray BNLJ flips bnlj_unexpected; clean queries do not") {
+    val clean = Map[String, (SparkSession, String) => DataFrame](
+      "qx_clean_agg" -> ((s, d) =>
+        s.read.parquet(s"$d/nation.parquet").groupBy("n_regionkey").count()))
+    val seeded = clean + ("qx_stray_bnlj" -> (nonEquiJoin _))
+
+    val cleanShapes = PlanAudit.audit(spark, dir, clean)
+    assert(!PlanAudit.bnljUnexpected(cleanShapes))
+
+    val seededShapes = PlanAudit.audit(spark, dir, seeded)
+    val stray = seededShapes.toMap.apply("qx_stray_bnlj")
+    assert(stray.err.isEmpty && stray.bnlj >= 1,
+      s"the seeded non-equi join must plan a BNLJ: $stray")
+    assert(PlanAudit.bnljUnexpected(seededShapes),
+      "an un-allowlisted BNLJ must flip the gate")
+    // the broadcast side's estimated size is recorded for diffing
+    assert(stray.bnljBcastBytes.nonEmpty && stray.bnljBcastBytes.forall(_ > 0))
+  }
+
+  test("an allowlisted query's reviewed BNLJ passes; an EXTRA one would not") {
+    // an allowlisted name with its one expected BNLJ → gate stays green
+    val one = Map[String, (SparkSession, String) => DataFrame](
+      "q26_knn_brute" -> (nonEquiJoin _))
+    assert(!PlanAudit.bnljUnexpected(PlanAudit.audit(spark, dir, one)))
+    // same plan under a name allowed zero → gate flips (count is per query)
+    val zero = Map[String, (SparkSession, String) => DataFrame](
+      "q01_pricing_summary" -> (nonEquiJoin _))
+    assert(PlanAudit.bnljUnexpected(PlanAudit.audit(spark, dir, zero)))
+  }
+
+  test("shuffle volume estimates are emitted per exchange") {
+    val q = Map[String, (SparkSession, String) => DataFrame](
+      "qx_shuffle" -> ((s, d) =>
+        s.read.parquet(s"$d/orders.parquet")
+          .groupBy("o_custkey").agg(sum("o_totalprice"))))
+    val shape = PlanAudit.audit(spark, dir, q).toMap.apply("qx_shuffle")
+    assert(shape.err.isEmpty && shape.shuffles >= 1)
+    assert(shape.shuffleBytes.nonEmpty,
+      s"each exchange must carry a size estimate: $shape")
+    assert(shape.shuffleBytes.forall(_ > 0))
+    // audit failures are recorded, not fatal
+    val bad = Map[String, (SparkSession, String) => DataFrame](
+      "qx_boom" -> ((s, d) => s.read.parquet(s"$d/does_not_exist.parquet")))
+    val boom = PlanAudit.audit(spark, dir, bad).toMap.apply("qx_boom")
+    assert(boom.err.isDefined)
+  }
+}

@@ -186,6 +186,105 @@ class StreamingSpec extends AnyFunSuite {
       s"straggler must be its own session, got: ${u1.mkString(", ")}")
   }
 
+  test("sessionize merges same-batch stragglers within the gap (batch parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventStream.sessionize(
+        in.toDF().toDF("user_id", "event_time", "value"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("strag_merge_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // TWO above-watermark stragglers in ONE batch, 10 min apart — both
+      // more than the 30 min gap before the open session's start. The
+      // batch mirror (q32) puts them in ONE session; the stream must too.
+      in.addData((1L, ts("2024-01-01 11:05:00"), 1.0),
+        (1L, ts("2024-01-01 11:15:00"), 2.0),
+        (2L, ts("2024-01-01 15:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData((3L, ts("2024-01-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("strag_merge_sessions").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(u1.toSet == Set(
+      (ts("2024-01-01 11:05:00"), ts("2024-01-01 11:15:00"), 2L, 3.0),
+      (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L, 1.0)),
+      s"same-batch stragglers within gap must merge, got: ${u1.mkString(", ")}")
+  }
+
+  test("streaming funnel equals the batch q77 funnel across out-of-order batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_s").toString
+    val state = new graft.io.ParquetTable(s"$tmp/state")
+    val result = new graft.io.ParquetTable(s"$tmp/result")
+    val stages = Seq("view", "click", "purchase")
+    val us = 1000L // ns per µs
+    // user 1 converts, but their VIEW arrives a batch AFTER the click and
+    // purchase (chain only completes retroactively); user 2's click is
+    // BEFORE their view (must not count); user 3 has a stray later click
+    // that compaction drops without changing the answer
+    val b1 = Seq((1L, "click", 2000000L * us), (1L, "purchase", 3000000L * us),
+      (2L, "view", 1000000L * us), (3L, "view", 100L * us),
+      (3L, "click", 200L * us))
+    val b2 = Seq((1L, "view", 1000000L * us), (2L, "click", 500000L * us),
+      (3L, "click", 900L * us))
+    val in = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.EventAnalyticsStream.funnelStream(
+      in.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", stages, state, result)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.northstar.EventOps.funnel(
+      (b1 ++ b2).toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", stages)
+    assert(TestSpark.rows(result.read(spark)) == TestSpark.rows(batch))
+    // state stayed compacted: user 3's 900µs click exceeds their t_1=200µs
+    val st = state.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(!st.contains((3L, "click", 900L * us)),
+      s"irrelevant later click must be compacted away, state: $st")
+  }
+
+  test("streaming retention equals the batch q78 cohorts across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ret_s").toString
+    val state = new graft.io.ParquetTable(s"$tmp/state")
+    val result = new graft.io.ParquetTable(s"$tmp/result")
+    def ns(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    // user 1's cohort week MOVES EARLIER in batch 2 (late arrival);
+    // user 2 is active across two weeks; replayed row absorbed
+    val b1 = Seq((1L, ns("2024-01-10 12:00:00")), (2L, ns("2024-01-03 08:00:00")),
+      (2L, ns("2024-01-10 09:00:00")))
+    val b2 = Seq((1L, ns("2024-01-02 10:00:00")), (2L, ns("2024-01-03 08:00:00")))
+    val in = MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventAnalyticsStream.retentionStream(
+      in.toDF().toDF("user_id", "ts"), "user_id", "ts", state, result)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.northstar.EventOps.retentionCohorts(
+      (b1 ++ b2).toDF("user_id", "ts"), "user_id", "ts")
+    assert(TestSpark.rows(result.read(spark)) == TestSpark.rows(batch))
+  }
+
   test("sessionize emits gap-separated sessions per user") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions")
