@@ -347,6 +347,26 @@ object NorthStarQueries {
       sum(length(col("r_name"))).as("name_chars"))
   }
 
+  /** ORC source round-trip, completing the source family (parquet native,
+    * CSV q45, JSONL q46): write `supplier` as ORC, re-read it with a
+    * predicate that must reach the ORC reader as a pushed filter (proven
+    * in SourcesSpec), aggregate in integer cents — the oracle runs on the
+    * original parquet, so any encode/decode loss breaks the hash. ORC
+    * gets no corrupt-record DLQ on purpose: a damaged columnar stripe is
+    * a loud structural failure, not a row-level parse miss — fail-fast is
+    * the correct 100 TB behavior there, unlike text formats.
+    */
+  def q80OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val supplier = t(s, dir, "supplier")
+    val tmp = scratch("orc", dir).toString
+    supplier.coalesce(1).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .filter(col("s_acctbal") > lit(0.0))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("suppliers"),
+        sum(round(col("s_acctbal") * 100, 0).cast("long")).as("acctbal_cents"))
+  }
+
   /** Distinctive terms per language by tf·idf, with a RATIONAL idf
     * (N/df instead of ln(N/df)): the ranking must reproduce bit-for-bit in
     * the SQL oracle, and two engines' `ln` libms aren't guaranteed to agree
@@ -1123,6 +1143,7 @@ object NorthStarQueries {
     "q77_funnel_conversion" -> (q77FunnelConversion _),
     "q78_retention_cohorts" -> (q78RetentionCohorts _),
     "q79_multimodal_headers" -> (q79MultimodalHeaders _),
+    "q80_orc_roundtrip" -> (q80OrcRoundtrip _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -1825,6 +1846,13 @@ object NorthStarQueries {
                 CAST(sum(CASE WHEN kind = 'wav' THEN ch END)
                   AS BIGINT) AS sum_channels
          FROM m GROUP BY 1""",
+    // The oracle reads the ORIGINAL parquet; the engine answers from its
+    // own ORC copy — encode/decode loss or filter drift breaks the hash.
+    "q80_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS suppliers,
+                CAST(sum(CAST(round(s_acctbal * 100, 0) AS BIGINT))
+                  AS BIGINT) AS acctbal_cents
+         FROM supplier WHERE s_acctbal > 0 GROUP BY 1""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

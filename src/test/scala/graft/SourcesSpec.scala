@@ -53,6 +53,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(clean.filter($"id" === 1L).head.isNullAt(2) == false)
   }
 
+  test("ORC round-trip preserves rows exactly and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc_spec").toString
+    val src = Seq((1L, "a", 10.5), (2L, "b", -3.0), (3L, "c", 0.0),
+      (4L, "d", 7.25)).toDF("id", "name", "score")
+    src.coalesce(1).write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(TestSpark.rows(back) == TestSpark.rows(src))
+    // the predicate must reach the ORC reader (PushedFilters), not run as
+    // a post-scan Filter only — at 100 TB that's stripe-level skipping
+    val plan = back.filter($"score" > 0.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(score), GreaterThan(score,0.0)]"),
+      s"ORC scan must carry the pushed predicate:\n$plan")
+  }
+
   test("int8 quantization round-trip error is bounded by scale/2 per component") {
     val df = Seq(Tuple1(Seq(0.9, -0.4, 0.05, 0.0)), Tuple1(Seq(0.0, 0.0, 0.0, 0.0)))
       .toDF("v")
