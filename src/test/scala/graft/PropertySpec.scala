@@ -292,6 +292,79 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: funnel state compaction is lossless under later arrivals " +
+    "(the streaming mirror's monotonicity lemma)") {
+    import graft.northstar.EventOps
+    val stages = Seq("view", "click", "purchase")
+    val eventGen = for {
+      u <- Gen.choose(1L, 5L)
+      t <- Gen.oneOf("view", "click", "purchase")
+      ts <- Gen.choose(1L, 40L).map(_ * 1000L)
+    } yield (u, t, ts)
+    def times(evs: Seq[(Long, String, Long)]): Map[Long, Seq[Option[Long]]] =
+      EventOps.stageTimes(evs.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", stages)
+        .collect().map(r => r.getLong(0) ->
+          stages.indices.map(i =>
+            if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1)))).toMap
+    samples(Gen.zip(Gen.listOfN(40, eventGen), Gen.listOfN(20, eventGen)), 5)
+      .foreach { case (batch1, batch2) =>
+        val t1 = times(batch1)
+        // (a) monotonicity: adding events never INCREASES any stage time
+        //     (None = +infinity) — the lemma the compaction rule rests on
+        val tAll = times(batch1 ++ batch2)
+        for ((u, ts1) <- t1; ts2 = tAll(u); i <- stages.indices)
+          assert(ts2(i).getOrElse(Long.MaxValue) <=
+            ts1(i).getOrElse(Long.MaxValue),
+            s"stage ${stages(i)} time grew for user $u: $ts1 -> $ts2")
+        // (b) exactness: the stream's keep-rule (drop stage-i times above
+        //     the current t_i) loses nothing — recomputing from compacted
+        //     state + the late batch equals recomputing from everything
+        val compacted = batch1.distinct.filter { case (u, t, ts) =>
+          val i = stages.indexOf(t)
+          t1.get(u).forall(v => v(i).forall(ts <= _))
+        }
+        assert(times(compacted ++ batch2) == tAll,
+          s"compaction dropped a load-bearing event: b1=$batch1 b2=$batch2")
+      }
+  }
+
+  test("property: media builders round-trip through the header parser for " +
+    "arbitrary dimensions/formats") {
+    import graft.northstar.Multimodal.{AudioFormat, MediaBuilders, MediaDecoder}
+    val pngGen = for {
+      w <- Gen.choose(1, 1 << 20); h <- Gen.choose(1, 1 << 20)
+      f <- Gen.choose(0, 200); s <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, f, s)
+    samples(pngGen, 40).foreach { case (w, h, f, s) =>
+      val png = MediaBuilders.png(w, h, f, s)
+      assert(png.length == 57 + f)
+      assert(MediaDecoder.ContainerHeaders.dimensions(png).contains((w, h)))
+      assert(MediaDecoder.ContainerHeaders.audioFormat(png).isEmpty)
+    }
+    val jpgGen = for {
+      w <- Gen.choose(1, 0xffff); h <- Gen.choose(1, 0xffff)
+      f <- Gen.choose(0, 200); s <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, f, s)
+    samples(jpgGen, 40).foreach { case (w, h, f, s) =>
+      val jpg = MediaBuilders.jpeg(w, h, f, s)
+      assert(jpg.length == 21 + f)
+      assert(MediaDecoder.ContainerHeaders.dimensions(jpg).contains((w, h)))
+    }
+    val wavGen = for {
+      sr <- Gen.oneOf(8000, 16000, 22050, 44100, 48000)
+      ch <- Gen.choose(1, 8); f <- Gen.choose(0, 100).map(_ * 2)
+      s <- Gen.choose(0L, Long.MaxValue)
+    } yield (sr, ch, f, s)
+    samples(wavGen, 40).foreach { case (sr, ch, f, s) =>
+      val wav = MediaBuilders.wav(sr, ch, 16, f, s)
+      assert(wav.length == 44 + f)
+      assert(MediaDecoder.ContainerHeaders.audioFormat(wav)
+        .contains(AudioFormat(sr, ch, 16)))
+      assert(MediaDecoder.ContainerHeaders.dimensions(wav).isEmpty)
+    }
+  }
+
   test("property: retention matrix matches a driver-side reference") {
     import graft.northstar.EventOps
     import java.time.{DayOfWeek, LocalDate}
