@@ -51,23 +51,41 @@ object EventAnalyticsStream {
           .filter(col(typeCol).isin(stages: _*))
           .select(col(idCol), col(typeCol), col(tsCol))
           .distinct() // MIN-based chain: duplicate events carry nothing
+        // cached: the merged state feeds BOTH the chain computation and
+        // the compaction join, and perUser feeds both writes — without
+        // the cache each write re-runs the window cascade over the full
+        // state
         val all =
           (if (state.exists) state.read(s).unionByName(incoming)
-           else incoming).distinct()
-        val perUser = EventOps.stageTimes(all, idCol, typeCol, tsCol, stages)
-        // drop every stage-i time strictly above the current t_i — it can
-        // never be a future first-qualifying time (monotonicity, above)
-        val stillRelevant = stages.indices.map { i =>
-          col(typeCol) === stages(i) &&
-            (col(s"__t$i").isNull || col(tsCol) <= col(s"__t$i"))
-        }.reduce(_ || _)
-        val compacted = all.join(perUser, Seq(idCol))
-          .filter(stillRelevant)
-          .select(col(idCol), col(typeCol), col(tsCol))
-        // old versions remain readable during the flip, so `all`'s lazy
-        // scan of the prior state version is safe while this writes
-        state.overwrite(compacted)
-        result.overwrite(EventOps.funnelRollup(perUser, idCol, stages))
+           else incoming).distinct().cache()
+        try {
+          val perUser = EventOps
+            .stageTimes(all, idCol, typeCol, tsCol, stages).cache()
+          try {
+            // drop every stage-i time strictly above the current t_i — it
+            // can never be a future first-qualifying time (monotonicity,
+            // above)
+            val stillRelevant = stages.indices.map { i =>
+              col(typeCol) === stages(i) &&
+                (col(s"__t$i").isNull || col(tsCol) <= col(s"__t$i"))
+            }.reduce(_ || _)
+            val compacted = all.join(perUser, Seq(idCol))
+              .filter(stillRelevant)
+              .select(col(idCol), col(typeCol), col(tsCol))
+            // Writes may lazily re-scan the PRIOR state version (old
+            // versions stay readable through the pointer flip, and the
+            // cache is not pinned), so all overwrites run BEFORE the
+            // vacuums; vacuuming then bounds disk at ~2 versions per
+            // table instead of one per micro-batch forever. State and
+            // result are derived, rebuildable data — the same retention
+            // call IvfIndex.persist makes. Replay safety needs no
+            // checkpointed offsets: both statistics are set-valued, so a
+            // re-delivered batch is absorbed by the distinct.
+            result.overwrite(EventOps.funnelRollup(perUser, idCol, stages))
+            state.overwrite(compacted)
+          } finally perUser.unpersist()
+        } finally all.unpersist()
+        state.vacuum(); result.vacuum()
         ()
       }
       .start()
@@ -83,11 +101,18 @@ object EventAnalyticsStream {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
         val incoming = EventOps.userWeeks(batch.toDF(), idCol, tsCol)
+        // cached: cohortMatrix scans the user-week set twice (cohorts +
+        // active sides) and the state write scans it again
         val all =
           (if (state.exists) state.read(s).unionByName(incoming)
-           else incoming).distinct()
-        state.overwrite(all)
-        result.overwrite(EventOps.cohortMatrix(all, idCol))
+           else incoming).distinct().cache()
+        try {
+          // result first — its plan may re-scan the prior state version,
+          // which the vacuums below delete (see funnelStream)
+          result.overwrite(EventOps.cohortMatrix(all, idCol))
+          state.overwrite(all)
+        } finally all.unpersist()
+        state.vacuum(); result.vacuum()
         ()
       }
       .start()

@@ -256,6 +256,12 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(!st.contains((3L, "click", 900L * us)),
       s"irrelevant later click must be compacted away, state: $st")
+    // per-batch vacuum bounds disk: versions must NOT grow one per batch
+    def versions(p: String): Int = graft.io.FsUtil
+      .listDir(java.nio.file.Paths.get(p))
+      .count(_.getFileName.toString.startsWith("v_"))
+    assert(versions(s"$tmp/state") == 1 && versions(s"$tmp/result") == 1,
+      "streamed state/result tables must keep only the live version")
   }
 
   test("streaming retention equals the batch q78 cohorts across batches") {
