@@ -97,7 +97,30 @@ object Bench {
       } finally spark.catalog.clearCache()
     }
 
-    final case class Run(sec: Double, stealSec: Double, failed: Boolean)
+    // MEASURED shuffle volume per run (complement to PLANAUDIT's logical
+    // ESTIMATES): task-metric deltas around each query, bus-drained so a
+    // fast query's tail stages can't leak into the next window. At 100 TB
+    // the shuffle-bytes column is the capacity-planning number; a query
+    // whose wall time holds steady while its shuffle volume balloons is a
+    // regression the timing census cannot see.
+    object Shuffles extends org.apache.spark.scheduler.SparkListener {
+      val write = new java.util.concurrent.atomic.AtomicLong
+      val read = new java.util.concurrent.atomic.AtomicLong
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spill.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(Shuffles)
+
+    final case class Run(sec: Double, stealSec: Double, failed: Boolean,
+        shuffleWrite: Long = 0L, shuffleRead: Long = 0L, spilled: Long = 0L)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val runs = scala.collection.mutable.Map[String, Vector[Run]]()
       .withDefaultValue(Vector.empty)
@@ -109,6 +132,9 @@ object Bench {
 
     def runOne(name: String): Run = {
       val fn = SparkEntry.queries(name)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      val (w0, r0, p0) =
+        (Shuffles.write.get, Shuffles.read.get, Shuffles.spill.get)
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       val ok =
@@ -118,7 +144,11 @@ object Bench {
         }
         finally spark.catalog.clearCache()
       val sec = (System.nanoTime() - t0) / 1e9
-      Run(sec, (stealTicks() - s0) / 100.0, failed = !ok)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      Run(sec, (stealTicks() - s0) / 100.0, failed = !ok,
+        shuffleWrite = Shuffles.write.get - w0,
+        shuffleRead = Shuffles.read.get - r0,
+        spilled = Shuffles.spill.get - p0)
     }
 
     val wall0 = System.nanoTime()
@@ -166,7 +196,14 @@ object Bench {
       val rs = runs(n)
       val secs = rs.map(r => fmt(if (r.failed) -1.0 else r.sec)).mkString("[", ",", "]")
       val st = rs.map(r => fmt(r.stealSec)).mkString("[", ",", "]")
-      s""""$n":{"best":${fmt(best(n))},"first":${fmt(if (rs.head.failed) -1.0 else rs.head.sec)},"runs":$secs,"steal":$st}"""
+      // measured shuffle volume from the first successful run (volume is a
+      // property of the plan, not the wall clock — any non-failed run's
+      // numbers are the query's numbers; spill CAN vary, so it is the max)
+      val okRuns = rs.filter(!_.failed)
+      val sw = okRuns.headOption.map(_.shuffleWrite).getOrElse(-1L)
+      val sr = okRuns.headOption.map(_.shuffleRead).getOrElse(-1L)
+      val sp = if (okRuns.isEmpty) -1L else okRuns.map(_.spilled).max
+      s""""$n":{"best":${fmt(best(n))},"first":${fmt(if (rs.head.failed) -1.0 else rs.head.sec)},"runs":$secs,"steal":$st,"shuffle_write_bytes":$sw,"shuffle_read_bytes":$sr,"spill_bytes":$sp}"""
     }.mkString("{", ",", "}")
     // -1.0 failure markers must not be summed — they would understate the
     // total and make it non-monotonic with failures

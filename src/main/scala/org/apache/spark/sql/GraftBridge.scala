@@ -26,4 +26,13 @@ object GraftBridge {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Drain the listener bus so SparkListener counters observed after a job
+    * reflect every stage of that job (the bus is async; without the drain
+    * a fast query's tail stages get attributed to the NEXT measurement
+    * window). `listenerBus` is `private[spark]` — measurement harnesses
+    * (graft.Bench) need this one call.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
