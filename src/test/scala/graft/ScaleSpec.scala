@@ -466,4 +466,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(leaked.isEmpty,
       s"candidate join inputs must not carry vectors, leaked: $leaked\n$lp")
   }
+
+  test("funnel plans ONE user-keyed exchange; retention joins on the user only") {
+    import graft.queries.NorthStarQueries
+    // q77's claim (DESIGN.md): the stacked conditional window MINs, the
+    // per-user rollup, and the global totals all reuse a single
+    // hashpartitioning exchange on user_id — timestamps never move
+    // between users, and no self-join on time exists
+    val funnelPlan = NorthStarQueries.q77FunnelConversion(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(funnelPlan).size == 1,
+      s"funnel must shuffle ONCE on the user key:\n$funnelPlan")
+    assert(!funnelPlan.contains("Join"),
+      s"funnel must not plan any join:\n$funnelPlan")
+    // q78: one cohort aggregate + one distinct + ONE user-keyed join +
+    // the weeks^2-sized matrix rollup — nothing shuffles on a timestamp
+    val retPlan = NorthStarQueries.q78RetentionCohorts(spark, dir)
+      .queryExecution.executedPlan.toString
+    val joins = retPlan.linesIterator
+      .filter(l => l.contains("Join") && !l.contains("BroadcastNestedLoop"))
+      .toSeq
+    assert(joins.nonEmpty && joins.forall(_.contains("user_id")),
+      s"retention's only join must be user-keyed:\n$retPlan")
+  }
 }
