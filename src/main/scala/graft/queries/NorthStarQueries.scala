@@ -1077,6 +1077,25 @@ object NorthStarQueries {
         sum(col("channels").cast("long")).as("sum_channels"))
   }
 
+  /** Product-quantized ANN — the memory-side scale complement to q50's
+    * IVF partition pruning: 64-dim float vectors become 8 one-byte-ish
+    * codes (32× compression), and the first-pass candidate scan scores
+    * queries against CODES via asymmetric distance computation, never
+    * touching the float corpus until the bounded exact re-rank
+    * ([[graft.northstar.ProductQuantizer]]). At 100 TB the coded corpus is
+    * what stays scannable/cacheable; the vectors stay cold. Approximate by
+    * design → rows-only check; [[graft.tools.Accuracy]] gates recall@5 vs
+    * brute force and the ADC cosine approximation error per round.
+    * m=8 × ksub=16 on near-random embeddings (the quantizer's worst case,
+    * same caveat as q50); rerank=8 shortlists 40 of 2000 per query.
+    */
+  def q81PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.northstar.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      .search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, rerank = 8)
+  }
+
   /** The GPT-2-style pre-tokenization pattern, single-sourced: the q68
     * engine query, its DuckDB oracle, and the known-answer spec all read
     * this constant, so the three can never drift. Lookaround-free and
@@ -1144,6 +1163,7 @@ object NorthStarQueries {
     "q78_retention_cohorts" -> (q78RetentionCohorts _),
     "q79_multimodal_headers" -> (q79MultimodalHeaders _),
     "q80_orc_roundtrip" -> (q80OrcRoundtrip _),
+    "q81_pq_ann" -> (q81PqAnn _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every

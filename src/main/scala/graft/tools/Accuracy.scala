@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.northstar.{CorpusClean, Dedup, IvfIndex, Similarity, TextAnalysis}
 
-/** Quantitative accuracy gates for the seven approximation/sketch queries
-  * that have no DuckDB oracle (q27, q28, q37, q50, q72, q75, q76) —
+/** Quantitative accuracy gates for the eight approximation/sketch queries
+  * that have no DuckDB oracle (q27, q28, q37, q50, q72, q75, q76, q81) —
   * emitted as one machine-readable artifact so a grader can judge the
   * approximate operators from numbers, not by reading specs.
   *
@@ -262,10 +262,55 @@ object Accuracy {
         over.toDouble / audited.length, "<=", 0.005))
   }
 
+  /** q81 — PQ ANN audited on two axes. (1) recall@5 vs the brute-force
+    * top-5: the end-to-end serving quality of ADC-shortlist + exact
+    * re-rank, the number a user of the index experiences. (2) the raw ADC
+    * approximation error — mean |adc_cos − exact_cos| over every
+    * (query, corpus) pair — which isolates quantizer quality from
+    * shortlist/re-rank mechanics: recall could mask a codebook regression
+    * whenever the re-rank window still catches the true neighbors, but
+    * the pairwise error cannot. Near-random 64-d embeddings are PQ's
+    * worst case (no cluster structure for codebooks to exploit), so both
+    * bounds are set just under the measured worst-case values and would
+    * only improve on real, clusterable embedding corpora.
+    */
+  def q81Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    import graft.functions.GraftFunctions
+    import graft.northstar.{ProductQuantizer, Similarity, VectorOps}
+    val emb = Tables.read(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val approx = pairs(graft.SparkEntry.queries("q81_pq_ann")(spark, dir))
+    // pairwise ADC error, replayed through the same public fit/encode the
+    // query uses (unit-normalized, m=8 × ksub=16)
+    val unit = emb.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("__raw"))
+      .withColumn("__n", VectorOps.l2Norm(col("__raw")))
+      .select(col("vec_id"),
+        VectorOps.l2Normalize(col("__raw"), col("__n")).as("__uv"))
+    val pq = ProductQuantizer.fit(unit, "vec_id", "__uv", m = 8, ksub = 16)
+    val coded = unit.withColumn("__codes", pq.encode(col("__uv")))
+    val q = unit.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("__uv").as("__qv"))
+    val err = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(abs(pq.adcDot(col("__qv"), col("__codes")) -
+        GraftFunctions.dot_product(col("__qv"), col("__uv"))).as("e"))
+      .agg(avg(col("e"))).collect()(0).getDouble(0)
+    Seq(
+      Gate("q81_pq_ann", "recall_at_5_vs_brute_force",
+        (exact & approx).size.toDouble / exact.size, ">=", 0.70),
+      Gate("q81_pq_ann", "mean_adc_cosine_error", err, "<=", 0.08))
+  }
+
   def allGates(spark: SparkSession, dir: String): Seq[Gate] =
     q27Gates(spark, dir) ++ q28Gates(spark, dir) ++ q37Gates(spark, dir) ++
       q50Gates(spark, dir) ++ q72Gates(spark, dir) ++ q76Gates(spark, dir) ++
-      q75Gates(spark, dir)
+      q75Gates(spark, dir) ++ q81Gates(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("ACCURACY.json")

@@ -42,10 +42,10 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
   */
 object PlanAudit {
 
-  /** The six reviewed broadcast-1-row/vocab BNLJ sites (count per query).
-    * q26: bounded query-set broadcast; q47/q61/q71/q73: 1-row totals /
-    * bounds frames; q66: 1-row centroid frame. Anything else is a
-    * regression.
+  /** The seven reviewed broadcast-1-row/vocab BNLJ sites (count per query).
+    * q26/q81: bounded query-set broadcast (the ANN serving contract);
+    * q47/q61/q71/q73: 1-row totals / bounds frames; q66: 1-row centroid
+    * frame. Anything else is a regression.
     */
   val BnljAllowlist: Map[String, Int] = Map(
     "q26_knn_brute" -> 1,
@@ -53,7 +53,8 @@ object PlanAudit {
     "q61_zipf_profile" -> 1,
     "q66_embedding_outliers" -> 1,
     "q71_bigram_fluency" -> 1,
-    "q73_temperature_mixture" -> 1)
+    "q73_temperature_mixture" -> 1,
+    "q81_pq_ann" -> 1)
 
   final case class Shape(shuffles: Int, broadcasts: Int, scans: Int,
       cartesian: Boolean, bnlj: Int, bnljBcastBytes: Seq[BigInt],
