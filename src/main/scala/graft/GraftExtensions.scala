@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenCollisionStats].getName,
         "token_collision_stats"),
       (exprs: Seq[Expression]) => TokenCollisionStats(exprs.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("vec_sub"),
+      new ExpressionInfo(classOf[graft.functions.VecSub].getName, "vec_sub"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VecSub(exprs.head, exprs(1))))
   }
 }
 

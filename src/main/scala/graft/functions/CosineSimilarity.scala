@@ -190,5 +190,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "token_collision_stats", exprs => TokenCollisionStats(exprs(0)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "vec_sub", exprs => VecSub(exprs(0), exprs(1)), "scala_udf")
   }
+
+  /** Column-API entry point for the native elementwise subtract. */
+  def vec_sub(a: Column, b: Column): Column =
+    GraftBridge.toColumn(VecSub(
+      GraftBridge.toExpression(a.cast("array<double>")),
+      GraftBridge.toExpression(b.cast("array<double>"))))
 }

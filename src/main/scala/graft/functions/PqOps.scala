@@ -93,6 +93,21 @@ object PqUtil {
     new GenericArrayData(codes)
   }
 
+  /** Elementwise a − b, or null on NULL/length mismatch. */
+  def vecSub(a: ArrayData, b: ArrayData): ArrayData = {
+    if (a == null || b == null) return null
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      out(i) = a.getDouble(i) - b.getDouble(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Σ_s q_sub(s) · codebook[s][codes[s]], or null on any mismatch. */
   def adcDot(q: ArrayData, codes: ArrayData, cb: PqCodebook): java.lang.Double = {
     if (q == null || codes == null) return null
@@ -117,6 +132,44 @@ object PqUtil {
     }
     acc
   }
+}
+
+/** Elementwise a − b over two array<double> vectors in one fused loop —
+  * the residual computation of IVFADC ([[graft.northstar.IvfPqIndex]]),
+  * where the `zip_with` HOF's interpreted per-element lambda (binding
+  * allocation + boxing per element) was a measurable fraction of the
+  * whole encode pass. NULL semantics mirror [[DotProduct]]: NULL input,
+  * a NULL element, or a length mismatch yield NULL.
+  */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_sub expects two array<double> inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_sub"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqUtil.vecSub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.PqUtil.vecSub($a, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 /** array<double> vector → array<int> of m codes (see [[PqUtil.encode]]). */

@@ -211,14 +211,17 @@ object IvfIndex {
       .orderBy(col("neighbor_id")).limit(trainTarget)
       .select(col("__cv")).collect().map(_.getSeq[Double](0).toArray)
     val centers = LocalKMeans.fit(sample, nlist, seed, maxIter = 10)
-    val cellScores = array(centers.zipWithIndex.map { case (c, i) =>
-      val normSq = c.map(x => x * x).sum
-      struct((lit(normSq) - lit(2.0) *
-        GraftFunctions.dot_product(col("__cv"), typedLit(c.toSeq))).as("d"),
-        lit(i).as("cell"))
-    }.toIndexedSeq: _*)
+    // Assignment IS product quantization with m=1, ksub=|centers|: the
+    // native fused kernel computes the same argmin over
+    // ‖c‖² − 2·v·c (same ascending-index fold, same smallest-index
+    // tiebreak) as the previous array_min-over-struct Column form — which
+    // measured ~0.5 ms/row, the dominant cost of every IVF build action.
+    val cellCb = new graft.functions.PqCodebook(
+      centers.flatMap(_.toSeq), 1, centers.length)
     val assigned = vecs.withColumn("cell",
-      array_min(cellScores).getField("cell"))
+      org.apache.spark.sql.GraftBridge.toColumn(graft.functions.PqEncode(
+        org.apache.spark.sql.GraftBridge.toExpression(col("__cv")), cellCb))
+        .getItem(0))
       .select(col("neighbor_id"), col("__cv"), col("cell"))
     val centroids = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     new IvfIndex(nlist, centroids, assigned, persisted = false)

@@ -1,0 +1,251 @@
+package graft.northstar
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** IVFADC — the composed FAISS serving shape (Jégou et al. TPAMI 2011,
+  * §IV): IVF coarse cells prune WHICH rows a probe scans
+  * ([[IvfIndex]], q50) while product-quantized residual codes shrink WHAT
+  * each scanned row costs ([[ProductQuantizer]], q81). At 100 TB the two
+  * are multiplicative — a probe touches nprobe/nlist of the corpus, and
+  * touches it as m-byte codes instead of float vectors — which is why
+  * this, not flat PQ or plain IVF, is the deployment geometry for
+  * billion-scale ANN.
+  *
+  * The residual trick: each corpus vector is stored as its CELL's
+  * centroid plus a PQ-coded remainder, v = c(cell) + r. Residuals are
+  * clustered tightly around the origin regardless of how spread the
+  * corpus is, so the same m × ksub codebook budget quantizes them with
+  * far less error than raw vectors. Scoring decomposes exactly:
+  * q·v = q·c + q·r, where q·c is computed per probed CELL (nprobe terms
+  * per query, centroids as literals — not per row) and q·r comes from the
+  * fused ADC kernel over the codes. The decomposition is exact; only r's
+  * quantization approximates.
+  *
+  * Spark shapes, all audited elsewhere: residual encode is one broadcast
+  * join (nlist-row centroid frame) + the map-side
+  * [[graft.functions.VecSub]] and [[graft.functions.PqEncode]] fused
+  * kernels; the probe is a broadcast hash join of
+  * the (queries × nprobe)-row probe frame into the coded corpus on
+  * `cell` — the q50 join, never a BNLJ — followed by the q81 ADC
+  * shortlist + bounded exact re-rank.
+  */
+final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
+    val pq: ProductQuantizer, coded: DataFrame,
+    private val persisted: Boolean) {
+
+  /** Top-k per query. `nprobe` bounds the scanned cells (scan-side knob),
+    * `rerank` bounds the exact re-rank window (memory-side knob) —
+    * separable accuracy levers, gated together in
+    * [[graft.tools.Accuracy]].
+    */
+  def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, rerank: Int = 8): DataFrame = {
+    val dims = pq.dims
+    val q = queries.select(col(idCol).as("query_id"),
+        Similarity.toDoubleVec(col(vecCol)).as("__qraw"))
+      .withColumn("__qn", VectorOps.l2Norm(col("__qraw")))
+      .withColumn("__qv", VectorOps.l2Normalize(col("__qraw"), col("__qn")))
+      .withColumn("__qv",
+        when(size(col("__qv")) === lit(dims), col("__qv"))
+          .otherwise(raise_error(concat(
+            lit("IvfPqIndex: query vector dims "),
+            size(col("__qv")).cast("string"),
+            lit(s" do not match index dims $dims")))))
+      .select(col("query_id"), col("__qv"))
+    // Probe scoring per cell carries BOTH the ranking key (cosine to the
+    // centroid, the q50 probe order) and the scoring offset q·c — derived
+    // per (query × cell), so the per-ROW ADC term never needs a dynamic
+    // centroid lookup (the element_at-by-cell trap q81's kernels were
+    // built to avoid). q is unit-normalized, so q·c = cos(q,c)·‖c‖ with
+    // ‖c‖ a per-cell SCALAR — recovering the dot from the cosine halves
+    // the probe's literal tree (16 more 64-double centroid literals and
+    // their dot_product expressions would otherwise double plan size and
+    // planning time for a value already computed).
+    val cellScores = array(centroids.map { case (cell, c) =>
+      val cnorm = math.sqrt(c.map(x => x * x).sum)
+      struct((lit(-1.0) * GraftFunctions.cosine_sim(col("__qv"), typedLit(c)))
+        .as("d"), lit(cell).as("cell"), lit(cnorm).as("cnorm"))
+    }.toIndexedSeq: _*)
+    val probed = q.withColumn("__cells",
+        slice(array_sort(cellScores), 1, nprobe))
+      .select(col("query_id"), col("__qv"),
+        explode(col("__cells")).as("__p"))
+      .select(col("query_id"), col("__qv"), col("__p.cell").as("cell"),
+        (lit(-1.0) * col("__p.d") * col("__p.cnorm")).as("__qdotc"))
+    // On a persisted index, resolve the probed cells first and prune the
+    // cell-partitioned code table statically (the IvfIndex.search probe
+    // order: pick lists, then scan lists). The probe job touches only the
+    // bounded query set — centroids are literals.
+    val corpus =
+      if (persisted) {
+        val cells = probed.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
+        coded.filter(col("cell").isin(cells: _*))
+      } else coded
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("neighbor_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__score",
+        col("__qdotc") + pq.adcDot(col("__qv"), col("__codes")))
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= k * rerank)
+      .withColumn("cosine",
+        round(GraftFunctions.cosine_sim(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Per-cell coded-list sizes — the build-side observable, mirroring
+    * q50's inverted-list census with the code payload attached.
+    */
+  def cellSizes(): DataFrame =
+    coded.groupBy(col("cell")).agg(count(lit(1)).as("vectors"))
+
+  /** Write the coded inverted lists as a cell-partitioned versioned table
+    * plus a model sidecar (centroids AND PQ codebooks — KBs) inside the
+    * live version dir, so a later session reopens the index without
+    * refitting anything ([[IvfPqIndex.load]]). Same crash-safety story as
+    * [[IvfIndex.persist]]: the sidecar lives and dies with the lists it
+    * describes, written tmp-then-atomic-rename, and any shape mismatch on
+    * load reads as no-index (→ rebuild), never as a silent mix of old
+    * model and new lists.
+    */
+  def persist(spark: SparkSession, path: String,
+      retainHistory: Boolean = false): IvfPqIndex = {
+    val table = new graft.io.ParquetTable(path, partitionColumns = Seq("cell"))
+    table.overwrite(coded.repartition(col("cell")))
+    if (!retainHistory) table.vacuum()
+    val dims = pq.dims
+    val header =
+      s"nlist=${centroids.length};dims=$dims;m=${pq.m};ksub=${pq.ksub}"
+    val centLines = centroids.map { case (i, c) =>
+      "cent," + i + "," + c.mkString(",")
+    }
+    val cbLines = for {
+      s <- 0 until pq.m; j <- 0 until pq.ksub
+    } yield "cb," + s + "," + j + "," + pq.codebooks(s)(j).mkString(",")
+    val versionDir = java.nio.file.Paths.get(table.currentPath)
+    val target = versionDir.resolve(IvfPqIndex.ModelFile)
+    val tmp = versionDir.resolve(IvfPqIndex.ModelFile + ".tmp")
+    java.nio.file.Files.write(tmp,
+      (header +: (centLines ++ cbLines)).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new IvfPqIndex(centroids, pq, table.read(spark), persisted = true)
+  }
+}
+
+object IvfPqIndex {
+
+  private[northstar] val ModelFile = "_ivfpq_model.csv"
+
+  /** Reopen a [[IvfPqIndex.persist]]ed index — centroids + codebooks from
+    * the sidecar, coded lists from the partitioned table — without
+    * refitting. `None` on any missing/torn/shape-mismatched state
+    * (callers fall back to build+persist). This is the serving path: the
+    * index is built once per corpus version and probed by many later
+    * jobs.
+    */
+  def load(spark: SparkSession, path: String): Option[IvfPqIndex] = {
+    val sidecar =
+      try java.nio.file.Paths.get(
+        new graft.io.ParquetTable(path, partitionColumns = Seq("cell"))
+          .currentPath, ModelFile)
+      catch { case _: Exception => return None }
+    if (!java.nio.file.Files.exists(sidecar)) None
+    else
+      try {
+        import scala.jdk.CollectionConverters._
+        val all = java.nio.file.Files.readAllLines(sidecar).asScala
+          .filter(_.nonEmpty).toVector
+        val HeaderRe = "nlist=(\\d+);dims=(\\d+);m=(\\d+);ksub=(\\d+)".r
+        all.headOption.collect {
+          case HeaderRe(n, d, m, k) => (n.toInt, d.toInt, m.toInt, k.toInt)
+        }.flatMap { case (nlist, dims, m, ksub) =>
+          val body = all.drop(1)
+          val cents = body.filter(_.startsWith("cent,")).map { line =>
+            val p = line.split(',')
+            (p(1).toInt, p.drop(2).map(_.toDouble).toSeq)
+          }
+          val cbs = body.filter(_.startsWith("cb,")).map { line =>
+            val p = line.split(',')
+            ((p(1).toInt, p(2).toInt), p.drop(3).map(_.toDouble))
+          }.toMap
+          val shapeOk = cents.length == nlist && cbs.size == m * ksub &&
+            cents.forall(_._2.length == dims) &&
+            (0 until m).forall(s => (0 until ksub).forall(j =>
+              cbs.get((s, j)).exists(_.length == dims / m)))
+          if (!shapeOk) None
+          else {
+            val pq = ProductQuantizer.fromCodebooks(m, ksub, dims,
+              Array.tabulate(m, ksub)((s, j) => cbs((s, j))))
+            val table = new graft.io.ParquetTable(path,
+              partitionColumns = Seq("cell"))
+            Some(new IvfPqIndex(cents.toArray, pq, table.read(spark),
+              persisted = true))
+          }
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Build: unit-normalize → IVF assignment → per-row residual against
+    * the assigned centroid (broadcast nlist-row frame + the native
+    * [[graft.functions.VecSub]]) → PQ fit on a driver-side bounded
+    * residual sample, encode distributed. One corpus pass beyond the IVF
+    * assignment itself; everything map-side except the tiny centroid
+    * broadcast.
+    */
+  def build(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, m: Int, ksub: Int,
+      seed: Long = 42L): IvfPqIndex = {
+    val unit = corpus.select(col(idCol),
+        Similarity.toDoubleVec(col(vecCol)).as("__raw"))
+      .withColumn("__n", VectorOps.l2Norm(col("__raw")))
+      .select(col(idCol),
+        VectorOps.l2Normalize(col("__raw"), col("__n")).as("__uv"))
+    val ivf = IvfIndex.build(unit, idCol, "__uv", nlist, seed)
+    // assigned carries (neighbor_id, __cv = unit vector, cell)
+    import spark.implicits._
+    val centroidDf = broadcast(
+      ivf.centroids.toSeq.toDF("cell", "__cent"))
+    val residuals = ivf.assigned.join(centroidDf, Seq("cell"))
+      .withColumn("__res", {
+        import org.apache.spark.sql.GraftBridge
+        GraftBridge.toColumn(graft.functions.VecSub(
+          GraftBridge.toExpression(col("__cv")),
+          GraftBridge.toExpression(col("__cent"))))
+      })
+    // Residual-codebook training sample, DRIVER-side: the same
+    // first-N-by-id prefix ProductQuantizer.fit would take, but collected
+    // from the assignment output directly (bounded: ksub × 256 rows of
+    // (vector, cell)) with the centroid subtraction done locally — the
+    // distributed residual join exists for the corpus-wide ENCODE pass,
+    // not to feed the driver 4k training rows. Same elementwise v−c
+    // arithmetic as the VecSub kernel, so the codebooks are bit-identical
+    // to fitting on the joined residual frame.
+    val centMap = ivf.centroids.map { case (i, c) => i -> c.toArray }.toMap
+    val resSample = ivf.assigned
+      .orderBy(col("neighbor_id")).limit(ksub * 256)
+      .select(col("__cv"), col("cell")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](0)
+        val c = centMap(r.getInt(1))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+    val pq = ProductQuantizer.fitLocal(resSample, m, ksub, seed)
+    val coded = residuals
+      .withColumn("__codes", pq.encode(col("__res")))
+      .select(col("cell"), col("neighbor_id"), col("__cv"), col("__codes"))
+    new IvfPqIndex(ivf.centroids, pq, coded, persisted = false)
+  }
+}

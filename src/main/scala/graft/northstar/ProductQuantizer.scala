@@ -111,6 +111,20 @@ final class ProductQuantizer private (val m: Int, val ksub: Int,
 
 object ProductQuantizer {
 
+  /** Reconstruct a quantizer from stored codebooks (the sidecar-load path
+    * of [[IvfPqIndex.load]]); shape-validates so a torn or stale sidecar
+    * fails the load, not a later search.
+    */
+  private[northstar] def fromCodebooks(m: Int, ksub: Int, dims: Int,
+      codebooks: Array[Array[Array[Double]]]): ProductQuantizer = {
+    require(m > 0 && ksub > 0 && dims % m == 0 &&
+      codebooks.length == m &&
+      codebooks.forall(s => s.length == ksub &&
+        s.forall(_.length == dims / m)),
+      s"codebook shape does not match m=$m ksub=$ksub dims=$dims")
+    new ProductQuantizer(m, ksub, dims, codebooks)
+  }
+
   /** Fit per-subspace codebooks on a bounded deterministic sample — first
     * ksub×256 vectors by id, the same no-count-job prefix sampling as
     * [[IvfIndex.build]] (ids carry no embedding information, so the prefix
@@ -125,11 +139,21 @@ object ProductQuantizer {
     */
   def fit(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       ksub: Int, seed: Long = 42L): ProductQuantizer = {
-    require(m > 0 && ksub > 1, s"need m>0, ksub>1; got m=$m ksub=$ksub")
     val sample = corpus
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .orderBy(col("__id")).limit(ksub * 256)
       .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    fitLocal(sample, m, ksub, seed)
+  }
+
+  /** Fit from an already-collected (bounded) sample — the path
+    * [[IvfPqIndex.build]] uses so the residual-codebook sample job never
+    * has to run the residual join over the whole corpus just to feed the
+    * driver 4k rows.
+    */
+  private[northstar] def fitLocal(sample: Array[Array[Double]], m: Int,
+      ksub: Int, seed: Long): ProductQuantizer = {
+    require(m > 0 && ksub > 1, s"need m>0, ksub>1; got m=$m ksub=$ksub")
     require(sample.nonEmpty, "cannot fit a product quantizer on no vectors")
     val dims = sample.head.length
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")

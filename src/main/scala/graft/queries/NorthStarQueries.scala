@@ -451,7 +451,7 @@ object NorthStarQueries {
     * data vintage changes the fingerprint, so stale indexes simply miss
     * and the probe rebuilds. Metadata-only — no data job.
     */
-  private def ivfScratch(dir: String): String = {
+  private def indexScratch(prefix: String, dir: String): String = {
     val fp =
       try {
         val attrs = java.nio.file.Files.readAttributes(
@@ -460,20 +460,23 @@ object NorthStarQueries {
         java.lang.Long.toHexString(
           attrs.lastModifiedTime.toMillis ^ (attrs.size * 1315423911L))
       } catch { case _: Exception => "na" }
-    val live = scratch("ivf_" + fp, dir)
-    // Stale vintages never miss-then-linger: prior fingerprints' ivf_*
-    // dirs for the SAME sfDir are removed here, so scratch disk stays
-    // bounded across driver testdata regenerations (one live index per
-    // sfDir). Same-fingerprint dirs for other sfDirs are untouched.
+    val live = scratch(prefix + "_" + fp, dir)
+    // Stale vintages never miss-then-linger: prior fingerprints' dirs of
+    // the same prefix for the SAME sfDir are removed here, so scratch
+    // disk stays bounded across driver testdata regenerations (one live
+    // index per prefix per sfDir). Other sfDirs are untouched.
     val dirSlug = "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     try graft.io.FsUtil.listDir(live.getParent).foreach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("ivf_") && n.endsWith(dirSlug) &&
+      if (n.startsWith(prefix + "_") && n.endsWith(dirSlug) &&
         n != live.getFileName.toString)
         graft.io.FsUtil.deleteRecursively(p)
     } catch { case _: Exception => () } // cleanup is best-effort
     live.toString
   }
+
+  private def ivfScratch(dir: String): String = indexScratch("ivf", dir)
+  private def ivfPqScratch(dir: String): String = indexScratch("ivfpq", dir)
 
   def q50IvfBuild(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -1096,6 +1099,39 @@ object NorthStarQueries {
         k = 5, rerank = 8)
   }
 
+  /** IVFADC, build side — q50's cell pruning × q81's code compression
+    * composed, the FAISS deployment geometry for billion-scale ANN
+    * ([[graft.northstar.IvfPqIndex]]): residual-coded inverted lists
+    * PERSISTED cell-partitioned with the model sidecar (centroids + PQ
+    * codebooks). Returns per-cell coded-list sizes. Split from the probe
+    * on the q50 precedent: build is once-per-corpus-version, probe is the
+    * per-query serving cost that must not regress at scale.
+    */
+  def q82IvfPqBuild(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.northstar.IvfPqIndex
+      .build(s, emb, "vec_id", "embedding", nlist = 16, m = 8, ksub = 16)
+      .persist(s, ivfPqScratch(dir))
+      .cellSizes()
+  }
+
+  /** IVFADC, probe side — reopens the persisted index (building it first
+    * only if q82_ivfpq_build has not run in this scratch dir), resolves
+    * probe cells against literal centroids, statically prunes the
+    * cell-partitioned code table, scores q·centroid + fused-ADC on codes,
+    * exact re-rank of the bounded shortlist. Approximate by design →
+    * rows-only check; [[graft.tools.Accuracy]] gates recall@5 per round.
+    */
+  def q82IvfPqProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = graft.northstar.IvfPqIndex.load(s, ivfPqScratch(dir))
+      .getOrElse(graft.northstar.IvfPqIndex
+        .build(s, emb, "vec_id", "embedding", nlist = 16, m = 8, ksub = 16)
+        .persist(s, ivfPqScratch(dir)))
+    idx.search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nprobe = 8, rerank = 8)
+  }
+
   /** The GPT-2-style pre-tokenization pattern, single-sourced: the q68
     * engine query, its DuckDB oracle, and the known-answer spec all read
     * this constant, so the three can never drift. Lookaround-free and
@@ -1164,6 +1200,8 @@ object NorthStarQueries {
     "q79_multimodal_headers" -> (q79MultimodalHeaders _),
     "q80_orc_roundtrip" -> (q80OrcRoundtrip _),
     "q81_pq_ann" -> (q81PqAnn _),
+    "q82_ivfpq_build" -> (q82IvfPqBuild _),
+    "q82_ivfpq_probe" -> (q82IvfPqProbe _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.northstar.{CorpusClean, Dedup, IvfIndex, Similarity, TextAnalysis}
 
-/** Quantitative accuracy gates for the eight approximation/sketch queries
-  * that have no DuckDB oracle (q27, q28, q37, q50, q72, q75, q76, q81) —
+/** Quantitative accuracy gates for the nine approximation/sketch queries
+  * that have no DuckDB oracle (q27, q28, q37, q50, q72, q75, q76, q81,
+  * q82) —
   * emitted as one machine-readable artifact so a grader can judge the
   * approximate operators from numbers, not by reading specs.
   *
@@ -307,10 +308,38 @@ object Accuracy {
       Gate("q81_pq_ann", "mean_adc_cosine_error", err, "<=", 0.08))
   }
 
+  /** q82 — IVFADC recall@5 against brute force, through the same
+    * persist + sidecar-load + statically-pruned path the probe query
+    * serves, at the q82 parameters (nlist=16, nprobe=8, m=8, ksub=16,
+    * rerank=8). Both approximation sources are live here — cell pruning
+    * (q50's) and the PQ shortlist (q81's) — so this bound sits at their
+    * composition, just under the measured value.
+    */
+  def q82Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    import graft.northstar.IvfPqIndex
+    val emb = Tables.read(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_acc_ivfpq").toString + "/idx"
+    IvfPqIndex.build(spark, emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16).persist(spark, path)
+    val loaded = IvfPqIndex.load(spark, path).getOrElse(
+      sys.error("persisted IVFPQ index failed to load in the accuracy gate"))
+    val approx = pairs(loaded.search(queries, "vec_id", "embedding",
+      k = 5, nprobe = 8, rerank = 8))
+    Seq(Gate("q82_ivfpq_probe", "recall_at_5_vs_brute_force",
+      (exact & approx).size.toDouble / exact.size, ">=", 0.64))
+  }
+
   def allGates(spark: SparkSession, dir: String): Seq[Gate] =
     q27Gates(spark, dir) ++ q28Gates(spark, dir) ++ q37Gates(spark, dir) ++
       q50Gates(spark, dir) ++ q72Gates(spark, dir) ++ q76Gates(spark, dir) ++
-      q75Gates(spark, dir) ++ q81Gates(spark, dir)
+      q75Gates(spark, dir) ++ q81Gates(spark, dir) ++ q82Gates(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("ACCURACY.json")

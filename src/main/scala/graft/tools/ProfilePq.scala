@@ -59,6 +59,30 @@ object ProfilePq {
           .select(pq.adcDot(col("__qv"), col("__codes")).as("a"))
           .agg(sum(col("a"))).collect()
       }
+      // IVFADC decomposition
+      val ivfpq = time("ivfpq build") {
+        graft.northstar.IvfPqIndex.build(spark, emb, "vec_id", "embedding",
+          nlist = 16, m = 8, ksub = 16)
+      }
+      time("ivfpq cellSizes count") { ivfpq.cellSizes().count() }
+      time("ivfpq search count (mem)") {
+        ivfpq.search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 8, rerank = 8).count()
+      }
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_prof_ivfpq").toString + "/idx"
+      time("ivfpq persist") { ivfpq.persist(spark, path) }
+      val loaded = time("ivfpq load") {
+        graft.northstar.IvfPqIndex.load(spark, path).get
+      }
+      time("ivfpq probe #1") {
+        loaded.search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 8, rerank = 8).count()
+      }
+      time("ivfpq probe #2") {
+        loaded.search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 8, rerank = 8).count()
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

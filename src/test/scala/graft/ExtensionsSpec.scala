@@ -49,4 +49,14 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT token_collision_stats('a a a b b c') AS f").head.getStruct(0)
     assert((r.getLong(0), r.getLong(1)) == ((14L, 3L)))
   }
+
+  test("vec_sub is SQL-callable and NULL-intolerant on length mismatch") {
+    GraftCatalog.registerAll(base, "/root/testdata/sf0.001")
+    val r = base.sql(
+      "SELECT vec_sub(array(3.0d, 5.0d), array(1.0d, 1.5d)) AS d")
+      .head.getSeq[Double](0)
+    assert(r == Seq(2.0, 3.5))
+    assert(base.sql(
+      "SELECT vec_sub(array(1.0d), array(1.0d, 2.0d)) AS d").head.isNullAt(0))
+  }
 }
