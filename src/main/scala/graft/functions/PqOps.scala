@@ -87,7 +87,11 @@ object PqUtil {
         if (score < bestScore) { bestScore = score; best = j }
         j += 1
       }
-      codes(s) = best
+      // all-NaN scores (e.g. a NaN component) never satisfy `<`; fall back
+      // to codeword 0 — the same deterministic pick the Column
+      // array_min(struct(d, j)) formulation makes when every d is NaN —
+      // so the [0, ksub) contract holds for every non-null return
+      codes(s) = if (best < 0) 0 else best
       s += 1
     }
     new GenericArrayData(codes)

@@ -42,12 +42,7 @@ final class IvfIndex private (val nlist: Int,
     val dims = centroids.headOption.map(_._2.length).getOrElse(0)
     val q = queries.select(col(idCol).as("query_id"),
       Similarity.toDoubleVec(col(vecCol)).as("__qv"))
-      .withColumn("__qv",
-        when(size(col("__qv")) === lit(dims), col("__qv"))
-          .otherwise(raise_error(concat(
-            lit("IvfIndex: query vector dims "),
-            size(col("__qv")).cast("string"),
-            lit(s" do not match index dims $dims")))))
+      .withColumn("__qv", VectorOps.dimsGuard(col("__qv"), dims, "IvfIndex"))
     // centroids ride along as literals (they are nlist × dims doubles)
     val cellScores = array(centroids.map { case (cell, c) =>
       struct((lit(-1.0) * GraftFunctions.cosine_sim(col("__qv"), typedLit(c)))
@@ -105,20 +100,13 @@ final class IvfIndex private (val nlist: Int,
     // it): centroids and the inverted lists they quantized then live and
     // die together — a sidecar beside the v_* dirs could survive a rebuild
     // whose sidecar write crashed, silently pairing OLD centroids with NEW
-    // lists. Written tmp-then-atomic-rename with a line-count header so a
-    // torn write reads as no-sidecar (→ rebuild), never as a short file.
-    // header records count AND dims so load can validate shape up front
+    // lists. Atomicity mechanics live in [[graft.io.Sidecar]]; the header
+    // records count AND dims so load can validate shape up front.
     val dims = centroids.headOption.map(_._2.length).getOrElse(0)
     val lines = s"nlist=${centroids.length};dims=$dims" +:
       centroids.map { case (i, c) => i + "," + c.mkString(",") }
-    val versionDir = java.nio.file.Paths.get(table.currentPath)
-    val target = versionDir.resolve(IvfIndex.CentroidsFile)
-    val tmp = versionDir.resolve(IvfIndex.CentroidsFile + ".tmp")
-    java.nio.file.Files.write(tmp,
-      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.io.Sidecar.write(java.nio.file.Paths.get(table.currentPath),
+      IvfIndex.CentroidsFile, lines)
     new IvfIndex(nlist, centroids, table.read(spark), persisted = true)
   }
 }
@@ -134,24 +122,15 @@ object IvfIndex {
     * path at scale: the index is built once per corpus version and probed
     * by many later jobs.
     */
-  def load(spark: SparkSession, path: String): Option[IvfIndex] = {
-    // resolve the sidecar through the live-version pointer (it lives with
-    // the lists it quantized); a missing pointer or sidecar is no-index
-    val sidecar =
-      try java.nio.file.Paths.get(
-        new ParquetTable(path, partitionColumns = Seq("cell")).currentPath,
-        CentroidsFile)
-      catch { case _: Exception => return None }
-    if (!java.nio.file.Files.exists(sidecar)) None
-    else
+  def load(spark: SparkSession, path: String): Option[IvfIndex] =
+    // the sidecar resolves through the live-version pointer (it lives with
+    // the lists it quantized); [[graft.io.Sidecar.read]] returns None on
+    // any missing/broken state. The header declares centroid count AND
+    // dims; any mismatch (torn write, a pre-header-format file, or a
+    // centroid row whose dims disagree with the header) is treated as
+    // no-index, not best-effort — the caller rebuilds from the corpus.
+    graft.io.Sidecar.read(path, Seq("cell"), CentroidsFile).flatMap { all =>
       try {
-        import scala.jdk.CollectionConverters._
-        val all = java.nio.file.Files.readAllLines(sidecar).asScala
-          .filter(_.nonEmpty).toVector
-        // header declares centroid count AND dims; any mismatch (torn
-        // write, a pre-header-format file, or a centroid row whose dims
-        // disagree with the header) is treated as no-index, not
-        // best-effort — the caller rebuilds from the corpus
         val HeaderRe = "nlist=(\\d+);dims=(\\d+)".r
         val declared = all.headOption.collect {
           case HeaderRe(n, d) => (n.toInt, d.toInt)
@@ -172,7 +151,7 @@ object IvfIndex {
           case _ => None
         }
       } catch { case _: Exception => None }
-  }
+    }
 
   /** Fit the coarse quantizer and assign every corpus vector to its cell.
     * The quantizer trains on a bounded deterministic sample (~256 vectors

@@ -44,18 +44,9 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     */
   def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int, rerank: Int = 8): DataFrame = {
-    val dims = pq.dims
-    val q = queries.select(col(idCol).as("query_id"),
-        Similarity.toDoubleVec(col(vecCol)).as("__qraw"))
-      .withColumn("__qn", VectorOps.l2Norm(col("__qraw")))
-      .withColumn("__qv", VectorOps.l2Normalize(col("__qraw"), col("__qn")))
+    val q = VectorOps.unitVecs(queries, idCol, vecCol, "query_id", "__qv")
       .withColumn("__qv",
-        when(size(col("__qv")) === lit(dims), col("__qv"))
-          .otherwise(raise_error(concat(
-            lit("IvfPqIndex: query vector dims "),
-            size(col("__qv")).cast("string"),
-            lit(s" do not match index dims $dims")))))
-      .select(col("query_id"), col("__qv"))
+        VectorOps.dimsGuard(col("__qv"), pq.dims, "IvfPqIndex"))
     // Probe scoring per cell carries BOTH the ranking key (cosine to the
     // centroid, the q50 probe order) and the scoring offset q·c — derived
     // per (query × cell), so the per-ROW ADC term never needs a dynamic
@@ -132,15 +123,8 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     val cbLines = for {
       s <- 0 until pq.m; j <- 0 until pq.ksub
     } yield "cb," + s + "," + j + "," + pq.codebooks(s)(j).mkString(",")
-    val versionDir = java.nio.file.Paths.get(table.currentPath)
-    val target = versionDir.resolve(IvfPqIndex.ModelFile)
-    val tmp = versionDir.resolve(IvfPqIndex.ModelFile + ".tmp")
-    java.nio.file.Files.write(tmp,
-      (header +: (centLines ++ cbLines)).mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.io.Sidecar.write(java.nio.file.Paths.get(table.currentPath),
+      IvfPqIndex.ModelFile, header +: (centLines ++ cbLines))
     new IvfPqIndex(centroids, pq, table.read(spark), persisted = true)
   }
 }
@@ -156,18 +140,9 @@ object IvfPqIndex {
     * index is built once per corpus version and probed by many later
     * jobs.
     */
-  def load(spark: SparkSession, path: String): Option[IvfPqIndex] = {
-    val sidecar =
-      try java.nio.file.Paths.get(
-        new graft.io.ParquetTable(path, partitionColumns = Seq("cell"))
-          .currentPath, ModelFile)
-      catch { case _: Exception => return None }
-    if (!java.nio.file.Files.exists(sidecar)) None
-    else
+  def load(spark: SparkSession, path: String): Option[IvfPqIndex] =
+    graft.io.Sidecar.read(path, Seq("cell"), ModelFile).flatMap { all =>
       try {
-        import scala.jdk.CollectionConverters._
-        val all = java.nio.file.Files.readAllLines(sidecar).asScala
-          .filter(_.nonEmpty).toVector
         val HeaderRe = "nlist=(\\d+);dims=(\\d+);m=(\\d+);ksub=(\\d+)".r
         all.headOption.collect {
           case HeaderRe(n, d, m, k) => (n.toInt, d.toInt, m.toInt, k.toInt)
@@ -196,7 +171,7 @@ object IvfPqIndex {
           }
         }
       } catch { case _: Exception => None }
-  }
+    }
 
   /** Build: unit-normalize → IVF assignment → per-row residual against
     * the assigned centroid (broadcast nlist-row frame + the native
@@ -208,11 +183,7 @@ object IvfPqIndex {
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, nlist: Int, m: Int, ksub: Int,
       seed: Long = 42L): IvfPqIndex = {
-    val unit = corpus.select(col(idCol),
-        Similarity.toDoubleVec(col(vecCol)).as("__raw"))
-      .withColumn("__n", VectorOps.l2Norm(col("__raw")))
-      .select(col(idCol),
-        VectorOps.l2Normalize(col("__raw"), col("__n")).as("__uv"))
+    val unit = VectorOps.unitVecs(corpus, idCol, vecCol, idCol, "__uv")
     val ivf = IvfIndex.build(unit, idCol, "__uv", nlist, seed)
     // assigned carries (neighbor_id, __cv = unit vector, cell)
     import spark.implicits._
@@ -226,20 +197,38 @@ object IvfPqIndex {
           GraftBridge.toExpression(col("__cent"))))
       })
     // Residual-codebook training sample, DRIVER-side: the same
-    // first-N-by-id prefix ProductQuantizer.fit would take, but collected
-    // from the assignment output directly (bounded: ksub × 256 rows of
-    // (vector, cell)) with the centroid subtraction done locally — the
-    // distributed residual join exists for the corpus-wide ENCODE pass,
-    // not to feed the driver 4k training rows. Same elementwise v−c
-    // arithmetic as the VecSub kernel, so the codebooks are bit-identical
-    // to fitting on the joined residual frame.
-    val centMap = ivf.centroids.map { case (i, c) => i -> c.toArray }.toMap
-    val resSample = ivf.assigned
-      .orderBy(col("neighbor_id")).limit(ksub * 256)
-      .select(col("__cv"), col("cell")).collect()
+    // first-N-by-id prefix ProductQuantizer.fit would take, collected from
+    // the UNIT projection (bounded: ksub × 256 rows) with BOTH the cell
+    // assignment and the centroid subtraction done locally — sampling from
+    // `ivf.assigned` instead would evaluate the assignment kernel below
+    // the TakeOrdered sort, i.e. one whole extra corpus assignment pass
+    // just to feed the driver 4k rows. The local argmin replicates the
+    // PqEncode(m=1) kernel exactly (same ‖c‖² − 2·v·c score via the same
+    // PqCodebook norms, same ascending-d fold, strict < smallest-cell
+    // tiebreak, code-0 all-NaN fallback), and the subtraction matches
+    // VecSub elementwise — so the codebooks are bit-identical to fitting
+    // on the joined residual frame.
+    val centArr = ivf.centroids.sortBy(_._1).map(_._2.toArray)
+    val cellCb = new graft.functions.PqCodebook(
+      centArr.flatMap(_.toSeq), 1, centArr.length)
+    val resSample = unit
+      .orderBy(col(idCol)).limit(ksub * 256)
+      .select(col("__uv")).collect()
       .map { r =>
         val v = r.getSeq[Double](0)
-        val c = centMap(r.getInt(1))
+        var best = 0
+        var bestScore = Double.MaxValue
+        var j = 0
+        while (j < centArr.length) {
+          val c = centArr(j)
+          var dot = 0.0
+          var d = 0
+          while (d < c.length) { dot += v(d) * c(d); d += 1 }
+          val score = cellCb.normsSq(j) - 2.0 * dot
+          if (score < bestScore) { bestScore = score; best = j }
+          j += 1
+        }
+        val c = centArr(best)
         Array.tabulate(v.length)(i => v(i) - c(i))
       }
     val pq = ProductQuantizer.fitLocal(resSample, m, ksub, seed)

@@ -188,18 +188,9 @@ final class PqIndex private (val pq: ProductQuantizer,
     */
   def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       rerank: Int = 8): DataFrame = {
-    val dims = pq.dims
-    val q = queries.select(col(idCol).as("query_id"),
-      Similarity.toDoubleVec(col(vecCol)).as("__qraw"))
-      .withColumn("__qn", VectorOps.l2Norm(col("__qraw")))
-      .withColumn("__qv", VectorOps.l2Normalize(col("__qraw"), col("__qn")))
+    val q = VectorOps.unitVecs(queries, idCol, vecCol, "query_id", "__qv")
       .withColumn("__qv",
-        when(size(col("__qv")) === lit(dims), col("__qv"))
-          .otherwise(raise_error(concat(
-            lit("PqIndex: query vector dims "),
-            size(col("__qv")).cast("string"),
-            lit(s" do not match index dims $dims")))))
-      .select(col("query_id"), col("__qv"))
+        VectorOps.dimsGuard(col("__qv"), pq.dims, "PqIndex"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col(idName))
     val shortlist = codes.crossJoin(broadcast(q))
@@ -237,11 +228,7 @@ object PqIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       ksub: Int, seed: Long = 42L): PqIndex = {
-    val unit = corpus.select(col(idCol),
-        Similarity.toDoubleVec(col(vecCol)).as("__raw"))
-      .withColumn("__n", VectorOps.l2Norm(col("__raw")))
-      .select(col(idCol),
-        VectorOps.l2Normalize(col("__raw"), col("__n")).as("__uv"))
+    val unit = VectorOps.unitVecs(corpus, idCol, vecCol, idCol, "__uv")
     val pq = ProductQuantizer.fit(unit, idCol, "__uv", m, ksub, seed)
     val coded = unit.withColumn("__codes", pq.encode(col("__uv")))
     new PqIndex(pq, coded, idCol)

@@ -1,6 +1,6 @@
 package graft.northstar
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -20,6 +20,29 @@ import graft.functions.GraftFunctions
 object VectorOps {
 
   def l2Norm(v: Column): Column = sqrt(GraftFunctions.dot_product(v, v))
+
+  /** The shared build/serving prologue: id + unit-normalized double
+    * vector. One definition so a future normalization fix (zero-vector,
+    * NaN handling) lands in every ANN path at once instead of drifting
+    * across per-index copies.
+    */
+  def unitVecs(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, outVec: String): DataFrame =
+    df.select(col(idCol).as(outId),
+        Similarity.toDoubleVec(col(vecCol)).as("__raw"))
+      .withColumn("__n", l2Norm(col("__raw")))
+      .select(col(outId), l2Normalize(col("__raw"), col("__n")).as(outVec))
+
+  /** Per-row dims guard for serving paths: pass `v` through when it has
+    * exactly `dims` elements, else raise a `label`ed error — a mismatched
+    * query set fails with a clear message instead of deep inside a fused
+    * kernel (or, worse, scoring a parsable prefix wrong).
+    */
+  def dimsGuard(v: Column, dims: Int, label: String): Column =
+    when(size(v) === lit(dims), v)
+      .otherwise(raise_error(concat(
+        lit(s"$label: query vector dims "), size(v).cast("string"),
+        lit(s" do not match index dims $dims"))))
 
   def maxAbs(v: Column): Column = array_max(transform(v, x => abs(x)))
 

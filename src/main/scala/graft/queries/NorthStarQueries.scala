@@ -465,10 +465,16 @@ object NorthStarQueries {
     // the same prefix for the SAME sfDir are removed here, so scratch
     // disk stays bounded across driver testdata regenerations (one live
     // index per prefix per sfDir). Other sfDirs are untouched.
+    // Exact-shape match (prefix + one underscore-free fingerprint token +
+    // this dir's slug): a bare endsWith(dirSlug) would also hit a DIFFERENT
+    // sfDir whose slug merely ends with this one (e.g. /data/root/... vs
+    // /root/...) and delete its live index.
     val dirSlug = "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val stale = (java.util.regex.Pattern.quote(prefix) + "_[0-9a-z]+" +
+      java.util.regex.Pattern.quote(dirSlug)).r
     try graft.io.FsUtil.listDir(live.getParent).foreach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith(prefix + "_") && n.endsWith(dirSlug) &&
+      if (stale.pattern.matcher(n).matches() &&
         n != live.getFileName.toString)
         graft.io.FsUtil.deleteRecursively(p)
     } catch { case _: Exception => () } // cleanup is best-effort

@@ -149,6 +149,17 @@ object EventStream {
             cur = Some(SessionState(t, t, 1, e.value))
         }
       }
+      // a later in-batch event may have merged into the open session and
+      // LOWERED its start to within gapMs of the straggler chain — the batch
+      // mirror (q32) would then produce one session, so fold the chain into
+      // the open session instead of closing it separately
+      (strag, cur) match {
+        case (Some(g), Some(s)) if s.start - g.last <= gapMs =>
+          cur = Some(s.copy(start = math.min(g.start, s.start),
+            n = s.n + g.n, total = s.total + g.total))
+          strag = None
+        case _ => ()
+      }
       closeStrag()
       if (state.hasTimedOut) {
         val out = cur.map(s => UserSession(userId, new java.sql.Timestamp(s.start),

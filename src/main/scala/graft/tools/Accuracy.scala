@@ -288,11 +288,7 @@ object Accuracy {
     val approx = pairs(graft.SparkEntry.queries("q81_pq_ann")(spark, dir))
     // pairwise ADC error, replayed through the same public fit/encode the
     // query uses (unit-normalized, m=8 × ksub=16)
-    val unit = emb.select(col("vec_id"),
-        Similarity.toDoubleVec(col("embedding")).as("__raw"))
-      .withColumn("__n", VectorOps.l2Norm(col("__raw")))
-      .select(col("vec_id"),
-        VectorOps.l2Normalize(col("__raw"), col("__n")).as("__uv"))
+    val unit = VectorOps.unitVecs(emb, "vec_id", "embedding", "vec_id", "__uv")
     val pq = ProductQuantizer.fit(unit, "vec_id", "__uv", m = 8, ksub = 16)
     val coded = unit.withColumn("__codes", pq.encode(col("__uv")))
     val q = unit.filter(col("vec_id") < 10)

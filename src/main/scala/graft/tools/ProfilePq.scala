@@ -31,11 +31,8 @@ object ProfilePq {
     for (i <- 1 to 2) {
       println(s"--- pass $i ---")
       val emb = Tables.read(spark, dir, "embeddings")
-      val unit = emb.select(col("vec_id"),
-          Similarity.toDoubleVec(col("embedding")).as("__raw"))
-        .withColumn("__n", VectorOps.l2Norm(col("__raw")))
-        .select(col("vec_id"),
-          VectorOps.l2Normalize(col("__raw"), col("__n")).as("__uv"))
+      val unit = VectorOps.unitVecs(emb, "vec_id", "embedding",
+        "vec_id", "__uv")
       val pq = time("fit") {
         ProductQuantizer.fit(unit, "vec_id", "__uv", m = 8, ksub = 16)
       }

@@ -116,6 +116,29 @@ class PqSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("encode keeps the [0, ksub) contract on NaN vectors (code-0 fallback)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val unit = unitVecs(Tables.read(spark, dir, "embeddings"))
+    val pq = ProductQuantizer.fit(unit, "vec_id", "__uv", m = 8, ksub = 16)
+    // a NaN component makes every codeword score NaN in its subspace —
+    // the kernel must fall back to code 0 (the Column array_min pick for
+    // an all-NaN struct array), never leak the internal -1 sentinel: a
+    // -1 cell would silently drop the row from every IVF probe
+    val nanVec = Seq.tabulate(64)(i => if (i == 3) Double.NaN else 0.5)
+    val df = Seq((0L, nanVec)).toDF("vec_id", "__uv")
+    val codes = df.select(pq.encode(col("__uv")).as("c"))
+      .collect().head.getSeq[Int](0)
+    assert(codes.length == 8 && codes.forall(j => j >= 0 && j < 16),
+      s"NaN-subspace codes must stay in [0, ksub): $codes")
+    assert(codes.head == 0, s"all-NaN subspace must pick code 0: $codes")
+    // and the fallback matches the Column formulation's pick
+    val parity = df.select(pq.encode(col("__uv")).as("n"),
+      pq.columnEncode(col("__uv")).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(parity == 0, "NaN fallback must be bit-parity with columnEncode")
+  }
+
   test("dims mismatch between query and index raises a clear error") {
     val spark2 = spark
     import spark2.implicits._

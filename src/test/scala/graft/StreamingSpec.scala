@@ -220,6 +220,43 @@ class StreamingSpec extends AnyFunSuite {
       s"same-batch stragglers within gap must merge, got: ${u1.mkString(", ")}")
   }
 
+  test("sessionize folds a straggler into the open session once a later " +
+      "in-batch event lowers the session start to within the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventStream.sessionize(
+        in.toDF().toDF("user_id", "event_time", "value"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("strag_fold_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // 11:29 is >gap before the open session's start (12:00) so it first
+      // lands on the straggler chain — but 11:31 then merges into the open
+      // session and LOWERS its start to 11:31, only 2 min from the
+      // straggler. The batch mirror (q32) produces ONE session
+      // [11:29, 12:00]; the stream must fold the chain back in.
+      in.addData((1L, ts("2024-01-01 11:29:00"), 1.0),
+        (1L, ts("2024-01-01 11:31:00"), 2.0),
+        (2L, ts("2024-01-01 15:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData((3L, ts("2024-01-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("strag_fold_sessions").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(u1.toSet == Set(
+      (ts("2024-01-01 11:29:00"), ts("2024-01-01 12:00:00"), 3L, 4.0)),
+      s"straggler within gap of the lowered start must fold into the open " +
+        s"session, got: ${u1.mkString(", ")}")
+  }
+
   test("streaming funnel equals the batch q77 funnel across out-of-order batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val spark2 = spark
