@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.merge.MergeOps
+import graft.operators.RangeJoin
 import graft.northstar.{CorpusClean, Dedup, EventOps, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators (BASELINE.json) over the
@@ -365,6 +366,36 @@ object NorthStarQueries {
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("suppliers"),
         sum(round(col("s_acctbal") * 100, 0).cast("long")).as("acctbal_cents"))
+  }
+
+  /** Range (point-in-interval) join: shipments departing within a week of
+    * ANY order's placement, rolled up by that order's priority. No equi-key
+    * links a shipment to an arbitrary order, so Spark's native plan for the
+    * inequality predicate is a BNLJ/cartesian — [[graft.operators.RangeJoin]]
+    * bins the date axis into week-wide buckets and hash-joins instead.
+    * The measure (a count) is distributive, so the point side folds to
+    * per-DAY partials BEFORE the join: the |lineitem| × |covering windows|
+    * pair explosion (~260M pairs at sf0.1, growing with sf²) never
+    * materializes — the join touches ~#distinct-days point rows however
+    * large lineitem grows, and the naive inequality-join oracle proves the
+    * fold exact. Day granularity loses nothing: both date columns are
+    * midnight-aligned in this schema.
+    */
+  def q83RangeJoinShipments(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val shipDays = lineitem
+      .groupBy(RangeJoin.epochDays(col("l_shipdate")).as("ship_day"))
+      .agg(count(lit(1)).as("__n"))
+    val windows = orders
+      .withColumn("win_lo", RangeJoin.epochDays(col("o_orderdate")))
+      .withColumn("win_hi", col("win_lo") + lit(7L))
+      .select(col("o_orderpriority"), col("win_lo"), col("win_hi"))
+    RangeJoin
+      .pointInInterval(shipDays, "ship_day", windows, "win_lo", "win_hi",
+        binWidth = 7L)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("__n")).as("shipments"))
   }
 
   /** Distinctive terms per language by tf·idf, with a RATIONAL idf
@@ -1208,6 +1239,7 @@ object NorthStarQueries {
     "q81_pq_ann" -> (q81PqAnn _),
     "q82_ivfpq_build" -> (q82IvfPqBuild _),
     "q82_ivfpq_probe" -> (q82IvfPqProbe _),
+    "q83_range_join_shipments" -> (q83RangeJoinShipments _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -1917,6 +1949,15 @@ object NorthStarQueries {
                 CAST(sum(CAST(round(s_acctbal * 100, 0) AS BIGINT))
                   AS BIGINT) AS acctbal_cents
          FROM supplier WHERE s_acctbal > 0 GROUP BY 1""",
+    // The NAIVE inequality join — the oracle side is allowed the O(n·m)
+    // plan the engine's binned range join exists to avoid; identical
+    // results prove both the binning and the distributive per-day fold.
+    "q83_range_join_shipments" ->
+      """SELECT o.o_orderpriority, count(*) AS shipments
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+         GROUP BY o.o_orderpriority""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds
