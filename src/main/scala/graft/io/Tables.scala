@@ -102,7 +102,7 @@ object Tables {
   * src/ETL/Bronze-Ingestion-Orders.py:49-58).
   */
 final class ParquetTable(val path: String, val partitionColumns: Seq[String] = Nil) {
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import java.nio.file.{FileSystemException, Files, Paths, StandardCopyOption}
 
   private def pointer = Paths.get(path, "_current")
 
@@ -158,10 +158,68 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       if (!hasData)
         df.limit(0).coalesce(1).write.mode("overwrite").parquet(verDir.toString)
     }
+    swapPointer(next)
+    this
+  }
+
+  private def swapPointer(next: String): Unit = {
     val tmp = Paths.get(path, "_current.tmp")
     Files.writeString(tmp, next)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Append `df` as a NEW version whose files are the delta's writes plus
+    * HARD LINKS to the live version's files — O(|delta| + #existing
+    * files), never a corpus rewrite. This is the snapshot-references-
+    * old-files shape of log-structured table formats, expressed on a
+    * plain filesystem: incremental maintenance (e.g.
+    * [[graft.northstar.IvfIndex.append]]) pays only for what changed,
+    * while time travel, CDF and vacuum keep working — vacuuming a
+    * superseded version unlinks NAMES, and shared inodes survive as long
+    * as any live version links them. Underscore-prefixed model sidecars
+    * ride along (they describe state the delta did not change); falls
+    * back to copying where the filesystem refuses links. Same
+    * crash-safety as [[overwrite]]: the version dir is fully built before
+    * the atomic pointer swap.
+    */
+  def appendVersion(df: DataFrame): ParquetTable = {
+    val prevDir = Paths.get(currentPath) // throws if absent — append needs a base
+    val next = f"v_${version + 1}%05d"
+    val w = df.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
+      .parquet(s"$path/$next")
+    val nextDir = Paths.get(path, next)
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(prevDir)
+    try walk.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        // skip job markers and Hadoop's hidden .crc checksum siblings: a
+        // checksum file must be named .<file>.crc to pair with its data
+        // file, so one that needed collision-renaming would be useless —
+        // and Hadoop skips verification when the .crc is simply absent
+        Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".")
+      }
+      .foreach { p =>
+        val rel = prevDir.relativize(p)
+        val target0 = nextDir.resolve(rel)
+        Files.createDirectories(target0.getParent)
+        // part-file names carry write UUIDs so collisions are theoretical,
+        // but a silent skip would drop data — disambiguate instead
+        val target =
+          if (Files.exists(target0))
+            target0.resolveSibling(s"linked_v$version" + "_" +
+              p.getFileName.toString)
+          else target0
+        try Files.createLink(target, p)
+        catch {
+          case _: UnsupportedOperationException | _: FileSystemException =>
+            Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    finally walk.close()
+    swapPointer(next)
     this
   }
 

@@ -109,6 +109,35 @@ final class IvfIndex private (val nlist: Int,
       IvfIndex.CentroidsFile, lines)
     new IvfIndex(nlist, centroids, table.read(spark), persisted = true)
   }
+
+  /** FAISS `add`: grow a [[persist]]ed index with `delta` vectors WITHOUT
+    * refitting the quantizer — the coarse centroids are train-once state,
+    * so new vectors are assigned to their nearest EXISTING cell (the same
+    * [[IvfIndex.assignToCells]] kernel as build; a bulk rebuild with these
+    * centroids assigns identically) and the inverted lists grow through
+    * [[graft.io.ParquetTable.appendVersion]]: the new table version writes
+    * only the delta's cells and hard-links every existing list file, so an
+    * append costs O(|delta|) however large the corpus — the incremental
+    * maintenance shape a 100 TB serving index needs (a nightly rebuild of
+    * billion-scale lists is the alternative). The centroid sidecar rides
+    * into the new version via the same link pass. Superseded versions are
+    * vacuumed like [[persist]] does unless `retainHistory`.
+    */
+  def append(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, vecCol: String,
+      retainHistory: Boolean = false): IvfIndex = {
+    require(persisted,
+      "append grows a persisted index — call persist() first")
+    val vecs = delta.select(col(idCol).as("neighbor_id"),
+      Similarity.toDoubleVec(col(vecCol)).as("__cv"))
+    val centers = centroids.sortBy(_._1).map(_._2.toArray)
+    val assigned = IvfIndex.assignToCells(vecs, centers)
+    val table = new ParquetTable(path, partitionColumns = Seq("cell"))
+    // cluster by cell for the same one-file-per-list layout as persist
+    table.appendVersion(assigned.repartition(col("cell")))
+    if (!retainHistory) table.vacuum()
+    new IvfIndex(nlist, centroids, table.read(spark), persisted = true)
+  }
 }
 
 object IvfIndex {
@@ -190,20 +219,29 @@ object IvfIndex {
       .orderBy(col("neighbor_id")).limit(trainTarget)
       .select(col("__cv")).collect().map(_.getSeq[Double](0).toArray)
     val centers = LocalKMeans.fit(sample, nlist, seed, maxIter = 10)
-    // Assignment IS product quantization with m=1, ksub=|centers|: the
-    // native fused kernel computes the same argmin over
-    // ‖c‖² − 2·v·c (same ascending-index fold, same smallest-index
-    // tiebreak) as the previous array_min-over-struct Column form — which
-    // measured ~0.5 ms/row, the dominant cost of every IVF build action.
+    val assigned = assignToCells(vecs, centers)
+    val centroids = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    new IvfIndex(nlist, centroids, assigned, persisted = false)
+  }
+
+  /** Nearest-centroid cell per (neighbor_id, __cv) row. Assignment IS
+    * product quantization with m=1, ksub=|centers|: the native fused
+    * kernel computes the same argmin over ‖c‖² − 2·v·c (same
+    * ascending-index fold, same smallest-index tiebreak) as the previous
+    * array_min-over-struct Column form — which measured ~0.5 ms/row, the
+    * dominant cost of every IVF build action. Shared by [[build]] and
+    * [[IvfIndex.append]] so a bulk build and an incremental append can
+    * never disagree on a cell.
+    */
+  private[graft] def assignToCells(vecs: DataFrame,
+      centers: Array[Array[Double]]): DataFrame = {
     val cellCb = new graft.functions.PqCodebook(
       centers.flatMap(_.toSeq), 1, centers.length)
-    val assigned = vecs.withColumn("cell",
+    vecs.withColumn("cell",
       org.apache.spark.sql.GraftBridge.toColumn(graft.functions.PqEncode(
         org.apache.spark.sql.GraftBridge.toExpression(col("__cv")), cellCb))
         .getItem(0))
       .select(col("neighbor_id"), col("__cv"), col("cell"))
-    val centroids = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    new IvfIndex(nlist, centroids, assigned, persisted = false)
   }
 }
 

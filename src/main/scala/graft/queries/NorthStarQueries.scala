@@ -545,6 +545,32 @@ object NorthStarQueries {
       k = 5, nprobe = 8)
   }
 
+  /** Incremental IVF maintenance (q84): build + persist the index on 90%
+    * of the corpus, then [[graft.northstar.IvfIndex.append]] the remaining
+    * 10% — new vectors are assigned to the EXISTING centroids (quantizer
+    * is train-once, FAISS `add`) and the inverted lists grow through a
+    * hard-link appendVersion, never a corpus rewrite. Emits the per-cell
+    * census over the APPENDED index: counts must cover the full corpus
+    * (rows-only check — the cell assignment is quantizer state;
+    * [[graft.tools.Accuracy]] gates append≡bulk-assign agreement at 1.0
+    * and IvfSpec pins search parity).
+    */
+  def q84IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val p = indexScratch("ivfapp", dir)
+    // rebuild the base index each run (persist = new version + vacuum),
+    // so the append is idempotent per invocation, never double-applied
+    val baseIdx = graft.northstar.IvfIndex
+      .build(base, "vec_id", "embedding", nlist = 16)
+      .persist(s, p)
+    baseIdx.append(s, p, delta, "vec_id", "embedding")
+      .assigned
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("vectors"))
+  }
+
   /** Rolling 90-day revenue per customer — a RANGE window frame (peers by
     * value, not row position): one shuffle on the customer key; the frame
     * slides within each partition with O(1) incremental state.
@@ -1240,6 +1266,7 @@ object NorthStarQueries {
     "q82_ivfpq_build" -> (q82IvfPqBuild _),
     "q82_ivfpq_probe" -> (q82IvfPqProbe _),
     "q83_range_join_shipments" -> (q83RangeJoinShipments _),
+    "q84_ivf_append" -> (q84IvfAppend _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every

@@ -48,6 +48,37 @@ class IvfSpec extends AnyFunSuite {
       .createTempDirectory("graft_ivf_none").toString).isEmpty)
   }
 
+  test("append assigns the delta to existing centroids and grows the " +
+      "persisted lists without a rewrite") {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app").toString + "/idx"
+    val baseIdx = IvfIndex.build(base, "vec_id", "embedding", nlist = 8)
+      .persist(spark, path)
+    val appended = baseIdx.append(spark, path, delta, "vec_id", "embedding")
+    // every corpus vector present exactly once after the append
+    assert(appended.assigned.count() == emb.count())
+    // append ≡ bulk assignment with the SAME centroids — exact cell parity
+    // (the quantizer is train-once state; only the lists grow)
+    val vecs = emb.select(col("vec_id").as("neighbor_id"),
+      Similarity.toDoubleVec(col("embedding")).as("__cv"))
+    val ref = IvfIndex.assignToCells(vecs,
+      baseIdx.centroids.sortBy(_._1).map(_._2.toArray))
+    assert(TestSpark.rows(appended.assigned.select("neighbor_id", "cell")) ==
+      TestSpark.rows(ref.select("neighbor_id", "cell")))
+    // the centroid sidecar rode the hard-link pass into the new version:
+    // a cold reload reproduces search over the grown index
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.isDefined, "append must keep the index reloadable")
+    val q = emb.filter(col("vec_id") < 10)
+    assert(TestSpark.rows(
+      appended.search(q, "vec_id", "embedding", k = 5, nprobe = 4)) ==
+      TestSpark.rows(
+        loaded.get.search(q, "vec_id", "embedding", k = 5, nprobe = 4)))
+  }
+
   test("sidecar shape validation: dims mismatch rejects load; mismatched " +
     "query dims raise a clear error in search") {
     val spark2 = spark

@@ -61,6 +61,31 @@ class TablesSpec extends AnyFunSuite {
     TestSpark.assertSameRows(t.read(spark), Seq(Seq(1, "a"), Seq(2, "b")))
   }
 
+  test("appendVersion unions via hard links; data survives vacuuming the " +
+      "linked-from version") {
+    val dir = Files.createTempDirectory("graft_tbl_app").toString
+    val t = new ParquetTable(s"$dir/t", partitionColumns = Seq("p"))
+    t.overwrite(Seq((1, "a", 0), (2, "b", 1)).toDF("id", "v", "p"))
+    t.appendVersion(Seq((3, "c", 1), (4, "d", 2)).toDF("id", "v", "p"))
+    assert(t.version == 2)
+    // new version = delta + every existing row, old version untouched
+    TestSpark.assertSameRows(t.read(spark).select("id", "v", "p"), Seq(
+      Seq(1, "a", 0), Seq(2, "b", 1), Seq(3, "c", 1), Seq(4, "d", 2)))
+    TestSpark.assertSameRows(t.readVersion(spark, 1).select("id", "v", "p"),
+      Seq(Seq(1, "a", 0), Seq(2, "b", 1)))
+    // a sidecar (underscore model file) rides into the appended version
+    graft.io.Sidecar.write(
+      java.nio.file.Paths.get(s"$dir/t/v_00002"), "_model.csv", Seq("x=1"))
+    t.appendVersion(Seq((5, "e", 0)).toDF("id", "v", "p"))
+    assert(graft.io.Sidecar.read(s"$dir/t", Seq("p"), "_model.csv")
+      .contains(Vector("x=1")))
+    // vacuum unlinks the old versions' NAMES; shared inodes keep the
+    // live version fully readable
+    t.vacuum()
+    intercept[IllegalArgumentException](t.readVersion(spark, 1))
+    assert(t.read(spark).count() == 5)
+  }
+
   test("compact collapses small files and preserves content") {
     val dir = Files.createTempDirectory("graft_tbl").toString
     val t = new ParquetTable(s"$dir/t5")
