@@ -257,6 +257,64 @@ class StreamingSpec extends AnyFunSuite {
         s"session, got: ${u1.mkString(", ")}")
   }
 
+  test("streaming IVF append grows the persisted index to the bulk " +
+      "assignment, absorbing replayed and duplicate batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.io.Tables
+    import graft.northstar.{IvfIndex, Similarity}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.read(spark, dir, "embeddings")
+    val rows = emb.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val (seed, rest) = rows.partition(_._1 < 300)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream").toString + "/idx"
+    val seedIdx = IvfIndex
+      .build(seed.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nlist = 8)
+      .persist(spark, path)
+
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.IndexStream.ivfAppendStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    try {
+      val (b1, b2) = rest.partition(_._1 < 400)
+      // batch 1 replays part of the seed corpus alongside new vectors,
+      // and carries an in-batch duplicate
+      in.addData(b1.toSeq ++ seed.take(5) :+ b1.head)
+      q.processAllAvailable()
+      // batch 2 replays all of batch 1 alongside the remaining vectors
+      in.addData(b2.toSeq ++ b1.take(10))
+      q.processAllAvailable()
+      // a pure-replay batch must append nothing (no version churn)
+      val vBefore = new graft.io.ParquetTable(path, Seq("cell")).version
+      in.addData(b2.take(3).toSeq)
+      q.processAllAvailable()
+      assert(new graft.io.ParquetTable(path, Seq("cell")).version == vBefore,
+        "an all-replay batch must not create a new version")
+    } finally q.stop()
+
+    val grown = IvfIndex.load(spark, path)
+      .getOrElse(fail("grown index must reload"))
+    // exactly one row per corpus vector, in exactly the cell the bulk
+    // assignment with the seed centroids picks
+    val got = grown.assigned.select("neighbor_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val ref = IvfIndex.assignToCells(
+        emb.select(col("vec_id").as("neighbor_id"),
+          Similarity.toDoubleVec(col("embedding")).as("__cv")),
+        seedIdx.centroids.sortBy(_._1).map(_._2.toArray))
+      .select("neighbor_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(got == ref,
+      "streamed appends must equal the bulk assignment with seed centroids")
+  }
+
   test("streaming funnel equals the batch q77 funnel across out-of-order batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val spark2 = spark
