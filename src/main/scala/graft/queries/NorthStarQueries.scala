@@ -545,6 +545,46 @@ object NorthStarQueries {
       k = 5, nprobe = 8)
   }
 
+  /** Interval-overlap self-join (q85): ordered pairs of distinct orders
+    * whose 7-day windows overlap, counted per priority pair. The naive
+    * form is an inequality SELF-join — |orders|² candidate pairs, ~1.2M
+    * survivors at sf0.01 growing with sf². Two collapses make it
+    * scale-independent: (1) fixed-width windows overlap iff their starts
+    * are within ±6 days, so the interval test becomes a POINT-in-interval
+    * test on start days ([[graft.operators.RangeJoin]], binWidth = the
+    * 13-day test width → ≤2 bins/interval); (2) the count is distributive
+    * over (start-day, priority) groups, so both join sides are day×priority
+    * aggregates (~days × 5 rows however many orders exist) and the pair
+    * count is Σ n₁·n₂ minus the diagonal's self-pairs (every order
+    * overlaps itself; same-key pairs exist only on p₁=p₂, d₁=d₂ cells).
+    * The oracle runs the naive quadratic self-join and must hash-match.
+    */
+  def q85IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val byDay = orders
+      .groupBy(RangeJoin.epochDays(col("o_orderdate")).as("d"),
+        col("o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("n"))
+    // byDay feeds both join sides — two scans of orders, each folding to
+    // a days×priorities frame; caching the corpus projection would pin
+    // more than it saves at scale
+    val points = byDay
+      .select(col("d").as("d2"), col("p").as("p2"), col("n").as("n2"))
+    val intervals = byDay.select(col("p").as("p1"), col("n").as("n1"),
+      (col("d") - lit(6L)).as("lo"), (col("d") + lit(7L)).as("hi"))
+    val pairs = RangeJoin
+      .pointInInterval(points, "d2", intervals, "lo", "hi", binWidth = 13L)
+      .groupBy(col("p1"), col("p2"))
+      .agg(sum(col("n1") * col("n2")).as("with_self"))
+    val diag = orders.groupBy(col("o_orderpriority").as("p1"))
+      .agg(count(lit(1)).as("self_n"))
+    pairs.join(broadcast(diag), Seq("p1"))
+      .select(col("p1"), col("p2"),
+        (col("with_self") -
+          when(col("p1") === col("p2"), col("self_n")).otherwise(lit(0L)))
+          .as("overlap_pairs"))
+  }
+
   /** Incremental IVF maintenance (q84): build + persist the index on 90%
     * of the corpus, then [[graft.northstar.IvfIndex.append]] the remaining
     * 10% — new vectors are assigned to the EXISTING centroids (quantizer
@@ -1267,6 +1307,7 @@ object NorthStarQueries {
     "q82_ivfpq_probe" -> (q82IvfPqProbe _),
     "q83_range_join_shipments" -> (q83RangeJoinShipments _),
     "q84_ivf_append" -> (q84IvfAppend _),
+    "q85_interval_overlap" -> (q85IntervalOverlap _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -1985,6 +2026,16 @@ object NorthStarQueries {
            ON l.l_shipdate >= o.o_orderdate
           AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
          GROUP BY o.o_orderpriority""",
+    // Naive quadratic interval-overlap self-join — the engine's
+    // day×priority aggregate collapse must reproduce it exactly.
+    "q85_interval_overlap" ->
+      """WITH w AS (SELECT o_orderkey, o_orderpriority AS p,
+                           o_orderdate AS lo,
+                           o_orderdate + INTERVAL 7 DAY AS hi FROM orders)
+         SELECT a.p AS p1, b.p AS p2, count(*) AS overlap_pairs
+         FROM w a JOIN w b
+           ON a.o_orderkey <> b.o_orderkey AND a.lo < b.hi AND b.lo < a.hi
+         GROUP BY 1, 2""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

@@ -489,4 +489,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(joins.nonEmpty && joins.forall(_.contains("user_id")),
       s"retention's only join must be user-keyed:\n$retPlan")
   }
+
+  test("range-join queries plan hash joins on the bin key, never a " +
+      "nested-loop or cartesian (q83/q85)") {
+    val dir = "/root/testdata/sf0.001"
+    // the whole point of RangeJoin: an inequality-only predicate that
+    // Spark would otherwise plan as BroadcastNestedLoopJoin/Cartesian
+    // becomes an equi-join on __bin, with the containment test as a
+    // post-join filter — so AQE's skew handling applies and neither side
+    // is forced driver-sized
+    for ((name, df) <- Seq(
+        "q83" -> graft.queries.NorthStarQueries
+          .q83RangeJoinShipments(spark, dir),
+        "q85" -> graft.queries.NorthStarQueries
+          .q85IntervalOverlap(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name must not plan a nested-loop/cartesian join:\n$plan")
+      assert(plan.contains("__bin"),
+        s"$name's join must run on the synthesized bin key:\n$plan")
+    }
+  }
 }
