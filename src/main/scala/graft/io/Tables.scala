@@ -137,9 +137,72 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       merge: (DataFrame, DataFrame) => DataFrame): ParquetTable =
     overwrite(if (exists) merge(read(spark), updates) else updates)
 
-  /** Full rewrite as a new version + atomic pointer swap. */
-  def overwrite(df: DataFrame): ParquetTable = {
-    val next = f"v_${currentVersion.map(_.drop(2).toInt).getOrElse(0) + 1}%05d"
+  /** Full rewrite as a new version + atomic pointer swap. Concurrent
+    * writers each stage into their own reserved version dir; the final
+    * swap is last-writer-wins — use [[overwriteIf]] when a stale commit
+    * must FAIL instead of clobbering.
+    */
+  def overwrite(df: DataFrame): ParquetTable = commitNew(df, None)
+
+  /** Optimistic-concurrency commit — the Delta/Iceberg conditional-commit
+    * shape on a plain filesystem. The caller reads [[version]] (0 = table
+    * absent), computes, and commits conditionally: if another writer
+    * committed in between, this throws `ConcurrentModificationException`
+    * (fail-fast at reserve time, re-checked under the lock at swap time;
+    * any staged dir is cleaned) instead of silently overwriting the other
+    * writer's committed state — the caller re-reads and retries, the
+    * standard OCC loop. Mutual exclusion for the commit window is a
+    * JVM-global monitor per table path plus an OS file lock on `_lock`
+    * (cross-process on a shared filesystem); at deployment scale the same
+    * seam is the store's conditional put / commit service.
+    */
+  def overwriteIf(df: DataFrame, expectedVersion: Int): ParquetTable =
+    commitNew(df, Some(expectedVersion))
+
+  private def versionNum: Int =
+    currentVersion.map(_.drop(2).toInt).getOrElse(0)
+
+  private def stale(expected: Int, actual: Int) =
+    new java.util.ConcurrentModificationException(
+      s"optimistic commit failed for $path: expected version $expected, " +
+        s"found $actual — re-read and retry")
+
+  /** Reserve the next version dir STRICTLY above every existing dir (not
+    * just the pointer — a concurrent writer may have reserved without
+    * committing yet), creating it so no two writers stage into one dir.
+    */
+  private def reserveNextDir(): String = {
+    val n = FsUtil.listDir(Paths.get(path))
+      .map(_.getFileName.toString).filter(_.startsWith("v_"))
+      .map(_.drop(2).toInt).maxOption.getOrElse(0) + 1
+    val name = f"v_$n%05d"
+    Files.createDirectory(Paths.get(path, name))
+    name
+  }
+
+  private def commitNew(df: DataFrame, expected: Option[Int]): ParquetTable = {
+    val next = ParquetTable.withCommitLock(path) {
+      expected.foreach(e => if (versionNum != e) throw stale(e, versionNum))
+      reserveNextDir()
+    }
+    try {
+      writeVersion(df, next)
+      ParquetTable.withCommitLock(path) {
+        expected.foreach(e => if (versionNum != e) throw stale(e, versionNum))
+        swapPointer(next)
+      }
+    } catch {
+      case t: Throwable =>
+        // never leave a staged-but-uncommitted dir behind; the pointer
+        // still names the old version, so this deletes only our staging
+        try FsUtil.deleteRecursively(Paths.get(path, next))
+        catch { case _: Exception => () }
+        throw t
+    }
+    this
+  }
+
+  private def writeVersion(df: DataFrame, next: String): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(s"$path/$next")
@@ -158,8 +221,6 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       if (!hasData)
         df.limit(0).coalesce(1).write.mode("overwrite").parquet(verDir.toString)
     }
-    swapPointer(next)
-    this
   }
 
   private def swapPointer(next: String): Unit = {
@@ -184,42 +245,56 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     * the atomic pointer swap.
     */
   def appendVersion(df: DataFrame): ParquetTable = {
-    val prevDir = Paths.get(currentPath) // throws if absent — append needs a base
-    val next = f"v_${version + 1}%05d"
-    val w = df.write.mode("overwrite")
-    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
-      .parquet(s"$path/$next")
-    val nextDir = Paths.get(path, next)
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(prevDir)
-    try walk.iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        // skip job markers and Hadoop's hidden .crc checksum siblings: a
-        // checksum file must be named .<file>.crc to pair with its data
-        // file, so one that needed collision-renaming would be useless —
-        // and Hadoop skips verification when the .crc is simply absent
-        Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".")
-      }
-      .foreach { p =>
-        val rel = prevDir.relativize(p)
-        val target0 = nextDir.resolve(rel)
-        Files.createDirectories(target0.getParent)
-        // part-file names carry write UUIDs so collisions are theoretical,
-        // but a silent skip would drop data — disambiguate instead
-        val target =
-          if (Files.exists(target0))
-            target0.resolveSibling(s"linked_v$version" + "_" +
-              p.getFileName.toString)
-          else target0
-        try Files.createLink(target, p)
-        catch {
-          case _: UnsupportedOperationException | _: FileSystemException =>
-            Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+    val baseV = version // throws if absent — append needs a base
+    val prevDir = Paths.get(currentPath)
+    val next = ParquetTable.withCommitLock(path)(reserveNextDir())
+    try {
+      val w = df.write.mode("overwrite")
+      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+       else w).parquet(s"$path/$next")
+      val nextDir = Paths.get(path, next)
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(prevDir)
+      try walk.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          // skip job markers and Hadoop's hidden .crc checksum siblings: a
+          // checksum file must be named .<file>.crc to pair with its data
+          // file, so one that needed collision-renaming would be useless —
+          // and Hadoop skips verification when the .crc is simply absent
+          Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".")
         }
+        .foreach { p =>
+          val rel = prevDir.relativize(p)
+          val target0 = nextDir.resolve(rel)
+          Files.createDirectories(target0.getParent)
+          // part-file names carry write UUIDs so collisions are
+          // theoretical, but a silent skip would drop data — disambiguate
+          val target =
+            if (Files.exists(target0))
+              target0.resolveSibling(s"linked_v$baseV" + "_" +
+                p.getFileName.toString)
+            else target0
+          try Files.createLink(target, p)
+          catch {
+            case _: UnsupportedOperationException | _: FileSystemException =>
+              Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      finally walk.close()
+      ParquetTable.withCommitLock(path) {
+        // an append's delta was computed against baseV's lists — a
+        // concurrent commit in between would be silently dropped by the
+        // link-union, so fail the stale committer like overwriteIf
+        if (versionNum != baseV) throw stale(baseV, versionNum)
+        swapPointer(next)
       }
-    finally walk.close()
-    swapPointer(next)
+    } catch {
+      case t: Throwable =>
+        try FsUtil.deleteRecursively(Paths.get(path, next))
+        catch { case _: Exception => () }
+        throw t
+    }
     this
   }
 
@@ -349,5 +424,34 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     val old = versions.filter(p => !keep.contains(p.getFileName.toString))
     old.foreach(FsUtil.deleteRecursively)
     this
+  }
+}
+
+object ParquetTable {
+
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Commit-window mutual exclusion: a JVM-global monitor per table path
+    * (two threads of one JVM serialize here — a second `FileChannel.lock`
+    * on the same file would throw `OverlappingFileLockException`, not
+    * block) wrapping an OS file lock on `_lock` (two PROCESSES on a
+    * shared filesystem serialize there). Keyed by the raw path string;
+    * aliased spellings of one directory fall back to file-lock-only
+    * protection.
+    */
+  private[io] def withCommitLock[T](path: String)(body: => T): T = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val mon = monitors.computeIfAbsent(path, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(path))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(path, "_lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
   }
 }

@@ -86,6 +86,35 @@ class TablesSpec extends AnyFunSuite {
     assert(t.read(spark).count() == 5)
   }
 
+  test("overwriteIf is an optimistic-concurrency commit: stale writers " +
+      "fail without clobbering, leaving no staged dir") {
+    val dir = Files.createTempDirectory("graft_tbl_occ").toString
+    val t = new ParquetTable(s"$dir/t")
+    // expected 0 = the table must not exist yet
+    t.overwriteIf(Seq((1, "a")).toDF("id", "v"), 0)
+    assert(t.version == 1)
+    // the OCC loop: read version, compute, commit at the read version
+    t.overwriteIf(Seq((1, "a2")).toDF("id", "v"), 1)
+    assert(t.version == 2)
+    // a commit computed against v1 AFTER v2 landed must fail fast and
+    // leave both the pointer and the content untouched
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.overwriteIf(Seq((9, "stale")).toDF("id", "v"), 1)
+    }
+    assert(e.getMessage.contains("expected version 1"))
+    assert(t.version == 2)
+    TestSpark.assertSameRows(t.read(spark), Seq(Seq(1, "a2")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/t", "v_00003")),
+      "a failed commit must not leave its staged version dir behind")
+    // interleaved writers: B reads, A commits, B's conditional commit fails
+    val vB = t.version
+    new ParquetTable(s"$dir/t").overwrite(Seq((2, "b")).toDF("id", "v"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.overwriteIf(Seq((3, "c")).toDF("id", "v"), vB)
+    }
+    TestSpark.assertSameRows(t.read(spark), Seq(Seq(2, "b")))
+  }
+
   test("compact collapses small files and preserves content") {
     val dir = Files.createTempDirectory("graft_tbl").toString
     val t = new ParquetTable(s"$dir/t5")
