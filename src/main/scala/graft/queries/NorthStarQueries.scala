@@ -545,6 +545,30 @@ object NorthStarQueries {
       k = 5, nprobe = 8)
   }
 
+  /** Mergeable distinct sketches (q86): per-(event_type, day) HLL
+    * partials unioned into per-type distinct-user counts. The point is
+    * the WAREHOUSE shape, not the estimate: stage 1 folds raw events to a
+    * days × types sketch table (the thing a 100 TB deployment would
+    * PERSIST and maintain incrementally per partition); stage 2 answers
+    * the rollup from sketch rows alone — any date-range / type slice is
+    * then a sketch-union over the tiny partial table, never a rescan of
+    * raw events, which an exact count(distinct) can never do (distinct is
+    * not distributive; sketches are). HLL union is lossless at equal
+    * config, so the two-stage estimate is bit-identical to a single-pass
+    * sketch ([[graft.tools.Accuracy]] gates that exactly, plus relative
+    * error vs the true distinct).
+    */
+  def q86SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val daily = events
+      .groupBy(col("event_type"),
+        to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+  }
+
   /** Interval-overlap self-join (q85): ordered pairs of distinct orders
     * whose 7-day windows overlap, counted per priority pair. The naive
     * form is an inequality SELF-join — |orders|² candidate pairs, ~1.2M
@@ -1308,6 +1332,7 @@ object NorthStarQueries {
     "q83_range_join_shipments" -> (q83RangeJoinShipments _),
     "q84_ivf_append" -> (q84IvfAppend _),
     "q85_interval_overlap" -> (q85IntervalOverlap _),
+    "q86_sketch_rollup" -> (q86SketchRollup _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every

@@ -376,11 +376,42 @@ object Accuracy {
         reloadAgree, "==", 1.0))
   }
 
+  /** q86's two claims: (1) HLL union is LOSSLESS at equal config, so the
+    * per-day-partials-then-union estimate is bit-identical to a direct
+    * single-pass sketch (gated at exact equality — this is what makes the
+    * persisted sketch table answer any slice without a raw rescan); and
+    * (2) the estimate tracks the true distinct count within HLL's
+    * configured error.
+    */
+  def q86Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val est = graft.SparkEntry.queries("q86_sketch_rollup")(spark, dir)
+      .select("event_type", "est_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val events = Tables.read(spark, dir, "events")
+    val direct = events.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unionLossless =
+      if (est == direct) 1.0 else 0.0
+    val maxRelErr = exact.map { case (k, n) =>
+      math.abs(est.getOrElse(k, 0L) - n).toDouble / math.max(n, 1L)
+    }.max
+    Seq(
+      Gate("q86_sketch_rollup", "daily_union_equals_direct_sketch",
+        unionLossless, "==", 1.0),
+      Gate("q86_sketch_rollup", "max_distinct_rel_err", maxRelErr,
+        "<=", 0.02))
+  }
+
   def allGates(spark: SparkSession, dir: String): Seq[Gate] =
     q27Gates(spark, dir) ++ q28Gates(spark, dir) ++ q37Gates(spark, dir) ++
       q50Gates(spark, dir) ++ q72Gates(spark, dir) ++ q76Gates(spark, dir) ++
       q75Gates(spark, dir) ++ q81Gates(spark, dir) ++ q82Gates(spark, dir) ++
-      q84Gates(spark, dir)
+      q84Gates(spark, dir) ++ q86Gates(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("ACCURACY.json")
@@ -389,6 +420,10 @@ object Accuracy {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .appName("graft-accuracy")
       .config("spark.sql.shuffle.partitions", "32")
+      // events carries TIMESTAMP(NANOS) parquet in some vintages and the
+      // ts normalization requires UTC — same session shape as Bench/Verify
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.log.level", "ERROR")
       .getOrCreate()

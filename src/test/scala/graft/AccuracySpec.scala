@@ -28,6 +28,28 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketch rollup: daily-partial union is lossless and tracks " +
+      "exact distincts (q86)") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q86_sketch_rollup")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val events = graft.io.Tables.read(spark, dir, "events")
+    // union of per-day sketches must estimate EXACTLY like one direct
+    // sketch over all events — equal-config HLL union is lossless, which
+    // is what lets a persisted sketch table answer any slice rescan-free
+    val direct = events.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == direct, s"union must be lossless: $est vs $direct")
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / math.max(n, 1L) <= 0.02,
+        s"$k: estimate ${est(k)} vs exact $n")
+    }
+  }
+
   test("count-min sketch never undercounts and overcounts within eps*N") {
     import org.apache.spark.sql.functions._
     import graft.functions.CmsFunctions
