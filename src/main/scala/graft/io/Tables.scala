@@ -203,7 +203,12 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   }
 
   private def writeVersion(df: DataFrame, next: String): Unit = {
-    val w = df.write.mode("overwrite")
+    // mode("append"), NOT "overwrite": the reserved dir is empty, so the
+    // two are equivalent for content — but overwrite DELETES the dir
+    // before recreating it, and in that window a concurrent writer's
+    // reserveNextDir would see the number as free and stage into the same
+    // dir (the exact collision reservation exists to prevent)
+    val w = df.write.mode("append")
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(s"$path/$next")
     // An EMPTY partitioned write leaves no parquet files at all (there are
@@ -219,7 +224,7 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
         try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
         finally walk.close()
       if (!hasData)
-        df.limit(0).coalesce(1).write.mode("overwrite").parquet(verDir.toString)
+        df.limit(0).coalesce(1).write.mode("append").parquet(verDir.toString)
     }
   }
 
@@ -247,9 +252,15 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   def appendVersion(df: DataFrame): ParquetTable = {
     val baseV = version // throws if absent — append needs a base
     val prevDir = Paths.get(currentPath)
-    val next = ParquetTable.withCommitLock(path)(reserveNextDir())
+    val next = ParquetTable.withCommitLock(path) {
+      // fail a known-stale append BEFORE the delta write + link walk, not
+      // just at swap time — commitNew's fail-fast shape
+      if (versionNum != baseV) throw stale(baseV, versionNum)
+      reserveNextDir()
+    }
     try {
-      val w = df.write.mode("overwrite")
+      // append mode: same no-delete rationale as writeVersion
+      val w = df.write.mode("append")
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
        else w).parquet(s"$path/$next")
       val nextDir = Paths.get(path, next)
@@ -407,7 +418,7 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     * directory streams are closed explicitly — leaked directory fds from
     * repeated vacuums would eventually starve the driver of file handles.
     */
-  def vacuum(): ParquetTable = {
+  def vacuum(): ParquetTable = ParquetTable.withCommitLock(path) {
     val keep = currentVersion.toSet
     val versions = FsUtil.listDir(Paths.get(path))
       .filter(_.getFileName.toString.startsWith("v_"))
@@ -421,7 +432,17 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       s"vacuum: no _current pointer at $path but ${versions.size} version " +
         "dir(s) exist — refusing to delete every version; restore the " +
         "pointer (or remove the directory deliberately) first")
-    val old = versions.filter(p => !keep.contains(p.getFileName.toString))
+    // Delete only versions NUMBERED BELOW the live one: a dir above it is
+    // a concurrent writer's in-flight staging (reserved > live by
+    // construction) and deleting it mid-write would commit silently
+    // truncated data. A crashed writer's orphan above the live version
+    // survives until a later successful commit passes its number — then
+    // it drops below and the next vacuum collects it; disk stays bounded.
+    val live = versionNum
+    val old = versions.filter { p =>
+      val n = p.getFileName.toString
+      !keep.contains(n) && n.drop(2).toIntOption.exists(_ < live)
+    }
     old.foreach(FsUtil.deleteRecursively)
     this
   }

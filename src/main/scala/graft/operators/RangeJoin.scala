@@ -34,12 +34,20 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Exact floor division by a positive constant, computed in integer
-    * space: `(a - pmod(a, b)) / b` is an integral-valued division, so no
-    * double-mantissa precision cliff on large (e.g. epoch-micro) inputs.
+  /** Exact floor division by a positive constant, entirely in integer
+    * space: `a - pmod(a, b)` is an exact multiple of `b` (and pmod is
+    * non-negative, so truncating division equals floor even for negative
+    * `a`), and the quotient runs through Catalyst's INTEGRAL divide — a
+    * long `/` would be DOUBLE division, which silently misbins axes above
+    * 2⁵³ (this library's `ts` contract is epoch NANOS, ~1.7e18).
     */
-  private def floorDiv(a: Column, b: Long): Column =
-    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+  private def floorDiv(a: Column, b: Long): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    GraftBridge.toColumn(IntegralDivide(
+      GraftBridge.toExpression((a - pmod(a, lit(b))).cast("long")),
+      GraftBridge.toExpression(lit(b))))
+  }
 
   /** Days since 1970-01-01 as a long — the natural range-join axis for
     * date-grained intervals.

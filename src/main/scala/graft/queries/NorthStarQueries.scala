@@ -585,13 +585,14 @@ object NorthStarQueries {
     */
   def q85IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
+    // byDay feeds BOTH join sides and the diagonal correction — a
+    // days×priorities frame (KBs at any corpus size), so one eager
+    // localCheckpoint buys a single orders scan for all three uses
     val byDay = orders
       .groupBy(RangeJoin.epochDays(col("o_orderdate")).as("d"),
         col("o_orderpriority").as("p"))
       .agg(count(lit(1)).as("n"))
-    // byDay feeds both join sides — two scans of orders, each folding to
-    // a days×priorities frame; caching the corpus projection would pin
-    // more than it saves at scale
+      .localCheckpoint()
     val points = byDay
       .select(col("d").as("d2"), col("p").as("p2"), col("n").as("n2"))
     val intervals = byDay.select(col("p").as("p1"), col("n").as("n1"),
@@ -600,13 +601,18 @@ object NorthStarQueries {
       .pointInInterval(points, "d2", intervals, "lo", "hi", binWidth = 13L)
       .groupBy(col("p1"), col("p2"))
       .agg(sum(col("n1") * col("n2")).as("with_self"))
-    val diag = orders.groupBy(col("o_orderpriority").as("p1"))
-      .agg(count(lit(1)).as("self_n"))
+    val diag = byDay.groupBy(col("p").as("p1"))
+      .agg(sum(col("n")).as("self_n"))
     pairs.join(broadcast(diag), Seq("p1"))
       .select(col("p1"), col("p2"),
         (col("with_self") -
           when(col("p1") === col("p2"), col("self_n")).otherwise(lit(0L)))
           .as("overlap_pairs"))
+      // the diagonal cell always joins itself, so a priority with no
+      // OTHER same-priority overlaps yields a (p, p, 0) row here — the
+      // oracle's count(*) over surviving pairs can never emit a zero
+      // group, so drop them for set parity on sparse data
+      .filter(col("overlap_pairs") > 0)
   }
 
   /** Incremental IVF maintenance (q84): build + persist the index on 90%

@@ -41,12 +41,21 @@ object IndexStream {
           s"ivfAppendStream: no persisted index at $path — " +
             "build and persist the seed index first"))
         val known = idx.assigned.select(col("neighbor_id").as(idCol))
+        // persisted across the emptiness probe and the append: without it
+        // the branch and the append each re-run the anti-join, scanning
+        // the full indexed-ids column twice per trigger
         val fresh = batch.toDF().select(col(idCol), col(vecCol))
           .distinct() // in-batch re-sends of the same (id, vector)
           .join(known, Seq(idCol), "left_anti")
-        // an all-replay batch appends nothing — and creates no version
-        if (!fresh.isEmpty) {
-          idx.append(s, path, fresh, idCol, vecCol)
+          .persist()
+        try {
+          // an all-replay batch appends nothing — and creates no version
+          if (fresh.count() > 0) {
+            idx.append(s, path, fresh, idCol, vecCol)
+            ()
+          }
+        } finally {
+          fresh.unpersist()
           ()
         }
       }

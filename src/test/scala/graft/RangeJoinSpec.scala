@@ -72,6 +72,23 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("binWidth"))
   }
 
+  test("binning is exact on epoch-nano magnitudes (integral division, " +
+      "no double rounding)") {
+    // ~1.7e18 is beyond double's 2^53 mantissa: a floor-div computed via
+    // double division can land k ± 1, splitting a point from its
+    // covering interval. The ts contract here IS epoch nanos.
+    val base = 1704067207179575000L
+    val pts = Seq(base - 1L, base, base + 1L, base + 999L, base + 1000L)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("point_id", "p")
+    val ivs = Seq((0L, base, base + 1000L)).toDF("iv_id", "lo", "hi")
+    for (bw <- Seq(1L, 7L, 1000L, 1000000000L)) {
+      val got = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", bw)
+        .select("point_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 3L), s"binWidth=$bw: got $got")
+    }
+  }
+
   test("epochDays is midnight-day arithmetic") {
     val d = Seq("1970-01-01 00:00:00", "1970-01-02 00:00:00",
       "1969-12-31 00:00:00", "1995-01-02 00:00:00")

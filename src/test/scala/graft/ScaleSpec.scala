@@ -492,7 +492,6 @@ class ScaleSpec extends AnyFunSuite {
 
   test("range-join queries plan hash joins on the bin key, never a " +
       "nested-loop or cartesian (q83/q85)") {
-    val dir = "/root/testdata/sf0.001"
     // the whole point of RangeJoin: an inequality-only predicate that
     // Spark would otherwise plan as BroadcastNestedLoopJoin/Cartesian
     // becomes an equi-join on __bin, with the containment test as a
