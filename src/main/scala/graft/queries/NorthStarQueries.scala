@@ -545,6 +545,36 @@ object NorthStarQueries {
       k = 5, nprobe = 8)
   }
 
+  /** Change-data-feed (q87): the CDF multiset delta between two committed
+    * table versions, rolled up per change type and status. Drives the
+    * WRITE side too — two real versioned commits into a scratch
+    * [[graft.io.ParquetTable]] (recreated per run, so version numbers are
+    * deterministic), then [[graft.io.ParquetTable.changesBetween]] emits
+    * one row per changed COPY with `_change_type` insert/delete (an
+    * update = delete + insert, the Delta CDF convention minus the update
+    * pairing). The oracle recomputes the delta from the same two version
+    * definitions with EXCEPT ALL — multiset semantics must match exactly.
+    * v1 omits every 7th key; v2 bumps every 5th key's cents — so the feed
+    * mixes pure inserts, and update pairs on the %5-but-not-%7 keys.
+    */
+  def q87ChangeDataFeed(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val v2 = base.withColumn("cents",
+      when(pmod(col("o_orderkey"), lit(5)) === 0, col("cents") + 1)
+        .otherwise(col("cents")))
+    val p = scratch("cdf", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString)
+    tbl.overwrite(v1)
+    tbl.overwrite(v2)
+    tbl.changesBetween(s, 1, 2)
+      .groupBy(col("_change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+  }
+
   /** Mergeable distinct sketches (q86): per-(event_type, day) HLL
     * partials unioned into per-type distinct-user counts. The point is
     * the WAREHOUSE shape, not the estimate: stage 1 folds raw events to a
@@ -1339,6 +1369,7 @@ object NorthStarQueries {
     "q84_ivf_append" -> (q84IvfAppend _),
     "q85_interval_overlap" -> (q85IntervalOverlap _),
     "q86_sketch_rollup" -> (q86SketchRollup _),
+    "q87_change_data_feed" -> (q87ChangeDataFeed _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -2057,6 +2088,25 @@ object NorthStarQueries {
            ON l.l_shipdate >= o.o_orderdate
           AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
          GROUP BY o.o_orderpriority""",
+    // The CDF delta recomputed from the same two version definitions with
+    // EXCEPT ALL — the engine's full-outer-count diff must reproduce the
+    // multiset exactly, including both halves of every update pair.
+    "q87_change_data_feed" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         v1 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+         v2 AS (SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 5 = 0 THEN cents + 1
+                            ELSE cents END AS cents FROM base),
+         ins AS (SELECT *, 'insert' AS _change_type
+                 FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)),
+         del AS (SELECT *, 'delete' AS _change_type
+                 FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)),
+         chg AS (SELECT * FROM ins UNION ALL SELECT * FROM del)
+         SELECT _change_type, o_orderstatus, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM chg GROUP BY 1, 2""",
     // Naive quadratic interval-overlap self-join — the engine's
     // day×priority aggregate collapse must reproduce it exactly.
     "q85_interval_overlap" ->

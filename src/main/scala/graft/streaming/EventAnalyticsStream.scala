@@ -116,4 +116,48 @@ object EventAnalyticsStream {
         ()
       }
       .start()
+
+  /** Incremental q86: maintain the per-(event_type, day) HLL sketch table
+    * and refresh the per-type distinct-users rollup each micro-batch.
+    * Sketches are the ideal streamed statistic: inserting a user is
+    * idempotent (the same value drives the same register) and union is a
+    * register-wise max, so replayed/duplicate deliveries are absorbed
+    * exactly like the funnel/retention set-valued state — and
+    * equal-config union is lossless, so the streamed estimate equals the
+    * batch q86 over the same events, not merely approximates it. Per
+    * micro-batch the raw events are touched ONCE (the incoming partial);
+    * everything else is sketch-sized.
+    */
+  def sketchRollupStream(events: DataFrame, state: ParquetTable,
+      result: ParquetTable): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val incoming = batch.toDF()
+          .groupBy(col("event_type"),
+            to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        // cached: the rollup and the state write both read the merged
+        // sketch table (days × types rows — KBs)
+        val merged =
+          (if (state.exists) state.read(s).unionByName(incoming)
+           else incoming)
+            .groupBy(col("event_type"), col("day"))
+            .agg(hll_union_agg(col("sk")).as("sk"))
+            .cache()
+        try {
+          // result first — its plan may re-scan the prior state version,
+          // which the vacuums below delete (see funnelStream)
+          result.overwrite(
+            merged.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("days"),
+                hll_sketch_estimate(hll_union_agg(col("sk")))
+                  .as("est_users")))
+          state.overwrite(merged)
+        } finally merged.unpersist()
+        state.vacuum(); result.vacuum()
+        ()
+      }
+      .start()
 }

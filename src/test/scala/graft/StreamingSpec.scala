@@ -315,6 +315,52 @@ class StreamingSpec extends AnyFunSuite {
       "streamed appends must equal the bulk assignment with seed centroids")
   }
 
+  test("streaming sketch rollup equals a direct batch sketch across " +
+      "replayed batches (union losslessness end-to-end)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sk_s").toString
+    val state = new graft.io.ParquetTable(s"$tmp/state")
+    val result = new graft.io.ParquetTable(s"$tmp/result")
+    def ns(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    // two types across three days; batch 2 replays half of batch 1
+    // (idempotent registers must absorb it) and adds a new day
+    val b1 = Seq((1L, "view", ns("2024-01-01 10:00:00")),
+      (2L, "view", ns("2024-01-01 11:00:00")),
+      (3L, "click", ns("2024-01-02 09:00:00")),
+      (1L, "click", ns("2024-01-02 10:00:00")))
+    val b2 = Seq((2L, "view", ns("2024-01-01 11:00:00")), // replay
+      (1L, "click", ns("2024-01-02 10:00:00")), // replay
+      (4L, "view", ns("2024-01-03 08:00:00")),
+      (2L, "click", ns("2024-01-03 09:00:00")))
+    val in = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.EventAnalyticsStream.sketchRollupStream(
+      in.toDF().toDF("user_id", "event_type", "ts"), state, result)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch mirror: distinct days + ONE direct sketch per type over the
+    // DEDUPLICATED event set — equal-config union losslessness says the
+    // streamed daily-partial union must land bit-equal estimates
+    val batch = (b1 ++ b2).distinct.toDF("user_id", "event_type", "ts")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(
+          to_date(timestamp_micros(expr("ts DIV 1000")))).as("days"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("est_users"))
+    assert(TestSpark.rows(result.read(spark)) == TestSpark.rows(batch))
+    def versions(p: String): Int = graft.io.FsUtil
+      .listDir(java.nio.file.Paths.get(p))
+      .count(_.getFileName.toString.startsWith("v_"))
+    assert(versions(s"$tmp/state") == 1 && versions(s"$tmp/result") == 1,
+      "streamed sketch tables must keep only the live version")
+  }
+
   test("streaming funnel equals the batch q77 funnel across out-of-order batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val spark2 = spark
