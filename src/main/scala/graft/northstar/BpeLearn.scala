@@ -1,0 +1,111 @@
+package graft.northstar
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge LEARNING — the tokenizer-training stage of an
+  * LLM data pipeline (Sennrich, Haddow & Birch 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units"), split along the line
+  * every production trainer (subword-nmt, HuggingFace tokenizers,
+  * SentencePiece-BPE) splits it:
+  *
+  *  1. [[pieceCounts]] — the CORPUS-scale pass: pre-tokenize every document
+  *     with the GPT-2-style piece regex and count distinct pieces. One scan
+  *     + one shuffle with partial aggregation; at 100 TB this is the only
+  *     stage that touches the data, and its output is vocabulary-sized
+  *     (distinct pieces grow sub-linearly in corpus bytes — Heaps' law),
+  *     many orders of magnitude smaller than the corpus.
+  *  2. [[learnMerges]] — the BOUNDED pass: the textbook greedy merge loop
+  *     over the weighted piece table. Real trainers run this in memory for
+  *     the same reason the IVF quantizer fits on a bounded sample
+  *     ([[IvfIndex]]): the input is capped (top-V pieces by weight), so the
+  *     loop is O(merges × Σ|piece|) independent of corpus size. Iterating
+  *     it as Spark jobs would pay a scheduler round-trip per merge for
+  *     KB-scale state.
+  *
+  * Both the pair count and the merge application follow the reference
+  * algorithm exactly: adjacent pairs are counted per overlapping
+  * occurrence weighted by piece frequency; the best pair is the
+  * (max weight, then lexicographically least (left, right)) — a total
+  * order, so the learned merge sequence is deterministic; a merge rewrites
+  * every piece greedily left-to-right (non-overlapping). Ties and repeats
+  * ("aaa" counts (a,a) twice but merges once) match subword-nmt.
+  */
+object BpeLearn {
+
+  /** One learned merge: at `rank` (1-based), join `left`+`right` (weighted
+    * adjacent-pair frequency `weight` at the time of the merge) into
+    * `token`.
+    */
+  final case class Merge(rank: Int, left: String, right: String,
+      weight: Long, token: String)
+
+  /** Corpus-scale piece vocabulary: `(piece, weight)` for every distinct
+    * pre-tokenized piece (lower-cased, whitespace runs dropped — same
+    * normalization as q68's fertility stats). One shuffle on the piece.
+    */
+  def pieceCounts(docs: DataFrame, textCol: String,
+      pattern: String): DataFrame =
+    docs
+      .select(explode(
+        filter(regexp_extract_all(lower(col(textCol)), lit(pattern), lit(0)),
+          p => !(p rlike s"^${TextAnalysis.WsClass}+$$"))).as("piece"))
+      .groupBy(col("piece"))
+      .agg(count(lit(1)).as("weight"))
+
+  /** Greedy BPE merge loop over a weighted piece vocabulary. Stops early
+    * when no adjacent pair remains (every piece fully merged). Symbols
+    * start as single characters; no end-of-word marker (pieces are already
+    * word-bounded by the pre-tokenizer, the GPT-2 convention).
+    */
+  def learnMerges(vocab: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.iterator
+        .map { case (p, w) => (p.map(_.toString).toArray, w) }
+        .toArray
+    val out = mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      for ((syms, w) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + w)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), w) =
+          counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += Merge(rank, l, r, w, l + r)
+        words = words.map { case (syms, wt) => (mergePair(syms, l, r), wt) }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Apply one merge to a symbol sequence, greedy left-to-right
+    * non-overlapping (so (a,a) on "aaa" yields ["aa","a"]).
+    */
+  def mergePair(syms: Array[String], left: String,
+      right: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == left && syms(i + 1) == right) {
+        out += left + right
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+}

@@ -575,6 +575,63 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** Top-V piece cap / merge count for q88 — the values the accuracy
+    * gate's independent recomputation must also apply.
+    */
+  val BpeVocabCap = 20000
+  val BpeNumMerges = 64
+
+  /** BPE merge learning (q88): train the tokenizer's merge table from the
+    * document corpus — the [[graft.northstar.BpeLearn]] two-stage split.
+    * The corpus-scale stage is one scan + one piece-key shuffle whose
+    * output is vocabulary-sized (Heaps' law: distinct pieces grow
+    * sub-linearly in corpus bytes); the greedy merge loop then runs on the
+    * driver over the top-[[BpeVocabCap]] pieces — bounded by design, the
+    * same class as [[graft.northstar.IvfIndex]]'s quantizer sample, and
+    * how every production trainer (subword-nmt, HF tokenizers) structures
+    * it. Deterministic: total-order tiebreak (weight desc, pair asc), so
+    * the learned sequence is stable across runs and partitionings. Not
+    * SQL-expressible (the loop rewrites state each iteration) → rows-only
+    * CORRECTNESS; [[graft.tools.Accuracy]] gates the merge sequence
+    * against an independently-coded in-memory reference over the raw
+    * text.
+    */
+  def q88BpeLearn(s: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.northstar.BpeLearn
+      .pieceCounts(t(s, dir, "documents"), "text", BpePiecePattern)
+      .orderBy(col("weight").desc, col("piece").asc)
+      .limit(BpeVocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val merges = graft.northstar.BpeLearn.learnMerges(vocab, BpeNumMerges)
+    s.createDataFrame(merges)
+      .select(col("rank"), col("left"), col("right"), col("weight"),
+        col("token"))
+  }
+
+  /** Markup → text extraction (q89): each document wrapped in the
+    * deterministic [[graft.northstar.MarkupExtract.PageParts]] page
+    * (style/script blocks, a comment, quoted attributes, entity-escaped
+    * body text), then extracted back to clean text — the stage every
+    * web-scale pipeline (CCNet/RefinedWeb/Dolma) runs before quality or
+    * dedup. Zero shuffles: synthesis + extraction are codegen'd string
+    * algebra inside the scan stage; output is per-doc length + md5 so the
+    * oracle (same single-sourced patterns rendered as RE2 SQL) must
+    * reproduce the extracted text BYTE-identically, not just its shape.
+    */
+  def q89MarkupExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.northstar.MarkupExtract
+    val html =
+      MarkupExtract.synthesizePage(col("doc_id"), col("source"), col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        MarkupExtract.extractText(html).as("clean"))
+      .select(col("doc_id"), col("source"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+  }
+
   /** Mergeable distinct sketches (q86): per-(event_type, day) HLL
     * partials unioned into per-type distinct-user counts. The point is
     * the WAREHOUSE shape, not the estimate: stage 1 folds raw events to a
@@ -1370,6 +1427,8 @@ object NorthStarQueries {
     "q85_interval_overlap" -> (q85IntervalOverlap _),
     "q86_sketch_rollup" -> (q86SketchRollup _),
     "q87_change_data_feed" -> (q87ChangeDataFeed _),
+    "q88_bpe_learn" -> (q88BpeLearn _),
+    "q89_markup_extract" -> (q89MarkupExtract _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -2117,6 +2176,18 @@ object NorthStarQueries {
          FROM w a JOIN w b
            ON a.o_orderkey <> b.o_orderkey AND a.lo < b.hi AND b.lo < a.hi
          GROUP BY 1, 2""",
+    // Synthesis + extraction both rendered from the single-sourced
+    // MarkupExtract patterns — md5 of the extracted text forces
+    // byte-identical RE2/Java regex behavior, not just matching shapes.
+    "q89_markup_extract" -> {
+      val clean = graft.northstar.MarkupExtract.extractTextSql(
+        graft.northstar.MarkupExtract
+          .synthesizePageSql("doc_id", "source", "text"))
+      s"""SELECT doc_id, source,
+                 CAST(len($clean) AS BIGINT) AS clean_len,
+                 md5($clean) AS clean_md5
+          FROM documents"""
+    },
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

@@ -8,7 +8,7 @@ import graft.northstar.{CorpusClean, Dedup, IvfIndex, Similarity, TextAnalysis}
 
 /** Quantitative accuracy gates for the approximation/sketch/index queries
   * that have no DuckDB oracle (q27, q28, q37, q50, q72, q75, q76, q81,
-  * q82, q84) —
+  * q82, q84, q86, q88) —
   * emitted as one machine-readable artifact so a grader can judge the
   * approximate operators from numbers, not by reading specs.
   *
@@ -376,6 +376,69 @@ object Accuracy {
         reloadAgree, "==", 1.0))
   }
 
+  /** q88 — BPE merge learning is DETERMINISTIC, not approximate, so it
+    * gates at exact agreement: an independently-coded in-memory reference
+    * (java.util.regex pre-tokenization over the raw collected text,
+    * immutable-list symbol rewriting, groupMapReduce pair counting — none
+    * of [[graft.northstar.BpeLearn]]'s representations) must learn the
+    * IDENTICAL merge sequence, rank by rank. The collect is the audit
+    * tier's by-design bounded brute force, same as [[vectors]].
+    */
+  def q88Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    import graft.queries.NorthStarQueries
+    val texts = Tables.read(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val piecePat =
+      java.util.regex.Pattern.compile(NorthStarQueries.BpePiecePattern)
+    val wsOnly = java.util.regex.Pattern.compile(TextAnalysis.WsClass + "+")
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    for (t <- texts) {
+      val m = piecePat.matcher(t.toLowerCase(java.util.Locale.ROOT))
+      while (m.find()) {
+        val p = m.group()
+        if (!wsOnly.matcher(p).matches())
+          counts.update(p, counts.getOrElse(p, 0L) + 1L)
+      }
+    }
+    val vocab = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(NorthStarQueries.BpeVocabCap)
+    var words: Vector[(List[String], Long)] =
+      vocab.map { case (p, c) => (p.toList.map(_.toString), c) }.toVector
+    val ref = Vector.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < NorthStarQueries.BpeNumMerges && !exhausted) {
+      val pairCounts = words.flatMap { case (syms, c) =>
+        syms.zip(syms.drop(1)).map(p => p -> c)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best =
+          pairCounts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        ref += best
+        def rewrite(syms: List[String]): List[String] = syms match {
+          case a :: b :: rest if (a, b) == best => (a + b) :: rewrite(rest)
+          case a :: rest => a :: rewrite(rest)
+          case Nil => Nil
+        }
+        words = words.map { case (syms, c) => (rewrite(syms), c) }
+        k += 1
+      }
+    }
+    val expected = ref.result()
+    val got = graft.SparkEntry.queries("q88_bpe_learn")(spark, dir)
+      .orderBy(col("rank")).select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toVector
+    val agree =
+      if (expected.isEmpty && got.isEmpty) 1.0
+      else if (expected.length != got.length) 0.0
+      else expected.zip(got).count { case (a, b) => a == b }.toDouble /
+        expected.length
+    Seq(
+      Gate("q88_bpe_learn", "merge_sequence_agreement", agree, "==", 1.0),
+      Gate("q88_bpe_learn", "merges_learned", got.length.toDouble, ">=", 1.0))
+  }
+
   /** q86's two claims: (1) HLL union is LOSSLESS at equal config, so the
     * per-day-partials-then-union estimate is bit-identical to a direct
     * single-pass sketch (gated at exact equality — this is what makes the
@@ -411,7 +474,7 @@ object Accuracy {
     q27Gates(spark, dir) ++ q28Gates(spark, dir) ++ q37Gates(spark, dir) ++
       q50Gates(spark, dir) ++ q72Gates(spark, dir) ++ q76Gates(spark, dir) ++
       q75Gates(spark, dir) ++ q81Gates(spark, dir) ++ q82Gates(spark, dir) ++
-      q84Gates(spark, dir) ++ q86Gates(spark, dir)
+      q84Gates(spark, dir) ++ q86Gates(spark, dir) ++ q88Gates(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("ACCURACY.json")
