@@ -42,28 +42,52 @@ object BpeLearn {
   final case class Merge(rank: Int, left: String, right: String,
       weight: Long, token: String)
 
+  /** ASCII-only case fold, spelled as a locale-free `translate` on the
+    * engine side and a plain character map in any reference
+    * implementation. Full Unicode `lower()` is deliberately avoided here:
+    * its non-ASCII slow path is JVM-locale-shaped, so an exact-agreement
+    * gate against an independent reference could drift on a non-ROOT
+    * default locale. Tokenization is unaffected — non-ASCII letters fall
+    * into the same `[^a-z0-9…]` piece class in either case.
+    */
+  private val Uppers = ('A' to 'Z').mkString
+  private val Lowers = ('a' to 'z').mkString
+  def asciiFold(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(c, Uppers, Lowers)
+  def asciiFold(s: String): String = s.map(ch =>
+    if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+
   /** Corpus-scale piece vocabulary: `(piece, weight)` for every distinct
-    * pre-tokenized piece (lower-cased, whitespace runs dropped — same
-    * normalization as q68's fertility stats). One shuffle on the piece.
+    * pre-tokenized piece (ASCII-case-folded, whitespace runs dropped —
+    * same shape as q68's fertility stats). One shuffle on the piece.
     */
   def pieceCounts(docs: DataFrame, textCol: String,
       pattern: String): DataFrame =
     docs
       .select(explode(
-        filter(regexp_extract_all(lower(col(textCol)), lit(pattern), lit(0)),
+        filter(
+          regexp_extract_all(asciiFold(col(textCol)), lit(pattern), lit(0)),
           p => !(p rlike s"^${TextAnalysis.WsClass}+$$"))).as("piece"))
       .groupBy(col("piece"))
       .agg(count(lit(1)).as("weight"))
 
+  /** One symbol per Unicode CODE POINT — `String#map` would split
+    * supplementary-plane characters (emoji) into lone surrogates, which
+    * the engine's UTF-8 row round-trip cannot represent.
+    */
+  def initialSymbols(piece: String): Array[String] =
+    piece.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+
   /** Greedy BPE merge loop over a weighted piece vocabulary. Stops early
     * when no adjacent pair remains (every piece fully merged). Symbols
-    * start as single characters; no end-of-word marker (pieces are already
-    * word-bounded by the pre-tokenizer, the GPT-2 convention).
+    * start as single code points; no end-of-word marker (pieces are
+    * already word-bounded by the pre-tokenizer, the GPT-2 convention).
     */
   def learnMerges(vocab: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
     var words: Array[(Array[String], Long)] =
       vocab.iterator
-        .map { case (p, w) => (p.map(_.toString).toArray, w) }
+        .map { case (p, w) => (initialSymbols(p), w) }
         .toArray
     val out = mutable.ArrayBuffer.empty[Merge]
     var rank = 1

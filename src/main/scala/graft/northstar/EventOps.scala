@@ -112,4 +112,25 @@ object EventOps {
       .groupBy(col("cohort_week"), col("active_week"))
       .agg(countDistinct(col(idCol)).as("users"))
   }
+
+  /** Per-(event_type, day) HLL sketches of distinct users — q86's stage 1
+    * and the streamed sketch table's per-batch partial
+    * ([[graft.streaming.EventAnalyticsStream.sketchRollupStream]]).
+    * Single-sourced so the batch query and its streaming mirror can never
+    * drift on the day derivation (the events contract: `ts` long
+    * ns-since-epoch, UTC session).
+    */
+  def dailyUserSketches(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+
+  /** Per-type distinct-user rollup from a daily sketch table — answered
+    * from sketch rows alone, never a raw-event rescan.
+    */
+  def distinctUsersRollup(daily: DataFrame): DataFrame =
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
 }

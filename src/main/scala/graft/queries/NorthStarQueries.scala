@@ -556,6 +556,10 @@ object NorthStarQueries {
     * definitions with EXCEPT ALL — multiset semantics must match exactly.
     * v1 omits every 7th key; v2 bumps every 5th key's cents — so the feed
     * mixes pure inserts, and update pairs on the %5-but-not-%7 keys.
+    * Like every `scratch`-table query (q45/q46/q50/q80), this assumes the
+    * single-process tooling contract — the driver runs Verify/Bench/
+    * audits sequentially; two JVMs recreating the same scratch table
+    * concurrently would race the delete against the other's lazy reads.
     */
   def q87ChangeDataFeed(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders").select(col("o_orderkey"),
@@ -596,11 +600,18 @@ object NorthStarQueries {
     * against an independently-coded in-memory reference over the raw
     * text.
     */
-  def q88BpeLearn(s: SparkSession, dir: String): DataFrame = {
-    val vocab = graft.northstar.BpeLearn
+  /** The corpus-scale stage q88 collects: scan → piece shuffle → bounded
+    * top-V (TakeOrderedAndProject). Shared with [[auditPlans]] so the
+    * audited plan IS the executed plan.
+    */
+  private def q88VocabPlan(s: SparkSession, dir: String): DataFrame =
+    graft.northstar.BpeLearn
       .pieceCounts(t(s, dir, "documents"), "text", BpePiecePattern)
       .orderBy(col("weight").desc, col("piece").asc)
       .limit(BpeVocabCap)
+
+  def q88BpeLearn(s: SparkSession, dir: String): DataFrame = {
+    val vocab = q88VocabPlan(s, dir)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq
@@ -609,6 +620,16 @@ object NorthStarQueries {
       .select(col("rank"), col("left"), col("right"), col("weight"),
         col("token"))
   }
+
+  /** Substitute plans for queries whose data-scale stage executes EAGERLY
+    * inside the query constructor, so the returned frame is driver-local
+    * and its plan says nothing about the distributed work.
+    * [[graft.tools.PlanAudit]] audits these in place of the registered
+    * query — q88's entry is exactly the corpus stage the merge loop
+    * consumes (scan → piece shuffle → bounded top-V).
+    */
+  val auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_bpe_learn" -> (q88VocabPlan _))
 
   /** Markup → text extraction (q89): each document wrapped in the
     * deterministic [[graft.northstar.MarkupExtract.PageParts]] page
@@ -643,18 +664,17 @@ object NorthStarQueries {
     * not distributive; sketches are). HLL union is lossless at equal
     * config, so the two-stage estimate is bit-identical to a single-pass
     * sketch ([[graft.tools.Accuracy]] gates that exactly, plus relative
-    * error vs the true distinct).
+    * error vs the true distinct). Estimator caveat behind that equality:
+    * a DataSketches HLL that is only ever UPDATED keeps the HIP
+    * estimator, while any merge drops to the composite estimator — the
+    * gate's two sides agree because Spark's two-phase aggregation routes
+    * BOTH through partial-sketch merges; an engine that aggregated
+    * single-phase could report a (slightly) different, equally valid
+    * estimate for the same registers.
     */
-  def q86SketchRollup(s: SparkSession, dir: String): DataFrame = {
-    val events = t(s, dir, "events")
-    val daily = events
-      .groupBy(col("event_type"),
-        to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    daily.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("days"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
-  }
+  def q86SketchRollup(s: SparkSession, dir: String): DataFrame =
+    EventOps.distinctUsersRollup(
+      EventOps.dailyUserSketches(t(s, dir, "events")))
 
   /** Interval-overlap self-join (q85): ordered pairs of distinct orders
     * whose 7-day windows overlap, counted per priority pair. The naive

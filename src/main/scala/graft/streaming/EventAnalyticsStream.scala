@@ -134,10 +134,10 @@ object EventAnalyticsStream {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
-        val incoming = batch.toDF()
-          .groupBy(col("event_type"),
-            to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        // the per-batch partial and the rollup are the SAME EventOps code
+        // q86 runs, so batch and stream cannot drift on the day
+        // derivation or rollup shape
+        val incoming = EventOps.dailyUserSketches(batch.toDF())
         // cached: the rollup and the state write both read the merged
         // sketch table (days × types rows — KBs)
         val merged =
@@ -149,11 +149,7 @@ object EventAnalyticsStream {
         try {
           // result first — its plan may re-scan the prior state version,
           // which the vacuums below delete (see funnelStream)
-          result.overwrite(
-            merged.groupBy(col("event_type"))
-              .agg(count(lit(1)).as("days"),
-                hll_sketch_estimate(hll_union_agg(col("sk")))
-                  .as("est_users")))
+          result.overwrite(EventOps.distinctUsersRollup(merged))
           state.overwrite(merged)
         } finally merged.unpersist()
         state.vacuum(); result.vacuum()

@@ -393,17 +393,39 @@ object Accuracy {
     val wsOnly = java.util.regex.Pattern.compile(TextAnalysis.WsClass + "+")
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     for (t <- texts) {
-      val m = piecePat.matcher(t.toLowerCase(java.util.Locale.ROOT))
+      // ASCII-only fold, matching the engine's locale-free translate
+      val folded = t.map(ch =>
+        if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+      val m = piecePat.matcher(folded)
       while (m.find()) {
         val p = m.group()
         if (!wsOnly.matcher(p).matches())
           counts.update(p, counts.getOrElse(p, 0L) + 1L)
       }
     }
-    val vocab = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+    // cap tiebreak replicates the engine's orderBy: Spark compares strings
+    // as UTF-8 BYTES, which diverges from Java's UTF-16 order for
+    // supplementary-plane code points — so compare the encoded bytes
+    def utf8Less(a: String, b: String): Boolean = {
+      val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(ba.length, bb.length)
+      var i = 0
+      while (i < n) {
+        if (ba(i) != bb(i)) return (ba(i) & 0xff) < (bb(i) & 0xff)
+        i += 1
+      }
+      ba.length < bb.length
+    }
+    val vocab = counts.toSeq
+      .sortWith { case ((pa, ca), (pb, cb)) =>
+        if (ca != cb) ca > cb else utf8Less(pa, pb)
+      }
       .take(NorthStarQueries.BpeVocabCap)
     var words: Vector[(List[String], Long)] =
-      vocab.map { case (p, c) => (p.toList.map(_.toString), c) }.toVector
+      vocab.map { case (p, c) =>
+        (p.codePoints().toArray.toList
+          .map(cp => new String(Character.toChars(cp))), c)
+      }.toVector
     val ref = Vector.newBuilder[(String, String)]
     var k = 0
     var exhausted = false
@@ -442,7 +464,10 @@ object Accuracy {
   /** q86's two claims: (1) HLL union is LOSSLESS at equal config, so the
     * per-day-partials-then-union estimate is bit-identical to a direct
     * single-pass sketch (gated at exact equality — this is what makes the
-    * persisted sketch table answer any slice without a raw rescan); and
+    * persisted sketch table answer any slice without a raw rescan; both
+    * sides end in sketch MERGES under Spark's two-phase aggregation, so
+    * both report the composite estimator — see q86SketchRollup's
+    * estimator caveat); and
     * (2) the estimate tracks the true distinct count within HLL's
     * configured error.
     */

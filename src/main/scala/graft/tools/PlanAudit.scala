@@ -158,7 +158,13 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val shapes = audit(spark, dir, graft.SparkEntry.queries)
+    // queries whose data-scale stage executes eagerly inside the query
+    // constructor (q88's merge loop returns a driver-local frame) are
+    // audited via their registered distributed-stage plan instead —
+    // otherwise the gates would see an empty LocalTableScan and a real
+    // regression in the corpus stage would be invisible
+    val shapes = audit(spark, dir,
+      graft.SparkEntry.queries ++ graft.queries.NorthStarQueries.auditPlans)
 
     def jstr(s: String): String =
       "\"" + s.flatMap {

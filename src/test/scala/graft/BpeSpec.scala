@@ -52,6 +52,24 @@ class BpeSpec extends AnyFunSuite {
     assert((merges.head.left, merges.head.right) === ("b", "a"))
   }
 
+  test("supplementary-plane characters stay whole symbols (code points, " +
+      "not UTF-16 units)") {
+    // an emoji is one symbol; String#map would have split it into two
+    // lone surrogates and learned an unencodable merge
+    val syms = BpeLearn.initialSymbols("a😀b")
+    assert(syms.toSeq === Seq("a", "😀", "b"))
+    val merges = BpeLearn.learnMerges(Seq("a😀" -> 2L), 1)
+    assert(merges.head.left === "a")
+    assert(merges.head.right === "😀")
+    assert(merges.head.token === "a😀")
+  }
+
+  test("asciiFold folds only A-Z, in any JVM locale") {
+    assert(BpeLearn.asciiFold("AbC 9!") === "abc 9!")
+    // the Turkish-locale trap chars and non-ASCII uppercase pass through
+    assert(BpeLearn.asciiFold("IİÉ") === "iİÉ")
+  }
+
   test("q88 runs end-to-end: full merge budget on the sf0.001 corpus, " +
       "deterministic across invocations") {
     val spark = TestSpark.spark
