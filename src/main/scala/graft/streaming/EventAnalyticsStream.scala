@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.io.ParquetTable
-import graft.northstar.EventOps
+import graft.northstar.{BpeLearn, EventOps}
 
 /** Streaming mirrors of the q77 funnel / q78 retention event analytics —
   * incremental `foreachBatch` maintenance of each workload's sufficient
@@ -153,6 +153,66 @@ object EventAnalyticsStream {
           state.overwrite(merged)
         } finally merged.unpersist()
         state.vacuum(); result.vacuum()
+        ()
+      }
+      .start()
+
+  /** Incremental q88: maintain the corpus-wide BPE piece-count table from
+    * a document stream and re-learn the merge table each micro-batch —
+    * tokenizer-statistics maintenance over a continuous crawl. Unlike the
+    * other mirrors' statistics, COUNTS are not idempotent under replay, so
+    * absorption is id-keyed like [[IndexStream.ivfAppendStream]]: a
+    * `seen` doc-id table anti-joins re-delivered documents out before
+    * their pieces are counted (contract: `idCol` uniquely identifies a
+    * document and re-sends carry identical text). Per micro-batch the raw
+    * documents are touched once ([[BpeLearn.pieceCounts]], the SAME code
+    * as q88's corpus stage); everything downstream — count merge, top-V
+    * cap, the driver-side merge loop — is vocabulary-sized, so a batch
+    * costs O(batch + vocab) however large the accumulated corpus.
+    */
+  def bpeStatsStream(docs: DataFrame, idCol: String, textCol: String,
+      pattern: String, vocabCap: Int, numMerges: Int, seen: ParquetTable,
+      state: ParquetTable, result: ParquetTable): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        // cached: feeds the piece count AND the seen-table append
+        val fresh = {
+          val b = batch.toDF().select(col(idCol), col(textCol))
+            .dropDuplicates(idCol) // in-batch re-sends
+          (if (seen.exists)
+             b.join(seen.read(s).select(col(idCol)), Seq(idCol), "left_anti")
+           else b).cache()
+        }
+        try {
+          val incoming = BpeLearn.pieceCounts(fresh, textCol, pattern)
+          // cached: the vocab collect and the state write both read it
+          val merged =
+            (if (state.exists) state.read(s).unionByName(incoming)
+             else incoming)
+              .groupBy(col("piece"))
+              .agg(sum(col("weight")).as("weight"))
+              .cache()
+          try {
+            val vocab = merged
+              .orderBy(col("weight").desc, col("piece").asc)
+              .limit(vocabCap)
+              .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+            val merges = BpeLearn.learnMerges(vocab, numMerges)
+            // result first — see funnelStream's vacuum-ordering note
+            result.overwrite(s.createDataFrame(merges)
+              .select(col("rank"), col("left"), col("right"), col("weight"),
+                col("token")))
+            state.overwrite(merged)
+            val seenNow = fresh.select(col(idCol))
+            if (seen.exists)
+              seen.overwrite(seen.read(s).select(col(idCol))
+                .unionByName(seenNow).distinct())
+            else seen.overwrite(seenNow)
+          } finally merged.unpersist()
+        } finally fresh.unpersist()
+        seen.vacuum(); state.vacuum(); result.vacuum()
         ()
       }
       .start()
