@@ -44,6 +44,11 @@ object Multimodal {
     def dimensions(payload: Array[Byte]): Option[(Int, Int)]
     /** Sample format if the payload is a recognized audio container. */
     def audioFormat(payload: Array[Byte]): Option[AudioFormat] = None
+    /** Signed 16-bit PCM samples (interleaved stream) if this decoder can
+      * read the container — the sample-level slot frame-energy features
+      * build on (q90).
+      */
+    def pcmSamples(payload: Array[Byte]): Option[Array[Int]] = None
   }
 
   object MediaDecoder {
@@ -82,6 +87,36 @@ object Multimodal {
           // chunk claiming more than the remaining bytes is rejected
           if (size < 0 || size > b.length - i - 8) return None
           i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+        }
+        None
+      }
+
+      /** Decode the `data` chunk of a 16-bit PCM WAV to signed samples
+        * (interleaved stream, little-endian per the WAVE spec). Only the
+        * format this decoder claims to understand: PCM at 16 bits —
+        * anything else is None, not a misread. Same bounds discipline as
+        * the [[audioFormat]] walk; a trailing odd byte is ignored (cannot
+        * be half a sample).
+        */
+      override def pcmSamples(b: Array[Byte]): Option[Array[Int]] = {
+        val fmt = audioFormat(b).getOrElse(return None)
+        if (fmt.bits_per_sample != 16) return None
+        var i = 12
+        while (i + 8 <= b.length) {
+          val size = le32(b, i + 4)
+          if (size < 0 || size > b.length - i - 8) return None
+          if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+            b(i + 3) == 'a') {
+            val n = size / 2
+            val out = new Array[Int](n)
+            var k = 0
+            while (k < n) {
+              out(k) = le16(b, i + 8 + 2 * k).toShort.toInt // sign-extend
+              k += 1
+            }
+            return Some(out)
+          }
+          i += 8 + size + (size & 1)
         }
         None
       }

@@ -653,6 +653,51 @@ object NorthStarQueries {
         md5(col("clean")).as("clean_md5"))
   }
 
+  /** Audio frame sampling (q90): REAL 16-bit PCM decode of the synthetic
+    * WAV corpus, then fixed-width frame energy stats — the audio
+    * feature-extraction stage of a multimodal training pipeline
+    * (frame-level peaks are what VAD/silence trimming and loudness
+    * normalization consume). The byte→samples step is the seam's
+    * imperative-codec slot ([[Multimodal.MediaDecoder.ContainerHeaders
+    * .pcmSamples]], a typed map); every stat downstream is codegen'd HOF
+    * algebra over the samples array — zero shuffles, scan-stage parallel
+    * at any corpus size. The payload PCM is closed-form in doc_id
+    * (MediaBuilders' deterministic filler), so the DuckDB oracle
+    * recomputes every sample ARITHMETICALLY, never seeing the bytes:
+    * builder, chunk walk, sign extension, or framing drift all break the
+    * hash. sample_rate/channels come from the parsed `fmt ` chunk, not
+    * the synthesis parameters — the parse path is what's checked.
+    */
+  def q90AudioFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = Multimodal.MediaDecoder.ContainerHeaders
+    val parsed = Multimodal
+      .syntheticMediaFromDocs(t(s, dir, "documents").select(col("doc_id")))
+      .filter((r: Multimodal.MediaRow) => r.meta.kind == "wav")
+      .map { r =>
+        val fmt = dec.audioFormat(r.payload).getOrElse(
+          sys.error(s"q90: unreadable WAV for media ${r.media_id}"))
+        val samples = dec.pcmSamples(r.payload).getOrElse(
+          sys.error(s"q90: undecodable PCM for media ${r.media_id}"))
+        (r.media_id, fmt.sample_rate, fmt.channels, samples)
+      }
+      .toDF("doc_id", "sample_rate", "channels", "samples")
+    parsed.select(col("doc_id"), col("sample_rate"), col("channels"),
+      size(col("samples")).cast("long").as("n_samples"),
+      expr("CAST((size(samples) + 3) DIV 4 AS BIGINT)").as("n_frames"),
+      expr("aggregate(samples, CAST(0 AS BIGINT), (a, x) -> a + abs(x))")
+        .as("sum_abs"),
+      coalesce(expr("array_max(transform(samples, x -> abs(x)))"), lit(0))
+        .cast("long").as("max_abs"),
+      expr("""CASE WHEN size(samples) = 0 THEN CAST(0 AS BIGINT)
+              ELSE aggregate(
+                transform(sequence(0, CAST((size(samples) - 1) DIV 4 AS INT)),
+                  f -> array_max(transform(
+                    slice(samples, f * 4 + 1, 4), x -> abs(x)))),
+                CAST(0 AS BIGINT), (a, p) -> a + p) END""")
+        .as("sum_frame_peaks"))
+  }
+
   /** Mergeable distinct sketches (q86): per-(event_type, day) HLL
     * partials unioned into per-type distinct-user counts. The point is
     * the WAREHOUSE shape, not the estimate: stage 1 folds raw events to a
@@ -1449,6 +1494,7 @@ object NorthStarQueries {
     "q87_change_data_feed" -> (q87ChangeDataFeed _),
     "q88_bpe_learn" -> (q88BpeLearn _),
     "q89_markup_extract" -> (q89MarkupExtract _),
+    "q90_audio_frames" -> (q90AudioFrames _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -2208,6 +2254,46 @@ object NorthStarQueries {
                  md5($clean) AS clean_md5
           FROM documents"""
     },
+    // Every PCM sample recomputed ARITHMETICALLY from the MediaBuilders
+    // closed forms (filler byte j = (doc_id + j*131) mod 256, 16-bit LE
+    // sign extension) — the engine's chunk walk and decode never get the
+    // benefit of the doubt.
+    "q90_audio_frames" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  2 * (doc_id % 32) AS filler,
+                  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+                    AS sample_rate,
+                  CAST(1 + doc_id % 2 AS INTEGER) AS channels
+           FROM documents WHERE doc_id % 3 = 2),
+         ks AS (SELECT doc_id, unnest(range(0, filler // 2)) AS k FROM w),
+         sm AS (
+           SELECT doc_id, k,
+                  CASE WHEN h * 256 + l >= 32768 THEN h * 256 + l - 65536
+                       ELSE h * 256 + l END AS sample
+           FROM (SELECT doc_id, k,
+                        (doc_id + (2 * k) * 131) % 256 AS l,
+                        (doc_id + (2 * k + 1) * 131) % 256 AS h
+                 FROM ks)),
+         fr AS (SELECT doc_id, k // 4 AS f, max(abs(sample)) AS peak
+                FROM sm GROUP BY 1, 2),
+         agg AS (SELECT doc_id, count(*) AS n_samples,
+                        sum(abs(sample)) AS sum_abs,
+                        max(abs(sample)) AS max_abs
+                 FROM sm GROUP BY 1),
+         fagg AS (SELECT doc_id, count(*) AS n_frames,
+                         sum(peak) AS sum_frame_peaks
+                  FROM fr GROUP BY 1)
+         SELECT w.doc_id, w.sample_rate, w.channels,
+                CAST(coalesce(agg.n_samples, 0) AS BIGINT) AS n_samples,
+                CAST(coalesce(fagg.n_frames, 0) AS BIGINT) AS n_frames,
+                CAST(coalesce(agg.sum_abs, 0) AS BIGINT) AS sum_abs,
+                CAST(coalesce(agg.max_abs, 0) AS BIGINT) AS max_abs,
+                CAST(coalesce(fagg.sum_frame_peaks, 0) AS BIGINT)
+                  AS sum_frame_peaks
+         FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+                LEFT JOIN fagg ON w.doc_id = fagg.doc_id""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

@@ -73,6 +73,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ContainerHeaders.dimensions(wav).isEmpty)
   }
 
+  test("ContainerHeaders decodes 16-bit PCM samples: sign extension, JUNK " +
+      "skip, odd trailing byte, non-16-bit refusal") {
+    import Multimodal.MediaDecoder.ContainerHeaders
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff)
+    def wavWith(bits: Int, dataBytes: Seq[Int]) =
+      (Seq('R', 'I', 'F', 'F').map(_.toInt) ++ le32(64) ++
+        Seq('W', 'A', 'V', 'E').map(_.toInt) ++
+        Seq('J', 'U', 'N', 'K').map(_.toInt) ++ le32(3) ++
+        Seq(0, 0, 0, 0) ++
+        Seq('f', 'm', 't', ' ').map(_.toInt) ++ le32(16) ++
+        le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(bits) ++
+        Seq('d', 'a', 't', 'a').map(_.toInt) ++ le32(dataBytes.length) ++
+        dataBytes).map(_.toByte).toArray
+    // 0x0001 = 1; 0x8000 = -32768 (sign extension); 0xFFFF = -1
+    val samples = ContainerHeaders
+      .pcmSamples(wavWith(16, Seq(0x01, 0x00, 0x00, 0x80, 0xff, 0xff)))
+    assert(samples.map(_.toSeq).contains(Seq(1, -32768, -1)))
+    // odd-sized data chunk: the trailing byte cannot be half a sample
+    assert(ContainerHeaders
+      .pcmSamples(wavWith(16, Seq(0x02, 0x00, 0x7f))).map(_.toSeq)
+      .contains(Seq(2)))
+    // a format the decoder does not claim to read → None, not a misread
+    assert(ContainerHeaders.pcmSamples(wavWith(8, Seq(1, 2))).isEmpty)
+    assert(ContainerHeaders.pcmSamples("plain text".getBytes).isEmpty)
+    // builder WAVs round-trip: byte j of data = (seed + j*131) & 0xff
+    val built = Multimodal.MediaBuilders.wav(8000, 1, 16, 4, seed = 7L)
+    val expected = Seq(
+      ((7 + 131 * 1) & 0xff) * 256 + ((7 + 131 * 0) & 0xff),
+      ((7 + 131 * 3) & 0xff) * 256 + ((7 + 131 * 2) & 0xff))
+      .map(v => if (v >= 32768) v - 65536 else v)
+    assert(ContainerHeaders.pcmSamples(built).map(_.toSeq)
+      .contains(expected))
+  }
+
   test("extractFeatures surfaces decoded dims through the pluggable seam") {
     import spark.implicits._
     val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
