@@ -49,6 +49,13 @@ object Multimodal {
       * build on (q90).
       */
     def pcmSamples(payload: Array[Byte]): Option[Array[Int]] = None
+
+    /** (width, height, row-major RGB bytes) if this decoder can fully
+      * decode the image payload — the pixel-level slot channel-stat
+      * features build on (q91).
+      */
+    def pngPixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      None
   }
 
   object MediaDecoder {
@@ -89,6 +96,65 @@ object Multimodal {
           i += 8 + size + (size & 1) // RIFF chunks are word-aligned
         }
         None
+      }
+
+      /** Decode an 8-bit-truecolor, filter-None PNG to its raw RGB pixel
+        * bytes: chunk walk (length/type/data/crc per RFC 2083 §3.1),
+        * IDAT concatenation, REAL zlib inflate
+        * (`java.util.zip.Inflater`), then scanline unfiltering restricted
+        * to the one filter this decoder claims (type 0 — anything else
+        * is None, not a misread; same refusal discipline as
+        * [[pcmSamples]]). Returns (width, height, pixelBytes) with
+        * filter bytes stripped — row-major RGB interleaved.
+        */
+      override def pngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+        if (b.length < 33 || !b.startsWith(PngSig)) return None
+        if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+          return None
+        val (w, h) = (be32(b, 16), be32(b, 20))
+        if (w < 1 || h < 1 || b(24) != 8 || b(25) != 2) return None
+        // chunk walk from past IHDR, concatenating IDAT payloads
+        val idat = new java.io.ByteArrayOutputStream()
+        var i = 33
+        var done = false
+        while (!done && i + 8 <= b.length) {
+          val len = be32(b, i)
+          if (len < 0 || len > b.length - i - 12) return None
+          val t = new String(b, i + 4, 4, "US-ASCII")
+          if (t == "IDAT") idat.write(b, i + 8, len)
+          if (t == "IEND") done = true
+          i += 12 + len
+        }
+        val comp = idat.toByteArray
+        if (comp.isEmpty) return None
+        val stride = 1 + 3 * w
+        val raw = new Array[Byte](h * stride)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(comp)
+        // inflate until stream end or stall — one call need not drain it
+        var off = 0
+        var stalled = false
+        try {
+          while (!inf.finished() && !stalled) {
+            val k = inf.inflate(raw, off, raw.length - off)
+            off += k
+            if (k == 0 && (inf.needsInput() || off == raw.length))
+              stalled = true
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException => inf.end(); return None
+        }
+        val complete = inf.finished()
+        inf.end()
+        if (!complete || off != raw.length) return None // truncated/oversized
+        val px = new Array[Byte](3 * w * h)
+        var r = 0
+        while (r < h) {
+          if (raw(r * stride) != 0) return None // only filter None handled
+          System.arraycopy(raw, r * stride + 1, px, r * 3 * w, 3 * w)
+          r += 1
+        }
+        Some((w, h, px))
       }
 
       /** Decode the `data` chunk of a 16-bit PCM WAV to signed samples
@@ -251,6 +317,46 @@ object Multimodal {
       b(s + 9) = 1 // 1 component: id, sampling, quant table
       b(s + 10) = 1; b(s + 11) = 0x11; b(s + 12) = 0
       b(s + 13) = 0xff.toByte; b(s + 14) = 0xd9.toByte // EOI
+      b
+    }
+
+    /** PNG with REAL pixel data: signature, IHDR (8-bit truecolor), one
+      * IDAT holding the DEFLATE-compressed raw scanline stream (per-row
+      * filter byte 0 + 3·width RGB bytes, RFC 2083 §2.3), IEND — all
+      * CRC'd. Pixel byte j (counting pixel bytes only, row-major RGB
+      * interleaved) is the same closed form as [[fill]]:
+      * `(seed + j·131) & 0xff` — so a decoder's output is arithmetically
+      * predictable without ever seeing the compressed bytes.
+      */
+    def pngWithPixels(width: Int, height: Int, seed: Long): Array[Byte] = {
+      require(width >= 1 && height >= 1)
+      val stride = 1 + 3 * width
+      val raw = new Array[Byte](height * stride)
+      var j = 0
+      var r = 0
+      while (r < raw.length) {
+        if (r % stride == 0) raw(r) = 0 // filter type 0 (None)
+        else { raw(r) = ((seed + j * 131) & 0xff).toByte; j += 1 }
+        r += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = deflater.deflate(buf)
+      require(deflater.finished(), "pngWithPixels: deflate buffer too small")
+      deflater.end()
+      val b = new Array[Byte](57 + n)
+      putAscii(b, 1, "PNG")
+      b(0) = 0x89.toByte; b(4) = 0x0d; b(5) = 0x0a; b(6) = 0x1a; b(7) = 0x0a
+      putBe32(b, 8, 13); putAscii(b, 12, "IHDR")
+      putBe32(b, 16, width); putBe32(b, 20, height)
+      b(24) = 8; b(25) = 2 // bit depth 8, color type 2 (truecolor)
+      putBe32(b, 29, crc32(b, 12, 29))
+      putBe32(b, 33, n); putAscii(b, 37, "IDAT")
+      System.arraycopy(buf, 0, b, 41, n)
+      putBe32(b, 41 + n, crc32(b, 37, 41 + n))
+      putBe32(b, 45 + n, 0); putAscii(b, 49 + n, "IEND")
+      putBe32(b, 53 + n, crc32(b, 49 + n, 53 + n))
       b
     }
 

@@ -698,6 +698,47 @@ object NorthStarQueries {
         .as("sum_frame_peaks"))
   }
 
+  /** Image channel statistics (q91): REAL PNG pixel decode — zlib
+    * inflate of the IDAT stream + scanline unfilter
+    * ([[Multimodal.MediaDecoder.ContainerHeaders.pngPixels]]) — then
+    * per-channel RGB sums, the normalization statistics an image training
+    * pipeline computes corpus-wide (dataset mean/std). The compressed
+    * bytes are opaque, but the DECODED pixels are closed-form in doc_id
+    * ([[Multimodal.MediaBuilders.pngWithPixels]]: pixel byte j =
+    * (id + j·131) & 0xff), so the DuckDB oracle recomputes every channel
+    * sum arithmetically — builder, chunk walk, inflate, or unfilter
+    * drift all break the hash. Decode is the seam's imperative-codec
+    * slot; zero shuffles, scan-stage parallel. Width/height come from
+    * the parsed IHDR, not the synthesis parameters.
+    */
+  def q91PngPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = Multimodal.MediaDecoder.ContainerHeaders
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .filter((id: Long) => id % 3 == 0)
+      .map { id =>
+        val pw = (4 + id % 13).toInt
+        val ph = (3 + id % 11).toInt
+        val payload = Multimodal.MediaBuilders.pngWithPixels(pw, ph, id)
+        val (w, h, px) = dec.pngPixels(payload).getOrElse(
+          sys.error(s"q91: undecodable PNG for doc $id"))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var mx = 0
+        var j = 0
+        while (j < px.length) {
+          val v = px(j) & 0xff
+          (j % 3: @unchecked) match {
+            case 0 => sr += v; case 1 => sg += v; case 2 => sb += v
+          }
+          if (v > mx) mx = v
+          j += 1
+        }
+        (id, w, h, w.toLong * h, sr, sg, sb, mx.toLong)
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g",
+        "sum_b", "max_byte")
+  }
+
   /** Mergeable distinct sketches (q86): per-(event_type, day) HLL
     * partials unioned into per-type distinct-user counts. The point is
     * the WAREHOUSE shape, not the estimate: stage 1 folds raw events to a
@@ -1495,6 +1536,7 @@ object NorthStarQueries {
     "q88_bpe_learn" -> (q88BpeLearn _),
     "q89_markup_extract" -> (q89MarkupExtract _),
     "q90_audio_frames" -> (q90AudioFrames _),
+    "q91_png_pixels" -> (q91PngPixels _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -2294,6 +2336,30 @@ object NorthStarQueries {
                   AS sum_frame_peaks
          FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
                 LEFT JOIN fagg ON w.doc_id = fagg.doc_id""",
+    // The engine must inflate REAL zlib bytes and unfilter scanlines to
+    // reach these pixels; the oracle reaches them by pure arithmetic on
+    // the closed form (pixel byte j = (doc_id + j*131) mod 256).
+    "q91_png_pixels" ->
+      """WITH w AS (
+           SELECT doc_id, 4 + doc_id % 13 AS pw, 3 + doc_id % 11 AS ph
+           FROM documents WHERE doc_id % 3 = 0),
+         js AS (SELECT doc_id, unnest(range(0, 3 * pw * ph)) AS j FROM w),
+         b AS (SELECT doc_id, j, (doc_id + j * 131) % 256 AS v FROM js),
+         agg AS (
+           SELECT doc_id,
+                  sum(CASE WHEN j % 3 = 0 THEN v ELSE 0 END) AS sum_r,
+                  sum(CASE WHEN j % 3 = 1 THEN v ELSE 0 END) AS sum_g,
+                  sum(CASE WHEN j % 3 = 2 THEN v ELSE 0 END) AS sum_b,
+                  max(v) AS max_byte
+           FROM b GROUP BY 1)
+         SELECT w.doc_id,
+                CAST(pw AS INTEGER) AS width, CAST(ph AS INTEGER) AS height,
+                CAST(pw * ph AS BIGINT) AS n_pixels,
+                CAST(sum_r AS BIGINT) AS sum_r,
+                CAST(sum_g AS BIGINT) AS sum_g,
+                CAST(sum_b AS BIGINT) AS sum_b,
+                CAST(max_byte AS BIGINT) AS max_byte
+         FROM w JOIN agg ON w.doc_id = agg.doc_id""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

@@ -110,6 +110,56 @@ class MultimodalSpec extends AnyFunSuite {
       .contains(expected))
   }
 
+  test("pngPixels inflates real IDAT data and unfilters scanlines; " +
+      "refuses formats it does not claim") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    import MediaDecoder.ContainerHeaders
+    // closed-form round trip: pixel byte j = (seed + j*131) & 0xff
+    val b = MediaBuilders.pngWithPixels(3, 2, seed = 5L)
+    val got = ContainerHeaders.pngPixels(b)
+    assert(got.isDefined)
+    val (w, h, px) = got.get
+    assert((w, h) === (3, 2))
+    assert(px.length === 3 * 3 * 2)
+    px.zipWithIndex.foreach { case (v, j) =>
+      assert((v & 0xff) === ((5 + j * 131) & 0xff), s"pixel byte $j")
+    }
+    // the header-only builder PNG has no IDAT → None, not garbage
+    assert(ContainerHeaders.pngPixels(
+      MediaBuilders.png(8, 8, filler = 4, seed = 1L)).isEmpty)
+    // rebuild a container around arbitrary IDAT bytes (CRCs unchecked by
+    // the decoder, so zeros suffice) over a template's signature + IHDR
+    def wrapIdat(tmpl: Array[Byte], idat: Array[Byte]): Array[Byte] = {
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(tmpl, 0, 33) // signature + IHDR
+      out.write(be32(idat.length)); out.write("IDAT".getBytes("US-ASCII"))
+      out.write(idat); out.write(be32(0))
+      out.write(be32(0)); out.write("IEND".getBytes("US-ASCII"))
+      out.write(be32(0))
+      out.toByteArray
+    }
+    // truncated COMPRESSED stream (length field consistent, inflate
+    // cannot finish) → None
+    val idatLen = ((b(33) & 0xff) << 24) | ((b(34) & 0xff) << 16) |
+      ((b(35) & 0xff) << 8) | (b(36) & 0xff)
+    val comp = java.util.Arrays.copyOfRange(b, 41, 41 + idatLen)
+    assert(ContainerHeaders.pngPixels(
+      wrapIdat(b, comp.take(comp.length / 2))).isEmpty)
+    // a non-zero filter byte is a format this decoder does not claim
+    val subFiltered = {
+      val raw = new Array[Byte](2 * (1 + 3 * 1)) // 1×2, all-zero pixels
+      raw(0) = 1 // filter type Sub on row 0
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val cbuf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(cbuf); d.end()
+      wrapIdat(MediaBuilders.pngWithPixels(1, 2, seed = 0L), cbuf.take(n))
+    }
+    assert(ContainerHeaders.pngPixels(subFiltered).isEmpty)
+    assert(ContainerHeaders.pngPixels("not a png".getBytes).isEmpty)
+  }
+
   test("extractFeatures surfaces decoded dims through the pluggable seam") {
     import spark.implicits._
     val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
