@@ -71,6 +71,28 @@ object BpeLearn {
       .groupBy(col("piece"))
       .agg(count(lit(1)).as("weight"))
 
+  /** The top-V capped vocabulary PLAN off a piece-count frame — the
+    * deterministic tiebreak (weight desc, then piece asc in Spark's UTF-8
+    * byte order) single-sourced so the q88 batch query, its plan-audit
+    * entry, and the streaming mirror can never drift on cap selection.
+    */
+  def topVocabPlan(pieceCounts: DataFrame, cap: Int): DataFrame =
+    pieceCounts.orderBy(col("weight").desc, col("piece").asc).limit(cap)
+
+  /** Collected form of [[topVocabPlan]] — bounded by `cap` by design. */
+  def topVocab(pieceCounts: DataFrame, cap: Int): Seq[(String, Long)] =
+    topVocabPlan(pieceCounts, cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** The learned merge table as a DataFrame — the one projection every
+    * surface (q88, the streaming mirror) emits.
+    */
+  def mergesToDF(s: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame =
+    s.createDataFrame(merges)
+      .select(col("rank"), col("left"), col("right"), col("weight"),
+        col("token"))
+
   /** One symbol per Unicode CODE POINT — `String#map` would split
     * supplementary-plane characters (emoji) into lone surrogates, which
     * the engine's UTF-8 row round-trip cannot represent.

@@ -50,6 +50,12 @@ object Multimodal {
       */
     def pcmSamples(payload: Array[Byte]): Option[Array[Int]] = None
 
+    /** Format AND samples from one header walk — what per-row consumers
+      * needing both (q90) should call.
+      */
+    def pcmWithFormat(payload: Array[Byte]): Option[(AudioFormat, Array[Int])] =
+      None
+
     /** (width, height, row-major RGB bytes) if this decoder can fully
       * decode the image payload — the pixel-level slot channel-stat
       * features build on (q91).
@@ -127,18 +133,31 @@ object Multimodal {
         }
         val comp = idat.toByteArray
         if (comp.isEmpty) return None
-        val stride = 1 + 3 * w
-        val raw = new Array[Byte](h * stride)
+        // size sanity BEFORE allocating from attacker-controlled header
+        // dims: compute in Long (3·w and h·stride overflow Int for crafted
+        // headers → NegativeArraySizeException would escape the Option
+        // contract), and reject claims beyond zlib's hard 1032:1 max
+        // expansion of the actual payload — a tiny file cannot
+        // legitimately inflate to gigabytes
+        val strideL = 1L + 3L * w
+        val rawLen = strideL * h
+        if (rawLen > 1032L * comp.length + 64L || rawLen > (1L << 28))
+          return None
+        val stride = strideL.toInt
+        val raw = new Array[Byte](rawLen.toInt)
         val inf = new java.util.zip.Inflater()
         inf.setInput(comp)
-        // inflate until stream end or stall — one call need not drain it
+        // inflate until stream end or stall — one call need not drain it;
+        // needsDictionary is a stall too (FDICT streams make inflate
+        // return 0 with input remaining and space available — forever)
         var off = 0
         var stalled = false
         try {
           while (!inf.finished() && !stalled) {
             val k = inf.inflate(raw, off, raw.length - off)
             off += k
-            if (k == 0 && (inf.needsInput() || off == raw.length))
+            if (k == 0 && (inf.needsInput() || inf.needsDictionary() ||
+              off == raw.length))
               stalled = true
           }
         } catch {
@@ -158,34 +177,51 @@ object Multimodal {
       }
 
       /** Decode the `data` chunk of a 16-bit PCM WAV to signed samples
-        * (interleaved stream, little-endian per the WAVE spec). Only the
-        * format this decoder claims to understand: PCM at 16 bits —
-        * anything else is None, not a misread. Same bounds discipline as
-        * the [[audioFormat]] walk; a trailing odd byte is ignored (cannot
-        * be half a sample).
+        * (interleaved stream, little-endian per the WAVE spec), plus the
+        * parsed format — ONE chunk walk captures both, so per-row
+        * consumers (q90 needs sample_rate/channels AND samples) do not
+        * re-walk the header. Only the format this decoder claims to
+        * understand: PCM at 16 bits — anything else is None, not a
+        * misread. Same bounds discipline as the [[audioFormat]] walk; a
+        * trailing odd byte is ignored (cannot be half a sample).
         */
-      override def pcmSamples(b: Array[Byte]): Option[Array[Int]] = {
-        val fmt = audioFormat(b).getOrElse(return None)
-        if (fmt.bits_per_sample != 16) return None
+      override def pcmWithFormat(
+          b: Array[Byte]): Option[(AudioFormat, Array[Int])] = {
+        if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+          b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+          b(11) != 'E') return None
+        var fmt: Option[AudioFormat] = None
+        var dataAt = -1
+        var dataSize = 0
         var i = 12
         while (i + 8 <= b.length) {
           val size = le32(b, i + 4)
           if (size < 0 || size > b.length - i - 8) return None
-          if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
-            b(i + 3) == 'a') {
-            val n = size / 2
-            val out = new Array[Int](n)
-            var k = 0
-            while (k < n) {
-              out(k) = le16(b, i + 8 + 2 * k).toShort.toInt // sign-extend
-              k += 1
-            }
-            return Some(out)
+          if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+            b(i + 3) == ' ') {
+            if (size < 16 || i + 8 + 16 > b.length) return None
+            fmt = Some(AudioFormat(le32(b, i + 12), le16(b, i + 10),
+              le16(b, i + 22)))
+          } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+            b(i + 3) == 'a' && dataAt < 0) {
+            dataAt = i + 8; dataSize = size
           }
           i += 8 + size + (size & 1)
         }
-        None
+        val f = fmt.getOrElse(return None)
+        if (f.bits_per_sample != 16 || dataAt < 0) return None
+        val n = dataSize / 2
+        val out = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          out(k) = le16(b, dataAt + 2 * k).toShort.toInt // sign-extend
+          k += 1
+        }
+        Some((f, out))
       }
+
+      override def pcmSamples(b: Array[Byte]): Option[Array[Int]] =
+        pcmWithFormat(b).map(_._2)
 
       private def le16(b: Array[Byte], i: Int): Int =
         (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)

@@ -605,20 +605,18 @@ object NorthStarQueries {
     * audited plan IS the executed plan.
     */
   private def q88VocabPlan(s: SparkSession, dir: String): DataFrame =
-    graft.northstar.BpeLearn
-      .pieceCounts(t(s, dir, "documents"), "text", BpePiecePattern)
-      .orderBy(col("weight").desc, col("piece").asc)
-      .limit(BpeVocabCap)
+    graft.northstar.BpeLearn.topVocabPlan(
+      graft.northstar.BpeLearn
+        .pieceCounts(t(s, dir, "documents"), "text", BpePiecePattern),
+      BpeVocabCap)
 
   def q88BpeLearn(s: SparkSession, dir: String): DataFrame = {
+    import graft.northstar.BpeLearn
     val vocab = q88VocabPlan(s, dir)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq
-    val merges = graft.northstar.BpeLearn.learnMerges(vocab, BpeNumMerges)
-    s.createDataFrame(merges)
-      .select(col("rank"), col("left"), col("right"), col("weight"),
-        col("token"))
+    BpeLearn.mergesToDF(s, BpeLearn.learnMerges(vocab, BpeNumMerges))
   }
 
   /** Substitute plans for queries whose data-scale stage executes EAGERLY
@@ -675,9 +673,7 @@ object NorthStarQueries {
       .syntheticMediaFromDocs(t(s, dir, "documents").select(col("doc_id")))
       .filter((r: Multimodal.MediaRow) => r.meta.kind == "wav")
       .map { r =>
-        val fmt = dec.audioFormat(r.payload).getOrElse(
-          sys.error(s"q90: unreadable WAV for media ${r.media_id}"))
-        val samples = dec.pcmSamples(r.payload).getOrElse(
+        val (fmt, samples) = dec.pcmWithFormat(r.payload).getOrElse(
           sys.error(s"q90: undecodable PCM for media ${r.media_id}"))
         (r.media_id, fmt.sample_rate, fmt.channels, samples)
       }

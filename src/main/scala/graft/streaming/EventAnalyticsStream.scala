@@ -157,62 +157,70 @@ object EventAnalyticsStream {
       }
       .start()
 
-  /** Incremental q88: maintain the corpus-wide BPE piece-count table from
-    * a document stream and re-learn the merge table each micro-batch —
+  /** Incremental q88: maintain corpus-wide BPE piece statistics from a
+    * document stream and re-learn the merge table each micro-batch —
     * tokenizer-statistics maintenance over a continuous crawl. Unlike the
-    * other mirrors' statistics, COUNTS are not idempotent under replay, so
-    * absorption is id-keyed like [[IndexStream.ivfAppendStream]]: a
-    * `seen` doc-id table anti-joins re-delivered documents out before
-    * their pieces are counted (contract: `idCol` uniquely identifies a
-    * document and re-sends carry identical text). Per micro-batch the raw
-    * documents are touched once ([[BpeLearn.pieceCounts]], the SAME code
-    * as q88's corpus stage); everything downstream — count merge, top-V
-    * cap, the driver-side merge loop — is vocabulary-sized, so a batch
-    * costs O(batch + vocab) however large the accumulated corpus.
+    * other mirrors' statistics, COUNTS are not idempotent under replay,
+    * so the absorption marker (seen doc ids) and the counted statistic
+    * (per-batch piece partials) must advance TOGETHER or not at all — a
+    * marker and counts in separate tables would leave a crash window
+    * that double- or under-counts a replayed batch forever. Both
+    * therefore live in ONE append-only `log` table (doc-marker rows +
+    * piece-partial rows, disjoint by null pattern), committed per batch
+    * with a single atomic [[ParquetTable.appendVersion]] — O(batch)
+    * write volume (existing log files are hard-linked, never rewritten),
+    * and counts are distributive so the log IS the sufficient statistic:
+    * vocab = groupBy-sum over piece rows. An all-replay batch commits
+    * nothing, like [[IndexStream.ivfAppendStream]] (contract: `idCol`
+    * uniquely identifies a document and re-sends carry identical text).
+    * Per micro-batch the raw documents are touched once
+    * ([[BpeLearn.pieceCounts]], the SAME code as q88's corpus stage) and
+    * the vocab rollup reads the log, not the corpus. `result` is derived
+    * and rebuilt per batch, so its non-atomicity with the log is
+    * harmless — a crash between the two leaves a stale merge table that
+    * the next batch refreshes. Log maintenance at scale is
+    * [[ParquetTable.compact]], the same hook every versioned table uses.
     */
   def bpeStatsStream(docs: DataFrame, idCol: String, textCol: String,
-      pattern: String, vocabCap: Int, numMerges: Int, seen: ParquetTable,
-      state: ParquetTable, result: ParquetTable): StreamingQuery =
+      pattern: String, vocabCap: Int, numMerges: Int, log: ParquetTable,
+      result: ParquetTable): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
-        // cached: feeds the piece count AND the seen-table append
+        // cached: feeds the emptiness probe, the piece count, and the
+        // doc-marker rows of the delta
         val fresh = {
           val b = batch.toDF().select(col(idCol), col(textCol))
             .dropDuplicates(idCol) // in-batch re-sends
-          (if (seen.exists)
-             b.join(seen.read(s).select(col(idCol)), Seq(idCol), "left_anti")
+          (if (log.exists)
+             b.join(log.read(s).filter(col("__doc_id").isNotNull)
+                 .select(col("__doc_id").as(idCol)),
+               Seq(idCol), "left_anti")
            else b).cache()
         }
         try {
-          val incoming = BpeLearn.pieceCounts(fresh, textCol, pattern)
-          // cached: the vocab collect and the state write both read it
-          val merged =
-            (if (state.exists) state.read(s).unionByName(incoming)
-             else incoming)
-              .groupBy(col("piece"))
-              .agg(sum(col("weight")).as("weight"))
-              .cache()
-          try {
-            val vocab = merged
-              .orderBy(col("weight").desc, col("piece").asc)
-              .limit(vocabCap)
-              .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-            val merges = BpeLearn.learnMerges(vocab, numMerges)
-            // result first — see funnelStream's vacuum-ordering note
-            result.overwrite(s.createDataFrame(merges)
-              .select(col("rank"), col("left"), col("right"), col("weight"),
-                col("token")))
-            state.overwrite(merged)
-            val seenNow = fresh.select(col(idCol))
-            if (seen.exists)
-              seen.overwrite(seen.read(s).select(col(idCol))
-                .unionByName(seenNow).distinct())
-            else seen.overwrite(seenNow)
-          } finally merged.unpersist()
+          if (!fresh.isEmpty) {
+            val delta = fresh
+              .select(col(idCol).as("__doc_id"),
+                lit(null).cast("string").as("piece"),
+                lit(null).cast("long").as("weight"))
+              .unionByName(BpeLearn.pieceCounts(fresh, textCol, pattern)
+                .select(lit(null).cast("long").as("__doc_id"),
+                  col("piece"), col("weight")))
+            if (log.exists) log.appendVersion(delta) else log.overwrite(delta)
+          }
+          // derived: recompute the merge table from the log's piece rows
+          // (runs even on an all-replay batch — cheap, and heals a crash
+          // that landed the log but not the result)
+          val vocab = BpeLearn.topVocab(
+            log.read(s).filter(col("piece").isNotNull)
+              .groupBy(col("piece")).agg(sum(col("weight")).as("weight")),
+            vocabCap)
+          result.overwrite(
+            BpeLearn.mergesToDF(s, BpeLearn.learnMerges(vocab, numMerges)))
         } finally fresh.unpersist()
-        seen.vacuum(); state.vacuum(); result.vacuum()
+        log.vacuum(); result.vacuum()
         ()
       }
       .start()

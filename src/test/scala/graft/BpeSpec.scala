@@ -70,6 +70,37 @@ class BpeSpec extends AnyFunSuite {
     assert(BpeLearn.asciiFold("IİÉ") === "iİÉ")
   }
 
+  test("merge weights are non-increasing over ranks (the BPE frequency " +
+      "lemma) on randomized vocabularies") {
+    // any pair created by a merge occurs only where (b, c) occurred
+    // before it, so each round's max pair frequency can never exceed the
+    // previous round's — a classic BPE invariant worth pinning across
+    // random inputs, not one example
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val alphabet = "abcde"
+      val vocab = (1 to (2 + rnd.nextInt(8))).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        val piece = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        piece -> (1L + rnd.nextInt(9))
+      }.groupMapReduce(_._1)(_._2)(_ + _).toSeq
+      val merges = BpeLearn.learnMerges(vocab, 12)
+      merges.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.weight >= b.weight,
+            s"rank ${a.rank} weight ${a.weight} < rank ${b.rank} ${b.weight} on $vocab")
+        case _ =>
+      }
+      // and the chain invariant holds for every random input too
+      val seen = scala.collection.mutable.Set.empty[String]
+      merges.foreach { m =>
+        assert(m.left.length == 1 || seen.contains(m.left))
+        assert(m.right.length == 1 || seen.contains(m.right))
+        seen += m.token
+      }
+    }
+  }
+
   test("q88 runs end-to-end: full merge budget on the sf0.001 corpus, " +
       "deterministic across invocations") {
     val spark = TestSpark.spark

@@ -449,13 +449,12 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming BPE stats equal the batch merge table, absorbing a " +
       "replayed batch exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, sum}
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_s").toString
-    val seen = new graft.io.ParquetTable(s"$tmp/seen")
-    val state = new graft.io.ParquetTable(s"$tmp/state")
+    val log = new graft.io.ParquetTable(s"$tmp/log")
     val result = new graft.io.ParquetTable(s"$tmp/result")
     val pat = graft.queries.NorthStarQueries.BpePiecePattern
     val b1 = Seq((1L, "low low low lower"), (2L, "newest newest widest"))
@@ -464,18 +463,20 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.EventAnalyticsStream.bpeStatsStream(
       in.toDF().toDF("doc_id", "text"), "doc_id", "text", pat,
-      vocabCap = 100, numMerges = 6, seen, state, result)
+      vocabCap = 100, numMerges = 6, log, result)
     try {
       in.addData(b1: _*); q.processAllAvailable()
+      val vAfterB1 = log.version
       in.addData(b1: _*); q.processAllAvailable() // full replay of batch 1
+      // an all-replay batch must not commit a log version (absorption)
+      assert(log.version === vAfterB1)
       in.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
     // batch mirror over the DEDUPLICATED corpus: same pieceCounts code,
     // same capped-vocab selection, same merge loop
     val docs = (b1 ++ b2).toDF("doc_id", "text")
-    val vocab = graft.northstar.BpeLearn.pieceCounts(docs, "text", pat)
-      .orderBy(col("weight").desc, col("piece").asc).limit(100)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vocab = graft.northstar.BpeLearn.topVocab(
+      graft.northstar.BpeLearn.pieceCounts(docs, "text", pat), 100)
     val expected = graft.northstar.BpeLearn.learnMerges(vocab, 6)
       .map(m => (m.rank, m.left, m.right, m.weight, m.token))
     val got = result.read(spark).collect()
@@ -483,9 +484,11 @@ class StreamingSpec extends AnyFunSuite {
         r.getString(4)))
       .sortBy(_._1).toSeq
     assert(got === expected)
-    // the replayed batch must not have double-counted any piece
-    val stateCounts = state.read(spark).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(stateCounts === vocab.toMap)
+    // the replayed batch must not have double-counted any piece: the
+    // log's aggregated piece rows equal the batch pipeline's counts
+    val logCounts = log.read(spark).filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("weight")).as("weight"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(logCounts === vocab.toMap)
   }
 }
