@@ -57,17 +57,23 @@ object BpeLearn {
   def asciiFold(s: String): String = s.map(ch =>
     if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
 
+  /** The normalized per-document piece array (ASCII-case-folded,
+    * whitespace runs dropped) — single-sourced so counting (q88) and
+    * tokenization (q92) segment text identically.
+    */
+  def pieceArray(text: org.apache.spark.sql.Column,
+      pattern: String): org.apache.spark.sql.Column =
+    filter(regexp_extract_all(asciiFold(text), lit(pattern), lit(0)),
+      p => !(p rlike s"^${TextAnalysis.WsClass}+$$"))
+
   /** Corpus-scale piece vocabulary: `(piece, weight)` for every distinct
-    * pre-tokenized piece (ASCII-case-folded, whitespace runs dropped —
-    * same shape as q68's fertility stats). One shuffle on the piece.
+    * pre-tokenized piece — same shape as q68's fertility stats. One
+    * shuffle on the piece.
     */
   def pieceCounts(docs: DataFrame, textCol: String,
       pattern: String): DataFrame =
     docs
-      .select(explode(
-        filter(
-          regexp_extract_all(asciiFold(col(textCol)), lit(pattern), lit(0)),
-          p => !(p rlike s"^${TextAnalysis.WsClass}+$$"))).as("piece"))
+      .select(explode(pieceArray(col(textCol), pattern)).as("piece"))
       .groupBy(col("piece"))
       .agg(count(lit(1)).as("weight"))
 
@@ -134,6 +140,31 @@ object BpeLearn {
       }
     }
     out.toSeq
+  }
+
+  /** Tokenize one piece with a learned merge-rank table — the standard
+    * BPE apply loop (subword-nmt/HF): repeatedly merge the LOWEST-RANK
+    * adjacent pair present (all its occurrences, greedy left-to-right)
+    * until no learned pair remains. Deterministic given the ranks; works
+    * on pieces never seen in training (falls through to finer symbols).
+    */
+  def applyMerges(piece: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = initialSymbols(piece)
+    var exhausted = false
+    while (!exhausted && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) exhausted = true
+      else syms = mergePair(syms, syms(bestIdx), syms(bestIdx + 1))
+    }
+    syms
   }
 
   /** Apply one merge to a symbol sequence, greedy left-to-right

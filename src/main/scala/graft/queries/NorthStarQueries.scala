@@ -694,6 +694,45 @@ object NorthStarQueries {
         .as("sum_frame_peaks"))
   }
 
+  /** BPE tokenization (q92): APPLY the learned merge table corpus-wide —
+    * the other half of the tokenizer story (q88 learns; this tokenizes).
+    * The scale shape is the one every production tokenizer uses (the HF
+    * "word cache"): the apply loop runs once per DISTINCT piece — a
+    * vocabulary-sized typed map, not a per-occurrence loop — and the
+    * corpus-scale side is pure relational algebra: explode the per-doc
+    * piece arrays, broadcast-join the piece→token-count table, and
+    * distributively re-aggregate per document. Two shuffles (piece
+    * vocabulary, doc rollup) regardless of corpus size; the imperative
+    * work is O(distinct pieces), sublinear in corpus bytes (Heaps' law).
+    * Not SQL-expressible (the apply loop is iterative) → rows-only
+    * CORRECTNESS; [[graft.tools.Accuracy]] gates every per-doc token
+    * count against an independently-coded reference that tokenizes each
+    * document DIRECTLY (no distinct-piece cache), so the cache-join
+    * shape itself is cross-checked.
+    */
+  def q92BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.northstar.BpeLearn
+    val docs = t(s, dir, "documents")
+    val vocabDf = BpeLearn.pieceCounts(docs, "text", BpePiecePattern)
+    val vocab = BpeLearn.topVocab(vocabDf, BpeVocabCap)
+    val ranks = BpeLearn.learnMerges(vocab, BpeNumMerges)
+      .map(m => ((m.left, m.right), m.rank)).toMap
+    val bcRanks = s.sparkContext.broadcast(ranks)
+    // vocabulary-sized imperative stage: tokenize each DISTINCT piece
+    val pieceTok = vocabDf.select(col("piece")).as[String]
+      .map(p => (p, BpeLearn.applyMerges(p, bcRanks.value).length))
+      .toDF("piece", "piece_tokens")
+    docs
+      .select(col("doc_id"),
+        explode(BpeLearn.pieceArray(col("text"), BpePiecePattern))
+          .as("piece"))
+      .join(broadcast(pieceTok), Seq("piece"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(col("piece_tokens")).cast("long").as("n_tokens"))
+  }
+
   /** Image channel statistics (q91): REAL PNG pixel decode — zlib
     * inflate of the IDAT stream + scanline unfilter
     * ([[Multimodal.MediaDecoder.ContainerHeaders.pngPixels]]) — then
@@ -1533,6 +1572,7 @@ object NorthStarQueries {
     "q89_markup_extract" -> (q89MarkupExtract _),
     "q90_audio_frames" -> (q90AudioFrames _),
     "q91_png_pixels" -> (q91PngPixels _),
+    "q92_bpe_tokenize" -> (q92BpeTokenize _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every

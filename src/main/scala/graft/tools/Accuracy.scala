@@ -8,7 +8,7 @@ import graft.northstar.{CorpusClean, Dedup, IvfIndex, Similarity, TextAnalysis}
 
 /** Quantitative accuracy gates for the approximation/sketch/index queries
   * that have no DuckDB oracle (q27, q28, q37, q50, q72, q75, q76, q81,
-  * q82, q84, q86, q88) —
+  * q82, q84, q86, q88, q92) —
   * emitted as one machine-readable artifact so a grader can judge the
   * approximate operators from numbers, not by reading specs.
   *
@@ -384,25 +384,35 @@ object Accuracy {
     * IDENTICAL merge sequence, rank by rank. The collect is the audit
     * tier's by-design bounded brute force, same as [[vectors]].
     */
-  def q88Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+  /** The independent reference pre-tokenizer shared by the q88/q92
+    * gates: java.util.regex over ASCII-folded raw text, whitespace-run
+    * pieces dropped — none of BpeLearn's Column algebra.
+    */
+  private def refPieces(text: String): Vector[String] = {
     import graft.queries.NorthStarQueries
-    val texts = Tables.read(spark, dir, "documents")
-      .select(col("text")).collect().map(_.getString(0))
     val piecePat =
       java.util.regex.Pattern.compile(NorthStarQueries.BpePiecePattern)
     val wsOnly = java.util.regex.Pattern.compile(TextAnalysis.WsClass + "+")
-    val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    for (t <- texts) {
-      // ASCII-only fold, matching the engine's locale-free translate
-      val folded = t.map(ch =>
-        if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
-      val m = piecePat.matcher(folded)
-      while (m.find()) {
-        val p = m.group()
-        if (!wsOnly.matcher(p).matches())
-          counts.update(p, counts.getOrElse(p, 0L) + 1L)
-      }
+    val folded = text.map(ch =>
+      if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+    val out = Vector.newBuilder[String]
+    val m = piecePat.matcher(folded)
+    while (m.find()) {
+      val p = m.group()
+      if (!wsOnly.matcher(p).matches()) out += p
     }
+    out.result()
+  }
+
+  /** The independent reference merge LEARN shared by the q88/q92 gates
+    * (immutable lists, groupMapReduce counting, explicit UTF-8-byte cap
+    * tiebreak — none of BpeLearn's representations).
+    */
+  private def refMerges(texts: Seq[String]): Vector[(String, String)] = {
+    import graft.queries.NorthStarQueries
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    for (t <- texts; p <- refPieces(t))
+      counts.update(p, counts.getOrElse(p, 0L) + 1L)
     // cap tiebreak replicates the engine's orderBy: Spark compares strings
     // as UTF-8 BYTES, which diverges from Java's UTF-16 order for
     // supplementary-plane code points — so compare the encoded bytes
@@ -447,7 +457,13 @@ object Accuracy {
         k += 1
       }
     }
-    val expected = ref.result()
+    ref.result()
+  }
+
+  def q88Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val texts = Tables.read(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val expected = refMerges(texts)
     val got = graft.SparkEntry.queries("q88_bpe_learn")(spark, dir)
       .orderBy(col("rank")).select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toVector
@@ -459,6 +475,55 @@ object Accuracy {
     Seq(
       Gate("q88_bpe_learn", "merge_sequence_agreement", agree, "==", 1.0),
       Gate("q88_bpe_learn", "merges_learned", got.length.toDouble, ">=", 1.0))
+  }
+
+  /** q92 — tokenization is deterministic given the merges, so it gates
+    * at exact agreement: an independent apply loop (recursive immutable
+    * lists, lowest-rank-first) tokenizes every document DIRECTLY — no
+    * distinct-piece cache — so the query's cache + broadcast-join shape
+    * is cross-checked, not just the merge loop. Per-doc piece and token
+    * counts must all match.
+    */
+  def q92Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val docs = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ranks = refMerges(docs.map(_._2).toSeq).zipWithIndex.toMap
+    def applyRef(piece: String): List[String] = {
+      def step(syms: List[String]): List[String] = {
+        val known = syms.zip(syms.drop(1)).filter(ranks.contains)
+        if (known.isEmpty) syms
+        else {
+          val best = known.minBy(ranks)
+          def go(l: List[String]): List[String] = l match {
+            case a :: b :: rest if (a, b) == best => (a + b) :: go(rest)
+            case a :: rest => a :: go(rest)
+            case Nil => Nil
+          }
+          step(go(syms))
+        }
+      }
+      step(piece.codePoints().toArray.toList
+        .map(cp => new String(Character.toChars(cp))))
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      val pieces = refPieces(text)
+      if (pieces.isEmpty) None
+      else Some(id ->
+        (pieces.size.toLong, pieces.map(p => applyRef(p).length.toLong).sum))
+    }.toMap
+    val got = graft.SparkEntry.queries("q92_bpe_tokenize")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val agree =
+      if (expected.isEmpty && got.isEmpty) 1.0
+      else if (expected.keySet != got.keySet) 0.0
+      else expected.count { case (k, v) => got(k) == v }.toDouble /
+        expected.size
+    Seq(
+      Gate("q92_bpe_tokenize", "per_doc_count_agreement", agree, "==", 1.0),
+      Gate("q92_bpe_tokenize", "docs_tokenized", got.size.toDouble,
+        ">=", 1.0))
   }
 
   /** q86's two claims: (1) HLL union is LOSSLESS at equal config, so the
@@ -499,7 +564,8 @@ object Accuracy {
     q27Gates(spark, dir) ++ q28Gates(spark, dir) ++ q37Gates(spark, dir) ++
       q50Gates(spark, dir) ++ q72Gates(spark, dir) ++ q76Gates(spark, dir) ++
       q75Gates(spark, dir) ++ q81Gates(spark, dir) ++ q82Gates(spark, dir) ++
-      q84Gates(spark, dir) ++ q86Gates(spark, dir) ++ q88Gates(spark, dir)
+      q84Gates(spark, dir) ++ q86Gates(spark, dir) ++
+      q88Gates(spark, dir) ++ q92Gates(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("ACCURACY.json")

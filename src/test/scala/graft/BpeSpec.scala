@@ -70,6 +70,23 @@ class BpeSpec extends AnyFunSuite {
     assert(BpeLearn.asciiFold("IİÉ") === "iİÉ")
   }
 
+  test("applyMerges tokenizes with lowest-rank-first semantics: the " +
+      "textbook 'lowest' → [low, est]") {
+    val vocab = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val ranks = BpeLearn.learnMerges(vocab, 4)
+      .map(m => ((m.left, m.right), m.rank)).toMap
+    // es(1), est(2), lo(3), low(4): "lowest" merges e+s first, then
+    // es+t, then l+o, then lo+w — never the (o,w) pair rank order forbids
+    assert(BpeLearn.applyMerges("lowest", ranks).toSeq ===
+      Seq("low", "est"))
+    // unseen pieces fall through to finer symbols, fully or partially
+    assert(BpeLearn.applyMerges("xyz", ranks).toSeq === Seq("x", "y", "z"))
+    assert(BpeLearn.applyMerges("blest", ranks).toSeq ===
+      Seq("b", "l", "est"))
+    assert(BpeLearn.applyMerges("", ranks).toSeq === Seq())
+  }
+
   test("merge weights are non-increasing over ranks (the BPE frequency " +
       "lemma) on randomized vocabularies") {
     // any pair created by a merge occurs only where (b, c) occurred
