@@ -627,7 +627,24 @@ object NorthStarQueries {
     * consumes (scan → piece shuffle → bounded top-V).
     */
   val auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q88_bpe_learn" -> (q88VocabPlan _))
+    "q88_bpe_learn" -> (q88VocabPlan _),
+    // the per-iteration unit q93 checkpoints K times — edges ⋈ scores ⋈
+    // outdeg → rollup on dst; the end-to-end query's plan is a
+    // checkpoint scan that shows none of it
+    "q93_supplier_rank" -> ((s: SparkSession, dir: String) => {
+      // inputs checkpointed like the real loop's state: in q93 the edge
+      // table is persisted once and scores are the prior round's
+      // checkpoint, so a ROUND's incremental plan starts from
+      // materialized leaves — auditing the un-persisted expansion would
+      // overstate every round by the one-off edge-build cost
+      val edges = q93Edges(s, dir).localCheckpoint()
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .localCheckpoint()
+      val s0 = outdeg.select(col("src").as("node"),
+        lit(1000000L).as("score")).localCheckpoint()
+      graft.northstar.GraphRank.round(edges, outdeg, s0, base = 1L,
+        dampNum = 85)
+    }))
 
   /** Markup → text extraction (q89): each document wrapped in the
     * deterministic [[graft.northstar.MarkupExtract.PageParts]] page
@@ -731,6 +748,53 @@ object NorthStarQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pieces"),
         sum(col("piece_tokens")).cast("long").as("n_tokens"))
+  }
+
+  /** Integer PageRank (q93): graph-authority ranking of suppliers over
+    * the customer↔supplier interaction graph — the crawl-curation shape
+    * (CommonCrawl-style centrality feeding quality-weighted sampling).
+    * Nodes are namespaced 2·custkey / 2·suppkey+1; edges are the
+    * per-lineitem (customer, supplier) pairs in both directions — repeat
+    * business weights the walk, and no node dangles. [[graft.northstar.GraphRank.pageRank]] runs
+    * [[PageRankIters]] rounds in pure 64-bit integer arithmetic
+    * (multiply / floor-divide / sum), which makes a fixed-iteration
+    * DuckDB replay EXACT — the oracle chains the same K iterations as
+    * generated CTEs and must hash-match the top-20, something
+    * floating-point PageRank can never promise across engines. One
+    * shuffle per round, lineage truncated per round like connected
+    * components; the node-count scalar is the one driver value.
+    */
+  val PageRankIters = 4
+
+  /** The namespaced bidirectional customer↔supplier edge table q93 ranks
+    * over — shared with the plan-audit entry. Deliberately NOT
+    * deduplicated: one edge per lineitem relationship, so repeat business
+    * weights the walk (a customer ordering from a supplier across many
+    * orders confers more authority) — and the distinct's extra full
+    * shuffle of the edge table disappears.
+    */
+  private def q93Edges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+    pairs
+      .select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+  }
+
+  def q93SupplierRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = q93Edges(s, dir).persist()
+    try {
+      graft.northstar.GraphRank
+        .pageRank(edges, iterations = PageRankIters)
+        .filter(pmod(col("node"), lit(2)) === 1)
+        .select(expr("(node - 1) DIV 2").as("s_suppkey"), col("score"))
+        .orderBy(col("score").desc, col("s_suppkey").asc)
+        .limit(20)
+    } finally edges.unpersist()
   }
 
   /** Image channel statistics (q91): REAL PNG pixel decode — zlib
@@ -1573,6 +1637,7 @@ object NorthStarQueries {
     "q90_audio_frames" -> (q90AudioFrames _),
     "q91_png_pixels" -> (q91PngPixels _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
+    "q93_supplier_rank" -> (q93SupplierRank _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -2372,6 +2437,41 @@ object NorthStarQueries {
                   AS sum_frame_peaks
          FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
                 LEFT JOIN fagg ON w.doc_id = fagg.doc_id""",
+    // The K PageRank iterations replayed as GENERATED chained CTEs with
+    // the same integer multiply/floor-divide/sum the engine runs — exact,
+    // so the top-20 must hash-match (floating-point PageRank could never
+    // cross-engine-match bit-for-bit).
+    "q93_supplier_rank" -> {
+      val scale = 1000000000000L
+      val iters = (1 to PageRankIters).map { k =>
+        val prev = s"s${k - 1}"
+        s"""s$k AS (
+             SELECT e.dst AS node,
+                    ((15 * $scale) // (100 * nn.n))
+                      + sum((85 * p.score) // (100 * o.d)) AS score
+             FROM edges e
+                  JOIN $prev p ON p.node = e.src
+                  JOIN outd o ON o.src = e.src, nn
+             GROUP BY e.dst, nn.n)"""
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+            SELECT o_custkey AS c, l_suppkey AS sp
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          edges AS (
+            SELECT 2 * c AS src, 2 * sp + 1 AS dst FROM pairs
+            UNION ALL
+            SELECT 2 * sp + 1, 2 * c FROM pairs),
+          outd AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+          nn AS (SELECT count(*) AS n FROM outd),
+          s0 AS (SELECT src AS node, ($scale // nn.n) AS score
+                 FROM outd, nn),
+          $iters
+          SELECT (node - 1) // 2 AS s_suppkey, CAST(score AS BIGINT) AS score
+          FROM s$PageRankIters
+          WHERE node % 2 = 1
+          ORDER BY score DESC, s_suppkey
+          LIMIT 20"""
+    },
     // The engine must inflate REAL zlib bytes and unfilter scanlines to
     // reach these pixels; the oracle reaches them by pure arithmetic on
     // the closed form (pixel byte j = (doc_id + j*131) mod 256).
