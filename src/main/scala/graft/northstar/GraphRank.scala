@@ -15,27 +15,43 @@ import org.apache.spark.sql.functions._
   *   s_0(v)     = scale DIV n
   *   s_{k+1}(v) = (100-dampNum)·scale DIV (100·n)
   *              + Σ_{u→v} (dampNum · s_k(u)) DIV (100 · outdeg(u))
-  * Floor-division truncation loses mass (bounded by 1 per in-edge per
-  * round — immaterial at scale 10¹²) but is BIT-deterministic, which is
-  * the property an oracle-checked engine needs.
+  * for EVERY node v with an out-edge — a node nobody links to stays at
+  * the base teleport score and keeps feeding its neighbors, it does not
+  * vanish from the ranking. Floor-division truncation loses mass
+  * (bounded by 1 per in-edge per round — immaterial at scale 10¹²) but
+  * is BIT-deterministic, which is the property an oracle-checked engine
+  * needs.
   *
-  * Scale shape: one shuffle per iteration (join on src reuses the edge
-  * partitioning; the groupBy(dst) is the exchange), K iterations total —
-  * the same O(K) round structure as [[Dedup.connectedComponents]], with
-  * the same eager `localCheckpoint` per round so the plan does not nest
-  * K join-aggregates deep. Assumes every node has at least one out-edge
-  * (no dangling mass); callers with directed graphs add back-edges or
-  * self-loops first.
+  * Scale shape: K rounds, each a join of the edge table against the
+  * node-sized scores/out-degree frames plus one rollup exchange on dst.
+  * Rounds are `persist`ed, NOT checkpointed: K is small and bounded so
+  * plan depth is fine, and a cached relation KEEPS size statistics — so
+  * Catalyst broadcasts the node-sized sides instead of sort-merge-
+  * shuffling the edge table every round (the checkpointed variant loses
+  * stats and measured ~2× slower end-to-end at sf0.1). The caches are
+  * released by the harness's per-query `spark.catalog.clearCache()`
+  * (Verify/Bench); a long-lived session embedding this API should clear
+  * or unpersist likewise — K+1 node-sized relations ride per call.
+  * Assumes every node has at least one out-edge (no dangling mass);
+  * callers with directed graphs add back-edges or self-loops first.
   */
 object GraphRank {
 
+  /** Single-sourced defaults — the q93 DuckDB oracle and plan-audit
+    * entry interpolate THESE, so engine and oracle cannot desynchronize.
+    */
+  val DefaultScale: Long = 1000000000000L
+  val DefaultDamp: Int = 85
+
   /** `edges`: (src: long, dst: long), duplicates meaningful (parallel
     * edges weight the walk). Returns (node, score) after `iterations`
-    * rounds. The node count (the one driver scalar) comes free off the
-    * out-degree aggregate's materialization — no separate distinct pass.
+    * rounds — one row per node with an out-edge, including nodes that
+    * never receive a link. The node count (the one driver scalar) comes
+    * free off the out-degree aggregate's materialization — no separate
+    * distinct pass.
     */
   def pageRank(edges: DataFrame, iterations: Int,
-      scale: Long = 1000000000000L, dampNum: Int = 85): DataFrame = {
+      scale: Long = DefaultScale, dampNum: Int = DefaultDamp): DataFrame = {
     require(iterations >= 0 && dampNum >= 1 && dampNum <= 99)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .persist()
@@ -45,31 +61,31 @@ object GraphRank {
     var scores = outdeg.select(col("src").as("node"),
       lit(scale / nodeCount).as("score"))
     for (_ <- 1 to iterations) {
-      // persist, not localCheckpoint: K is small and bounded, so plan
-      // depth is fine, and the cached relation KEEPS size statistics —
-      // Catalyst then broadcasts the node-sized scores/outdeg sides
-      // instead of sort-merge-shuffling the edge table every round (a
-      // checkpointed round loses its stats and pessimizes to SMJ; at
-      // 6 rounds × sf0.1 that measured ~6× slower end-to-end)
       scores = round(edges, outdeg, scores, base, dampNum).persist()
     }
     scores
   }
 
   /** One PageRank round as a lazy plan — the repeated unit [[pageRank]]
-    * checkpoints per iteration. Public so the plan audit can census the
-    * per-round shape (the checkpointed end-to-end query shows none of
-    * it).
+    * persists per iteration. Public so the plan audit can census the
+    * per-round shape (the end-to-end query's final projection shows
+    * little of it). The left join against the out-degree node universe
+    * keeps zero-in-degree nodes alive at the base score — an inner
+    * rollup would silently drop them AND lose the mass they feed
+    * forward.
     */
   def round(edges: DataFrame, outdeg: DataFrame, scores: DataFrame,
-      base: Long, dampNum: Int): DataFrame =
-    edges
+      base: Long, dampNum: Int): DataFrame = {
+    val contribs = edges
       .join(scores, edges("src") === scores("node"))
       .join(outdeg, "src")
       .select(col("dst"),
         expr(s"(${dampNum}L * score) DIV (100L * d)").as("contrib"))
       .groupBy(col("dst"))
       .agg(sum(col("contrib")).as("contrib"))
-      .select(col("dst").as("node"),
-        (lit(base) + col("contrib")).as("score"))
+    outdeg.select(col("src").as("node"))
+      .join(contribs, col("node") === contribs("dst"), "left")
+      .select(col("node"),
+        (lit(base) + coalesce(col("contrib"), lit(0L))).as("score"))
+  }
 }

@@ -643,7 +643,7 @@ object NorthStarQueries {
       val s0 = outdeg.select(col("src").as("node"),
         lit(1000000L).as("score")).localCheckpoint()
       graft.northstar.GraphRank.round(edges, outdeg, s0, base = 1L,
-        dampNum = 85)
+        dampNum = graft.northstar.GraphRank.DefaultDamp)
     }))
 
   /** Markup → text extraction (q89): each document wrapped in the
@@ -731,7 +731,11 @@ object NorthStarQueries {
     import s.implicits._
     import graft.northstar.BpeLearn
     val docs = t(s, dir, "documents")
+    // persisted: the eager topVocab collect AND the lazy pieceTok stage
+    // both read it — unpersisted, the corpus scan + piece shuffle would
+    // run twice (the harness's per-query clearCache releases it)
     val vocabDf = BpeLearn.pieceCounts(docs, "text", BpePiecePattern)
+      .persist()
     val vocab = BpeLearn.topVocab(vocabDf, BpeVocabCap)
     val ranks = BpeLearn.learnMerges(vocab, BpeNumMerges)
       .map(m => ((m.left, m.right), m.rank)).toMap
@@ -760,9 +764,16 @@ object NorthStarQueries {
     * (multiply / floor-divide / sum), which makes a fixed-iteration
     * DuckDB replay EXACT — the oracle chains the same K iterations as
     * generated CTEs and must hash-match the top-20, something
-    * floating-point PageRank can never promise across engines. One
-    * shuffle per round, lineage truncated per round like connected
-    * components; the node-count scalar is the one driver value.
+    * floating-point PageRank can never promise across engines. The
+    * oracle interpolates [[graft.northstar.GraphRank]]'s single-sourced
+    * damp/scale constants, so engine and oracle cannot desynchronize.
+    * Per round: node-sized broadcast joins against the persisted edge
+    * table + one rollup exchange; the node-count scalar is the one
+    * driver value. The persisted edges/rounds are NOT unpersisted here —
+    * the returned frame is lazy, so unpersisting at construction would
+    * force every round to rebuild the edge join from source at execution
+    * time; the harness's per-query `spark.catalog.clearCache()` releases
+    * them (GraphRank's documented contract).
     */
   val PageRankIters = 4
 
@@ -785,17 +796,13 @@ object NorthStarQueries {
         .select((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
   }
 
-  def q93SupplierRank(s: SparkSession, dir: String): DataFrame = {
-    val edges = q93Edges(s, dir).persist()
-    try {
-      graft.northstar.GraphRank
-        .pageRank(edges, iterations = PageRankIters)
-        .filter(pmod(col("node"), lit(2)) === 1)
-        .select(expr("(node - 1) DIV 2").as("s_suppkey"), col("score"))
-        .orderBy(col("score").desc, col("s_suppkey").asc)
-        .limit(20)
-    } finally edges.unpersist()
-  }
+  def q93SupplierRank(s: SparkSession, dir: String): DataFrame =
+    graft.northstar.GraphRank
+      .pageRank(q93Edges(s, dir).persist(), iterations = PageRankIters)
+      .filter(pmod(col("node"), lit(2)) === 1)
+      .select(expr("(node - 1) DIV 2").as("s_suppkey"), col("score"))
+      .orderBy(col("score").desc, col("s_suppkey").asc)
+      .limit(20)
 
   /** Image channel statistics (q91): REAL PNG pixel decode — zlib
     * inflate of the IDAT stream + scanline unfilter
@@ -2442,13 +2449,15 @@ object NorthStarQueries {
     // so the top-20 must hash-match (floating-point PageRank could never
     // cross-engine-match bit-for-bit).
     "q93_supplier_rank" -> {
-      val scale = 1000000000000L
+      val scale = graft.northstar.GraphRank.DefaultScale
+      val damp = graft.northstar.GraphRank.DefaultDamp
+      val tele = 100 - damp
       val iters = (1 to PageRankIters).map { k =>
         val prev = s"s${k - 1}"
         s"""s$k AS (
              SELECT e.dst AS node,
-                    ((15 * $scale) // (100 * nn.n))
-                      + sum((85 * p.score) // (100 * o.d)) AS score
+                    (($tele * $scale) // (100 * nn.n))
+                      + sum(($damp * p.score) // (100 * o.d)) AS score
              FROM edges e
                   JOIN $prev p ON p.node = e.src
                   JOIN outd o ON o.src = e.src, nn

@@ -404,6 +404,25 @@ object Accuracy {
     out.result()
   }
 
+  /** Documents' text collected once per audit dir — q88 and q92 both
+    * consume it (the collect is the audit tier's bounded brute force).
+    */
+  private val textsCache =
+    scala.collection.mutable.HashMap.empty[String, Seq[String]]
+  private def docTexts(spark: SparkSession, dir: String): Seq[String] =
+    textsCache.getOrElseUpdate(dir,
+      Tables.read(spark, dir, "documents")
+        .select(col("text")).collect().map(_.getString(0)).toSeq)
+
+  /** [[refMerges]] memoized per dir — q88 checks the learned sequence,
+    * q92 tokenizes with it; the 64-round reference loop runs once.
+    */
+  private val refMergesCache =
+    scala.collection.mutable.HashMap.empty[String, Vector[(String, String)]]
+  private def refMergesFor(spark: SparkSession,
+      dir: String): Vector[(String, String)] =
+    refMergesCache.getOrElseUpdate(dir, refMerges(docTexts(spark, dir)))
+
   /** The independent reference merge LEARN shared by the q88/q92 gates
     * (immutable lists, groupMapReduce counting, explicit UTF-8-byte cap
     * tiebreak — none of BpeLearn's representations).
@@ -448,10 +467,18 @@ object Accuracy {
         val best =
           pairCounts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
         ref += best
-        def rewrite(syms: List[String]): List[String] = syms match {
-          case a :: b :: rest if (a, b) == best => (a + b) :: rewrite(rest)
-          case a :: rest => a :: rewrite(rest)
-          case Nil => Nil
+        // iterative, not recursive: a pathological single piece (one
+        // unbroken 50k-char run) would blow the stack otherwise
+        def rewrite(syms: List[String]): List[String] = {
+          val out = List.newBuilder[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case a :: b :: tail if (a, b) == best =>
+              out += a + b; rest = tail
+            case a :: tail => out += a; rest = tail
+            case Nil =>
+          }
+          out.result()
         }
         words = words.map { case (syms, c) => (rewrite(syms), c) }
         k += 1
@@ -461,9 +488,7 @@ object Accuracy {
   }
 
   def q88Gates(spark: SparkSession, dir: String): Seq[Gate] = {
-    val texts = Tables.read(spark, dir, "documents")
-      .select(col("text")).collect().map(_.getString(0)).toSeq
-    val expected = refMerges(texts)
+    val expected = refMergesFor(spark, dir)
     val got = graft.SparkEntry.queries("q88_bpe_learn")(spark, dir)
       .orderBy(col("rank")).select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toVector
@@ -488,23 +513,30 @@ object Accuracy {
     val docs = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val ranks = refMerges(docs.map(_._2).toSeq).zipWithIndex.toMap
+    val ranks = refMergesFor(spark, dir).zipWithIndex.toMap
+    // iterative throughout — a pathological single-run piece must not
+    // blow the stack (the engine side is array loops for the same reason)
     def applyRef(piece: String): List[String] = {
-      def step(syms: List[String]): List[String] = {
+      var syms: List[String] = piece.codePoints().toArray.toList
+        .map(cp => new String(Character.toChars(cp)))
+      var done = false
+      while (!done) {
         val known = syms.zip(syms.drop(1)).filter(ranks.contains)
-        if (known.isEmpty) syms
+        if (known.isEmpty) done = true
         else {
           val best = known.minBy(ranks)
-          def go(l: List[String]): List[String] = l match {
-            case a :: b :: rest if (a, b) == best => (a + b) :: go(rest)
-            case a :: rest => a :: go(rest)
-            case Nil => Nil
+          val out = List.newBuilder[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case a :: b :: tail if (a, b) == best =>
+              out += a + b; rest = tail
+            case a :: tail => out += a; rest = tail
+            case Nil =>
           }
-          step(go(syms))
+          syms = out.result()
         }
       }
-      step(piece.codePoints().toArray.toList
-        .map(cp => new String(Character.toChars(cp))))
+      syms
     }
     val expected = docs.flatMap { case (id, text) =>
       val pieces = refPieces(text)

@@ -32,6 +32,19 @@ class GraphRankSpec extends AnyFunSuite {
     assert(rank(edges, 2, 300L) === Map(1L -> 111L, 2L -> 93L, 3L -> 93L))
   }
 
+  test("zero-in-degree nodes stay at base and keep feeding neighbors") {
+    // node 1 links out but nobody links to it: it must stay in the
+    // ranking at the base teleport score and its mass must reach node 2
+    // every round — an inner rollup would drop it after round 1
+    // n=3, scale 300, base 15; outdeg all 1; s0 = 100 each
+    // iter1: s(1)=15, s(2)=15+85[from 1]+85[from 3]=185, s(3)=15+85=100
+    // iter2: s(1)=15, s(2)=15+(85·15)//100+(85·100)//100=12+85+15=112,
+    //        s(3)=15+(85·185)//100=15+157=172
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L))
+    assert(rank(edges, 1, 300L) === Map(1L -> 15L, 2L -> 185L, 3L -> 100L))
+    assert(rank(edges, 2, 300L) === Map(1L -> 15L, 2L -> 112L, 3L -> 172L))
+  }
+
   test("mass is conserved up to floor loss: total in (scale - edges, scale]") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 2L),
       (2L, 1L))
