@@ -754,6 +754,36 @@ object NorthStarQueries {
         sum(col("piece_tokens")).cast("long").as("n_tokens"))
   }
 
+  /** Leakage-free train/val/test split (q94): the split key is the
+    * near-dup CLUSTER, not the document — so two near-duplicate
+    * documents can never land in different splits, the train/test
+    * contamination that per-doc hashing (q41) cannot rule out and that
+    * inflates eval scores on real corpora. Composition: q24's exact
+    * near-dup pairs → connected components (cluster = min doc_id;
+    * unpaired docs are their own singleton cluster) → q41's
+    * deterministic Knuth-hash split applied to the CLUSTER id → per-split
+    * cluster/doc/token rollup. Scale shape: the component labels are
+    * duplicates-sized ≪ corpus, so the corpus side takes a BROADCAST
+    * left join (the [[Dedup.dropNearDuplicates]] rationale) — no corpus
+    * shuffle beyond the final rollup. The oracle recomputes the full
+    * closure (recursive CTE) plus the same generated split CASE, so
+    * clustering, hashing, and rollup are all hash-checked together.
+    */
+  def q94LeakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.connectedComponents(q24MinhashNearDups(s, dir))
+      .select(col("id").as("doc_id"), col("comp"))
+    t(s, dir, "documents")
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("cl", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split",
+        Sampling.splitLabel(Sampling.modKey(col("cl"), seed = 7L),
+          SplitWeights))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("cl")).as("n_clusters"),
+        count(lit(1)).as("docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+  }
+
   /** Integer PageRank (q93): graph-authority ranking of suppliers over
     * the customer↔supplier interaction graph — the crawl-curation shape
     * (CommonCrawl-style centrality feeding quality-weighted sampling).
@@ -1645,6 +1675,7 @@ object NorthStarQueries {
     "q91_png_pixels" -> (q91PngPixels _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
+    "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -2444,6 +2475,39 @@ object NorthStarQueries {
                   AS sum_frame_peaks
          FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
                 LEFT JOIN fagg ON w.doc_id = fagg.doc_id""",
+    // Full closure (recursive CTE) + the SAME generated split CASE as
+    // q41's oracle, keyed on the cluster — clustering, hashing, and
+    // rollup hash-checked as one computation.
+    "q94_leakage_free_split" -> {
+      val keySql = s"(cl * ${Sampling.Knuth} + 7) % ${Sampling.Modulus}"
+      val bounds = Sampling.splitBounds(SplitWeights)
+      val cases = bounds.init
+        .map { case (l, u) => s"WHEN $keySql < $u THEN '$l'" }
+        .mkString(" ")
+      s"""WITH RECURSIVE ${ngramPairCtes(None)},
+          pairs AS (
+            SELECT id_a, id_b FROM shared
+            WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5),
+          bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS id FROM bidir),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT bidir.dst, reach.r
+            FROM reach JOIN bidir ON reach.id = bidir.src),
+          comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+          doccl AS (
+            SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cl,
+                   len($tokensSql) AS n
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+          labeled AS (
+            SELECT CASE $cases ELSE '${bounds.last._1}' END AS split, cl, n
+            FROM doccl)
+          SELECT split, count(DISTINCT cl) AS n_clusters,
+                 count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens
+          FROM labeled GROUP BY 1"""
+    },
     // The K PageRank iterations replayed as GENERATED chained CTEs with
     // the same integer multiply/floor-divide/sum the engine runs — exact,
     // so the top-20 must hash-match (floating-point PageRank could never

@@ -119,4 +119,38 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 5L))
   }
+
+  test("q94's leakage guarantee holds end-to-end: near-dup pairs never " +
+      "straddle splits, and totals reconcile with q41's per-doc split") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.NorthStarQueries
+    import graft.northstar.{Dedup, Sampling}
+    val spark2 = TestSpark.spark
+    val dir = "/root/testdata/sf0.01"
+    val pairs = NorthStarQueries.q24MinhashNearDups(spark2, dir)
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+    val assigned = graft.io.Tables.read(spark2, dir, "documents")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cl", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split", Sampling.splitLabel(
+        Sampling.modKey(col("cl"), seed = 7L),
+        NorthStarQueries.SplitWeights))
+      .select(col("doc_id"), col("split"))
+    // every near-dup pair lands in ONE split — the guarantee per-doc
+    // hashing can't give
+    val straddling = pairs
+      .join(assigned.select(col("doc_id").as("id_a"),
+        col("split").as("sa")), "id_a")
+      .join(assigned.select(col("doc_id").as("id_b"),
+        col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling === 0L)
+    assert(pairs.count() > 0, "vacuous without near-dup pairs")
+    // and the q94 rollup's doc totals cover the whole corpus exactly
+    val rolled = NorthStarQueries.q94LeakageFreeSplit(spark2, dir)
+      .agg(sum("docs")).collect()(0).getLong(0)
+    assert(rolled ===
+      graft.io.Tables.read(spark2, dir, "documents").count())
+  }
 }
