@@ -43,25 +43,35 @@ object GraphRank {
   val DefaultScale: Long = 1000000000000L
   val DefaultDamp: Int = 85
 
-  /** `edges`: (src: long, dst: long), duplicates meaningful (parallel
-    * edges weight the walk). Returns (node, score) after `iterations`
-    * rounds — one row per node with an out-edge, including nodes that
-    * never receive a link. The node count (the one driver scalar) comes
-    * free off the out-degree aggregate's materialization — no separate
+  /** `edges`: (src: long, dst: long) with an OPTIONAL `w` long column —
+    * a weighted edge (src, dst, w) is exactly equivalent to w parallel
+    * copies (each copy contributes the identical floor term, so
+    * multiplying is bit-exact), at 1/w the per-round edge volume; callers
+    * with heavy parallel-edge multiplicity should pre-aggregate to the
+    * weighted form. Without `w`, duplicates still weight the walk (each
+    * row counts once). Returns (node, score) after `iterations` rounds —
+    * one row per node with an out-edge, including nodes that never
+    * receive a link. The node count (the one driver scalar) comes free
+    * off the out-degree aggregate's materialization — no separate
     * distinct pass.
     */
   def pageRank(edges: DataFrame, iterations: Int,
-      scale: Long = DefaultScale, dampNum: Int = DefaultDamp): DataFrame = {
+      scale: Long = DefaultScale, dampNum: Int = DefaultDamp,
+      allNodesReceive: Boolean = false): DataFrame = {
     require(iterations >= 0 && dampNum >= 1 && dampNum <= 99)
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .persist()
+    val weighted =
+      if (edges.columns.contains("w")) edges
+      else edges.withColumn("w", lit(1L))
+    val outdeg = weighted.groupBy(col("src"))
+      .agg(sum(col("w")).as("d")).persist()
     val nodeCount = outdeg.count()
     require(nodeCount > 0, "pageRank: empty graph")
     val base = ((100L - dampNum) * scale) / (100L * nodeCount)
     var scores = outdeg.select(col("src").as("node"),
       lit(scale / nodeCount).as("score"))
     for (_ <- 1 to iterations) {
-      scores = round(edges, outdeg, scores, base, dampNum).persist()
+      scores = round(weighted, outdeg, scores, base, dampNum,
+        allNodesReceive).persist()
     }
     scores
   }
@@ -69,23 +79,35 @@ object GraphRank {
   /** One PageRank round as a lazy plan — the repeated unit [[pageRank]]
     * persists per iteration. Public so the plan audit can census the
     * per-round shape (the end-to-end query's final projection shows
-    * little of it). The left join against the out-degree node universe
-    * keeps zero-in-degree nodes alive at the base score — an inner
-    * rollup would silently drop them AND lose the mass they feed
-    * forward.
+    * little of it). By default the contributions are left-joined against
+    * the out-degree node universe: zero-in-degree nodes stay alive at
+    * the base score — an inner rollup would silently drop them AND lose
+    * the mass they feed forward. `allNodesReceive = true` skips that
+    * universe join (one fewer node-sized join per round) — ONLY valid
+    * when the caller guarantees every node has an in-edge, e.g. a
+    * structurally bidirectional edge table (a spec pins both paths equal
+    * there).
     */
   def round(edges: DataFrame, outdeg: DataFrame, scores: DataFrame,
-      base: Long, dampNum: Int): DataFrame = {
-    val contribs = edges
-      .join(scores, edges("src") === scores("node"))
+      base: Long, dampNum: Int,
+      allNodesReceive: Boolean = false): DataFrame = {
+    val weighted =
+      if (edges.columns.contains("w")) edges
+      else edges.withColumn("w", lit(1L))
+    val contribs = weighted
+      .join(scores, weighted("src") === scores("node"))
       .join(outdeg, "src")
       .select(col("dst"),
-        expr(s"(${dampNum}L * score) DIV (100L * d)").as("contrib"))
+        expr(s"w * ((${dampNum}L * score) DIV (100L * d))").as("contrib"))
       .groupBy(col("dst"))
       .agg(sum(col("contrib")).as("contrib"))
-    outdeg.select(col("src").as("node"))
-      .join(contribs, col("node") === contribs("dst"), "left")
-      .select(col("node"),
-        (lit(base) + coalesce(col("contrib"), lit(0L))).as("score"))
+    if (allNodesReceive)
+      contribs.select(col("dst").as("node"),
+        (lit(base) + col("contrib")).as("score"))
+    else
+      outdeg.select(col("src").as("node"))
+        .join(contribs, col("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("contrib"), lit(0L))).as("score"))
   }
 }

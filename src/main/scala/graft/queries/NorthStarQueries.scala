@@ -815,20 +815,33 @@ object NorthStarQueries {
     * shuffle of the edge table disappears.
     */
   private def q93Edges(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "orders")
+    // weighted compression: (c, s, multiplicity) — one weighted edge is
+    // bit-exactly w parallel copies (each copy contributes the identical
+    // floor term), at a fraction of the per-round edge volume
+    // raw per-lineitem edges, NOT pre-aggregated to GraphRank's weighted
+    // form: this corpus has ~2% parallel-edge multiplicity, so the
+    // compression would not pay for its aggregation shuffle (measured) —
+    // a corpus with heavy repeat relationships would flip that trade and
+    // pass (src, dst, w) instead. Both directions via explode off ONE
+    // pass — a self-union would re-execute the join once per branch.
+    t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-    pairs
-      .select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
-      .unionByName(pairs
-        .select((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .select(explode(array(
+        struct((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst")),
+        struct((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   def q93SupplierRank(s: SparkSession, dir: String): DataFrame =
     graft.northstar.GraphRank
-      .pageRank(q93Edges(s, dir).persist(), iterations = PageRankIters)
+      .pageRank(q93Edges(s, dir).persist(), iterations = PageRankIters,
+        // the edge table is structurally bidirectional — every node has
+        // an in-edge, so the universe join is provably redundant here
+        allNodesReceive = true)
       .filter(pmod(col("node"), lit(2)) === 1)
       .select(expr("(node - 1) DIV 2").as("s_suppkey"), col("score"))
       .orderBy(col("score").desc, col("s_suppkey").asc)

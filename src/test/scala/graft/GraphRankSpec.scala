@@ -56,6 +56,32 @@ class GraphRankSpec extends AnyFunSuite {
     assert(total > 1000000000000L - 5L * (edges.size + 300))
   }
 
+  test("allNodesReceive fast path equals the universe-join path on a " +
+      "bidirectional graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L))
+    val slow = rank(edges, 3, 1000000000000L)
+    val fast = GraphRank.pageRank(edges.toDF("src", "dst"), 3,
+        1000000000000L, allNodesReceive = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slow === fast)
+  }
+
+  test("a weighted edge is bit-exactly its parallel-copy expansion") {
+    import spark.implicits._
+    val expanded = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L),
+      (3L, 1L), (3L, 1L))
+    val weighted = expanded.groupBy(identity).map { case (e, xs) =>
+      (e._1, e._2, xs.size.toLong)
+    }.toSeq
+    val a = rank(expanded, 3, 1000000000000L)
+    val b = GraphRank.pageRank(weighted.toDF("src", "dst", "w"), 3,
+        1000000000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("more in-links rank higher: a hub out-scores leaves") {
     // leaves 2..5 all link to 1 and back
     val edges = (2L to 5L).flatMap(v => Seq((v, 1L), (1L, v)))
