@@ -106,6 +106,9 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
 
   private def pointer = Paths.get(path, "_current")
 
+  /** Per-version committed-schema sidecar (see [[storedSchema]]). */
+  private val SchemaFile = "_schema.json"
+
   def exists: Boolean = Files.exists(pointer)
 
   private def currentVersion: Option[String] =
@@ -120,7 +123,32 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     s"$path/$v"
   }
 
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(currentPath)
+  /** The version's committed schema, stored as `_schema.json` at write
+    * time — the Delta/Iceberg shape: schema lives in commit METADATA,
+    * not parquet footers. Two things depend on it: (1) O(1) schema
+    * resolution — no footer sampling at 100 TB; (2) correctness under
+    * SCHEMA EVOLUTION — an [[appendVersion]] whose delta carries a new
+    * column produces a version dir with two file schemas, where footer
+    * inference would nondeterministically pick one and could silently
+    * DROP the new column. Absent for pre-evolution tables → footer
+    * inference fallback.
+    */
+  private def storedSchema(
+      versionDir: java.nio.file.Path): Option[org.apache.spark.sql.types.StructType] = {
+    val f = versionDir.resolve(SchemaFile)
+    if (Files.exists(f))
+      Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else None
+  }
+
+  private def readDir(spark: SparkSession, dir: String): DataFrame =
+    storedSchema(Paths.get(dir)) match {
+      case Some(st) => spark.read.schema(st).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+
+  def read(spark: SparkSession): DataFrame = readDir(spark, currentPath)
 
   /** S2: create the table from `df` if absent; no-op when it exists. */
   def createIfNotExists(df: DataFrame): ParquetTable = {
@@ -226,6 +254,8 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       if (!hasData)
         df.limit(0).coalesce(1).write.mode("append").parquet(verDir.toString)
     }
+    // commit the schema as version metadata (see storedSchema)
+    Files.writeString(Paths.get(path, next, SchemaFile), df.schema.json)
   }
 
   private def swapPointer(next: String): Unit = {
@@ -293,6 +323,30 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           }
         }
       finally walk.close()
+      // SCHEMA EVOLUTION: the new version's committed schema is the base
+      // schema plus any columns the delta introduced (appended, Delta's
+      // mergeSchema shape); common columns must agree on type — no
+      // implicit widening, fail loudly like Delta without an explicit
+      // evolution request. The link walk hard-linked the BASE version's
+      // _schema.json; writing through that name would corrupt the shared
+      // inode (and the base version's history with it) — unlink first,
+      // then write the evolved schema fresh.
+      val baseSchema = storedSchema(prevDir)
+        .getOrElse(readDir(df.sparkSession, prevDir.toString).schema)
+      df.schema.fields.foreach { f =>
+        baseSchema.find(_.name == f.name).foreach { b =>
+          require(b.dataType == f.dataType,
+            s"appendVersion: column ${f.name} type ${f.dataType} " +
+              s"conflicts with committed ${b.dataType} — evolve types " +
+              "explicitly (rewrite), not via append")
+        }
+      }
+      val evolved = org.apache.spark.sql.types.StructType(
+        baseSchema.fields ++
+          df.schema.fields.filterNot(f =>
+            baseSchema.exists(_.name == f.name)))
+      Files.deleteIfExists(nextDir.resolve(SchemaFile))
+      Files.writeString(nextDir.resolve(SchemaFile), evolved.json)
       ParquetTable.withCommitLock(path) {
         // an append's delta was computed against baseV's lists — a
         // concurrent commit in between would be silently dropped by the
@@ -321,7 +375,7 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   def readVersion(spark: SparkSession, v: Int): DataFrame = {
     val dir = Paths.get(path, f"v_$v%05d")
     require(Files.exists(dir), s"version $v of $path does not exist (vacuumed?)")
-    spark.read.parquet(dir.toString)
+    readDir(spark, dir.toString)
   }
 
   /** Change-data-feed emulation between two retained versions, with
@@ -336,10 +390,21 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     */
   def changesBetween(spark: SparkSession, fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val cols = readVersion(spark, fromV).columns.toIndexedSeq
-    val f = readVersion(spark, fromV).groupBy(cols.map(col): _*)
+    // align both sides on the TO version's schema (Delta's convention for
+    // CDF across schema evolution): columns the old version lacks read as
+    // NULL there, so a pure column-add changes nothing unless values do;
+    // columns dropped by toV are outside the diff
+    val to = readVersion(spark, toV)
+    val cols = to.columns.toIndexedSeq
+    val from0 = readVersion(spark, fromV)
+    val fromAligned = cols
+      .foldLeft(from0)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(to.schema(c).dataType)))
+      .select(cols.map(col): _*)
+    val f = fromAligned.groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("__n_from"))
-    val t0 = readVersion(spark, toV).groupBy(cols.map(col): _*)
+    val t0 = to.groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("__n_to"))
     val t = cols.foldLeft(t0)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
     val cond = cols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)

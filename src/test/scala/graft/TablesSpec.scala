@@ -207,4 +207,33 @@ class TablesSpec extends AnyFunSuite {
       Seq(1L, "x", "delete"), Seq(1L, "x", "delete"),
       Seq(2L, "y", "delete"), Seq(2L, "y", "delete")))
   }
+
+  test("schema evolution: an appended column reads as null on old rows, " +
+      "time travel keeps old schemas, history is not corrupted") {
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/evo")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.appendVersion(Seq((3L, "c", 30)).toDF("id", "v", "score"))
+    // live read: evolved schema, base rows null-filled, DETERMINISTIC —
+    // footer inference over the mixed-schema version dir could pick a
+    // base file and silently drop `score`
+    val live = t.read(spark)
+    assert(live.columns.toSeq === Seq("id", "v", "score"))
+    TestSpark.assertSameRows(live, Seq(
+      Seq(1L, "a", null), Seq(2L, "b", null), Seq(3L, "c", 30)))
+    // time travel: v1 keeps its own committed 2-column schema (the
+    // evolved rewrite must not have mutated the hard-link-shared sidecar)
+    val v1 = t.readVersion(spark, 1)
+    assert(v1.columns.toSeq === Seq("id", "v"))
+    TestSpark.assertSameRows(v1, Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // CDF across the evolution, aligned on the new schema: the column
+    // add alone changes nothing — only the genuinely new row surfaces
+    TestSpark.assertSameRows(t.changesBetween(spark, 1, 2),
+      Seq(Seq(3L, "c", 30, "insert")))
+    // type conflicts refuse loudly instead of silently coercing
+    val err = intercept[IllegalArgumentException] {
+      t.appendVersion(Seq(("oops", "d")).toDF("id", "v"))
+    }
+    assert(err.getMessage.contains("conflicts"))
+  }
 }
