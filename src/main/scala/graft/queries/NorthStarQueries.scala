@@ -754,6 +754,36 @@ object NorthStarQueries {
         sum(col("piece_tokens")).cast("long").as("n_tokens"))
   }
 
+  /** Schema evolution (q95): drive a REAL evolved commit — v1 without
+    * the priority column, an [[graft.io.ParquetTable.appendVersion]]
+    * whose delta carries it — then read the live table back through the
+    * committed evolved schema and roll up per (status, priority). The
+    * oracle recomputes the union with v1's priority as NULL, so the
+    * schema-first read must null-fill base rows EXACTLY (footer
+    * inference over the mixed-schema version dir could silently drop the
+    * column — the failure this machinery exists to prevent). Same
+    * single-process scratch contract as q87.
+    */
+  def q95SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val base = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val delta = orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+    val p = scratch("schevo", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString)
+    tbl.overwrite(base)
+    tbl.appendVersion(delta)
+    tbl.read(s)
+      .groupBy(col("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+          .as("priority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"))
+  }
+
   /** Leakage-free train/val/test split (q94): the split key is the
     * near-dup CLUSTER, not the document — so two near-duplicate
     * documents can never land in different splits, the train/test
@@ -1689,6 +1719,7 @@ object NorthStarQueries {
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
+    "q95_schema_evolution" -> (q95SchemaEvolution _),
   )
 
   /** Whitespace + canonical-text SQL snippets, interpolated into every
@@ -2488,6 +2519,24 @@ object NorthStarQueries {
                   AS sum_frame_peaks
          FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
                 LEFT JOIN fagg ON w.doc_id = fagg.doc_id""",
+    // The evolved union recomputed directly: v1 rows carry NULL priority,
+    // so the engine's schema-first null-fill of pre-evolution rows must
+    // reproduce this EXACTLY — a dropped or mis-filled column breaks the
+    // hash.
+    "q95_schema_evolution" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(NULL AS VARCHAR) AS o_orderpriority
+           FROM orders WHERE o_orderkey % 3 = 0),
+         d AS (
+           SELECT o_orderkey, o_orderstatus, o_orderpriority
+           FROM orders WHERE o_orderkey % 3 = 1),
+         u AS (SELECT * FROM v1 UNION ALL SELECT * FROM d)
+         SELECT o_orderstatus,
+                coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+                count(*) AS n_rows,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM u GROUP BY 1, 2""",
     // Full closure (recursive CTE) + the SAME generated split CASE as
     // q41's oracle, keyed on the cluster — clustering, hashing, and
     // rollup hash-checked as one computation.
