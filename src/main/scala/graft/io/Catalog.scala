@@ -67,8 +67,6 @@ object Catalog {
     def qid(s: String): String = "`" + s.replace("`", "``") + "`"
     val loc = table.currentPath.replace("\\", "\\\\").replace("'", "\\'")
     spark.sql(s"DROP TABLE IF EXISTS ${qid(database)}.${qid(name)}")
-    spark.sql(s"CREATE TABLE ${qid(database)}.${qid(name)} USING parquet " +
-      s"LOCATION '$loc'")
     // Recover partitions ONLY when the live version actually has the
     // hive-style `col=value` layout on disk. The declared partitionColumns
     // are deliberately NOT consulted: an empty partitioned write falls back
@@ -78,6 +76,26 @@ object Catalog {
       .listDir(java.nio.file.Paths.get(table.currentPath))
       .exists(p => java.nio.file.Files.isDirectory(p) &&
         p.getFileName.toString.contains("="))
+    // Declare the COMMITTED schema when the table carries one: footer
+    // inference over a schema-evolved version dir (mixed file schemas)
+    // could sample a pre-evolution file and silently drop the appended
+    // column from every spark.table() read — the exact failure the
+    // _schema.json sidecar exists to prevent; the catalog seam must not
+    // reintroduce it. CAVEAT: an explicit schema needs an explicit
+    // PARTITIONED BY for hive-layout locations (otherwise the entry
+    // registers unpartitioned and recoverPartitions throws), so a
+    // partitioned layout whose ParquetTable handle does not DECLARE its
+    // partition columns keeps the legacy inference path — inference
+    // derives both schema and partitioning from the layout.
+    val schemaDdl = table.liveSchema
+      .filter(_ => !partitioned || table.partitionColumns.nonEmpty)
+      .map(st => s" (${st.toDDL})").getOrElse("")
+    val partClause =
+      if (partitioned && schemaDdl.nonEmpty)
+        s" PARTITIONED BY (${table.partitionColumns.map(qid).mkString(", ")})"
+      else ""
+    spark.sql(s"CREATE TABLE ${qid(database)}.${qid(name)}$schemaDdl " +
+      s"USING parquet$partClause LOCATION '$loc'")
     if (partitioned)
       spark.catalog.recoverPartitions(s"`$database`.`$name`")
   }

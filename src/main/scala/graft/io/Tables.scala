@@ -38,17 +38,21 @@ object Tables {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(TimestampNTZType) | Some(TimestampType) =>
+      case Some(dt @ (TimestampNTZType | TimestampType)) =>
         // The NTZ→instant cast below reads the SESSION time zone; the
         // "NTZ wall clock IS the instant" contract above only holds under
         // UTC. Every pinned entry point sets UTC, but Tables.read is a
         // general API — fail loudly rather than silently shifting every
-        // ts by the caller's zone offset.
-        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
-          s"Tables.read normalizes timestamp 'ts' columns assuming a UTC " +
-            s"session (spark.sql.session.timeZone=$tz); set UTC on the " +
-            s"session before reading timestamp-typed tables")
+        // ts by the caller's zone offset. TimestampType (instant
+        // semantics) is zone-INDEPENDENT here — the cast is a no-op and
+        // unix_micros reads the instant — so only the NTZ arm guards.
+        if (dt == TimestampNTZType) {
+          val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+            s"Tables.read normalizes TIMESTAMP_NTZ 'ts' columns assuming " +
+              s"a UTC session (spark.sql.session.timeZone=$tz); set UTC " +
+              "on the session before reading NTZ-timestamp tables")
+        }
         df.withColumn("ts",
           unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case _ => df
@@ -109,6 +113,9 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   /** Per-version committed-schema sidecar (see [[storedSchema]]). */
   private val SchemaFile = "_schema.json"
 
+  /** In-flight reservation marker (see [[reserveNextDir]]/[[vacuum]]). */
+  private val StagingMarker = "_staging"
+
   def exists: Boolean = Files.exists(pointer)
 
   private def currentVersion: Option[String] =
@@ -149,6 +156,13 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     }
 
   def read(spark: SparkSession): DataFrame = readDir(spark, currentPath)
+
+  /** The live version's COMMITTED schema, if this table has sidecars —
+    * what schema-aware consumers (catalog registration) should declare
+    * instead of re-inferring from footers.
+    */
+  def liveSchema: Option[org.apache.spark.sql.types.StructType] =
+    storedSchema(Paths.get(currentPath))
 
   /** S2: create the table from `df` if absent; no-op when it exists. */
   def createIfNotExists(df: DataFrame): ParquetTable = {
@@ -205,6 +219,14 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       .map(_.drop(2).toInt).maxOption.getOrElse(0) + 1
     val name = f"v_$n%05d"
     Files.createDirectory(Paths.get(path, name))
+    // staging marker: vacuum must never collect an IN-FLIGHT reservation.
+    // "reserved numbers exceed the live version" is not an invariant once
+    // a LATER reservation commits first (live passes the in-flight
+    // number) — the marker, removed under the commit lock just before the
+    // pointer swap, is what actually distinguishes staging from
+    // superseded. A hard-killed writer's marked orphan survives vacuum
+    // (safe-by-default); the in-process failure path still deletes it.
+    Files.writeString(Paths.get(path, name, StagingMarker), "")
     name
   }
 
@@ -259,6 +281,9 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   }
 
   private def swapPointer(next: String): Unit = {
+    // the version is complete — clear its staging marker (always called
+    // under the commit lock) so vacuum can treat it as a normal version
+    Files.deleteIfExists(Paths.get(path, next, StagingMarker))
     val tmp = Paths.get(path, "_current.tmp")
     Files.writeString(tmp, next)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
@@ -282,6 +307,29 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   def appendVersion(df: DataFrame): ParquetTable = {
     val baseV = version // throws if absent — append needs a base
     val prevDir = Paths.get(currentPath)
+    // SCHEMA EVOLUTION, validated BEFORE any I/O: the new version's
+    // committed schema is the base schema plus any columns the delta
+    // introduced (appended, Delta's mergeSchema shape). Common columns —
+    // matched case-INSENSITIVELY, Spark's default resolution, so a
+    // case-variant name cannot commit a duplicate column that bricks
+    // reads — must agree on type: no implicit widening, fail loudly like
+    // Delta without an explicit evolution request (and fail in
+    // milliseconds, not after the delta write + link walk).
+    val baseSchema = storedSchema(prevDir)
+      .getOrElse(readDir(df.sparkSession, prevDir.toString).schema)
+    def sameName(a: String, b: String) = a.equalsIgnoreCase(b)
+    df.schema.fields.foreach { f =>
+      baseSchema.find(b => sameName(b.name, f.name)).foreach { b =>
+        require(b.dataType == f.dataType && b.name == f.name,
+          s"appendVersion: column ${f.name} (${f.dataType}) conflicts " +
+            s"with committed ${b.name} (${b.dataType}) — evolve types or " +
+            "case explicitly (rewrite), not via append")
+      }
+    }
+    val evolved = org.apache.spark.sql.types.StructType(
+      baseSchema.fields ++
+        df.schema.fields.filterNot(f =>
+          baseSchema.exists(b => sameName(b.name, f.name))))
     val next = ParquetTable.withCommitLock(path) {
       // fail a known-stale append BEFORE the delta write + link walk, not
       // just at swap time — commitNew's fail-fast shape
@@ -302,8 +350,18 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           // skip job markers and Hadoop's hidden .crc checksum siblings: a
           // checksum file must be named .<file>.crc to pair with its data
           // file, so one that needed collision-renaming would be useless —
-          // and Hadoop skips verification when the .crc is simply absent
-          Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".")
+          // and Hadoop skips verification when the .crc is simply absent.
+          // For PARTITIONED tables additionally skip root-level parquet:
+          // the only legitimate root parquet in a partitioned version is
+          // the empty-write schema-only fallback (writeVersion), and
+          // linking it next to the delta's col=value dirs would mix
+          // directory depths — Spark's partition discovery then refuses
+          // the whole version ("conflicting directory structures"). Its
+          // schema role is carried by _schema.json.
+          val flatFallback = partitionColumns.nonEmpty &&
+            p.getParent == prevDir && n.endsWith(".parquet")
+          Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".") &&
+            !flatFallback
         }
         .foreach { p =>
           val rel = prevDir.relativize(p)
@@ -323,28 +381,10 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           }
         }
       finally walk.close()
-      // SCHEMA EVOLUTION: the new version's committed schema is the base
-      // schema plus any columns the delta introduced (appended, Delta's
-      // mergeSchema shape); common columns must agree on type — no
-      // implicit widening, fail loudly like Delta without an explicit
-      // evolution request. The link walk hard-linked the BASE version's
-      // _schema.json; writing through that name would corrupt the shared
-      // inode (and the base version's history with it) — unlink first,
-      // then write the evolved schema fresh.
-      val baseSchema = storedSchema(prevDir)
-        .getOrElse(readDir(df.sparkSession, prevDir.toString).schema)
-      df.schema.fields.foreach { f =>
-        baseSchema.find(_.name == f.name).foreach { b =>
-          require(b.dataType == f.dataType,
-            s"appendVersion: column ${f.name} type ${f.dataType} " +
-              s"conflicts with committed ${b.dataType} — evolve types " +
-              "explicitly (rewrite), not via append")
-        }
-      }
-      val evolved = org.apache.spark.sql.types.StructType(
-        baseSchema.fields ++
-          df.schema.fields.filterNot(f =>
-            baseSchema.exists(_.name == f.name)))
+      // The link walk hard-linked the BASE version's _schema.json;
+      // writing through that name would corrupt the shared inode (and
+      // the base version's history with it) — unlink first, then write
+      // the evolved schema (validated pre-I/O above) fresh.
       Files.deleteIfExists(nextDir.resolve(SchemaFile))
       Files.writeString(nextDir.resolve(SchemaFile), evolved.json)
       ParquetTable.withCommitLock(path) {
@@ -396,6 +436,12 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     // columns dropped by toV are outside the diff
     val to = readVersion(spark, toV)
     val cols = to.columns.toIndexedSeq
+    // the diff machinery owns the __-prefixed scratch names and the
+    // _change_type output column — a table using them would make the
+    // rename/select ambiguous and the output malformed; refuse loudly
+    require(cols.forall(c => !c.startsWith("__") && c != "_change_type"),
+      s"changesBetween: table columns may not use the reserved names " +
+        s"__* or _change_type (got ${cols.mkString(", ")})")
     val from0 = readVersion(spark, fromV)
     val fromAligned = cols
       .foldLeft(from0)((d, c) =>
@@ -497,16 +543,22 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       s"vacuum: no _current pointer at $path but ${versions.size} version " +
         "dir(s) exist — refusing to delete every version; restore the " +
         "pointer (or remove the directory deliberately) first")
-    // Delete only versions NUMBERED BELOW the live one: a dir above it is
-    // a concurrent writer's in-flight staging (reserved > live by
-    // construction) and deleting it mid-write would commit silently
-    // truncated data. A crashed writer's orphan above the live version
-    // survives until a later successful commit passes its number — then
-    // it drops below and the next vacuum collects it; disk stays bounded.
+    // Delete only versions numbered below the live one AND not
+    // staging-marked: dirs above live are necessarily reservations, and
+    // the marker protects the in-flight reservation a LATER commit has
+    // already passed (see reserveNextDir). A crashed writer's unmarked
+    // orphan above the live version survives until a later successful
+    // commit passes its number — then the next vacuum collects it; disk
+    // stays bounded.
     val live = versionNum
     val old = versions.filter { p =>
       val n = p.getFileName.toString
-      !keep.contains(n) && n.drop(2).toIntOption.exists(_ < live)
+      !keep.contains(n) && n.drop(2).toIntOption.exists(_ < live) &&
+        // a staging-marked dir is an IN-FLIGHT writer's reservation even
+        // when numbered below live (a later reservation can commit
+        // first) — deleting it mid-write would let that writer swap the
+        // pointer onto a truncated version
+        !Files.exists(p.resolve(StagingMarker))
     }
     old.foreach(FsUtil.deleteRecursively)
     this

@@ -154,19 +154,35 @@ class TablesSpec extends AnyFunSuite {
       .nonEmpty)
   }
 
-  test("normalizeTs fails loudly outside a UTC session (no silent zone shift)") {
-    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+  test("normalizeTs: NTZ fails loudly outside UTC; instant timestamps " +
+      "are zone-independent and normalize anywhere") {
+    val instantDf = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("id", "ts")
-    // UTC session: normalizes to long ns
-    assert(graft.io.Tables.normalizeTs(df).schema("ts").dataType.typeName
-      == "long")
+    val ntzDf = Seq((1L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0)))
+      .toDF("id", "ts")
+    assert(ntzDf.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // UTC session: both normalize to long ns
+    assert(graft.io.Tables.normalizeTs(instantDf).schema("ts").dataType
+      .typeName == "long")
+    assert(graft.io.Tables.normalizeTs(ntzDf).schema("ts").dataType
+      .typeName == "long")
     val prev = spark.conf.get("spark.sql.session.timeZone")
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // the NTZ→instant cast reads the session zone → must refuse
       val e = intercept[IllegalArgumentException] {
-        graft.io.Tables.normalizeTs(df)
+        graft.io.Tables.normalizeTs(ntzDf)
       }
       assert(e.getMessage.contains("UTC"))
+      // instant semantics are session-zone-INDEPENDENT: same ns value
+      // in any zone — rejecting this would spuriously fail valid reads
+      val nyNs = graft.io.Tables.normalizeTs(instantDf)
+        .collect()(0).getLong(1)
+      spark.conf.set("spark.sql.session.timeZone", prev)
+      val utcNs = graft.io.Tables.normalizeTs(instantDf)
+        .collect()(0).getLong(1)
+      assert(nyNs === utcNs)
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
     // non-ts frames pass through untouched regardless of zone
     assert(graft.io.Tables.normalizeTs(Seq((1, "x")).toDF("id", "v"))
