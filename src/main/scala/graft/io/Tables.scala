@@ -343,6 +343,7 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
        else w).parquet(s"$path/$next")
       val nextDir = Paths.get(path, next)
       import scala.jdk.CollectionConverters._
+      val skippedFlat = Seq.newBuilder[java.nio.file.Path]
       val walk = Files.walk(prevDir)
       try walk.iterator().asScala
         .filter { p =>
@@ -357,9 +358,11 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           // linking it next to the delta's col=value dirs would mix
           // directory depths — Spark's partition discovery then refuses
           // the whole version ("conflicting directory structures"). Its
-          // schema role is carried by _schema.json.
+          // schema role is carried by _schema.json. Skipped files are
+          // verified empty AFTER the walk — see below.
           val flatFallback = partitionColumns.nonEmpty &&
             p.getParent == prevDir && n.endsWith(".parquet")
+          if (flatFallback && Files.isRegularFile(p)) skippedFlat += p
           Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".") &&
             !flatFallback
         }
@@ -381,6 +384,24 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           }
         }
       finally walk.close()
+      // The flat-fallback skip is only sound for the schema-only
+      // zero-row file writeVersion lays down. A table directory first
+      // written through an UNPARTITIONED handle and later reopened with
+      // partitionColumns has real data rows at root level — silently
+      // skipping those would DROP them from the new version. Verify the
+      // skipped files are empty (one tiny job on a rare path) and fail
+      // the partition-spec mismatch loudly instead of losing data.
+      val flat = skippedFlat.result()
+      if (flat.nonEmpty) {
+        val nonEmpty = !df.sparkSession.read
+          .parquet(flat.map(_.toString): _*).isEmpty
+        if (nonEmpty) throw new IllegalStateException(
+          s"appendVersion: base version of $path holds data rows in " +
+            s"root-level parquet (${flat.size} file(s)) but this handle " +
+            s"declares partitionColumns=${partitionColumns.mkString(",")}" +
+            " — the base was written unpartitioned; rewrite the table " +
+            "under the new partition spec instead of appending")
+      }
       // The link walk hard-linked the BASE version's _schema.json;
       // writing through that name would corrupt the shared inode (and
       // the base version's history with it) — unlink first, then write
@@ -528,8 +549,17 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   /** Drop all version dirs except the live one (Delta VACUUM). The
     * directory streams are closed explicitly — leaked directory fds from
     * repeated vacuums would eventually starve the driver of file handles.
+    *
+    * `stagingTtlMs` bounds the disk residue of hard-killed writers: a
+    * staging-marked dir below the live version whose marker is OLDER than
+    * the TTL is an orphaned reservation (its writer died without either
+    * committing or cleaning up) and is collected; a RECENT marker is an
+    * in-flight writer and stays protected. Delta's vacuum has the same
+    * shape (retention window vs in-flight transactions). Pass
+    * `Long.MaxValue` to never collect marked dirs.
     */
-  def vacuum(): ParquetTable = ParquetTable.withCommitLock(path) {
+  def vacuum(stagingTtlMs: Long = 24L * 3600 * 1000): ParquetTable =
+    ParquetTable.withCommitLock(path) {
     val keep = currentVersion.toSet
     val versions = FsUtil.listDir(Paths.get(path))
       .filter(_.getFileName.toString.startsWith("v_"))
@@ -551,14 +581,26 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     // commit passes its number — then the next vacuum collects it; disk
     // stays bounded.
     val live = versionNum
+    val now = System.currentTimeMillis()
     val old = versions.filter { p =>
       val n = p.getFileName.toString
+      // a RECENTLY staging-marked dir is an IN-FLIGHT writer's
+      // reservation even when numbered below live (a later reservation
+      // can commit first) — deleting it mid-write would let that writer
+      // swap the pointer onto a truncated version. A marker older than
+      // the TTL is a hard-killed writer's orphan; without the age-out the
+      // residue would be retained forever.
+      def inFlight: Boolean = {
+        val marker = p.resolve(StagingMarker)
+        Files.exists(marker) && {
+          val age =
+            try now - Files.getLastModifiedTime(marker).toMillis
+            catch { case _: java.io.IOException => 0L } // racing commit
+          age < stagingTtlMs
+        }
+      }
       !keep.contains(n) && n.drop(2).toIntOption.exists(_ < live) &&
-        // a staging-marked dir is an IN-FLIGHT writer's reservation even
-        // when numbered below live (a later reservation can commit
-        // first) — deleting it mid-write would let that writer swap the
-        // pointer onto a truncated version
-        !Files.exists(p.resolve(StagingMarker))
+        !inFlight
     }
     old.foreach(FsUtil.deleteRecursively)
     this

@@ -200,8 +200,15 @@ object Multimodal {
           if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
             b(i + 3) == ' ') {
             if (size < 16 || i + 8 + 16 > b.length) return None
-            fmt = Some(AudioFormat(le32(b, i + 12), le16(b, i + 10),
-              le16(b, i + 22)))
+            // only the format this decoder claims: audio-format tag 1 is
+            // integer PCM — a 16-bit WAVE_FORMAT_EXTENSIBLE or compressed
+            // container must be refused, not decoded as raw PCM. The
+            // FIRST fmt chunk wins (same stop-at-first as audioFormat, so
+            // the two walks can never disagree on one payload).
+            if (le16(b, i + 8) != 1) return None
+            if (fmt.isEmpty)
+              fmt = Some(AudioFormat(le32(b, i + 12), le16(b, i + 10),
+                le16(b, i + 22)))
           } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
             b(i + 3) == 'a' && dataAt < 0) {
             dataAt = i + 8; dataSize = size

@@ -404,24 +404,27 @@ object Accuracy {
     out.result()
   }
 
-  /** Documents' text collected once per audit dir — q88 and q92 both
-    * consume it (the collect is the audit tier's bounded brute force).
+  /** Per-invocation memo for the expensive shared work q88 and q92 both
+    * consume (the collected corpus text, the 64-round reference merge
+    * learn). SCOPED to one [[allGates]] call — object-level process-
+    * lifetime caches would retain the whole corpus text after the gates
+    * finish and corrupt under concurrent gate runs.
     */
-  private val textsCache =
-    scala.collection.mutable.HashMap.empty[String, Seq[String]]
-  private def docTexts(spark: SparkSession, dir: String): Seq[String] =
-    textsCache.getOrElseUpdate(dir,
-      Tables.read(spark, dir, "documents")
-        .select(col("text")).collect().map(_.getString(0)).toSeq)
-
-  /** [[refMerges]] memoized per dir — q88 checks the learned sequence,
-    * q92 tokenizes with it; the 64-round reference loop runs once.
-    */
-  private val refMergesCache =
-    scala.collection.mutable.HashMap.empty[String, Vector[(String, String)]]
-  private def refMergesFor(spark: SparkSession,
-      dir: String): Vector[(String, String)] =
-    refMergesCache.getOrElseUpdate(dir, refMerges(docTexts(spark, dir)))
+  final class RefMemo {
+    private var texts: Option[Seq[String]] = None
+    private var merges: Option[Vector[(String, String)]] = None
+    private[Accuracy] def docTexts(spark: SparkSession,
+        dir: String): Seq[String] = texts.getOrElse {
+      val t = Tables.read(spark, dir, "documents")
+        .select(col("text")).collect().map(_.getString(0)).toSeq
+      texts = Some(t); t
+    }
+    private[Accuracy] def refMergesFor(spark: SparkSession,
+        dir: String): Vector[(String, String)] = merges.getOrElse {
+      val m = refMerges(docTexts(spark, dir))
+      merges = Some(m); m
+    }
+  }
 
   /** The independent reference merge LEARN shared by the q88/q92 gates
     * (immutable lists, groupMapReduce counting, explicit UTF-8-byte cap
@@ -487,8 +490,9 @@ object Accuracy {
     ref.result()
   }
 
-  def q88Gates(spark: SparkSession, dir: String): Seq[Gate] = {
-    val expected = refMergesFor(spark, dir)
+  def q88Gates(spark: SparkSession, dir: String,
+      memo: RefMemo = new RefMemo): Seq[Gate] = {
+    val expected = memo.refMergesFor(spark, dir)
     val got = graft.SparkEntry.queries("q88_bpe_learn")(spark, dir)
       .orderBy(col("rank")).select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toVector
@@ -509,11 +513,12 @@ object Accuracy {
     * is cross-checked, not just the merge loop. Per-doc piece and token
     * counts must all match.
     */
-  def q92Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+  def q92Gates(spark: SparkSession, dir: String,
+      memo: RefMemo = new RefMemo): Seq[Gate] = {
     val docs = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val ranks = refMergesFor(spark, dir).zipWithIndex.toMap
+    val ranks = memo.refMergesFor(spark, dir).zipWithIndex.toMap
     // iterative throughout — a pathological single-run piece must not
     // blow the stack (the engine side is array loops for the same reason)
     def applyRef(piece: String): List[String] = {
@@ -592,12 +597,14 @@ object Accuracy {
         "<=", 0.02))
   }
 
-  def allGates(spark: SparkSession, dir: String): Seq[Gate] =
+  def allGates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val memo = new RefMemo // scoped to this invocation, shared q88↔q92
     q27Gates(spark, dir) ++ q28Gates(spark, dir) ++ q37Gates(spark, dir) ++
       q50Gates(spark, dir) ++ q72Gates(spark, dir) ++ q76Gates(spark, dir) ++
       q75Gates(spark, dir) ++ q81Gates(spark, dir) ++ q82Gates(spark, dir) ++
       q84Gates(spark, dir) ++ q86Gates(spark, dir) ++
-      q88Gates(spark, dir) ++ q92Gates(spark, dir)
+      q88Gates(spark, dir, memo) ++ q92Gates(spark, dir, memo)
+  }
 
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("ACCURACY.json")

@@ -28,10 +28,11 @@ object ProfileRank {
       .persist()
     val ecount = time("edges build")(edges.count())
     println(s"[prof] edges=$ecount")
-    val n = time("node count")(edges.select("src").distinct().count())
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
-    time("outdeg")(outdeg.count())
-    var scores = outdeg.select(col("src").as("node"), lit(1000000000000L / n).as("score"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist()
+    val n = time("outdeg")(outdeg.count())
+    var scores = outdeg.select(col("src").as("node"),
+      lit(1000000000000L / n).as("score"))
     for (k <- 1 to 6) {
       scores = graft.northstar.GraphRank.round(edges, outdeg, scores,
         150000000000L / n, 85).persist()

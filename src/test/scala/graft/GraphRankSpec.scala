@@ -82,6 +82,80 @@ class GraphRankSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("coPartition pageRank equals the broadcast-regime result with " +
+      "broadcast disabled") {
+    import spark.implicits._
+    val edges = (1L to 40L).flatMap(v =>
+      Seq((v, v % 40 + 1), (v % 40 + 1, v), (v, (v * 7) % 40 + 1),
+        ((v * 7) % 40 + 1, v)))
+    val default = rank(edges, 3, 1000000000000L)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val co = GraphRank.pageRank(edges.toDF("src", "dst"), 3,
+          1000000000000L, coPartition = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(co === default)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("co-partitioned round is exchange-free on the edge side with no " +
+      "broadcast: one rollup shuffle, no broadcast join") {
+    // the big-node regime: scores exceed any broadcast budget (forced via
+    // threshold -1). Build the loop state exactly as pageRank lays it
+    // out — edges hash-partitioned on src ONCE, degrees folded in, scores
+    // landing hash-partitioned from their rollup — and prove the round
+    // plan moves no edge data: the ONLY exchange is the contribution
+    // rollup, and no broadcast join appears anywhere.
+    import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // pageRank's loop conf
+    try {
+      val edges0 = (1L to 200L).flatMap(v => Seq((v, v % 200 + 1),
+        (v % 200 + 1, v))).toDF("src", "dst").withColumn("w", lit(1L))
+      val weighted = edges0.repartition(col("src")).persist()
+      val outdeg = weighted.groupBy(col("src")).agg(sum(col("w")).as("d"))
+        .repartition(col("src")).persist()
+      outdeg.count()
+      val edgesDeg = weighted.join(outdeg, "src").persist()
+      val s0 = outdeg.select(col("src").as("node"), lit(100L).as("score"))
+      val r1 = GraphRank.round(edgesDeg, outdeg, s0, 1L, 85,
+        allNodesReceive = true, coPartition = true).persist()
+      r1.count()
+      val r2 = GraphRank.round(edgesDeg, outdeg, r1, 1L, 85,
+        allNodesReceive = true, coPartition = true)
+      // collect over the EXECUTED tree: InMemoryTableScan is a leaf, so
+      // exchanges recorded inside the already-materialized cache build
+      // plans (rendered by toString) are correctly out of scope — only
+      // what THIS round would actually run counts
+      val tree = r2.queryExecution.executedPlan
+      val bcasts = tree.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.isEmpty, s"no-broadcast round must not broadcast:\n$tree")
+      val exchanges = tree.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length === 1,
+        s"round must shuffle ONLY the rollup (1 exchange), got " +
+          s"${exchanges.length}:\n$tree")
+      // and that one exchange is the node-sized ROLLUP, not edge data:
+      // its child is the partial aggregate over dst
+      assert(exchanges.head.child.toString.contains("HashAggregate"),
+        s"the single exchange must be the contribution rollup:\n$tree")
+      assert(r2.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("more in-links rank higher: a hub out-scores leaves") {
     // leaves 2..5 all link to 1 and back
     val edges = (2L to 5L).flatMap(v => Seq((v, 1L), (1L, v)))

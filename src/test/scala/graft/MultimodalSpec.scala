@@ -100,6 +100,20 @@ class MultimodalSpec extends AnyFunSuite {
     // a format the decoder does not claim to read → None, not a misread
     assert(ContainerHeaders.pcmSamples(wavWith(8, Seq(1, 2))).isEmpty)
     assert(ContainerHeaders.pcmSamples("plain text".getBytes).isEmpty)
+    // a 16-bit container whose fmt tag is NOT integer PCM (0xFFFE =
+    // WAVE_FORMAT_EXTENSIBLE) must be refused, not decoded as raw PCM —
+    // bits_per_sample alone does not make it the claimed format
+    def wavTagged(tag: Int) =
+      (Seq('R', 'I', 'F', 'F').map(_.toInt) ++ le32(40) ++
+        Seq('W', 'A', 'V', 'E').map(_.toInt) ++
+        Seq('f', 'm', 't', ' ').map(_.toInt) ++ le32(16) ++
+        le16(tag) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16) ++
+        Seq('d', 'a', 't', 'a').map(_.toInt) ++ le32(2) ++
+        Seq(0x01, 0x00)).map(_.toByte).toArray
+    assert(ContainerHeaders.pcmSamples(wavTagged(0xFFFE)).isEmpty)
+    assert(ContainerHeaders.pcmSamples(wavTagged(1)).map(_.toSeq)
+      .contains(Seq(1)))
     // builder WAVs round-trip: byte j of data = (seed + j*131) & 0xff
     val built = Multimodal.MediaBuilders.wav(8000, 1, 16, 4, seed = 7L)
     val expected = Seq(

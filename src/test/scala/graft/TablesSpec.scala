@@ -86,6 +86,46 @@ class TablesSpec extends AnyFunSuite {
     assert(t.read(spark).count() == 5)
   }
 
+  test("vacuum ages out a hard-killed writer's orphaned staging dir but " +
+      "protects a recent in-flight reservation") {
+    val dir = Files.createTempDirectory("graft_tbl_vac").toString
+    val t = new ParquetTable(s"$dir/t")
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    t.overwrite(Seq((2, "b")).toDF("id", "v"))
+    t.overwrite(Seq((3, "c")).toDF("id", "v")) // live = v3
+    // simulate a writer hard-killed mid-stage at v2's slot being already
+    // superseded: a staging-marked dir BELOW the live version
+    val orphan = java.nio.file.Paths.get(s"$dir/t", "v_00002", "_staging")
+    Files.writeString(orphan, "")
+    // a recent marker is an in-flight writer — protected
+    t.vacuum()
+    assert(Files.exists(orphan.getParent), "recent staging dir must survive")
+    // age the marker past the TTL — now it is residue and is collected
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    t.vacuum()
+    assert(!Files.exists(orphan.getParent),
+      "aged-out orphaned staging dir must be collected")
+    assert(t.read(spark).count() == 1) // live version untouched
+  }
+
+  test("appendVersion fails loudly when a partitioned handle reopens a " +
+      "table whose base holds real unpartitioned rows") {
+    val dir = Files.createTempDirectory("graft_tbl_mix").toString
+    // base written through an UNPARTITIONED handle: data rows at root
+    new ParquetTable(s"$dir/t")
+      .overwrite(Seq((1, "a", 0), (2, "b", 1)).toDF("id", "v", "p"))
+    val repart = new ParquetTable(s"$dir/t", partitionColumns = Seq("p"))
+    val e = intercept[IllegalStateException] {
+      repart.appendVersion(Seq((3, "c", 2)).toDF("id", "v", "p"))
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+    // the failed append must not have committed anything
+    assert(new ParquetTable(s"$dir/t").version == 1)
+    assert(new ParquetTable(s"$dir/t").read(spark).count() == 2)
+  }
+
   test("overwriteIf is an optimistic-concurrency commit: stale writers " +
       "fail without clobbering, leaving no staged dir") {
     val dir = Files.createTempDirectory("graft_tbl_occ").toString
