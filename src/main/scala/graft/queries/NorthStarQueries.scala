@@ -941,16 +941,19 @@ object NorthStarQueries {
     * the rollup from sketch rows alone — any date-range / type slice is
     * then a sketch-union over the tiny partial table, never a rescan of
     * raw events, which an exact count(distinct) can never do (distinct is
-    * not distributive; sketches are). HLL union is lossless at equal
-    * config, so the two-stage estimate is bit-identical to a single-pass
-    * sketch ([[graft.tools.Accuracy]] gates that exactly, plus relative
-    * error vs the true distinct). Estimator caveat behind that equality:
-    * a DataSketches HLL that is only ever UPDATED keeps the HIP
-    * estimator, while any merge drops to the composite estimator — the
-    * gate's two sides agree because Spark's two-phase aggregation routes
-    * BOTH through partial-sketch merges; an engine that aggregated
-    * single-phase could report a (slightly) different, equally valid
-    * estimate for the same registers.
+    * not distributive; sketches are). Union fidelity is REGIME-dependent:
+    * while every sketch stays in the sparse (coupon) regime — the audit
+    * tier's cardinalities — equal-config union is exactly lossless and
+    * the two-stage estimate is bit-identical to a single-pass sketch
+    * ([[graft.tools.Accuracy]] gates 0 divergence there); once per-type
+    * cardinality crosses into dense-HLL mode (sf0.1), the union gadget's
+    * register composition diverges from single-pass updates by a
+    * sub-percent margin (both within the sketch's configured error of
+    * exact — the tier-pinned gate bounds it). Estimator caveat: a
+    * DataSketches HLL that is only ever UPDATED keeps the HIP estimator,
+    * while any merge drops to the composite estimator — the gate's two
+    * sides compare like-for-like because Spark's two-phase aggregation
+    * routes BOTH through partial-sketch merges.
     */
   def q86SketchRollup(s: SparkSession, dir: String): DataFrame =
     EventOps.distinctUsersRollup(

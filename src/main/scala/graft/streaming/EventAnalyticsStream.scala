@@ -123,8 +123,10 @@ object EventAnalyticsStream {
     * idempotent (the same value drives the same register) and union is a
     * register-wise max, so replayed/duplicate deliveries are absorbed
     * exactly like the funnel/retention set-valued state — and
-    * equal-config union is lossless, so the streamed estimate equals the
-    * batch q86 over the same events, not merely approximates it. Per
+    * equal-config union is lossless in the sparse-sketch regime the
+    * mirrored corpus sits in, so the streamed estimate EQUALS the batch
+    * q86 over the same events there (at dense-HLL cardinalities the
+    * union composition diverges sub-percent — see q86SketchRollup). Per
     * micro-batch the raw events are touched ONCE (the incoming partial);
     * everything else is sketch-sized.
     */

@@ -173,8 +173,53 @@ object Accuracy {
       sys.error("persisted IVF index failed to load in the accuracy gate"))
     val approx = pairs(
       loaded.search(queries, "vec_id", "embedding", k = 5, nprobe = 8))
-    Seq(Gate("q50_ivf_probe", "recall_at_5_vs_brute_force",
-      (exact & approx).size.toDouble / exact.size, ">=", 0.72))
+    // BUILD-side parity (the probe recall above could stay green across a
+    // build regression whenever the re-rank window still catches the true
+    // neighbors): replay the cell assignment for EVERY corpus vector with
+    // independent driver arithmetic over the RELOADED sidecar centroids —
+    // same argmin formula contract (‖c‖² − 2·v·c, sequential ascending
+    // fold, strict <, smallest-index tiebreak) as the fused engine
+    // kernel, none of its code. Covers the quantizer fit determinism, the
+    // native assignment kernel, the partitioned persist and the sidecar
+    // round-trip in one exact gate.
+    val centers = loaded.centroids.sortBy(_._1).map(_._2.toArray)
+    val got = loaded.assigned.select("neighbor_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = vectors(spark, dir)
+    val agree = vecs.toSeq.map { case (id, v) =>
+      if (got.get(id).contains(assignReplay(v, centers))) 1 else 0
+    }
+    Seq(
+      Gate("q50_ivf_probe", "recall_at_5_vs_brute_force",
+        (exact & approx).size.toDouble / exact.size, ">=", 0.72),
+      Gate("q50_ivf_build", "cell_assignment_agreement_vs_replay",
+        agree.sum.toDouble / agree.size, "==", 1.0),
+      Gate("q50_ivf_build", "assigned_rows_equal_corpus",
+        if (got.size == vecs.size) 1.0 else 0.0, "==", 1.0))
+  }
+
+  /** The independent nearest-centroid replay shared by the build gates:
+    * plain sequential loops mirroring the engine kernel's documented
+    * score contract, sharing none of its implementation.
+    */
+  private def assignReplay(v: Array[Double],
+      centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestScore = Double.MaxValue
+    var j = 0
+    while (j < centers.length) {
+      val c = centers(j)
+      var normSq = 0.0
+      var dot = 0.0
+      var d = 0
+      while (d < c.length) {
+        normSq += c(d) * c(d); dot += v(d) * c(d); d += 1
+      }
+      val score = normSq - 2.0 * dot
+      if (score < bestScore) { bestScore = score; best = j }
+      j += 1
+    }
+    best
   }
 
   /** q72 — two gates. (1) The within-cell drop rule must be implemented
@@ -328,8 +373,39 @@ object Accuracy {
       sys.error("persisted IVFPQ index failed to load in the accuracy gate"))
     val approx = pairs(loaded.search(queries, "vec_id", "embedding",
       k = 5, nprobe = 8, rerank = 8))
-    Seq(Gate("q82_ivfpq_probe", "recall_at_5_vs_brute_force",
-      (exact & approx).size.toDouble / exact.size, ">=", 0.64))
+    // BUILD-side parity: replay the ENTIRE coded state — unit-normalize,
+    // cell assignment, residual against the assigned centroid, and every
+    // per-subspace PQ code — with independent driver arithmetic over the
+    // RELOADED sidecar model, and demand exact agreement with the
+    // PERSISTED inverted lists. A codebook or residual-encode regression
+    // that still clears the probe's recall bound (re-rank can mask it)
+    // fails here instead of riding in silently.
+    val centers = loaded.centroids.sortBy(_._1).map(_._2.toArray)
+    val cb = loaded.pq.codebooks
+    val dsub = loaded.pq.dims / loaded.pq.m
+    val persisted = new graft.io.ParquetTable(path).read(spark)
+      .select(col("neighbor_id"), col("cell"), col("__codes")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2).toVector))
+      .toMap
+    val vecs = vectors(spark, dir)
+    val codeAgree = vecs.toSeq.map { case (id, raw) =>
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      val u = raw.map(_ / norm)
+      val cell = assignReplay(u, centers)
+      val res = u.indices.map(i => u(i) - centers(cell)(i)).toArray
+      val codes = (0 until loaded.pq.m).map { j =>
+        val sub = java.util.Arrays.copyOfRange(res, j * dsub, (j + 1) * dsub)
+        assignReplay(sub, cb(j))
+      }.toVector
+      if (persisted.get(id).contains((cell, codes))) 1 else 0
+    }
+    Seq(
+      Gate("q82_ivfpq_probe", "recall_at_5_vs_brute_force",
+        (exact & approx).size.toDouble / exact.size, ">=", 0.64),
+      Gate("q82_ivfpq_build", "cell_and_code_agreement_vs_replay",
+        codeAgree.sum.toDouble / codeAgree.size, "==", 1.0),
+      Gate("q82_ivfpq_build", "coded_rows_equal_corpus",
+        if (persisted.size == vecs.size) 1.0 else 0.0, "==", 1.0))
   }
 
   /** Incremental append is NOT an approximation — appending the delta to
@@ -563,15 +639,18 @@ object Accuracy {
         ">=", 1.0))
   }
 
-  /** q86's two claims: (1) HLL union is LOSSLESS at equal config, so the
-    * per-day-partials-then-union estimate is bit-identical to a direct
-    * single-pass sketch (gated at exact equality — this is what makes the
-    * persisted sketch table answer any slice without a raw rescan; both
-    * sides end in sketch MERGES under Spark's two-phase aggregation, so
-    * both report the composite estimator — see q86SketchRollup's
-    * estimator caveat); and
-    * (2) the estimate tracks the true distinct count within HLL's
-    * configured error.
+  /** q86's two claims: (1) the per-day-partials-then-union estimate
+    * agrees with a direct single-pass sketch — this is what makes the
+    * persisted sketch table answer any slice without a raw rescan. At
+    * the audit tier the cardinalities keep every sketch in the SPARSE
+    * (coupon) regime, where the union is exactly lossless — gated at 0
+    * relative error. At sf0.1 the per-type cardinality crosses into
+    * dense-HLL mode, where the union gadget's register composition is no
+    * longer bit-identical to single-pass updates (measured ≤0.4%
+    * divergence, both sides within the sketch's configured error of
+    * exact) — the tier override pins that divergence just above
+    * measurement instead of pretending dense-mode exactness. And (2)
+    * the estimate tracks the TRUE distinct count within HLL's error.
     */
   def q86Gates(spark: SparkSession, dir: String): Seq[Gate] = {
     val est = graft.SparkEntry.queries("q86_sketch_rollup")(spark, dir)
@@ -585,14 +664,15 @@ object Accuracy {
     val exact = events.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val unionLossless =
-      if (est == direct) 1.0 else 0.0
+    val unionVsDirect = direct.map { case (k, d) =>
+      math.abs(est.getOrElse(k, 0L) - d).toDouble / math.max(d, 1L)
+    }.max
     val maxRelErr = exact.map { case (k, n) =>
       math.abs(est.getOrElse(k, 0L) - n).toDouble / math.max(n, 1L)
     }.max
     Seq(
-      Gate("q86_sketch_rollup", "daily_union_equals_direct_sketch",
-        unionLossless, "==", 1.0),
+      Gate("q86_sketch_rollup", "daily_union_vs_direct_max_rel_err",
+        unionVsDirect, "<=", 0.0),
       Gate("q86_sketch_rollup", "max_distinct_rel_err", maxRelErr,
         "<=", 0.02))
   }
@@ -606,9 +686,69 @@ object Accuracy {
       q88Gates(spark, dir, memo) ++ q92Gates(spark, dir, memo)
   }
 
+  /** Per-tier overrides for the measurement-TUNED bounds (keyed
+    * "query/metric"). The gate builders code the sf0.01 audit-tier
+    * values; recall/error bounds are the scale-SENSITIVE kind (more
+    * vectors per LSH bucket, more quantizer splits, a longer
+    * at-threshold tail), so the sf0.1 tier pins its own bounds — each
+    * set just under that tier's seed-pinned measurement, same
+    * no-slack-for-regressions policy. Structural exact gates (== 1.0 /
+    * == 0.0) carry no override: they must hold at EVERY scale.
+    */
+  val TierBounds: Map[String, Map[String, Double]] = Map(
+    "sf0.01" -> Map.empty,
+    "sf0.1" -> Map(
+      // Every bound sits just under (over, for error metrics) its
+      // sf0.1 seed-pinned measurement, r7:
+      //   q28 recall_vs_exact_cos04 0.798 — the at-threshold tail THINS
+      //     relative to comfortable pairs as the pair set grows;
+      //   q37 distinct rel err 0.0329 — HLL++ at default rsd 0.05, the
+      //     error is cardinality-dependent and sf0.01's 0.006 was the
+      //     small-range lucky case;
+      //   q50 probe recall 0.76 (audit bound already just under);
+      //   q72 dup recall 0.410 — denser dup graph, more quantizer-split
+      //     misses at the same nClusters;
+      //   q81 recall 0.38 / adc err 0.0757 and q82 probe 0.48 — the
+      //     FIXED k·rerank=40 shortlist is 8% of a 500-vector corpus but
+      //     0.8% of 5000: constant-budget PQ recall decays with corpus
+      //     size on worst-case random embeddings by design (a deployment
+      //     scales rerank with corpus; the gate pins the fixed-budget
+      //     contract so a KERNEL regression still shows);
+      //   q86 union-vs-direct 0.0073 — dense-HLL union divergence (see
+      //     q86Gates), exact only in the audit tier's sparse regime.
+      "q28_embedding_near_dups/recall_vs_exact_cos04" -> 0.75,
+      "q37_approx_stats/max_distinct_rel_err" -> 0.04,
+      "q37_approx_stats/max_p50_rel_err" -> 0.002,
+      "q50_ivf_probe/recall_at_5_vs_brute_force" -> 0.72,
+      "q72_semantic_dedup/dup_recall_vs_brute_force" -> 0.38,
+      "q81_pq_ann/recall_at_5_vs_brute_force" -> 0.34,
+      "q81_pq_ann/mean_adc_cosine_error" -> 0.09,
+      "q82_ivfpq_probe/recall_at_5_vs_brute_force" -> 0.44,
+      "q86_sketch_rollup/daily_union_vs_direct_max_rel_err" -> 0.01,
+      "q86_sketch_rollup/max_distinct_rel_err" -> 0.01))
+
+  /** Re-pin measurement-tuned bounds for a tier (no-op where a gate has
+    * no override — the structural gates and the audit tier).
+    */
+  def retier(gates: Seq[Gate], tier: String): Seq[Gate] = {
+    val over = TierBounds.getOrElse(tier, Map.empty)
+    gates.map(g =>
+      over.get(s"${g.query}/${g.metric}")
+        .map(b => g.copy(bound = b)).getOrElse(g))
+  }
+
+  private def tierName(dir: String): String =
+    java.nio.file.Paths.get(dir).getFileName.toString
+
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("ACCURACY.json")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // both tiers by default: the audit tier the bounds were tuned on AND
+    // the bench tier, so scale-sensitive recall regressions gate too.
+    // Override with SPARK_GRAFT_ACC_DIRS=dir[,dir...] for local iteration.
+    val dirs = sys.env.get("SPARK_GRAFT_ACC_DIRS")
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR").map(d => s"$d"))
+      .getOrElse("/root/testdata/sf0.01,/root/testdata/sf0.1")
+      .split(",").toSeq.filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .appName("graft-accuracy")
@@ -620,14 +760,22 @@ object Accuracy {
       .config("spark.ui.enabled", "false")
       .config("spark.log.level", "ERROR")
       .getOrCreate()
-    val gates = allGates(spark, dir)
-    spark.stop()
-    val byQuery = gates.groupBy(_.query).toSeq.sortBy(_._1).map {
-      case (q, gs) => s""""$q":{${gs.map(_.json).mkString(",")}}"""
+    val byTier = dirs.map { dir =>
+      val gates = retier(allGates(spark, dir), tierName(dir))
+      spark.catalog.clearCache()
+      (dir, gates)
     }
-    val allPass = gates.forall(_.pass)
-    val json =
-      s"""{"sf":"$dir","all_pass":$allPass,${byQuery.mkString(",")}}"""
+    spark.stop()
+    def tierJson(dir: String, gates: Seq[Gate]): String = {
+      val byQuery = gates.groupBy(_.query).toSeq.sortBy(_._1).map {
+        case (q, gs) => s""""$q":{${gs.map(_.json).mkString(",")}}"""
+      }
+      s""""${tierName(dir)}":{"sf":"$dir","all_pass":${gates.forall(_.pass)},""" +
+        byQuery.mkString(",") + "}"
+    }
+    val allPass = byTier.forall(_._2.forall(_.pass))
+    val json = s"""{"all_pass":$allPass,"tiers":{""" +
+      byTier.map { case (d, gs) => tierJson(d, gs) }.mkString(",") + "}}"
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     println(json)

@@ -31,14 +31,24 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
   *    estimated size (`bnlj_bcast_bytes`); a "bounded" side that starts
   *    estimating large shows up in the artifact diff.
   *
-  * Shuffle VOLUME (not just count): per-exchange estimated input size
-  * (`shuffle_bytes`, from the child's logical-plan stats) and row count
-  * (`shuffle_rows`, −1 when stats carry no rowCount) — a plan that keeps
-  * 1 exchange but starts shuffling fat payloads is invisible to the
-  * count census but shows in these, diffable across rounds.
+  * Shuffle VOLUME carries two tiers per query:
+  *  - ESTIMATES (`shuffle_bytes`/`shuffle_rows`, from each exchange
+  *    child's logical-plan stats) — predictive, available without
+  *    running, but only as good as the stats: when any input to the
+  *    estimate is a DEFAULT guess (a stats-less leaf reporting
+  *    `spark.sql.defaultSizeInBytes`, or a join product past any
+  *    physical plausibility), the "number" is garbage (r6 recorded
+  *    1.1e54 "bytes" for q94). Such entries are emitted as JSON `null`
+  *    and the query carries `unreliable_stats: true` — a censored
+  *    census beats a wrong one.
+  *  - MEASURED (`measured_shuffle_write_bytes`, merged from the bench's
+  *    task-metric record when a BENCH_DETAIL file is present) — the
+  *    canonical volume number; the same artifact then carries shape AND
+  *    true volume, diffable across rounds.
   *
-  * Usage: `runMain graft.tools.PlanAudit [outPath]` (default
-  * `PLANAUDIT.json`); scale dir from SPARK_GRAFT_SF_DIR (default sf0.01).
+  * Usage: `runMain graft.tools.PlanAudit [outPath] [benchDetailPath]`
+  * (defaults `PLANAUDIT.json`, `BENCH_DETAIL.json`); scale dir from
+  * SPARK_GRAFT_SF_DIR (default sf0.01).
   */
 object PlanAudit {
 
@@ -56,10 +66,16 @@ object PlanAudit {
     "q73_temperature_mixture" -> 1,
     "q81_pq_ann" -> 1)
 
+  /** No plan at the audit scale factors legitimately estimates a
+    * pebibyte through one exchange — anything past this is a
+    * default-stat product, not a measurement.
+    */
+  val EstimateCeiling: BigInt = BigInt(1) << 50
+
   final case class Shape(shuffles: Int, broadcasts: Int, scans: Int,
-      cartesian: Boolean, bnlj: Int, bnljBcastBytes: Seq[BigInt],
-      shuffleBytes: Seq[BigInt], shuffleRows: Seq[BigInt],
-      err: Option[String])
+      cartesian: Boolean, bnlj: Int, bnljBcastBytes: Seq[Option[BigInt]],
+      shuffleBytes: Seq[Option[BigInt]], shuffleRows: Seq[BigInt],
+      unreliableStats: Boolean, err: Option[String])
 
   /** A plan line's operator name, tree-drawing prefix stripped. */
   private def opName(line: String): String =
@@ -81,14 +97,24 @@ object PlanAudit {
     * stats; rows is -1 when the estimate carries no rowCount. Wrapper
     * nodes the planner inserts (exchanges, reused subtrees) carry no
     * logicalLink of their own — descend to the first node that does.
+    * bytes is None — a TAINTED estimate — when a default-stat input
+    * poisons it: some leaf under the linked plan reports the
+    * `spark.sql.defaultSizeInBytes` guess (it had no statistics at all),
+    * or the propagated product is past [[EstimateCeiling]].
     */
-  private def estimate(p: SparkPlan): (BigInt, BigInt) = {
+  private def estimate(p: SparkPlan,
+      defaultSize: BigInt): (Option[BigInt], BigInt) = {
     val linked = (p +: p.collect { case c if c.logicalLink.isDefined => c })
       .find(_.logicalLink.isDefined)
     linked.flatMap(_.logicalLink).map { lp =>
       val st = lp.stats
-      (st.sizeInBytes, st.rowCount.getOrElse(BigInt(-1)))
-    }.getOrElse((BigInt(-1), BigInt(-1)))
+      val leafDefault = lp.collectLeaves()
+        .exists(_.stats.sizeInBytes == defaultSize)
+      val bytes =
+        if (leafDefault || st.sizeInBytes >= EstimateCeiling) None
+        else Some(st.sizeInBytes)
+      (bytes, st.rowCount.getOrElse(BigInt(-1)))
+    }.getOrElse((None, BigInt(-1)))
   }
 
   def shapeOf(df: DataFrame): Shape = {
@@ -98,8 +124,10 @@ object PlanAudit {
     val ops = df.queryExecution.executedPlan.toString
       .linesIterator.map(opName).toVector
     val tree = physical(df)
+    val defaultSize =
+      BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
     val shuffleEst = tree.collect {
-      case s: ShuffleExchangeExec => estimate(s.child)
+      case s: ShuffleExchangeExec => estimate(s.child, defaultSize)
     }
     val bnljSides = tree.collect {
       case j: BroadcastNestedLoopJoinExec =>
@@ -107,7 +135,7 @@ object PlanAudit {
           case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
           case _ => j.right
         }
-        estimate(side)._1
+        estimate(side, defaultSize)._1
     }
     Shape(
       shuffles = ops.count(_.startsWith("Exchange")),
@@ -119,6 +147,7 @@ object PlanAudit {
       bnljBcastBytes = bnljSides,
       shuffleBytes = shuffleEst.map(_._1),
       shuffleRows = shuffleEst.map(_._2),
+      unreliableStats = (shuffleEst.map(_._1) ++ bnljSides).contains(None),
       err = None)
   }
 
@@ -134,6 +163,7 @@ object PlanAudit {
           // null here must record the query's failure, not kill the audit
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           Shape(-1, -1, -1, cartesian = false, bnlj = -1, Nil, Nil, Nil,
+            unreliableStats = false,
             err = Some(msg.takeWhile(_ != '\n').take(200)))
         } finally spark.catalog.clearCache()
       name -> shape
@@ -145,9 +175,22 @@ object PlanAudit {
       s.bnlj > BnljAllowlist.getOrElse(n, 0)
     }
 
+  /** Per-query measured shuffle-write bytes from a Bench detail record
+    * (the task-metric truth the estimates are censored against). The
+    * file is this repo's own format; absent file → empty map.
+    */
+  def measuredShuffleWrites(detailPath: String): Map[String, Long] = {
+    val p = java.nio.file.Paths.get(detailPath)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val text = java.nio.file.Files.readString(p)
+    val re = """"([A-Za-z0-9_]+)":\{"best":[^{}]*?"shuffle_write_bytes":(-?\d+)""".r
+    re.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val out = args.headOption.getOrElse("PLANAUDIT.json")
+    val detailPath = args.drop(1).headOption.getOrElse("BENCH_DETAIL.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -165,6 +208,7 @@ object PlanAudit {
     // regression in the corpus stage would be invisible
     val shapes = audit(spark, dir,
       graft.SparkEntry.queries ++ graft.queries.NorthStarQueries.auditPlans)
+    val measured = measuredShuffleWrites(detailPath)
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -173,22 +217,31 @@ object PlanAudit {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    def jarr(xs: Seq[BigInt]): String = xs.mkString("[", ",", "]")
+    def jarr(xs: Seq[Option[BigInt]]): String =
+      xs.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")
+    def jarrB(xs: Seq[BigInt]): String = xs.mkString("[", ",", "]")
     val body = shapes.map { case (n, s) =>
       val errJson = s.err.map(jstr).getOrElse("null")
+      val meas = measured.get(n).map(_.toString).getOrElse("null")
       s"${jstr(n)}:{\"shuffles\":${s.shuffles},\"broadcasts\":${s.broadcasts}," +
         s"\"scans\":${s.scans},\"cartesian\":${s.cartesian}," +
         s"\"bnlj\":${s.bnlj},\"bnlj_bcast_bytes\":${jarr(s.bnljBcastBytes)}," +
         s"\"shuffle_bytes\":${jarr(s.shuffleBytes)}," +
-        s"\"shuffle_rows\":${jarr(s.shuffleRows)},\"err\":$errJson}"
+        s"\"shuffle_rows\":${jarrB(s.shuffleRows)}," +
+        s"\"unreliable_stats\":${s.unreliableStats}," +
+        s"\"measured_shuffle_write_bytes\":$meas,\"err\":$errJson}"
     }.mkString(",")
     val cartesianFree = shapes.forall(!_._2.cartesian)
     val unexpected = bnljUnexpected(shapes)
     val errCount = shapes.count(_._2.err.isDefined)
     val maxShuffles = shapes.map(_._2.shuffles).max
+    val tainted = shapes.count(_._2.unreliableStats)
     val json = s"""{"sf":"$dir","cartesian_free":$cartesianFree,""" +
       s""""bnlj_unexpected":$unexpected,""" +
-      s""""errors":$errCount,"max_shuffles":$maxShuffles,"queries":{$body}}"""
+      s""""errors":$errCount,"max_shuffles":$maxShuffles,""" +
+      s""""unreliable_stats_queries":$tainted,""" +
+      s""""measured_from":${if (measured.isEmpty) "null"
+        else jstr(detailPath)},"queries":{$body}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -38,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.bnljUnexpected(seededShapes),
       "an un-allowlisted BNLJ must flip the gate")
     // the broadcast side's estimated size is recorded for diffing
-    assert(stray.bnljBcastBytes.nonEmpty && stray.bnljBcastBytes.forall(_ > 0))
+    assert(stray.bnljBcastBytes.nonEmpty &&
+      stray.bnljBcastBytes.flatten.forall(_ > 0))
   }
 
   test("an allowlisted query's reviewed BNLJ passes; an EXTRA one would not") {
@@ -61,11 +62,56 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shape.err.isEmpty && shape.shuffles >= 1)
     assert(shape.shuffleBytes.nonEmpty,
       s"each exchange must carry a size estimate: $shape")
-    assert(shape.shuffleBytes.forall(_ > 0))
+    assert(shape.shuffleBytes.forall(_.exists(_ > 0)))
+    assert(!shape.unreliableStats,
+      s"a parquet-backed aggregate has real stats: $shape")
     // audit failures are recorded, not fatal
     val bad = Map[String, (SparkSession, String) => DataFrame](
       "qx_boom" -> ((s, d) => s.read.parquet(s"$d/does_not_exist.parquet")))
     val boom = PlanAudit.audit(spark, dir, bad).toMap.apply("qx_boom")
     assert(boom.err.isDefined)
+  }
+
+  test("a default-stat leaf taints the volume estimate: null + " +
+      "unreliable_stats, never an astronomical number") {
+    // an RDD-backed frame has NO statistics — its leaf reports the
+    // spark.sql.defaultSizeInBytes guess, and a join's propagated
+    // product becomes the 1e54-"bytes" garbage r6 committed. The audit
+    // must censor it, not publish it.
+    val q = Map[String, (SparkSession, String) => DataFrame](
+      "qx_tainted" -> { (s, d) =>
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType)))
+        def statless = s.createDataFrame(
+          s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+          schema)
+        statless.join(statless.withColumnRenamed("id", "id2"),
+            col("id") === col("id2"))
+          .groupBy("id").count()
+      })
+    val shape = PlanAudit.audit(spark, dir, q).toMap.apply("qx_tainted")
+    assert(shape.err.isEmpty && shape.shuffles >= 1)
+    assert(shape.unreliableStats, s"default-stat inputs must taint: $shape")
+    assert(shape.shuffleBytes.exists(_.isEmpty),
+      s"tainted estimates must be censored to null: $shape")
+    assert(shape.shuffleBytes.flatten
+      .forall(_ < graft.tools.PlanAudit.EstimateCeiling),
+      s"no surviving estimate may be astronomical: $shape")
+  }
+
+  test("measured shuffle writes merge from a bench detail record") {
+    val tmp = java.nio.file.Files.createTempFile("graft_bd", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"detail":{"q01_pricing_summary":{"best":0.1,"first":0.2,""" +
+        """"runs":[0.1],"steal":[0.0],"shuffle_write_bytes":12345,""" +
+        """"shuffle_read_bytes":23456,"spill_bytes":0},""" +
+        """"q93_supplier_rank":{"best":2.0,"first":8.0,"runs":[2.0],""" +
+        """"steal":[0.0],"shuffle_write_bytes":34567890,""" +
+        """"shuffle_read_bytes":3,"spill_bytes":0}}}""")
+    val m = PlanAudit.measuredShuffleWrites(tmp.toString)
+    assert(m === Map("q01_pricing_summary" -> 12345L,
+      "q93_supplier_rank" -> 34567890L))
+    assert(PlanAudit.measuredShuffleWrites("/nonexistent/x.json").isEmpty)
   }
 }
