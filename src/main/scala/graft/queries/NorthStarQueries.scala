@@ -933,6 +933,56 @@ object NorthStarQueries {
         "sum_b", "max_byte")
   }
 
+  /** JPEG channel statistics (q96): REAL baseline DCT decode — marker
+    * walk, DHT canonical-code build, entropy unstuffing, DC-predictor
+    * differencing, dequantization, IDCT, level shift
+    * ([[Multimodal.MediaDecoder.ContainerHeaders.jpegPixels]]) — then
+    * per-image luminance stats, completing for JPEG what q91 does for
+    * PNG and q90 for WAV. The synthesized corpus
+    * ([[Multimodal.MediaBuilders.jpegBaseline]]) carries REAL
+    * Huffman-entropy-coded scans whose blocks are DC-only, so every
+    * decoded pixel is closed-form in (doc_id, block): dc(id,k) + 128
+    * with Q00 = 8 — the DuckDB oracle recomputes all sums/extrema
+    * arithmetically, and any drift in the builder's entropy coding, the
+    * table build, the bit reader, the predictor, the dequant, or the
+    * IDCT breaks the hash. Width/height come from the decoder's SOF0
+    * parse, not the synthesis parameters. AC-coefficient decoding is
+    * cross-checked against an independent decoder in MultimodalSpec
+    * (compliant IDCTs may differ ±1, so no exact oracle there). Zero
+    * shuffles — decode is the seam's imperative-codec slot, scan-stage
+    * parallel at any corpus size.
+    */
+  def q96JpegPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = Multimodal.MediaDecoder.ContainerHeaders
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .filter((id: Long) => id % 3 == 1)
+      .map { id =>
+        val w = (8 * (1 + id % 5)).toInt
+        val h = (8 * (1 + id % 4)).toInt
+        val nb = (w / 8) * (h / 8)
+        val dcs =
+          Array.tabulate(nb)(k => (((id * 31 + k * 17) % 200) - 100).toInt)
+        val payload = Multimodal.MediaBuilders.jpegBaseline(w, h, dcs)
+        val (dw, dh, px) = dec.jpegPixels(payload).getOrElse(
+          sys.error(s"q96: undecodable JPEG for doc $id"))
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var j = 0
+        while (j < px.length) {
+          val v = px(j) & 0xff
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          j += 1
+        }
+        (id, dw, dh, dw.toLong * dh, sum, mn.toLong, mx.toLong)
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_gray",
+        "min_gray", "max_gray")
+  }
+
   /** Mergeable distinct sketches (q86): per-(event_type, day) HLL
     * partials unioned into per-type distinct-user counts. The point is
     * the WAREHOUSE shape, not the estimate: stage 1 folds raw events to a
@@ -1734,6 +1784,7 @@ object NorthStarQueries {
     "q89_markup_extract" -> (q89MarkupExtract _),
     "q90_audio_frames" -> (q90AudioFrames _),
     "q91_png_pixels" -> (q91PngPixels _),
+    "q96_jpeg_pixels" -> (q96JpegPixels _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -2649,6 +2700,30 @@ object NorthStarQueries {
                 CAST(sum_b AS BIGINT) AS sum_b,
                 CAST(max_byte AS BIGINT) AS max_byte
          FROM w JOIN agg ON w.doc_id = agg.doc_id""",
+    // The engine must Huffman-decode a REAL baseline entropy stream,
+    // dequantize and run the IDCT to reproduce these: each 8x8 block of
+    // the synthesized JPEG is flat at dc(id,k) + 128 with Q00 = 8
+    // (exact integer arithmetic — see q96JpegPixels), so sums and
+    // extrema are closed-form per block.
+    "q96_jpeg_pixels" ->
+      """WITH imgs AS (
+           SELECT doc_id, 8 * (1 + doc_id % 5) AS w, 8 * (1 + doc_id % 4) AS h
+           FROM documents WHERE doc_id % 3 = 1),
+         blocks AS (
+           SELECT doc_id, w, h,
+                  unnest(range(0, (w // 8) * (h // 8))) AS k
+           FROM imgs),
+         vals AS (
+           SELECT doc_id, w, h,
+                  ((doc_id * 31 + k * 17) % 200) - 100 + 128 AS v
+           FROM blocks)
+         SELECT doc_id,
+                CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(sum(64 * v) AS BIGINT) AS sum_gray,
+                CAST(min(v) AS BIGINT) AS min_gray,
+                CAST(max(v) AS BIGINT) AS max_gray
+         FROM vals GROUP BY doc_id, w, h""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

@@ -174,6 +174,92 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ContainerHeaders.pngPixels("not a png".getBytes).isEmpty)
   }
 
+  test("jpegBaseline round-trips through the real baseline decoder: " +
+      "flat DC-only blocks at dc+128, exact") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    val dcs = Array(5, -20, 99, -100)
+    val payload = MediaBuilders.jpegBaseline(16, 16, dcs)
+    val (w, h, px) = MediaDecoder.ContainerHeaders.jpegPixels(payload)
+      .getOrElse(fail("decoder refused its own builder's baseline JPEG"))
+    assert((w, h) === (16, 16))
+    // row-major blocks: each 8x8 block flat at dc+128
+    def at(x: Int, y: Int): Int = px(y * 16 + x) & 0xff
+    assert(at(0, 0) === 133 && at(7, 7) === 133)
+    assert(at(8, 0) === 108 && at(15, 7) === 108)
+    assert(at(0, 8) === 227 && at(7, 15) === 227)
+    assert(at(8, 8) === 28 && at(15, 15) === 28)
+    // header dims parse agrees with the full decode
+    assert(MediaDecoder.ContainerHeaders.dimensions(payload)
+      .contains((16, 16)))
+    // DC prediction is differential: a long run of varying DCs survives
+    val many = Array.tabulate(20)(k => ((k * 37) % 200) - 100)
+    val (w2, _, px2) = MediaDecoder.ContainerHeaders
+      .jpegPixels(MediaBuilders.jpegBaseline(40, 32, many))
+      .getOrElse(fail("20-block JPEG must decode"))
+    for (k <- many.indices) {
+      val (bxv, byv) = (k % (w2 / 8), k / (w2 / 8))
+      assert((px2(byv * 8 * w2 + bxv * 8) & 0xff) === many(k) + 128,
+        s"block $k")
+    }
+  }
+
+  test("jpegPixels resyncs at restart markers and resets the DC predictor") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    val dcs = Array(10, 20, 30, 40, 50, 60)
+    val payload = MediaBuilders.jpegBaseline(48, 8, dcs, restartEvery = 2)
+    val (w, _, px) = MediaDecoder.ContainerHeaders.jpegPixels(payload)
+      .getOrElse(fail("restart-marker JPEG must decode"))
+    for (k <- dcs.indices)
+      assert((px(k * 8) & 0xff) === dcs(k) + 128, s"block $k")
+    assert(w === 48)
+  }
+
+  test("jpegPixels agrees with an independent decoder (ImageIO) on a " +
+      "real AC-coefficient gradient within JPEG's IDCT conformance budget") {
+    import Multimodal.MediaDecoder
+    // a gradient exercises everything the flat-block corpus does not:
+    // nonzero AC coefficients, zigzag placement, run-length skips
+    val img = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 40)
+      img.getRaster.setSample(x, y, 0, (x * 5 + y * 3 + (x * y) % 7) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val payload = bos.toByteArray
+    val (w, h, px) = MediaDecoder.ContainerHeaders.jpegPixels(payload)
+      .getOrElse(fail("ImageIO's grayscale baseline JPEG must decode"))
+    assert((w, h) === (40, 24))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((px(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0))
+      if (d > maxDiff) maxDiff = d
+    }
+    // T.81 Annex A conformance allows small per-sample divergence between
+    // compliant IDCTs; ImageIO's fast kernel vs this definition-exact one
+    assert(maxDiff <= 2, s"max per-pixel divergence $maxDiff > 2")
+  }
+
+  test("jpegPixels refuses what it does not claim: color, truncation, " +
+      "header-only containers") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    // a 3-component color JPEG is not this decoder's format
+    val rgb = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "jpg", bos)
+    assert(MediaDecoder.ContainerHeaders.jpegPixels(bos.toByteArray).isEmpty)
+    // truncated entropy stream → None, not garbage
+    val ok = MediaBuilders.jpegBaseline(16, 16, Array(5, -20, 99, -100))
+    assert(MediaDecoder.ContainerHeaders.jpegPixels(ok.take(ok.length - 8))
+      .isEmpty)
+    // the q79 header-only builder has no scan at all
+    assert(MediaDecoder.ContainerHeaders
+      .jpegPixels(MediaBuilders.jpeg(100, 50, 4, 7L)).isEmpty)
+    assert(MediaDecoder.ContainerHeaders.jpegPixels("noise".getBytes).isEmpty)
+  }
+
   test("extractFeatures surfaces decoded dims through the pluggable seam") {
     import spark.implicits._
     val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
