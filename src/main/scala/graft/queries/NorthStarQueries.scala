@@ -579,6 +579,46 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** CDF-driven gold maintenance (q97): the loop q87's feed exists FOR —
+    * a gold aggregate (orders by status: row count + cents sum) kept
+    * current across THREE real commits of a versioned source table by
+    * folding each commit's signed change feed into the aggregate
+    * ([[graft.gold.GoldMaintenance.advance]]), never rescanning the
+    * source after the first build. The commit sequence mixes every
+    * change class: v1 omits every 7th key (→ inserts), v2 bumps every
+    * 5th key's cents (→ delete+insert update pairs) and restores the
+    * missing keys, v3 deletes every 11th key. The oracle aggregates the
+    * FINAL version's closed-form definition directly — so the
+    * incremental path must land hash-identically on the full rebuild,
+    * which is exactly the correctness claim of incremental view
+    * maintenance. Exact integer cents keep the signed fold
+    * order-insensitive. Same single-process scratch contract as q87.
+    */
+  def q97CdfGoldMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.GoldMaintenance
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val v2 = base.withColumn("cents",
+      when(pmod(col("o_orderkey"), lit(5)) === 0, col("cents") + 1)
+        .otherwise(col("cents")))
+    val v3 = v2.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+    val srcP = scratch("cdfgold_src", dir)
+    val goldP = scratch("cdfgold_gold", dir)
+    graft.io.FsUtil.deleteRecursively(srcP)
+    graft.io.FsUtil.deleteRecursively(goldP)
+    val src = new graft.io.ParquetTable(srcP.toString)
+    val gold = new graft.io.ParquetTable(goldP.toString)
+    for (v <- Seq(v1, v2, v3)) {
+      src.overwrite(v)
+      GoldMaintenance.advance(s, src, gold,
+        keys = Seq("o_orderstatus"), value = col("cents"))
+    }
+    gold.read(s)
+      .select(col("o_orderstatus"), col("n_rows"), col("value_sum"))
+  }
+
   /** Top-V piece cap / merge count for q88 — the values the accuracy
     * gate's independent recomputation must also apply.
     */
@@ -1780,6 +1820,7 @@ object NorthStarQueries {
     "q85_interval_overlap" -> (q85IntervalOverlap _),
     "q86_sketch_rollup" -> (q86SketchRollup _),
     "q87_change_data_feed" -> (q87ChangeDataFeed _),
+    "q97_cdf_gold_maintenance" -> (q97CdfGoldMaintenance _),
     "q88_bpe_learn" -> (q88BpeLearn _),
     "q89_markup_extract" -> (q89MarkupExtract _),
     "q90_audio_frames" -> (q90AudioFrames _),
@@ -2526,6 +2567,20 @@ object NorthStarQueries {
          SELECT _change_type, o_orderstatus, count(*) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM chg GROUP BY 1, 2""",
+    // Incremental view maintenance must land EXACTLY on the full
+    // rebuild: the oracle aggregates the final version's closed-form
+    // definition directly, never the change feed.
+    "q97_cdf_gold_maintenance" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         v3 AS (SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 5 = 0 THEN cents + 1
+                            ELSE cents END AS cents
+                FROM base WHERE o_orderkey % 11 <> 0)
+         SELECT o_orderstatus, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS value_sum
+         FROM v3 GROUP BY 1""",
     // Naive quadratic interval-overlap self-join — the engine's
     // day×priority aggregate collapse must reproduce it exactly.
     "q85_interval_overlap" ->

@@ -491,4 +491,52 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(logCounts === vocab.toMap)
   }
+
+  test("CDF-driven gold maintenance equals the full rebuild after every " +
+      "commit, absorbs replays, and drops emptied groups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.gold.GoldMaintenance
+    import graft.io.ParquetTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdfgold")
+    val src = new ParquetTable(s"$tmp/src")
+    val gold = new ParquetTable(s"$tmp/gold")
+    def df(rows: (Long, String, Long)*) =
+      rows.toSeq.toDF("id", "grp", "cents")
+    def goldRows() = gold.read(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def rebuildOf(d: org.apache.spark.sql.DataFrame) =
+      GoldMaintenance.aggregate(d, Seq("grp"), col("cents")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // v1: initial build
+    val v1 = df((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+    src.overwrite(v1)
+    GoldMaintenance.advance(spark, src, gold, Seq("grp"), col("cents"))
+    assert(goldRows() === rebuildOf(v1))
+    assert(GoldMaintenance.appliedVersion(gold).contains(1))
+
+    // v2: an update (id 2), an insert (id 4, new group c), a delete (id 3
+    // — group b EMPTIES and must vanish, not linger at n=0)
+    val v2 = df((1L, "a", 10L), (2L, "a", 25L), (4L, "c", 7L))
+    src.overwrite(v2)
+    GoldMaintenance.advance(spark, src, gold, Seq("grp"), col("cents"))
+    assert(goldRows() === rebuildOf(v2))
+    assert(!goldRows().exists(_._1 == "b"), "emptied group must be dropped")
+
+    // replay: advancing again with no new commit is a no-op (version AND
+    // content unchanged) — the at-least-once maintenance-job contract
+    val goldV = gold.version
+    GoldMaintenance.advance(spark, src, gold, Seq("grp"), col("cents"))
+    assert(gold.version === goldV, "replayed advance must not rewrite gold")
+    assert(goldRows() === rebuildOf(v2))
+
+    // v3: pure insert into an existing group + re-create group b
+    val v3 = df((1L, "a", 10L), (2L, "a", 25L), (4L, "c", 7L),
+      (5L, "a", 1L), (6L, "b", 99L))
+    src.overwrite(v3)
+    GoldMaintenance.advance(spark, src, gold, Seq("grp"), col("cents"))
+    assert(goldRows() === rebuildOf(v3))
+    assert(GoldMaintenance.appliedVersion(gold).contains(3))
+  }
 }
