@@ -52,6 +52,36 @@ object GoldMaintenance {
     Sidecar.read(gold.path, Nil, AppliedMarker)
       .flatMap(_.headOption).flatMap(_.toIntOption)
 
+  /** The LAZY merged-gold plan for one advance — the repeated unit a
+    * maintenance job runs per commit, split out so the plan audit can
+    * census its shape (the q97 query executes eagerly, so its returned
+    * frame's plan is just a gold scan): the signed CDF delta between
+    * `fromV` and `toV`, folded into the current gold via a null-safe
+    * full-outer merge.
+    */
+  def incrementalPlan(spark: SparkSession, source: ParquetTable,
+      gold: ParquetTable, keys: Seq[String], value: Column,
+      fromV: Int, toV: Int): DataFrame = {
+    val changes = source.changesBetween(spark, fromV, toV)
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = changes.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("__dn"),
+        sum(sign * coalesce(value, lit(0L))).as("__dv"))
+    val renamed = keys.foldLeft(delta)((d, k) =>
+      d.withColumnRenamed(k, s"__k_$k"))
+    // null-safe key join: groupBy collates NULL key values, so the
+    // merge must too, or a null-keyed group would split
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    gold.read(spark).join(renamed, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(k), col(s"__k_$k")).as(k)) ++ Seq(
+          (coalesce(col("n_rows"), lit(0L)) +
+            coalesce(col("__dn"), lit(0L))).as("n_rows"),
+          (coalesce(col("value_sum"), lit(0L)) +
+            coalesce(col("__dv"), lit(0L))).as("value_sum")): _*)
+      .filter(col("n_rows") > 0)
+  }
+
   /** Bring `gold` current with `source`'s live version. First call (no
     * gold / no marker) is the one full build; later calls fold only the
     * CDF delta. Returns the source version now reflected. `value` must
@@ -65,26 +95,8 @@ object GoldMaintenance {
     fromV match {
       case Some(v) if v == toV => () // already current — replay no-op
       case Some(v) =>
-        val changes = source.changesBetween(spark, v, toV)
-        val sign = when(col("_change_type") === "insert", 1L)
-          .otherwise(-1L)
-        val delta = changes.groupBy(keys.map(col): _*)
-          .agg(sum(sign).as("__dn"),
-            sum(sign * coalesce(value, lit(0L))).as("__dv"))
-        val renamed = keys.foldLeft(delta)((d, k) =>
-          d.withColumnRenamed(k, s"__k_$k"))
-        // null-safe key join: groupBy collates NULL key values, so the
-        // merge must too, or a null-keyed group would split
-        val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-        val merged = gold.read(spark).join(renamed, cond, "full_outer")
-          .select(
-            keys.map(k => coalesce(col(k), col(s"__k_$k")).as(k)) ++ Seq(
-              (coalesce(col("n_rows"), lit(0L)) +
-                coalesce(col("__dn"), lit(0L))).as("n_rows"),
-              (coalesce(col("value_sum"), lit(0L)) +
-                coalesce(col("__dv"), lit(0L))).as("value_sum")): _*)
-          .filter(col("n_rows") > 0)
-        gold.overwrite(merged)
+        gold.overwrite(
+          incrementalPlan(spark, source, gold, keys, value, v, toV))
       case None =>
         gold.overwrite(aggregate(source.read(spark), keys, value))
     }

@@ -672,18 +672,34 @@ object NorthStarQueries {
     // outdeg → rollup on dst; the end-to-end query's plan is a
     // checkpoint scan that shows none of it
     "q93_supplier_rank" -> ((s: SparkSession, dir: String) => {
-      // inputs checkpointed like the real loop's state: in q93 the edge
-      // table is persisted once and scores are the prior round's
-      // materialized cache, so a ROUND's incremental plan starts from
-      // materialized leaves — auditing the un-persisted expansion would
-      // overstate every round by the one-off edge-build cost
-      val edges = q93Edges(s, dir).localCheckpoint()
+      // inputs cached-and-materialized like the real loop's state: in
+      // q93 the edge table is persisted once and scores are the prior
+      // round's materialized cache — auditing against stat-less
+      // (checkpointed) leaves would lose the cached relations' size
+      // statistics, flip the node-sized joins to SMJ, and overstate the
+      // round at 5 exchanges where the real loop's rounds broadcast
+      // (1 rollup exchange); auditing the un-persisted expansion would
+      // likewise overstate by the one-off edge-build cost
+      val edges = q93Edges(s, dir).persist()
       val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .localCheckpoint()
+        .persist()
+      outdeg.count() // materialize both caches so stats are real
       val s0 = outdeg.select(col("src").as("node"),
-        lit(1000000L).as("score")).localCheckpoint()
+        lit(1000000L).as("score")).persist()
+      s0.count()
       graft.northstar.GraphRank.round(edges, outdeg, s0, base = 1L,
         dampNum = graft.northstar.GraphRank.DefaultDamp)
+    }),
+    // q97's commits + advances run eagerly inside the constructor (the
+    // returned frame is a gold scan) — audit the repeated maintenance
+    // unit instead: one signed-CDF fold into the current gold
+    "q97_cdf_gold_maintenance" -> ((s: SparkSession, dir: String) => {
+      q97CdfGoldMaintenance(s, dir).count() // ensure the scratch state exists
+      val src = new graft.io.ParquetTable(scratch("cdfgold_src", dir).toString)
+      val gold = new graft.io.ParquetTable(scratch("cdfgold_gold", dir).toString)
+      graft.gold.GoldMaintenance.incrementalPlan(s, src, gold,
+        keys = Seq("o_orderstatus"), value = col("cents"),
+        fromV = 2, toV = 3)
     }))
 
   /** Markup → text extraction (q89): each document wrapped in the

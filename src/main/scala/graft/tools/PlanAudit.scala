@@ -67,19 +67,17 @@ object PlanAudit {
     "q81_pq_ann" -> 1)
 
   /** No plan at the audit scale factors legitimately estimates a
-    * pebibyte through one exchange — anything past this is a
-    * default-stat product, not a measurement.
+    * TEBIBYTE through one exchange (the measured ceiling across the
+    * whole surface is ~35 MB) — anything past this is a stats
+    * propagation artifact (default-leaf or join-product blowup), not a
+    * measurement.
     */
-  val EstimateCeiling: BigInt = BigInt(1) << 50
+  val EstimateCeiling: BigInt = BigInt(1) << 40
 
   final case class Shape(shuffles: Int, broadcasts: Int, scans: Int,
       cartesian: Boolean, bnlj: Int, bnljBcastBytes: Seq[Option[BigInt]],
       shuffleBytes: Seq[Option[BigInt]], shuffleRows: Seq[BigInt],
       unreliableStats: Boolean, err: Option[String])
-
-  /** A plan line's operator name, tree-drawing prefix stripped. */
-  private def opName(line: String): String =
-    line.dropWhile(c => !c.isLetter)
 
   /** The pre-execution physical tree. AdaptiveSparkPlanExec is a LEAF
     * node (collect would find nothing under it) and its `inputPlan` is
@@ -91,6 +89,20 @@ object PlanAudit {
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
+    }
+
+  /** EVERY operator this query would actually RUN: the physical tree
+    * plus subquery plans, with nested adaptive wrappers expanded.
+    * Collecting over the TREE (not the rendered string) is what keeps an
+    * already-MATERIALIZED cached relation's recorded build plan out of
+    * the census — InMemoryTableScan is a leaf here, while toString
+    * renders the whole cached subtree and would double-count its
+    * exchanges/scans against a query that never re-runs them.
+    */
+  private def allOps(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => allOps(a.executedPlan)
+      case n => Seq(n)
     }
 
   /** Estimated (bytes, rows) of a physical node from its logical link's
@@ -118,18 +130,18 @@ object PlanAudit {
   }
 
   def shapeOf(df: DataFrame): Shape = {
-    // Counts come from the rendered plan string (stable across rounds —
-    // it includes subquery sections tree-collect would miss); volume
-    // estimates come from the tree, where stats are reachable.
-    val ops = df.queryExecution.executedPlan.toString
-      .linesIterator.map(opName).toVector
+    // Counts AND volume estimates both come from the operator tree
+    // (subqueries included via allOps) — the rendered string would count
+    // operators inside materialized cached relations' recorded build
+    // plans, which this query never re-runs.
     val tree = physical(df)
+    val ops = allOps(tree)
     val defaultSize =
       BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
-    val shuffleEst = tree.collect {
+    val shuffleEst = ops.collect {
       case s: ShuffleExchangeExec => estimate(s.child, defaultSize)
     }
-    val bnljSides = tree.collect {
+    val bnljSides = ops.collect {
       case j: BroadcastNestedLoopJoinExec =>
         val side = j.buildSide match {
           case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
@@ -138,12 +150,16 @@ object PlanAudit {
         estimate(side, defaultSize)._1
     }
     Shape(
-      shuffles = ops.count(_.startsWith("Exchange")),
-      broadcasts = ops.count(_.startsWith("BroadcastExchange")),
-      scans = ops.count(o => o.startsWith("FileScan") ||
-        o.startsWith("Scan parquet")),
-      cartesian = ops.exists(_.startsWith("CartesianProduct")),
-      bnlj = ops.count(_.startsWith("BroadcastNestedLoopJoin")),
+      shuffles = shuffleEst.length,
+      broadcasts = ops.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange
+          .BroadcastExchangeExec]),
+      scans = ops.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      cartesian = ops.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins
+          .CartesianProductExec]),
+      bnlj = bnljSides.length,
       bnljBcastBytes = bnljSides,
       shuffleBytes = shuffleEst.map(_._1),
       shuffleRows = shuffleEst.map(_._2),
