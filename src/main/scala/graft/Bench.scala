@@ -74,6 +74,13 @@ object Bench {
       // shuffle/broadcast state from 70+ queries otherwise survives until
       // an expensive full GC lands mid-query (see build.sbt's -Xmx note)
       .config("spark.cleaner.periodicGC.interval", "45s")
+      // the generated-class cache defaults to 100 entries; 99 queries ×
+      // several codegen units each THRASH it, so multi-stage queries
+      // (q93's per-round plans, q97's advances) re-pay whole-stage
+      // compilation on every pass — measured q93 4.1 s in-bench vs 2.6 s
+      // standalone on the same host window. Classes are KBs; cache them
+      // all. (Static conf — must be set at session creation.)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-footer paths so per-query timings

@@ -922,10 +922,11 @@ object Multimodal {
   /** Feature extraction over payload bytes. Byte statistics (histogram +
     * rolling checksum) are computed inline; image dimensions come from the
     * pluggable `decoder` — [[MediaDecoder.ContainerHeaders]] reads real
-    * PNG/JPEG headers, [[MediaDecoder.Fake]] is the deterministic test
-    * double, and a production deployment binds a full codec at the same
-    * seam. Full pixel/sample statistics stay out of scope in this container
-    * (no codec libraries) — that remaining stub IS the decoder seam.
+    * PNG/JPEG headers (and fully decodes PNG pixels, PCM samples and
+    * baseline JPEG pixels for the content-level features q90/q91/q96
+    * build), [[MediaDecoder.Fake]] is the deterministic test double, and
+    * a production deployment binds a full codec library at the same seam
+    * for the formats this container's pure-JVM decoders do not claim.
     */
   def extractFeatures(media: Dataset[MediaRow],
       decoder: MediaDecoder = MediaDecoder.ContainerHeaders): Dataset[MediaFeatures] = {
