@@ -619,6 +619,25 @@ object NorthStarQueries {
       .select(col("o_orderstatus"), col("n_rows"), col("value_sum"))
   }
 
+  /** Sequence packing (q98): pack the document corpus into fixed
+    * token-budget training sequences — greedy in doc_id order within
+    * doc_id-range buckets ([[graft.northstar.SeqPack]]), the
+    * batch-construction stage of an LLM training pipeline. One shuffle
+    * (the bucket key) + one rollup at any corpus size; the per-bucket
+    * greedy loop is the sanctioned typed-group imperative slot. The
+    * oracle replays the SAME recurrence as a recursive CTE (depth =
+    * bucket size, advancing every bucket per step), so every document's
+    * sequence assignment — not just the census shape — is hash-pinned
+    * through first/last ids and exact fills.
+    */
+  val PackBudget = 256
+  val PackBucket = 64
+
+  def q98SequencePacking(s: SparkSession, dir: String): DataFrame =
+    graft.northstar.SeqPack.sequenceCensus(
+      graft.northstar.SeqPack.packGreedy(t(s, dir, "documents"),
+        "doc_id", "text", budget = PackBudget, bucketSize = PackBucket))
+
   /** Top-V piece cap / merge count for q88 — the values the accuracy
     * gate's independent recomputation must also apply.
     */
@@ -1837,6 +1856,7 @@ object NorthStarQueries {
     "q86_sketch_rollup" -> (q86SketchRollup _),
     "q87_change_data_feed" -> (q87ChangeDataFeed _),
     "q97_cdf_gold_maintenance" -> (q97CdfGoldMaintenance _),
+    "q98_sequence_packing" -> (q98SequencePacking _),
     "q88_bpe_learn" -> (q88BpeLearn _),
     "q89_markup_extract" -> (q89MarkupExtract _),
     "q90_audio_frames" -> (q90AudioFrames _),
@@ -2795,6 +2815,32 @@ object NorthStarQueries {
                 CAST(min(v) AS BIGINT) AS min_gray,
                 CAST(max(v) AS BIGINT) AS max_gray
          FROM vals GROUP BY doc_id, w, h""",
+    // The greedy packing recurrence replayed as a recursive CTE (depth =
+    // docs per bucket; every bucket advances one row per step) — budget
+    // and bucket size interpolated from the SAME constants the engine
+    // reads, so they cannot drift.
+    "q98_sequence_packing" ->
+      s"""WITH RECURSIVE ord AS (
+           SELECT doc_id, doc_id // $PackBucket AS bucket,
+                  len($tokensSql) AS n,
+                  row_number() OVER (PARTITION BY (doc_id // $PackBucket)
+                                     ORDER BY doc_id) AS rn
+           FROM documents),
+         pack AS (
+           SELECT bucket, rn, doc_id, n,
+                  CAST(0 AS BIGINT) AS seq, n AS fill
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.bucket, o.rn, o.doc_id, o.n,
+                  CASE WHEN p.fill + o.n > $PackBudget
+                       THEN p.seq + 1 ELSE p.seq END,
+                  CASE WHEN p.fill + o.n > $PackBudget
+                       THEN o.n ELSE p.fill + o.n END
+           FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+         SELECT bucket, seq, count(*) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS fill_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM pack GROUP BY 1, 2""",
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds
