@@ -240,32 +240,41 @@ object Multimodal {
       override def pcmSamples(b: Array[Byte]): Option[Array[Int]] =
         pcmWithFormat(b).map(_._2)
 
-      /** Decode a BASELINE sequential grayscale JPEG to its luminance
-        * pixels — the full ITU T.81 path: marker walk (APPn/COM skipped,
-        * DQT/DHT/SOF0/DRI parsed), canonical Huffman entropy decode with
-        * byte unstuffing and restart-marker resync, DC-predictor +
-        * amplitude extend, zigzag dequantization, 2-D IDCT, level shift,
-        * clamp. Only the formats this decoder claims: 8-bit precision,
-        * ONE component (grayscale), Huffman sequential (SOF0) — anything
-        * else (progressive, color, arithmetic, 16-bit DQT) is None, not
-        * a misread; same refusal discipline as [[pngPixels]]. The IDCT
-        * is the exact double-precision definition (T.81 A.3.3) — a
+      /** Decode a BASELINE sequential JPEG frame to per-component
+        * FULL-RESOLUTION sample planes — the full ITU T.81 path: marker
+        * walk (APPn/COM skipped, DQT/DHT/SOF0/DRI parsed), interleaved
+        * MCU walk over arbitrary 1–4 sampling factors, canonical Huffman
+        * entropy decode with byte unstuffing and restart-marker resync,
+        * per-component DC predictors + amplitude extend, zigzag
+        * dequantization, 2-D IDCT, level shift, clamp, and nearest-
+        * neighbor chroma upsampling to frame resolution. Only the
+        * formats this decoder claims: 8-bit precision, 1 or 3
+        * components, Huffman sequential (SOF0) — anything else
+        * (progressive, arithmetic, 16-bit DQT, CMYK) is None, not a
+        * misread; same refusal discipline as [[pngPixels]]. The IDCT is
+        * the exact double-precision definition (T.81 A.3.3) — a
         * production decoder would swap a fast fixed-point kernel at this
         * seam; spec conformance allows ±1 per sample between compliant
-        * IDCTs, which is why the cross-decoder test budgets a tolerance
-        * while the q96 oracle (DC-only blocks, exact arithmetic) demands
-        * hash equality.
+        * IDCTs, which is why the cross-decoder tests budget tolerances
+        * while the q96/q99 oracles (DC-only blocks, exact arithmetic)
+        * demand hash equality.
         */
-      override def jpegPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      private def jpegFrame(
+          b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
         if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
           return None
         val quant = new Array[Array[Int]](4)
         val huffDc = new Array[Jpeg.HuffTable](4)
         val huffAc = new Array[Jpeg.HuffTable](4)
         var w = 0; var h = 0
-        var compQ = -1 // the one component's quant-table id
+        var ncomp = 0
+        var compIds: Array[Int] = null
+        var compH: Array[Int] = null
+        var compV: Array[Int] = null
+        var compQ: Array[Int] = null
         var restart = 0
-        var sosDc = -1; var sosAc = -1
+        var scanDc: Array[Int] = null
+        var scanAc: Array[Int] = null
         var dataAt = -1
         var i = 2
         try {
@@ -312,10 +321,23 @@ object Multimodal {
                   if (len < 8) return None
                   if ((b(seg) & 0xff) != 8) return None // precision
                   h = be16(b, seg + 1); w = be16(b, seg + 3)
-                  val ncomp = b(seg + 5) & 0xff
-                  if (ncomp != 1 || w < 1 || h < 1) return None // grayscale only
-                  if ((b(seg + 7) & 0xff) != 0x11) return None // 1x1 sampling
-                  compQ = b(seg + 8) & 0x0f
+                  ncomp = b(seg + 5) & 0xff
+                  if ((ncomp != 1 && ncomp != 3) || w < 1 || h < 1)
+                    return None // grayscale or YCbCr only
+                  if (len < 8 + 3 * ncomp) return None
+                  compIds = new Array[Int](ncomp)
+                  compH = new Array[Int](ncomp)
+                  compV = new Array[Int](ncomp)
+                  compQ = new Array[Int](ncomp)
+                  for (c <- 0 until ncomp) {
+                    compIds(c) = b(seg + 6 + 3 * c) & 0xff
+                    val s = b(seg + 7 + 3 * c) & 0xff
+                    compH(c) = (s & 0xf0) >> 4
+                    compV(c) = s & 0x0f
+                    compQ(c) = b(seg + 8 + 3 * c) & 0x0f
+                    if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
+                      compV(c) > 4) return None
+                  }
                 case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 &&
                     m != 0xc8 && m != 0xcc =>
                   return None // progressive/arithmetic/etc — not claimed
@@ -323,60 +345,143 @@ object Multimodal {
                   if (len != 4) return None
                   restart = be16(b, seg)
                 case 0xda => // SOS
+                  if (ncomp == 0) return None // SOS before SOF
                   val ns = b(seg) & 0xff
-                  if (ns != 1 || len < 6) return None
-                  sosDc = (b(seg + 2) & 0xf0) >> 4
-                  sosAc = b(seg + 2) & 0x0f
+                  if (ns != ncomp || len < 6 + 2 * ns) return None
+                  scanDc = new Array[Int](ncomp)
+                  scanAc = new Array[Int](ncomp)
+                  for (c <- 0 until ns) {
+                    val cid = b(seg + 1 + 2 * c) & 0xff
+                    // scan components must arrive in frame order (the
+                    // interleaved-MCU layout below assumes it)
+                    if (cid != compIds(c)) return None
+                    scanDc(c) = (b(seg + 2 + 2 * c) & 0xf0) >> 4
+                    scanAc(c) = b(seg + 2 + 2 * c) & 0x0f
+                  }
                   dataAt = segEnd
                 case _ => () // APPn / COM / unknown: skip
               }
               if (dataAt < 0) i = segEnd
             }
           }
-          if (w < 1 || h < 1 || compQ < 0 || quant(compQ) == null ||
-            huffDc(sosDc) == null || huffAc(sosAc) == null) return None
-          val q = quant(compQ)
-          val dcT = huffDc(sosDc)
-          val acT = huffAc(sosAc)
-          val bx = (w + 7) / 8
-          val by = (h + 7) / 8
-          val out = new Array[Byte](w * h)
+          for (c <- 0 until ncomp)
+            if (quant(compQ(c)) == null || huffDc(scanDc(c)) == null ||
+              huffAc(scanAc(c)) == null) return None
+          val hmax = compH.max
+          val vmax = compV.max
+          val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          // padded per-component planes covering whole MCUs; sampled down
+          // to frame resolution at the end
+          val planeW = Array.tabulate(ncomp)(c => mcusX * compH(c) * 8)
+          val planeH = Array.tabulate(ncomp)(c => mcusY * compV(c) * 8)
+          val planes = Array.tabulate(ncomp)(c =>
+            new Array[Byte](planeW(c) * planeH(c)))
           val reader = new Jpeg.BitReader(b, dataAt)
           val coef = new Array[Int](64)
-          var pred = 0
+          val preds = new Array[Int](ncomp)
           var mcu = 0
           var rstExpect = 0
-          while (mcu < bx * by) {
+          while (mcu < mcusX * mcusY) {
             if (restart > 0 && mcu > 0 && mcu % restart == 0) {
               reader.expectRst(rstExpect)
               rstExpect = (rstExpect + 1) % 8
-              pred = 0
+              java.util.Arrays.fill(preds, 0)
             }
-            java.util.Arrays.fill(coef, 0)
-            val s0 = reader.decode(dcT)
-            pred += Jpeg.extend(reader.bits(s0), s0)
-            coef(0) = pred * q(0)
-            var k = 1
-            var eob = false
-            while (k <= 63 && !eob) {
-              val rs = reader.decode(acT)
-              val r = rs >> 4
-              val s = rs & 0x0f
-              if (s == 0) {
-                if (r == 15) k += 16 else eob = true // ZRL vs EOB
-              } else {
-                k += r
-                if (k > 63) throw Jpeg.Bail
-                coef(Jpeg.Zigzag(k)) = Jpeg.extend(reader.bits(s), s) * q(k)
-                k += 1
+            val mx = mcu % mcusX
+            val my = mcu / mcusX
+            for (c <- 0 until ncomp; v <- 0 until compV(c);
+                hh <- 0 until compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val q = quant(compQ(c))
+              val s0 = reader.decode(huffDc(scanDc(c)))
+              preds(c) += Jpeg.extend(reader.bits(s0), s0)
+              coef(0) = preds(c) * q(0)
+              var k = 1
+              var eob = false
+              while (k <= 63 && !eob) {
+                val rs = reader.decode(huffAc(scanAc(c)))
+                val r = rs >> 4
+                val s = rs & 0x0f
+                if (s == 0) {
+                  if (r == 15) k += 16 else eob = true // ZRL vs EOB
+                } else {
+                  k += r
+                  if (k > 63) throw Jpeg.Bail
+                  coef(Jpeg.Zigzag(k)) =
+                    Jpeg.extend(reader.bits(s), s) * q(k)
+                  k += 1
+                }
               }
+              Jpeg.idctInto(coef, planes(c), planeW(c), planeH(c),
+                (mx * compH(c) + hh) * 8, (my * compV(c) + v) * 8)
             }
-            Jpeg.idctInto(coef, out, w, h, (mcu % bx) * 8, (mcu / bx) * 8)
             mcu += 1
+          }
+          // nearest-neighbor sample each plane to frame resolution
+          val out = Array.tabulate(ncomp) { c =>
+            if (compH(c) == hmax && compV(c) == vmax && planeW(c) == w &&
+              planeH(c) == h) planes(c)
+            else {
+              val full = new Array[Byte](w * h)
+              var y = 0
+              while (y < h) {
+                val sy = y * compV(c) / vmax
+                var x = 0
+                while (x < w) {
+                  full(y * w + x) =
+                    planes(c)(sy * planeW(c) + x * compH(c) / hmax)
+                  x += 1
+                }
+                y += 1
+              }
+              full
+            }
           }
           Some((w, h, out))
         } catch { case Jpeg.Bail => None }
       }
+
+      /** Luminance pixels of a GRAYSCALE baseline JPEG (see
+        * [[jpegFrame]]); a color frame is not this method's claim — use
+        * [[jpegRgbPixels]].
+        */
+      override def jpegPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+        jpegFrame(b) match {
+          case Some((w, h, planes)) if planes.length == 1 =>
+            Some((w, h, planes(0)))
+          case _ => None
+        }
+
+      /** Row-major interleaved RGB pixels of a 3-component YCbCr
+        * baseline JPEG (any 1–4 sampling factors, e.g. 4:2:0 or 4:4:4).
+        * The color conversion is the JFIF formula in INTEGER fixed-point
+        * (16-bit scaled constants, round-half via +2^15 then floor-shift
+        * — libjpeg's descale shape), so converted pixels are exact
+        * integer arithmetic a SQL oracle can replay (q99), not
+        * float-rounding-dependent.
+        */
+      def jpegRgbPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+        jpegFrame(b) match {
+          case Some((w, h, planes)) if planes.length == 3 =>
+            val (py, pcb, pcr) = (planes(0), planes(1), planes(2))
+            val out = new Array[Byte](3 * w * h)
+            var j = 0
+            while (j < w * h) {
+              val y = py(j) & 0xff
+              val cb = (pcb(j) & 0xff) - 128
+              val cr = (pcr(j) & 0xff) - 128
+              def clamp(v: Int): Byte =
+                (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              out(3 * j) = clamp(y + ((91881 * cr + 32768) >> 16))
+              out(3 * j + 1) =
+                clamp(y - ((22554 * cb + 46802 * cr + 32768) >> 16))
+              out(3 * j + 2) = clamp(y + ((116130 * cb + 32768) >> 16))
+              j += 1
+            }
+            Some((w, h, out))
+          case _ => None
+        }
 
       private def le16(b: Array[Byte], i: Int): Int =
         (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -846,6 +951,87 @@ object Multimodal {
       }
       flush1Padded()
       marker(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** Baseline COLOR (3-component YCbCr, 4:4:4) JPEG with real
+      * entropy-coded data — [[jpegBaseline]]'s color sibling: one DQT
+      * shared by all components, SOF0 with three 1×1-sampled components,
+      * the Annex K tables for every (DC, AC) pair, and an interleaved
+      * scan (per MCU: one Y, one Cb, one Cr block, per-component DC
+      * predictors). Per-channel quantized DCs per block; all AC zero, so
+      * each decoded 8×8 block is flat at (dc + 128) per channel BEFORE
+      * color conversion — with the integer fixed-point YCbCr→RGB of
+      * [[MediaDecoder.ContainerHeaders.jpegRgbPixels]], every RGB pixel
+      * is closed-form integer arithmetic (the q99 oracle).
+      */
+    def jpegBaselineColor(width: Int, height: Int, yDcs: Array[Int],
+        cbDcs: Array[Int], crDcs: Array[Int], qdc: Int = 8): Array[Byte] = {
+      require(width >= 8 && height >= 8 && width % 8 == 0 && height % 8 == 0,
+        s"jpegBaselineColor: dims ${width}x$height must be multiples of 8")
+      val nb = (width / 8) * (height / 8)
+      require(yDcs.length == nb && cbDcs.length == nb && crDcs.length == nb,
+        s"jpegBaselineColor: need $nb DCs per channel")
+      require(qdc >= 1 && qdc <= 255)
+      require((yDcs ++ cbDcs ++ crDcs).forall(d => math.abs(d) <= 1023))
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+      marker(0xd8)
+      marker(0xdb); be16(2 + 1 + 64)
+      out.write(0x00); out.write(qdc)
+      for (_ <- 1 until 64) out.write(16)
+      marker(0xc0); be16(8 + 3 * 3) // SOF0, 3 components
+      out.write(8); be16(height); be16(width); out.write(3)
+      for (cid <- 1 to 3) {
+        out.write(cid); out.write(0x11); out.write(0) // 1x1, qtable 0
+      }
+      def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+        marker(0xc4); be16(2 + 1 + 16 + vals.length)
+        out.write(cls); bits.foreach(out.write); vals.foreach(out.write)
+      }
+      dht(0x00, Jpeg.DcBits, Jpeg.DcVals)
+      dht(0x10, Jpeg.AcBits, Jpeg.AcVals)
+      marker(0xda); be16(6 + 2 * 3)
+      out.write(3)
+      for (cid <- 1 to 3) { out.write(cid); out.write(0x00) } // tables 0/0
+      out.write(0); out.write(63); out.write(0)
+      val dcCodes = Jpeg.huffCodes(Jpeg.DcBits, Jpeg.DcVals)
+      val acCodes = Jpeg.huffCodes(Jpeg.AcBits, Jpeg.AcVals)
+      var acc = 0
+      var nbits = 0
+      def putBits(code: Int, len: Int): Unit = {
+        var j = len - 1
+        while (j >= 0) {
+          acc = (acc << 1) | ((code >> j) & 1)
+          nbits += 1
+          if (nbits == 8) {
+            out.write(acc)
+            if (acc == 0xff) out.write(0x00)
+            acc = 0; nbits = 0
+          }
+          j -= 1
+        }
+      }
+      val preds = new Array[Int](3)
+      val chans = Array(yDcs, cbDcs, crDcs)
+      for (k <- 0 until nb; c <- 0 until 3) {
+        val diff = chans(c)(k) - preds(c)
+        preds(c) = chans(c)(k)
+        val s = Jpeg.category(diff)
+        val (cc, l) = dcCodes(s)
+        putBits(cc, l)
+        if (s > 0)
+          putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        val (ec, el) = acCodes(0x00)
+        putBits(ec, el)
+      }
+      if (nbits > 0) {
+        val pad = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        out.write(pad)
+        if (pad == 0xff) out.write(0x00)
+      }
+      marker(0xd9)
       out.toByteArray
     }
 

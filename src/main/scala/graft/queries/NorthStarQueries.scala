@@ -1058,6 +1058,54 @@ object NorthStarQueries {
         "min_gray", "max_gray")
   }
 
+  /** Color-JPEG channel statistics (q99): q96's color sibling — REAL
+    * 3-component baseline decode (interleaved MCU walk, per-component
+    * predictors and tables) plus the INTEGER fixed-point YCbCr→RGB
+    * conversion, then per-channel RGB sums. The synthesized corpus
+    * ([[Multimodal.MediaBuilders.jpegBaselineColor]], 4:4:4 DC-only) has
+    * every RGB pixel closed-form in (doc_id, block) through the exact
+    * integer formula, so the DuckDB oracle replays decode AND color
+    * conversion arithmetically (floor-division = the decoder's
+    * arithmetic shifts); subsampled (4:2:0) decode is cross-checked
+    * against an independent decoder in MultimodalSpec, where chroma
+    * upsampling choice makes an exact oracle impossible by design.
+    * Completes the doc_id%3 partition: 0 → PNG (q91), 1 → grayscale
+    * JPEG (q96), 2 → color JPEG. Zero shuffles.
+    */
+  def q99JpegColorPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = Multimodal.MediaDecoder.ContainerHeaders
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .filter((id: Long) => id % 3 == 2)
+      .map { id =>
+        val w = (8 * (1 + id % 4)).toInt
+        val h = (8 * (1 + id % 3)).toInt
+        val nb = (w / 8) * (h / 8)
+        val yDcs =
+          Array.tabulate(nb)(k => (((id * 31 + k * 17) % 160) - 80).toInt)
+        val cbDcs =
+          Array.tabulate(nb)(k => (((id * 13 + k * 7) % 120) - 60).toInt)
+        val crDcs =
+          Array.tabulate(nb)(k => (((id * 11 + k * 23) % 120) - 60).toInt)
+        val payload =
+          Multimodal.MediaBuilders.jpegBaselineColor(w, h, yDcs, cbDcs, crDcs)
+        val (dw, dh, px) = dec.jpegRgbPixels(payload).getOrElse(
+          sys.error(s"q99: undecodable color JPEG for doc $id"))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var j = 0
+        while (j < px.length) {
+          val v = px(j) & 0xff
+          (j % 3: @unchecked) match {
+            case 0 => sr += v; case 1 => sg += v; case 2 => sb += v
+          }
+          j += 1
+        }
+        (id, dw, dh, dw.toLong * dh, sr, sg, sb)
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g",
+        "sum_b")
+  }
+
   /** Mergeable distinct sketches (q86): per-(event_type, day) HLL
     * partials unioned into per-type distinct-user counts. The point is
     * the WAREHOUSE shape, not the estimate: stage 1 folds raw events to a
@@ -1862,6 +1910,7 @@ object NorthStarQueries {
     "q90_audio_frames" -> (q90AudioFrames _),
     "q91_png_pixels" -> (q91PngPixels _),
     "q96_jpeg_pixels" -> (q96JpegPixels _),
+    "q99_jpeg_color_pixels" -> (q99JpegColorPixels _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -2815,6 +2864,41 @@ object NorthStarQueries {
                 CAST(min(v) AS BIGINT) AS min_gray,
                 CAST(max(v) AS BIGINT) AS max_gray
          FROM vals GROUP BY doc_id, w, h""",
+    // Decode AND integer YCbCr->RGB replayed arithmetically. The
+    // decoder's >>16 is FLOOR division by 2^16; DuckDB's // truncates
+    // toward zero on negatives, so the oracle spells floor() explicitly
+    // (operands stay far under 2^52 — double-exact).
+    "q99_jpeg_color_pixels" ->
+      """WITH imgs AS (
+           SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
+           FROM documents WHERE doc_id % 3 = 2),
+         blocks AS (
+           SELECT doc_id, w, h,
+                  unnest(range(0, (w // 8) * (h // 8))) AS k
+           FROM imgs),
+         ycc AS (
+           SELECT doc_id, w, h,
+                  ((doc_id * 31 + k * 17) % 160) - 80 + 128 AS y,
+                  ((doc_id * 13 + k * 7) % 120) - 60 AS cb,
+                  ((doc_id * 11 + k * 23) % 120) - 60 AS cr
+           FROM blocks),
+         rgb AS (
+           SELECT doc_id, w, h,
+                  greatest(0, least(255, y + CAST(floor(
+                    (91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+                  greatest(0, least(255, y - CAST(floor(
+                    (22554 * cb + 46802 * cr + 32768) / 65536.0)
+                    AS BIGINT))) AS g,
+                  greatest(0, least(255, y + CAST(floor(
+                    (116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+           FROM ycc)
+         SELECT doc_id,
+                CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(sum(64 * r) AS BIGINT) AS sum_r,
+                CAST(sum(64 * g) AS BIGINT) AS sum_g,
+                CAST(sum(64 * b) AS BIGINT) AS sum_b
+         FROM rgb GROUP BY doc_id, w, h""",
     // The greedy packing recurrence replayed as a recursive CTE (depth =
     // docs per bucket; every bucket advances one row per step) — budget
     // and bucket size interpolated from the SAME constants the engine

@@ -241,6 +241,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"max per-pixel divergence $maxDiff > 2")
   }
 
+  test("jpegBaselineColor round-trips: flat YCbCr blocks convert to the " +
+      "exact integer fixed-point RGB") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    val payload = MediaBuilders.jpegBaselineColor(16, 8,
+      yDcs = Array(20, -30), cbDcs = Array(40, -25), crDcs = Array(-50, 35))
+    val (w, h, px) = MediaDecoder.ContainerHeaders.jpegRgbPixels(payload)
+      .getOrElse(fail("own color JPEG must decode"))
+    assert((w, h) === (16, 8))
+    // replay the decoder's documented integer formula independently
+    def rgb(y0: Int, cb0: Int, cr0: Int): (Int, Int, Int) = {
+      val (y, cb, cr) = (y0 + 128, cb0, cr0)
+      def cl(v: Int) = math.max(0, math.min(255, v))
+      (cl(y + ((91881 * cr + 32768) >> 16)),
+        cl(y - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+        cl(y + ((116130 * cb + 32768) >> 16)))
+    }
+    val b0 = rgb(20, 40, -50)
+    val b1 = rgb(-30, -25, 35)
+    def at(x: Int, y: Int) = (px(3 * (y * 16 + x)) & 0xff,
+      px(3 * (y * 16 + x) + 1) & 0xff, px(3 * (y * 16 + x) + 2) & 0xff)
+    assert(at(0, 0) === b0 && at(7, 7) === b0)
+    assert(at(8, 0) === b1 && at(15, 7) === b1)
+    // claims discipline both ways: gray is not RGB's format and vice versa
+    assert(MediaDecoder.ContainerHeaders.jpegRgbPixels(
+      MediaBuilders.jpegBaseline(16, 16, Array(1, 2, 3, 4))).isEmpty)
+    assert(MediaDecoder.ContainerHeaders.jpegPixels(payload).isEmpty)
+  }
+
+  test("jpegRgbPixels agrees with ImageIO on a real 4:2:0 color JPEG " +
+      "(subsampled chroma, AC coefficients) within the upsampling budget") {
+    import Multimodal.MediaDecoder
+    // smooth gradients keep chroma slow-varying, so nearest-neighbor vs
+    // ImageIO's fancier chroma upsampling stays within a small budget
+    val img = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48)
+      img.setRGB(x, y, ((x * 4 + 40) << 16) | ((y * 5 + 30) << 8) |
+        (200 - x * 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val payload = bos.toByteArray
+    val (w, h, px) = MediaDecoder.ContainerHeaders.jpegRgbPixels(payload)
+      .getOrElse(fail("ImageIO's 4:2:0 color baseline JPEG must decode"))
+    assert((w, h) === (48, 32))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val refV = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((px(3 * (y * w + x) + c) & 0xff) - refV)
+      sumDiff += d
+      if (d > maxDiff) maxDiff = d
+    }
+    val meanDiff = sumDiff.toDouble / (3 * w * h)
+    assert(meanDiff <= 2.0, s"mean per-sample divergence $meanDiff > 2")
+    assert(maxDiff <= 16, s"max per-sample divergence $maxDiff > 16")
+  }
+
   test("jpegPixels refuses what it does not claim: color, truncation, " +
       "header-only containers") {
     import Multimodal.{MediaBuilders, MediaDecoder}
