@@ -392,4 +392,82 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"events=$evs")
     }
   }
+
+  test("property: JPEG gray and color builders round-trip the full decode " +
+      "to their closed forms on random DC programs") {
+    import graft.northstar.Multimodal.{MediaBuilders, MediaDecoder}
+    val dec = MediaDecoder.ContainerHeaders
+    val dims: Gen[(Int, Int)] =
+      for (bw <- Gen.choose(1, 5); bh <- Gen.choose(1, 4))
+        yield (bw * 8, bh * 8)
+    val gen = for {
+      (w, h) <- dims
+      nb = (w / 8) * (h / 8)
+      dcs <- Gen.listOfN(nb, Gen.choose(-140, 140))
+      cbs <- Gen.listOfN(nb, Gen.choose(-100, 100))
+      crs <- Gen.listOfN(nb, Gen.choose(-100, 100))
+      rst <- Gen.oneOf(0, 0, 1, 2, 3) // mostly no restarts, sometimes DRI
+    } yield (w, h, dcs.toArray, cbs.toArray, crs.toArray, rst)
+    samples(gen, 40).foreach { case (w, h, dcs, cbs, crs, rst) =>
+      // grayscale: every decoded pixel is exactly clamp(dc + 128)
+      val gray = dec.jpegPixels(MediaBuilders.jpegBaseline(w, h, dcs,
+        restartEvery = rst)).getOrElse(fail(s"gray ${w}x$h rst=$rst refused"))
+      assert(gray._1 == w && gray._2 == h)
+      for (k <- dcs.indices) {
+        val (bx, by) = (k % (w / 8), k / (w / 8))
+        val got = gray._3((by * 8 + 3) * w + bx * 8 + 5) & 0xff
+        val want = math.max(0, math.min(255, dcs(k) + 128))
+        assert(got == want, s"gray block $k: $got != $want (rst=$rst)")
+      }
+      // color: every RGB pixel is the exact integer fixed-point form
+      val col3 = dec.jpegRgbPixels(
+        MediaBuilders.jpegBaselineColor(w, h, dcs, cbs, crs))
+        .getOrElse(fail(s"color ${w}x$h refused"))
+      def cl(v: Int) = math.max(0, math.min(255, v))
+      for (k <- dcs.indices) {
+        val (bx, by) = (k % (w / 8), k / (w / 8))
+        val j = 3 * ((by * 8 + 2) * w + bx * 8 + 6)
+        val y = cl(dcs(k) + 128)
+        val (cb, cr) = (cl(cbs(k) + 128) - 128, cl(crs(k) + 128) - 128)
+        assert((col3._3(j) & 0xff) == cl(y + ((91881 * cr + 32768) >> 16)))
+        assert((col3._3(j + 1) & 0xff) ==
+          cl(y - ((22554 * cb + 46802 * cr + 32768) >> 16)))
+        assert((col3._3(j + 2) & 0xff) ==
+          cl(y + ((116130 * cb + 32768) >> 16)))
+      }
+    }
+  }
+
+  test("property: sequence packing laws hold on random token programs") {
+    import graft.northstar.SeqPack
+    val gen = for {
+      n <- Gen.choose(20, 120)
+      budget <- Gen.choose(8, 80)
+      bucket <- Gen.oneOf(16, 64, 1000)
+      toks <- Gen.listOfN(n, Gen.choose(0, 100))
+    } yield (budget, bucket, toks)
+    samples(gen, 6).foreach { case (budget, bucket, toks) =>
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n").select(col("doc_id"),
+          when(col("n") > 0, concat_ws(" ",
+            transform(sequence(lit(1), col("n")), _ => lit("w"))))
+            .otherwise(lit("")).as("text"))
+      val packed = SeqPack.packGreedy(docs, "doc_id", "text", budget, bucket)
+        .collect().sortBy(_.doc_id)
+      // driver replay of the greedy recurrence, bucket by bucket
+      val expected = toks.zipWithIndex
+        .groupBy { case (_, i) => i / bucket }.toSeq
+        .flatMap { case (b, ds) =>
+          var seq = 0L; var fill = 0; var started = false
+          ds.sortBy(_._2).map { case (t, i) =>
+            if (!started) { started = true; fill = t }
+            else if (fill.toLong + t > budget) { seq += 1; fill = t }
+            else fill += t
+            (i.toLong, b.toLong, seq)
+          }
+        }.toSet
+      assert(packed.map(p => (p.doc_id, p.bucket, p.seq)).toSet == expected,
+        s"budget=$budget bucket=$bucket")
+    }
+  }
 }
