@@ -424,6 +424,86 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     this
   }
 
+  /** Dynamic partition overwrite (Delta `replaceWhere` / Spark's
+    * partitionOverwriteMode=dynamic, expressed on the versioned layout):
+    * commit a new version where every partition VALUE present in `df` is
+    * REPLACED by df's rows while all other partitions' files ride along
+    * as hard links — O(|df| + #existing files), never a table rewrite.
+    * This is the maintenance write-shape for bucket-granular incremental
+    * operators (e.g. [[graft.streaming.PackStream]]: repack only the
+    * buckets a micro-batch touched). Same crash-safety and staleness
+    * discipline as [[appendVersion]]; single-column partitioning only
+    * (the link-skip matches first-level `col=value` dirs, and partition
+    * values must render to plain path-safe strings — true for the
+    * numeric keys this layer uses).
+    */
+  def replacePartitions(df: DataFrame): ParquetTable = {
+    require(partitionColumns.size == 1,
+      s"replacePartitions supports exactly one partition column, " +
+        s"got [${partitionColumns.mkString(", ")}]")
+    val pcol = partitionColumns.head
+    val baseV = version // throws if absent — replace needs a base
+    val prevDir = Paths.get(currentPath)
+    val replaced = df.select(pcol).distinct().collect()
+      .map(r => s"$pcol=${r.get(0)}").toSet
+    require(replaced.forall(d => !d.contains("/") && !d.contains("%")),
+      s"replacePartitions: partition values must be path-safe, got $replaced")
+    val next = ParquetTable.withCommitLock(path) {
+      if (versionNum != baseV) throw stale(baseV, versionNum)
+      reserveNextDir()
+    }
+    try {
+      df.write.mode("append").partitionBy(pcol).parquet(s"$path/$next")
+      val nextDir = Paths.get(path, next)
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(prevDir)
+      try walk.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          val rel = prevDir.relativize(p)
+          // skip: markers/checksums (appendVersion's rationale), any file
+          // under a REPLACED partition dir, and root-level parquet (the
+          // empty-write schema fallback — its role is _schema.json's)
+          val inReplaced = rel.getNameCount > 1 &&
+            replaced.contains(rel.getName(0).toString)
+          Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".") &&
+            !inReplaced && !(p.getParent == prevDir && n.endsWith(".parquet"))
+        }
+        .foreach { p =>
+          val rel = prevDir.relativize(p)
+          val target0 = nextDir.resolve(rel)
+          Files.createDirectories(target0.getParent)
+          val target =
+            if (Files.exists(target0))
+              target0.resolveSibling(s"linked_v$baseV" + "_" +
+                p.getFileName.toString)
+            else target0
+          try Files.createLink(target, p)
+          catch {
+            case _: UnsupportedOperationException | _: FileSystemException =>
+              Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      finally walk.close()
+      // replaced-only schema: partitions carry the SAME schema (no
+      // evolution through this path) — rewrite the sidecar fresh rather
+      // than keep the linked shared inode (appendVersion's rationale)
+      Files.deleteIfExists(nextDir.resolve(SchemaFile))
+      Files.writeString(nextDir.resolve(SchemaFile),
+        storedSchema(prevDir).getOrElse(df.schema).json)
+      ParquetTable.withCommitLock(path) {
+        if (versionNum != baseV) throw stale(baseV, versionNum)
+        swapPointer(next)
+      }
+    } catch {
+      case t: Throwable =>
+        try FsUtil.deleteRecursively(Paths.get(path, next))
+        catch { case _: Exception => () }
+        throw t
+    }
+    this
+  }
+
   /** Live version number (1-based). */
   def version: Int = currentVersion
     .getOrElse(throw new IllegalStateException(s"table at $path does not exist"))

@@ -492,6 +492,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(logCounts === vocab.toMap)
   }
 
+  test("streaming sequence packing equals the batch repack across " +
+      "out-of-order and replayed batches, rewriting only touched buckets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.io.ParquetTable
+    import graft.northstar.SeqPack
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_packstream")
+    val log = new ParquetTable(s"$tmp/log", partitionColumns = Seq("bucket"))
+    val packed =
+      new ParquetTable(s"$tmp/packed", partitionColumns = Seq("bucket"))
+    // 3 buckets (bucketSize 16) of docs with varied token counts
+    val all = (0L until 48L).map(i =>
+      (i, Seq.fill(1 + (i * 7 % 23).toInt)("w").mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.PackStream.packingStream(
+      in.toDF().toDF("doc_id", "text"), log, packed,
+      budget = 40, bucketSize = 16)
+    try {
+      // batch 1: bucket 0 partially + all of bucket 2 (out of order)
+      in.addData(all.filter(d => d._1 < 8 || d._1 >= 32))
+      q.processAllAvailable()
+      val v1 = packed.version
+      // batch 2: the REST of bucket 0 (mid-bucket late arrivals repack
+      // bucket 0) + bucket 1 + a replay of some batch-1 docs
+      in.addData(all.filter(d => d._1 >= 8 && d._1 < 32) ++ all.take(3))
+      q.processAllAvailable()
+      assert(packed.version > v1)
+      // a pure-replay batch commits nothing to either table
+      val (lv, pv) = (log.version, packed.version)
+      in.addData(all.take(5))
+      q.processAllAvailable()
+      assert(log.version == lv && packed.version == pv,
+        "an all-replay batch must not create versions")
+    } finally q.stop()
+    // final packed table ≡ one batch repack over the whole corpus
+    val got = packed.read(spark)
+      .select("doc_id", "bucket", "seq", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val ref = SeqPack.packGreedy(all.toDF("doc_id", "text"),
+        "doc_id", "text", budget = 40, bucketSize = 16)
+      .collect().map(p => (p.doc_id, p.bucket, p.seq, p.n_tokens)).toSet
+    assert(got == ref, "streamed packing must equal the batch repack")
+    // and the log holds each doc exactly once
+    assert(log.read(spark).count() == 48)
+  }
+
   test("CDF-driven gold maintenance equals the full rebuild after every " +
       "commit, absorbs replays, and drops emptied groups") {
     import org.apache.spark.sql.functions._

@@ -86,6 +86,30 @@ class TablesSpec extends AnyFunSuite {
     assert(t.read(spark).count() == 5)
   }
 
+  test("replacePartitions rewrites only the named partitions; the rest " +
+      "ride as hard links; stale replacers fail") {
+    val dir = Files.createTempDirectory("graft_tbl_rp").toString
+    val t = new ParquetTable(s"$dir/t", partitionColumns = Seq("p"))
+    t.overwrite(Seq((1, "a", 0), (2, "b", 1), (3, "c", 1), (4, "d", 2))
+      .toDF("id", "v", "p"))
+    t.replacePartitions(Seq((20, "B2", 1), (21, "B3", 1)).toDF("id", "v", "p"))
+    assert(t.version == 2)
+    TestSpark.assertSameRows(t.read(spark).select("id", "v", "p"), Seq(
+      Seq(1, "a", 0), Seq(4, "d", 2), Seq(20, "B2", 1), Seq(21, "B3", 1)))
+    // time travel intact: v1 still holds the original partition content
+    TestSpark.assertSameRows(
+      t.readVersion(spark, 1).select("id", "v", "p").filter("p = 1"),
+      Seq(Seq(2, "b", 1), Seq(3, "c", 1)))
+    // replacing a partition that did not exist yet just adds it
+    t.replacePartitions(Seq((30, "N", 7)).toDF("id", "v", "p"))
+    assert(t.read(spark).count() == 5)
+    // single-partition-column contract is enforced
+    intercept[IllegalArgumentException] {
+      new ParquetTable(s"$dir/t2", partitionColumns = Seq("a", "b"))
+        .replacePartitions(Seq((1, 2, 3)).toDF("x", "a", "b"))
+    }
+  }
+
   test("vacuum ages out a hard-killed writer's orphaned staging dir but " +
       "protects a recent in-flight reservation") {
     val dir = Files.createTempDirectory("graft_tbl_vac").toString
