@@ -77,4 +77,36 @@ object SeqPack {
         sum(col("n_tokens")).as("fill_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+
+  final case class PackedGroupDoc(group: String, bucket: Long, seq: Long,
+      doc_id: Long, n_tokens: Int)
+
+  /** [[packGreedy]] with an extra GROUP key (e.g. a train/val/test
+    * split): sequences never cross groups — a training batch must not
+    * mix split material — so each (group, bucket) cell packs
+    * independently, same one-shuffle shape with a composite key.
+    */
+  def packGreedyGrouped(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, bucketSize: Int, groupCol: String): Dataset[PackedGroupDoc] = {
+    require(budget >= 1 && bucketSize >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("doc_id"),
+        expr(s"CAST($idCol AS BIGINT) DIV $bucketSize").as("bucket"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .as[(String, Long, Long, Int)]
+      .groupByKey(r => (r._1, r._3))
+      .flatMapSortedGroups(col("doc_id")) { case ((group, bucket), rows) =>
+        var started = false
+        var seq = 0L
+        var fill = 0
+        rows.map { case (_, docId, _, n) =>
+          if (!started) { started = true; fill = n }
+          else if (fill.toLong + n > budget) { seq += 1; fill = n }
+          else fill += n
+          PackedGroupDoc(group, bucket, seq, docId, n)
+        }
+      }
+  }
 }

@@ -619,6 +619,42 @@ object NorthStarQueries {
       .select(col("o_orderstatus"), col("n_rows"), col("value_sum"))
   }
 
+  /** End-to-end corpus curation (q100): the COMPOSED pipeline a
+    * training-data team actually runs, as one query — heuristic quality
+    * gate ([[graft.northstar.CorpusClean.qualityFilter]]) → exact dedup
+    * (one survivor per canonical-text fingerprint) → deterministic
+    * train/val/test split ([[graft.northstar.Sampling.splitLabel]]) →
+    * per-split greedy sequence packing
+    * ([[graft.northstar.SeqPack.packGreedyGrouped]]; sequences never
+    * cross splits) → per-split packing census. Every stage is
+    * individually oracle-exact elsewhere (q21/q23/q41/q98); this pins
+    * their COMPOSITION — filter-then-dedup ordering, the split key on
+    * the deduped survivors, packing inside (split × bucket) cells — in
+    * one hash, because curation bugs live in the seams, not the stages.
+    * All rules/constants interpolate from the same single-sourced values
+    * the stage oracles use, so engine and oracle cannot drift. Scale
+    * shape: gate and fingerprint are scan-stage; dedup is one window
+    * shuffle; pack is the q98 shape with a composite key.
+    */
+  def q100CorpusCuration(s: SparkSession, dir: String): DataFrame = {
+    import graft.northstar.{CorpusClean, Sampling, SeqPack}
+    val curated = CorpusClean.clean(t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("split",
+        Sampling.splitLabel(Sampling.modKey(col("doc_id"), seed = 7L),
+          SplitWeights))
+    val census = SeqPack
+      .packGreedyGrouped(curated, "doc_id", "text",
+        budget = PackBudget, bucketSize = PackBucket, groupCol = "split")
+      .groupBy(col("group"), col("bucket"), col("seq"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("fill"))
+    census.groupBy(col("group").as("split"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("nd")).as("docs"),
+        sum(col("fill")).as("tokens"),
+        max(col("fill")).as("max_fill"),
+        min(col("fill")).as("min_fill"))
+  }
+
   /** Sequence packing (q98): pack the document corpus into fixed
     * token-budget training sequences — greedy in doc_id order within
     * doc_id-range buckets ([[graft.northstar.SeqPack]]), the
@@ -1905,6 +1941,7 @@ object NorthStarQueries {
     "q87_change_data_feed" -> (q87ChangeDataFeed _),
     "q97_cdf_gold_maintenance" -> (q97CdfGoldMaintenance _),
     "q98_sequence_packing" -> (q98SequencePacking _),
+    "q100_corpus_curation" -> (q100CorpusCuration _),
     "q88_bpe_learn" -> (q88BpeLearn _),
     "q89_markup_extract" -> (q89MarkupExtract _),
     "q90_audio_frames" -> (q90AudioFrames _),
@@ -2925,6 +2962,63 @@ object NorthStarQueries {
                 CAST(sum(n) AS BIGINT) AS fill_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM pack GROUP BY 1, 2""",
+    // The COMPOSED curation pipeline: quality gate → exact dedup →
+    // split → per-(split × bucket) greedy packing, every constant
+    // interpolated from the same single-sourced values the stage
+    // oracles use.
+    "q100_corpus_curation" -> {
+      val keySql = s"(doc_id * ${Sampling.Knuth} + 7) % ${Sampling.Modulus}"
+      val bounds = Sampling.splitBounds(SplitWeights)
+      val cases = bounds.init
+        .map { case (l, u) => s"WHEN $keySql < $u THEN '$l'" }.mkString(" ")
+      val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE stats AS (
+           SELECT doc_id, text, len($tokensSql) AS n,
+                  CASE WHEN len(text) = 0 THEN 0.0
+                       ELSE CAST(len(text) - len(regexp_replace(text,
+                         '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text)
+                  END AS pr,
+                  CASE WHEN len($tokensSql) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter($tokensSql,
+                         t -> lower(t) IN ($stops))) AS DOUBLE) /
+                         len($tokensSql)
+                  END AS sw
+           FROM documents),
+         q AS (SELECT doc_id, text, n FROM stats
+               WHERE n BETWEEN 20 AND 90 AND pr <= 0.3 AND sw >= 0.02),
+         d AS (SELECT doc_id, n, row_number() OVER (
+                 PARTITION BY md5($normTextSql) ORDER BY doc_id) AS rn
+               FROM q),
+         sp AS (SELECT doc_id, n,
+                       CASE $cases ELSE '${bounds.last._1}' END AS split
+                FROM d WHERE rn = 1),
+         ord AS (SELECT split, doc_id // $PackBucket AS bucket, doc_id, n,
+                        row_number() OVER (
+                          PARTITION BY split, (doc_id // $PackBucket)
+                          ORDER BY doc_id) AS rn
+                 FROM sp),
+         pack AS (
+           SELECT split, bucket, rn, doc_id, n,
+                  CAST(0 AS BIGINT) AS seq, n AS fill
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.split, o.bucket, o.rn, o.doc_id, o.n,
+                  CASE WHEN p.fill + o.n > $PackBudget
+                       THEN p.seq + 1 ELSE p.seq END,
+                  CASE WHEN p.fill + o.n > $PackBudget
+                       THEN o.n ELSE p.fill + o.n END
+           FROM pack p JOIN ord o
+             ON o.split = p.split AND o.bucket = p.bucket
+                AND o.rn = p.rn + 1),
+         census AS (SELECT split, bucket, seq, count(*) AS nd,
+                           sum(n) AS fill
+                    FROM pack GROUP BY 1, 2, 3)
+         SELECT split, count(*) AS n_seqs, CAST(sum(nd) AS BIGINT) AS docs,
+                CAST(sum(fill) AS BIGINT) AS tokens,
+                CAST(max(fill) AS BIGINT) AS max_fill,
+                CAST(min(fill) AS BIGINT) AS min_fill
+         FROM census GROUP BY 1"""
+    },
   )
 
   /** The split-label CASE is generated from the SAME rounded bounds

@@ -84,6 +84,23 @@ class SeqPackSpec extends AnyFunSuite {
     assert(reshuffled === full)
   }
 
+  test("grouped packing: sequences never cross groups, and each group " +
+      "packs exactly as its subset would alone") {
+    val ns = (0L until 200L).map(i => (i, 1 + (i * 7 % 31).toInt))
+    val withGroup = docsOf(ns).withColumn("grp",
+      when(col("doc_id") % 3 === 0, "train").otherwise("val"))
+    val grouped = SeqPack.packGreedyGrouped(withGroup, "doc_id", "text",
+        budget = 50, bucketSize = 64, groupCol = "grp")
+      .collect().map(p => (p.group, p.bucket, p.seq, p.doc_id)).toSet
+    // per-group parity with the ungrouped packer over the subset
+    for (g <- Seq("train", "val")) {
+      val subset = SeqPack.packGreedy(
+          withGroup.filter(col("grp") === g), "doc_id", "text", 50, 64)
+        .collect().map(p => (g, p.bucket, p.seq, p.doc_id)).toSet
+      assert(grouped.filter(_._1 == g) === subset, s"group $g")
+    }
+  }
+
   test("census plans exactly two exchanges: the corpus bucket shuffle " +
       "and the sequence-sized rollup") {
     val ns = (0L until 100L).map(i => (i, 5))
