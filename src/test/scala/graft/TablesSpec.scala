@@ -100,6 +100,18 @@ class TablesSpec extends AnyFunSuite {
     TestSpark.assertSameRows(
       t.readVersion(spark, 1).select("id", "v", "p").filter("p = 1"),
       Seq(Seq(2, "b", 1), Seq(3, "c", 1)))
+    // the untouched partitions' files are HARD LINKS of the previous
+    // version's (same inode) — the O(delta) write claim, mechanically
+    def inodes(v: Int, part: String): Set[Any] = {
+      val d = java.nio.file.Paths.get(s"$dir/t", f"v_$v%05d", part)
+      Files.list(d).toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => Files.getAttribute(p, "unix:ino")).toSet
+    }
+    assert(inodes(2, "p=0") == inodes(1, "p=0"),
+      "untouched partition must ride as hard links, not copies")
+    assert(inodes(2, "p=1").intersect(inodes(1, "p=1")).isEmpty,
+      "replaced partition must hold fresh files")
     // replacing a partition that did not exist yet just adds it
     t.replacePartitions(Seq((30, "N", 7)).toDF("id", "v", "p"))
     assert(t.read(spark).count() == 5)
