@@ -22,8 +22,11 @@ import graft.northstar.SeqPack
   * the packed table commits via
   * [[ParquetTable.replacePartitions]] — the touched partitions are
   * rewritten, every other partition's files ride along as hard links.
-  * Per trigger the work is O(batch + touched-bucket docs), never
-  * O(corpus).
+  * Per trigger the WRITE work is O(batch + touched-bucket docs), never
+  * O(corpus); the one corpus-sized touch is the replay anti-join's
+  * column-pruned scan of logged doc ids — at serving scale that probe
+  * rides a bloom filter of seen ids (q75's `BloomMightContain` is the
+  * kernel), the same caveat [[IndexStream]] documents.
   *
   * Replay/duplicate absorption follows the set-valued contract of the
   * other mirrors: new docs are anti-joined against the LOG (the
