@@ -20,7 +20,8 @@ class OccProcessSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def spawn(tag: String, tablePath: String, expected: Int,
-      barrier: String, workDir: java.nio.file.Path): Process = {
+      barrier: String, workDir: java.nio.file.Path,
+      op: String = "overwrite"): Process = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
     import scala.jdk.CollectionConverters._
     // inherit this test JVM's module opens / -D flags (Spark on JDK 17
@@ -32,7 +33,7 @@ class OccProcessSpec extends AnyFunSuite {
         a.startsWith("java.base/") || a.startsWith("-Dspark."))
     val cmd = Seq(javaBin.toString) ++ inherited ++ Seq("-Xmx2g",
       "-cp", System.getProperty("java.class.path"),
-      "graft.OccContender", tablePath, expected.toString, tag, barrier)
+      "graft.OccContender", tablePath, expected.toString, tag, barrier, op)
     new ProcessBuilder(cmd.asJava)
       .directory(workDir.toFile)
       .redirectOutput(workDir.resolve(s"$tag.out").toFile)
@@ -105,6 +106,49 @@ class OccProcessSpec extends AnyFunSuite {
       pa.destroyForcibly(); pb.destroyForcibly()
     }
   }
+
+  test("two JVMs racing appendVersion: exactly one link-union commits; " +
+      "the loser's staged-dir cleanup cannot corrupt the winner's links") {
+    val dir = Files.createTempDirectory("graft_occ_app")
+    val tablePath = s"$dir/t"
+    new ParquetTable(tablePath)
+      .overwrite(Seq(("base", 0)).toDF("writer", "n"))
+    val barrier = s"$dir/barrier"
+    val pa = spawn("alpha", tablePath, 1, barrier, dir, op = "append")
+    val pb = spawn("beta", tablePath, 1, barrier, dir, op = "append")
+    try {
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      def waitFor(p: String): Unit =
+        while (!Files.exists(Paths.get(p))) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $p")
+          Thread.sleep(50)
+        }
+      waitFor(s"$barrier.ready.alpha")
+      waitFor(s"$barrier.ready.beta")
+      Files.writeString(Paths.get(s"$barrier.go"), "")
+      assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(pb.waitFor(180, java.util.concurrent.TimeUnit.SECONDS))
+      val codes = Seq(pa.exitValue(), pb.exitValue())
+      assert(codes.sorted == Seq(0, 42),
+        s"expected one winner and one stale loser, got $codes; " +
+          Seq("alpha", "beta").map(t => s"--- $t.err ---\n" +
+            util.Try(Files.readString(dir.resolve(s"$t.err")))
+              .getOrElse("<none>")).mkString("\n"))
+      val t = new ParquetTable(tablePath)
+      val winnerTag = if (pa.exitValue() == 0) "alpha" else "beta"
+      // the live version = base row + exactly the winner's appended row —
+      // and the loser deleting its staged dir (which held HARD LINKS to
+      // the base files) must not have harmed the shared inodes
+      val rows = t.read(spark).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(rows == Set(("base", 0), (winnerTag, 1)),
+        s"live version must be base + winner's delta, got $rows")
+      // base version still fully readable through its own dir
+      assert(t.readVersion(spark, 1).count() == 1)
+    } finally {
+      pa.destroyForcibly(); pb.destroyForcibly()
+    }
+  }
 }
 
 /** The spawned contender: barrier-sync, then one conditional commit.
@@ -113,7 +157,7 @@ class OccProcessSpec extends AnyFunSuite {
   */
 object OccContender {
   def main(args: Array[String]): Unit = {
-    val Seq(tablePath, expected, tag, barrier) = args.toSeq
+    val Seq(tablePath, expected, tag, barrier, op) = args.toSeq
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -130,7 +174,10 @@ object OccContender {
     }
     val code =
       try {
-        new ParquetTable(tablePath).overwriteIf(payload, expected.toInt)
+        op match {
+          case "append" => new ParquetTable(tablePath).appendVersion(payload)
+          case _ => new ParquetTable(tablePath).overwriteIf(payload, expected.toInt)
+        }
         0
       } catch {
         case _: java.util.ConcurrentModificationException => 42
