@@ -138,19 +138,54 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets —
-    * SINGLE-SOURCED for the batch and incremental paths so the formula
-    * (and its round-6 presentation) cannot drift between them.
+    * SINGLE-SOURCED for the batch, incremental and cross-corpus paths so
+    * the formula (and its round-6 presentation) cannot drift between
+    * them. `setsB` defaults to `setsA` (the self-join paths); the
+    * cross-corpus path passes each corpus's own sets.
     */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
-    val a = sets.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
-    val b = sets.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
+  private def verifyJaccard(cand: DataFrame, setsA: DataFrame, idCol: String,
+      threshold: Double, setsB: DataFrame = null): DataFrame = {
+    val a = setsA.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
+    val b = Option(setsB).getOrElse(setsA)
+      .select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
           size(array_union(col("__sh_a"), col("__sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Cross-corpus near-duplicate pairs — FUZZY decontamination, the
+    * Dolma/FineWeb-class train-vs-benchmark sweep that exact n-gram
+    * overlap ([[CorpusClean.contaminatedIds]], q58/q75) cannot cover: a
+    * lightly paraphrased or truncated benchmark document shares few
+    * verbatim 8-grams but keeps high shingle Jaccard. Same scheme as
+    * [[minhashNearDuplicates]] — per-side signatures, then the LSH band
+    * join BETWEEN the corpora (never an all-pairs product; the benchmark
+    * side is tiny, so its banded rows broadcast at deployment scale) and
+    * the exact-Jaccard verify, which keeps precision structurally 1.0.
+    * Returns (id_a = left/train id, id_b = right/benchmark id, jaccard).
+    */
+  def crossNearDuplicates(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, numPerm: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val rowsPerBand = numPerm / bands
+    def sets(df: DataFrame) = df.select(col(idCol),
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize))
+        .as("__shingles"))
+    val ls = sets(left).cache()
+    val rs = sets(right).cache()
+    def banded(s: DataFrame, as: String) =
+      lshBands(signaturesFromShingles(s, idCol, numPerm), idCol, "__sig",
+        bands, rowsPerBand).withColumnRenamed(idCol, as)
+    val cand = banded(ls, "id_a")
+      .join(banded(rs, "id_b"), Seq("band_id", "band_hash"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verifyJaccard(cand, ls, idCol, jaccardThreshold, setsB = rs)
   }
 
   /** A persisted near-duplicate index: the banded LSH table plus the

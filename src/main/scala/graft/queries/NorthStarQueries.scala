@@ -1142,6 +1142,29 @@ object NorthStarQueries {
         "sum_b")
   }
 
+  /** Fuzzy decontamination (q101): train-vs-benchmark NEAR-duplicate
+    * pairs via the cross-corpus LSH band join
+    * ([[graft.northstar.Dedup.crossNearDuplicates]]) — the sweep exact
+    * 8-gram decontamination (q58/q75) cannot make: a paraphrased or
+    * truncated benchmark document shares few verbatim 8-grams but keeps
+    * high shingle Jaccard. Same corpus split as q58/q75 (every 10th doc
+    * is the held-out benchmark), same scheme as q24 — and the same
+    * oracle-exactness argument: the band join only PROPOSES pairs, the
+    * exact-Jaccard verify decides, so the result is the exact
+    * cross-corpus trigram-Jaccard pair set the oracle recomputes
+    * (restricted and oriented by the split predicate).
+    */
+  def q101FuzzyDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.crossNearDuplicates(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text",
+        numPerm = 64, bands = 16, shingleSize = 3, jaccardThreshold = 0.5)
+      .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+        col("jaccard"))
+  }
+
   /** Mergeable distinct sketches (q86): per-(event_type, day) HLL
     * partials unioned into per-type distinct-user counts. The point is
     * the WAREHOUSE shape, not the estimate: stage 1 folds raw events to a
@@ -1942,6 +1965,7 @@ object NorthStarQueries {
     "q97_cdf_gold_maintenance" -> (q97CdfGoldMaintenance _),
     "q98_sequence_packing" -> (q98SequencePacking _),
     "q100_corpus_curation" -> (q100CorpusCuration _),
+    "q101_fuzzy_decontamination" -> (q101FuzzyDecontamination _),
     "q88_bpe_learn" -> (q88BpeLearn _),
     "q89_markup_extract" -> (q89MarkupExtract _),
     "q90_audio_frames" -> (q90AudioFrames _),
@@ -2065,6 +2089,18 @@ object NorthStarQueries {
          GROUP BY 1, 2""",
 
     "q24_minhash_near_dups" -> ngramJaccardOracle(0.5),
+    // The cross-corpus (train × benchmark) subset of the exact pair set,
+    // oriented train-first — same shared trigram CTEs as q24/q64.
+    "q101_fuzzy_decontamination" ->
+      s"""WITH ${ngramPairCtes(None)},
+          xp AS (
+            SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS train_id,
+                   CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS bench_id,
+                   CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS j
+            FROM shared
+            WHERE (id_a % 10 = 0) <> (id_b % 10 = 0))
+          SELECT train_id, bench_id, round(j, 6) AS jaccard
+          FROM xp WHERE j >= 0.5""",
 
     "q69_incremental_dedup" -> ngramJaccardOracle(0.5,
       pairPredicate = "AND (id_a % 10 = 7 OR id_b % 10 = 7)"),

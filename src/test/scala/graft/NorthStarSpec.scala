@@ -491,4 +491,30 @@ class NorthStarSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 4L)))
   }
+
+  test("cross-corpus near-dups equal the self-join pair set restricted " +
+      "to cross pairs (fuzzy decontamination subset law)") {
+    import org.apache.spark.sql.functions._
+    import graft.northstar.Dedup
+    val docs = graft.io.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val full = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        numPerm = 64, bands = 16, shingleSize = 3, jaccardThreshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // self-join pairs carry id_a < id_b; orient them train-first
+    val expected = full.flatMap { case (a, b, j) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (false, true) => Some((a, b, j))
+        case (true, false) => Some((b, a, j))
+        case _ => None // within-train or within-bench: not a cross pair
+      }
+    }.toSet
+    val got = Dedup.crossNearDuplicates(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text",
+        numPerm = 64, bands = 16, shingleSize = 3, jaccardThreshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
 }
