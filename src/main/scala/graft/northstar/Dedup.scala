@@ -445,8 +445,33 @@ object Dedup {
     * know graph diameter, and a silent partial clustering would
     * under-delete quietly.
     */
+  /** Scoped loop confs — the q93/GraphRank lesson applied to the CC
+    * loops: they run EAGERLY (checkpoint + count per round), so AQE's
+    * per-stage re-planning only adds driver round-trips to sub-second
+    * fixed-shape jobs, and the label/edge frames are PAIR-GRAPH-sized
+    * (duplicates, not corpus), so `roundPartitions` right-sizes their
+    * exchanges. Both session confs are restored before returning; every
+    * returned frame is checkpoint-materialized inside the window.
+    */
+  private def withLoopConfs[T](df: DataFrame,
+      roundPartitions: Option[Int])(body: => T): T = {
+    val spark = df.sparkSession
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val PartKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.get(AqeKey)
+    val prevParts = spark.conf.get(PartKey)
+    spark.conf.set(AqeKey, "false")
+    roundPartitions.foreach(p => spark.conf.set(PartKey, p.toString))
+    try body finally {
+      spark.conf.set(AqeKey, prevAqe)
+      spark.conf.set(PartKey, prevParts)
+    }
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 20,
+      roundPartitions: Option[Int] = None): DataFrame =
+      withLoopConfs(pairs, roundPartitions) {
     // eager localCheckpoint: materialized once, plan truncated to a
     // LogicalRDD — every round's plan then starts from O(1)-size leaves.
     // Pre-partitioned on the join key: the edge set is the loop
@@ -515,7 +540,9 @@ object Dedup {
     * driver-side.
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 25,
+      roundPartitions: Option[Int] = None): DataFrame =
+      withLoopConfs(pairs, roundPartitions) {
     val nodes = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id"))).distinct()
     // canonical undirected edge (lo < hi); self-loops carry no information.
@@ -573,8 +600,10 @@ object Dedup {
     * cluster with its canonical (smallest) id and member count.
     */
   def duplicateClusters(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
+      bCol: String = "id_b",
+      roundPartitions: Option[Int] = None): DataFrame =
+    connectedComponents(pairs, aCol, bCol,
+        roundPartitions = roundPartitions)
       .groupBy(col("comp").as("canonical_id"))
       .agg(count(lit(1)).as("members"))
       .filter(col("members") >= 2)
@@ -585,8 +614,9 @@ object Dedup {
     * (duplicates only, ≪ corpus) → broadcast anti join, no corpus shuffle.
     */
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
-      idCol: String): DataFrame = {
-    val redundant = connectedComponents(pairs)
+      idCol: String, roundPartitions: Option[Int] = None): DataFrame = {
+    val redundant = connectedComponents(pairs,
+        roundPartitions = roundPartitions)
       .filter(col("comp") =!= col("id"))
       .select(col("id").as(idCol))
     docs.join(broadcast(redundant), Seq(idCol), "left_anti")

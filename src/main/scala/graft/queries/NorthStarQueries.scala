@@ -911,7 +911,9 @@ object NorthStarQueries {
     * clustering, hashing, and rollup are all hash-checked together.
     */
   def q94LeakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
-    val comp = Dedup.connectedComponents(q24MinhashNearDups(s, dir))
+    val comp = Dedup.connectedComponents(q24MinhashNearDups(s, dir),
+        // the pair graph is duplicates-sized — right-size its rounds
+        roundPartitions = Some(8))
       .select(col("id").as("doc_id"), col("comp"))
     t(s, dir, "documents")
       .join(broadcast(comp), Seq("doc_id"), "left")
@@ -1500,7 +1502,8 @@ object NorthStarQueries {
     * same closure with a recursive CTE.
     */
   def q64DedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(q24MinhashNearDups(s, dir))
+    Dedup.duplicateClusters(q24MinhashNearDups(s, dir),
+      roundPartitions = Some(8))
 
   /** The deletion step applied: corpus minus non-canonical near-dup
     * cluster members, summarized per language — what actually ships to
@@ -1508,7 +1511,8 @@ object NorthStarQueries {
     */
   def q65DedupedCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dropNearDuplicates(
-      t(s, dir, "documents"), q24MinhashNearDups(s, dir), "doc_id")
+      t(s, dir, "documents"), q24MinhashNearDups(s, dir), "doc_id",
+      roundPartitions = Some(8))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("docs"),
         sum(col("n_chars")).cast("long").as("chars"))
