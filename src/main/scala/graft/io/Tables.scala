@@ -432,28 +432,36 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     * This is the maintenance write-shape for bucket-granular incremental
     * operators (e.g. [[graft.streaming.PackStream]]: repack only the
     * buckets a micro-batch touched). Same crash-safety and staleness
-    * discipline as [[appendVersion]]; single-column partitioning only
-    * (the link-skip matches first-level `col=value` dirs, and partition
-    * values must render to plain path-safe strings — true for the
-    * numeric keys this layer uses).
+    * discipline as [[appendVersion]]. Replacement granularity is the
+    * LEAF partition — the full partition-column tuple, matched against
+    * the hive dir chain — and partition values must render to plain
+    * path-safe strings (true for the numeric/enum keys this layer uses;
+    * values needing hive escaping are refused loudly).
     */
   def replacePartitions(df: DataFrame): ParquetTable = {
-    require(partitionColumns.size == 1,
-      s"replacePartitions supports exactly one partition column, " +
-        s"got [${partitionColumns.mkString(", ")}]")
-    val pcol = partitionColumns.head
+    require(partitionColumns.nonEmpty,
+      "replacePartitions needs a partitioned table")
+    import org.apache.spark.sql.functions.col
     val baseV = version // throws if absent — replace needs a base
     val prevDir = Paths.get(currentPath)
-    val replaced = df.select(pcol).distinct().collect()
-      .map(r => s"$pcol=${r.get(0)}").toSet
-    require(replaced.forall(d => !d.contains("/") && !d.contains("%")),
+    // replacement granularity is the LEAF partition: the full tuple of
+    // partition values, rendered as the hive dir chain c1=v1/c2=v2/…
+    val replaced = df.select(partitionColumns.map(col): _*).distinct()
+      .collect()
+      .map(r => partitionColumns.indices
+        .map(i => s"${partitionColumns(i)}=${r.get(i)}").toVector)
+      .toSet
+    require(replaced.forall(_.forall(seg =>
+      !seg.contains("/") && !seg.contains("%"))),
       s"replacePartitions: partition values must be path-safe, got $replaced")
+    val depth = partitionColumns.size
     val next = ParquetTable.withCommitLock(path) {
       if (versionNum != baseV) throw stale(baseV, versionNum)
       reserveNextDir()
     }
     try {
-      df.write.mode("append").partitionBy(pcol).parquet(s"$path/$next")
+      df.write.mode("append").partitionBy(partitionColumns: _*)
+        .parquet(s"$path/$next")
       val nextDir = Paths.get(path, next)
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(prevDir)
@@ -462,10 +470,12 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           val n = p.getFileName.toString
           val rel = prevDir.relativize(p)
           // skip: markers/checksums (appendVersion's rationale), any file
-          // under a REPLACED partition dir, and root-level parquet (the
-          // empty-write schema fallback — its role is _schema.json's)
-          val inReplaced = rel.getNameCount > 1 &&
-            replaced.contains(rel.getName(0).toString)
+          // under a REPLACED leaf-partition dir (full tuple prefix), and
+          // root-level parquet (the empty-write schema fallback — its
+          // role is _schema.json's)
+          val inReplaced = rel.getNameCount > depth &&
+            replaced.contains(
+              (0 until depth).map(i => rel.getName(i).toString).toVector)
           Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".") &&
             !inReplaced && !(p.getParent == prevDir && n.endsWith(".parquet"))
         }

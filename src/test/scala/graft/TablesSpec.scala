@@ -115,11 +115,14 @@ class TablesSpec extends AnyFunSuite {
     // replacing a partition that did not exist yet just adds it
     t.replacePartitions(Seq((30, "N", 7)).toDF("id", "v", "p"))
     assert(t.read(spark).count() == 5)
-    // single-partition-column contract is enforced
-    intercept[IllegalArgumentException] {
-      new ParquetTable(s"$dir/t2", partitionColumns = Seq("a", "b"))
-        .replacePartitions(Seq((1, 2, 3)).toDF("x", "a", "b"))
-    }
+    // multi-column partitioning replaces at LEAF granularity: only the
+    // exact (a, b) tuple is rewritten, sibling leaves under the same
+    // first-level value ride as links
+    val t2 = new ParquetTable(s"$dir/t2", partitionColumns = Seq("a", "b"))
+    t2.overwrite(Seq((1, 10, 1), (2, 10, 2), (3, 20, 1)).toDF("x", "a", "b"))
+    t2.replacePartitions(Seq((9, 10, 2)).toDF("x", "a", "b"))
+    TestSpark.assertSameRows(t2.read(spark).select("x", "a", "b"),
+      Seq(Seq(1, 10, 1), Seq(3, 20, 1), Seq(9, 10, 2)))
   }
 
   test("vacuum ages out a hard-killed writer's orphaned staging dir but " +
