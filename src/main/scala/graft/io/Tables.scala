@@ -444,16 +444,55 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     import org.apache.spark.sql.functions.col
     val baseV = version // throws if absent — replace needs a base
     val prevDir = Paths.get(currentPath)
+    // Schema agreement, validated BEFORE any I/O (appendVersion's check):
+    // a df with renamed/missing/retyped columns would commit parquet files
+    // disagreeing with the _schema.json sidecar carried over from the base
+    // version, and reads of the replaced partitions would silently return
+    // NULL for every mismatched column. No evolution through this path —
+    // the committed schema must already cover the df exactly.
+    storedSchema(prevDir).foreach { baseSchema =>
+      df.schema.fields.foreach { f =>
+        val b = baseSchema.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"replacePartitions: column ${f.name} is not in the committed " +
+              s"schema of $path — replacePartitions does not evolve " +
+              "schemas; use appendVersion/overwrite for new columns"))
+        require(b.dataType == f.dataType && b.name == f.name,
+          s"replacePartitions: column ${f.name} (${f.dataType}) conflicts " +
+            s"with committed ${b.name} (${b.dataType})")
+      }
+      val missing = baseSchema.fields.map(_.name).toSet -- df.columns.toSet
+      require(missing.isEmpty,
+        s"replacePartitions: df is missing committed column(s) " +
+          s"${missing.mkString(", ")} of $path — replaced partitions would " +
+          "read NULL there")
+    }
     // replacement granularity is the LEAF partition: the full tuple of
-    // partition values, rendered as the hive dir chain c1=v1/c2=v2/…
+    // partition values, rendered as the hive dir chain c1=v1/c2=v2/….
+    // Rendering must MATCH what Spark's write path put on disk: NULL
+    // writes as __HIVE_DEFAULT_PARTITION__ and special characters (=, :,
+    // %, …) are hive-escaped (%3D…) — a raw toString of either would pass
+    // a naive path-safety check yet never match the on-disk dir name, so
+    // the "replaced" partition's old files would silently ride along as
+    // links NEXT TO the new rows (duplicates, not replacement). Refuse
+    // both loudly: the keys this layer replaces on are numeric/enum.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val replaced = df.select(partitionColumns.map(col): _*).distinct()
       .collect()
-      .map(r => partitionColumns.indices
-        .map(i => s"${partitionColumns(i)}=${r.get(i)}").toVector)
+      .map(r => partitionColumns.indices.map { i =>
+        require(!r.isNullAt(i),
+          s"replacePartitions: NULL value in partition column " +
+            s"${partitionColumns(i)} — NULL partitions " +
+            "(__HIVE_DEFAULT_PARTITION__) are not replaceable through " +
+            "this path")
+        val raw = r.get(i).toString
+        require(ExternalCatalogUtils.escapePathName(raw) == raw,
+          s"replacePartitions: partition value '$raw' of column " +
+            s"${partitionColumns(i)} needs hive path-escaping — only " +
+            "plain path-safe values are replaceable through this path")
+        s"${partitionColumns(i)}=$raw"
+      }.toVector)
       .toSet
-    require(replaced.forall(_.forall(seg =>
-      !seg.contains("/") && !seg.contains("%"))),
-      s"replacePartitions: partition values must be path-safe, got $replaced")
     val depth = partitionColumns.size
     val next = ParquetTable.withCommitLock(path) {
       if (versionNum != baseV) throw stale(baseV, versionNum)
@@ -464,6 +503,7 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
         .parquet(s"$path/$next")
       val nextDir = Paths.get(path, next)
       import scala.jdk.CollectionConverters._
+      val skippedFlat = Seq.newBuilder[java.nio.file.Path]
       val walk = Files.walk(prevDir)
       try walk.iterator().asScala
         .filter { p =>
@@ -472,12 +512,15 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           // skip: markers/checksums (appendVersion's rationale), any file
           // under a REPLACED leaf-partition dir (full tuple prefix), and
           // root-level parquet (the empty-write schema fallback — its
-          // role is _schema.json's)
+          // role is _schema.json's; verified empty AFTER the walk, same
+          // data-loss guard as appendVersion's)
           val inReplaced = rel.getNameCount > depth &&
             replaced.contains(
               (0 until depth).map(i => rel.getName(i).toString).toVector)
+          val flatFallback = p.getParent == prevDir && n.endsWith(".parquet")
+          if (flatFallback && Files.isRegularFile(p)) skippedFlat += p
           Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".") &&
-            !inReplaced && !(p.getParent == prevDir && n.endsWith(".parquet"))
+            !inReplaced && !flatFallback
         }
         .foreach { p =>
           val rel = prevDir.relativize(p)
@@ -495,6 +538,23 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           }
         }
       finally walk.close()
+      // The flat skip is only sound for writeVersion's schema-only
+      // zero-row fallback file. A table first written through an
+      // UNPARTITIONED handle and later reopened with partitionColumns has
+      // real data rows at root level — silently dropping them from the
+      // new version is the appendVersion data-loss class. Verify empty,
+      // fail the partition-spec mismatch loudly (appendVersion's guard).
+      val flat = skippedFlat.result()
+      if (flat.nonEmpty) {
+        val nonEmpty = !df.sparkSession.read
+          .parquet(flat.map(_.toString): _*).isEmpty
+        if (nonEmpty) throw new IllegalStateException(
+          s"replacePartitions: base version of $path holds data rows in " +
+            s"root-level parquet (${flat.size} file(s)) but this handle " +
+            s"declares partitionColumns=${partitionColumns.mkString(",")}" +
+            " — the base was written unpartitioned; rewrite the table " +
+            "under the new partition spec instead of replacing partitions")
+      }
       // replaced-only schema: partitions carry the SAME schema (no
       // evolution through this path) — rewrite the sidecar fresh rather
       // than keep the linked shared inode (appendVersion's rationale)

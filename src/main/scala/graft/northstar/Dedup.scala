@@ -26,11 +26,17 @@ import org.apache.spark.sql.functions._
   * controlled by (bands × rows) resp. hyperplane count; everything else is
   * map-side.
   *
-  * Caching contract: the pair-finding operators cache an intermediate
-  * (shingle sets / signatures) that the returned lazy plan references from
-  * multiple branches. The cache lives until the session drops it — callers
-  * running many invocations in one long-lived session should
-  * `spark.catalog.clearCache()` between them (Verify/Bench do).
+  * Caching contract (the GraphRank discipline): the pair-finding
+  * operators cache an intermediate (shingle sets / signatures) that the
+  * pair plan references from multiple branches — tokenize once, not per
+  * branch. Each entry point MATERIALIZES its result eagerly, releases
+  * those corpus-sized intermediates before returning, and returns the
+  * result as the ONE cached relation that outlives the call — pair-sized
+  * (duplicates, not corpus), released by `result.unpersist()` (or a
+  * harness `clearCache()`). An embedding application can therefore call
+  * these in a loop without accreting corpus-sized cache entries; a spec
+  * asserts the cache manager is empty once the returned relation is
+  * released.
   */
 object Dedup {
 
@@ -134,7 +140,11 @@ object Dedup {
     // signatures derive from the cached shingle sets — tokenize once, not twice
     val withSig = signaturesFromShingles(shingleSets, idCol, numPerm)
     val pairs = candidatePairs(lshBands(withSig, idCol, "__sig", bands, rowsPerBand), idCol)
-    verifyJaccard(pairs, shingleSets, idCol, jaccardThreshold)
+    val result =
+      verifyJaccard(pairs, shingleSets, idCol, jaccardThreshold).persist()
+    result.count() // materialize, then release the corpus-sized sets NOW
+    shingleSets.unpersist(blocking = false)
+    result
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets —
@@ -185,7 +195,12 @@ object Dedup {
       .join(banded(rs, "id_b"), Seq("band_id", "band_hash"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    verifyJaccard(cand, ls, idCol, jaccardThreshold, setsB = rs)
+    val result =
+      verifyJaccard(cand, ls, idCol, jaccardThreshold, setsB = rs).persist()
+    result.count() // materialize, then release both corpora's sets NOW
+    ls.unpersist(blocking = false)
+    rs.unpersist(blocking = false)
+    result
   }
 
   /** A persisted near-duplicate index: the banded LSH table plus the
@@ -267,7 +282,10 @@ object Dedup {
     val all = index.sets
       .join(broadcast(newSets.select(col(idCol))), Seq(idCol), "left_anti")
       .union(newSets)
-    verifyJaccard(cand, all, idCol, jaccardThreshold)
+    val result = verifyJaccard(cand, all, idCol, jaccardThreshold).persist()
+    result.count() // materialize, then release the batch's sets NOW
+    newSets.unpersist(blocking = false)
+    result
   }
 
   /** Canonical shared-shingle pair counts (id_a < id_b) via an INVERTED
@@ -393,12 +411,16 @@ object Dedup {
       col("band_id"), col("chunk"))
     val right = banded.select(col(idCol).as("id_b"), col("__sim").as("__sim_b"),
       col("band_id"), col("chunk"))
-    left.join(right, Seq("band_id", "chunk"))
+    val result = left.join(right, Seq("band_id", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("__sim_a"), col("__sim_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .persist()
+    result.count() // materialize, then release the signature cache NOW
+    withSig.unpersist(blocking = false)
+    result
   }
 
   /** Embedding-cosine near-duplicates via Similarity's LSH machinery.

@@ -128,11 +128,18 @@ object GraphRank {
       }
       // the final scores are materialized — the static inputs can go; a
       // post-eviction lineage recompute falls back to source, the normal
-      // cache contract
-      if (iterations > 0) {
-        edgesDeg.unpersist(blocking = false)
-        outdeg.unpersist(blocking = false)
-      } else weightedP.unpersist(blocking = false)
+      // cache contract. The iterations == 0 branch materializes the
+      // initial scores itself first: without that, the returned frame
+      // would lean on outdeg's lineage and releasing edgesDeg/outdeg here
+      // would leave THREE cached relations behind (contradicting the
+      // one-surviving-cache contract above) or an uncached result.
+      if (iterations == 0) {
+        scores = scores.persist()
+        scores.count()
+      }
+      weightedP.unpersist(blocking = false) // no-op after round 1 released it
+      edgesDeg.unpersist(blocking = false)
+      outdeg.unpersist(blocking = false)
       scores
     } finally {
       spark.conf.set(AqeKey, prevAqe)

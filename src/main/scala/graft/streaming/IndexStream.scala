@@ -19,20 +19,28 @@ import graft.northstar.IvfIndex
   * appending, so Structured Streaming's at-least-once `foreachBatch`
   * redelivery cannot double-insert a vector. (Contract: `idCol` uniquely
   * identifies a vector and re-sends carry identical payloads — the same
-  * id-keyed contract as the batch merges.) The ids-only probe of the
-  * index is column-pruned to the id column; at serving scale the same
-  * check would ride a bloom filter of indexed ids, which q75's
-  * `BloomMightContain` already provides the kernel for.
+  * id-keyed contract as the batch merges.) The probe rides a
+  * [[ReplayGate]] Bloom filter of indexed ids kept at the index table's
+  * root: the common all-fresh batch never touches the indexed-ids column
+  * at all, and a replay-bearing batch probes only its maybe-seen ids
+  * (isin-pushed scan — O(batch + FP) rows, not O(index)). The filter is
+  * updated BEFORE the append commits ([[ReplayGate]]'s superset
+  * contract: a crash in between strands harmless false positives, never
+  * index-ids missing from the filter, which would re-append on replay);
+  * a filter-less pre-gate index seeds the filter from the full id column
+  * once.
   */
 object IndexStream {
 
   /** Maintain the persisted index at `path` from a stream of
     * (id, vector) rows. The seed index must already exist
     * ([[IvfIndex.build]] + persist on the initial corpus) — centroids are
-    * trained once there and never refit here.
+    * trained once there and never refit here. `expectedIds` sizes the
+    * replay-gate Bloom filter.
     */
   def ivfAppendStream(vectors: DataFrame, idCol: String,
-      vecCol: String, path: String): StreamingQuery =
+      vecCol: String, path: String,
+      expectedIds: Long = 4L * 1024 * 1024): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -40,17 +48,25 @@ object IndexStream {
         val idx = IvfIndex.load(s, path).getOrElse(sys.error(
           s"ivfAppendStream: no persisted index at $path — " +
             "build and persist the seed index first"))
-        val known = idx.assigned.select(col("neighbor_id").as(idCol))
-        // persisted across the emptiness probe and the append: without it
-        // the branch and the append each re-run the anti-join, scanning
-        // the full indexed-ids column twice per trigger
-        val fresh = batch.toDF().select(col(idCol), col(vecCol))
+        def knownIds: DataFrame =
+          idx.assigned.select(col("neighbor_id").as(idCol))
+        val bloomPath = java.nio.file.Paths.get(path, ReplayGate.BloomFile)
+        val bloom = ReplayGate.loadOrSeed(bloomPath, () => Some(knownIds),
+          idCol, expectedIds)
+        val incoming = batch.toDF().select(col(idCol), col(vecCol))
           .distinct() // in-batch re-sends of the same (id, vector)
-          .join(known, Seq(idCol), "left_anti")
+        val ids = incoming.select(col(idCol)).collect().map(_.get(0))
+        // persisted across the emptiness probe and the append: without it
+        // the branch and the append each re-run the (gated) probe
+        val fresh = ReplayGate.freshRows(incoming, idCol, ids.toIndexedSeq,
+            Some(bloom), () => knownIds)
           .persist()
         try {
           // an all-replay batch appends nothing — and creates no version
           if (fresh.count() > 0) {
+            val freshIds = fresh.select(col(idCol)).collect().map(_.get(0))
+            // filter BEFORE the index commit — see the superset contract
+            ReplayGate.addAndSave(bloomPath, bloom, freshIds.toIndexedSeq)
             idx.append(s, path, fresh, idCol, vecCol)
             ()
           }

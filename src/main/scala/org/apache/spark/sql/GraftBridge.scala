@@ -27,6 +27,16 @@ object GraftBridge {
       case _ => ()
     }
 
+  /** True when the session's CacheManager tracks no cached relations —
+    * the cache-ownership specs assert library operators leave nothing
+    * behind once the caller releases the one documented surviving
+    * relation. (Checkpoint RDD blocks are outside the CacheManager; see
+    * [[freeLocalCheckpoint]].)
+    */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
   /** Drain the listener bus so SparkListener counters observed after a job
     * reflect every stage of that job (the bus is async; without the drain
     * a fast query's tail stages get attributed to the NEXT measurement

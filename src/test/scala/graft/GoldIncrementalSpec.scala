@@ -1,0 +1,181 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gold.{GoldBuilds, GoldIncremental}
+import graft.pipeline.Warehouse
+
+/** Round-8 verdict item 3: the CDF-driven maintenance loop wired to the
+  * FIVE real reference gold tables. Law: after every silver commit mix
+  * (inserts, updates, deletes, group-emptying deletes, dimension moves),
+  * the incrementally maintained gold tables equal a FULL batch rebuild
+  * (GoldBuilds) run over the same silver state — including the derivable
+  * `avg_delivery_time` (maintained as sum/count components). Plus the
+  * replay no-op and crash-window (missing sidecar → safe full rebuild)
+  * laws.
+  */
+class GoldIncrementalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+  private def d(s: String) = Date.valueOf(s)
+
+  private def customersDf(rows: (Long, String, String, String)*) =
+    rows.toSeq.map { case (id, t, st, created) =>
+      (id, t, st, ts(created), created.take(4).toInt,
+        created.slice(5, 7).toInt, ts("2024-01-01"))
+    }.toDF("id", "type", "status", "created_on", "year", "month",
+      "silver_ingestion_time")
+
+  private def addressesDf(rows: (Long, String)*) =
+    rows.toSeq.map { case (id, city) =>
+      (ts("2023-12-01"), city, "st", "Us", id, s"line $id",
+        ts("2024-01-01"))
+    }.toDF("created_on", "city", "state", "country", "id", "address_line",
+      "silver_ingestion_time")
+
+  /** (order_id, customer_id, address_id, created_on, delivered_on?) */
+  private def ordersDf(rows: (Long, Long, java.lang.Long, String,
+      Option[String])*) =
+    rows.toSeq.map { case (id, cust, addr, created, delivered) =>
+      (cust, ts(created), addr, d(created),
+        delivered.map(d).orNull, id, created.take(4).toInt,
+        created.slice(5, 7).toInt, ts("2024-01-01"))
+    }.toDF("customer_id", "created_on", "address_id", "delivery_date",
+      "delivered_on", "id", "year", "month", "silver_ingestion_time")
+
+  private def writeSilver(wh: Warehouse, customers: DataFrame,
+      orders: DataFrame, addresses: DataFrame): Unit = {
+    wh.silverByName("customers").overwrite(customers)
+    wh.silverByName("orders").overwrite(orders)
+    wh.silverByName("addresses").overwrite(addresses)
+  }
+
+  private val GoldNames = Seq("customer_breakdown", "customer_status_by_city",
+    "orders_by_customer_week", "orders_by_city_year_month",
+    "orders_type_delivery_time")
+
+  /** Compare the incrementally maintained tables against the batch
+    * rebuild, on the reference columns (the maintenance components
+    * `delivery_time_n`/`delivery_time_sum` are implementation state).
+    */
+  private def assertMatchesBatch(inc: Warehouse, batch: Warehouse): Unit =
+    GoldNames.foreach { name =>
+      val ref = batch.gold(name).read(spark)
+      val got = inc.gold(name).read(spark).select(ref.columns.head,
+        ref.columns.tail: _*)
+      assert(TestSpark.rows(got) == TestSpark.rows(ref),
+        s"gold_$name: incremental != batch rebuild")
+    }
+
+  test("incremental maintenance of the five reference gold tables " +
+      "equals the batch rebuild across an insert/update/delete commit " +
+      "mix, absorbs replays, and survives the crash window") {
+    val root = java.nio.file.Files.createTempDirectory("graft_goldinc")
+    val wh = new Warehouse(s"$root/inc")
+    val whB = new Warehouse(s"$root/batch")
+
+    // ---- v1: initial silver state ----
+    val cust1 = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+      (2L, "individual", "VIP", "2023-06-01"),
+      (3L, "affiliate", "VIP", "2023-07-01"))
+    val addr1 = addressesDf((10L, "berlin"), (11L, "paris"), (12L, "rome"))
+    val ord1 = ordersDf(
+      (100L, 1L, 10L, "2024-01-10", Some("2024-01-15")), // delivery 5
+      (101L, 1L, 11L, "2024-02-10", Some("2024-02-12")), // latest cust 1
+      (102L, 2L, 12L, "2024-01-05", None), // null delivered_on (null avg)
+      (103L, 2L, null, "2024-01-20", Some("2024-01-29"))) // null address
+    writeSilver(wh, cust1, ord1, addr1)
+    writeSilver(whB, cust1, ord1, addr1)
+
+    val inc = new GoldIncremental(spark, wh)
+    inc.advanceAll() // first call = the one full build
+    new GoldBuilds(spark, whB).buildAll()
+    assertMatchesBatch(wh, whB)
+
+    // ---- v2: a commit mix touching every source ----
+    // customers: type change (2), delete (3, customer-less → its city-
+    // NULL group must shrink), insert (4, no orders)
+    val cust2 = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+      (2L, "affiliate", "VIP", "2023-06-01"),
+      (4L, "individual", "regular", "2023-08-01"))
+    // addresses: city move paris→lyon (relocates cust 1's latest city
+    // and order 101's monthly group)
+    val addr2 = addressesDf((10L, "berlin"), (11L, "lyon"), (12L, "rome"))
+    // orders: delete 100, backfill 102's delivered_on, insert 104
+    // (becomes cust 2's latest, moving it to berlin)
+    val ord2 = ordersDf(
+      (101L, 1L, 11L, "2024-02-10", Some("2024-02-12")),
+      (102L, 2L, 12L, "2024-01-05", Some("2024-01-25")), // delivery 20
+      (104L, 2L, 10L, "2024-03-01", Some("2024-03-20"))) // delivery 19
+    writeSilver(wh, cust2, ord2, addr2)
+    inc.advanceAll() // CDF fold, never a full re-aggregate
+    writeSilver(whB, cust2, ord2, addr2)
+    new GoldBuilds(spark, whB).buildAll()
+    assertMatchesBatch(wh, whB)
+
+    // replay: advancing again with no new silver commit is a no-op
+    // (version AND content unchanged)
+    val versions = GoldNames.map(n => wh.gold(n).version)
+    inc.advanceAll()
+    assert(GoldNames.map(n => wh.gold(n).version) == versions,
+      "replayed advance must not rewrite any gold table")
+
+    // ---- v3: single-source commit (only orders change) ----
+    val ord3 = ordersDf(
+      (101L, 1L, 11L, "2024-02-10", Some("2024-02-12")),
+      (102L, 2L, 12L, "2024-01-05", Some("2024-01-25")),
+      (104L, 2L, 10L, "2024-03-01", Some("2024-03-20")),
+      (105L, 4L, 12L, "2024-03-05", Some("2024-03-06"))) // first order
+    wh.silverByName("orders").overwrite(ord3)
+    inc.advanceAll()
+    whB.silverByName("orders").overwrite(ord3)
+    new GoldBuilds(spark, whB).buildAll()
+    assertMatchesBatch(wh, whB)
+
+    // ---- crash window: gold overwritten, sidecar write lost ----
+    // the live gold version has no marker → next advance must fall back
+    // to the safe full rebuild (never double-apply), then re-record
+    val g = wh.gold("customer_breakdown")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(g.currentPath, "_cdf_applied_sources"))
+    assert(inc.appliedVersions(g).isEmpty)
+    inc.customerBreakdown()
+    assert(inc.appliedVersions(g).nonEmpty, "sidecar must be restored")
+    assertMatchesBatch(wh, whB)
+  }
+
+  test("the maintained avg_delivery_time is the derivable sum/count — " +
+      "null delivered_on rows stay outside the average, all-null groups " +
+      "read NULL (batch avg semantics)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_goldavg")
+    val wh = new Warehouse(s"$root/w")
+    writeSilver(wh,
+      customersDf((1L, "affiliate", "regular", "2023-05-01")),
+      ordersDf(
+        (200L, 1L, 10L, "2024-04-01", None),
+        (201L, 1L, 10L, "2024-04-02", None)), // berlin/2024-04: all NULL
+      addressesDf((10L, "berlin")))
+    val inc = new GoldIncremental(spark, wh)
+    inc.ordersByCityYearMonth()
+    val row0 = wh.gold("orders_by_city_year_month").read(spark)
+      .filter(col("city") === "berlin").head
+    assert(row0.getAs[Long]("order_count") == 2L)
+    assert(row0.isNullAt(row0.fieldIndex("avg_delivery_time")),
+      "an all-null delivery group must read NULL, not 0")
+    // backfill one delivered_on → avg over the ONE non-null value
+    wh.silverByName("orders").overwrite(ordersDf(
+      (200L, 1L, 10L, "2024-04-01", Some("2024-04-08")), // delivery 7
+      (201L, 1L, 10L, "2024-04-02", None)))
+    inc.ordersByCityYearMonth()
+    val row1 = wh.gold("orders_by_city_year_month").read(spark)
+      .filter(col("city") === "berlin").head
+    assert(row1.getAs[Long]("order_count") == 2L)
+    assert(row1.getAs[Double]("avg_delivery_time") == 7.0)
+  }
+}

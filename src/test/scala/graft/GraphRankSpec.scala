@@ -163,4 +163,30 @@ class GraphRankSpec extends AnyFunSuite {
     assert((2L to 5L).forall(v => scores(1L) > scores(v)))
     assert((2L to 5L).map(scores).distinct.size === 1) // symmetric leaves
   }
+
+  test("iterations = 0 returns the uniform initial scores as the ONE " +
+      "surviving cached relation — edge/degree caches are released " +
+      "(ADVICE: the 0-iteration branch leaked outdeg/edgesDeg)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val scores = GraphRank.pageRank(edges, iterations = 0, scale = 300L)
+    val got = scores.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 100L, 2L -> 100L, 3L -> 100L))
+    assert(!org.apache.spark.sql.GraftBridge.cacheIsEmpty(spark),
+      "the returned scores are the one documented surviving cache")
+    scores.unpersist(blocking = true)
+    assert(org.apache.spark.sql.GraftBridge.cacheIsEmpty(spark),
+      "no edge/degree cache may outlive the call")
+  }
+
+  test("iterations > 0 keeps the same one-surviving-cache contract") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val scores = GraphRank.pageRank(edges, iterations = 3, scale = 300L)
+    scores.collect()
+    scores.unpersist(blocking = true)
+    assert(org.apache.spark.sql.GraftBridge.cacheIsEmpty(spark))
+  }
 }

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.ParquetTable
+import graft.streaming.{PackStream, ReplayGate}
+
+/** Laws of the Bloom-gated replay probe and PackStream's self-healing
+  * crash recovery (round-8 verdict items 2 and the ADVICE crash-window
+  * finding).
+  */
+class ReplayGateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("freshRows with an all-definitely-new batch never touches the " +
+      "seen-id log (zero log I/O, the O(batch) fast path)") {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    Seq(1L, 2L).foreach(bloom.putLong)
+    val batch = Seq((3L, "x"), (4L, "y")).toDF("doc_id", "text")
+    var probed = 0
+    val fresh = ReplayGate.freshRows(batch, "doc_id",
+      Seq(Long.box(3L), Long.box(4L)), Some(bloom),
+      () => { probed += 1; Seq(1L, 2L).toDF("doc_id") })
+    assert(fresh.count() == 2)
+    assert(probed == 0,
+      "definitely-unseen batch must not invoke the log reader at all")
+  }
+
+  test("freshRows probes ONLY the maybe-seen ids: replays drop, false " +
+      "positives survive, and the isin predicate reaches the log scan") {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    Seq(1L, 2L, 99L).foreach(bloom.putLong) // 99 = stranded FP (crash
+    // between filter save and log append): in the filter, NOT in the log
+    val batch = Seq((1L, "replay"), (5L, "new"), (99L, "fp"))
+      .toDF("doc_id", "text")
+    var probed = 0
+    // a REAL parquet log, so the probe restriction's pushdown is visible
+    val logDir = Files.createTempDirectory("graft_gate_log")
+      .resolve("log.parquet").toString
+    Seq(1L, 2L).toDF("doc_id").write.parquet(logDir)
+    val fresh = ReplayGate.freshRows(batch, "doc_id",
+      Seq(1L, 5L, 99L).map(Long.box), Some(bloom),
+      () => { probed += 1; spark.read.parquet(logDir) })
+    val got = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L, 99L),
+      "replay must drop; the stranded false positive must survive (it " +
+        "is NOT in the log) — a dropped FP would be data loss")
+    assert(probed == 1)
+    // the probe is restricted to the maybe ids and the In predicate
+    // reaches the parquet scan — the O(batch + FP) claim, mechanically
+    val plan = fresh.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(doc_id"),
+      s"expected the isin restriction pushed into the log scan, got:\n$plan")
+  }
+
+  test("freshRows without a filter is the plain full anti-join") {
+    val batch = Seq((1L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val fresh = ReplayGate.freshRows(batch, "doc_id",
+      Seq(1L, 3L).map(Long.box), None, () => Seq(1L, 2L).toDF("doc_id"))
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(3L))
+  }
+
+  test("loadOrSeed seeds the filter from a pre-gate log (superset " +
+      "contract) and round-trips through the atomic save") {
+    val tmp = Files.createTempDirectory("graft_gate_seed")
+    val file = tmp.resolve(ReplayGate.BloomFile)
+    val seeded = ReplayGate.loadOrSeed(file,
+      () => Some(Seq(10L, 11L, 12L).toDF("doc_id")), "doc_id", 1000)
+    assert(Seq(10L, 11L, 12L).forall(seeded.mightContainLong),
+      "every pre-existing log id must be in the seeded filter — an " +
+        "empty filter next to a non-empty log re-appends replayed ids")
+    assert(Files.exists(file), "seeding must persist the filter")
+    // reload sees the same contents; add + save extends it
+    val loaded = ReplayGate.loadOrSeed(file,
+      () => fail("filter exists — the seed reader must not be invoked"),
+      "doc_id", 1000)
+    assert(Seq(10L, 11L, 12L).forall(loaded.mightContainLong))
+    ReplayGate.addAndSave(file, loaded, Seq(Long.box(42L)))
+    assert(ReplayGate.load(file).get.mightContainLong(42L))
+  }
+
+  test("PackStream self-heals the crash window between the log append " +
+      "and the packed repack (ADVICE: replay finds zero fresh docs and " +
+      "the touched buckets were never repacked)") {
+    val tmp = Files.createTempDirectory("graft_pack_crash").toString
+    val log = new ParquetTable(s"$tmp/log", partitionColumns = Seq("bucket"))
+    val packed =
+      new ParquetTable(s"$tmp/packed", partitionColumns = Seq("bucket"))
+    def docsDf(ids: Seq[Long]) = ids.map(i =>
+        (i, Seq.fill(1 + (i * 7 % 23).toInt)("w").mkString(" "),
+          i / 16))
+      .toDF("doc_id", "text", "bucket")
+    // healthy trigger 1 (simulated): log + pack + sidecar for bucket 0
+    log.overwrite(docsDf(0L until 8L))
+    PackStream.recover(spark, log, packed, budget = 40, bucketSize = 16)
+    assert(PackStream.appliedLogVersion(packed).contains(log.version))
+    val healthyV = packed.version
+    // CRASH window: trigger 2's docs land in the LOG (mid-bucket lates
+    // for bucket 0 + new bucket 2) but the process dies before the
+    // repack — exactly the state Structured Streaming replays into
+    log.appendVersion(docsDf(Seq(8L, 9L, 33L)))
+    assert(PackStream.appliedLogVersion(packed).contains(1),
+      "sidecar still names the pre-crash log version")
+    // restart: recovery runs BEFORE the replayed batch and must bring
+    // packed to exactly the batch repack of the full log
+    PackStream.recover(spark, log, packed, budget = 40, bucketSize = 16)
+    assert(packed.version > healthyV, "recovery must repack")
+    assert(PackStream.appliedLogVersion(packed).contains(log.version))
+    val got = packed.read(spark)
+      .select("doc_id", "bucket", "seq", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val ref = graft.northstar.SeqPack.packGreedy(
+        log.read(spark), "doc_id", "text", budget = 40, bucketSize = 16)
+      .collect().map(p => (p.doc_id, p.bucket, p.seq, p.n_tokens)).toSet
+    assert(got == ref,
+      "recovered packed table must equal the full batch repack")
+    // recovery is idempotent: already-current → no new version
+    val v = packed.version
+    PackStream.recover(spark, log, packed, budget = 40, bucketSize = 16)
+    assert(packed.version == v, "current tables must not be rewritten")
+    // and a recovery re-run after a crash BETWEEN replacePartitions and
+    // the sidecar write (stale sidecar, fresh pack) repacks once more —
+    // idempotent on content
+    graft.io.Sidecar.write(Paths.get(packed.currentPath),
+      "_packed_log_version", Seq("1"))
+    PackStream.recover(spark, log, packed, budget = 40, bucketSize = 16)
+    val regot = packed.read(spark)
+      .select("doc_id", "bucket", "seq", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(regot == ref)
+    assert(PackStream.appliedLogVersion(packed).contains(log.version))
+  }
+
+  test("PackStream recovery covers the first-trigger crash window (log " +
+      "exists, packed table never created)") {
+    val tmp = Files.createTempDirectory("graft_pack_crash0").toString
+    val log = new ParquetTable(s"$tmp/log", partitionColumns = Seq("bucket"))
+    val packed =
+      new ParquetTable(s"$tmp/packed", partitionColumns = Seq("bucket"))
+    log.overwrite(Seq((0L, "a b c", 0L), (17L, "d e", 1L))
+      .toDF("doc_id", "text", "bucket"))
+    PackStream.recover(spark, log, packed, budget = 10, bucketSize = 16)
+    assert(packed.exists)
+    assert(packed.read(spark).count() == 2)
+    assert(PackStream.appliedLogVersion(packed).contains(1))
+  }
+}

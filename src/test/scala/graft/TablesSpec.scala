@@ -331,4 +331,56 @@ class TablesSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("conflicts"))
   }
+
+  test("replacePartitions refuses the data-loss and silent-duplicate " +
+      "classes: root-level data rows, NULL / escape-needing partition " +
+      "values, schema drift") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tbl_rp_guard").toString
+    // (1) a table first written through an UNPARTITIONED handle and later
+    // reopened with partitionColumns has real data rows at root level —
+    // replacePartitions must refuse rather than silently drop them from
+    // the new version (the appendVersion guard, applied here too)
+    new ParquetTable(s"$dir/t")
+      .overwrite(Seq((1, "a", 0), (2, "b", 1)).toDF("id", "v", "p"))
+    val reopened = new ParquetTable(s"$dir/t", partitionColumns = Seq("p"))
+    val err = intercept[IllegalStateException] {
+      reopened.replacePartitions(Seq((9, "z", 1)).toDF("id", "v", "p"))
+    }
+    assert(err.getMessage.contains("unpartitioned"))
+    assert(reopened.version == 1, "failed replace must not commit")
+    assert(reopened.read(spark).count() == 2, "no rows may be lost")
+
+    val t = new ParquetTable(s"$dir/t2", partitionColumns = Seq("p"))
+    t.overwrite(Seq((1, "a", "x"), (2, "b", "y")).toDF("id", "v", "p"))
+    // (2) NULL partition value: Spark writes __HIVE_DEFAULT_PARTITION__,
+    // which a toString render would never match — the old files would
+    // silently ride along next to the new rows. Refused loudly.
+    val nullErr = intercept[IllegalArgumentException] {
+      t.replacePartitions(
+        Seq((3, "c", null.asInstanceOf[String])).toDF("id", "v", "p"))
+    }
+    assert(nullErr.getMessage.contains("NULL"))
+    // (3) a value needing hive path-escaping ('=' writes as %3D on disk)
+    val escErr = intercept[IllegalArgumentException] {
+      t.replacePartitions(Seq((3, "c", "a=b")).toDF("id", "v", "p"))
+    }
+    assert(escErr.getMessage.contains("escap"))
+    // (4) schema drift: renamed / missing / retyped columns would commit
+    // files disagreeing with the _schema.json sidecar — reads of the
+    // replaced partitions would silently return NULLs
+    val renamed = intercept[IllegalArgumentException] {
+      t.replacePartitions(Seq((3, "c", "x")).toDF("id", "renamed", "p"))
+    }
+    assert(renamed.getMessage.contains("not in the committed schema"))
+    val missing = intercept[IllegalArgumentException] {
+      t.replacePartitions(Seq((3, "x")).toDF("id", "p"))
+    }
+    assert(missing.getMessage.contains("missing"))
+    val retyped = intercept[IllegalArgumentException] {
+      t.replacePartitions(Seq((3L, "c", "x")).toDF("id", "v", "p"))
+    }
+    assert(retyped.getMessage.contains("conflicts"))
+    assert(t.version == 1, "no failed attempt may have committed")
+  }
 }
