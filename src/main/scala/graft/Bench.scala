@@ -229,6 +229,31 @@ object Bench {
       "BENCH_BESTS_PRIOR.json"))
     val regressed = merged.keys.toSeq.sorted.filter(n =>
       priorBests.get(n).exists(p => merged(n) > 1.3 * p))
+    // ---- volume census (BASELINE.md protocol): wall time is host-noisy
+    // and the PLAN-side size estimates are taint-censored on multi-join
+    // queries, so the round-over-round VOLUME diff uses the MEASURED
+    // task-metric shuffle-write bytes against the prior round's committed
+    // detail file. Flag >1.5x growth above a 1 MiB floor (small queries'
+    // serialization jitter is not a volume regression); volume is a
+    // property of the plan, so any clean run's bytes are the query's.
+    def readPriorVolumes(path: String): Map[String, Long] = {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else """"([A-Za-z0-9_]+)":\{"best":[^{}]*?"shuffle_write_bytes":(-?\d+)""".r
+        .findAllMatchIn(java.nio.file.Files.readString(p))
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+    val priorVolumes = readPriorVolumes(sys.env.getOrElse(
+      "SPARK_GRAFT_PRIOR_DETAIL", "BENCH_DETAIL_PRIOR.json"))
+    val VolumeFloorBytes = 1L << 20
+    val volumeRegressed = names.sorted.filter { n =>
+      val cur = runs(n).filter(!_.failed).headOption.map(_.shuffleWrite)
+      (cur, priorVolumes.get(n)) match {
+        case (Some(c), Some(p)) if p >= 0 =>
+          c > math.max(1.5 * p, p + VolumeFloorBytes)
+        case _ => false
+      }
+    }
     try {
       val bq = merged.toSeq.sortBy(_._1)
         .map { case (n, s) => s""""$n":${fmt(s)}""" }.mkString(",")
@@ -305,6 +330,7 @@ object Bench {
       s""""failed_queries":$failed""",
       s""""contaminated":$contaminated""",
       s""""regressed_queries":${regressed.length}""",
+      s""""volume_regressed":${volumeRegressed.length}""",
       s""""value":${fmt(total)}""").mkString("{", ",", "}")
     val full = Seq(
       s""""metric":"total"""",
@@ -320,6 +346,8 @@ object Bench {
       s""""contaminated":$contaminated""",
       s""""regressed_queries":${regressed.length}""",
       s""""regressed":${regressed.map(n => s""""$n"""").mkString("[", ",", "]")}""",
+      s""""volume_regressed":${volumeRegressed.length}""",
+      s""""volume_regressed_queries":${volumeRegressed.map(n => s""""$n"""").mkString("[", ",", "]")}""",
       s""""seed":$seed""",
       s""""detail":$detail""",
       s""""sf":"$sfDir"""").mkString("{", ",", "}")

@@ -1,0 +1,57 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Regenerate COVERAGE.md's Totals footer from the artifacts themselves
+  * so it can never drift again (round-7 verdict: the hand-maintained
+  * footer was three increments stale). Query and oracle counts come from
+  * `SparkEntry.queries`/`oracleSql` (pure values — no session needed).
+  * The executed ScalaTest case count comes from the test run: pass the
+  * "Tests: succeeded N" number as the one argument — `sbt test && sbt
+  * "runMain graft.tools.CoverageFooter <N>"`. (A static `test(` grep
+  * undercounts: loop-registered tests register many cases per site, so
+  * without the argument the footer reports registration sites and says
+  * so.) Rewrites the footer paragraph in place and prints the new line.
+  */
+object CoverageFooter {
+
+  def main(args: Array[String]): Unit = {
+    val nQueries = graft.SparkEntry.queries.size
+    val nOracle = graft.SparkEntry.oracleSql.size
+    import scala.jdk.CollectionConverters._
+    val testDir = Paths.get("src/test/scala/graft")
+    val nSites = Files.list(testDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".scala"))
+      .map(p => "(?m)^\\s*test\\(".r
+        .findAllMatchIn(Files.readString(p)).size)
+      .sum
+    val testClause = args.headOption.flatMap(_.toIntOption) match {
+      case Some(executed) =>
+        s"$executed ScalaTest cases (from the `sbt test` run; " +
+          s"$nSites registration sites)"
+      case None =>
+        s"$nSites ScalaTest registration sites (executed case count is " +
+          "higher — loops register many; pass `sbt test`'s succeeded " +
+          "count as the argument for the exact figure)"
+    }
+    val footer =
+      s"**Totals (generated — `graft.tools.CoverageFooter`): $nQueries " +
+        s"queries in `SparkEntry.queries`, $nOracle DuckDB-oracle-backed " +
+        s"(${nQueries - nOracle} gated no-oracle by design); " +
+        s"$testClause** (including executed-plan proofs for dynamic " +
+        "partition pruning and AQE skew-join splitting). Oracle parity " +
+        "additionally re-verified at sf0.1 per round (ACCURACY/VERIFY " +
+        "artifacts — no scale-dependent oracle). See `DESIGN.md` for the " +
+        "100 TB scale rationale per operator family."
+    val cov = Paths.get("COVERAGE.md")
+    val lines = Files.readString(cov).split("\n", -1).toVector
+    val start = lines.indexWhere(_.startsWith("**Totals"))
+    require(start >= 0, "COVERAGE.md has no **Totals footer paragraph")
+    // the footer paragraph runs to the next blank line (or EOF)
+    val end0 = lines.indexWhere(_.trim.isEmpty, start)
+    val end = if (end0 < 0) lines.size else end0
+    val out = (lines.take(start) :+ footer) ++ lines.drop(end)
+    Files.writeString(cov, out.mkString("\n"))
+    println(footer)
+  }
+}

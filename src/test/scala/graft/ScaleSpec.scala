@@ -510,4 +510,116 @@ class ScaleSpec extends AnyFunSuite {
         s"$name's join must run on the synthesized bin key:\n$plan")
     }
   }
+
+  test("packGreedyGrouped under adversarial skew: per-cell fan-in is " +
+      "structurally bounded by bucketSize, grouped == per-subset packing, " +
+      "ONE exchange (round-8 verdict: skew-adversarial proof)") {
+    import spark.implicits._
+    import graft.northstar.SeqPack
+    // adversarial distribution: 97% of docs in ONE group AND their ids
+    // clustered into very few buckets (the worst case for the
+    // (group x bucket) grouping key a caller can inject)
+    val docs = ((0 until 2000).map(i =>
+        (i.toLong, "w " * (1 + i % 9), if (i < 1940) "hot" else "cold")))
+      .toDF("doc_id", "text", "grp")
+    val packed = SeqPack.packGreedyGrouped(docs, "doc_id", "text",
+      budget = 20, bucketSize = 64, groupCol = "grp")
+    val rows = packed.collect()
+    // the skew BOUND: bucket = id DIV bucketSize caps every (group,
+    // bucket) cell at bucketSize docs BY CONSTRUCTION - no caller
+    // distribution can hand one reducer more than bucketSize rows, which
+    // is why the sequential per-cell slot scales (DESIGN.md's claim)
+    val maxCell = rows.groupBy(r => (r.group, r.bucket)).values
+      .map(_.size).max
+    assert(maxCell <= 64,
+      s"a (group, bucket) cell must never exceed bucketSize docs, got $maxCell")
+    // correctness under the same skew: grouped == packing each group alone
+    for (g <- Seq("hot", "cold")) {
+      val alone = SeqPack.packGreedy(docs.filter(col("grp") === g),
+          "doc_id", "text", budget = 20, bucketSize = 64)
+        .collect().map(p => (p.bucket, p.seq, p.doc_id, p.n_tokens)).toSet
+      val ofGroup = rows.filter(_.group == g)
+        .map(p => (p.bucket, p.seq, p.doc_id, p.n_tokens)).toSet
+      assert(ofGroup == alone, s"group $g must pack as if alone")
+    }
+    // the uniform path's shuffle budget is unchanged: ONE exchange (the
+    // groupByKey), nothing extra appeared with the skew handling
+    // count in the FINAL adaptive plan only - AQE's toString repeats the
+    // tree under an "== Initial Plan ==" section, double-counting
+    val finalPlan = packed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nExchanges = "Exchange".r.findAllMatchIn(finalPlan
+      .linesIterator.filterNot(_.contains("ReusedExchange"))
+      .mkString("\n")).size
+    assert(nExchanges == 1,
+      "grouped packing must keep exactly one exchange under skew")
+  }
+
+  test("GoldMaintenance delta fold under a hot group: partial " +
+      "aggregation collapses the skewed key MAP-SIDE (shuffle records " +
+      "are group-count-sized, not change-count-sized) and the fold " +
+      "stays exact") {
+    import spark.implicits._
+    import graft.gold.GoldMaintenance
+    import graft.io.ParquetTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_goldskew")
+    val src = new ParquetTable(s"$tmp/src")
+    val gold = new ParquetTable(s"$tmp/gold")
+    val v1 = (1 to 100).map(i => (i.toLong, s"g${i % 5}", i.toLong))
+      .toDF("id", "grp", "cents")
+    src.overwrite(v1)
+    GoldMaintenance.advance(spark, src, gold, Seq("grp"), col("cents"))
+    // v2: 20k changed rows, ~99% of them in ONE group - the caller-skew
+    // the delta groupBy inherits
+    val v2 = (1 to 20000).map(i =>
+        (i.toLong, if (i <= 19800) "hotgrp" else s"g${i % 5}", i.toLong))
+      .toDF("id", "grp", "cents")
+    src.overwrite(v2)
+    // listener: records written into shuffles during the advance
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      def measure(body: => Unit): Long = {
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        recs.set(0L)
+        body
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        recs.get
+      }
+      // the CDF diff itself shuffles O(changes) row-TUPLES by design
+      // (documented in changesBetween); the skew surface is the DELTA
+      // AGGREGATE layered on top. Measure its MARGINAL shuffle records:
+      // with partial (map-side) aggregation the 19.8k hot-group change
+      // rows collapse to per-key-per-map-partition partials, so the
+      // delta adds ~groups x partitions records, NOT ~changes.
+      val changes = src.changesBetween(spark, 1, 2)
+      val rCdf = measure(changes.count())
+      val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      val delta = changes.groupBy(col("grp"))
+        .agg(sum(sgn).as("dn"), sum(sgn * col("cents")).as("dv"))
+      val rDelta = measure(delta.collect())
+      assert(rDelta - rCdf < 1000,
+        s"hot-group delta aggregate must collapse map-side: CDF alone " +
+          s"shuffled $rCdf records, CDF+delta shuffled $rDelta")
+      GoldMaintenance.advance(spark, src, gold, Seq("grp"), col("cents"))
+    } finally spark.sparkContext.removeSparkListener(l)
+    // exactness under skew: the fold equals the full rebuild
+    val got = gold.read(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = GoldMaintenance.aggregate(v2, Seq("grp"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref, "skewed incremental fold must equal the rebuild")
+    // and the delta plan carries partial aggregation (the mechanism)
+    val plan = GoldMaintenance.incrementalPlan(spark, src, gold,
+      Seq("grp"), col("cents"), 1, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      s"delta aggregate must plan a partial (map-side) phase:\n$plan")
+  }
 }
