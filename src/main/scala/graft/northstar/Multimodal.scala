@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * [[Multimodal.MediaDecoder.ContainerHeaders]] decoder does REAL codec
   * work for the three synthesized formats: PNG pixel decode (zlib
   * inflate + unfilter, q91), 16-bit PCM WAV samples (q90), and baseline
-  * JPEG DCT decode (Huffman entropy + IDCT, q96) — plus header-level
-  * dims/format parses. Exotic codecs (video, progressive JPEG, lossy
-  * audio) stay behind the same pluggable [[Multimodal.MediaDecoder]]
+  * JPEG DCT decode (Huffman entropy + IDCT, q96/q99) including
+  * PROGRESSIVE (SOF2) multi-scan streams (q102) — plus header-level
+  * dims/format parses. Exotic codecs (video, arithmetic-coded JPEG,
+  * lossy audio) stay behind the same pluggable [[Multimodal.MediaDecoder]]
   * seam a deployment binds a codec library to;
   * [[Multimodal.MediaDecoder.Fake]] is the deterministic test double.
   *
@@ -338,9 +339,11 @@ object Multimodal {
                     if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
                       compV(c) > 4) return None
                   }
+                case 0xc2 => // SOF2 — progressive Huffman: own decode path
+                  return jpegFrameProgressive(b)
                 case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 &&
                     m != 0xc8 && m != 0xcc =>
-                  return None // progressive/arithmetic/etc — not claimed
+                  return None // arithmetic/lossless/hierarchical — not claimed
                 case 0xdd => // DRI
                   if (len != 4) return None
                   restart = be16(b, seg)
@@ -431,6 +434,359 @@ object Multimodal {
                 while (x < w) {
                   full(y * w + x) =
                     planes(c)(sy * planeW(c) + x * compH(c) / hmax)
+                  x += 1
+                }
+                y += 1
+              }
+              full
+            }
+          }
+          Some((w, h, out))
+        } catch { case Jpeg.Bail => None }
+      }
+
+      /** Decode a PROGRESSIVE Huffman JPEG frame (SOF2) to per-component
+        * full-resolution planes — ITU T.81 Annex G: spectral selection
+        * (per-scan [Ss, Se] coefficient bands) and successive
+        * approximation (Ah/Al bit planes), accumulated across scans into
+        * a per-block coefficient store and IDCT'd once at EOI. Scan
+        * kinds: DC-first (interleaved or not; values arrive
+        * point-transformed, stored `<< Al`), DC-refinement (one raw bit
+        * per block, OR'd in at bit Al — two's complement makes this
+        * exact for negative DCs too), AC-first (single-component per
+        * G.1.1.1.1, with EOB-run codes `RRRR|0, RRRR < 15` spanning up
+        * to 32767 blocks), and AC-refinement (the G.1.2.3 correction-bit
+        * walk: every nonzero-history coefficient in the band consumes a
+        * bit, ±2^Al applied when set; ZRL skips 16 zero-history slots).
+        * Non-interleaved scans walk the component's OWN block grid
+        * (ceil(ceil(dim·c/max)/8), T.81 A.2.2), not the MCU-padded one;
+        * restart intervals reset predictors AND the EOB run. Shares the
+        * baseline path's refusal discipline: 8-bit precision, 1 or 3
+        * components, Huffman only; malformed scan headers (DC band ≠
+        * [0,0], multi-component AC scan, Ah ≠ Al+1 on refinement) are
+        * None, not a misread.
+        */
+      private def jpegFrameProgressive(
+          b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
+        if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+          return None
+        val quant = new Array[Array[Int]](4)
+        val huffDc = new Array[Jpeg.HuffTable](4)
+        val huffAc = new Array[Jpeg.HuffTable](4)
+        var w = 0; var h = 0
+        var ncomp = 0
+        var compIds: Array[Int] = null
+        var compH: Array[Int] = null
+        var compV: Array[Int] = null
+        var compQ: Array[Int] = null
+        var restart = 0
+        var mcusX = 0; var mcusY = 0
+        // per-component coefficient store, ZIGZAG order, 64 per block,
+        // blocks on the MCU-padded grid (padW x padH)
+        var coefs: Array[Array[Int]] = null
+        var padW: Array[Int] = null; var padH: Array[Int] = null
+        var nbW: Array[Int] = null; var nbH: Array[Int] = null
+        var sawScan = false
+
+        /** Decode one scan's entropy data starting at `dataAt`; returns
+          * the index of the next marker's 0xFF byte.
+          */
+        def decodeScan(dataAt: Int, sc: Array[Int], sdc: Array[Int],
+            sac: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Int = {
+          val reader = new Jpeg.BitReader(b, dataAt)
+          val preds = new Array[Int](ncomp)
+          var eobrun = 0
+          var rstExpect = 0
+          val p1 = 1 << al
+
+          def resync(): Unit = {
+            reader.expectRst(rstExpect)
+            rstExpect = (rstExpect + 1) % 8
+            java.util.Arrays.fill(preds, 0)
+            eobrun = 0
+          }
+          def correct(ci: Int, idx: Int): Unit = {
+            val cur = coefs(ci)(idx)
+            if (reader.bit() == 1 && (cur & p1) == 0)
+              coefs(ci)(idx) = if (cur >= 0) cur + p1 else cur - p1
+          }
+          def dcBlock(j: Int, off: Int): Unit =
+            if (ah == 0) {
+              val s = reader.decode(huffDc(sdc(j)))
+              preds(j) += Jpeg.extend(reader.bits(s), s)
+              coefs(sc(j))(off) = preds(j) << al
+            } else if (reader.bit() == 1) coefs(sc(j))(off) |= p1
+          def acFirstBlock(ci: Int, off: Int): Unit =
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val rs = reader.decode(huffAc(sac(0)))
+                val r = rs >> 4
+                val s = rs & 0x0f
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else { // EOBn: this block ends; run covers r-bit more
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += reader.bits(r)
+                    k = 64
+                  }
+                } else {
+                  k += r
+                  if (k > se) throw Jpeg.Bail
+                  coefs(ci)(off + k) = Jpeg.extend(reader.bits(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          def acRefineBlock(ci: Int, off: Int): Unit = {
+            var k = ss
+            if (eobrun == 0) {
+              var inBand = true
+              while (inBand && k <= se) {
+                val rs = reader.decode(huffAc(sac(0)))
+                var r = rs >> 4
+                val s = rs & 0x0f
+                var newval = 0
+                if (s == 0) {
+                  if (r < 15) { // EOB: run INCLUDES this block's tail
+                    eobrun = 1 << r
+                    if (r > 0) eobrun += reader.bits(r)
+                    inBand = false
+                  } // r == 15: ZRL — skip 16 zero-history slots below
+                } else {
+                  if (s != 1) throw Jpeg.Bail // refinement sends ±1 only
+                  newval = if (reader.bit() == 1) p1 else -p1
+                }
+                if (inBand) {
+                  var placed = false
+                  while (!placed && k <= se) {
+                    if (coefs(ci)(off + k) != 0) { correct(ci, off + k); k += 1 }
+                    else if (r == 0) placed = true
+                    else { r -= 1; k += 1 }
+                  }
+                  if (newval != 0) {
+                    if (k > se) throw Jpeg.Bail
+                    coefs(ci)(off + k) = newval
+                  }
+                  k += 1
+                }
+              }
+            }
+            if (eobrun > 0) { // correct the rest of this block's band
+              while (k <= se) {
+                if (coefs(ci)(off + k) != 0) correct(ci, off + k)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+
+          if (ss == 0) { // DC scan: MCU-interleaved when ns > 1
+            if (sc.length > 1 || compH(sc(0)) * compV(sc(0)) > 1) {
+              var mcu = 0
+              while (mcu < mcusX * mcusY) {
+                if (restart > 0 && mcu > 0 && mcu % restart == 0) resync()
+                val mx = mcu % mcusX
+                val my = mcu / mcusX
+                for (j <- sc.indices; v <- 0 until compV(sc(j));
+                    hh <- 0 until compH(sc(j))) {
+                  val ci = sc(j)
+                  dcBlock(j, ((my * compV(ci) + v) * padW(ci) +
+                    mx * compH(ci) + hh) * 64)
+                }
+                mcu += 1
+              }
+            } else { // single 1x1-sampled component: its own block grid
+              val ci = sc(0)
+              var blk = 0
+              while (blk < nbW(ci) * nbH(ci)) {
+                if (restart > 0 && blk > 0 && blk % restart == 0) resync()
+                dcBlock(0, ((blk / nbW(ci)) * padW(ci) + blk % nbW(ci)) * 64)
+                blk += 1
+              }
+            }
+          } else { // AC scan: always non-interleaved (checked at SOS)
+            val ci = sc(0)
+            var blk = 0
+            while (blk < nbW(ci) * nbH(ci)) {
+              if (restart > 0 && blk > 0 && blk % restart == 0) resync()
+              val off = ((blk / nbW(ci)) * padW(ci) + blk % nbW(ci)) * 64
+              if (ah == 0) acFirstBlock(ci, off) else acRefineBlock(ci, off)
+              blk += 1
+            }
+          }
+          // skip flush padding / trailing RSTn to the next real marker
+          var j = reader.pos
+          while (j + 1 < b.length && !((b(j) & 0xff) == 0xff &&
+            (b(j + 1) & 0xff) != 0x00 && (b(j + 1) & 0xff) != 0xff &&
+            !((b(j + 1) & 0xff) >= 0xd0 && (b(j + 1) & 0xff) <= 0xd7)))
+            j += 1
+          if (j + 1 >= b.length) throw Jpeg.Bail
+          j
+        }
+
+        var i = 2
+        try {
+          var done = false
+          while (!done) {
+            if (i + 1 >= b.length) return None
+            if ((b(i) & 0xff) != 0xff) return None
+            val marker = b(i + 1) & 0xff
+            if (marker == 0xff) { i += 1 } // fill byte
+            else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+              i += 2
+            } else if (marker == 0xd9) { done = true
+            } else {
+              if (i + 4 > b.length) return None
+              val len = be16(b, i + 2)
+              if (len < 2 || i + 2 + len > b.length) return None
+              val seg = i + 4
+              val segEnd = i + 2 + len
+              marker match {
+                case 0xdb =>
+                  var j = seg
+                  while (j < segEnd) {
+                    val pq = (b(j) & 0xf0) >> 4
+                    val tq = b(j) & 0x0f
+                    if (pq != 0) return None // 16-bit tables not claimed
+                    if (j + 65 > segEnd) return None
+                    quant(tq) = Array.tabulate(64)(k => b(j + 1 + k) & 0xff)
+                    j += 65
+                  }
+                  i = segEnd
+                case 0xc4 =>
+                  var j = seg
+                  while (j < segEnd) {
+                    val tc = (b(j) & 0xf0) >> 4
+                    val th = b(j) & 0x0f
+                    if (j + 17 > segEnd) return None
+                    val bits = Array.tabulate(16)(k => b(j + 1 + k) & 0xff)
+                    val n = bits.sum
+                    if (j + 17 + n > segEnd) return None
+                    val vals = Array.tabulate(n)(k => b(j + 17 + k) & 0xff)
+                    val t = Jpeg.huffTable(bits, vals)
+                    if (tc == 0) huffDc(th) = t else huffAc(th) = t
+                    j += 17 + n
+                  }
+                  i = segEnd
+                case 0xc2 => // SOF2
+                  if (ncomp != 0) return None // one frame only
+                  if (len < 8) return None
+                  if ((b(seg) & 0xff) != 8) return None // precision
+                  h = be16(b, seg + 1); w = be16(b, seg + 3)
+                  ncomp = b(seg + 5) & 0xff
+                  if ((ncomp != 1 && ncomp != 3) || w < 1 || h < 1)
+                    return None
+                  if (len < 8 + 3 * ncomp) return None
+                  compIds = new Array[Int](ncomp)
+                  compH = new Array[Int](ncomp)
+                  compV = new Array[Int](ncomp)
+                  compQ = new Array[Int](ncomp)
+                  for (c <- 0 until ncomp) {
+                    compIds(c) = b(seg + 6 + 3 * c) & 0xff
+                    val s = b(seg + 7 + 3 * c) & 0xff
+                    compH(c) = (s & 0xf0) >> 4
+                    compV(c) = s & 0x0f
+                    compQ(c) = b(seg + 8 + 3 * c) & 0x0f
+                    if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
+                      compV(c) > 4) return None
+                  }
+                  val hmax = compH.max
+                  val vmax = compV.max
+                  mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+                  mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+                  padW = Array.tabulate(ncomp)(c => mcusX * compH(c))
+                  padH = Array.tabulate(ncomp)(c => mcusY * compV(c))
+                  nbW = Array.tabulate(ncomp)(c =>
+                    (w * compH(c) + 8 * hmax - 1) / (8 * hmax))
+                  nbH = Array.tabulate(ncomp)(c =>
+                    (h * compV(c) + 8 * vmax - 1) / (8 * vmax))
+                  coefs = Array.tabulate(ncomp)(c =>
+                    new Array[Int](padW(c) * padH(c) * 64))
+                  i = segEnd
+                case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 &&
+                    m != 0xc8 && m != 0xcc =>
+                  return None // a second frame kind — not claimed
+                case 0xdd =>
+                  if (len != 4) return None
+                  restart = be16(b, seg)
+                  i = segEnd
+                case 0xda =>
+                  if (coefs == null) return None // SOS before SOF2
+                  val ns = b(seg) & 0xff
+                  if (ns < 1 || ns > ncomp || len < 6 + 2 * ns) return None
+                  val sc = new Array[Int](ns)
+                  val sdc = new Array[Int](ns)
+                  val sac = new Array[Int](ns)
+                  for (j <- 0 until ns) {
+                    val ci = compIds.indexOf(b(seg + 1 + 2 * j) & 0xff)
+                    if (ci < 0) return None
+                    sc(j) = ci
+                    sdc(j) = (b(seg + 2 + 2 * j) & 0xf0) >> 4
+                    sac(j) = b(seg + 2 + 2 * j) & 0x0f
+                  }
+                  val ss = b(seg + 1 + 2 * ns) & 0xff
+                  val se = b(seg + 2 + 2 * ns) & 0xff
+                  val aa = b(seg + 3 + 2 * ns) & 0xff
+                  val ah = (aa & 0xf0) >> 4
+                  val al = aa & 0x0f
+                  // G.1 scan-header legality this decoder claims
+                  if (se > 63 || se < ss || al > 13) return None
+                  if (ss == 0 && se != 0) return None // DC band is [0,0]
+                  if (ss > 0 && ns != 1) return None // AC: one component
+                  if (ah != 0 && ah != al + 1) return None
+                  for (j <- 0 until ns) {
+                    if (ss == 0 && ah == 0 && huffDc(sdc(j)) == null)
+                      return None
+                    if (ss > 0 && huffAc(sac(j)) == null) return None
+                  }
+                  i = decodeScan(segEnd, sc, sdc, sac, ss, se, ah, al)
+                  sawScan = true
+                case _ => i = segEnd // APPn / COM / unknown: skip
+              }
+            }
+          }
+          if (!sawScan) return None
+          for (c <- 0 until ncomp) if (quant(compQ(c)) == null) return None
+          // dequantize (zigzag -> natural) + IDCT every block
+          val planes = Array.tabulate(ncomp)(c =>
+            new Array[Byte](padW(c) * 8 * padH(c) * 8))
+          val nat = new Array[Int](64)
+          for (c <- 0 until ncomp) {
+            val q = quant(compQ(c))
+            val pw = padW(c) * 8
+            val ph = padH(c) * 8
+            var blk = 0
+            while (blk < padW(c) * padH(c)) {
+              java.util.Arrays.fill(nat, 0)
+              val off = blk * 64
+              var k = 0
+              while (k < 64) {
+                val v = coefs(c)(off + k)
+                if (v != 0) nat(Jpeg.Zigzag(k)) = v * q(k)
+                k += 1
+              }
+              Jpeg.idctInto(nat, planes(c), pw, ph,
+                (blk % padW(c)) * 8, (blk / padW(c)) * 8)
+              blk += 1
+            }
+          }
+          // nearest-neighbor sample each plane to frame resolution
+          val hmax = compH.max
+          val vmax = compV.max
+          val out = Array.tabulate(ncomp) { c =>
+            val pw = padW(c) * 8
+            if (compH(c) == hmax && compV(c) == vmax && pw == w &&
+              padH(c) * 8 == h) planes(c)
+            else {
+              val full = new Array[Byte](w * h)
+              var y = 0
+              while (y < h) {
+                val sy = y * compV(c) / vmax
+                var x = 0
+                while (x < w) {
+                  full(y * w + x) = planes(c)(sy * pw + x * compH(c) / hmax)
                   x += 1
                 }
                 y += 1
@@ -1031,6 +1387,242 @@ object Multimodal {
         out.write(pad)
         if (pad == 0xff) out.write(0x00)
       }
+      marker(0xd9)
+      out.toByteArray
+    }
+
+    /** Progressive-scan AC Huffman table for the fixture builders: the
+      * 15 EOBn run-length symbols (RRRR|0, r = 0..14 — T.81 G.1.2.2),
+      * each a 4-bit code; the all-ones code stays unused (C.2).
+      */
+    private val ProgAcBits: Array[Int] =
+      Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    private val ProgAcVals: Array[Int] = Array.tabulate(15)(r => r << 4)
+
+    /** PROGRESSIVE grayscale JPEG (SOF2) with real multi-scan entropy
+      * data — the encode-side counterpart of the T.81 Annex G decode
+      * path, exercising every progressive scan kind on bytes whose final
+      * coefficients are still closed-form: a DC-FIRST scan at Al=1
+      * (differential coding of the point-transformed `dc >> 1`), two
+      * AC-FIRST scans splitting the spectrum (bands [1,5] and [6,63],
+      * all-zero coefficients coded as real EOBn RUN-LENGTH codes — the
+      * (1<<r)+extra-bits form, segmented at restart boundaries), and a
+      * DC-REFINEMENT scan (Ah=1, one raw bit per block = `dc & 1`).
+      * Because arithmetic-shift point transform + OR-refinement is exact
+      * in two's complement, the reconstructed DC is `dcs(k)` exactly and
+      * every AC is zero, so each decoded block is flat at dc+128 with
+      * the default q — the q96 closed-form-oracle discipline carried
+      * through the whole progressive machinery (q102). `restartEvery`
+      * additionally exercises predictor/EOB-run resets in BOTH scan
+      * kinds.
+      */
+    def jpegProgressive(width: Int, height: Int, dcs: Array[Int],
+        qdc: Int = 8, restartEvery: Int = 0): Array[Byte] = {
+      require(width >= 8 && height >= 8 && width % 8 == 0 && height % 8 == 0,
+        s"jpegProgressive: dims ${width}x$height must be multiples of 8")
+      val bx = width / 8
+      val by = height / 8
+      require(dcs.length == bx * by,
+        s"jpegProgressive: ${dcs.length} DCs for ${bx * by} blocks")
+      require(qdc >= 1 && qdc <= 255)
+      require(dcs.forall(d => math.abs(d) <= 1023))
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+      marker(0xd8) // SOI
+      marker(0xdb); be16(2 + 1 + 64)
+      out.write(0x00); out.write(qdc)
+      for (_ <- 1 until 64) out.write(16)
+      marker(0xc2); be16(11) // SOF2: same frame header shape as SOF0
+      out.write(8); be16(height); be16(width); out.write(1)
+      out.write(1); out.write(0x11); out.write(0)
+      if (restartEvery > 0) { marker(0xdd); be16(4); be16(restartEvery) }
+      def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+        marker(0xc4); be16(2 + 1 + 16 + vals.length)
+        out.write(cls); bits.foreach(out.write); vals.foreach(out.write)
+      }
+      dht(0x00, Jpeg.DcBits, Jpeg.DcVals)
+      // EOBn symbols (RRRR|0, r = 0..14) are PROGRESSIVE-ONLY codes the
+      // Annex K baseline AC table does not carry — a custom table, all
+      // 15 at length 4 (the all-ones code stays unused per T.81 C.2)
+      dht(0x10, ProgAcBits, ProgAcVals)
+      val dcCodes = Jpeg.huffCodes(Jpeg.DcBits, Jpeg.DcVals)
+      val acCodes = Jpeg.huffCodes(ProgAcBits, ProgAcVals)
+      var acc = 0
+      var nbits = 0
+      def putBits(code: Int, len: Int): Unit = {
+        var j = len - 1
+        while (j >= 0) {
+          acc = (acc << 1) | ((code >> j) & 1)
+          nbits += 1
+          if (nbits == 8) {
+            out.write(acc)
+            if (acc == 0xff) out.write(0x00)
+            acc = 0; nbits = 0
+          }
+          j -= 1
+        }
+      }
+      def flush1Padded(): Unit = if (nbits > 0) {
+        val pad = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        out.write(pad)
+        if (pad == 0xff) out.write(0x00)
+        acc = 0; nbits = 0
+      }
+      var rstN = 0
+      def rst(): Unit = {
+        flush1Padded()
+        marker(0xd0 + rstN)
+        rstN = (rstN + 1) % 8
+      }
+      def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+        marker(0xda); be16(8)
+        out.write(1); out.write(1); out.write(0x00)
+        out.write(ss); out.write(se); out.write((ah << 4) | al)
+      }
+      def segments[A](xs: Seq[A]): Seq[Seq[A]] =
+        if (restartEvery <= 0) Seq(xs)
+        else xs.grouped(restartEvery).toSeq
+      // scan 1: DC first, Al=1 — differential code of dc >> 1
+      sos(0, 0, 0, 1)
+      rstN = 0
+      for ((segDcs, si) <- segments(dcs.toSeq.map(_ >> 1)).zipWithIndex) {
+        if (si > 0) rst()
+        var pred = 0
+        for (dc <- segDcs) {
+          val diff = dc - pred
+          pred = dc
+          val s = Jpeg.category(diff)
+          val (c, l) = dcCodes(s)
+          putBits(c, l)
+          if (s > 0)
+            putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        }
+      }
+      flush1Padded()
+      // one EOBn run-length code covering n all-zero blocks (n <= 32767)
+      def putEobRun(n: Int): Unit = {
+        require(n >= 1 && n <= 32767)
+        val r = 31 - Integer.numberOfLeadingZeros(n)
+        val (c, l) = acCodes(r << 4)
+        putBits(c, l)
+        if (r > 0) putBits(n - (1 << r), r)
+      }
+      // scans 2+3: AC first over split bands, all-zero via EOB runs
+      for ((ss, se) <- Seq((1, 5), (6, 63))) {
+        sos(ss, se, 0, 0)
+        rstN = 0
+        for ((seg, si) <- segments(dcs.indices).zipWithIndex) {
+          if (si > 0) rst()
+          putEobRun(seg.length)
+        }
+        flush1Padded()
+      }
+      // scan 4: DC refinement, Ah=1 Al=0 — raw bit = dc & 1 per block
+      sos(0, 0, 1, 0)
+      rstN = 0
+      for ((seg, si) <- segments(dcs.toSeq).zipWithIndex) {
+        if (si > 0) rst()
+        for (dc <- seg) putBits(dc & 1, 1)
+      }
+      flush1Padded()
+      marker(0xd9)
+      out.toByteArray
+    }
+
+    /** PROGRESSIVE COLOR (3-component YCbCr 4:4:4) JPEG —
+      * [[jpegProgressive]]'s color sibling with the canonical progressive
+      * scan script shape: an INTERLEAVED DC-first scan (ns=3, per-MCU
+      * per-component predictors, Al=1), per-component non-interleaved
+      * AC-first scans over [1,63] (EOB runs), and an interleaved
+      * DC-refinement scan. Final coefficients are the per-channel DCs
+      * exactly, so every RGB pixel is the q99 closed-form integer
+      * arithmetic (the q102 oracle).
+      */
+    def jpegProgressiveColor(width: Int, height: Int, yDcs: Array[Int],
+        cbDcs: Array[Int], crDcs: Array[Int], qdc: Int = 8): Array[Byte] = {
+      require(width >= 8 && height >= 8 && width % 8 == 0 && height % 8 == 0,
+        s"jpegProgressiveColor: dims ${width}x$height must be multiples of 8")
+      val nb = (width / 8) * (height / 8)
+      require(yDcs.length == nb && cbDcs.length == nb && crDcs.length == nb,
+        s"jpegProgressiveColor: need $nb DCs per channel")
+      require(qdc >= 1 && qdc <= 255)
+      require((yDcs ++ cbDcs ++ crDcs).forall(d => math.abs(d) <= 1023))
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+      marker(0xd8)
+      marker(0xdb); be16(2 + 1 + 64)
+      out.write(0x00); out.write(qdc)
+      for (_ <- 1 until 64) out.write(16)
+      marker(0xc2); be16(8 + 3 * 3) // SOF2, 3 components, 1x1 sampling
+      out.write(8); be16(height); be16(width); out.write(3)
+      for (cid <- 1 to 3) { out.write(cid); out.write(0x11); out.write(0) }
+      def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+        marker(0xc4); be16(2 + 1 + 16 + vals.length)
+        out.write(cls); bits.foreach(out.write); vals.foreach(out.write)
+      }
+      dht(0x00, Jpeg.DcBits, Jpeg.DcVals)
+      dht(0x10, ProgAcBits, ProgAcVals) // EOBn symbols (see jpegProgressive)
+      val dcCodes = Jpeg.huffCodes(Jpeg.DcBits, Jpeg.DcVals)
+      val acCodes = Jpeg.huffCodes(ProgAcBits, ProgAcVals)
+      var acc = 0
+      var nbits = 0
+      def putBits(code: Int, len: Int): Unit = {
+        var j = len - 1
+        while (j >= 0) {
+          acc = (acc << 1) | ((code >> j) & 1)
+          nbits += 1
+          if (nbits == 8) {
+            out.write(acc)
+            if (acc == 0xff) out.write(0x00)
+            acc = 0; nbits = 0
+          }
+          j -= 1
+        }
+      }
+      def flush1Padded(): Unit = if (nbits > 0) {
+        val pad = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        out.write(pad)
+        if (pad == 0xff) out.write(0x00)
+        acc = 0; nbits = 0
+      }
+      val chans = Array(yDcs, cbDcs, crDcs)
+      // scan 1: interleaved DC first, Al=1
+      marker(0xda); be16(6 + 2 * 3)
+      out.write(3)
+      for (cid <- 1 to 3) { out.write(cid); out.write(0x00) }
+      out.write(0); out.write(0); out.write(0x01) // Ss=0 Se=0 Ah=0 Al=1
+      val preds = new Array[Int](3)
+      for (k <- 0 until nb; c <- 0 until 3) {
+        val v = chans(c)(k) >> 1
+        val diff = v - preds(c)
+        preds(c) = v
+        val s = Jpeg.category(diff)
+        val (cc, l) = dcCodes(s)
+        putBits(cc, l)
+        if (s > 0)
+          putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      }
+      flush1Padded()
+      // scans 2-4: per-component AC first over [1,63], all-zero EOB run
+      for (cid <- 1 to 3) {
+        marker(0xda); be16(8)
+        out.write(1); out.write(cid); out.write(0x00)
+        out.write(1); out.write(63); out.write(0x00)
+        val r = 31 - Integer.numberOfLeadingZeros(nb)
+        val (c, l) = acCodes(r << 4)
+        putBits(c, l)
+        if (r > 0) putBits(nb - (1 << r), r)
+        flush1Padded()
+      }
+      // scan 5: interleaved DC refinement, Ah=1 Al=0 — raw bits
+      marker(0xda); be16(6 + 2 * 3)
+      out.write(3)
+      for (cid <- 1 to 3) { out.write(cid); out.write(0x00) }
+      out.write(0); out.write(0); out.write(0x10) // Ah=1 Al=0
+      for (k <- 0 until nb; c <- 0 until 3) putBits(chans(c)(k) & 1, 1)
+      flush1Padded()
       marker(0xd9)
       out.toByteArray
     }

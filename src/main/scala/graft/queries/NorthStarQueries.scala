@@ -1144,6 +1144,137 @@ object NorthStarQueries {
         "sum_b")
   }
 
+  /** Progressive-JPEG channel statistics (q102): closes the q96/q99
+    * refusal gap — web image corpora are ~6–10% PROGRESSIVE JPEG
+    * (SOF2), which the baseline path refused by design until round 8.
+    * REAL T.81 Annex G decode: multi-scan spectral selection +
+    * successive approximation accumulated into a per-block coefficient
+    * store (interleaved DC-first at Al=1, per-component AC-first scans
+    * with EOB-run codes, interleaved DC-refinement), then the same
+    * dequant/IDCT/fixed-point-YCbCr→RGB tail as q99. The synthesized
+    * corpus ([[Multimodal.MediaBuilders.jpegProgressiveColor]]) delivers
+    * each DC through the point-transform + refinement-bit machinery and
+    * every AC through real EOB runs, so final coefficients — and
+    * therefore every RGB pixel — stay closed-form in (doc_id, block):
+    * the DuckDB oracle replays decode and color conversion
+    * arithmetically, and any drift in scan-script parsing, the
+    * bit-plane accumulation, EOB-run decode, or the refinement OR
+    * breaks the hash. Nonzero-AC progressive streams (including AC
+    * refinement over nonzero history and 4:2:0 subsampled progressive)
+    * are cross-checked against an independent decoder in MultimodalSpec,
+    * where IDCT/upsampling tolerance makes an exact oracle impossible by
+    * design. Zero shuffles — scan-stage parallel at any corpus size.
+    */
+  def q102JpegProgressive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = Multimodal.MediaDecoder.ContainerHeaders
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .filter((id: Long) => id % 3 == 0)
+      .map { id =>
+        val m = id / 3
+        val w = (8 * (1 + m % 4)).toInt
+        val h = (8 * (1 + m % 3)).toInt
+        val nb = (w / 8) * (h / 8)
+        val yDcs =
+          Array.tabulate(nb)(k => (((m * 29 + k * 19) % 160) - 80).toInt)
+        val cbDcs =
+          Array.tabulate(nb)(k => (((m * 17 + k * 5) % 120) - 60).toInt)
+        val crDcs =
+          Array.tabulate(nb)(k => (((m * 7 + k * 13) % 120) - 60).toInt)
+        val payload = Multimodal.MediaBuilders.jpegProgressiveColor(
+          w, h, yDcs, cbDcs, crDcs)
+        val (dw, dh, px) = dec.jpegRgbPixels(payload).getOrElse(
+          sys.error(s"q102: undecodable progressive JPEG for doc $id"))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var j = 0
+        while (j < px.length) {
+          val v = px(j) & 0xff
+          (j % 3: @unchecked) match {
+            case 0 => sr += v; case 1 => sg += v; case 2 => sb += v
+          }
+          j += 1
+        }
+        (id, dw, dh, dw.toLong * dh, sr, sg, sb)
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g",
+        "sum_b")
+  }
+
+  /** Five-table gold IVM, oracle-pinned (q103): drives
+    * [[graft.gold.GoldIncremental]] — the production wiring of q97's
+    * CDF-maintenance loop onto the REFERENCE gold tables
+    * (`Gold-Orders-By-City.py` grain here: city × year × month with
+    * `order_count` AND the derivable `avg_delivery_time`) — through a
+    * three-commit silver history built deterministically from the
+    * TPC-H tables: v1 misses every 7th order, v2 inserts them AND
+    * shifts every 5th delivery date AND renames every 6th city (the
+    * dimension-move case that forces the reverse lookup through
+    * orders), v3 deletes every 11th order. Each commit is followed by
+    * an incremental advance (the first is the one full build), so the
+    * returned gold state reached its values through signed CDF folds
+    * and affected-anchor rescans — while the DuckDB oracle aggregates
+    * the FINAL silver state directly. Hash equality is the IVM
+    * correctness claim itself: increments must land bit-identically on
+    * the batch rebuild, including the avg recomputed from maintained
+    * sum/count components. GoldIncrementalSpec additionally proves all
+    * FIVE tables ≡ batch rebuild plus replay/crash-window laws; this
+    * entry pins the richest one into the external oracle gate. Same
+    * single-process scratch contract as q87/q97.
+    */
+  def q103GoldIncrementalCity(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Warehouse
+    val orders = t(s, dir, "orders")
+    val nation = t(s, dir, "nation")
+    def silverOrders(version: Int): DataFrame = {
+      val keep = version match {
+        case 1 => pmod(col("o_orderkey"), lit(7)) =!= 0
+        case 2 => lit(true)
+        case _ => pmod(col("o_orderkey"), lit(11)) =!= 0
+      }
+      val shift = if (version >= 2)
+        when(pmod(col("o_orderkey"), lit(5)) === 0, 2).otherwise(0)
+      else lit(0)
+      orders.filter(keep).select(
+        col("o_orderkey").as("id"),
+        col("o_custkey").as("customer_id"),
+        pmod(col("o_custkey"), lit(25L)).as("address_id"),
+        to_date(col("o_orderdate")).as("created_on"),
+        when(pmod(col("o_orderkey"), lit(4)) =!= 0,
+          date_add(to_date(col("o_orderdate")),
+            (pmod(col("o_orderkey"), lit(30)) + shift).cast("int")))
+          .as("delivered_on"),
+        year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"),
+        lit("2024-01-01 00:00:00").cast("timestamp")
+          .as("silver_ingestion_time"))
+    }
+    def silverAddresses(version: Int): DataFrame = {
+      val base = lower(col("n_name"))
+      val city = if (version >= 2)
+        when(pmod(col("n_nationkey"), lit(6)) === 0, concat(base, lit("_x")))
+          .otherwise(base)
+      else base
+      nation.select(
+        col("n_nationkey").cast("long").as("id"),
+        city.as("city"),
+        lit("2023-12-01 00:00:00").cast("timestamp").as("created_on"),
+        lit("2024-01-01 00:00:00").cast("timestamp")
+          .as("silver_ingestion_time"))
+    }
+    val whP = scratch("goldinc_wh", dir)
+    graft.io.FsUtil.deleteRecursively(whP)
+    val wh = new Warehouse(whP.toString)
+    val inc = new graft.gold.GoldIncremental(s, wh)
+    for (v <- 1 to 3) {
+      wh.silverByName("orders").overwrite(silverOrders(v))
+      wh.silverByName("addresses").overwrite(silverAddresses(v))
+      inc.ordersByCityYearMonth()
+    }
+    wh.gold("orders_by_city_year_month").read(s)
+      .select(col("city"), col("year"), col("month"), col("order_count"),
+        round(col("avg_delivery_time"), 4).as("avg_delivery_time"))
+  }
+
   /** Fuzzy decontamination (q101): train-vs-benchmark NEAR-duplicate
     * pairs via the cross-corpus LSH band join
     * ([[graft.northstar.Dedup.crossNearDuplicates]]) — the sweep exact
@@ -1976,6 +2107,8 @@ object NorthStarQueries {
     "q91_png_pixels" -> (q91PngPixels _),
     "q96_jpeg_pixels" -> (q96JpegPixels _),
     "q99_jpeg_color_pixels" -> (q99JpegColorPixels _),
+    "q102_jpeg_progressive" -> (q102JpegProgressive _),
+    "q103_gold_incremental_city" -> (q103GoldIncrementalCity _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -2976,6 +3109,80 @@ object NorthStarQueries {
                 CAST(sum(64 * g) AS BIGINT) AS sum_g,
                 CAST(sum(64 * b) AS BIGINT) AS sum_b
          FROM rgb GROUP BY doc_id, w, h""",
+    // The engine must accumulate a real MULTI-SCAN progressive stream
+    // (DC point-transform + refinement bit, per-component EOB runs)
+    // before the same dequant/IDCT/integer-YCbCr tail as q99: final
+    // coefficients are DC-only by construction, so pixels stay
+    // closed-form (floor() spelled out — the decoder's >>16 FLOORS,
+    // DuckDB's // truncates toward zero on negatives).
+    "q102_jpeg_progressive" ->
+      """WITH imgs AS (
+           SELECT doc_id, doc_id // 3 AS m,
+                  8 * (1 + (doc_id // 3) % 4) AS w,
+                  8 * (1 + (doc_id // 3) % 3) AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         blocks AS (
+           SELECT doc_id, m, w, h,
+                  unnest(range(0, (w // 8) * (h // 8))) AS k
+           FROM imgs),
+         ycc AS (
+           SELECT doc_id, w, h,
+                  ((m * 29 + k * 19) % 160) - 80 + 128 AS y,
+                  ((m * 17 + k * 5) % 120) - 60 AS cb,
+                  ((m * 7 + k * 13) % 120) - 60 AS cr
+           FROM blocks),
+         rgb AS (
+           SELECT doc_id, w, h,
+                  greatest(0, least(255, y + CAST(floor(
+                    (91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+                  greatest(0, least(255, y - CAST(floor(
+                    (22554 * cb + 46802 * cr + 32768) / 65536.0)
+                    AS BIGINT))) AS g,
+                  greatest(0, least(255, y + CAST(floor(
+                    (116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+           FROM ycc)
+         SELECT doc_id,
+                CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(sum(64 * r) AS BIGINT) AS sum_r,
+                CAST(sum(64 * g) AS BIGINT) AS sum_g,
+                CAST(sum(64 * b) AS BIGINT) AS sum_b
+         FROM rgb GROUP BY doc_id, w, h""",
+    // The oracle aggregates the FINAL silver state (v3: every 11th
+    // order deleted, every 5th delivery shifted, every 6th city
+    // renamed) directly — the engine reached the same table through
+    // three incremental CDF advances, so hash equality IS the IVM
+    // claim (fold + affected-anchor rescan ≡ batch rebuild), incl. the
+    // avg recomputed from maintained sum/count components.
+    "q103_gold_incremental_city" ->
+      """WITH ord AS (
+           SELECT o_orderkey AS id,
+                  o_custkey % 25 AS address_id,
+                  CAST(o_orderdate AS DATE) AS created_on,
+                  CASE WHEN o_orderkey % 4 <> 0 THEN
+                    CAST(o_orderdate AS DATE) + CAST((o_orderkey % 30) +
+                      (CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 0 END)
+                      AS INTEGER)
+                  END AS delivered_on,
+                  CAST(year(o_orderdate) AS INTEGER) AS year,
+                  CAST(month(o_orderdate) AS INTEGER) AS month
+           FROM orders WHERE o_orderkey % 11 <> 0),
+         addr AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS address_id,
+                  CASE WHEN n_nationkey % 6 = 0 THEN lower(n_name) || '_x'
+                       ELSE lower(n_name) END AS city
+           FROM nation),
+         j AS (
+           SELECT o.id, a.city, o.year, o.month,
+                  date_diff('day', o.created_on, o.delivered_on)
+                    AS delivery_time
+           FROM ord o LEFT JOIN addr a USING (address_id))
+         SELECT city, year, month,
+                CAST(count(id) AS BIGINT) AS order_count,
+                round(CAST(sum(delivery_time) AS DOUBLE) /
+                      nullif(count(delivery_time), 0), 4)
+                  AS avg_delivery_time
+         FROM j GROUP BY city, year, month""",
     // The greedy packing recurrence replayed as a recursive CTE (depth =
     // docs per bucket; every bucket advances one row per step) — budget
     // and bucket size interpolated from the SAME constants the engine

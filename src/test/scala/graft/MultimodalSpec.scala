@@ -319,6 +319,152 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaDecoder.ContainerHeaders.jpegPixels("noise".getBytes).isEmpty)
   }
 
+  test("jpegProgressive round-trips through the real Annex G decoder: " +
+      "DC point-transform + refinement bit reconstructs every dc exactly") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    // odd AND even, positive AND negative DCs: the Al=1 first scan sends
+    // dc >> 1 (arithmetic), the refinement scan ORs bit 0 back in — any
+    // sign/parity mistake in either direction shifts a block by 1
+    val dcs = Array(5, -20, 99, -101, 0, -1, 64, 63)
+    val payload = MediaBuilders.jpegProgressive(32, 16, dcs)
+    val (w, h, px) = MediaDecoder.ContainerHeaders.jpegPixels(payload)
+      .getOrElse(fail("decoder refused its own progressive JPEG"))
+    assert((w, h) === (32, 16))
+    for (k <- dcs.indices) {
+      val (bxv, byv) = (k % 4, k / 4)
+      assert((px(byv * 8 * w + bxv * 8) & 0xff) === dcs(k) + 128,
+        s"block $k")
+    }
+    // the SOF2 dims surface through the header parser too
+    assert(MediaDecoder.ContainerHeaders.dimensions(payload)
+      .contains((32, 16)))
+  }
+
+  test("jpegProgressive resyncs at restart markers in every scan kind " +
+      "(DC-first predictor reset, AC EOB-run reset, DC-refinement)") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    val dcs = Array(10, -21, 30, -41, 50, -61, 7, 8, -9)
+    val payload = MediaBuilders.jpegProgressive(72, 8, dcs, restartEvery = 2)
+    val (w, _, px) = MediaDecoder.ContainerHeaders.jpegPixels(payload)
+      .getOrElse(fail("restart-marker progressive JPEG must decode"))
+    for (k <- dcs.indices)
+      assert((px(k * 8) & 0xff) === dcs(k) + 128, s"block $k")
+    assert(w === 72)
+  }
+
+  test("jpegProgressiveColor round-trips: interleaved DC scans + " +
+      "per-component AC scans reconstruct the exact integer RGB") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    val payload = MediaBuilders.jpegProgressiveColor(16, 8,
+      yDcs = Array(21, -30), cbDcs = Array(41, -25), crDcs = Array(-51, 35))
+    val (w, h, px) = MediaDecoder.ContainerHeaders.jpegRgbPixels(payload)
+      .getOrElse(fail("own progressive color JPEG must decode"))
+    assert((w, h) === (16, 8))
+    def rgb(y0: Int, cb0: Int, cr0: Int): (Int, Int, Int) = {
+      val (y, cb, cr) = (y0 + 128, cb0, cr0)
+      def cl(v: Int) = math.max(0, math.min(255, v))
+      (cl(y + ((91881 * cr + 32768) >> 16)),
+        cl(y - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+        cl(y + ((116130 * cb + 32768) >> 16)))
+    }
+    def at(x: Int, y: Int) = (px(3 * (y * 16 + x)) & 0xff,
+      px(3 * (y * 16 + x) + 1) & 0xff, px(3 * (y * 16 + x) + 2) & 0xff)
+    assert(at(0, 0) === rgb(21, 41, -51) && at(7, 7) === rgb(21, 41, -51))
+    assert(at(8, 0) === rgb(-30, -25, 35) && at(15, 7) === rgb(-30, -25, 35))
+    // claims discipline: color progressive is not jpegPixels' format
+    assert(MediaDecoder.ContainerHeaders.jpegPixels(payload).isEmpty)
+    assert(MediaDecoder.ContainerHeaders.jpegRgbPixels(
+      MediaBuilders.jpegProgressive(16, 16, Array(1, 2, 3, 4))).isEmpty)
+  }
+
+  test("progressive decode agrees with an independent decoder on a REAL " +
+      "nonzero-AC progressive stream (spectral bands, AC refinement over " +
+      "nonzero history) within the IDCT conformance budget") {
+    import Multimodal.MediaDecoder
+    // ImageIO's progressive writer emits a real multi-scan script with
+    // AC successive approximation — the refinement-over-nonzero-history
+    // path the closed-form fixtures cannot exercise by design
+    val img = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 40)
+      img.getRaster.setSample(x, y, 0, (x * 5 + y * 3 + (x * y) % 7) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    val payload = bos.toByteArray
+    // it IS progressive (SOF2 present), or this test proves nothing
+    assert(payload.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2),
+      "ImageIO must have written an SOF2 progressive stream")
+    val (w, h, px) = MediaDecoder.ContainerHeaders.jpegPixels(payload)
+      .getOrElse(fail("real progressive grayscale JPEG must decode"))
+    assert((w, h) === (40, 24))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((px(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0))
+      if (d > maxDiff) maxDiff = d
+    }
+    assert(maxDiff <= 2, s"max per-pixel divergence $maxDiff > 2")
+  }
+
+  test("progressive color decode agrees with an independent decoder on a " +
+      "real subsampled progressive JPEG within the upsampling budget") {
+    import Multimodal.MediaDecoder
+    val img = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48)
+      img.setRGB(x, y, ((x * 4 + 40) << 16) | ((y * 5 + 30) << 8) |
+        (200 - x * 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    val payload = bos.toByteArray
+    assert(payload.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2))
+    val (w, h, px) = MediaDecoder.ContainerHeaders.jpegRgbPixels(payload)
+      .getOrElse(fail("real progressive color JPEG must decode"))
+    assert((w, h) === (48, 32))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val refV = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((px(3 * (y * w + x) + c) & 0xff) - refV)
+      sumDiff += d
+      if (d > maxDiff) maxDiff = d
+    }
+    val meanDiff = sumDiff.toDouble / (3 * w * h)
+    assert(meanDiff <= 2.0, s"mean per-sample divergence $meanDiff > 2")
+    assert(maxDiff <= 16, s"max per-sample divergence $maxDiff > 16")
+  }
+
+  test("progressive decode refuses what it does not claim: truncation, " +
+      "malformed scan headers") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    val ok = MediaBuilders.jpegProgressive(16, 16, Array(5, -20, 99, -100))
+    // truncated mid-scan → None, not garbage
+    assert(MediaDecoder.ContainerHeaders.jpegPixels(ok.take(ok.length - 8))
+      .isEmpty)
+    // corrupt a scan header: find the FIRST SOS and make the DC band
+    // illegal (Ss=0, Se=5 — spectral selection must not mix DC and AC)
+    val bad = ok.clone()
+    val sos = bad.sliding(2).indexWhere(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xda)
+    bad(sos + 8) = 5 // Se byte of the ns=1 scan header (FF DA len2 ns cid tt Ss Se)
+    assert(MediaDecoder.ContainerHeaders.jpegPixels(bad).isEmpty)
+  }
+
   test("extractFeatures surfaces decoded dims through the pluggable seam") {
     import spark.implicits._
     val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
