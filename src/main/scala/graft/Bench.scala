@@ -223,10 +223,32 @@ object Bench {
     }.toMap
     val bestsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BESTS",
       "BENCH_BESTS.json")
-    val merged = (readBests(bestsPath).toSeq ++ cleanBest.toSeq)
-      .groupMapReduce(_._1)(_._2)(math.min)
-    val priorBests = readBests(sys.env.getOrElse("SPARK_GRAFT_PRIOR_BESTS",
-      "BENCH_BESTS_PRIOR.json"))
+    // tier guard: bests are per-SF measurements — a smoke run at another
+    // tier (e.g. sf0.001 while iterating) must neither fold its times
+    // into an sf0.1 bests file (hiding/faking regressions) nor be
+    // compared against the other tier's priors. The file carries an
+    // "_sf" tag; an existing untagged file is assumed to be the tier of
+    // the round protocol's default dir.
+    def readSfTag(path: String): Option[String] = {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else """"_sf":"([^"]+)"""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p)).map(_.group(1))
+    }
+    val DefaultTier = "/root/testdata/sf0.1"
+    def tierOf(path: String): String = readSfTag(path).getOrElse(DefaultTier)
+    val bestsExist = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(bestsPath))
+    val sameTier = !bestsExist || tierOf(bestsPath) == sfDir
+    val merged =
+      if (sameTier) (readBests(bestsPath).toSeq ++ cleanBest.toSeq)
+        .groupMapReduce(_._1)(_._2)(math.min)
+      else cleanBest // report this run's bests; leave the file untouched
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_BESTS",
+      "BENCH_BESTS_PRIOR.json")
+    val priorBests =
+      if (tierOf(priorPath) == sfDir) readBests(priorPath)
+      else Map.empty[String, Double]
     val regressed = merged.keys.toSeq.sorted.filter(n =>
       priorBests.get(n).exists(p => merged(n) > 1.3 * p))
     // ---- volume census (BASELINE.md protocol): wall time is host-noisy
@@ -243,8 +265,20 @@ object Bench {
         .findAllMatchIn(java.nio.file.Files.readString(p))
         .map(m => m.group(1) -> m.group(2).toLong).toMap
     }
-    val priorVolumes = readPriorVolumes(sys.env.getOrElse(
-      "SPARK_GRAFT_PRIOR_DETAIL", "BENCH_DETAIL_PRIOR.json"))
+    val priorDetailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_PRIOR_DETAIL", "BENCH_DETAIL_PRIOR.json")
+    // same tier guard as the bests: bytes scale with SF, so cross-tier
+    // volume comparison is meaningless (the detail file records "sf")
+    def detailTier(path: String): Option[String] = {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else """"sf":"([^"]+)"""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p)).map(_.group(1))
+    }
+    val priorVolumes =
+      if (detailTier(priorDetailPath).forall(_ == sfDir))
+        readPriorVolumes(priorDetailPath)
+      else Map.empty[String, Long]
     val VolumeFloorBytes = 1L << 20
     val volumeRegressed = names.sorted.filter { n =>
       val cur = runs(n).filter(!_.failed).headOption.map(_.shuffleWrite)
@@ -254,15 +288,16 @@ object Bench {
         case _ => false
       }
     }
-    try {
+    if (sameTier) try {
       val bq = merged.toSeq.sortBy(_._1)
         .map { case (n, s) => s""""$n":${fmt(s)}""" }.mkString(",")
       java.nio.file.Files.write(java.nio.file.Paths.get(bestsPath),
-        (s"""{"queries":{$bq}}""" + "\n")
+        (s"""{"_sf":"$sfDir","queries":{$bq}}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bests write failed: ${e.getMessage}")
-    }
+    } else System.err.println(s"[bench] tier mismatch: bests file is " +
+      s"${tierOf(bestsPath)}, run is $sfDir — bests not folded")
     val qs = names.map(n => s"\"$n\":${fmt(best(n))}").mkString("{", ",", "}")
     val detail = names.map { n =>
       val rs = runs(n)
