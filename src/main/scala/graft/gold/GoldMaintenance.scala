@@ -82,6 +82,106 @@ object GoldMaintenance {
       .filter(col("n_rows") > 0)
   }
 
+  /** Count/sum/min/max per group — [[aggregate]] plus the two
+    * NON-signed-foldable extrema (Spark min/max skip NULLs, so an
+    * all-NULL group reads NULL; [[advanceMinMax]]'s fold and rescan
+    * preserve exactly that).
+    */
+  def aggregateMinMax(source: DataFrame, keys: Seq[String],
+      value: Column): DataFrame =
+    source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(value, lit(0L))).as("value_sum"),
+        min(value).as("value_min"),
+        max(value).as("value_max"))
+
+  /** [[advance]] extended to MIN/MAX — the documented
+    * rescan-affected-groups fallback, implemented: extrema are not
+    * signed-foldable (a deleted row may have carried the group's min),
+    * so per advance the CDF delta is split by group:
+    *
+    *  - groups whose changes are INSERT-ONLY fold without touching the
+    *    source: new min = least(stored, min(inserted)) (least/greatest
+    *    skip NULLs, matching min-over-union);
+    *  - groups that LOST rows are RESCANNED — one source read
+    *    semi-joined down to exactly those group keys (null-safe), never
+    *    the whole table re-aggregated; count/sum still fold signed.
+    *
+    * CDC streams are dominated by inserts, so the rescan is the rare
+    * path; an insert-only commit performs ZERO source reads (the spec
+    * asserts rescannedGroups == 0). Returns (source version now
+    * reflected, number of groups rescanned). Crash/replay laws are
+    * [[advance]]'s (same sidecar).
+    */
+  def advanceMinMax(spark: SparkSession, source: ParquetTable,
+      gold: ParquetTable, keys: Seq[String], value: Column): (Int, Long) = {
+    val toV = source.version
+    val fromV = if (gold.exists) appliedVersion(gold) else None
+    var rescanned = 0L
+    fromV match {
+      case Some(v) if v == toV => () // already current — replay no-op
+      case Some(v) =>
+        val changes = source.changesBetween(spark, v, toV)
+        val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+        // one small cached relation (O(changed groups)) drives both the
+        // rescan decision and the fold; released before returning
+        val delta = changes.groupBy(keys.map(col): _*)
+          .agg(sum(sign).as("__dn"),
+            sum(sign * coalesce(value, lit(0L))).as("__dv"),
+            min(when(sign === 1L, value)).as("__ins_min"),
+            max(when(sign === 1L, value)).as("__ins_max"),
+            max(when(sign === -1L, 1L).otherwise(0L)).as("__has_del"))
+          .persist()
+        try {
+          val delKeys = delta.filter(col("__has_del") === 1L)
+            .select(keys.map(col): _*)
+          rescanned = delKeys.count()
+          val rescan =
+            if (rescanned == 0) None
+            else {
+              val keyCond = keys.map(k =>
+                col(s"src.$k") <=> col(s"aff.$k")).reduce(_ && _)
+              Some(source.read(spark).as("src")
+                .join(delKeys.as("aff"), keyCond, "left_semi")
+                .groupBy(keys.map(col): _*)
+                .agg(min(value).as("__rs_min"), max(value).as("__rs_max")))
+            }
+          val deltaR = keys.foldLeft(delta)((d, k) =>
+            d.withColumnRenamed(k, s"__k_$k"))
+          val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+          var folded = gold.read(spark).join(deltaR, cond, "full_outer")
+            .select(
+              keys.map(k => coalesce(col(k), col(s"__k_$k")).as(k)) ++ Seq(
+                (coalesce(col("n_rows"), lit(0L)) +
+                  coalesce(col("__dn"), lit(0L))).as("n_rows"),
+                (coalesce(col("value_sum"), lit(0L)) +
+                  coalesce(col("__dv"), lit(0L))).as("value_sum"),
+                least(col("value_min"), col("__ins_min")).as("value_min"),
+                greatest(col("value_max"), col("__ins_max")).as("value_max"),
+                coalesce(col("__has_del"), lit(0L)).as("__has_del")): _*)
+          rescan.foreach { rs =>
+            val rsR = keys.foldLeft(rs)((d, k) =>
+              d.withColumnRenamed(k, s"__r_$k"))
+            val rcond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+            folded = folded.join(rsR, rcond, "left_outer")
+              .select(keys.map(col) ++ Seq(
+                col("n_rows"), col("value_sum"),
+                when(col("__has_del") === 1L, col("__rs_min"))
+                  .otherwise(col("value_min")).as("value_min"),
+                when(col("__has_del") === 1L, col("__rs_max"))
+                  .otherwise(col("value_max")).as("value_max"),
+                col("__has_del")): _*)
+          }
+          gold.overwrite(folded.filter(col("n_rows") > 0).drop("__has_del"))
+        } finally delta.unpersist()
+      case None =>
+        gold.overwrite(aggregateMinMax(source.read(spark), keys, value))
+    }
+    Sidecar.write(java.nio.file.Paths.get(gold.currentPath), AppliedMarker,
+      Seq(toV.toString))
+    (toV, rescanned)
+  }
+
   /** Bring `gold` current with `source`'s live version. First call (no
     * gold / no marker) is the one full build; later calls fold only the
     * CDF delta. Returns the source version now reflected. `value` must

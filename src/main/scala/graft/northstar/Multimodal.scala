@@ -901,6 +901,45 @@ object Multimodal {
     * oracle recomputes every decoded pixel arithmetically without
     * touching either side.
     */
+  /** 64-bit block-mean perceptual hash (the aHash family — the
+    * cheapest member of the pHash/dHash class used for web-scale image
+    * dedup): partition the grayscale image into an 8×8 grid of equal
+    * cells, bit k (row-major cell index, bit position k) = 1 iff cell
+    * k's mean exceeds the global mean. Compared in ALL-INTEGER form
+    * (64·cellSum > totalSum, strict) so the hash of a decoded image is
+    * exact arithmetic an external oracle can replay — no float means,
+    * no rounding mode. Robust to brightness-preserving re-encodes by
+    * construction; Hamming distance between hashes is the near-dup
+    * metric (q104).
+    */
+  def blockMeanHash64(px: Array[Byte], w: Int, h: Int): Long = {
+    require(w % 8 == 0 && h % 8 == 0 && w > 0 && h > 0,
+      s"blockMeanHash64: dims ${w}x$h must be positive multiples of 8")
+    val cw = w / 8
+    val ch = h / 8
+    val sums = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = y / ch
+      var x = 0
+      while (x < w) {
+        val v = (px(y * w + x) & 0xff).toLong
+        sums(cy * 8 + x / cw) += v
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (64L * sums(k) > total) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
   private[northstar] object Jpeg {
 
     /** Stream position k → natural (row-major) coefficient index. */

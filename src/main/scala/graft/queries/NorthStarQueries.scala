@@ -619,6 +619,55 @@ object NorthStarQueries {
       .select(col("o_orderstatus"), col("n_rows"), col("value_sum"))
   }
 
+  /** Min/max gold maintenance (q105): the NON-signed-foldable extrema
+    * case q97 deliberately excluded, via
+    * [[graft.gold.GoldMaintenance.advanceMinMax]]'s documented
+    * rescan-affected-groups fallback. A three-commit history stresses
+    * both regimes: v1→v2 is INSERT + update (updates carry deletes, so
+    * their groups rescan; the count/sum halves still fold signed),
+    * v2→v3 is a mass delete (every 3rd key — the case where a
+    * departed row may have carried its group's min or max, which no
+    * fold can recover). NULL-valued rows ride along (every 13th key)
+    * to pin the min/max-skip-NULL semantics through fold AND rescan.
+    * The oracle aggregates the final state's count/sum/min/max
+    * directly — hash equality is the fallback's exactness claim.
+    * Scale: the rescan reads ONLY the groups that lost rows (null-safe
+    * semi-join), never a full re-aggregate; an insert-only commit
+    * performs zero source reads (spec-asserted).
+    */
+  def q105GoldMinMax(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.GoldMaintenance
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents0"))
+    def withCents(bumped: Boolean) = {
+      val bump = if (bumped)
+        when(pmod(col("o_orderkey"), lit(5)) === 0, 1000L).otherwise(0L)
+      else lit(0L)
+      base.withColumn("cents",
+          when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
+            .otherwise(col("cents0") + bump))
+        .drop("cents0")
+    }
+    val v1 = withCents(bumped = false)
+      .filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val v2 = withCents(bumped = true)
+    val v3 = v2.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    val srcP = scratch("minmax_src", dir)
+    val goldP = scratch("minmax_gold", dir)
+    graft.io.FsUtil.deleteRecursively(srcP)
+    graft.io.FsUtil.deleteRecursively(goldP)
+    val src = new graft.io.ParquetTable(srcP.toString)
+    val gold = new graft.io.ParquetTable(goldP.toString)
+    for (v <- Seq(v1, v2, v3)) {
+      src.overwrite(v)
+      GoldMaintenance.advanceMinMax(s, src, gold,
+        keys = Seq("o_orderstatus", "o_orderpriority"), value = col("cents"))
+    }
+    gold.read(s).select(col("o_orderstatus"), col("o_orderpriority"),
+      col("n_rows"), col("value_sum"), col("value_min"), col("value_max"))
+  }
+
   /** End-to-end corpus curation (q100): the COMPOSED pipeline a
     * training-data team actually runs, as one query — heuristic quality
     * gate ([[graft.northstar.CorpusClean.qualityFilter]]) → exact dedup
@@ -1267,12 +1316,76 @@ object NorthStarQueries {
     val inc = new graft.gold.GoldIncremental(s, wh)
     for (v <- 1 to 3) {
       wh.silverByName("orders").overwrite(silverOrders(v))
-      wh.silverByName("addresses").overwrite(silverAddresses(v))
+      // addresses are unchanged in v3 — not rewriting them exercises the
+      // single-source-commit path (no CDF computed for a source whose
+      // version did not move), the common production case
+      if (v <= 2) wh.silverByName("addresses").overwrite(silverAddresses(v))
       inc.ordersByCityYearMonth()
     }
     wh.gold("orders_by_city_year_month").read(s)
       .select(col("city"), col("year"), col("month"), col("order_count"),
         round(col("avg_delivery_time"), 4).as("avg_delivery_time"))
+  }
+
+  /** Perceptual image near-duplicates (q104): the multimodal sibling of
+    * text near-dup (q24/q27) — LAION-class image dedup over a corpus of
+    * REAL JPEGs. Pipeline: decode every payload through the full T.81
+    * baseline path ([[Multimodal.MediaDecoder.ContainerHeaders
+    * .jpegPixels]]), compute the 64-bit block-mean perceptual hash from
+    * the DECODED pixels ([[Multimodal.blockMeanHash64]], all-integer),
+    * band the hash into 8 bytes, self-join band-equal candidates (the
+    * q24 LSH shape — never all-pairs), and keep pairs with Hamming
+    * distance ≤ [[PHashHammingMax]] via codegen'd `bit_count(a XOR b)`.
+    * The corpus plants near-dup FAMILIES: ids sharing `id - id % 7`
+    * re-encode the same base image with ONE DC bumped by +1 (a
+    * brightness-epsilon re-encode), so family pairs sit at tiny-but-
+    * nonzero Hamming distance while cross-family collisions are decided
+    * exactly. Because decode and hash are closed-form in (doc_id,
+    * block), the DuckDB oracle replays hashing, banding, candidate
+    * generation AND the Hamming verify arithmetically — the result is
+    * the operator's exact definition (band-proposed ∧ Hamming-verified),
+    * hash-pinned end to end. Scale: hashing is scan-stage (zero
+    * shuffles), the band join is 1 shuffle on (band, value) with
+    * bounded fan-out, the verify is a row-local popcount.
+    */
+  val PHashHammingMax = 6
+
+  def q104ImageNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = Multimodal.MediaDecoder.ContainerHeaders
+    val hashes = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .filter((id: Long) => id % 3 == 1)
+      .map { id =>
+        val base = id - (id % 7)
+        val dcs = Array.tabulate(64) { k =>
+          val b = (((base * 31 + k * 17) % 200) - 100).toInt
+          if (id % 7 != 0 && k == (id % 64).toInt) b + 1 else b
+        }
+        val payload = Multimodal.MediaBuilders.jpegBaseline(64, 64, dcs)
+        val (w, h, px) = dec.jpegPixels(payload).getOrElse(
+          sys.error(s"q104: undecodable JPEG for doc $id"))
+        (id, Multimodal.blockMeanHash64(px, w, h))
+      }
+      .toDF("doc_id", "phash")
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), 8 * b).bitwiseAND(lit(255L))
+            .as("v"))): _*)).as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.v").as("v"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= PHashHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** Fuzzy decontamination (q101): train-vs-benchmark NEAR-duplicate
@@ -2109,6 +2222,8 @@ object NorthStarQueries {
     "q99_jpeg_color_pixels" -> (q99JpegColorPixels _),
     "q102_jpeg_progressive" -> (q102JpegProgressive _),
     "q103_gold_incremental_city" -> (q103GoldIncrementalCity _),
+    "q104_image_near_dups" -> (q104ImageNearDups _),
+    "q105_gold_minmax" -> (q105GoldMinMax _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3183,6 +3298,64 @@ object NorthStarQueries {
                       nullif(count(delivery_time), 0), 4)
                   AS avg_delivery_time
          FROM j GROUP BY city, year, month""",
+    // The engine must DECODE real JPEGs and hash the pixels; the oracle
+    // replays hash, banding, candidate join AND Hamming verify in
+    // integer arithmetic (bit k set iff 64*dc_k > sum(dc) — the
+    // pixel-sum comparison with the +128 level shift cancelled).
+    "q104_image_near_dups" ->
+      s"""WITH ids AS (
+           SELECT doc_id, doc_id - doc_id % 7 AS base
+           FROM documents WHERE doc_id % 3 = 1),
+         kk AS (
+           SELECT doc_id, base, unnest(range(0, 64)) AS k FROM ids),
+         dcv AS (
+           SELECT doc_id, k,
+                  ((base * 31 + k * 17) % 200) - 100 +
+                    (CASE WHEN doc_id % 7 <> 0 AND k = doc_id % 64
+                          THEN 1 ELSE 0 END) AS dck
+           FROM kk),
+         tot AS (
+           SELECT doc_id, sum(dck) AS total FROM dcv GROUP BY doc_id),
+         bits AS (
+           SELECT d.doc_id, d.k,
+                  CASE WHEN 64 * d.dck > t.total THEN 1 ELSE 0 END AS bit
+           FROM dcv d JOIN tot t USING (doc_id)),
+         bands AS (
+           SELECT doc_id, k // 8 AS band,
+                  CAST(sum(bit * (1 << (k % 8))) AS BIGINT) AS v
+           FROM bits GROUP BY doc_id, k // 8),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+         ham AS (
+           SELECT c.doc_a, c.doc_b,
+                  CAST(sum(bit_count(xor(a.v, b.v))) AS INTEGER) AS hamming
+           FROM cand c
+           JOIN bands a ON a.doc_id = c.doc_a
+           JOIN bands b ON b.doc_id = c.doc_b AND b.band = a.band
+           GROUP BY c.doc_a, c.doc_b)
+         SELECT doc_a, doc_b, hamming
+         FROM ham WHERE hamming <= $PHashHammingMax""",
+    // The oracle aggregates the FINAL commit's closed form directly —
+    // the engine reached it through signed folds (count/sum) plus the
+    // rescan-affected-groups fallback (min/max after deletes), so hash
+    // equality proves the fallback exact, incl. NULL-skip semantics.
+    "q105_gold_minmax" ->
+      """WITH src AS (
+           SELECT o_orderstatus, o_orderpriority,
+                  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                       ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) +
+                            (CASE WHEN o_orderkey % 5 = 0 THEN 1000
+                                  ELSE 0 END)
+                  END AS cents
+           FROM orders WHERE o_orderkey % 3 <> 0)
+         SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(coalesce(cents, 0)) AS BIGINT) AS value_sum,
+                CAST(min(cents) AS BIGINT) AS value_min,
+                CAST(max(cents) AS BIGINT) AS value_max
+         FROM src GROUP BY o_orderstatus, o_orderpriority""",
     // The greedy packing recurrence replayed as a recursive CTE (depth =
     // docs per bucket; every bucket advances one row per step) — budget
     // and bucket size interpolated from the SAME constants the engine

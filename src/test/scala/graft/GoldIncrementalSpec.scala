@@ -150,6 +150,66 @@ class GoldIncrementalSpec extends AnyFunSuite {
     assertMatchesBatch(wh, whB)
   }
 
+  test("advanceMinMax: insert-only commits fold extrema with ZERO " +
+      "rescans; deletes/updates rescan ONLY the groups that lost rows; " +
+      "fold + rescan equals the rebuild incl. NULL-skip and " +
+      "emptied-group semantics") {
+    import graft.gold.GoldMaintenance
+    import graft.io.ParquetTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_minmax")
+    val src = new ParquetTable(s"$tmp/src")
+    val gold = new ParquetTable(s"$tmp/gold")
+    def parity(current: org.apache.spark.sql.DataFrame): Unit =
+      assert(TestSpark.rows(gold.read(spark)
+          .select("grp", "n_rows", "value_sum", "value_min", "value_max")) ==
+        TestSpark.rows(GoldMaintenance.aggregateMinMax(
+          current, Seq("grp"), col("v"))),
+        "maintained extrema must equal the batch rebuild")
+
+    val v1 = Seq((1L, "a", Some(10L)), (2L, "a", Some(5L)),
+      (3L, "b", None: Option[Long])).toDF("id", "grp", "v")
+    src.overwrite(v1)
+    val (_, r1) = GoldMaintenance.advanceMinMax(spark, src, gold,
+      Seq("grp"), col("v"))
+    assert(r1 == 0) // first call is the full build, no rescan concept
+    parity(v1)
+    // all-NULL group reads NULL extrema (min/max skip NULLs)
+    assert(gold.read(spark).filter(col("grp") === "b").head
+      .isNullAt(3))
+
+    // insert-only commit: extrema fold via least/greatest, NO rescan
+    val v2 = v1.unionByName(Seq((4L, "a", Some(2L)), (5L, "b", Some(7L)),
+      (6L, "c", None: Option[Long])).toDF("id", "grp", "v"))
+    src.overwrite(v2)
+    val (_, r2) = GoldMaintenance.advanceMinMax(spark, src, gold,
+      Seq("grp"), col("v"))
+    assert(r2 == 0, "an insert-only commit must not rescan any group")
+    parity(v2)
+    assert(gold.read(spark).filter(col("grp") === "a").head
+      .getLong(3) == 2L, "folded min must see the inserted 2")
+
+    // deletes + an update: group a loses its min (4), group c empties,
+    // group b's update rides as delete+insert — exactly THREE groups
+    // carry deletes, and only those rescan
+    val v3 = Seq((1L, "a", Some(10L)), (2L, "a", Some(5L)),
+      (3L, "b", Some(42L))).toDF("id", "grp", "v")
+    src.overwrite(v3)
+    val (_, r3) = GoldMaintenance.advanceMinMax(spark, src, gold,
+      Seq("grp"), col("v"))
+    assert(r3 == 3, s"groups a, b, c carry deletes; rescanned $r3")
+    parity(v3)
+    val a = gold.read(spark).filter(col("grp") === "a").head
+    assert(a.getLong(3) == 5L && a.getLong(4) == 10L,
+      "rescan must recover the post-delete min/max")
+    assert(gold.read(spark).filter(col("grp") === "c").count() == 0,
+      "an emptied group must be dropped")
+
+    // replay no-op: same source version, nothing rewritten
+    val gv = gold.version
+    GoldMaintenance.advanceMinMax(spark, src, gold, Seq("grp"), col("v"))
+    assert(gold.version == gv)
+  }
+
   test("the maintained avg_delivery_time is the derivable sum/count — " +
       "null delivered_on rows stay outside the average, all-null groups " +
       "read NULL (batch avg semantics)") {

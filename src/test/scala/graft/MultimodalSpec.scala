@@ -465,6 +465,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaDecoder.ContainerHeaders.jpegPixels(bad).isEmpty)
   }
 
+  test("blockMeanHash64: all-integer block-mean bits (strict >), grid " +
+      "geometry, and the closed form through a real JPEG decode") {
+    import Multimodal.{blockMeanHash64, MediaBuilders, MediaDecoder}
+    // 8x8 image, 1px cells: values 0..63, total 2016 — bit k set iff
+    // 64*v(k) > 2016 iff v(k) >= 32 (strict integer compare, no floats)
+    val px = Array.tabulate(64)(_.toByte)
+    assert(blockMeanHash64(px, 8, 8) === 0xFFFFFFFF00000000L)
+    // constant image: 64*cell == total everywhere, strict > → all zero
+    assert(blockMeanHash64(Array.fill(64)(7.toByte), 8, 8) === 0L)
+    // 16x16 (2x2 cells): brightening ONE cell past the mean flips
+    // exactly that bit
+    val flat = Array.fill(256)(100.toByte)
+    val one = flat.clone()
+    for (y <- 0 until 2; x <- 0 until 2) one(y * 16 + x) = 120.toByte
+    val h1 = blockMeanHash64(one, 16, 16)
+    assert(java.lang.Long.bitCount(h1 ^ blockMeanHash64(flat, 16, 16)) === 1)
+    assert((h1 & 1L) === 1L, "cell (0,0) is bit 0")
+    intercept[IllegalArgumentException](blockMeanHash64(px, 12, 12))
+    // the q104 closed form: hashing DECODED flat-block pixels equals
+    // the pure-DC arithmetic (level shift cancels in the comparison)
+    val dcs = Array.tabulate(64)(k => ((k * 37) % 200) - 100)
+    val (w, h, dec) = MediaDecoder.ContainerHeaders
+      .jpegPixels(MediaBuilders.jpegBaseline(64, 64, dcs))
+      .getOrElse(fail("q104 corpus JPEG must decode"))
+    val total = dcs.map(_.toLong).sum
+    val expect = (0 until 64).foldLeft(0L)((acc, k) =>
+      if (64L * dcs(k) > total) acc | (1L << k) else acc)
+    assert(blockMeanHash64(dec, w, h) === expect)
+  }
+
   test("extractFeatures surfaces decoded dims through the pluggable seam") {
     import spark.implicits._
     val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
