@@ -37,6 +37,17 @@ object Multimodal {
   final case class AudioFormat(sample_rate: Int, channels: Int,
       bits_per_sample: Int)
 
+  /** Sample-table metadata of an ISO-BMFF (MP4) video track — what the
+    * keyframe-sampling stage (q106) consumes: media timescale and frame
+    * dims from `mdhd`/`stsd`, per-sample durations expanded from `stts`
+    * runs, 1-based sync-sample numbers from `stss` (every sample when the
+    * box is absent, ISO/IEC 14496-12 §8.6.2), per-sample byte sizes from
+    * `stsz`, and the first chunk's absolute file offset from `stco`.
+    */
+  final case class Mp4Track(timescale: Int, width: Int, height: Int,
+      sampleDeltas: Array[Long], syncSamples: Array[Int],
+      sampleSizes: Array[Int], chunkOffset: Long)
+
   /** The pluggable decode seam: a real deployment binds a codec library
     * here; the Spark plumbing (typed mapPartitions, schema, batch shape)
     * is identical for every implementation. Must be Serializable — it
@@ -73,6 +84,12 @@ object Multimodal {
       */
     def jpegPixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
       None
+
+    /** Sample-table parse of the first video track if the payload is a
+      * recognized ISO-BMFF (MP4) container — the container-walk slot
+      * keyframe sampling builds on (q106).
+      */
+    def mp4Track(payload: Array[Byte]): Option[Mp4Track] = None
   }
 
   object MediaDecoder {
@@ -838,6 +855,132 @@ object Multimodal {
             Some((w, h, out))
           case _ => None
         }
+
+      /** ISO/IEC 14496-12 box walk + sample-table parse. Real structure
+        * work: the nested container descent (moov → trak → mdia → minf →
+        * stbl), both FullBox versions of `mdhd` (v1 widens creation/
+        * modification/duration to 64 bits, moving the timescale from
+        * payload offset 12 to 20, §8.4.2), `stts` run-length expansion,
+        * the optional `stss` sync table (absent ⇒ every sample is a sync
+        * sample, §8.6.2), `stsz` in both its uniform-size and per-sample
+        * layouts, and `stco`'s chunk offset. Corrupt declared sizes —
+        * a box overrunning its container or smaller than its own header —
+        * reject the parse (None), mirroring the RIFF walk's discipline.
+        */
+      override def mp4Track(b: Array[Byte]): Option[Mp4Track] = {
+        val n = b.length
+        // the file-level brand box must lead (§4.3) — random binary with
+        // a stray 'moov' string deeper in should not parse
+        if (n < 8 || b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p')
+          return None
+        for {
+          moov <- mp4Child(b, 0, n, "moov")
+          trak <- mp4Child(b, moov._1, moov._2, "trak")
+          mdia <- mp4Child(b, trak._1, trak._2, "mdia")
+          mdhd <- mp4Child(b, mdia._1, mdia._2, "mdhd")
+          minf <- mp4Child(b, mdia._1, mdia._2, "minf")
+          stbl <- mp4Child(b, minf._1, minf._2, "stbl")
+          stsd <- mp4Child(b, stbl._1, stbl._2, "stsd")
+          stts <- mp4Child(b, stbl._1, stbl._2, "stts")
+          stsz <- mp4Child(b, stbl._1, stbl._2, "stsz")
+          stco <- mp4Child(b, stbl._1, stbl._2, "stco")
+          timescale <- mdhdTimescale(b, mdhd._1, mdhd._2)
+          dims <- stsdDims(b, stsd._1, stsd._2)
+          deltas <- sttsDeltas(b, stts._1, stts._2)
+          sizes <- stszSizes(b, stsz._1, stsz._2)
+          if deltas.length == sizes.length && sizes.length > 0
+          off <- stcoFirst(b, stco._1, stco._2)
+          sync <- (mp4Child(b, stbl._1, stbl._2, "stss") match {
+            case Some((s0, e0)) => stssSamples(b, s0, e0) // present-but-corrupt → None
+            case None => Some(Array.tabulate(sizes.length)(_ + 1))
+          })
+          if sync.forall(s0 => s0 >= 1 && s0 <= sizes.length)
+        } yield Mp4Track(timescale, dims._1, dims._2, deltas, sync, sizes, off)
+      }
+
+      /** First child box of type `typ` inside [from, until): returns its
+        * payload bounds. size==1 → 64-bit largesize follows the type;
+        * size==0 → the box runs to the container's end (§4.2).
+        */
+      private def mp4Child(b: Array[Byte], from: Int, until: Int,
+          typ: String): Option[(Int, Int)] = {
+        var i = from
+        while (i + 8 <= until) {
+          val sz32 = be32(b, i)
+          var hdr = 8
+          val size: Long =
+            if (sz32 == 1) {
+              if (i + 16 > until) return None
+              hdr = 16
+              (be32(b, i + 8).toLong << 32) | (be32(b, i + 12).toLong & 0xffffffffL)
+            } else if (sz32 == 0) (until - i).toLong
+            else sz32.toLong & 0xffffffffL
+          if (size < hdr || size > until - i) return None // corrupt: overruns container
+          if (b(i + 4) == typ.charAt(0).toByte && b(i + 5) == typ.charAt(1).toByte &&
+            b(i + 6) == typ.charAt(2).toByte && b(i + 7) == typ.charAt(3).toByte)
+            return Some((i + hdr, i + size.toInt))
+          i += size.toInt
+        }
+        None
+      }
+
+      private def mdhdTimescale(b: Array[Byte], s: Int, e: Int): Option[Int] =
+        if (s + 4 > e) None
+        else b(s) match {
+          case 0 => if (s + 16 <= e) Some(be32(b, s + 12)) else None
+          case 1 => if (s + 28 <= e) Some(be32(b, s + 20)) else None
+          case _ => None
+        }
+
+      // VisualSampleEntry (§12.1.3 over §8.5.2): 8-byte entry header,
+      // 6 reserved + data_reference_index(2), then pre_defined/reserved
+      // (16 bytes) before width(2)/height(2) at entry offsets 32/34
+      private def stsdDims(b: Array[Byte], s: Int, e: Int): Option[(Int, Int)] = {
+        if (s + 8 > e || be32(b, s + 4) < 1) return None
+        val entry = s + 8
+        if (entry + 36 > e) return None
+        Some((be16(b, entry + 32), be16(b, entry + 34)))
+      }
+
+      private def sttsDeltas(b: Array[Byte], s: Int, e: Int): Option[Array[Long]] = {
+        if (s + 8 > e) return None
+        val count = be32(b, s + 4)
+        if (count < 0 || s + 8 + 8L * count > e) return None
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var k = 0
+        while (k < count) {
+          val run = be32(b, s + 8 + 8 * k)
+          val delta = be32(b, s + 12 + 8 * k).toLong & 0xffffffffL
+          // a hostile run count would materialize gigabytes — bound it
+          if (run < 0 || out.length + run > (1 << 20)) return None
+          var r = 0
+          while (r < run) { out += delta; r += 1 }
+          k += 1
+        }
+        Some(out.toArray)
+      }
+
+      private def stszSizes(b: Array[Byte], s: Int, e: Int): Option[Array[Int]] = {
+        if (s + 12 > e) return None
+        val uniform = be32(b, s + 4)
+        val count = be32(b, s + 8)
+        if (count < 0 || count > (1 << 20)) return None
+        if (uniform != 0) Some(Array.fill(count)(uniform))
+        else if (s + 12 + 4L * count > e) None
+        else Some(Array.tabulate(count)(k => be32(b, s + 12 + 4 * k)))
+      }
+
+      private def stssSamples(b: Array[Byte], s: Int, e: Int): Option[Array[Int]] = {
+        if (s + 8 > e) return None
+        val count = be32(b, s + 4)
+        if (count < 0 || s + 8 + 4L * count > e) return None
+        Some(Array.tabulate(count)(k => be32(b, s + 8 + 4 * k)))
+      }
+
+      private def stcoFirst(b: Array[Byte], s: Int, e: Int): Option[Long] = {
+        if (s + 12 > e || be32(b, s + 4) < 1) return None
+        Some(be32(b, s + 8).toLong & 0xffffffffL)
+      }
 
       private def le16(b: Array[Byte], i: Int): Int =
         (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -1685,6 +1828,162 @@ object Multimodal {
       fill(b, 44, filler, seed)
       b
     }
+
+    /** ISO-BMFF (MP4) with a REAL sample table, per ISO/IEC 14496-12:
+      * `ftyp`, `moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd
+      * avc1, stts, stss, stsz, stco)))))`, `mdat`. mvhd/mdhd alternate
+      * FullBox version 0/1 by id parity so both the 32- and 64-bit field
+      * layouts are exercised; `stco`'s single chunk offset points at the
+      * mdat payload, whose bytes are the [[fill]] closed form — so sample
+      * offsets, sizes, timestamps AND payload checksums are all
+      * arithmetically predictable from `id` alone ([[Multimodal
+      * .VideoParams]] is the single source of truth the q106 oracle
+      * mirrors). stco depends on moov's own length; every field is
+      * fixed-width given the id, so building moov twice (placeholder
+      * offset, then the real one) converges.
+      */
+    def mp4(id: Long): Array[Byte] = {
+      import java.io.ByteArrayOutputStream
+      import Multimodal.{VideoParams => V}
+      require(id >= 0, s"mp4: id=$id must be >= 0")
+      val n = V.nSamples(id)
+      val n1 = V.firstRun(id)
+      val sizes = Array.tabulate(n)(i => V.sampleSize(id, i))
+      val ts = V.timescale(id)
+      val durUnits = n1 * V.delta1(id) + (n - n1) * V.delta2(id)
+      val vMvhd = (id % 2).toInt
+      val vMdhd = ((id / 2) % 2).toInt
+      def boxBytes(tag: String)(body: ByteArrayOutputStream => Unit): Array[Byte] = {
+        val o = new ByteArrayOutputStream
+        body(o)
+        val p = o.toByteArray
+        val out = new Array[Byte](8 + p.length)
+        putBe32(out, 0, 8 + p.length); putAscii(out, 4, tag)
+        System.arraycopy(p, 0, out, 8, p.length)
+        out
+      }
+      def be32o(o: ByteArrayOutputStream, v: Int): Unit = {
+        o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+        o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+      }
+      def be64o(o: ByteArrayOutputStream, v: Long): Unit = {
+        be32o(o, (v >>> 32).toInt); be32o(o, v.toInt)
+      }
+      def be16o(o: ByteArrayOutputStream, v: Int): Unit = {
+        o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+      }
+      def tago(o: ByteArrayOutputStream, t: String): Unit = {
+        var j = 0
+        while (j < t.length) { o.write(t.charAt(j).toInt & 0xff); j += 1 }
+      }
+      def fullHdr(o: ByteArrayOutputStream, version: Int): Unit = {
+        o.write(version); o.write(0); o.write(0); o.write(0)
+      }
+      val unityMatrix = Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+      val ftyp = boxBytes("ftyp") { o =>
+        tago(o, "isom"); be32o(o, 0x200); tago(o, "mp42")
+      }
+      def moov(chunkOffset: Long): Array[Byte] = boxBytes("moov") { mo =>
+        mo.write(boxBytes("mvhd") { o =>
+          fullHdr(o, vMvhd)
+          if (vMvhd == 1) { be64o(o, 0L); be64o(o, 0L); be32o(o, ts); be64o(o, durUnits) }
+          else { be32o(o, 0); be32o(o, 0); be32o(o, ts); be32o(o, durUnits.toInt) }
+          be32o(o, 0x00010000); be16o(o, 0x0100); be16o(o, 0) // rate, volume
+          be32o(o, 0); be32o(o, 0) // reserved
+          unityMatrix.foreach(be32o(o, _))
+          (0 until 6).foreach(_ => be32o(o, 0)) // pre_defined
+          be32o(o, 2) // next_track_ID
+        })
+        mo.write(boxBytes("trak") { tr =>
+          tr.write(boxBytes("tkhd") { o =>
+            fullHdr(o, 0)
+            be32o(o, 0); be32o(o, 0); be32o(o, 1) // created, modified, track_ID
+            be32o(o, 0); be32o(o, 0) // reserved, duration
+            be32o(o, 0); be32o(o, 0) // reserved
+            be16o(o, 0); be16o(o, 0); be16o(o, 0); be16o(o, 0)
+            unityMatrix.foreach(be32o(o, _))
+            be32o(o, V.width(id) << 16); be32o(o, V.height(id) << 16)
+          })
+          tr.write(boxBytes("mdia") { md =>
+            md.write(boxBytes("mdhd") { o =>
+              fullHdr(o, vMdhd)
+              if (vMdhd == 1) { be64o(o, 0L); be64o(o, 0L); be32o(o, ts); be64o(o, durUnits) }
+              else { be32o(o, 0); be32o(o, 0); be32o(o, ts); be32o(o, durUnits.toInt) }
+              be16o(o, 0x55c4); be16o(o, 0) // language 'und', pre_defined
+            })
+            md.write(boxBytes("hdlr") { o =>
+              fullHdr(o, 0); be32o(o, 0); tago(o, "vide")
+              (0 until 3).foreach(_ => be32o(o, 0)); o.write(0) // name ""
+            })
+            md.write(boxBytes("minf") { mi =>
+              mi.write(boxBytes("stbl") { st =>
+                st.write(boxBytes("stsd") { o =>
+                  fullHdr(o, 0); be32o(o, 1)
+                  // one 86-byte VisualSampleEntry, no codec-config child
+                  be32o(o, 86); tago(o, "avc1")
+                  (0 until 6).foreach(_ => o.write(0)); be16o(o, 1)
+                  be16o(o, 0); be16o(o, 0)
+                  (0 until 3).foreach(_ => be32o(o, 0))
+                  be16o(o, V.width(id)); be16o(o, V.height(id))
+                  be32o(o, 0x00480000); be32o(o, 0x00480000); be32o(o, 0)
+                  be16o(o, 1) // frame_count
+                  (0 until 32).foreach(_ => o.write(0)) // compressorname
+                  be16o(o, 24); be16o(o, 0xffff) // depth, pre_defined
+                })
+                st.write(boxBytes("stts") { o =>
+                  fullHdr(o, 0); be32o(o, 2)
+                  be32o(o, n1); be32o(o, V.delta1(id).toInt)
+                  be32o(o, n - n1); be32o(o, V.delta2(id).toInt)
+                })
+                st.write(boxBytes("stss") { o =>
+                  val kfs = 1 to n by V.kfInterval(id)
+                  fullHdr(o, 0); be32o(o, kfs.size)
+                  kfs.foreach(be32o(o, _))
+                })
+                st.write(boxBytes("stsz") { o =>
+                  fullHdr(o, 0); be32o(o, 0); be32o(o, n)
+                  sizes.foreach(be32o(o, _))
+                })
+                st.write(boxBytes("stco") { o =>
+                  fullHdr(o, 0); be32o(o, 1); be32o(o, chunkOffset.toInt)
+                })
+              })
+            })
+          })
+        })
+      }
+      val moovLen = moov(0L).length
+      val mdatPayload = sizes.sum
+      val dataOff = ftyp.length + moovLen + 8L
+      val m = moov(dataOff)
+      require(m.length == moovLen, "mp4: moov length changed with offset")
+      val out = new Array[Byte](ftyp.length + moovLen + 8 + mdatPayload)
+      System.arraycopy(ftyp, 0, out, 0, ftyp.length)
+      System.arraycopy(m, 0, out, ftyp.length, moovLen)
+      putBe32(out, ftyp.length + moovLen, 8 + mdatPayload)
+      putAscii(out, ftyp.length + moovLen + 4, "mdat")
+      fill(out, ftyp.length + moovLen + 8, mdatPayload, id)
+      out
+    }
+  }
+
+  /** Closed-form parameters of the synthetic MP4 corpus — the single
+    * source of truth for [[MediaBuilders.mp4]], the q106 query and its
+    * DuckDB oracle (which mirrors every formula verbatim). The first
+    * `firstRun(id)` samples last `delta1(id)` timescale units each, the
+    * rest `delta2(id)`; sync samples sit at 1, 1+kfInterval, …
+    */
+  object VideoParams {
+    val Timescales: Array[Int] = Array(600, 1000, 12288, 90000)
+    def nSamples(id: Long): Int = 6 + (id % 7).toInt
+    def kfInterval(id: Long): Int = 2 + (id % 3).toInt
+    def timescale(id: Long): Int = Timescales((id % 4).toInt)
+    def delta1(id: Long): Long = 1 + id % 100
+    def delta2(id: Long): Long = 2 * delta1(id)
+    def firstRun(id: Long): Int = nSamples(id) / 2
+    def sampleSize(id: Long, i: Int): Int = 16 + ((id * 5 + i * 7) % 48).toInt
+    def width(id: Long): Int = 160 + (id % 8).toInt * 80
+    def height(id: Long): Int = 90 + (id % 8).toInt * 45
   }
 
   /** Deterministic synthetic media over the documents table: each doc_id
@@ -1714,6 +2013,25 @@ object Multimodal {
             // duration of `filler` PCM bytes at sr·ch·2 bytes/sec
             filler * 1000L / (sr.toLong * ch * 2)))
       }
+    }
+  }
+
+  /** Deterministic synthetic MP4 corpus over the documents table — every
+    * doc_id maps to a REAL ISO-BMFF container ([[MediaBuilders.mp4]])
+    * whose sample table is closed-form in the id ([[VideoParams]]).
+    * Separate from [[syntheticMediaFromDocs]] so the q79 oracle's id%3
+    * kind mapping stays untouched.
+    */
+  def syntheticVideosFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val n = VideoParams.nSamples(id)
+      val n1 = VideoParams.firstRun(id)
+      val units = n1 * VideoParams.delta1(id) + (n - n1) * VideoParams.delta2(id)
+      MediaRow(id, MediaBuilders.mp4(id),
+        MediaMeta("mp4", VideoParams.width(id), VideoParams.height(id), 0,
+          units * 1000L / VideoParams.timescale(id)))
     }
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.merge.MergeOps
 import graft.operators.RangeJoin
-import graft.northstar.{CorpusClean, Dedup, EventOps, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.northstar.{Bm25, CorpusClean, Dedup, EventOps, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators (BASELINE.json) over the
   * documents/embeddings testdata, with DuckDB oracles where the computation
@@ -1388,6 +1388,76 @@ object NorthStarQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Video keyframe sampling (q106): REAL ISO-BMFF (MP4) container parse
+    * of the synthetic video corpus — the sample-table walk every
+    * multimodal training pipeline runs to pick which frames to decode
+    * (keyframe/IDR sampling is how web-video corpora are thumbnailed and
+    * shot-sampled without decoding every frame). Per row, the full
+    * 14496-12 path is exercised: box descent (both FullBox versions of
+    * mvhd/mdhd by id parity), `stts` run expansion for timestamps,
+    * `stss` sync lookup, `stsz`+`stco` offset math — and each keyframe's
+    * bytes are SLICED FROM THE PAYLOAD at the parsed offset and
+    * checksummed, so a drifted offset, size or timescale breaks the
+    * hash. The container is closed-form in doc_id
+    * ([[Multimodal.VideoParams]]), so the DuckDB oracle recomputes
+    * timestamps, sizes AND byte checksums arithmetically, never seeing a
+    * byte. Scale: parse+slice is the justified imperative-codec slot
+    * (zero shuffles, scan-stage parallel); no joins, no aggregates.
+    */
+  def q106VideoKeyframes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = Multimodal.MediaDecoder.ContainerHeaders
+    Multimodal
+      .syntheticVideosFromDocs(t(s, dir, "documents").select(col("doc_id")))
+      .flatMap { r =>
+        val tr = dec.mp4Track(r.payload).getOrElse(
+          sys.error(s"q106: unparseable MP4 for media ${r.media_id}"))
+        // start time of 1-based sample s = Σ deltas before it; byte
+        // offset = chunk offset + Σ sizes before it
+        val starts = tr.sampleDeltas.scanLeft(0L)(_ + _)
+        val offsets = tr.sampleSizes.scanLeft(tr.chunkOffset)(_ + _)
+        tr.syncSamples.iterator.map { sNo =>
+          val k = sNo - 1
+          val off = offsets(k).toInt
+          val sz = tr.sampleSizes(k)
+          var sum = 0L
+          var j = 0
+          while (j < sz) { sum += r.payload(off + j) & 0xff; j += 1 }
+          (r.media_id, tr.timescale, tr.width, tr.height,
+            tr.sampleSizes.length.toLong, sNo,
+            starts(k) * 1000L / tr.timescale, sz.toLong, sum)
+        }
+      }
+      .toDF("doc_id", "timescale", "width", "height", "n_samples",
+        "kf_sample", "pts_ms", "sample_size", "sample_checksum")
+  }
+
+  /** The fixed q107 retrieval workload: probes mixing common terms, the
+    * one rare corpus term ("dup"), and vocabulary absent from the corpus
+    * entirely (zero-df terms must contribute nothing, not NaN/∞ — the
+    * +0.5 smoothing and the tf>0 gate are both on trial). Single source
+    * of truth for the query AND its generated oracle SQL.
+    */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join", "fast"),
+    2 -> Seq("dup", "scan"),
+    3 -> Seq("vector", "stream", "window"),
+    4 -> Seq("customer", "order", "quantization"))
+  val Bm25TopK = 10
+
+  /** BM25 top-k retrieval (q107): Okapi scoring ([[graft.northstar
+    * .Bm25]]) of the fixed probe workload over the documents corpus —
+    * the retrieval stage decontamination-by-retrieval and training-
+    * example attribution pipelines run. Oracle-exact end to end: the
+    * rational-idf + integer-micro-unit design makes every score a
+    * deterministic BIGINT both engines agree on bit-for-bit (see the
+    * Bm25 scaladoc for why ln and float sums are excluded), and the
+    * oracle SQL is GENERATED from the same query constants so the two
+    * sides cannot drift.
+    */
+  def q107Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    Bm25.topK(t(s, dir, "documents"), "doc_id", "text", Bm25Queries, Bm25TopK)
+
   /** Fuzzy decontamination (q101): train-vs-benchmark NEAR-duplicate
     * pairs via the cross-corpus LSH band join
     * ([[graft.northstar.Dedup.crossNearDuplicates]]) — the sweep exact
@@ -2224,6 +2294,8 @@ object NorthStarQueries {
     "q103_gold_incremental_city" -> (q103GoldIncrementalCity _),
     "q104_image_near_dups" -> (q104ImageNearDups _),
     "q105_gold_minmax" -> (q105GoldMinMax _),
+    "q106_video_keyframes" -> (q106VideoKeyframes _),
+    "q107_bm25_topk" -> (q107Bm25TopK _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3356,6 +3428,87 @@ object NorthStarQueries {
                 CAST(min(cents) AS BIGINT) AS value_min,
                 CAST(max(cents) AS BIGINT) AS value_max
          FROM src GROUP BY o_orderstatus, o_orderpriority""",
+    // Every formula below mirrors Multimodal.VideoParams verbatim; the
+    // engine's numbers instead come from PARSING the real container and
+    // checksumming payload bytes at the parsed offsets — hash equality
+    // proves the whole box walk, stts expansion and stco/stsz offset
+    // arithmetic.
+    "q106_video_keyframes" ->
+      """WITH p AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  6 + CAST(doc_id % 7 AS INTEGER) AS n,
+                  2 + CAST(doc_id % 3 AS INTEGER) AS kf,
+                  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 600
+                       WHEN 1 THEN 1000 WHEN 2 THEN 12288
+                       ELSE 90000 END AS ts,
+                  CAST(1 + doc_id % 100 AS BIGINT) AS d1
+           FROM documents),
+         kfs AS (
+           SELECT p.*, n // 2 AS n1, CAST(u.s AS INTEGER) AS s
+           FROM p, LATERAL unnest(range(1, n + 1, kf)) AS u(s)),
+         calc AS (
+           SELECT id, ts, n, s,
+                  CASE WHEN s - 1 <= n1 THEN (s - 1) * d1
+                       ELSE n1 * d1 + (s - 1 - n1) * 2 * d1
+                  END AS pts_units,
+                  COALESCE(list_sum(list_transform(
+                    range(0, CAST(s AS BIGINT) - 1),
+                    i -> 16 + (id * 5 + i * 7) % 48)), 0) AS off0,
+                  16 + (id * 5 + (s - 1) * 7) % 48 AS sz
+           FROM kfs)
+         SELECT id AS doc_id, CAST(ts AS INTEGER) AS timescale,
+                CAST(160 + (id % 8) * 80 AS INTEGER) AS width,
+                CAST(90 + (id % 8) * 45 AS INTEGER) AS height,
+                CAST(n AS BIGINT) AS n_samples, s AS kf_sample,
+                CAST(pts_units * 1000 // ts AS BIGINT) AS pts_ms,
+                CAST(sz AS BIGINT) AS sample_size,
+                CAST(list_sum(list_transform(range(0, CAST(sz AS BIGINT)),
+                  j -> (id + (off0 + j) * 131) % 256)) AS BIGINT)
+                  AS sample_checksum
+         FROM calc""",
+    // GENERATED from the same Bm25Queries/Bm25TopK constants the engine
+    // runs, with the identical arithmetic text — rational idf, per-term
+    // micro-unit rounding, exact BIGINT cross-term sum (see Bm25).
+    "q107_bm25_topk" -> {
+      val terms = Bm25Queries.flatMap(_._2).distinct.sorted
+      val tfs = terms.map(t0 =>
+        s"sum(CASE WHEN tok = '$t0' THEN 1 ELSE 0 END) AS tf_$t0")
+        .mkString(", ")
+      val dfs = terms.map(t0 =>
+        s"CAST(sum(CASE WHEN tf_$t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t0")
+        .mkString(", ")
+      val arms = Bm25Queries.map { case (qid, qt) =>
+        val sumExpr = qt.distinct.map { t0 =>
+          s"""CASE WHEN tf_$t0 > 0 THEN CAST(round(
+             ((n - df_$t0 + 0.5) / (df_$t0 + 0.5) + 1.0) *
+             (CAST(tf_$t0 AS DOUBLE) * 2.2) /
+             (CAST(tf_$t0 AS DOUBLE) +
+               1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) *
+             1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+        }.mkString(" + ")
+        s"SELECT $qid AS query_id, doc_id, $sumExpr AS score_micro FROM joined"
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+          stats AS (
+            SELECT doc_id, count(*) AS dl, $tfs FROM toks GROUP BY doc_id),
+          corpus AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) AS total_len, $dfs
+            FROM stats),
+          joined AS (
+            SELECT stats.*, corpus.*, total_len / n AS avgdl
+            FROM stats CROSS JOIN corpus),
+          scored AS ($arms),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id) AS rank
+            FROM scored WHERE score_micro > 0)
+          SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, score_micro,
+                 CAST(rank AS INTEGER) AS rank
+          FROM ranked WHERE rank <= $Bm25TopK"""
+    },
     // The greedy packing recurrence replayed as a recursive CTE (depth =
     // docs per bucket; every bucket advances one row per step) — budget
     // and bucket size interpolated from the SAME constants the engine

@@ -25,6 +25,10 @@ class GoldIncrementalSpec extends AnyFunSuite {
   private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
   private def d(s: String) = Date.valueOf(s)
 
+  /** A silver orders row in ordersDf column order, for MemoryStream. */
+  type OrdRow = (Long, Timestamp, Option[Long], Date, Option[Date],
+    Long, Int, Int, Timestamp)
+
   private def customersDf(rows: (Long, String, String, String)*) =
     rows.toSeq.map { case (id, t, st, created) =>
       (id, t, st, ts(created), created.take(4).toInt,
@@ -208,6 +212,75 @@ class GoldIncrementalSpec extends AnyFunSuite {
     val gv = gold.version
     GoldMaintenance.advanceMinMax(spark, src, gold, Seq("grp"), col("v"))
     assert(gold.version == gv)
+  }
+
+  test("streaming silver-orders intake drives the five gold tables to " +
+      "the batch rebuild, absorbing replayed and duplicate batches " +
+      "(GoldIncStream mirror)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_goldstream")
+    val wh = new Warehouse(s"$root/inc")
+    val whB = new Warehouse(s"$root/batch")
+
+    val cust = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+      (2L, "individual", "VIP", "2023-06-01"))
+    val addr = addressesDf((10L, "berlin"), (11L, "paris"))
+    val ord0 = ordersDf((100L, 1L, 10L, "2024-01-10", Some("2024-01-15")))
+    writeSilver(wh, cust, ord0, addr)
+
+    // stream rows in the silver orders schema (ordersDf column order)
+    def row(id: Long, cu: Long, ad: java.lang.Long, created: String,
+        delivered: Option[String]): OrdRow =
+      (cu, ts(created), Option(ad).map(_.longValue), d(created),
+        delivered.map(d), id, created.take(4).toInt,
+        created.slice(5, 7).toInt, ts("2024-01-01"))
+    def rebuiltLike(rows: OrdRow*): DataFrame = ordersDf(rows.map { r =>
+      (r._6, r._1, r._3.map(java.lang.Long.valueOf).orNull,
+        r._2.toString.take(10), r._5.map(_.toString))
+    }: _*)
+
+    val in = MemoryStream[OrdRow]
+    val stream = in.toDF().toDF("customer_id", "created_on", "address_id",
+      "delivery_date", "delivered_on", "id", "year", "month",
+      "silver_ingestion_time")
+    val q = graft.streaming.GoldIncStream.ordersIntakeStream(stream, wh,
+      expectedIds = 1024)
+    try {
+      val b1 = Seq(
+        row(101L, 1L, 11L, "2024-02-10", Some("2024-02-12")),
+        row(102L, 2L, 11L, "2024-01-05", None))
+      // batch 1 replays the seeded order 100 and carries an in-batch dup
+      in.addData(b1 ++ Seq(row(100L, 1L, 10L, "2024-01-10",
+        Some("2024-01-15")), b1.head))
+      q.processAllAvailable()
+      writeSilver(whB, cust, rebuiltLike(
+        row(100L, 1L, 10L, "2024-01-10", Some("2024-01-15")) +: b1: _*),
+        addr)
+      new GoldBuilds(spark, whB).buildAll()
+      assertMatchesBatch(wh, whB)
+
+      // a pure-replay batch commits no silver version, advances no gold
+      val silver = wh.silverByName("orders")
+      val sv = silver.version
+      val gvs = GoldNames.map(n => wh.gold(n).version)
+      in.addData(b1)
+      q.processAllAvailable()
+      assert(silver.version == sv,
+        "an all-replay batch must not create a silver version")
+      assert(GoldNames.map(n => wh.gold(n).version) == gvs,
+        "an all-replay batch must not rewrite any gold table")
+
+      // a later batch advances incrementally to the new rebuild
+      val b3 = Seq(row(103L, 2L, 10L, "2024-03-01", Some("2024-03-20")))
+      in.addData(b3 ++ b1.take(1))
+      q.processAllAvailable()
+      writeSilver(whB, cust, rebuiltLike(
+        (row(100L, 1L, 10L, "2024-01-10", Some("2024-01-15")) +: b1) ++
+          b3: _*), addr)
+      new GoldBuilds(spark, whB).buildAll()
+      assertMatchesBatch(wh, whB)
+    } finally q.stop()
   }
 
   test("the maintained avg_delivery_time is the derivable sum/count — " +

@@ -580,6 +580,126 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MediaBuilders.mp4 round-trips through mp4Track: both FullBox " +
+    "versions, stts run expansion, sync table, sizes, and a chunk offset " +
+    "that really lands on the mdat payload") {
+    import Multimodal.{MediaBuilders, MediaDecoder, VideoParams => V}
+    val dec = MediaDecoder.ContainerHeaders
+    // ids 0..7 sweep mvhd v0/v1 × mdhd v0/v1 × all four timescales
+    for (id <- 0L to 7L) {
+      val b = MediaBuilders.mp4(id)
+      val tr = dec.mp4Track(b).getOrElse(fail(s"mp4 $id did not parse"))
+      val n = V.nSamples(id)
+      assert(tr.timescale == V.timescale(id), s"id=$id")
+      assert(tr.width == V.width(id) && tr.height == V.height(id))
+      assert(tr.sampleSizes.toSeq ==
+        (0 until n).map(i => V.sampleSize(id, i)))
+      assert(tr.sampleDeltas.toSeq ==
+        Seq.fill(n / 2)(V.delta1(id)) ++ Seq.fill(n - n / 2)(V.delta2(id)))
+      assert(tr.syncSamples.toSeq == (1 to n by V.kfInterval(id)).toSeq)
+      // the chunk offset must point just past a real mdat header...
+      assert(new String(b, tr.chunkOffset.toInt - 4, 4, "ISO-8859-1") == "mdat")
+      // ...and the payload there is the fill() closed form the oracle sums
+      for (j <- 0 until 5)
+        assert(b(tr.chunkOffset.toInt + j) == ((id + j * 131) & 0xff).toByte)
+      // deterministic
+      assert(b.toSeq == MediaBuilders.mp4(id).toSeq)
+    }
+  }
+
+  test("mp4Track handles the uniform stsz layout, an absent stss " +
+    "(every sample sync, 14496-12 §8.6.2) and a 64-bit largesize header") {
+    import Multimodal.MediaDecoder
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def tag(t: String) = t.getBytes("ISO-8859-1")
+    def box(t: String, p: Array[Byte]) = be32(8 + p.length) ++ tag(t) ++ p
+    // moov written with the size==1 + 64-bit largesize header
+    def largeBox(t: String, p: Array[Byte]) =
+      be32(1) ++ tag(t) ++ be32(0) ++ be32(16 + p.length) ++ p
+    val full0 = Array[Byte](0, 0, 0, 0)
+    val stsd = box("stsd", full0 ++ be32(1) ++ (be32(86) ++ tag("avc1") ++
+      Array.fill[Byte](6)(0) ++ be16(1) ++ Array.fill[Byte](16)(0) ++
+      be16(320) ++ be16(240) ++ Array.fill[Byte](50)(0)))
+    val stts = box("stts", full0 ++ be32(1) ++ be32(3) ++ be32(10))
+    val stsz = box("stsz", full0 ++ be32(20) ++ be32(3)) // uniform 20×3
+    def assemble(chunkOff: Int): Array[Byte] = {
+      val stco = box("stco", full0 ++ be32(1) ++ be32(chunkOff))
+      val stbl = box("stbl", stsd ++ stts ++ stsz ++ stco) // no stss
+      val mdhd = box("mdhd", full0 ++ be32(0) ++ be32(0) ++ be32(1000) ++
+        be32(30) ++ be16(0x55c4) ++ be16(0))
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ minf)
+      val trak = box("trak", mdia)
+      val moov = largeBox("moov", trak)
+      val ftyp = box("ftyp", tag("isom") ++ be32(0) ++ tag("mp42"))
+      ftyp ++ moov ++ box("mdat", Array.fill[Byte](60)(7))
+    }
+    val pre = assemble(0)
+    val dataOff = pre.length - 60 // mdat payload position is layout-fixed
+    val b = assemble(dataOff)
+    val tr = MediaDecoder.ContainerHeaders.mp4Track(b)
+      .getOrElse(fail("minimal mp4 did not parse"))
+    assert(tr.timescale == 1000 && tr.width == 320 && tr.height == 240)
+    assert(tr.sampleSizes.toSeq == Seq(20, 20, 20))
+    assert(tr.sampleDeltas.toSeq == Seq(10L, 10L, 10L))
+    assert(tr.syncSamples.toSeq == Seq(1, 2, 3)) // absent stss → all sync
+    assert(tr.chunkOffset == dataOff)
+  }
+
+  test("mp4Track refuses what it does not claim: truncation, corrupt box " +
+    "sizes, a missing brand, out-of-range sync samples") {
+    import Multimodal.{MediaBuilders, MediaDecoder}
+    val dec = MediaDecoder.ContainerHeaders
+    val good = MediaBuilders.mp4(5L)
+    assert(dec.mp4Track(good).isDefined)
+    // truncated mid-moov: the sample tables overrun the remaining bytes
+    assert(dec.mp4Track(good.take(good.length / 2)).isEmpty)
+    // first box is not ftyp
+    assert(dec.mp4Track(good.drop(24)).isEmpty)
+    // corrupt: moov's declared size overruns the file
+    val bad = good.clone()
+    val moovAt = {
+      var i = 0
+      while (!(bad(i + 4) == 'm' && bad(i + 5) == 'o' && bad(i + 6) == 'o' &&
+        bad(i + 7) == 'v')) i += 8 + ((bad(i) & 0xff) << 24 |
+        (bad(i + 1) & 0xff) << 16 | (bad(i + 2) & 0xff) << 8 |
+        (bad(i + 3) & 0xff)) - 8
+      i
+    }
+    bad(moovAt) = 0x7f; bad(moovAt + 1) = 0
+    assert(dec.mp4Track(bad).isEmpty)
+    // sync table referencing sample beyond the stsz count
+    val bad2 = good.clone()
+    // stss entries are 1,1+kf,..; overwrite the first entry with n+1000
+    val stssAt = {
+      var i = 0
+      while (!(bad2(i) == 's' && bad2(i + 1) == 't' && bad2(i + 2) == 's' &&
+        bad2(i + 3) == 's')) i += 1
+      i + 4 // past the type: version/flags
+    }
+    bad2(stssAt + 8) = 0x7f // first entry's high byte → sample# huge
+    assert(dec.mp4Track(bad2).isEmpty)
+  }
+
+  test("syntheticVideosFromDocs: every payload parses and its keyframe " +
+    "count matches the closed form") {
+    import Multimodal.{MediaDecoder, VideoParams => V}
+    val docs = Tables.read(spark, dir, "documents").select("doc_id").limit(40)
+    val rows = Multimodal.syntheticVideosFromDocs(docs).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      assert(r.meta.kind == "mp4")
+      val tr = MediaDecoder.ContainerHeaders.mp4Track(r.payload)
+        .getOrElse(fail(s"video ${r.media_id} did not parse"))
+      val n = V.nSamples(r.media_id)
+      assert(tr.sampleSizes.length == n)
+      assert(tr.syncSamples.length ==
+        (n + V.kfInterval(r.media_id) - 1) / V.kfInterval(r.media_id))
+    }
+  }
+
   test("resize stub preserves raw non-UTF8 bytes (no string round-trip)") {
     import spark.implicits._
     val raw = Array[Byte](0xFF.toByte, 0x00, 0xAB.toByte, 0x10, 0xC3.toByte, 0x28)
