@@ -138,7 +138,12 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
         val cdfs = sources.collect { case (n, t) if vs(n) != newVs(n) =>
           n -> t.changesBetween(spark, vs(n), newVs(n))
         }.toMap
+        // the anchor set is changes-sized and feeds BOTH derive sides'
+        // semi-joins — without a persist its whole subtree (the CDF's
+        // full-width diff plus any reverse-lookup semi-joins) executes
+        // twice inside the one fold job; released before returning
         val aff = affected(cdfs, oldF, newF).toDF("__anchor").distinct()
+          .persist()
         val oldJ = derive(oldF, Some(aff))
         val newJ = derive(newF, Some(aff))
         // signed union → one grouped delta (old contributions −, new +)
@@ -165,7 +170,8 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
             measures.map(m => (coalesce(col(m.name), lit(0L)) +
               coalesce(col(s"__d_${m.name}"), lit(0L))).as(m.name)): _*)
           .filter(col(rowMeasure) > 0)
-        gold.overwrite(withDerived(folded))
+        try gold.overwrite(withDerived(folded))
+        finally { aff.unpersist(); () }
       case None =>
         // first build (or crash-window fallback): the one full pass
         gold.overwrite(withDerived(aggAll(derive(newF, None), keys, measures)))

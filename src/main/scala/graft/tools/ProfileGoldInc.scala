@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for the q103 five-table IVM phases (not part of the
+  * surface): times each silver commit and each incremental advance
+  * separately, so commit I/O and maintenance compute are attributable.
+  */
+object ProfileGoldInc {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val orders = graft.io.Tables.read(spark, dir, "orders")
+    val nation = graft.io.Tables.read(spark, dir, "nation")
+    def silverOrders(version: Int): DataFrame = {
+      val keep = version match {
+        case 1 => pmod(col("o_orderkey"), lit(7)) =!= 0
+        case 2 => lit(true)
+        case _ => pmod(col("o_orderkey"), lit(11)) =!= 0
+      }
+      val shift = if (version >= 2)
+        when(pmod(col("o_orderkey"), lit(5)) === 0, 2).otherwise(0)
+      else lit(0)
+      orders.filter(keep).select(
+        col("o_orderkey").as("id"),
+        col("o_custkey").as("customer_id"),
+        pmod(col("o_custkey"), lit(25L)).as("address_id"),
+        to_date(col("o_orderdate")).as("created_on"),
+        when(pmod(col("o_orderkey"), lit(4)) =!= 0,
+          date_add(to_date(col("o_orderdate")),
+            (pmod(col("o_orderkey"), lit(30)) + shift).cast("int")))
+          .as("delivered_on"),
+        year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"),
+        lit("2024-01-01 00:00:00").cast("timestamp")
+          .as("silver_ingestion_time"))
+    }
+    def silverAddresses(version: Int): DataFrame = {
+      val base = lower(col("n_name"))
+      val city = if (version >= 2)
+        when(pmod(col("n_nationkey"), lit(6)) === 0, concat(base, lit("_x")))
+          .otherwise(base)
+      else base
+      nation.select(
+        col("n_nationkey").cast("long").as("id"),
+        city.as("city"),
+        lit("2023-12-01 00:00:00").cast("timestamp").as("created_on"),
+        lit("2024-01-01 00:00:00").cast("timestamp")
+          .as("silver_ingestion_time"))
+    }
+    for (pass <- 1 to 3) {
+      val whP = java.nio.file.Paths.get(s"/tmp/prof_goldinc_$pass")
+      graft.io.FsUtil.deleteRecursively(whP)
+      val wh = new graft.pipeline.Warehouse(whP.toString)
+      val inc = new graft.gold.GoldIncremental(spark, wh)
+      println(s"[prof] ---- pass $pass ----")
+      for (v <- 1 to 3) {
+        time(s"v$v commit orders")(
+          wh.silverByName("orders").overwrite(silverOrders(v)))
+        if (v <= 2) time(s"v$v commit addresses")(
+          wh.silverByName("addresses").overwrite(silverAddresses(v)))
+        time(s"v$v advance")(inc.ordersByCityYearMonth())
+      }
+      time("final read")(
+        wh.gold("orders_by_city_year_month").read(spark).count())
+    }
+    spark.stop()
+  }
+}
