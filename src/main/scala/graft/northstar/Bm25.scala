@@ -49,21 +49,43 @@ object Bm25 {
     */
   def topK(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
-    val terms = queries.flatMap(_._2).distinct.sorted
+    // consumed twice (corpus stats + scoring); released below
+    val stats = docTermStats(docs, idCol, textCol,
+      queries.flatMap(_._2).distinct.sorted).persist()
+    val result = scoreAndRank(stats, queries, k).persist()
+    result.count() // materialize, then release the corpus-sized stats NOW
+    stats.unpersist(blocking = false)
+    result
+  }
+
+  /** Stage 1 — the ONE corpus-wide shuffle: per-doc length and every
+    * query term's tf from a single conditional aggregate. (Split from
+    * [[scoreAndRank]] so the plan-shape audit can census the stages the
+    * eager [[topK]] materializes.)
+    */
+  def docTermStats(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
       s"query terms must be nonempty lowercase tokens: $terms")
-    def tfCol(t: String) = s"__tf_$t"
-    def dfCol(t: String) = s"__df_$t"
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), TextAnalysis.WsClass + "+")).as("tok"))
       .filter(length(col("tok")) > 0)
-    // one shuffle: dl AND every query term's tf from the same aggregate
     val statAggs = count(lit(1)).as("dl") +: terms.map(t0 =>
       sum(when(col("tok") === t0, 1L).otherwise(0L)).as(tfCol(t0)))
-    val stats = toks.groupBy(col("doc_id"))
-      .agg(statAggs.head, statAggs.tail: _*)
-      .persist() // consumed twice (corpus stats + scoring); released below
+    toks.groupBy(col("doc_id")).agg(statAggs.head, statAggs.tail: _*)
+  }
+
+  private def tfCol(t: String) = s"__tf_$t"
+  private def dfCol(t: String) = s"__df_$t"
+
+  /** Stage 2 over [[docTermStats]]' output: the 1-row corpus-stats
+    * broadcast, per-query micro scoring and the matched-docs-only top-k
+    * window.
+    */
+  def scoreAndRank(stats: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val terms = queries.flatMap(_._2).distinct.sorted
     val corpusAggs = Seq(
       count(lit(1)).cast("double").as("n"),
       sum(col("dl")).cast("double").as("total_len")) ++
@@ -97,11 +119,7 @@ object Bm25 {
       .filter(col("score_micro") > 0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
-    val result = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .persist()
-    result.count() // materialize, then release the corpus-sized stats NOW
-    stats.unpersist(blocking = false)
-    result
   }
 }

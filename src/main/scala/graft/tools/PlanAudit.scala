@@ -52,10 +52,13 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
   */
 object PlanAudit {
 
-  /** The seven reviewed broadcast-1-row/vocab BNLJ sites (count per query).
+  /** The reviewed broadcast-1-row/vocab BNLJ sites (count per query).
     * q26/q81: bounded query-set broadcast (the ANN serving contract);
     * q47/q61/q71/q73: 1-row totals / bounds frames; q66: 1-row centroid
-    * frame. Anything else is a regression.
+    * frame; q107: the 1-row corpus-stats frame (N/avgdl/df) Bm25
+    * broadcasts; q108: that same Bm25 frame plus the fixed probe-set
+    * broadcast of its dense arm (the q26 shape). Anything else is a
+    * regression.
     */
   val BnljAllowlist: Map[String, Int] = Map(
     "q26_knn_brute" -> 1,
@@ -64,7 +67,9 @@ object PlanAudit {
     "q66_embedding_outliers" -> 1,
     "q71_bigram_fluency" -> 1,
     "q73_temperature_mixture" -> 1,
-    "q81_pq_ann" -> 1)
+    "q81_pq_ann" -> 1,
+    "q107_bm25_topk" -> 1,
+    "q108_hybrid_rrf" -> 2)
 
   /** No plan at the audit scale factors legitimately estimates a
     * TEBIBYTE through one exchange (the measured ceiling across the
