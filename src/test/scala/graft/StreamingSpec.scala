@@ -492,6 +492,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(logCounts === vocab.toMap)
   }
 
+  test("streaming BM25 stats maintenance equals the batch stage: scoring " +
+      "over the maintained table reproduces Bm25.topK across replayed " +
+      "and duplicate batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.northstar.Bm25
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val queries = graft.queries.NorthStarQueries.Bm25Queries
+    val terms = queries.flatMap(_._2).distinct.sorted
+    val docs = graft.io.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val (b1, b2) = rows.partition(_._1 < 30)
+    val table = new graft.io.ParquetTable(java.nio.file.Files
+      .createTempDirectory("graft_bm25_s").toString + "/stats")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.RetrievalStream.statsIntakeStream(
+      in.toDF().toDF("doc_id", "text"), table, "doc_id", "text", terms)
+    try {
+      // batch 1 carries an in-batch duplicate
+      in.addData(b1.toSeq :+ b1.head)
+      q.processAllAvailable()
+      // batch 2 replays part of batch 1 alongside the rest of the corpus
+      in.addData(b2.toSeq ++ b1.take(5))
+      q.processAllAvailable()
+      // a pure-replay batch must commit no stats version
+      val vBefore = table.version
+      in.addData(b1.take(2).toSeq)
+      q.processAllAvailable()
+      assert(table.version == vBefore,
+        "an all-replay batch must not create a stats version")
+    } finally q.stop()
+    // law 1: the maintained table IS the batch stage-1 aggregate
+    assert(TestSpark.rows(table.read(spark)) ==
+      TestSpark.rows(Bm25.docTermStats(docs, "doc_id", "text", terms)))
+    // law 2: scoring over the maintained table ≡ the batch pipeline
+    val want = Bm25.topK(docs, "doc_id", "text", queries, 10)
+    assert(TestSpark.rows(
+      Bm25.scoreAndRank(table.read(spark), queries, 10)) ==
+      TestSpark.rows(want))
+    assert(want.count() > 0)
+    want.unpersist()
+  }
+
   test("streaming sequence packing equals the batch repack across " +
       "out-of-order and replayed batches, rewriting only touched buckets") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
