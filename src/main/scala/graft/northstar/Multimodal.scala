@@ -1083,6 +1083,53 @@ object Multimodal {
     hash
   }
 
+  /** Integer box-filter downscale of packed interleaved pixels (any
+    * fixed channel count: 1 = gray, 3 = RGB) by an integer factor:
+    * output pixel (rx, ry) channel c = floor(mean of the aligned f×f
+    * input cell) — the thumbnailing/feature-prep resize every image
+    * training pipeline runs before batching. All-integer (one floor
+    * division per output sample), so a decoded image's resize is exact
+    * arithmetic an external oracle can replay — no float accumulation,
+    * no rounding mode, no resampling kernel ambiguity. Dims must divide
+    * by f (callers pick f from the source's block geometry; partial
+    * edge cells would smuggle in a second, untestable weighting rule).
+    * Scale: per-image O(pixels) in the same typed-map codec slot as the
+    * decodes — zero shuffles at any corpus size.
+    */
+  def resizeBox(px: Array[Byte], w: Int, h: Int, channels: Int,
+      f: Int): (Int, Int, Array[Byte]) = {
+    require(channels >= 1 && px.length == w * h * channels,
+      s"resizeBox: ${px.length} bytes is not ${w}x$h x$channels")
+    require(f >= 1 && w % f == 0 && h % f == 0,
+      s"resizeBox: factor $f must divide ${w}x$h")
+    val ow = w / f
+    val oh = h / f
+    val area = f * f
+    val out = new Array[Byte](ow * oh * channels)
+    var ry = 0
+    while (ry < oh) {
+      var rx = 0
+      while (rx < ow) {
+        var c = 0
+        while (c < channels) {
+          var s = 0
+          var dy = 0
+          while (dy < f) {
+            val rowBase = ((ry * f + dy) * w + rx * f) * channels + c
+            var dx = 0
+            while (dx < f) { s += px(rowBase + dx * channels) & 0xff; dx += 1 }
+            dy += 1
+          }
+          out((ry * ow + rx) * channels + c) = (s / area).toByte
+          c += 1
+        }
+        rx += 1
+      }
+      ry += 1
+    }
+    (ow, oh, out)
+  }
+
   private[northstar] object Jpeg {
 
     /** Stream position k → natural (row-major) coefficient index. */

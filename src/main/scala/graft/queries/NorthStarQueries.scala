@@ -1577,6 +1577,59 @@ object NorthStarQueries {
     out
   }
 
+  /** Image resize (q109): REAL integer box-filter downscale
+    * ([[Multimodal.resizeBox]]) of every decoded JPEG in the q99 color
+    * corpus — the thumbnail/feature-prep stage multimodal training
+    * pipelines run between decode and batching. Per image the full path
+    * executes: T.81 baseline color decode → factor-2/4 box filter over
+    * the REAL pixel buffer → channel sums AND a position-weighted
+    * checksum over the RESIZED grid, so a misplaced pixel, wrong output
+    * geometry or off-by-one cell alignment breaks the hash, not just a
+    * global mean. The corpus is DC-only (each 8×8 block one constant
+    * color) and 8 % f == 0, so every aligned f×f cell lies inside one
+    * block and the floor-mean is closed-form — the DuckDB oracle
+    * recomputes every resized pixel arithmetically; the AVERAGING of
+    * non-constant cells (where an oracle can't be exact) is pinned by
+    * MultimodalSpec's hand-computed floor-mean fixtures instead. Zero
+    * shuffles — the scan-stage codec slot, like q96/q99/q106.
+    */
+  def q109ImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = Multimodal.MediaDecoder.ContainerHeaders
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .filter((id: Long) => id % 3 == 2)
+      .map { id =>
+        val w = (8 * (1 + id % 4)).toInt
+        val h = (8 * (1 + id % 3)).toInt
+        val nb = (w / 8) * (h / 8)
+        val yDcs =
+          Array.tabulate(nb)(k => (((id * 31 + k * 17) % 160) - 80).toInt)
+        val cbDcs =
+          Array.tabulate(nb)(k => (((id * 13 + k * 7) % 120) - 60).toInt)
+        val crDcs =
+          Array.tabulate(nb)(k => (((id * 11 + k * 23) % 120) - 60).toInt)
+        val payload =
+          Multimodal.MediaBuilders.jpegBaselineColor(w, h, yDcs, cbDcs, crDcs)
+        val (dw, dh, px) = dec.jpegRgbPixels(payload).getOrElse(
+          sys.error(s"q109: undecodable color JPEG for doc $id"))
+        val f = if (id % 2 == 0) 2 else 4
+        val (ow, oh, out) = Multimodal.resizeBox(px, dw, dh, channels = 3, f)
+        var (sr, sg, sb, chk) = (0L, 0L, 0L, 0L)
+        var p = 0
+        while (p < ow * oh) {
+          val r = out(p * 3) & 0xff
+          val g = out(p * 3 + 1) & 0xff
+          val b = out(p * 3 + 2) & 0xff
+          sr += r; sg += g; sb += b
+          chk += p.toLong * (r + g + b)
+          p += 1
+        }
+        (id, f, ow, oh, ow.toLong * oh, sr, sg, sb, chk)
+      }
+      .toDF("doc_id", "factor", "out_w", "out_h", "n_out_pixels",
+        "sum_r", "sum_g", "sum_b", "pos_checksum")
+  }
+
   /** Fuzzy decontamination (q101): train-vs-benchmark NEAR-duplicate
     * pairs via the cross-corpus LSH band join
     * ([[graft.northstar.Dedup.crossNearDuplicates]]) — the sweep exact
@@ -2416,6 +2469,7 @@ object NorthStarQueries {
     "q106_video_keyframes" -> (q106VideoKeyframes _),
     "q107_bm25_topk" -> (q107Bm25TopK _),
     "q108_hybrid_rrf" -> (q108HybridRrf _),
+    "q109_image_resize" -> (q109ImageResize _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3644,6 +3698,48 @@ object NorthStarQueries {
           FROM fused
           QUALIFY rank <= $Bm25TopK"""
     },
+    // Every RESIZED pixel recomputed arithmetically: the q99 corpus is
+    // DC-only and 8 % f == 0, so each aligned f×f cell lies inside one
+    // constant 8x8 block — its floor-mean IS the block color; the
+    // position-weighted checksum pins pixel PLACEMENT and geometry, not
+    // just totals (non-constant-cell averaging is MultimodalSpec's job).
+    "q109_image_resize" ->
+      """WITH imgs AS (
+           SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h,
+                  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 4 END AS f
+           FROM documents WHERE doc_id % 3 = 2),
+         pix AS (
+           SELECT doc_id, w, h, f, w // f AS ow, h // f AS oh,
+                  CAST(u1.ry AS BIGINT) AS ry, CAST(u2.rx AS BIGINT) AS rx
+           FROM imgs,
+                LATERAL unnest(range(0, h // f)) AS u1(ry),
+                LATERAL unnest(range(0, w // f)) AS u2(rx)),
+         ycc AS (
+           SELECT doc_id, f, ow, oh, ry, rx,
+                  ((doc_id * 31 + k * 17) % 160) - 80 + 128 AS y,
+                  ((doc_id * 13 + k * 7) % 120) - 60 AS cb,
+                  ((doc_id * 11 + k * 23) % 120) - 60 AS cr
+           FROM (SELECT *, ((ry * f) // 8) * (w // 8) + ((rx * f) // 8) AS k
+                 FROM pix)),
+         rgb AS (
+           SELECT doc_id, f, ow, oh, ry, rx,
+                  greatest(0, least(255, y + CAST(floor(
+                    (91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+                  greatest(0, least(255, y - CAST(floor(
+                    (22554 * cb + 46802 * cr + 32768) / 65536.0)
+                    AS BIGINT))) AS g,
+                  greatest(0, least(255, y + CAST(floor(
+                    (116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+           FROM ycc)
+         SELECT doc_id, CAST(f AS INTEGER) AS factor,
+                CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+                CAST(ow * oh AS BIGINT) AS n_out_pixels,
+                CAST(sum(r) AS BIGINT) AS sum_r,
+                CAST(sum(g) AS BIGINT) AS sum_g,
+                CAST(sum(b) AS BIGINT) AS sum_b,
+                CAST(sum((ry * ow + rx) * (r + g + b)) AS BIGINT)
+                  AS pos_checksum
+         FROM rgb GROUP BY doc_id, f, ow, oh""",
     // The greedy packing recurrence replayed as a recursive CTE (depth =
     // docs per bucket; every bucket advances one row per step) — budget
     // and bucket size interpolated from the SAME constants the engine

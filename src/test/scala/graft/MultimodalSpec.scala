@@ -526,6 +526,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.forall(_.getInt(0) <= 16))
   }
 
+  test("resizeBox: hand-computed floor-means on NON-constant cells (the " +
+      "case the q109 oracle cannot reach), channel independence, f=1 " +
+      "identity, loud rejects") {
+    import Multimodal.resizeBox
+    // 4x4 gray, f=2: cell sums 1+2+5+6=14 -> 3 (floor), 3+4+7+8=22 -> 5,
+    // 9+10+13+14=46 -> 11, 11+12+15+16=54 -> 13
+    val gray = Array.tabulate(16)(i => (i + 1).toByte)
+    val (gw, gh, g) = resizeBox(gray, 4, 4, channels = 1, f = 2)
+    assert((gw, gh) == (2, 2))
+    assert(g.map(_ & 0xff).toSeq == Seq(3, 5, 11, 13))
+    // RGB 2x2 -> 1x1: per-channel floor means over interleaved samples,
+    // incl. a 255-heavy cell that must not wrap
+    val rgb = Array(
+      10, 20, 255, 11, 22, 255,
+      13, 24, 255, 14, 27, 252).map(_.toByte)
+    val (cw, ch, c) = resizeBox(rgb, 2, 2, channels = 3, f = 2)
+    assert((cw, ch) == (1, 1))
+    assert(c.map(_ & 0xff).toSeq == Seq(12, 23, 254)) // 48/4, 93/4, 1017/4
+    // f=1 is the identity on any channel count
+    val (iw, ih, i1) = resizeBox(rgb, 2, 2, channels = 3, f = 1)
+    assert((iw, ih) == (2, 2) && i1.toSeq == rgb.toSeq)
+    intercept[IllegalArgumentException](
+      resizeBox(gray, 4, 4, channels = 1, f = 3)) // 3 does not divide 4
+    intercept[IllegalArgumentException](
+      resizeBox(gray, 4, 4, channels = 3, f = 2)) // length mismatch
+  }
+
   test("MediaBuilders round-trip through ContainerHeaders; byte lengths match " +
     "the closed forms the q79 oracle uses") {
     import Multimodal.{MediaBuilders, MediaDecoder}
