@@ -90,9 +90,14 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
       }
     }.toMap)
 
+  // <=> not ===: the fold explicitly supports NULL grain keys, so a
+  // changed row whose anchor is NULL must put the NULL-anchor group in
+  // the affected set too — === would silently exclude it and diverge
+  // incremental from rebuild. EqualNullSafe is still an equi-join key
+  // (hash join), never a BNLJ.
   private def semiOn(df: DataFrame, key: String, aff: DataFrame): DataFrame =
     df.join(aff.select(col(aff.columns.head).as("__aff")),
-      col(key) === col("__aff"), "left_semi")
+      col(key) <=> col("__aff"), "left_semi")
 
   /** Restrict `df` to rows whose `key` is in the affected set (no-op on
     * the full-build path).
@@ -128,7 +133,12 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
     val newF = sources.map { case (n, t) => n -> t.read(spark) }.toMap
     def withDerived(df: DataFrame): DataFrame =
       derived.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
-    val applied = if (gold.exists) appliedVersions(gold) else None
+    // a sidecar whose key set differs from the current source list (a
+    // table gained or lost a source since the marker was written) reads
+    // as "no marker" — the documented full-rebuild fallback — instead of
+    // a NoSuchElementException bricking every subsequent advance
+    val applied = (if (gold.exists) appliedVersions(gold) else None)
+      .filter(_.keySet == sources.map(_._1).toSet)
     applied match {
       case Some(vs) if vs == newVs => () // already current — replay no-op
       case Some(vs) =>

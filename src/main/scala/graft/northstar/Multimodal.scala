@@ -599,8 +599,13 @@ object Multimodal {
             }
           }
 
-          if (ss == 0) { // DC scan: MCU-interleaved when ns > 1
-            if (sc.length > 1 || compH(sc(0)) * compV(sc(0)) > 1) {
+          // T.81 A.2.2: a scan is interleaved iff Ns > 1 — a
+          // single-component DC scan walks the component's OWN block grid
+          // (nbW×nbH) whatever its sampling factors; routing it through
+          // the MCU-padded grid would mis-decode when padW != nbW (image
+          // width not a multiple of 8·hmax)
+          if (ss == 0) { // DC scan: MCU-interleaved only when Ns > 1
+            if (sc.length > 1) {
               var mcu = 0
               while (mcu < mcusX * mcusY) {
                 if (restart > 0 && mcu > 0 && mcu % restart == 0) resync()
@@ -614,7 +619,7 @@ object Multimodal {
                 }
                 mcu += 1
               }
-            } else { // single 1x1-sampled component: its own block grid
+            } else { // single component: its own block grid
               val ci = sc(0)
               var blk = 0
               while (blk < nbW(ci) * nbH(ci)) {

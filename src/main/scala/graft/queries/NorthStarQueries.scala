@@ -1100,8 +1100,11 @@ object NorthStarQueries {
   def q91PngPixels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = Multimodal.MediaDecoder.ContainerHeaders
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .filter((id: Long) => id % 3 == 0)
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      // Catalyst-native pre-filter (pushes past the scan; a typed lambda
+      // here would force deserialization before the prune)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[Long]
       .map { id =>
         val pw = (4 + id % 13).toInt
         val ph = (3 + id % 11).toInt
@@ -1147,8 +1150,11 @@ object NorthStarQueries {
   def q96JpegPixels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = Multimodal.MediaDecoder.ContainerHeaders
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .filter((id: Long) => id % 3 == 1)
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      // Catalyst-native pre-filter (pushes past the scan; a typed lambda
+      // here would force deserialization before the prune)
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
       .map { id =>
         val w = (8 * (1 + id % 5)).toInt
         val h = (8 * (1 + id % 4)).toInt
@@ -1192,8 +1198,11 @@ object NorthStarQueries {
   def q99JpegColorPixels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = Multimodal.MediaDecoder.ContainerHeaders
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .filter((id: Long) => id % 3 == 2)
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      // Catalyst-native pre-filter (pushes past the scan; a typed lambda
+      // here would force deserialization before the prune)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[Long]
       .map { id =>
         val w = (8 * (1 + id % 4)).toInt
         val h = (8 * (1 + id % 3)).toInt
@@ -1247,8 +1256,11 @@ object NorthStarQueries {
   def q102JpegProgressive(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = Multimodal.MediaDecoder.ContainerHeaders
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .filter((id: Long) => id % 3 == 0)
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      // Catalyst-native pre-filter (pushes past the scan; a typed lambda
+      // here would force deserialization before the prune)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[Long]
       .map { id =>
         val m = id / 3
         val w = (8 * (1 + m % 4)).toInt
@@ -1384,8 +1396,11 @@ object NorthStarQueries {
     import s.implicits._
     val dec = Multimodal.MediaDecoder.ContainerHeaders
     val hashes = t(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
-      .filter((id: Long) => id % 3 == 1)
+      .select(col("doc_id").cast("long"))
+      // Catalyst-native pre-filter (pushes past the scan; a typed lambda
+      // here would force deserialization before the prune)
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
       .map { id =>
         val base = id - (id % 7)
         val dcs = Array.tabulate(64) { k =>
@@ -1398,6 +1413,11 @@ object NorthStarQueries {
         (id, Multimodal.blockMeanHash64(px, w, h))
       }
       .toDF("doc_id", "phash")
+      // persisted: the band self-join reads hashes TWICE, and without the
+      // cache each side re-runs the full-corpus JPEG decode + hash (the
+      // Dedup discipline: corpus-sized intermediate cached, released after
+      // the pairs-sized result materializes)
+      .persist()
     val bands = hashes.select(col("doc_id"), col("phash"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
@@ -1405,7 +1425,7 @@ object NorthStarQueries {
             .as("v"))): _*)).as("bb"))
       .select(col("doc_id"), col("phash"),
         col("bb.band").as("band"), col("bb.v").as("v"))
-    bands.as("a")
+    val result = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1416,6 +1436,10 @@ object NorthStarQueries {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
       .filter(col("hamming") <= PHashHammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .persist()
+    result.count() // materialize, then release the corpus-sized hashes NOW
+    hashes.unpersist(blocking = false)
+    result
   }
 
   /** Video keyframe sampling (q106): REAL ISO-BMFF (MP4) container parse
@@ -1596,8 +1620,11 @@ object NorthStarQueries {
   def q109ImageResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = Multimodal.MediaDecoder.ContainerHeaders
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .filter((id: Long) => id % 3 == 2)
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      // Catalyst-native pre-filter (pushes past the scan; a typed lambda
+      // here would force deserialization before the prune)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[Long]
       .map { id =>
         val w = (8 * (1 + id % 4)).toInt
         val h = (8 * (1 + id % 3)).toInt

@@ -19,12 +19,20 @@ import graft.pipeline.Warehouse
   * Replay absorption is id-keyed like [[IndexStream]]: a [[ReplayGate]]
   * Bloom filter at the silver table's root gates the anti-join probe
   * (all-fresh batches never read the id column at all; maybe-seen ids
-  * probe an isin-restricted pushdown scan — O(batch + FP) rows), and the
-  * filter persists BEFORE the append commits — the superset contract
-  * that makes a crash in the window harmless (stranded false positives,
-  * never a double-append). An all-replay batch commits no silver version
-  * and skips the advance entirely (the gold sidecars would no-op anyway:
-  * versions unmoved).
+  * probe a range+sketch-restricted pushdown scan, all executor-side —
+  * O(batch + FP) rows, no driver-side id array), and the filter persists
+  * BEFORE the append commits — the superset contract that makes a crash
+  * in the window harmless (stranded false positives, never a
+  * double-append).
+  *
+  * Crash healing: every trigger FIRST runs `advanceAll` — a crash
+  * between `silver.appendVersion` and the advance leaves silver ahead of
+  * gold, and the replayed batch then gates to ZERO fresh rows, so a
+  * fresh-conditional advance would leave gold stale until the next
+  * fresh-bearing batch (the PackStream.recover window). The steady-state
+  * cost of the unconditional heal is pointer reads: each gold table
+  * compares its applied-versions sidecar to the live silver versions and
+  * no-ops when they match.
   *
   * Scale: per trigger this is O(batch) intake + O(changes + affected
   * anchors) maintenance — never a full re-aggregate. A deployment
@@ -46,23 +54,26 @@ object GoldIncStream {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
+        val inc = new GoldIncremental(s, warehouse)
+        // self-heal the appendVersion→advance crash window BEFORE gating:
+        // versions unmoved → five sidecar compares, no jobs
+        inc.advanceAll()
         val silver = warehouse.silverByName("orders")
         val bloomPath = java.nio.file.Paths.get(silver.path,
           ReplayGate.BloomFile)
         val bloom = ReplayGate.loadOrSeed(bloomPath,
           () => Some(silver.read(s).select(col("id"))), "id", expectedIds)
         val incoming = batch.toDF().distinct() // in-batch re-sends
-        val ids = incoming.select(col("id")).collect().map(_.get(0))
-        val fresh = ReplayGate.freshRows(incoming, "id", ids.toIndexedSeq,
-            Some(bloom), () => silver.read(s).select(col("id")))
+        val sketch = ReplayGate.batchSketch(incoming, "id", expectedIds)
+        val fresh = ReplayGate.freshRows(incoming, "id", Some(bloom),
+            Some(sketch), () => silver.read(s).select(col("id")))
           .persist()
         try {
           if (fresh.count() > 0) {
-            val freshIds = fresh.select(col("id")).collect().map(_.get(0))
             // filter BEFORE the silver commit — the superset contract
-            ReplayGate.addAndSave(bloomPath, bloom, freshIds.toIndexedSeq)
+            ReplayGate.mergeAndSave(bloomPath, bloom, sketch)
             silver.appendVersion(fresh)
-            new GoldIncremental(s, warehouse).advanceAll()
+            inc.advanceAll()
           }
         } finally {
           fresh.unpersist()

@@ -55,18 +55,17 @@ object IndexStream {
           idCol, expectedIds)
         val incoming = batch.toDF().select(col(idCol), col(vecCol))
           .distinct() // in-batch re-sends of the same (id, vector)
-        val ids = incoming.select(col(idCol)).collect().map(_.get(0))
+        val sketch = ReplayGate.batchSketch(incoming, idCol, expectedIds)
         // persisted across the emptiness probe and the append: without it
         // the branch and the append each re-run the (gated) probe
-        val fresh = ReplayGate.freshRows(incoming, idCol, ids.toIndexedSeq,
-            Some(bloom), () => knownIds)
+        val fresh = ReplayGate.freshRows(incoming, idCol, Some(bloom),
+            Some(sketch), () => knownIds)
           .persist()
         try {
           // an all-replay batch appends nothing — and creates no version
           if (fresh.count() > 0) {
-            val freshIds = fresh.select(col(idCol)).collect().map(_.get(0))
             // filter BEFORE the index commit — see the superset contract
-            ReplayGate.addAndSave(bloomPath, bloom, freshIds.toIndexedSeq)
+            ReplayGate.mergeAndSave(bloomPath, bloom, sketch)
             idx.append(s, path, fresh, idCol, vecCol)
             ()
           }

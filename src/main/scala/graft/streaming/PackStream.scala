@@ -87,7 +87,7 @@ object PackStream {
           .select(col("doc_id").cast("long").as("doc_id"), col("text"),
             expr(s"CAST(doc_id AS BIGINT) DIV $bucketSize").as("bucket"))
           .dropDuplicates("doc_id") // in-batch re-sends
-        val ids = incoming.select(col("doc_id")).collect().map(_.getLong(0))
+        val sketch = ReplayGate.batchSketch(incoming, "doc_id", expectedIds)
         val bloom = ReplayGate.loadOrSeed(bloomFile(log),
           () => if (log.exists) Some(log.read(s).select(col("doc_id")))
                 else None,
@@ -95,19 +95,15 @@ object PackStream {
         // always gated: a not-yet-created log yields an empty filter, so
         // every id is definitely-unseen and the log reader (which would
         // throw on the missing table) is never invoked
-        val fresh = ReplayGate.freshRows(incoming, "doc_id",
-            ids.map(Long.box).toIndexedSeq, Some(bloom),
-            () => log.read(s).select(col("doc_id")))
+        val fresh = ReplayGate.freshRows(incoming, "doc_id", Some(bloom),
+            Some(sketch), () => log.read(s).select(col("doc_id")))
           .persist()
         try {
           if (fresh.count() > 0) {
-            val freshIds = fresh.select(col("doc_id")).collect()
-              .map(_.getLong(0))
             // filter BEFORE log: a crash in between strands false
             // positives (harmless), never log-ids missing from the
             // filter (the replay-duplicating direction)
-            ReplayGate.addAndSave(bloomFile(log), bloom,
-              freshIds.map(Long.box).toIndexedSeq)
+            ReplayGate.mergeAndSave(bloomFile(log), bloom, sketch)
             if (log.exists) log.appendVersion(fresh)
             else log.overwrite(fresh)
             val touched = fresh.select(col("bucket")).distinct()

@@ -6,6 +6,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
+import graft.functions.BloomFunctions
+
 /** Bloom-gated replay probes for the streaming mirrors.
   *
   * Every at-least-once `foreachBatch` mirror ([[PackStream]],
@@ -17,10 +19,12 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   *  - ids the filter rules DEFINITELY UNSEEN skip the log probe entirely
   *    (the common all-fresh batch touches the log zero times);
-  *  - only the MAYBE-seen ids (true replays + false positives) reach the
-  *    anti-join, and the log scan is filtered to exactly those ids — the
-  *    predicate pushes to parquet, so the probe reads O(batch + FP) rows,
-  *    not O(log).
+  *  - only the MAYBE-seen ids (true replays + false positives) matter to
+  *    the anti-join, and the log scan is restricted to them EXECUTOR-SIDE:
+  *    their [min, max] range pushes into the parquet scan and the batch's
+  *    own Bloom sketch rides the plan as a scan-stage predicate, so the
+  *    probe materializes O(batch + FP) rows, not O(log) — and the driver
+  *    never holds an id array or compiles an id list into the plan.
   *
   * Correctness never rests on the filter: the anti-join stays the
   * mechanism, the filter only PRUNES it — a false positive costs one
@@ -54,6 +58,33 @@ object ReplayGate {
       try Some(BloomFilter.readFrom(in)) finally in.close()
     }
 
+  /** The ONE filter geometry for (expectedIds, fpp), applied to every
+    * construction path — `BloomFilter.create` and the distributed
+    * `bloom_filter_agg` ([[loadOrSeed]]'s seed, [[batchSketch]]) — so the
+    * filters are always merge-compatible (same bit count, hash count and
+    * V2 seed). Spark's aggregate clamps its item estimate and bit count
+    * to the `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` session confs; this applies the SAME clamp up front
+    * and passes the resolved values explicitly, so the clamp can never
+    * desynchronize the two paths. Saturation past the clamp raises the
+    * FP rate (degraded pruning), never correctness; a deployment with a
+    * bigger id universe raises the confs — and must then delete the
+    * filter file once so it reseeds at the new geometry (merging across
+    * geometries fails loudly rather than corrupting).
+    */
+  private def geometry(spark: org.apache.spark.sql.SparkSession,
+      expectedIds: Long, fpp: Double): (Long, Long) = {
+    def conf(key: String, dflt: Long): Long =
+      spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val maxItems = conf(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val maxBits = conf(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)
+    (math.max(1L, math.min(expectedIds, maxItems)),
+      math.max(1L, math.min(
+        BloomFilter.optimalNumOfBits(expectedIds, fpp), maxBits)))
+  }
+
   /** Load the filter, or SEED it from the full existing id log when the
     * log pre-dates the gate (one corpus-sized distributed pass — the
     * one-time migration cost; `df.stat.bloomFilter` aggregates on the
@@ -67,19 +98,53 @@ object ReplayGate {
     load(file).getOrElse {
       seenIds() match {
         case Some(df) =>
-          val seeded = df.stat.bloomFilter(idCol, expectedIds, fpp)
+          val (items, bits) = geometry(df.sparkSession, expectedIds, fpp)
+          val seeded = df.stat.bloomFilter(df.col(idCol), items, bits)
           save(file, seeded)
           seeded
-        case None => BloomFilter.create(expectedIds, fpp)
+        case None =>
+          val (items, bits) = geometry(
+            org.apache.spark.sql.SparkSession.active, expectedIds, fpp)
+          BloomFilter.create(items, bits)
       }
     }
 
   /** Add `ids` to the filter and persist it (tmp + atomic move — a torn
     * write is never visible under the real name). MUST be called BEFORE
     * the ids are committed to the log (see the superset contract above).
+    * Driver-side iteration — for small known-cardinality callers (tests,
+    * maintenance scripts); streaming mirrors use [[batchSketch]] +
+    * [[mergeAndSave]] so ids never reach the driver.
     */
   def addAndSave(file: Path, bloom: BloomFilter, ids: Iterable[Any]): Unit = {
     ids.foreach(v => bloom.put(v.asInstanceOf[AnyRef]))
+    save(file, bloom)
+  }
+
+  /** The batch's own id sketch, built by a DISTRIBUTED aggregate (only
+    * the filter bits reach the driver — no id array ever does). It is
+    * created with the SAME (expectedIds, fpp) geometry as the persistent
+    * filter so the two are bit-compatible: one sketch serves both as the
+    * probe restriction in [[freshRows]] and as the [[mergeAndSave]]
+    * delta folded into the persistent filter.
+    */
+  def batchSketch(batch: DataFrame, idCol: String, expectedIds: Long,
+      fpp: Double = 0.01): BloomFilter = {
+    val (items, bits) = geometry(batch.sparkSession, expectedIds, fpp)
+    batch.stat.bloomFilter(batch.col(idCol), items, bits)
+  }
+
+  /** Fold the batch's sketch into the persistent filter and persist it —
+    * the executor-side replacement for [[addAndSave]]'s driver-side id
+    * iteration. The sketch covers ALL batch ids, fresh and replayed;
+    * merging replayed ids is a no-op (they are already in the filter),
+    * and the superset contract only needs every FRESH id present before
+    * the log commit, which batch ⊇ fresh guarantees. MUST be called
+    * BEFORE the fresh rows are committed to the log.
+    */
+  def mergeAndSave(file: Path, bloom: BloomFilter,
+      sketch: BloomFilter): Unit = {
+    bloom.mergeInPlace(sketch)
     save(file, bloom)
   }
 
@@ -93,32 +158,53 @@ object ReplayGate {
   }
 
   /** The gated replay probe: rows of `batch` (already in-batch
-    * deduplicated on `idCol`) whose id is NOT in the seen-id log.
+    * deduplicated on `idCol`, a BIGINT column) whose id is NOT in the
+    * seen-id log. Fully executor-side — no batch-id array ever reaches
+    * the driver, and no literal id list is compiled into the plan (the
+    * former `collect()` + `isin` shape breaks at large micro-batches:
+    * a driver-resident id array plus a plan-embedded literal list).
     *
     *  - `bloom = None` (no gate / legacy): the plain full anti-join.
     *  - All batch ids definitely unseen: returns `batch` as-is and NEVER
     *    invokes `readSeenIds` — zero log I/O (the spec pins this law).
-    *  - Otherwise: anti-join against the log RESTRICTED to the maybe-seen
-    *    ids — the isin predicate pushes into the parquet scan, so the
-    *    probe is O(batch + FP) rows. Definitely-new rows pass the same
-    *    anti-join untouched (they cannot match the restricted probe), so
-    *    there is exactly one join, not a union of two branches.
+    *    Decided by ONE batch-sized job: the seen-filter probe runs as a
+    *    codegen'd [[graft.functions.BloomMightContain]] predicate over
+    *    the batch, and the same job's min/max yields the probe range
+    *    (min is NULL exactly when no id is maybe-seen) — two scalars are
+    *    the only values the driver sees.
+    *  - Otherwise: anti-join against the log RESTRICTED executor-side —
+    *    the maybe-seen ids' [min, max] range pushes into the parquet
+    *    scan (row-group stats pruning), and the batch's own sketch
+    *    ([[batchSketch]]) rides the plan as a broadcast-equivalent
+    *    predicate evaluated in the scan stage, so the probe materializes
+    *    O(batch + FP) rows, not O(log). Definitely-new rows pass the
+    *    same anti-join untouched (they cannot match the restricted
+    *    probe), so there is exactly one join, not a union of branches.
     *
-    * `batchIds` are the batch's distinct ids (callers collect them anyway
-    * for bloom maintenance / touched-partition lists — batch-sized).
+    * Correctness never rests on either sketch: a seen-filter false
+    * positive costs one probed id; a batch-sketch false positive costs
+    * one extra probe-side row. The anti-join decides.
     */
-  def freshRows(batch: DataFrame, idCol: String, batchIds: Seq[Any],
-      bloom: Option[BloomFilter],
+  def freshRows(batch: DataFrame, idCol: String, bloom: Option[BloomFilter],
+      batchSketch: Option[BloomFilter],
       readSeenIds: () => DataFrame): DataFrame =
     bloom match {
       case None =>
         batch.join(readSeenIds().select(col(idCol)), Seq(idCol), "left_anti")
       case Some(b) =>
-        val maybe = batchIds.filter(v => b.mightContain(v.asInstanceOf[AnyRef]))
-        if (maybe.isEmpty) batch
+        val seen = BloomFunctions.serialize(b)
+        val range = batch
+          .filter(BloomFunctions.mightContain(col(idCol), seen))
+          .agg(min(col(idCol)), max(col(idCol))).head()
+        if (range.isNullAt(0)) batch
         else {
+          val sk = batchSketch.getOrElse(sys.error(
+            "freshRows: the gated path needs the batch sketch " +
+              "(ReplayGate.batchSketch) to restrict the log probe"))
           val probed = readSeenIds().select(col(idCol))
-            .filter(col(idCol).isin(maybe: _*))
+            .filter(col(idCol).between(range.getLong(0), range.getLong(1)) &&
+              BloomFunctions.mightContain(col(idCol),
+                BloomFunctions.serialize(sk)))
           batch.join(probed, Seq(idCol), "left_anti")
         }
     }

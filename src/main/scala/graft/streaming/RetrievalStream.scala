@@ -60,17 +60,15 @@ object RetrievalStream {
         val incoming = batch.toDF()
           .select(col(idCol).as("doc_id"), col(textCol).as(textCol))
           .dropDuplicates("doc_id") // in-batch re-sends
-        val ids = incoming.select(col("doc_id")).collect().map(_.get(0))
-        val fresh = ReplayGate.freshRows(incoming, "doc_id",
-            ids.toIndexedSeq, Some(bloom),
+        val sketch = ReplayGate.batchSketch(incoming, "doc_id", expectedIds)
+        val fresh = ReplayGate.freshRows(incoming, "doc_id", Some(bloom),
+            Some(sketch),
             () => statsTable.read(s).select(col("doc_id")))
           .persist()
         try {
           if (fresh.count() > 0) {
-            val freshIds = fresh.select(col("doc_id")).collect()
-              .map(_.get(0))
             // filter BEFORE the stats commit — the superset contract
-            ReplayGate.addAndSave(bloomPath, bloom, freshIds.toIndexedSeq)
+            ReplayGate.mergeAndSave(bloomPath, bloom, sketch)
             val stats = Bm25.docTermStats(fresh, "doc_id", textCol, terms)
             if (statsTable.exists) { statsTable.appendVersion(stats); () }
             else { statsTable.overwrite(stats); () }

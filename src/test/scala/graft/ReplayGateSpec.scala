@@ -22,16 +22,18 @@ class ReplayGateSpec extends AnyFunSuite {
     Seq(1L, 2L).foreach(bloom.putLong)
     val batch = Seq((3L, "x"), (4L, "y")).toDF("doc_id", "text")
     var probed = 0
-    val fresh = ReplayGate.freshRows(batch, "doc_id",
-      Seq(Long.box(3L), Long.box(4L)), Some(bloom),
+    val fresh = ReplayGate.freshRows(batch, "doc_id", Some(bloom),
+      Some(ReplayGate.batchSketch(batch, "doc_id", 1000)),
       () => { probed += 1; Seq(1L, 2L).toDF("doc_id") })
     assert(fresh.count() == 2)
     assert(probed == 0,
       "definitely-unseen batch must not invoke the log reader at all")
   }
 
-  test("freshRows probes ONLY the maybe-seen ids: replays drop, false " +
-      "positives survive, and the isin predicate reaches the log scan") {
+  test("freshRows gated path is executor-side end to end: replays drop, " +
+      "false positives survive, the probe restriction reaches the log " +
+      "scan, and NO batch-id array or literal id list exists anywhere " +
+      "(round-8 verdict item 2)") {
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
     Seq(1L, 2L, 99L).foreach(bloom.putLong) // 99 = stranded FP (crash
     // between filter save and log append): in the filter, NOT in the log
@@ -42,27 +44,50 @@ class ReplayGateSpec extends AnyFunSuite {
     val logDir = Files.createTempDirectory("graft_gate_log")
       .resolve("log.parquet").toString
     Seq(1L, 2L).toDF("doc_id").write.parquet(logDir)
-    val fresh = ReplayGate.freshRows(batch, "doc_id",
-      Seq(1L, 5L, 99L).map(Long.box), Some(bloom),
+    val fresh = ReplayGate.freshRows(batch, "doc_id", Some(bloom),
+      Some(ReplayGate.batchSketch(batch, "doc_id", 1000)),
       () => { probed += 1; spark.read.parquet(logDir) })
     val got = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(5L, 99L),
       "replay must drop; the stranded false positive must survive (it " +
         "is NOT in the log) — a dropped FP would be data loss")
     assert(probed == 1)
-    // the probe is restricted to the maybe ids and the In predicate
-    // reaches the parquet scan — the O(batch + FP) claim, mechanically
+    // the probe restriction is executor-side: the maybe-ids' [min, max]
+    // range pushes into the parquet scan (row-group pruning) and the
+    // batch sketch evaluates as a scan-stage predicate — the O(batch+FP)
+    // claim without a driver-side id array or isin literal list
     val plan = fresh.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [In(doc_id"),
-      s"expected the isin restriction pushed into the log scan, got:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(doc_id") &&
+        plan.contains("LessThanOrEqual(doc_id"),
+      s"expected the maybe-id range pushed into the log scan, got:\n$plan")
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"expected the batch sketch as a scan-stage predicate, got:\n$plan")
+    assert(!plan.contains("In(doc_id"),
+      "the gated probe must NOT compile a literal id list into the plan " +
+        s"(the driver-collect shape this gate replaces), got:\n$plan")
   }
 
   test("freshRows without a filter is the plain full anti-join") {
     val batch = Seq((1L, "a"), (3L, "b")).toDF("doc_id", "text")
-    val fresh = ReplayGate.freshRows(batch, "doc_id",
-      Seq(1L, 3L).map(Long.box), None, () => Seq(1L, 2L).toDF("doc_id"))
+    val fresh = ReplayGate.freshRows(batch, "doc_id", None, None,
+      () => Seq(1L, 2L).toDF("doc_id"))
     assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet
       == Set(3L))
+  }
+
+  test("batchSketch is geometry-compatible with the persistent filter: " +
+      "mergeAndSave folds a distributed sketch into it and persists " +
+      "(the executor-side replacement for addAndSave)") {
+    val tmp = Files.createTempDirectory("graft_gate_merge")
+    val file = tmp.resolve(ReplayGate.BloomFile)
+    val bloom = ReplayGate.loadOrSeed(file,
+      () => Some(Seq(10L, 11L).toDF("doc_id")), "doc_id", 1000)
+    val sketch = ReplayGate.batchSketch(
+      Seq(20L, 21L, 22L).toDF("doc_id"), "doc_id", 1000)
+    ReplayGate.mergeAndSave(file, bloom, sketch)
+    val reloaded = ReplayGate.load(file).get
+    assert(Seq(10L, 11L, 20L, 21L, 22L).forall(reloaded.mightContainLong),
+      "merged filter must contain both the seeded and the batch ids")
   }
 
   test("loadOrSeed seeds the filter from a pre-gate log (superset " +
