@@ -320,7 +320,10 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     def sameName(a: String, b: String) = a.equalsIgnoreCase(b)
     df.schema.fields.foreach { f =>
       baseSchema.find(b => sameName(b.name, f.name)).foreach { b =>
-        require(b.dataType == f.dataType && b.name == f.name,
+        // sameType: nullability-only differences are legal (see
+        // replacePartitions' rationale); only a real retype fails
+        require(org.apache.spark.sql.GraftBridge.sameType(b.dataType,
+            f.dataType) && b.name == f.name,
           s"appendVersion: column ${f.name} (${f.dataType}) conflicts " +
             s"with committed ${b.name} (${b.dataType}) — evolve types or " +
             "case explicitly (rewrite), not via append")
@@ -457,7 +460,11 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
             s"replacePartitions: column ${f.name} is not in the committed " +
               s"schema of $path — replacePartitions does not evolve " +
               "schemas; use appendVersion/overwrite for new columns"))
-        require(b.dataType == f.dataType && b.name == f.name,
+        // sameType: nullability-only differences are legal (a join or
+        // read-back flips containsNull freely and parquet represents both
+        // identically at read time); only a REAL retype silently nulls
+        require(org.apache.spark.sql.GraftBridge.sameType(b.dataType,
+            f.dataType) && b.name == f.name,
           s"replacePartitions: column ${f.name} (${f.dataType}) conflicts " +
             s"with committed ${b.name} (${b.dataType})")
       }

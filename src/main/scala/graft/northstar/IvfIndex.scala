@@ -27,7 +27,8 @@ import graft.io.ParquetTable
   */
 final class IvfIndex private (val nlist: Int,
     val centroids: Array[(Int, Seq[Double])], val assigned: DataFrame,
-    private val persisted: Boolean) {
+    private val persisted: Boolean,
+    private val tombstones: Option[DataFrame] = None) {
 
   /** Per-query distance to every centroid → the `nprobe` nearest cells,
     * exploded to one (query_id, __qv, cell) row per probed cell.
@@ -69,7 +70,10 @@ final class IvfIndex private (val nlist: Int,
       } else assigned
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    corpus.join(broadcast(probed), Seq("cell"))
+    // deleted ids are masked AFTER cell pruning — broadcast anti-join over
+    // the probed rows only (see [[AnnDeletes]]); a compacted index carries
+    // no tombstones and pays nothing here
+    AnnDeletes.alive(corpus, tombstones).join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         round(GraftFunctions.cosine_sim(col("__qv"), col("__cv")), 6))
@@ -130,12 +134,88 @@ final class IvfIndex private (val nlist: Int,
       "append grows a persisted index — call persist() first")
     val vecs = delta.select(col(idCol).as("neighbor_id"),
       Similarity.toDoubleVec(col(vecCol)).as("__cv"))
-    val centers = centroids.sortBy(_._1).map(_._2.toArray)
+    // Delete-then-append: a re-added id must not stay masked by its old
+    // tombstone, and its OLD physical row must not resurface either
+    // (re-adds are UPDATES when payloads differ). When the delta
+    // intersects the tombstone set, compact FIRST — the old rows leave
+    // the lists physically and the tombstone table empties — then the
+    // plain append lands the new rows. Crash between the two reads as
+    // "still deleted" (the post-remove state), never as stale data.
+    val readded = AnnDeletes.read(spark, path).exists(t =>
+      !vecs.select(col("neighbor_id"))
+        .join(t, Seq("neighbor_id"), "left_semi").isEmpty)
+    val base = if (readded) compact(spark, path, retainHistory) else this
+    val centers = base.centroids.sortBy(_._1).map(_._2.toArray)
     val assigned = IvfIndex.assignToCells(vecs, centers)
     val table = new ParquetTable(path, partitionColumns = Seq("cell"))
     // cluster by cell for the same one-file-per-list layout as persist
     table.appendVersion(assigned.repartition(col("cell")))
     if (!retainHistory) table.vacuum()
+    new IvfIndex(nlist, centroids, table.read(spark), persisted = true,
+      tombstones = AnnDeletes.read(spark, path))
+  }
+
+  /** FAISS `remove_ids`, logical half: tombstone `ids` so no search can
+    * surface them — O(|ids|), no inverted list rewritten (see
+    * [[AnnDeletes]] for why eager per-delete list rewrites are the wrong
+    * shape at 100 TB). [[compact]] folds the tombstones into the lists
+    * physically when their count warrants the rewrite.
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): IvfIndex = {
+    require(persisted,
+      "remove tombstones a persisted index — call persist() first")
+    AnnDeletes.add(spark, path, ids.select(col(idCol).as("neighbor_id")))
+    new IvfIndex(nlist, centroids, assigned, persisted = true,
+      tombstones = AnnDeletes.read(spark, path))
+  }
+
+  /** FAISS `remove_ids`, physical half: rewrite ONLY the inverted lists
+    * that hold tombstoned ids ([[graft.io.ParquetTable.replacePartitions]]
+    * — untouched lists ride along as hard links), then clear the
+    * tombstone table. Lists first, tombstones second: a crash in between
+    * leaves tombstones masking already-gone rows (harmless — the
+    * anti-join no-ops and the next compact clears them); the reverse
+    * order would resurrect deleted vectors. An inverted list that empties
+    * COMPLETELY cannot be expressed through replacePartitions (no rows
+    * carry its partition value), so that rare case takes the one full
+    * rewrite via [[persist]] (which also re-writes the centroid sidecar).
+    */
+  def compact(spark: SparkSession, path: String,
+      retainHistory: Boolean = false): IvfIndex = {
+    require(persisted,
+      "compact rewrites a persisted index — call persist() first")
+    val table = new ParquetTable(path, partitionColumns = Seq("cell"))
+    AnnDeletes.read(spark, path).filter(!_.isEmpty).foreach { tombRaw =>
+      val tomb = broadcast(tombRaw.select(col("neighbor_id")))
+      val live = table.read(spark)
+      val touched = live.join(tomb, Seq("neighbor_id"), "left_semi")
+        .select(col("cell")).distinct().collect()
+        .map(_.getInt(0)).toIndexedSeq // bounded: ≤ nlist ints
+      if (touched.nonEmpty) {
+        val survivors = live.filter(col("cell").isin(touched: _*))
+          .join(tomb, Seq("neighbor_id"), "left_anti")
+          .persist()
+        val survivingCells = survivors.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        try {
+          if (touched.forall(survivingCells)) {
+            table.replacePartitions(survivors.repartition(col("cell")))
+            if (!retainHistory) table.vacuum()
+            ()
+          } else {
+            // an emptied list: full rewrite (persist re-writes lists AND
+            // the centroid sidecar; a plain overwrite would drop the
+            // sidecar from the new version and brick load())
+            val all = live.join(tomb, Seq("neighbor_id"), "left_anti")
+            new IvfIndex(nlist, centroids, all, persisted = false)
+              .persist(spark, path, retainHistory)
+            ()
+          }
+        } finally { survivors.unpersist(); () }
+      }
+    }
+    AnnDeletes.clear(spark, path)
     new IvfIndex(nlist, centroids, table.read(spark), persisted = true)
   }
 }
@@ -174,8 +254,11 @@ object IvfIndex {
             if (centroids.exists(_._2.length != dims)) None
             else {
               val table = new ParquetTable(path, partitionColumns = Seq("cell"))
+              // tombstoned deletes survive a cold reload — the mask is
+              // part of the index state, not the session
               Some(new IvfIndex(centroids.length, centroids,
-                table.read(spark), persisted = true))
+                table.read(spark), persisted = true,
+                tombstones = AnnDeletes.read(spark, path)))
             }
           case _ => None
         }

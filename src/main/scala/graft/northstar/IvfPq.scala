@@ -35,7 +35,8 @@ import graft.functions.GraftFunctions
   */
 final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     val pq: ProductQuantizer, coded: DataFrame,
-    private val persisted: Boolean) {
+    private val persisted: Boolean,
+    private val tombstones: Option[DataFrame] = None) {
 
   /** Top-k per query. `nprobe` bounds the scanned cells (scan-side knob),
     * `rerank` bounds the exact re-rank window (memory-side knob) —
@@ -81,7 +82,9 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
       .orderBy(col("__score").desc, col("neighbor_id"))
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    corpus.join(broadcast(probed), Seq("cell"))
+    // deleted ids are masked AFTER cell pruning — broadcast anti-join
+    // over the probed rows only (see [[AnnDeletes]])
+    AnnDeletes.alive(corpus, tombstones).join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__score",
         col("__qdotc") + pq.adcDot(col("__qv"), col("__codes")))
@@ -127,6 +130,61 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
       IvfPqIndex.ModelFile, header +: (centLines ++ cbLines))
     new IvfPqIndex(centroids, pq, table.read(spark), persisted = true)
   }
+
+  /** FAISS `remove_ids`, logical half — same contract as
+    * [[IvfIndex.remove]]: O(|ids|) tombstone append, searches mask the
+    * ids via a broadcast anti-join until [[compact]].
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): IvfPqIndex = {
+    require(persisted,
+      "remove tombstones a persisted index — call persist() first")
+    AnnDeletes.add(spark, path, ids.select(col(idCol).as("neighbor_id")))
+    new IvfPqIndex(centroids, pq, coded, persisted = true,
+      tombstones = AnnDeletes.read(spark, path))
+  }
+
+  /** FAISS `remove_ids`, physical half — same mechanics and crash
+    * ordering as [[IvfIndex.compact]]: rewrite only the touched coded
+    * lists (hard-linked rest), clear tombstones second; an emptied list
+    * takes the full [[persist]] rewrite (which re-writes the model
+    * sidecar too).
+    */
+  def compact(spark: SparkSession, path: String,
+      retainHistory: Boolean = false): IvfPqIndex = {
+    require(persisted,
+      "compact rewrites a persisted index — call persist() first")
+    val table = new graft.io.ParquetTable(path,
+      partitionColumns = Seq("cell"))
+    AnnDeletes.read(spark, path).filter(!_.isEmpty).foreach { tombRaw =>
+      val tomb = broadcast(tombRaw.select(col("neighbor_id")))
+      val live = table.read(spark)
+      val touched = live.join(tomb, Seq("neighbor_id"), "left_semi")
+        .select(col("cell")).distinct().collect()
+        .map(_.getInt(0)).toIndexedSeq // bounded: ≤ nlist ints
+      if (touched.nonEmpty) {
+        val survivors = live.filter(col("cell").isin(touched: _*))
+          .join(tomb, Seq("neighbor_id"), "left_anti")
+          .persist()
+        val survivingCells = survivors.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        try {
+          if (touched.forall(survivingCells)) {
+            table.replacePartitions(survivors.repartition(col("cell")))
+            if (!retainHistory) table.vacuum()
+            ()
+          } else {
+            val all = live.join(tomb, Seq("neighbor_id"), "left_anti")
+            new IvfPqIndex(centroids, pq, all, persisted = false)
+              .persist(spark, path, retainHistory)
+            ()
+          }
+        } finally { survivors.unpersist(); () }
+      }
+    }
+    AnnDeletes.clear(spark, path)
+    new IvfPqIndex(centroids, pq, table.read(spark), persisted = true)
+  }
 }
 
 object IvfPqIndex {
@@ -166,8 +224,10 @@ object IvfPqIndex {
               Array.tabulate(m, ksub)((s, j) => cbs((s, j))))
             val table = new graft.io.ParquetTable(path,
               partitionColumns = Seq("cell"))
+            // tombstoned deletes survive a cold reload
             Some(new IvfPqIndex(cents.toArray, pq, table.read(spark),
-              persisted = true))
+              persisted = true,
+              tombstones = AnnDeletes.read(spark, path)))
           }
         }
       } catch { case _: Exception => None }

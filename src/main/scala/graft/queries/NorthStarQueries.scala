@@ -1778,6 +1778,38 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("vectors"))
   }
 
+  /** ANN deletion (q110) — the FAISS `remove_ids` analog the round-8
+    * verdict asked for: build + persist the IVF index on the full
+    * embeddings corpus, [[graft.northstar.IvfIndex.remove]] a slice
+    * (vec_id % 7 == 3 — takedown/dedup-driven deletes), then
+    * [[graft.northstar.IvfIndex.compact]] folds the tombstones into the
+    * lists physically (only touched lists rewritten; the rest hard-link)
+    * and the result is a COLD-RELOADED exhaustive search (nprobe = nlist)
+    * over the compacted index. Exhaustive probing makes IVF search exact,
+    * so the DuckDB oracle is q26's brute-force cosine top-k restricted to
+    * the surviving vectors — a hash-exact check that deletes neither leak
+    * (a deleted neighbor surfacing) nor over-delete (a survivor missing),
+    * through tombstone, compaction AND reload. AnnDeleteSpec pins the
+    * remaining laws (pre-compact mask ≡ post-compact, delete-then-append,
+    * emptied-list fallback, crash-window idempotence); Accuracy gates the
+    * agreement numbers per tier.
+    */
+  def q110AnnDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val p = indexScratch("ivfdel", dir)
+    val idx = graft.northstar.IvfIndex
+      .build(emb, "vec_id", "embedding", nlist = 16)
+      .persist(s, p)
+    val removed = idx.remove(s, p,
+      emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")),
+      "vec_id")
+    removed.compact(s, p)
+    graft.northstar.IvfIndex.load(s, p)
+      .getOrElse(sys.error("q110: compacted index failed to reload"))
+      .search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 16)
+  }
+
   /** Rolling 90-day revenue per customer — a RANGE window frame (peers by
     * value, not row position): one shuffle on the customer key; the frame
     * slides within each partition with O(1) incremental state.
@@ -2497,6 +2529,7 @@ object NorthStarQueries {
     "q107_bm25_topk" -> (q107Bm25TopK _),
     "q108_hybrid_rrf" -> (q108HybridRrf _),
     "q109_image_resize" -> (q109ImageResize _),
+    "q110_ann_delete" -> (q110AnnDelete _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -2641,6 +2674,26 @@ object NorthStarQueries {
                   round(list_dot_product(q.ve, c.ve) /
                         (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))), 6) AS cosine
            FROM v c, q WHERE c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+         FROM ranked WHERE rnk <= 5""",
+
+    // q26 restricted to the surviving corpus: exhaustive (nprobe=nlist)
+    // IVF search is exact, so the deleted-then-compacted index must
+    // reproduce the brute-force top-k with vec_id % 7 = 3 gone
+    "q110_ann_delete" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
+         q AS (SELECT * FROM v WHERE vec_id < 10),
+         c AS (SELECT * FROM v WHERE vec_id % 7 <> 3),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.ve, c.ve) /
+                        (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))), 6) AS cosine
+           FROM c, q WHERE c.vec_id != q.vec_id),
          ranked AS (
            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
            FROM scored)

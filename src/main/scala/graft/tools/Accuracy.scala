@@ -677,13 +677,76 @@ object Accuracy {
         "<=", 0.02))
   }
 
+  /** q110 — ANN deletion (FAISS `remove_ids` analog). Structural exact
+    * gates, no measured slack: exhaustive probing (nprobe = nlist) makes
+    * IVF search EXACT, so a tombstoned index must agree 1.0 with a FRESH
+    * BUILD on the surviving set (different centroids, same exact top-k),
+    * the mask must survive a cold reload, compaction must not change a
+    * single answer, and the PQ variant must be bit-stable through
+    * tombstone → compact → reload (same codes, same centroids). A
+    * deleted id surfacing anywhere gates as leakage > 0.
+    */
+  def q110Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val drop = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"))
+    val dropSet = drop.collect().map(_.getLong(0)).toSet
+    val survivors = emb.join(drop, Seq("vec_id"), "left_anti")
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def agree(a: Set[(Long, Long)], b: Set[(Long, Long)]): Double =
+      if ((a | b).isEmpty) 0.0 else (a & b).size.toDouble / (a | b).size
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_acc_anndel").toString + "/idx"
+    val removed = IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+      .persist(spark, path)
+      .remove(spark, path, drop, "vec_id")
+    val masked = pairs(removed.search(queries, "vec_id", "embedding",
+      k = 5, nprobe = 16))
+    val fresh = pairs(IvfIndex
+      .build(survivors, "vec_id", "embedding", nlist = 16)
+      .search(queries, "vec_id", "embedding", k = 5, nprobe = 16))
+    val reloaded = pairs(IvfIndex.load(spark, path)
+      .getOrElse(sys.error("tombstoned IVF index failed to reload"))
+      .search(queries, "vec_id", "embedding", k = 5, nprobe = 16))
+    val compacted = pairs(removed.compact(spark, path)
+      .search(queries, "vec_id", "embedding", k = 5, nprobe = 16))
+    // PQ variant: tombstone → reload → compact must be answer-stable
+    val pqPath = java.nio.file.Files
+      .createTempDirectory("graft_acc_anndel_pq").toString + "/idx"
+    val pqRemoved = graft.northstar.IvfPqIndex
+      .build(spark, emb, "vec_id", "embedding", nlist = 16, m = 4,
+        ksub = 16)
+      .persist(spark, pqPath)
+      .remove(spark, pqPath, drop, "vec_id")
+    val pqMasked = pairs(pqRemoved.search(queries, "vec_id", "embedding",
+      k = 5, nprobe = 16))
+    val pqCompacted = pairs(pqRemoved.compact(spark, pqPath)
+      .search(queries, "vec_id", "embedding", k = 5, nprobe = 16))
+    val leakage = (masked ++ reloaded ++ compacted ++ pqMasked ++
+      pqCompacted).count(p => dropSet.contains(p._2)).toDouble
+    Seq(
+      Gate("q110_ann_delete", "delete_vs_fresh_build_agreement",
+        agree(masked, fresh), "==", 1.0),
+      Gate("q110_ann_delete", "tombstone_reload_agreement",
+        agree(masked, reloaded), "==", 1.0),
+      Gate("q110_ann_delete", "compact_vs_tombstone_agreement",
+        agree(masked, compacted), "==", 1.0),
+      Gate("q110_ann_delete", "pq_compact_vs_tombstone_agreement",
+        agree(pqMasked, pqCompacted), "==", 1.0),
+      Gate("q110_ann_delete", "deleted_id_leakage", leakage, "==", 0.0))
+  }
+
   def allGates(spark: SparkSession, dir: String): Seq[Gate] = {
     val memo = new RefMemo // scoped to this invocation, shared q88↔q92
     q27Gates(spark, dir) ++ q28Gates(spark, dir) ++ q37Gates(spark, dir) ++
       q50Gates(spark, dir) ++ q72Gates(spark, dir) ++ q76Gates(spark, dir) ++
       q75Gates(spark, dir) ++ q81Gates(spark, dir) ++ q82Gates(spark, dir) ++
       q84Gates(spark, dir) ++ q86Gates(spark, dir) ++
-      q88Gates(spark, dir, memo) ++ q92Gates(spark, dir, memo)
+      q88Gates(spark, dir, memo) ++ q92Gates(spark, dir, memo) ++
+      q110Gates(spark, dir)
   }
 
   /** Per-tier overrides for the measurement-TUNED bounds (keyed

@@ -1,0 +1,72 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** One-invocation round-close artifact runner (round-8 verdict item 3:
+  * round 8 committed no ACCURACY_r08, no PLANAUDIT_r08, no TESTTIME row
+  * and a stale COVERAGE footer — artifact gaps are how regressions hide,
+  * so the round protocol's outputs must be un-skippable). Emits, in
+  * order:
+  *
+  *   1. `PLANAUDIT_r{NN}.json` — the whole-surface plan census, merging
+  *      `BENCH_DETAIL.json`'s measured shuffle bytes when present;
+  *   2. the regenerated COVERAGE.md Totals footer ([[CoverageFooter]]
+  *      with the executed-case count, so the query/oracle/test tallies
+  *      can never drift from `SparkEntry`);
+  *   3. a TESTTIME.md row for the round's `sbt test` run (idempotent:
+  *      re-running the close replaces the round's row, never duplicates);
+  *   4. `ACCURACY_r{NN}.json` LAST — [[Accuracy]] exits 1 on any failed
+  *      gate, so every other artifact lands regardless and a red gate
+  *      still fails the whole close loudly.
+  *
+  * Usage (the numbers come from the round's `sbt -batch test` output —
+  * "Tests: succeeded N" / "Suites: completed S" / measured wall):
+  *
+  * {{{
+  *   sbt -batch "runMain graft.tools.RoundClose <NN> <succeeded> <suites> <wallSec> [note...]"
+  * }}}
+  *
+  * or in one command including the test run: `tools/round_close.sh <NN>
+  * [note...]`.
+  */
+object RoundClose {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: RoundClose <NN> <testsSucceeded> <suites> <wallSec> [note...]")
+    val nn = args(0)
+    val succeeded = args(1).toInt
+    val suites = args(2).toInt
+    val wallSec = args(3).toInt
+    val note = args.drop(4).mkString(" ")
+    PlanAudit.main(Array(s"PLANAUDIT_r$nn.json", "BENCH_DETAIL.json"))
+    CoverageFooter.main(Array(succeeded.toString))
+    testtimeRow(nn, succeeded, suites, wallSec, note)
+    // LAST on purpose: exits 1 on a failed gate (see scaladoc)
+    Accuracy.main(Array(s"ACCURACY_r$nn.json"))
+  }
+
+  private def testtimeRow(nn: String, succeeded: Int, suites: Int,
+      wallSec: Int, note: String): Unit = {
+    val path = Paths.get("TESTTIME.md")
+    val lines = Files.readString(path).split("\n", -1).toVector
+    val mins = f"${wallSec / 60.0}%.1f"
+    val mode = "8 parallel group JVMs, warm sbt" +
+      (if (note.nonEmpty) s", $note" else "")
+    val row = s"| ${java.time.LocalDate.now()} (r$nn) | $mode | " +
+      s"$succeeded/$succeeded green, $suites suites | **$mins min** " +
+      s"($wallSec s) |"
+    // idempotent per round: an existing (rNN) row is replaced in place
+    val prior = lines.indexWhere(l => l.startsWith("|") &&
+      l.contains(s"(r$nn)"))
+    val out =
+      if (prior >= 0) lines.updated(prior, row)
+      else {
+        val lastRow = lines.lastIndexWhere(_.startsWith("|"))
+        require(lastRow >= 0, "TESTTIME.md has no table to append to")
+        (lines.take(lastRow + 1) :+ row) ++ lines.drop(lastRow + 1)
+      }
+    Files.writeString(path, out.mkString("\n"))
+    println(row)
+  }
+}

@@ -37,6 +37,14 @@ object GraftBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
 
+  /** Type equality modulo nullability (`DataType.sameType` is
+    * `private[sql]`): a join or parquet read-back flips `nullable` /
+    * `containsNull` freely while the storage representation is identical,
+    * so schema-agreement checks must not treat the flip as a retype.
+    */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
   /** Drain the listener bus so SparkListener counters observed after a job
     * reflect every stage of that job (the bus is async; without the drain
     * a fast query's tail stages get attributed to the NEXT measurement
