@@ -46,6 +46,31 @@ private[graft] object AnnDeletes {
     */
   val Dir = "_tombstones"
 
+  /** Session conf bounding the tombstone set (rows): when a
+    * [[IvfIndex.remove]]/[[IvfPqIndex.remove]] leaves the side table at
+    * or above this count, the remove auto-compacts — so the broadcast
+    * [[alive]] ships is BOUNDED IN CODE, not by operator discipline. The
+    * default (64 Ki ids ≈ 0.5 MB of longs) keeps the anti-join build
+    * side far under any broadcast threshold while letting a takedown
+    * burst amortize many deletes per list rewrite. Deployments trading
+    * rewrite frequency against broadcast size tune the conf; a manual
+    * [[IvfIndex.compact]] on a maintenance window still works as before.
+    */
+  val ThresholdConf = "graft.ann.autoCompactTombstones"
+  val DefaultThreshold = 65536L
+
+  def compactThreshold(spark: SparkSession): Long =
+    spark.conf.getOption(ThresholdConf).map(_.toLong)
+      .getOrElse(DefaultThreshold)
+
+  /** True when the tombstone count has reached the auto-compact bound.
+    * The count job is O(threshold) by induction — every prior remove
+    * compacted at the bound, so the side table never exceeds it by more
+    * than one batch of ids.
+    */
+  def overThreshold(spark: SparkSession, path: String): Boolean =
+    read(spark, path).exists(_.count() >= compactThreshold(spark))
+
   def table(path: String): ParquetTable =
     new ParquetTable(s"$path/$Dir")
 
@@ -98,8 +123,11 @@ private[graft] object AnnDeletes {
   }
 
   /** Search-side mask: `rows` minus the tombstoned ids. The tombstone
-    * side is broadcast (bounded by compaction policy) so the anti-join
-    * never shuffles the probed corpus rows.
+    * side is broadcast so the anti-join never shuffles the probed corpus
+    * rows — and the broadcast is genuinely bounded: [[overThreshold]] is
+    * checked by every `remove`, which auto-compacts at
+    * [[compactThreshold]] rows, so the set here can never exceed the
+    * bound by more than one remove batch.
     */
   def alive(rows: DataFrame, tombstones: Option[DataFrame]): DataFrame =
     tombstones.fold(rows)(t =>

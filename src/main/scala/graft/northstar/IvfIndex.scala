@@ -111,6 +111,13 @@ final class IvfIndex private (val nlist: Int,
       centroids.map { case (i, c) => i + "," + c.mkString(",") }
     graft.io.Sidecar.write(java.nio.file.Paths.get(table.currentPath),
       IvfIndex.CentroidsFile, lines)
+    // A full rebuild supersedes every prior delete: stale tombstones from
+    // a previous index generation must not mask freshly re-ingested ids
+    // (without this, the in-session index serves them but a cold load()
+    // hides them — the two views disagree). Cleared AFTER the lists land:
+    // a crash in between leaves ids masked (the conservative direction,
+    // healed by the next compact/clear), never resurrects deleted rows.
+    AnnDeletes.clear(spark, path)
     new IvfIndex(nlist, centroids, table.read(spark), persisted = true)
   }
 
@@ -166,7 +173,11 @@ final class IvfIndex private (val nlist: Int,
     require(persisted,
       "remove tombstones a persisted index — call persist() first")
     AnnDeletes.add(spark, path, ids.select(col(idCol).as("neighbor_id")))
-    new IvfIndex(nlist, centroids, assigned, persisted = true,
+    // the enforced compaction policy: past the bound the mask's
+    // broadcast would keep growing, so fold the tombstones into the
+    // lists now ([[AnnDeletes.compactThreshold]])
+    if (AnnDeletes.overThreshold(spark, path)) compact(spark, path)
+    else new IvfIndex(nlist, centroids, assigned, persisted = true,
       tombstones = AnnDeletes.read(spark, path))
   }
 

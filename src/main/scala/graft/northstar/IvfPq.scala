@@ -128,6 +128,9 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     } yield "cb," + s + "," + j + "," + pq.codebooks(s)(j).mkString(",")
     graft.io.Sidecar.write(java.nio.file.Paths.get(table.currentPath),
       IvfPqIndex.ModelFile, header +: (centLines ++ cbLines))
+    // a full rebuild supersedes every prior delete — clear stale
+    // tombstones so warm and cold views agree (see [[IvfIndex.persist]])
+    AnnDeletes.clear(spark, path)
     new IvfPqIndex(centroids, pq, table.read(spark), persisted = true)
   }
 
@@ -140,7 +143,9 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     require(persisted,
       "remove tombstones a persisted index — call persist() first")
     AnnDeletes.add(spark, path, ids.select(col(idCol).as("neighbor_id")))
-    new IvfPqIndex(centroids, pq, coded, persisted = true,
+    // enforced compaction policy — see [[IvfIndex.remove]]
+    if (AnnDeletes.overThreshold(spark, path)) compact(spark, path)
+    else new IvfPqIndex(centroids, pq, coded, persisted = true,
       tombstones = AnnDeletes.read(spark, path))
   }
 

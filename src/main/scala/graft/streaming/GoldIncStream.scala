@@ -64,14 +64,16 @@ object GoldIncStream {
         val bloom = ReplayGate.loadOrSeed(bloomPath,
           () => Some(silver.read(s).select(col("id"))), "id", expectedIds)
         val incoming = batch.toDF().distinct() // in-batch re-sends
-        val sketch = ReplayGate.batchSketch(incoming, "id", expectedIds)
+        val sketch = ReplayGate.probeSketch(incoming, "id")
         val fresh = ReplayGate.freshRows(incoming, "id", Some(bloom),
             Some(sketch), () => silver.read(s).select(col("id")))
           .persist()
         try {
-          if (fresh.count() > 0) {
+          val n = fresh.count()
+          if (n > 0) {
             // filter BEFORE the silver commit — the superset contract
-            ReplayGate.mergeAndSave(bloomPath, bloom, sketch)
+            ReplayGate.commitToFilter(bloomPath, bloom, fresh, "id", n,
+              expectedIds, () => Some(silver.read(s).select(col("id"))))
             silver.appendVersion(fresh)
             inc.advanceAll()
           }

@@ -55,7 +55,7 @@ object IndexStream {
           idCol, expectedIds)
         val incoming = batch.toDF().select(col(idCol), col(vecCol))
           .distinct() // in-batch re-sends of the same (id, vector)
-        val sketch = ReplayGate.batchSketch(incoming, idCol, expectedIds)
+        val sketch = ReplayGate.probeSketch(incoming, idCol)
         // persisted across the emptiness probe and the append: without it
         // the branch and the append each re-run the (gated) probe
         val fresh = ReplayGate.freshRows(incoming, idCol, Some(bloom),
@@ -63,9 +63,11 @@ object IndexStream {
           .persist()
         try {
           // an all-replay batch appends nothing — and creates no version
-          if (fresh.count() > 0) {
+          val n = fresh.count()
+          if (n > 0) {
             // filter BEFORE the index commit — see the superset contract
-            ReplayGate.mergeAndSave(bloomPath, bloom, sketch)
+            ReplayGate.commitToFilter(bloomPath, bloom, fresh, idCol, n,
+              expectedIds, () => Some(knownIds))
             idx.append(s, path, fresh, idCol, vecCol)
             ()
           }

@@ -87,7 +87,7 @@ object PackStream {
           .select(col("doc_id").cast("long").as("doc_id"), col("text"),
             expr(s"CAST(doc_id AS BIGINT) DIV $bucketSize").as("bucket"))
           .dropDuplicates("doc_id") // in-batch re-sends
-        val sketch = ReplayGate.batchSketch(incoming, "doc_id", expectedIds)
+        val sketch = ReplayGate.probeSketch(incoming, "doc_id")
         val bloom = ReplayGate.loadOrSeed(bloomFile(log),
           () => if (log.exists) Some(log.read(s).select(col("doc_id")))
                 else None,
@@ -99,11 +99,15 @@ object PackStream {
             Some(sketch), () => log.read(s).select(col("doc_id")))
           .persist()
         try {
-          if (fresh.count() > 0) {
+          val n = fresh.count()
+          if (n > 0) {
             // filter BEFORE log: a crash in between strands false
             // positives (harmless), never log-ids missing from the
             // filter (the replay-duplicating direction)
-            ReplayGate.mergeAndSave(bloomFile(log), bloom, sketch)
+            ReplayGate.commitToFilter(bloomFile(log), bloom, fresh,
+              "doc_id", n, expectedIds,
+              () => if (log.exists) Some(log.read(s).select(col("doc_id")))
+                    else None)
             if (log.exists) log.appendVersion(fresh)
             else log.overwrite(fresh)
             val touched = fresh.select(col("bucket")).distinct()

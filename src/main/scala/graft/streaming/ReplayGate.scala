@@ -51,6 +51,38 @@ object ReplayGate {
     */
   val BloomFile = "_seen_ids.bloom"
 
+  /** Fresh-row count at or below which [[commitToFilter]] updates the
+    * filter DRIVER-side (collect the bounded id set, `putLong` each)
+    * instead of running the distributed full-geometry sketch aggregate:
+    * for a typical micro-batch the aggregate's per-task partial filters
+    * are multi-MB (the persistent geometry), a per-trigger constant far
+    * exceeding the 80 KB of longs this cutoff admits to the driver. This
+    * is a BOUNDED collect (≤ cutoff longs), not the unbounded batch-id
+    * array the gated probe was built to remove.
+    */
+  val SmallBatchCutoff = 10000L
+
+  /** The id column normalized to the BIGINT domain every sketch and
+    * probe in this gate operates on: BIGINT passes through (so the
+    * maybe-id range still prunes parquet row groups in [[freshRows]]),
+    * narrower integrals upcast (Catalyst unwraps the cast for pushdown),
+    * and any other type (string keys etc.) maps through `xxhash64`. A
+    * hash collision is one more Bloom false positive — routed to the
+    * anti-join, which joins on the RAW id column, so correctness is
+    * untouched. The normalization is part of the filter format: it is
+    * applied identically by [[loadOrSeed]]'s seed, [[batchSketch]] /
+    * [[probeSketch]], [[commitToFilter]] and [[freshRows]], so the
+    * filter and its probes can never disagree on the domain.
+    */
+  private def idExpr(df: DataFrame, idCol: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case LongType => col(idCol)
+      case ByteType | ShortType | IntegerType => col(idCol).cast(LongType)
+      case _ => xxhash64(col(idCol))
+    }
+  }
+
   def load(file: Path): Option[BloomFilter] =
     if (!Files.exists(file)) None
     else {
@@ -99,7 +131,7 @@ object ReplayGate {
       seenIds() match {
         case Some(df) =>
           val (items, bits) = geometry(df.sparkSession, expectedIds, fpp)
-          val seeded = df.stat.bloomFilter(df.col(idCol), items, bits)
+          val seeded = df.stat.bloomFilter(idExpr(df, idCol), items, bits)
           save(file, seeded)
           seeded
         case None =>
@@ -121,18 +153,33 @@ object ReplayGate {
     save(file, bloom)
   }
 
-  /** The batch's own id sketch, built by a DISTRIBUTED aggregate (only
-    * the filter bits reach the driver — no id array ever does). It is
-    * created with the SAME (expectedIds, fpp) geometry as the persistent
-    * filter so the two are bit-compatible: one sketch serves both as the
-    * probe restriction in [[freshRows]] and as the [[mergeAndSave]]
-    * delta folded into the persistent filter.
+  /** The batch's own id sketch at the PERSISTENT filter's geometry,
+    * built by a DISTRIBUTED aggregate (only the filter bits reach the
+    * driver — no id array ever does) — the [[mergeAndSave]] /
+    * [[commitToFilter]] delta for LARGE batches, where the multi-MB
+    * per-task partials amortize. Small batches take
+    * [[commitToFilter]]'s driver path instead; the probe restriction in
+    * [[freshRows]] uses the batch-sized [[probeSketch]].
     */
   def batchSketch(batch: DataFrame, idCol: String, expectedIds: Long,
       fpp: Double = 0.01): BloomFilter = {
     val (items, bits) = geometry(batch.sparkSession, expectedIds, fpp)
-    batch.stat.bloomFilter(batch.col(idCol), items, bits)
+    batch.stat.bloomFilter(idExpr(batch, idCol), items, bits)
   }
+
+  /** The probe-restriction sketch for [[freshRows]], at BATCH-sized
+    * geometry: it only has to have NO FALSE NEGATIVES over the batch
+    * (any Bloom filter guarantees that at any size — undersizing only
+    * raises the FP rate, i.e. extra probe-side rows, never a dropped
+    * row), so sizing it like the persistent filter just inflated every
+    * trigger's plan and aggregate partials by the full ~MB geometry for
+    * a sketch that is discarded after one probe. At the default 64 Ki ×
+    * 1 % geometry the serialized sketch is ~77 KB.
+    */
+  def probeSketch(batch: DataFrame, idCol: String,
+      expectedBatch: Long = 65536L, fpp: Double = 0.01): BloomFilter =
+    batch.stat.bloomFilter(idExpr(batch, idCol), expectedBatch,
+      BloomFilter.optimalNumOfBits(expectedBatch, fpp))
 
   /** Fold the batch's sketch into the persistent filter and persist it —
     * the executor-side replacement for [[addAndSave]]'s driver-side id
@@ -148,6 +195,54 @@ object ReplayGate {
     save(file, bloom)
   }
 
+  /** The per-trigger filter update the mirrors call once `fresh` is
+    * known non-empty — MUST run BEFORE the log commit (superset
+    * contract). Two paths by `freshCount`:
+    *
+    *  - ≤ `smallBatch` (the typical micro-batch): collect the BOUNDED
+    *    normalized id set (≤ cutoff longs) and `putLong` driver-side —
+    *    no full-geometry aggregate, and geometry-immune (putLong works
+    *    against any on-disk geometry, so this path can never hit the
+    *    incompatible-merge case at all);
+    *  - larger: the distributed [[batchSketch]] delta merged in. A
+    *    sketch/filter geometry mismatch (filter file from a release or
+    *    session with different clamps) is NOT a poison pill: the filter
+    *    is an optimization whose loss is harmless by design, so an
+    *    incompatible merge logs a warning and RESEEDS at the current
+    *    geometry from the seen-id log (`readSeenIds` — the pre-commit
+    *    log, superset-complete for everything before this batch), then
+    *    merges the same-geometry delta. The one-corpus-pass reseed
+    *    replaces the old behavior of failing every subsequent trigger
+    *    until the file was deleted by hand.
+    */
+  def commitToFilter(file: Path, bloom: BloomFilter, fresh: DataFrame,
+      idCol: String, freshCount: Long, expectedIds: Long,
+      readSeenIds: () => Option[DataFrame], fpp: Double = 0.01,
+      smallBatch: Long = SmallBatchCutoff): Unit =
+    if (freshCount <= smallBatch) {
+      fresh.select(idExpr(fresh, idCol).as("__h")).distinct()
+        .collect().foreach(r => bloom.putLong(r.getLong(0)))
+      save(file, bloom)
+    } else {
+      val sketch = batchSketch(fresh, idCol, expectedIds, fpp)
+      try mergeAndSave(file, bloom, sketch)
+      catch {
+        case e: org.apache.spark.util.sketch.IncompatibleMergeException =>
+          System.err.println(s"ReplayGate: filter at $file has a stale " +
+            s"geometry (${e.getMessage}) — reseeding from the seen-id log")
+          val reseeded = readSeenIds() match {
+            case Some(df) =>
+              val (items, bits) = geometry(df.sparkSession, expectedIds, fpp)
+              df.stat.bloomFilter(idExpr(df, idCol), items, bits)
+            case None =>
+              val (items, bits) = geometry(
+                org.apache.spark.sql.SparkSession.active, expectedIds, fpp)
+              BloomFilter.create(items, bits)
+          }
+          mergeAndSave(file, reseeded, sketch)
+      }
+    }
+
   private def save(file: Path, bloom: BloomFilter): Unit = {
     Files.createDirectories(file.getParent)
     val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
@@ -158,7 +253,10 @@ object ReplayGate {
   }
 
   /** The gated replay probe: rows of `batch` (already in-batch
-    * deduplicated on `idCol`, a BIGINT column) whose id is NOT in the
+    * deduplicated on `idCol` — any type: BIGINT passes through and gets
+    * parquet row-group pruning from the maybe-id range, narrower
+    * integrals upcast, other types hash through `xxhash64` (the range
+    * then restricts post-scan; see [[idExpr]]) — whose id is NOT in the
     * seen-id log. Fully executor-side — no batch-id array ever reaches
     * the driver, and no literal id list is compiled into the plan (the
     * former `collect()` + `isin` shape breaks at large micro-batches:
@@ -194,16 +292,18 @@ object ReplayGate {
       case Some(b) =>
         val seen = BloomFunctions.serialize(b)
         val range = batch
-          .filter(BloomFunctions.mightContain(col(idCol), seen))
-          .agg(min(col(idCol)), max(col(idCol))).head()
+          .filter(BloomFunctions.mightContain(idExpr(batch, idCol), seen))
+          .agg(min(idExpr(batch, idCol)), max(idExpr(batch, idCol))).head()
         if (range.isNullAt(0)) batch
         else {
           val sk = batchSketch.getOrElse(sys.error(
             "freshRows: the gated path needs the batch sketch " +
-              "(ReplayGate.batchSketch) to restrict the log probe"))
-          val probed = readSeenIds().select(col(idCol))
-            .filter(col(idCol).between(range.getLong(0), range.getLong(1)) &&
-              BloomFunctions.mightContain(col(idCol),
+              "(ReplayGate.probeSketch) to restrict the log probe"))
+          val log = readSeenIds().select(col(idCol))
+          val logId = idExpr(log, idCol)
+          val probed = log
+            .filter(logId.between(range.getLong(0), range.getLong(1)) &&
+              BloomFunctions.mightContain(logId,
                 BloomFunctions.serialize(sk)))
           batch.join(probed, Seq(idCol), "left_anti")
         }

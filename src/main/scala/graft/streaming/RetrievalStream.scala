@@ -60,15 +60,18 @@ object RetrievalStream {
         val incoming = batch.toDF()
           .select(col(idCol).as("doc_id"), col(textCol).as(textCol))
           .dropDuplicates("doc_id") // in-batch re-sends
-        val sketch = ReplayGate.batchSketch(incoming, "doc_id", expectedIds)
+        val sketch = ReplayGate.probeSketch(incoming, "doc_id")
         val fresh = ReplayGate.freshRows(incoming, "doc_id", Some(bloom),
             Some(sketch),
             () => statsTable.read(s).select(col("doc_id")))
           .persist()
         try {
-          if (fresh.count() > 0) {
+          val n = fresh.count()
+          if (n > 0) {
             // filter BEFORE the stats commit — the superset contract
-            ReplayGate.mergeAndSave(bloomPath, bloom, sketch)
+            ReplayGate.commitToFilter(bloomPath, bloom, fresh, "doc_id", n,
+              expectedIds, () => if (statsTable.exists)
+                Some(statsTable.read(s).select(col("doc_id"))) else None)
             val stats = Bm25.docTermStats(fresh, "doc_id", textCol, terms)
             if (statsTable.exists) { statsTable.appendVersion(stats); () }
             else { statsTable.overwrite(stats); () }

@@ -183,6 +183,76 @@ class AnnDeleteSpec extends AnyFunSuite {
       "the next compact must clear the residue")
   }
 
+  test("persist() supersedes prior deletes: a fresh rebuild over a " +
+      "previously-tombstoned path serves re-ingested ids identically " +
+      "warm and cold (stale tombstones cleared, not inherited)") {
+    val path = freshPath("ivfrebuild")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 3)
+      .persist(spark, path)
+    val victim = 6L
+    idx.remove(spark, path, Seq(victim).toDF("vec_id"), "vec_id")
+    // a NEW generation of the index, built from the full corpus (the
+    // id re-ingested), persisted over the same path — the delete above
+    // belongs to the dead generation
+    val rebuilt = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 3)
+      .persist(spark, path)
+    assert(AnnDeletes.read(spark, path).forall(_.isEmpty),
+      "persist must clear tombstones of the superseded generation")
+    val q = corpus.filter(col("vec_id") === victim)
+      .withColumn("vec_id", lit(100L))
+    def top(i: IvfIndex) = i.search(q, "vec_id", "embedding",
+      k = 1, nprobe = 3).select("neighbor_id").head().getLong(0)
+    assert(top(rebuilt) == victim, "warm view must serve the re-ingested id")
+    assert(top(IvfIndex.load(spark, path).get) == victim,
+      "cold view must agree — the round-9 gap: load() masked it")
+    // same law on the PQ layout
+    val pqPath = freshPath("pqrebuild")
+    val pq = IvfPqIndex.build(spark, corpus, "vec_id", "embedding",
+      nlist = 3, m = 2, ksub = 4).persist(spark, pqPath)
+    pq.remove(spark, pqPath, Seq(victim).toDF("vec_id"), "vec_id")
+    IvfPqIndex.build(spark, corpus, "vec_id", "embedding",
+      nlist = 3, m = 2, ksub = 4).persist(spark, pqPath)
+    assert(AnnDeletes.read(spark, pqPath).forall(_.isEmpty),
+      "IvfPq persist must clear stale tombstones too")
+  }
+
+  test("remove auto-compacts once the tombstone count reaches the " +
+      "configured bound — the broadcast-size policy is enforced in " +
+      "code, not left to operator discipline") {
+    val prior = spark.conf.getOption(AnnDeletes.ThresholdConf)
+    spark.conf.set(AnnDeletes.ThresholdConf, "3")
+    try {
+      val path = freshPath("ivfauto")
+      val idx = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 3)
+        .persist(spark, path)
+      // below the bound: remove stays a pure tombstone append
+      val r1 = idx.remove(spark, path, Seq(2L, 5L).toDF("vec_id"), "vec_id")
+      assert(AnnDeletes.read(spark, path).get.count() == 2,
+        "under the bound, tombstones accumulate (no rewrite)")
+      // this remove crosses the bound (2 + 2 >= 3) → compaction fires
+      val r2 = r1.remove(spark, path, Seq(11L, 17L).toDF("vec_id"), "vec_id")
+      assert(AnnDeletes.read(spark, path).get.isEmpty,
+        "at the bound, remove must fold tombstones into the lists")
+      val left = new graft.io.ParquetTable(path,
+        partitionColumns = Seq("cell")).read(spark)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(Seq(2L, 5L, 11L, 17L).forall(!left.contains(_)),
+        "auto-compacted lists must not hold any deleted row")
+      // and answers equal brute force on the survivors
+      val queries = corpus.filter(col("vec_id") < 2)
+      val want = pairs(Similarity.bruteForceTopK(
+        corpus.filter(!col("vec_id").isin(2L, 5L, 11L, 17L)), queries,
+        "vec_id", "embedding", k = 3))
+      assert(pairs(r2.search(queries, "vec_id", "embedding",
+        k = 3, nprobe = 3)) == want)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(AnnDeletes.ThresholdConf, v)
+        case None => spark.conf.unset(AnnDeletes.ThresholdConf)
+      }
+    }
+  }
+
   test("IVFPQ remove masks deleted ids; compacted and reloaded searches " +
       "equal the tombstoned one exactly (same codes, same centroids)") {
     val path = freshPath("pq")

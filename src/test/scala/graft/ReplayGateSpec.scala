@@ -90,6 +90,83 @@ class ReplayGateSpec extends AnyFunSuite {
       "merged filter must contain both the seeded and the batch ids")
   }
 
+  test("gated path accepts non-BIGINT ids (string keys normalize " +
+      "through xxhash64 on BOTH sides): replays drop, fresh survive — " +
+      "the round-9 regression where freshRows hard-required longs") {
+    val tmp = Files.createTempDirectory("graft_gate_str")
+    val file = tmp.resolve(ReplayGate.BloomFile)
+    val logDf = Seq("a", "b").toDF("doc_id")
+    val bloom = ReplayGate.loadOrSeed(file, () => Some(logDf),
+      "doc_id", 1000)
+    val batch = Seq(("a", "replay"), ("c", "new"), ("d", "new"))
+      .toDF("doc_id", "text")
+    val fresh = ReplayGate.freshRows(batch, "doc_id", Some(bloom),
+      Some(ReplayGate.probeSketch(batch, "doc_id")), () => logDf)
+    assert(fresh.select("doc_id").collect().map(_.getString(0)).toSet
+      == Set("c", "d"))
+    // and commitToFilter keeps the superset contract in the same domain
+    ReplayGate.commitToFilter(file, bloom, fresh, "doc_id", 2L, 1000,
+      () => Some(logDf))
+    val reloaded = ReplayGate.load(file).get
+    val replayAll = Seq("a", "b", "c", "d").toDF("doc_id")
+    val fresh2 = ReplayGate.freshRows(replayAll, "doc_id", Some(reloaded),
+      Some(ReplayGate.probeSketch(replayAll, "doc_id")),
+      () => Seq("a", "b", "c", "d").toDF("doc_id"))
+    assert(fresh2.isEmpty, "full replay after commit must yield nothing")
+  }
+
+  test("probeSketch is batch-sized: orders of magnitude smaller than " +
+      "the persistent-geometry batchSketch it replaces in the probe") {
+    val batch = (0L until 100L).toDF("doc_id")
+    val probe = ReplayGate.probeSketch(batch, "doc_id")
+    val full = ReplayGate.batchSketch(batch, "doc_id", 4L * 1024 * 1024)
+    assert(probe.bitSize() * 8 < full.bitSize(),
+      s"probe sketch (${probe.bitSize()} bits) must be far smaller than " +
+        s"the persistent geometry (${full.bitSize()} bits)")
+    // no false negatives regardless of sizing — the only property the
+    // probe restriction needs
+    assert((0L until 100L).forall(probe.mightContainLong))
+  }
+
+  test("commitToFilter small-batch path updates the filter driver-side " +
+      "and is geometry-immune (works against a filter written at any " +
+      "other geometry — no incompatible-merge case exists)") {
+    val tmp = Files.createTempDirectory("graft_gate_small")
+    val file = tmp.resolve(ReplayGate.BloomFile)
+    // a filter at a DIFFERENT geometry than the session would build
+    val odd = org.apache.spark.util.sketch.BloomFilter.create(123, 4567)
+    odd.putLong(1L)
+    val out = Files.newOutputStream(file)
+    try odd.writeTo(out) finally out.close()
+    val bloom = ReplayGate.load(file).get
+    val fresh = Seq((7L, "x"), (8L, "y")).toDF("doc_id", "text")
+    ReplayGate.commitToFilter(file, bloom, fresh, "doc_id", 2L, 1000,
+      () => Some(Seq(1L).toDF("doc_id")))
+    val reloaded = ReplayGate.load(file).get
+    assert(Seq(1L, 7L, 8L).forall(reloaded.mightContainLong),
+      "small path must extend the odd-geometry filter in place")
+  }
+
+  test("commitToFilter large-batch path survives a stale-geometry " +
+      "filter: the incompatible merge RESEEDS from the log at the " +
+      "current geometry instead of poisoning every later trigger") {
+    val tmp = Files.createTempDirectory("graft_gate_poison")
+    val file = tmp.resolve(ReplayGate.BloomFile)
+    val odd = org.apache.spark.util.sketch.BloomFilter.create(123, 4567)
+    odd.putLong(10L)
+    val out = Files.newOutputStream(file)
+    try odd.writeTo(out) finally out.close()
+    val bloom = ReplayGate.load(file).get
+    val fresh = Seq((7L, "x"), (8L, "y")).toDF("doc_id", "text")
+    // smallBatch = 0 forces the distributed-merge path
+    ReplayGate.commitToFilter(file, bloom, fresh, "doc_id", 2L, 1000,
+      () => Some(Seq(10L, 11L).toDF("doc_id")), smallBatch = 0L)
+    val reloaded = ReplayGate.load(file).get
+    assert(Seq(10L, 11L, 7L, 8L).forall(reloaded.mightContainLong),
+      "reseeded filter must hold the log ids AND the batch delta — " +
+        "the superset contract after recovery")
+  }
+
   test("loadOrSeed seeds the filter from a pre-gate log (superset " +
       "contract) and round-trips through the atomic save") {
     val tmp = Files.createTempDirectory("graft_gate_seed")
