@@ -107,17 +107,43 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
     aff.fold(df)(a => semiOn(df, key, a))
 
   private def aggAll(j: DataFrame, keys: Seq[String],
-      ms: Seq[Measure]): DataFrame =
+      ms: Seq[Measure], ds: Seq[DistinctMeasure]): DataFrame =
     j.groupBy(keys.map(col): _*)
       .agg(sum(ms.head.of).as(ms.head.name),
-        ms.tail.map(m => sum(m.of).as(m.name)): _*)
+        (ms.tail.map(m => sum(m.of).as(m.name)) ++
+          ds.map(d => hll_sketch_agg(col(d.src)).as(d.sketchCol))): _*)
+
+  /** A distinct-count measure: `name` is maintained as an HLL sketch
+    * column `{name}__sketch` (q86's machinery — `hll_sketch_agg` at the
+    * default lgConfigK) stored IN the gold table, with the readable
+    * `name` column recomputed per fold as the sketch estimate. Sketches
+    * union losslessly but cannot subtract, so the fold splits per group
+    * (the [[GoldMaintenance.advanceMinMax]] discipline):
+    *
+    *  - groups where NO (group, value) pair disappeared — every old
+    *    affected-anchor pair still present on the new side, the
+    *    insert-dominated common case — fold O(changes): the stored
+    *    sketch unions with the affected anchors' new-side sketch;
+    *  - groups that LOST a pair are RESCANNED from the full re-derived
+    *    J restricted (null-safe semi-join) to exactly those group keys
+    *    — never a full re-aggregate of unaffected groups.
+    *
+    * Estimates are exact while sketches stay in the coupon (sparse)
+    * regime and within HLL error (~1 % by lgK=12) past it — the same
+    * contract q86 documents; the Accuracy gate bounds fold-vs-rebuild
+    * divergence at both tiers.
+    */
+  private[gold] final case class DistinctMeasure(name: String, src: String) {
+    def sketchCol: String = s"${name}__sketch"
+  }
 
   /** One maintenance pass for one gold table. `derive` builds J from raw
     * silver frames, restricted (when asked) to the affected anchors;
     * `affected` computes the anchor superset from (cdf, old, new) raw
     * frames per source. `rowMeasure` names the measure that reaches 0
     * exactly when a group empties. `derived` are post-fold recomputed
-    * columns (e.g. the avg).
+    * columns (e.g. the avg). `distincts` are HLL-maintained
+    * distinct-count measures (see [[DistinctMeasure]]).
     */
   private def maintain(goldName: String,
       sources: Seq[(String, ParquetTable)],
@@ -127,12 +153,18 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
       derived: Seq[(String, Column)],
       derive: (Map[String, DataFrame], Option[DataFrame]) => DataFrame,
       affected: (Map[String, DataFrame], Map[String, DataFrame],
-        Map[String, DataFrame]) => DataFrame): ParquetTable = {
+        Map[String, DataFrame]) => DataFrame,
+      distincts: Seq[DistinctMeasure] = Nil): ParquetTable = {
     val gold = warehouse.gold(goldName)
     val newVs = sources.map { case (n, t) => n -> t.version }.toMap
     val newF = sources.map { case (n, t) => n -> t.read(spark) }.toMap
+    // distinct estimates are derived columns too: recomputed from the
+    // maintained sketch after every fold, NULL sketch (all-NULL or
+    // empty group) reading as 0 identically on both paths
     def withDerived(df: DataFrame): DataFrame =
-      derived.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      (derived ++ distincts.map(d => d.name ->
+        coalesce(hll_sketch_estimate(col(d.sketchCol)), lit(0L))))
+        .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
     // a sidecar whose key set differs from the current source list (a
     // table gained or lost a source since the marker was written) reads
     // as "no marker" — the documented full-rebuild fallback — instead of
@@ -173,22 +205,98 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
         // null-safe key merge: groupBy collates NULL keys (the left-join
         // grains legitimately produce them), so the fold must too
         val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-        val folded = gold.read(spark)
-          .select(keys.map(col) ++ measures.map(m => col(m.name)): _*)
+        // stored sketches ride through the additive merge untouched;
+        // their fold happens below (they cannot subtract)
+        val folded0 = gold.read(spark)
+          .select(keys.map(col) ++ measures.map(m => col(m.name)) ++
+            distincts.map(d => col(d.sketchCol)): _*)
           .join(renamed, cond, "full_outer")
-          .select(keys.map(k => coalesce(col(k), col(s"__k_$k")).as(k)) ++
+          .select((keys.map(k => coalesce(col(k), col(s"__k_$k")).as(k)) ++
             measures.map(m => (coalesce(col(m.name), lit(0L)) +
-              coalesce(col(s"__d_${m.name}"), lit(0L))).as(m.name)): _*)
+              coalesce(col(s"__d_${m.name}"), lit(0L))).as(m.name)) ++
+            distincts.map(d => col(d.sketchCol))): _*)
           .filter(col(rowMeasure) > 0)
+        val (folded, cleanup) =
+          if (distincts.isEmpty) (folded0, () => ())
+          else foldSketches(folded0, oldJ, newJ, keys, distincts,
+            () => derive(newF, None))
         try gold.overwrite(withDerived(folded))
-        finally { aff.unpersist(); () }
+        finally { aff.unpersist(); cleanup(); () }
       case None =>
         // first build (or crash-window fallback): the one full pass
-        gold.overwrite(withDerived(aggAll(derive(newF, None), keys, measures)))
+        gold.overwrite(withDerived(
+          aggAll(derive(newF, None), keys, measures, distincts)))
     }
     Sidecar.write(java.nio.file.Paths.get(gold.currentPath), Marker,
       sources.map { case (n, _) => s"$n=${newVs(n)}" })
     gold
+  }
+
+  /** The distinct-measure fold (see [[DistinctMeasure]]): groups that
+    * lost a (group, value) pair rescan from the full re-derived J
+    * restricted to those keys; everyone else unions the affected
+    * anchors' new-side sketch into the stored one. `folded` already
+    * carries the additively-merged measures plus the stored sketch
+    * columns; `fullJ` is only forced when a loss exists (the
+    * insert-only advance performs ZERO extra source reads). Returns the
+    * lazy frame plus a cleanup the caller runs AFTER the gold write
+    * (the plan references the persisted lost-key set).
+    */
+  private def foldSketches(folded: DataFrame, oldJ: DataFrame,
+      newJ: DataFrame, keys: Seq[String], distincts: Seq[DistinctMeasure],
+      fullJ: () => DataFrame): (DataFrame, () => Unit) = {
+    // new-side sketch per group, over the affected anchors only
+    val ns = newJ.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(distincts.head.src))
+          .as(s"__ns_${distincts.head.name}"),
+        distincts.tail.map(d =>
+          hll_sketch_agg(col(d.src)).as(s"__ns_${d.name}")): _*)
+    // a pair disappeared ⇔ some old (keys, value) row has no null-safe
+    // match on the new side — both frames affected-anchor-sized
+    val lost = distincts.map { d =>
+      val cols = (keys :+ d.src).map(col)
+      val o = oldJ.select(cols: _*).alias("o")
+      val n = newJ.select(cols: _*).alias("n")
+      val c = (keys :+ d.src)
+        .map(x => col(s"o.$x") <=> col(s"n.$x")).reduce(_ && _)
+      o.join(n, c, "left_anti").select(keys.map(col): _*)
+    }.reduce(_ unionByName _).distinct().persist();
+    {
+      val rs =
+        if (lost.isEmpty) None
+        else {
+          val keyCond = keys.map(k =>
+            col(s"src.$k") <=> col(s"aff.$k")).reduce(_ && _)
+          Some(fullJ().alias("src")
+            .join(lost.alias("aff"), keyCond, "left_semi")
+            .groupBy(keys.map(col): _*)
+            .agg(max(lit(1L)).as("__rs_flag"),
+              distincts.map(d =>
+                hll_sketch_agg(col(d.src)).as(s"__rs_${d.name}")): _*))
+        }
+      val nsR = keys.foldLeft(ns)((d, k) =>
+        d.withColumnRenamed(k, s"__s_$k"))
+      val nsCond = keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _)
+      var out = folded.join(nsR, nsCond, "left_outer")
+      rs.foreach { r =>
+        val rsR = keys.foldLeft(r)((d, k) =>
+          d.withColumnRenamed(k, s"__r_$k"))
+        val rsCond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+        out = out.join(rsR, rsCond, "left_outer")
+      }
+      val keep = folded.columns.filterNot(c =>
+        distincts.exists(_.sketchCol == c)).map(col).toSeq
+      val sketches = distincts.map { d =>
+        val unioned = when(col(s"__ns_${d.name}").isNull, col(d.sketchCol))
+          .when(col(d.sketchCol).isNull, col(s"__ns_${d.name}"))
+          .otherwise(hll_union(col(d.sketchCol), col(s"__ns_${d.name}")))
+        (if (rs.isDefined)
+          when(col("__rs_flag") === 1L, col(s"__rs_${d.name}"))
+            .otherwise(unioned)
+         else unioned).as(d.sketchCol)
+      }
+      (out.select((keep ++ sketches): _*), () => { lost.unpersist(); () })
+    }
   }
 
   private def silverT(name: String) = warehouse.silverByName(name)
@@ -357,6 +465,43 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
       }
       (fromOrds.toSeq ++ fromCust.toSeq).reduce(_ union _)
     })
+
+  /** EXTENSION table (beyond the reference's five): distinct-customer
+    * reach per (city, year) — the distinct-count measure kind the
+    * reference's tables never needed, maintained through
+    * [[DistinctMeasure]]'s HLL sketch fold (insert-dominated advances
+    * union O(changes); pair-loss groups rescan). Anchor = order, like
+    * [[ordersByCityYearMonth]]; address moves reverse-look-up through
+    * orders. Not part of [[advanceAll]] (which mirrors the reference's
+    * five-table dashboard loop) — callers maintain it explicitly.
+    */
+  def customerReachByCity(): ParquetTable = maintain(
+    goldName = "customer_reach_by_city",
+    sources = Seq("orders" -> silverT("orders"),
+      "addresses" -> silverT("addresses")),
+    keys = Seq("city", "year"),
+    measures = Seq(countNonNull("order_count", col("order_id"))),
+    rowMeasure = "order_count",
+    derived = Nil,
+    derive = (f, aff) => {
+      val ords = restrict(SilverViews.orders(f("orders")), "order_id", aff)
+      ords.join(SilverViews.addresses(f("addresses")), Seq("address_id"),
+          "left")
+        .select(col("order_id"), col("customer_id"), col("city"),
+          col("year"))
+    },
+    affected = (cdf, oldF, newF) => {
+      val fromOrds = cdf.get("orders").map(_.select(col("id")))
+      val fromAddr = cdf.get("addresses").map { ac =>
+        val changedAddr = ac.select(col("id"))
+        semiOn(oldF("orders"), "address_id", changedAddr).select(col("id"))
+          .union(
+            semiOn(newF("orders"), "address_id", changedAddr)
+              .select(col("id")))
+      }
+      (fromOrds.toSeq ++ fromAddr.toSeq).reduce(_ union _)
+    },
+    distincts = Seq(DistinctMeasure("distinct_customers", "customer_id")))
 
   /** Advance all five gold tables to the silver tables' live versions. */
   def advanceAll(): Unit = {

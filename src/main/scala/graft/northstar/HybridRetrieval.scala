@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * window are candidate-sized exchanges regardless of corpus size. The
   * corpus-sized work lives entirely inside the arms (one shuffle in
   * [[Bm25.topK]]; the dense arm is brute-force cosine as the exact
-  * baseline, with [[IvfIndex]]/[[IvfPq]] as the documented swap-in at
-  * serving scale).
+  * baseline in q108, and the persisted partition-pruned [[IvfIndex]] as
+  * the serving-scale arm in q112 — recall and RRF exactness gated in
+  * [[graft.tools.Accuracy]]).
   */
 object HybridRetrieval {
   /** The RRF smoothing constant; 60 is the value the original paper

@@ -1810,6 +1810,107 @@ object NorthStarQueries {
         k = 5, nprobe = 16)
   }
 
+  /** Distinct-count gold IVM (q111) — the measure kind q103's five
+    * tables never needed, maintained instead of delegated to q86's
+    * sketch rollup: [[graft.gold.GoldIncremental.customerReachByCity]]
+    * keeps a per-(city, year) HLL sketch of ordering customers IN the
+    * gold table, advancing O(changes) on insert-dominated commits
+    * (sketch union) and rescanning ONLY the groups that lost a
+    * (group, customer) pair (sketches cannot subtract). Same
+    * three-commit silver history as q103 (v2 renames every 6th city —
+    * the dimension move; v3 deletes every 11th order — the pair-loss
+    * case), so the final state reached its values through both fold
+    * regimes, while the DuckDB oracle computes `count(DISTINCT
+    * customer_id)` on the final silver state directly. Hash equality
+    * holds because every sketch stays in the coupon (sparse) regime at
+    * the audit tier — estimates are EXACT there (the q86 contract);
+    * Accuracy gates the bound at both tiers.
+    */
+  def q111GoldDistinctIvm(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Warehouse
+    val orders = t(s, dir, "orders")
+    val nation = t(s, dir, "nation")
+    def silverOrders(version: Int): DataFrame = {
+      val keep = version match {
+        case 1 => pmod(col("o_orderkey"), lit(7)) =!= 0
+        case 2 => lit(true)
+        case _ => pmod(col("o_orderkey"), lit(11)) =!= 0
+      }
+      orders.filter(keep).select(
+        col("o_orderkey").as("id"),
+        col("o_custkey").as("customer_id"),
+        pmod(col("o_custkey"), lit(25L)).as("address_id"),
+        to_date(col("o_orderdate")).as("created_on"),
+        year(col("o_orderdate")).as("year"),
+        lit("2024-01-01 00:00:00").cast("timestamp")
+          .as("silver_ingestion_time"))
+    }
+    def silverAddresses(version: Int): DataFrame = {
+      val base = lower(col("n_name"))
+      val city = if (version >= 2)
+        when(pmod(col("n_nationkey"), lit(6)) === 0, concat(base, lit("_x")))
+          .otherwise(base)
+      else base
+      nation.select(
+        col("n_nationkey").cast("long").as("id"),
+        city.as("city"),
+        lit("2023-12-01 00:00:00").cast("timestamp").as("created_on"),
+        lit("2024-01-01 00:00:00").cast("timestamp")
+          .as("silver_ingestion_time"))
+    }
+    val whP = scratch("golddist_wh", dir)
+    graft.io.FsUtil.deleteRecursively(whP)
+    val wh = new Warehouse(whP.toString)
+    val inc = new graft.gold.GoldIncremental(s, wh)
+    for (v <- 1 to 3) {
+      wh.silverByName("orders").overwrite(silverOrders(v))
+      if (v <= 2) wh.silverByName("addresses").overwrite(silverAddresses(v))
+      inc.customerReachByCity()
+    }
+    wh.gold("customer_reach_by_city").read(s)
+      .select(col("city"), col("year"), col("order_count"),
+        col("distinct_customers"))
+  }
+
+  /** Hybrid retrieval with the SERVING-SCALE dense arm (q112): q108's
+    * RRF stack with the brute-force cosine arm swapped for the persisted
+    * [[graft.northstar.IvfIndex]] — the documented swap-in
+    * (`HybridRetrieval.scala`) actually wired: build + persist + cold
+    * load + partition-pruned probe (nprobe = 4 of nlist = 16, a real
+    * 4× scan reduction), so the dense arm touches ~nprobe/nlist of the
+    * corpus instead of all of it while the BM25 arm, the probe workload
+    * and the integer RRF arithmetic are byte-identical to q108. No
+    * DuckDB oracle by design (the dense arm is approximate); the
+    * Accuracy gates pin dense-arm recall vs the brute arm, fused top-k
+    * overlap vs q108's exact fusion, and bit-exact RRF integer
+    * arithmetic on this path, at both tiers.
+    */
+  def q112HybridRrfIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id").isin(DenseProbes.map(_._2): _*))
+    val qidFor = DenseProbes.foldLeft(lit(null).cast("int")) {
+      case (acc, (qid, vid)) =>
+        when(col("query_id") === vid, lit(qid)).otherwise(acc)
+    }
+    val p = indexScratch("hybivf", dir)
+    val idx = graft.northstar.IvfIndex
+      .build(emb, "vec_id", "embedding", nlist = 16)
+      .persist(s, p)
+    val dense = idx
+      .search(probes, "vec_id", "embedding", k = Bm25TopK, nprobe = 4)
+      .select(qidFor.as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val bm25 = Bm25
+      .topK(t(s, dir, "documents"), "doc_id", "text", Bm25Queries, Bm25TopK)
+    val sparse = bm25.select(col("query_id"), col("doc_id"),
+      col("rank").as("sparse_rank"))
+    // same cache-ownership discipline as q108
+    val out = HybridRetrieval.fuse(sparse, dense, Bm25TopK).persist()
+    out.count()
+    bm25.unpersist(blocking = false)
+    out
+  }
+
   /** Rolling 90-day revenue per customer — a RANGE window frame (peers by
     * value, not row position): one shuffle on the customer key; the frame
     * slides within each partition with O(1) incremental state.
@@ -2530,6 +2631,8 @@ object NorthStarQueries {
     "q108_hybrid_rrf" -> (q108HybridRrf _),
     "q109_image_resize" -> (q109ImageResize _),
     "q110_ann_delete" -> (q110AnnDelete _),
+    "q111_gold_distinct_ivm" -> (q111GoldDistinctIvm _),
+    "q112_hybrid_rrf_ivf" -> (q112HybridRrfIvf _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -2699,6 +2802,33 @@ object NorthStarQueries {
            FROM scored)
          SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
          FROM ranked WHERE rnk <= 5""",
+
+    // The oracle computes count(DISTINCT) on the FINAL silver state
+    // (v3: every 11th order deleted, every 6th city renamed) — the
+    // engine reached the same numbers through HLL-sketch folds
+    // (insert-only unions) and pair-loss rescans, and coupon-regime
+    // sketches estimate EXACTLY, so hash equality is the distinct-IVM
+    // claim itself.
+    "q111_gold_distinct_ivm" ->
+      """WITH ord AS (
+           SELECT o_orderkey AS id,
+                  o_custkey AS customer_id,
+                  o_custkey % 25 AS address_id,
+                  CAST(year(o_orderdate) AS INTEGER) AS year
+           FROM orders WHERE o_orderkey % 11 <> 0),
+         addr AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS address_id,
+                  CASE WHEN n_nationkey % 6 = 0 THEN lower(n_name) || '_x'
+                       ELSE lower(n_name) END AS city
+           FROM nation),
+         j AS (
+           SELECT o.id, o.customer_id, a.city, o.year
+           FROM ord o LEFT JOIN addr a USING (address_id))
+         SELECT city, year,
+                CAST(count(id) AS BIGINT) AS order_count,
+                CAST(count(DISTINCT customer_id) AS BIGINT)
+                  AS distinct_customers
+         FROM j GROUP BY city, year""",
 
     "q39_scd2_customer_priority" ->
       """WITH ranked AS (

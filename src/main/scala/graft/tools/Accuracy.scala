@@ -7,8 +7,8 @@ import graft.io.Tables
 import graft.northstar.{CorpusClean, Dedup, IvfIndex, Similarity, TextAnalysis}
 
 /** Quantitative accuracy gates for the approximation/sketch/index queries
-  * that have no DuckDB oracle (q27, q28, q37, q50, q72, q75, q76, q81,
-  * q82, q84, q86, q88, q92) —
+  * (q27, q28, q37, q50, q72, q75, q76, q81, q82, q84, q86, q88, q92,
+  * q110, q111, q112) —
   * emitted as one machine-readable artifact so a grader can judge the
   * approximate operators from numbers, not by reading specs.
   *
@@ -739,6 +739,112 @@ object Accuracy {
       Gate("q110_ann_delete", "deleted_id_leakage", leakage, "==", 0.0))
   }
 
+  /** q111 — distinct-count gold IVM. The query's final gold state
+    * reached its numbers through HLL-sketch folds (insert-only unions)
+    * and pair-loss rescans over three commits; the gates recompute the
+    * final silver J independently and pin (1) fold vs EXACT
+    * count-distinct and (2) fold vs a DIRECT single-pass sketch (the
+    * union-losslessness claim). Both are 0 at the audit tier (coupon
+    * regime); sf0.1 crosses into SET/dense estimation where the bounds
+    * pin the measured divergence.
+    */
+  def q111Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    val got = graft.SparkEntry.queries("q111_gold_distinct_ivm")(spark, dir)
+      .select("city", "year", "distinct_customers").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // the final silver J, recomputed from the raw tables (the v3 state:
+    // every 11th order deleted, every 6th city renamed)
+    val nation = Tables.read(spark, dir, "nation")
+    val addr = nation.select(col("n_nationkey").cast("long").as("address_id"),
+      when(pmod(col("n_nationkey"), lit(6)) === 0,
+        concat(lower(col("n_name")), lit("_x")))
+        .otherwise(lower(col("n_name"))).as("city"))
+    val j = Tables.read(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+      .select(col("o_custkey").as("customer_id"),
+        pmod(col("o_custkey"), lit(25L)).as("address_id"),
+        year(col("o_orderdate")).as("year"))
+      .join(addr, Seq("address_id"), "left")
+    val exact = j.groupBy(col("city"), col("year"))
+      .agg(countDistinct(col("customer_id")).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val direct = j.groupBy(col("city"), col("year"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("customer_id")))
+        .as("est")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def maxRelErr(ref: Map[(String, Int), Long]): Double =
+      ref.map { case (k, n) =>
+        math.abs(got.getOrElse(k, 0L) - n).toDouble / math.max(n, 1L)
+      }.max
+    Seq(
+      Gate("q111_gold_distinct_ivm", "fold_vs_exact_max_rel_err",
+        maxRelErr(exact), "<=", 0.0),
+      Gate("q111_gold_distinct_ivm", "fold_vs_direct_sketch_max_rel_err",
+        maxRelErr(direct), "<=", 0.0),
+      Gate("q111_gold_distinct_ivm", "groups_maintained",
+        if (got.keySet == exact.keySet) 1.0 else 0.0, "==", 1.0))
+  }
+
+  /** q112 — the hybrid stack's serving-scale dense arm (persisted IVF,
+    * nprobe 4/16). Gates: (1) the IVF dense arm's recall@k against the
+    * brute arm q108 fuses; (2) fused top-k overlap against q108's exact
+    * fusion (RRF dampens single-arm misses — the sparse arm is
+    * identical); (3) bit-exact RRF integer arithmetic on the swap-in
+    * path, replayed driver-side from the result's own rank columns.
+    */
+  def q112Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    import graft.northstar.{Bm25, HybridRetrieval}
+    val emb = Tables.read(spark, dir, "embeddings")
+    val probeIds = graft.queries.NorthStarQueries.DenseProbes
+    val k = graft.queries.NorthStarQueries.Bm25TopK
+    val probes = emb.filter(col("vec_id").isin(probeIds.map(_._2): _*))
+    val exactDense = Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fusedExact = graft.SparkEntry
+      .queries("q108_hybrid_rrf")(spark, dir)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val ivfRows = graft.SparkEntry
+      .queries("q112_hybrid_rrf_ivf")(spark, dir)
+      .select("query_id", "doc_id", "rrf_micro", "sparse_rank",
+        "dense_rank").collect()
+    val fusedIvf = ivfRows.map(r => (r.getInt(0), r.getLong(1))).toSet
+    // the IVF dense arm's own pairs, mapped back to probe vec_ids
+    val qidToVec = probeIds.toMap
+    val denseIvf = ivfRows.filter(!_.isNullAt(4))
+      .map(r => (qidToVec(r.getInt(0)), r.getLong(1))).toSet
+    val denseRecall =
+      if (exactDense.isEmpty) 0.0
+      else (exactDense & denseIvf).size.toDouble / exactDense.size
+    val fusedOverlap =
+      if (fusedExact.isEmpty) 0.0
+      else (fusedExact & fusedIvf).size.toDouble / fusedExact.size
+    def contrib(rank: Any): Long = rank match {
+      case null => 0L
+      case i: Integer => 1000000L / (HybridRetrieval.RrfK + i.toLong)
+      case l: java.lang.Long => 1000000L / (HybridRetrieval.RrfK + l)
+    }
+    val rrfExact = ivfRows.forall { r =>
+      val s = if (r.isNullAt(3)) null else r.get(3)
+      val d = if (r.isNullAt(4)) null else r.get(4)
+      r.getLong(2) == contrib(s) + contrib(d)
+    }
+    // bounds just under the seed-pinned measurements (audit tier
+    // 0.525 / 0.875): nprobe=4/16 over worst-case random embeddings is
+    // the same constant-budget recall regime q81/q82 document — the
+    // gate pins the FIXED-budget contract; RRF's sparse arm lifts the
+    // fused overlap well above the dense arm's own recall
+    Seq(
+      Gate("q112_hybrid_rrf_ivf", "dense_recall_at_k_vs_brute",
+        denseRecall, ">=", 0.50),
+      Gate("q112_hybrid_rrf_ivf", "fused_topk_overlap_vs_exact",
+        fusedOverlap, ">=", 0.85),
+      Gate("q112_hybrid_rrf_ivf", "rrf_integer_replay_agreement",
+        if (rrfExact) 1.0 else 0.0, "==", 1.0))
+  }
+
   def allGates(spark: SparkSession, dir: String): Seq[Gate] = {
     val memo = new RefMemo // scoped to this invocation, shared q88↔q92
     q27Gates(spark, dir) ++ q28Gates(spark, dir) ++ q37Gates(spark, dir) ++
@@ -746,7 +852,7 @@ object Accuracy {
       q75Gates(spark, dir) ++ q81Gates(spark, dir) ++ q82Gates(spark, dir) ++
       q84Gates(spark, dir) ++ q86Gates(spark, dir) ++
       q88Gates(spark, dir, memo) ++ q92Gates(spark, dir, memo) ++
-      q110Gates(spark, dir)
+      q110Gates(spark, dir) ++ q111Gates(spark, dir) ++ q112Gates(spark, dir)
   }
 
   /** Per-tier overrides for the measurement-TUNED bounds (keyed
@@ -788,7 +894,18 @@ object Accuracy {
       "q81_pq_ann/mean_adc_cosine_error" -> 0.09,
       "q82_ivfpq_probe/recall_at_5_vs_brute_force" -> 0.44,
       "q86_sketch_rollup/daily_union_vs_direct_max_rel_err" -> 0.01,
-      "q86_sketch_rollup/max_distinct_rel_err" -> 0.01))
+      "q86_sketch_rollup/max_distinct_rel_err" -> 0.01,
+      //   q111 fold-vs-exact 0.0111 at sf0.1 — per-(city,year)
+      //     cardinalities (≤ ~500) sit in the coupon-SET regime whose
+      //     collision-corrected estimate is no longer exact (the audit
+      //     tier's LIST regime is); fold-vs-direct stays 0 because
+      //     SET-mode union IS lossless coupon-set union — no override;
+      //   q112 dense recall 0.475 / fused overlap 0.825 at sf0.1 —
+      //     the q81/q82 constant-budget decay (nprobe fixed at 4/16
+      //     while the corpus grows 10×).
+      "q111_gold_distinct_ivm/fold_vs_exact_max_rel_err" -> 0.015,
+      "q112_hybrid_rrf_ivf/dense_recall_at_k_vs_brute" -> 0.45,
+      "q112_hybrid_rrf_ivf/fused_topk_overlap_vs_exact" -> 0.80))
 
   /** Re-pin measurement-tuned bounds for a tier (no-op where a gate has
     * no override — the structural gates and the audit tier).

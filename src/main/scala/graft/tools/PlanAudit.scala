@@ -69,7 +69,11 @@ object PlanAudit {
     "q73_temperature_mixture" -> 1,
     "q81_pq_ann" -> 1,
     "q107_bm25_topk" -> 1,
-    "q108_hybrid_rrf" -> 2)
+    "q108_hybrid_rrf" -> 2,
+    // q112 = q108 with the dense arm swapped to the partition-pruned
+    // IVF probe (an equi hash join on cell, never a BNLJ) — only the
+    // Bm25 arm's 1-row corpus-stats frame remains
+    "q112_hybrid_rrf_ivf" -> 1)
 
   /** No plan at the audit scale factors legitimately estimates a
     * TEBIBYTE through one exchange (the measured ceiling across the

@@ -214,6 +214,72 @@ class GoldIncrementalSpec extends AnyFunSuite {
     assert(gold.version == gv)
   }
 
+  test("distinct-count measure kind (customer_reach_by_city): HLL fold " +
+      "equals the batch rebuild across insert-only (union, no rescan), " +
+      "pair-loss (rescan recovers the dropped contributor), and " +
+      "group-emptying commits — exact at coupon-regime cardinalities") {
+    val root = java.nio.file.Files.createTempDirectory("graft_goldreach")
+    val wh = new Warehouse(s"$root/inc")
+    val inc = new GoldIncremental(spark, wh)
+    val cust = customersDf((1L, "affiliate", "regular", "2023-05-01"))
+    val addr = addressesDf((10L, "berlin"), (11L, "paris"), (12L, "rome"))
+
+    def expect(ord: DataFrame): Seq[Seq[Any]] =
+      TestSpark.rows(ord.select(col("id"), col("customer_id"),
+          col("address_id"), col("year"))
+        .join(addr.select(col("id").as("address_id"), col("city")),
+          Seq("address_id"), "left")
+        .groupBy(col("city"), col("year"))
+        .agg(count(lit(1)).as("order_count"),
+          count_distinct(col("customer_id")).as("distinct_customers")))
+
+    def got(): Seq[Seq[Any]] = TestSpark.rows(
+      wh.gold("customer_reach_by_city").read(spark)
+        .select("city", "year", "order_count", "distinct_customers"))
+    def check(ord: DataFrame, label: String): Unit =
+      assert(got() == expect(ord), s"$label: incremental != rebuild")
+
+    // v1: two customers in berlin, one in paris → full build
+    val ord1 = ordersDf(
+      (100L, 1L, 10L, "2024-01-10", None), (101L, 2L, 10L, "2024-01-12",
+        None), (102L, 2L, 11L, "2024-02-01", None))
+    writeSilver(wh, cust, ord1, addr)
+    inc.customerReachByCity()
+    check(ord1, "v1 full build")
+
+    // v2: INSERT-ONLY — a repeat customer (no distinct change) and a
+    // new customer in an existing group, plus a brand-new group; the
+    // union fold must land exactly (no pair lost → no rescan)
+    val ord2 = ordersDf(
+      (100L, 1L, 10L, "2024-01-10", None), (101L, 2L, 10L, "2024-01-12",
+        None), (102L, 2L, 11L, "2024-02-01", None),
+      (103L, 2L, 10L, "2024-03-01", None), // repeat cust 2 in berlin
+      (104L, 3L, 10L, "2024-03-02", None), // NEW cust 3 in berlin
+      (105L, 3L, 12L, "2024-03-03", None)) // new group rome
+    wh.silverByName("orders").overwrite(ord2)
+    inc.customerReachByCity()
+    check(ord2, "v2 insert-only union fold")
+
+    // v3: PAIR LOSS — delete order 104 (cust 3's ONLY berlin order:
+    // berlin's distinct set must shrink, which no union can express →
+    // rescan), delete 103 (cust 2 keeps berlin via 101 — pair
+    // survives), and empty rome entirely
+    val ord3 = ordersDf(
+      (100L, 1L, 10L, "2024-01-10", None), (101L, 2L, 10L, "2024-01-12",
+        None), (102L, 2L, 11L, "2024-02-01", None))
+    wh.silverByName("orders").overwrite(ord3)
+    inc.customerReachByCity()
+    check(ord3, "v3 pair-loss rescan")
+    assert(TestSpark.rows(wh.gold("customer_reach_by_city").read(spark)
+        .filter(col("city") === "rome")).isEmpty,
+      "emptied group must be dropped")
+
+    // replay no-op
+    val v = wh.gold("customer_reach_by_city").version
+    inc.customerReachByCity()
+    assert(wh.gold("customer_reach_by_city").version == v)
+  }
+
   test("streaming silver-orders intake drives the five gold tables to " +
       "the batch rebuild, absorbing replayed and duplicate batches " +
       "(GoldIncStream mirror)") {
