@@ -39,11 +39,55 @@ object RoundClose {
     val suites = args(2).toInt
     val wallSec = args(3).toInt
     val note = args.drop(4).mkString(" ")
+    // FIRST: a query without a COVERAGE row is the drift this runner
+    // exists to prevent (round 9 closed with q109/q110 undocumented) —
+    // fail before any artifact is written so the gap cannot be missed
+    coverageRowCheck()
     PlanAudit.main(Array(s"PLANAUDIT_r$nn.json", "BENCH_DETAIL.json"))
     CoverageFooter.main(Array(succeeded.toString))
     testtimeRow(nn, succeeded, suites, wallSec, note)
+    rollBenchPriors()
     // LAST on purpose: exits 1 on a failed gate (see scaladoc)
     Accuracy.main(Array(s"ACCURACY_r$nn.json"))
+  }
+
+  /** Every `SparkEntry.queries` key must be cited in COVERAGE.md (by its
+    * qNN id — rows and the §-cluster lines both cite that form). Throws
+    * with the full missing list otherwise.
+    */
+  private def coverageRowCheck(): Unit = {
+    val cov = Files.readString(Paths.get("COVERAGE.md"))
+    val ids = graft.SparkEntry.queries.keys
+      .map(_.takeWhile(_ != '_')).toSeq.distinct.sorted
+    val missing = ids.filterNot(id =>
+      ("""\b""" + id + """\b""").r.findFirstIn(cov).nonEmpty)
+    require(missing.isEmpty,
+      s"COVERAGE.md cites no row for: ${missing.mkString(", ")} — add " +
+        "coverage rows before closing the round")
+    println(s"round_close: COVERAGE cites all ${ids.length} query ids")
+  }
+
+  /** The round-rollover half of BASELINE.md's regression protocol,
+    * previously manual and skipped two rounds running (the detector was
+    * still comparing against round-7 bests): the closing round's
+    * accumulated steal-clean bests become the NEXT round's prior
+    * baseline, the detail record becomes the prior volume census, and
+    * the bests accumulator resets so next round folds fresh.
+    */
+  private def rollBenchPriors(): Unit = {
+    val bests = Paths.get("BENCH_BESTS.json")
+    val detail = Paths.get("BENCH_DETAIL.json")
+    if (Files.exists(bests)) {
+      Files.copy(bests, Paths.get("BENCH_BESTS_PRIOR.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.delete(bests)
+      println("round_close: rolled BENCH_BESTS.json -> BENCH_BESTS_PRIOR.json")
+    } else println("round_close: no BENCH_BESTS.json to roll (no bench ran?)")
+    if (Files.exists(detail)) {
+      Files.copy(detail, Paths.get("BENCH_DETAIL_PRIOR.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println("round_close: rolled BENCH_DETAIL.json -> BENCH_DETAIL_PRIOR.json")
+    }
   }
 
   private def testtimeRow(nn: String, succeeded: Int, suites: Int,
