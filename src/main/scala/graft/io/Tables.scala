@@ -620,6 +620,10 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     require(cols.forall(c => !c.startsWith("__") && c != "_change_type"),
       s"changesBetween: table columns may not use the reserved names " +
         s"__* or _change_type (got ${cols.mkString(", ")})")
+    appendOnlyDelta(spark, fromV, toV, to, cols) match {
+      case Some(delta) => return delta
+      case None => ()
+    }
     val from0 = readVersion(spark, fromV)
     val fromAligned = cols
       .foldLeft(from0)((d, c) =>
@@ -642,6 +646,61 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       .select(cols.map(c => coalesce(col(c), col(s"__t_$c")).as(c)) :+
         when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
           .as("_change_type"): _*)
+  }
+
+  /** CDF fast path for append-chain versions: [[appendVersion]] builds
+    * every new version as the previous version's files — hard links,
+    * relative names preserved — plus the delta's new files, so when
+    * fromV's parquet file set is a SUBSET of toV's (by relative path;
+    * part-file names carry write UUIDs, so an equal name means the same
+    * linked inode, not a coincidence), the multiset delta is EXACTLY the
+    * rows of the new files, all inserts: no old-version scan, no
+    * full-width diff join — O(|delta|) instead of O(|fromV| + |toV|).
+    * This is what keeps the streaming intake mirrors' per-trigger
+    * advance O(batch) at any accumulated size: they commit through
+    * appendVersion, so every consecutive-version CDF takes this path.
+    * Any rewrite in the chain (overwrite, replacePartitions' touched
+    * dirs, compaction, the empty-write schema fallback file that append
+    * deliberately does not link) breaks the subset property and returns
+    * None — the generic full diff stays the correctness baseline.
+    */
+  private def appendOnlyDelta(spark: SparkSession, fromV: Int, toV: Int,
+      to: DataFrame,
+      cols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val fromDir = Paths.get(path, f"v_$fromV%05d")
+    val toDir = Paths.get(path, f"v_$toV%05d")
+    def parquetFiles(d: java.nio.file.Path): Map[String, java.nio.file.Path] = {
+      val walk = Files.walk(d)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => d.relativize(p).toString -> p).toMap
+      finally walk.close()
+    }
+    val fromFiles = parquetFiles(fromDir)
+    val toFiles = parquetFiles(toDir)
+    if (!fromFiles.keySet.subsetOf(toFiles.keySet)) None
+    else {
+      val newPaths = (toFiles -- fromFiles.keySet).values
+        .map(_.toString).toSeq.sorted
+      if (newPaths.isEmpty)
+        Some(to.limit(0)
+          .select(cols.map(col) :+ lit("insert").as("_change_type"): _*))
+      else {
+        // basePath recovers partition-column values from the dir layout;
+        // columns the delta files lack (pre-evolution links never land
+        // here — these are the NEW files) align to the TO schema as NULL
+        val raw = spark.read.option("basePath", toDir.toString)
+          .parquet(newPaths: _*)
+        val aligned = cols.foldLeft(raw)((d, c) =>
+          if (d.columns.contains(c)) d
+          else d.withColumn(c, lit(null).cast(to.schema(c).dataType)))
+        Some(aligned
+          .select(cols.map(col) :+ lit("insert").as("_change_type"): _*))
+      }
+    }
   }
 
   /** Small-file compaction (Delta OPTIMIZE): rewrite the live version into

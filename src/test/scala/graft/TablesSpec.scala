@@ -303,6 +303,39 @@ class TablesSpec extends AnyFunSuite {
       Seq(2L, "y", "delete"), Seq(2L, "y", "delete")))
   }
 
+  test("changesBetween append-chain fast path: a hard-link append chain " +
+      "yields the delta rows as inserts while scanning ONLY the new " +
+      "files (O(batch), never the accumulated corpus); a rewrite in the " +
+      "chain falls back to the generic full diff") {
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/chain")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.appendVersion(Seq((3L, "c")).toDF("id", "v"))
+    t.appendVersion(Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
+    // multi-append jump v1→v3: exactly the three appended rows, inserts
+    val changes = t.changesBetween(spark, 1, 3)
+    TestSpark.assertSameRows(changes, Seq(
+      Seq(3L, "c", "insert"), Seq(4L, "d", "insert"), Seq(5L, "e", "insert")))
+    // the O(delta) claim, structurally: the scan reads only files that
+    // are NOT v1's linked names — the accumulated base is never touched
+    val v1Names = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/chain/v_00001"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val scanned = changes.inputFiles.map(f => f.split('/').last).toSet
+    assert(scanned.nonEmpty && scanned.forall(n => !v1Names.contains(n)),
+      s"fast-path CDF must not scan the base version's files; scanned " +
+        s"$scanned vs base $v1Names")
+    // an overwrite in the chain breaks the subset property → generic
+    // diff, with deletes visible again
+    t.overwrite(Seq((1L, "a"), (3L, "c")).toDF("id", "v"))
+    TestSpark.assertSameRows(t.changesBetween(spark, 3, 4), Seq(
+      Seq(2L, "b", "delete"), Seq(4L, "d", "delete"),
+      Seq(5L, "e", "delete")))
+  }
+
   test("schema evolution: an appended column reads as null on old rows, " +
       "time travel keeps old schemas, history is not corrupted") {
     val dir = Files.createTempDirectory("graft_tbl").toString
