@@ -231,8 +231,19 @@ object PlanAudit {
     // audited via their registered distributed-stage plan instead —
     // otherwise the gates would see an empty LocalTableScan and a real
     // regression in the corpus stage would be invisible
-    val shapes = audit(spark, dir,
-      graft.SparkEntry.queries ++ graft.queries.NorthStarQueries.auditPlans)
+    val all =
+      graft.SparkEntry.queries ++ graft.queries.NorthStarQueries.auditPlans
+    // optional subset (args 3+): the scale-tier audits (e.g. sf1) census
+    // a heavy subset instead of paying the whole 110+-query surface
+    val subset = args.drop(2).toSet
+    val selected =
+      if (subset.isEmpty) all
+      else {
+        val unknown = subset -- all.keySet
+        require(unknown.isEmpty, s"PlanAudit: unknown queries $unknown")
+        all.view.filterKeys(subset).toMap
+      }
+    val shapes = audit(spark, dir, selected)
     val measured = measuredShuffleWrites(detailPath)
 
     def jstr(s: String): String =
