@@ -689,15 +689,16 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
         Some(to.limit(0)
           .select(cols.map(col) :+ lit("insert").as("_change_type"): _*))
       else {
-        // basePath recovers partition-column values from the dir layout;
-        // columns the delta files lack (pre-evolution links never land
-        // here — these are the NEW files) align to the TO schema as NULL
-        val raw = spark.read.option("basePath", toDir.toString)
+        // Read under the TO version's schema, never inference: basePath
+        // recovers partition-column VALUES from the dir layout but would
+        // infer their TYPES (bucket=3 reads as int where the committed
+        // schema says long), and columns the delta files lack
+        // (schema-on-read) must surface as typed NULLs — both are what
+        // the explicit schema guarantees.
+        val raw = spark.read.schema(to.schema)
+          .option("basePath", toDir.toString)
           .parquet(newPaths: _*)
-        val aligned = cols.foldLeft(raw)((d, c) =>
-          if (d.columns.contains(c)) d
-          else d.withColumn(c, lit(null).cast(to.schema(c).dataType)))
-        Some(aligned
+        Some(raw
           .select(cols.map(col) :+ lit("insert").as("_change_type"): _*))
       }
     }

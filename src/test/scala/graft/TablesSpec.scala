@@ -334,6 +334,17 @@ class TablesSpec extends AnyFunSuite {
     TestSpark.assertSameRows(t.changesBetween(spark, 3, 4), Seq(
       Seq(2L, "b", "delete"), Seq(4L, "d", "delete"),
       Seq(5L, "e", "delete")))
+    // PARTITIONED fast path: the delta read must carry the COMMITTED
+    // schema — dir-layout inference would type bucket=3 as int where
+    // the table committed long (the PackStream.recover regression)
+    val pt = new ParquetTable(s"$dir/pchain", partitionColumns = Seq("bucket"))
+    pt.overwrite(Seq((1L, "a", 0L)).toDF("id", "v", "bucket"))
+    pt.appendVersion(Seq((2L, "b", 3L)).toDF("id", "v", "bucket"))
+    val pc = pt.changesBetween(spark, 1, 2)
+    assert(pc.schema("bucket").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "fast-path CDF must read partition columns at the committed type")
+    TestSpark.assertSameRows(pc, Seq(Seq(2L, "b", 3L, "insert")))
   }
 
   test("schema evolution: an appended column reads as null on old rows, " +
