@@ -134,6 +134,53 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     new IvfPqIndex(centroids, pq, table.read(spark), persisted = true)
   }
 
+  /** FAISS IVFADC `add`: grow a [[persist]]ed index with `delta`
+    * vectors WITHOUT refitting anything — centroids AND the residual
+    * codebooks are train-once state (the [[IvfIndex.append]] contract
+    * extended to the coded layout). Each delta vector runs the exact
+    * build path against the EXISTING model: unit-normalize → assign to
+    * its nearest existing cell (the shared [[IvfIndex.assignToCells]]
+    * kernel) → residual against that centroid → encode with the
+    * existing codebooks — so an appended vector carries bit-identical
+    * (cell, codes) to a bulk encode of the same corpus under the same
+    * model (spec-gated). The coded lists grow through
+    * [[graft.io.ParquetTable.appendVersion]] (hard-linked ride-along:
+    * O(|delta|) written bytes at any corpus size); the model sidecar
+    * rides into the new version via the same link pass. Delete-then-
+    * append compacts first, like [[IvfIndex.append]], so a re-added id
+    * neither stays masked nor resurrects its old codes.
+    */
+  def append(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, vecCol: String,
+      retainHistory: Boolean = false): IvfPqIndex = {
+    require(persisted,
+      "append grows a persisted index — call persist() first")
+    val unit = VectorOps.unitVecs(delta, idCol, vecCol, "neighbor_id", "__cv")
+    val readded = AnnDeletes.read(spark, path).exists(t =>
+      !unit.select(col("neighbor_id"))
+        .join(t, Seq("neighbor_id"), "left_semi").isEmpty)
+    val base = if (readded) compact(spark, path, retainHistory) else this
+    val centArr = base.centroids.sortBy(_._1).map(_._2.toArray)
+    val assigned = IvfIndex.assignToCells(unit, centArr)
+    import spark.implicits._
+    val centroidDf = broadcast(base.centroids.toSeq.toDF("cell", "__cent"))
+    val coded = assigned.join(centroidDf, Seq("cell"))
+      .withColumn("__res", {
+        import org.apache.spark.sql.GraftBridge
+        GraftBridge.toColumn(graft.functions.VecSub(
+          GraftBridge.toExpression(col("__cv")),
+          GraftBridge.toExpression(col("__cent"))))
+      })
+      .withColumn("__codes", base.pq.encode(col("__res")))
+      .select(col("cell"), col("neighbor_id"), col("__cv"), col("__codes"))
+    val table = new graft.io.ParquetTable(path, partitionColumns = Seq("cell"))
+    // cluster by cell for the same one-file-per-list layout as persist
+    table.appendVersion(coded.repartition(col("cell")))
+    if (!retainHistory) table.vacuum()
+    new IvfPqIndex(centroids, pq, table.read(spark), persisted = true,
+      tombstones = AnnDeletes.read(spark, path))
+  }
+
   /** FAISS `remove_ids`, logical half — same contract as
     * [[IvfIndex.remove]]: O(|ids|) tombstone append, searches mask the
     * ids via a broadcast anti-join until [[compact]].

@@ -33,6 +33,47 @@ class IvfPqSpec extends AnyFunSuite {
       TestSpark.rows(brute.select("query_id", "neighbor_id", "rank")))
   }
 
+  test("append grows a persisted IVFADC index without refit: appended " +
+      "vectors carry bit-identical (cell, codes) to their build-time " +
+      "twins, a cold reload serves them, and existing lists ride as " +
+      "hard links") {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_append").toString + "/idx"
+    val idx = IvfPqIndex
+      .build(spark, emb, "vec_id", "embedding", nlist = 4, m = 4, ksub = 8)
+      .persist(spark, path)
+    val table = new graft.io.ParquetTable(path,
+      partitionColumns = Seq("cell"))
+    val before = table.read(spark).count()
+    // twins: the same vectors re-added under shifted ids — the model is
+    // train-once and per-vector deterministic, so a twin MUST land in
+    // the same cell with the same codes its original got at build time
+    val twins = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val grown = idx.append(spark, path, twins, "vec_id", "embedding")
+    val coded = table.read(spark)
+    assert(coded.count() == before + 20)
+    val byId = coded.select("neighbor_id", "cell", "__codes").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    (0L until 20L).foreach { id =>
+      assert(byId(id + 1000L) == byId(id),
+        s"twin $id must carry its original's exact (cell, codes)")
+    }
+    // the appended vector is findable at serving parameters — its own
+    // direction must return either itself or its exact twin at rank 1
+    val q = emb.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", lit(5000L))
+    val top = grown.search(q, "vec_id", "embedding", k = 2, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(top.contains(1007L) || top.contains(7L))
+    // cold reload parity over the grown index
+    val reloaded = IvfPqIndex.load(spark, path).get
+    val probe = emb.filter(col("vec_id") < 3)
+    assert(pairs(reloaded.search(probe, "vec_id", "embedding", 3, 2)) ==
+      pairs(grown.search(probe, "vec_id", "embedding", 3, 2)))
+  }
+
   test("persisted index reloads and reproduces the in-memory search exactly") {
     val emb = Tables.read(spark, dir, "embeddings")
     val path = java.nio.file.Files
