@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.northstar.IvfIndex
+import graft.northstar.{IvfIndex, IvfPqIndex}
 
 /** Streaming ANN-index maintenance — the serving-side mirror of the
   * corpus/event streams: a continuous feed of new embedding rows grows a
@@ -66,6 +66,53 @@ object IndexStream {
           val n = fresh.count()
           if (n > 0) {
             // filter BEFORE the index commit — see the superset contract
+            ReplayGate.commitToFilter(bloomPath, bloom, fresh, idCol, n,
+              expectedIds, () => Some(knownIds))
+            idx.append(s, path, fresh, idCol, vecCol)
+            ()
+          }
+        } finally {
+          fresh.unpersist()
+          ()
+        }
+      }
+      .start()
+
+  /** The coded-layout mirror of [[ivfAppendStream]]: maintain a
+    * persisted [[IvfPqIndex]] (IVFADC) from a stream of (id, vector)
+    * rows via [[IvfPqIndex.append]] — centroids AND residual codebooks
+    * are train-once (the seed index fixes them), so each micro-batch
+    * only assigns, residual-encodes and hard-link-appends — O(batch)
+    * per trigger. Same replay-gate contract and filter-before-commit
+    * ordering as the IVF mirror; both mirrors share one filter file at
+    * the index root, keyed by the same id column semantics.
+    */
+  def ivfPqAppendStream(vectors: DataFrame, idCol: String,
+      vecCol: String, path: String,
+      expectedIds: Long = 4L * 1024 * 1024): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val idx = IvfPqIndex.load(s, path).getOrElse(sys.error(
+          s"ivfPqAppendStream: no persisted index at $path — " +
+            "build and persist the seed index first"))
+        def knownIds: DataFrame = new graft.io.ParquetTable(path,
+            partitionColumns = Seq("cell"))
+          .read(s).select(col("neighbor_id").as(idCol))
+        val bloomPath = java.nio.file.Paths.get(path, ReplayGate.BloomFile)
+        val bloom = ReplayGate.loadOrSeed(bloomPath, () => Some(knownIds),
+          idCol, expectedIds)
+        val incoming = batch.toDF().select(col(idCol), col(vecCol))
+          .distinct() // in-batch re-sends of the same (id, vector)
+        val sketch = ReplayGate.probeSketch(incoming, idCol)
+        val fresh = ReplayGate.freshRows(incoming, idCol, Some(bloom),
+            Some(sketch), () => knownIds)
+          .persist()
+        try {
+          val n = fresh.count()
+          if (n > 0) {
+            // filter BEFORE the index commit — the superset contract
             ReplayGate.commitToFilter(bloomPath, bloom, fresh, idCol, n,
               expectedIds, () => Some(knownIds))
             idx.append(s, path, fresh, idCol, vecCol)

@@ -315,6 +315,69 @@ class StreamingSpec extends AnyFunSuite {
       "streamed appends must equal the bulk assignment with seed centroids")
   }
 
+  test("streaming IVFADC append grows the persisted coded index to the " +
+      "one-shot bulk append under the same seed model, absorbing " +
+      "replayed and duplicate batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.io.Tables
+    import graft.northstar.{IvfPqIndex, Similarity}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.read(spark, dir, "embeddings")
+    val rows = emb.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val (seed, rest) = rows.partition(_._1 < 300)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_stream").toString
+    val seedDf = seed.toSeq.toDF("vec_id", "embedding")
+    def seedIndex(path: String): IvfPqIndex = IvfPqIndex
+      .build(spark, seedDf, "vec_id", "embedding", nlist = 4, m = 4,
+        ksub = 8)
+      .persist(spark, path)
+    val path = s"$root/idx"
+    seedIndex(path)
+
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.IndexStream.ivfPqAppendStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    try {
+      val (b1, b2) = rest.partition(_._1 < 400)
+      // batch 1 replays part of the seed corpus alongside new vectors,
+      // and carries an in-batch duplicate
+      in.addData(b1.toSeq ++ seed.take(5) :+ b1.head)
+      q.processAllAvailable()
+      // batch 2 replays all of batch 1 alongside the remaining vectors
+      in.addData(b2.toSeq ++ b1.take(10))
+      q.processAllAvailable()
+      // a pure-replay batch must append nothing (no version churn)
+      val vBefore = new graft.io.ParquetTable(path, Seq("cell")).version
+      in.addData(b2.take(3).toSeq)
+      q.processAllAvailable()
+      assert(new graft.io.ParquetTable(path, Seq("cell")).version == vBefore,
+        "an all-replay batch must not create a new version")
+    } finally q.stop()
+
+    // reference: the SAME seed model (deterministic build) grown by ONE
+    // bulk append of the full remainder — streamed (cell, codes) must
+    // land bit-identically, one row per vector, no duplicates
+    val refPath = s"$root/ref"
+    val refIdx = seedIndex(refPath)
+    refIdx.append(spark, refPath, rest.toSeq.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    def coded(p: String): Seq[(Long, Int, Seq[Int])] =
+      new graft.io.ParquetTable(p, Seq("cell")).read(spark)
+        .select("neighbor_id", "cell", "__codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+        .sortBy(_._1).toSeq
+    assert(coded(path) == coded(refPath),
+      "streamed IVFADC appends must equal the one-shot bulk append " +
+        "under the same train-once model")
+  }
+
   test("streaming sketch rollup equals a direct batch sketch across " +
       "replayed batches (union losslessness end-to-end)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
