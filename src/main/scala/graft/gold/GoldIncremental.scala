@@ -186,8 +186,15 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
         // twice inside the one fold job; released before returning
         val aff = affected(cdfs, oldF, newF).toDF("__anchor").distinct()
           .persist()
-        val oldJ = derive(oldF, Some(aff))
-        val newJ = derive(newF, Some(aff))
+        // with distinct measures the two restricted derivations feed the
+        // signed delta AND the sketch fold's pair-loss/new-side subtrees
+        // (up to 3 evaluations each) — persist them for that case; the
+        // additive-only path uses each side once
+        val oldJ0 = derive(oldF, Some(aff))
+        val newJ0 = derive(newF, Some(aff))
+        val (oldJ, newJ) =
+          if (distincts.isEmpty) (oldJ0, newJ0)
+          else (oldJ0.persist(), newJ0.persist())
         // signed union → one grouped delta (old contributions −, new +)
         val sign = col("__sign")
         val signed = oldJ
@@ -221,7 +228,12 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
           else foldSketches(folded0, oldJ, newJ, keys, distincts,
             () => derive(newF, None))
         try gold.overwrite(withDerived(folded))
-        finally { aff.unpersist(); cleanup(); () }
+        finally {
+          aff.unpersist()
+          if (distincts.nonEmpty) { oldJ.unpersist(); newJ.unpersist() }
+          cleanup()
+          ()
+        }
       case None =>
         // first build (or crash-window fallback): the one full pass
         gold.overwrite(withDerived(
