@@ -671,6 +671,10 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     import scala.jdk.CollectionConverters._
     val fromDir = Paths.get(path, f"v_$fromV%05d")
     val toDir = Paths.get(path, f"v_$toV%05d")
+    // a vacuumed/absent version must fail through readVersion's
+    // descriptive require on the generic path, not a raw
+    // NoSuchFileException from the walk here
+    if (!Files.exists(fromDir) || !Files.exists(toDir)) return None
     def parquetFiles(d: java.nio.file.Path): Map[String, java.nio.file.Path] = {
       val walk = Files.walk(d)
       try walk.iterator().asScala

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, DataFrame, Row}
+import org.apache.spark.sql.{Dataset, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -8,11 +8,13 @@ import graft.northstar.{IvfIndex, IvfPqIndex}
 
 /** Streaming ANN-index maintenance — the serving-side mirror of the
   * corpus/event streams: a continuous feed of new embedding rows grows a
-  * persisted [[IvfIndex]] through `foreachBatch` + [[IvfIndex.append]].
-  * The quantizer is train-once (FAISS's `add` contract), so each
-  * micro-batch only assigns its vectors to the existing centroids and
-  * hard-link-appends the inverted lists — O(batch) per trigger however
-  * large the accumulated corpus.
+  * persisted [[IvfIndex]] (or the coded [[IvfPqIndex]]) through
+  * `foreachBatch` + the index's `append`. The quantizer state is
+  * train-once (FAISS's `add` contract), so each micro-batch only assigns
+  * its vectors to the existing centroids (and, for IVFADC, residual-
+  * encodes with the existing codebooks) and hard-link-appends the
+  * inverted lists — O(batch) per trigger however large the accumulated
+  * corpus.
   *
   * Replay/duplicate absorption is SET-VALUED like every other streaming
   * mirror here: a batch anti-joins the already-indexed ids before
@@ -23,14 +25,55 @@ import graft.northstar.{IvfIndex, IvfPqIndex}
   * [[ReplayGate]] Bloom filter of indexed ids kept at the index table's
   * root: the common all-fresh batch never touches the indexed-ids column
   * at all, and a replay-bearing batch probes only its maybe-seen ids
-  * (isin-pushed scan — O(batch + FP) rows, not O(index)). The filter is
-  * updated BEFORE the append commits ([[ReplayGate]]'s superset
-  * contract: a crash in between strands harmless false positives, never
-  * index-ids missing from the filter, which would re-append on replay);
-  * a filter-less pre-gate index seeds the filter from the full id column
-  * once.
+  * (range + sketch-restricted scan — O(batch + FP) rows, not O(index)).
+  * The filter is updated BEFORE the append commits ([[ReplayGate]]'s
+  * superset contract: a crash in between strands harmless false
+  * positives, never index-ids missing from the filter, which would
+  * re-append on replay); a filter-less pre-gate index seeds the filter
+  * from the full id column once.
   */
 object IndexStream {
+
+  /** The one replay-gated append choreography both index layouts share
+    * (kept single-sourced so a gate change is one edit, not a per-mirror
+    * migration): `open` resolves the persisted index per trigger and
+    * returns (knownIds reader, append action).
+    */
+  private def gatedAppendStream(vectors: DataFrame, idCol: String,
+      vecCol: String, path: String, expectedIds: Long,
+      open: SparkSession => (() => DataFrame, DataFrame => Unit)):
+      StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val (knownIds, append) = open(s)
+        val bloomPath = java.nio.file.Paths.get(path, ReplayGate.BloomFile)
+        val bloom = ReplayGate.loadOrSeed(bloomPath, () => Some(knownIds()),
+          idCol, expectedIds)
+        val incoming = batch.toDF().select(col(idCol), col(vecCol))
+          .distinct() // in-batch re-sends of the same (id, vector)
+        val sketch = ReplayGate.probeSketch(incoming, idCol)
+        // persisted across the emptiness probe and the append: without it
+        // the branch and the append each re-run the (gated) probe
+        val fresh = ReplayGate.freshRows(incoming, idCol, Some(bloom),
+            Some(sketch), knownIds)
+          .persist()
+        try {
+          // an all-replay batch appends nothing — and creates no version
+          val n = fresh.count()
+          if (n > 0) {
+            // filter BEFORE the index commit — see the superset contract
+            ReplayGate.commitToFilter(bloomPath, bloom, fresh, idCol, n,
+              expectedIds, () => Some(knownIds()))
+            append(fresh)
+          }
+        } finally {
+          fresh.unpersist()
+          ()
+        }
+      }
+      .start()
 
   /** Maintain the persisted index at `path` from a stream of
     * (id, vector) rows. The seed index must already exist
@@ -41,87 +84,30 @@ object IndexStream {
   def ivfAppendStream(vectors: DataFrame, idCol: String,
       vecCol: String, path: String,
       expectedIds: Long = 4L * 1024 * 1024): StreamingQuery =
-    vectors.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val s = batch.sparkSession
-        val idx = IvfIndex.load(s, path).getOrElse(sys.error(
-          s"ivfAppendStream: no persisted index at $path — " +
-            "build and persist the seed index first"))
-        def knownIds: DataFrame =
-          idx.assigned.select(col("neighbor_id").as(idCol))
-        val bloomPath = java.nio.file.Paths.get(path, ReplayGate.BloomFile)
-        val bloom = ReplayGate.loadOrSeed(bloomPath, () => Some(knownIds),
-          idCol, expectedIds)
-        val incoming = batch.toDF().select(col(idCol), col(vecCol))
-          .distinct() // in-batch re-sends of the same (id, vector)
-        val sketch = ReplayGate.probeSketch(incoming, idCol)
-        // persisted across the emptiness probe and the append: without it
-        // the branch and the append each re-run the (gated) probe
-        val fresh = ReplayGate.freshRows(incoming, idCol, Some(bloom),
-            Some(sketch), () => knownIds)
-          .persist()
-        try {
-          // an all-replay batch appends nothing — and creates no version
-          val n = fresh.count()
-          if (n > 0) {
-            // filter BEFORE the index commit — see the superset contract
-            ReplayGate.commitToFilter(bloomPath, bloom, fresh, idCol, n,
-              expectedIds, () => Some(knownIds))
-            idx.append(s, path, fresh, idCol, vecCol)
-            ()
-          }
-        } finally {
-          fresh.unpersist()
-          ()
-        }
-      }
-      .start()
+    gatedAppendStream(vectors, idCol, vecCol, path, expectedIds, { s =>
+      val idx = IvfIndex.load(s, path).getOrElse(sys.error(
+        s"ivfAppendStream: no persisted index at $path — " +
+          "build and persist the seed index first"))
+      (() => idx.assigned.select(col("neighbor_id").as(idCol)),
+        (fresh: DataFrame) => { idx.append(s, path, fresh, idCol, vecCol); () })
+    })
 
   /** The coded-layout mirror of [[ivfAppendStream]]: maintain a
     * persisted [[IvfPqIndex]] (IVFADC) from a stream of (id, vector)
     * rows via [[IvfPqIndex.append]] — centroids AND residual codebooks
     * are train-once (the seed index fixes them), so each micro-batch
     * only assigns, residual-encodes and hard-link-appends — O(batch)
-    * per trigger. Same replay-gate contract and filter-before-commit
-    * ordering as the IVF mirror; both mirrors share one filter file at
-    * the index root, keyed by the same id column semantics.
+    * per trigger.
     */
   def ivfPqAppendStream(vectors: DataFrame, idCol: String,
       vecCol: String, path: String,
       expectedIds: Long = 4L * 1024 * 1024): StreamingQuery =
-    vectors.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val s = batch.sparkSession
-        val idx = IvfPqIndex.load(s, path).getOrElse(sys.error(
-          s"ivfPqAppendStream: no persisted index at $path — " +
-            "build and persist the seed index first"))
-        def knownIds: DataFrame = new graft.io.ParquetTable(path,
-            partitionColumns = Seq("cell"))
-          .read(s).select(col("neighbor_id").as(idCol))
-        val bloomPath = java.nio.file.Paths.get(path, ReplayGate.BloomFile)
-        val bloom = ReplayGate.loadOrSeed(bloomPath, () => Some(knownIds),
-          idCol, expectedIds)
-        val incoming = batch.toDF().select(col(idCol), col(vecCol))
-          .distinct() // in-batch re-sends of the same (id, vector)
-        val sketch = ReplayGate.probeSketch(incoming, idCol)
-        val fresh = ReplayGate.freshRows(incoming, idCol, Some(bloom),
-            Some(sketch), () => knownIds)
-          .persist()
-        try {
-          val n = fresh.count()
-          if (n > 0) {
-            // filter BEFORE the index commit — the superset contract
-            ReplayGate.commitToFilter(bloomPath, bloom, fresh, idCol, n,
-              expectedIds, () => Some(knownIds))
-            idx.append(s, path, fresh, idCol, vecCol)
-            ()
-          }
-        } finally {
-          fresh.unpersist()
-          ()
-        }
-      }
-      .start()
+    gatedAppendStream(vectors, idCol, vecCol, path, expectedIds, { s =>
+      val idx = IvfPqIndex.load(s, path).getOrElse(sys.error(
+        s"ivfPqAppendStream: no persisted index at $path — " +
+          "build and persist the seed index first"))
+      (() => new graft.io.ParquetTable(path, partitionColumns = Seq("cell"))
+          .read(s).select(col("neighbor_id").as(idCol)),
+        (fresh: DataFrame) => { idx.append(s, path, fresh, idCol, vecCol); () })
+    })
 }

@@ -220,7 +220,13 @@ object ReplayGate {
       readSeenIds: () => Option[DataFrame], fpp: Double = 0.01,
       smallBatch: Long = SmallBatchCutoff): Unit =
     if (freshCount <= smallBatch) {
+      // NULL ids never enter the filter on ANY path (the distributed
+      // bloom aggregate skips them too) — a null key also never matches
+      // the log anti-join, so such rows are structurally un-dedupable
+      // and stay the caller's contract; the filter update must not NPE
+      // on them
       fresh.select(idExpr(fresh, idCol).as("__h")).distinct()
+        .filter(col("__h").isNotNull)
         .collect().foreach(r => bloom.putLong(r.getLong(0)))
       save(file, bloom)
     } else {

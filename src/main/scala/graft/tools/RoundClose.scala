@@ -46,9 +46,11 @@ object RoundClose {
     PlanAudit.main(Array(s"PLANAUDIT_r$nn.json", "BENCH_DETAIL.json"))
     CoverageFooter.main(Array(succeeded.toString))
     testtimeRow(nn, succeeded, suites, wallSec, note)
-    rollBenchPriors()
-    // LAST on purpose: exits 1 on a failed gate (see scaladoc)
+    // Accuracy exits 1 on a failed gate (scaladoc) — a failed close must
+    // NOT have consumed the bests accumulator or overwritten the prior
+    // baselines, so the roll runs only after every gate passes
     Accuracy.main(Array(s"ACCURACY_r$nn.json"))
+    rollBenchPriors()
   }
 
   /** Every `SparkEntry.queries` key must be cited in COVERAGE.md (by its

@@ -64,10 +64,13 @@ object ScaleUp {
         d = d.withColumn("text", concat(col("text"), lit(s" c$i")))
           .withColumn("n_chars", length(col("text")).cast("long"))
       if (i > 0 && name == "embeddings") {
-        // deterministic per-copy, per-dimension offset (±3e-3): keeps
-        // cosine structure, breaks exact ties across copies
+        // deterministic per-copy, per-dimension offset: the modular term
+        // varies by dimension, the i-linear term guarantees DISTINCT
+        // vectors for every copy pair (a %-only form has period 7 in i —
+        // copies 1/8 and 2/9 of a 10-copy run would be bitwise twins)
         val off = (j: Column) =>
-          ((lit(i * 31L) + j) % 7 - lit(3)).cast("float") * lit(1e-3f)
+          ((lit(i * 31L) + j) % 7 - lit(3)).cast("float") * lit(1e-3f) +
+            lit(i.toFloat * 1e-4f)
         d = d.withColumn("embedding",
           zip_with(col("embedding"),
             transform(col("embedding"), (_, j) => off(j)),

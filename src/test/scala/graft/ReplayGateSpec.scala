@@ -147,6 +147,21 @@ class ReplayGateSpec extends AnyFunSuite {
       "small path must extend the odd-geometry filter in place")
   }
 
+  test("commitToFilter small-batch path skips NULL ids instead of " +
+      "killing the trigger (null keys are structurally un-dedupable — " +
+      "the caller contract — but must not NPE the filter update)") {
+    val tmp = Files.createTempDirectory("graft_gate_null")
+    val file = tmp.resolve(ReplayGate.BloomFile)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    val fresh = Seq((Some(7L), "x"), (None: Option[Long], "null-key"))
+      .toDF("doc_id", "text")
+    ReplayGate.commitToFilter(file, bloom, fresh, "doc_id", 2L, 1000,
+      () => None)
+    val reloaded = ReplayGate.load(file).get
+    assert(reloaded.mightContainLong(7L),
+      "the non-null id must land in the filter")
+  }
+
   test("commitToFilter large-batch path survives a stale-geometry " +
       "filter: the incompatible merge RESEEDS from the log at the " +
       "current geometry instead of poisoning every later trigger") {

@@ -334,6 +334,13 @@ class TablesSpec extends AnyFunSuite {
     TestSpark.assertSameRows(t.changesBetween(spark, 3, 4), Seq(
       Seq(2L, "b", "delete"), Seq(4L, "d", "delete"),
       Seq(5L, "e", "delete")))
+    // a vacuumed fromV fails through readVersion's descriptive message,
+    // not a raw filesystem error from the fast path's file walk
+    t.vacuum()
+    val gone = intercept[IllegalArgumentException] {
+      t.changesBetween(spark, 1, 4).count()
+    }
+    assert(gone.getMessage.contains("does not exist"))
     // PARTITIONED fast path: the delta read must carry the COMMITTED
     // schema — dir-layout inference would type bucket=3 as int where
     // the table committed long (the PackStream.recover regression)
