@@ -280,6 +280,62 @@ class GoldIncrementalSpec extends AnyFunSuite {
     assert(wh.gold("customer_reach_by_city").version == v)
   }
 
+  test("property: distinct-measure maintenance equals the batch rebuild " +
+      "across a random insert/update/delete commit sequence (seeded) — " +
+      "every advance, not just the scripted three") {
+    val rnd = new scala.util.Random(4242L)
+    val root = java.nio.file.Files.createTempDirectory("graft_goldprop")
+    val wh = new Warehouse(s"$root/inc")
+    val inc = new GoldIncremental(spark, wh)
+    val cust = customersDf((1L, "affiliate", "regular", "2023-05-01"))
+    val addr = addressesDf((10L, "berlin"), (11L, "paris"), (12L, "rome"))
+    val addrIds = Seq[java.lang.Long](10L, 11L, 12L, null)
+    val dates = Seq("2024-01-10", "2024-06-15", "2025-03-02")
+    // state: order_id -> (customer_id, address_id, created_on)
+    var state = Map[Long, (Long, java.lang.Long, String)]()
+    var nextId = 100L
+    def toDf() = ordersDf(state.toSeq.sortBy(_._1).map {
+      case (id, (c, a, d)) => (id, c, a, d, None: Option[String])
+    }: _*)
+    def expect(): Seq[Seq[Any]] =
+      TestSpark.rows(toDf().select(col("id"), col("customer_id"),
+          col("address_id"), col("year"))
+        .join(addr.select(col("id").as("address_id"), col("city")),
+          Seq("address_id"), "left")
+        .groupBy(col("city"), col("year"))
+        .agg(count(lit(1)).as("order_count"),
+          count_distinct(col("customer_id")).as("distinct_customers")))
+    for (step <- 1 to 6) {
+      // inserts: a few new orders over a SMALL customer pool so groups
+      // share contributors (the duplicate-pair case union must absorb)
+      for (_ <- 0 until (2 + rnd.nextInt(4))) {
+        state += nextId -> (1L + rnd.nextInt(6),
+          addrIds(rnd.nextInt(addrIds.size)), dates(rnd.nextInt(3)))
+        nextId += 1
+      }
+      // updates: move a random order's customer or address (pair loss +
+      // gain in one commit)
+      state.keys.toSeq.sorted.filter(_ => rnd.nextDouble() < 0.25)
+        .foreach { id =>
+          val (c, a, d) = state(id)
+          state += id -> (if (rnd.nextBoolean()) (1L + rnd.nextInt(6), a, d)
+                          else (c, addrIds(rnd.nextInt(addrIds.size)), d))
+        }
+      // deletes: drop a random slice (pair loss; sometimes empties a
+      // group entirely)
+      state = state.filter(_ => rnd.nextDouble() > 0.15)
+      wh.silverByName("orders").overwrite(toDf())
+      if (step == 1) wh.silverByName("addresses").overwrite(addr)
+      inc.customerReachByCity()
+      val got = TestSpark.rows(
+        wh.gold("customer_reach_by_city").read(spark)
+          .select("city", "year", "order_count", "distinct_customers"))
+      assert(got == expect(),
+        s"step $step: incremental distinct fold != batch rebuild " +
+          s"(${state.size} live orders)")
+    }
+  }
+
   test("streaming silver-orders intake drives the five gold tables to " +
       "the batch rebuild, absorbing replayed and duplicate batches " +
       "(GoldIncStream mirror)") {
