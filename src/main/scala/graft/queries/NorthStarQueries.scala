@@ -1875,9 +1875,11 @@ object NorthStarQueries {
   /** Hybrid retrieval with the SERVING-SCALE dense arm (q112): q108's
     * RRF stack with the brute-force cosine arm swapped for the persisted
     * [[graft.northstar.IvfIndex]] — the documented swap-in
-    * (`HybridRetrieval.scala`) actually wired: build + persist + cold
-    * load + partition-pruned probe (nprobe = 4 of nlist = 16, a real
-    * 4× scan reduction), so the dense arm touches ~nprobe/nlist of the
+    * (`HybridRetrieval.scala`) actually wired: load-or-build of the
+    * SHARED fingerprinted serving index (q50's — built at most once per
+    * corpus version, the serving contract) + partition-pruned probe
+    * (nprobe = 4 of nlist = 16, a real 4× scan reduction), so the dense
+    * arm touches ~nprobe/nlist of the
     * corpus instead of all of it while the BM25 arm, the probe workload
     * and the integer RRF arithmetic are byte-identical to q108. No
     * DuckDB oracle by design (the dense arm is approximate); the
@@ -1892,10 +1894,14 @@ object NorthStarQueries {
       case (acc, (qid, vid)) =>
         when(col("query_id") === vid, lit(qid)).otherwise(acc)
     }
-    val p = indexScratch("hybivf", dir)
-    val idx = graft.northstar.IvfIndex
-      .build(emb, "vec_id", "embedding", nlist = 16)
-      .persist(s, p)
+    // the q50 serving contract: ONE fingerprinted index per corpus
+    // version, built at most once and probed by every later job — q112
+    // shares q50's (identical build: same corpus, nlist, seed), so a
+    // warm run pays only the probe
+    val idx = graft.northstar.IvfIndex.load(s, ivfScratch(dir))
+      .getOrElse(
+        graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+          .persist(s, ivfScratch(dir)))
     val dense = idx
       .search(probes, "vec_id", "embedding", k = Bm25TopK, nprobe = 4)
       .select(qidFor.as("query_id"), col("neighbor_id").as("doc_id"),
