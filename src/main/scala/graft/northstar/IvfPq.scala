@@ -186,12 +186,14 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     * ids via a broadcast anti-join until [[compact]].
     */
   def remove(spark: SparkSession, path: String, ids: DataFrame,
-      idCol: String): IvfPqIndex = {
+      idCol: String, retainHistory: Boolean = false): IvfPqIndex = {
     require(persisted,
       "remove tombstones a persisted index — call persist() first")
     AnnDeletes.add(spark, path, ids.select(col(idCol).as("neighbor_id")))
-    // enforced compaction policy — see [[IvfIndex.remove]]
-    if (AnnDeletes.overThreshold(spark, path)) compact(spark, path)
+    // enforced compaction policy — see [[IvfIndex.remove]]; retain
+    // history through a triggered compact like remove's own doc says
+    if (AnnDeletes.overThreshold(spark, path))
+      compact(spark, path, retainHistory)
     else new IvfPqIndex(centroids, pq, coded, persisted = true,
       tombstones = AnnDeletes.read(spark, path))
   }

@@ -515,6 +515,13 @@ object NorthStarQueries {
   private def ivfScratch(dir: String): String = indexScratch("ivf", dir)
   private def ivfPqScratch(dir: String): String = indexScratch("ivfpq", dir)
 
+  /** The shared fingerprinted serving-index path — q50, q112 and the
+    * accuracy gates all probe the SAME persisted index per corpus
+    * version (the serving contract: built at most once, probed by many
+    * jobs).
+    */
+  def servingIvfPath(dir: String): String = ivfScratch(dir)
+
   def q50IvfBuild(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)

@@ -81,6 +81,21 @@ object IndexStream {
     * trained once there and never refit here. `expectedIds` sizes the
     * replay-gate Bloom filter.
     */
+  /** The known-id set the replay gate dedupes against: the index's
+    * physical rows MINUS the tombstoned ids. A tombstone-masked id must
+    * read as UNKNOWN here — a producer re-sending a deleted id is a
+    * re-add, and treating it as "already indexed" would drop it and
+    * leave it masked forever; letting it through lands it in `append`,
+    * whose delete-then-append path compacts first (the documented
+    * contract). The Bloom filter still remembering the id is harmless:
+    * it only routes the row to this log probe, which now misses.
+    */
+  private def aliveIds(s: SparkSession, path: String, rows: DataFrame,
+      idCol: String): DataFrame =
+    graft.northstar.AnnDeletes.alive(rows,
+        graft.northstar.AnnDeletes.read(s, path))
+      .select(col("neighbor_id").as(idCol))
+
   def ivfAppendStream(vectors: DataFrame, idCol: String,
       vecCol: String, path: String,
       expectedIds: Long = 4L * 1024 * 1024): StreamingQuery =
@@ -88,7 +103,7 @@ object IndexStream {
       val idx = IvfIndex.load(s, path).getOrElse(sys.error(
         s"ivfAppendStream: no persisted index at $path — " +
           "build and persist the seed index first"))
-      (() => idx.assigned.select(col("neighbor_id").as(idCol)),
+      (() => aliveIds(s, path, idx.assigned, idCol),
         (fresh: DataFrame) => { idx.append(s, path, fresh, idCol, vecCol); () })
     })
 
@@ -106,8 +121,9 @@ object IndexStream {
       val idx = IvfPqIndex.load(s, path).getOrElse(sys.error(
         s"ivfPqAppendStream: no persisted index at $path — " +
           "build and persist the seed index first"))
-      (() => new graft.io.ParquetTable(path, partitionColumns = Seq("cell"))
-          .read(s).select(col("neighbor_id").as(idCol)),
+      (() => aliveIds(s, path,
+          new graft.io.ParquetTable(path, partitionColumns = Seq("cell"))
+            .read(s), idCol),
         (fresh: DataFrame) => { idx.append(s, path, fresh, idCol, vecCol); () })
     })
 }

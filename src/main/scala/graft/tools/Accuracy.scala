@@ -811,10 +811,20 @@ object Accuracy {
       .select("query_id", "doc_id", "rrf_micro", "sparse_rank",
         "dense_rank").collect()
     val fusedIvf = ivfRows.map(r => (r.getInt(0), r.getLong(1))).toSet
-    // the IVF dense arm's own pairs, mapped back to probe vec_ids
-    val qidToVec = probeIds.toMap
-    val denseIvf = ivfRows.filter(!_.isNullAt(4))
-      .map(r => (qidToVec(r.getInt(0)), r.getLong(1))).toSet
+    // the dense arm's recall measured from the ARM ITSELF (the same
+    // persisted load-or-build q112 serves from) — NOT from the fused
+    // result, whose top-k cut would let sparse-arm score shifts displace
+    // dense pairs and corrupt the metric in either direction
+    val idx = IvfIndex.load(spark,
+        graft.queries.NorthStarQueries.servingIvfPath(dir))
+      .getOrElse(IvfIndex
+        .build(emb, "vec_id", "embedding", nlist = 16)
+        .persist(spark,
+          graft.queries.NorthStarQueries.servingIvfPath(dir)))
+    val denseIvf = idx
+      .search(probes, "vec_id", "embedding", k, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val denseRecall =
       if (exactDense.isEmpty) 0.0
       else (exactDense & denseIvf).size.toDouble / exactDense.size
@@ -831,14 +841,14 @@ object Accuracy {
       val d = if (r.isNullAt(4)) null else r.get(4)
       r.getLong(2) == contrib(s) + contrib(d)
     }
-    // bounds just under the seed-pinned measurements (audit tier
-    // 0.525 / 0.875): nprobe=4/16 over worst-case random embeddings is
-    // the same constant-budget recall regime q81/q82 document — the
-    // gate pins the FIXED-budget contract; RRF's sparse arm lifts the
-    // fused overlap well above the dense arm's own recall
+    // bounds just under the seed-pinned measurements (dense arm 0.60 at
+    // BOTH tiers, measured from the arm itself; fused overlap 0.875
+    // audit): nprobe=4/16 over worst-case random embeddings is the same
+    // constant-budget recall regime q81/q82 document — the gate pins the
+    // FIXED-budget contract
     Seq(
       Gate("q112_hybrid_rrf_ivf", "dense_recall_at_k_vs_brute",
-        denseRecall, ">=", 0.50),
+        denseRecall, ">=", 0.55),
       Gate("q112_hybrid_rrf_ivf", "fused_topk_overlap_vs_exact",
         fusedOverlap, ">=", 0.85),
       Gate("q112_hybrid_rrf_ivf", "rrf_integer_replay_agreement",
@@ -900,11 +910,10 @@ object Accuracy {
       //     collision-corrected estimate is no longer exact (the audit
       //     tier's LIST regime is); fold-vs-direct stays 0 because
       //     SET-mode union IS lossless coupon-set union — no override;
-      //   q112 dense recall 0.475 / fused overlap 0.825 at sf0.1 —
-      //     the q81/q82 constant-budget decay (nprobe fixed at 4/16
-      //     while the corpus grows 10×).
+      //   q112 fused overlap 0.825 at sf0.1 — the constant-budget
+      //     decay shows in the fusion mix (the dense arm's own recall
+      //     holds 0.60 at both tiers, no override).
       "q111_gold_distinct_ivm/fold_vs_exact_max_rel_err" -> 0.015,
-      "q112_hybrid_rrf_ivf/dense_recall_at_k_vs_brute" -> 0.45,
       "q112_hybrid_rrf_ivf/fused_topk_overlap_vs_exact" -> 0.80))
 
   /** Re-pin measurement-tuned bounds for a tier (no-op where a gate has

@@ -54,11 +54,23 @@ object RoundClose {
   }
 
   /** Every `SparkEntry.queries` key must be cited in COVERAGE.md (by its
-    * qNN id — rows and the §-cluster lines both cite that form). Throws
-    * with the full missing list otherwise.
+    * qNN id — rows and the §-cluster lines both cite that form). A
+    * citation on a line that reads as a GAP note ("q113 row still TODO",
+    * "q109/q110 were undocumented") must NOT satisfy the check — that is
+    * exactly the drift it exists to catch — so negative-marker lines are
+    * excluded from the match. Throws with the full missing list.
     */
   private def coverageRowCheck(): Unit = {
-    val cov = Files.readString(Paths.get("COVERAGE.md"))
+    val negative = Seq("todo", "missing", "undocumented", "no row",
+      "not yet", "still needs")
+    val lines = Files.readAllLines(Paths.get("COVERAGE.md"))
+    val citable = new StringBuilder
+    lines.forEach { l =>
+      if (!negative.exists(l.toLowerCase.contains)) {
+        citable.append(l).append('\n'); ()
+      }
+    }
+    val cov = citable.toString
     val ids = graft.SparkEntry.queries.keys
       .map(_.takeWhile(_ != '_')).toSeq.distinct.sorted
     val missing = ids.filterNot(id =>

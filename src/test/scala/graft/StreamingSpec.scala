@@ -315,6 +315,55 @@ class StreamingSpec extends AnyFunSuite {
       "streamed appends must equal the bulk assignment with seed centroids")
   }
 
+  test("a deleted-then-restreamed id is RE-ADDED, not silently dropped: " +
+      "the replay gate treats tombstone-masked ids as unknown, so the " +
+      "re-send reaches append, which compacts first and serves the id") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.io.Tables
+    import graft.northstar.{AnnDeletes, IvfIndex, Similarity}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.read(spark, dir, "embeddings")
+    val rows = emb.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_readd_stream").toString + "/idx"
+    val seeded = IvfIndex
+      .build(rows.take(200).toSeq.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nlist = 4)
+      .persist(spark, path)
+    // takedown: tombstone vec_id 7 (stays physically in the lists —
+    // below the auto-compact bound)
+    val victim = rows.find(_._1 == 7L).get
+    seeded.remove(spark, path, Seq(7L).toDF("vec_id"), "vec_id")
+    assert(!AnnDeletes.read(spark, path).get.isEmpty)
+
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.IndexStream.ivfAppendStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    try {
+      // the producer re-sends the deleted id (a re-add) plus a new one
+      in.addData(Seq(victim, rows.find(_._1 == 250L).get))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val grown = IvfIndex.load(spark, path).get
+    val masked = AnnDeletes.read(spark, path)
+    assert(masked.forall(_.isEmpty),
+      "the re-add must have compacted the tombstone away")
+    val physical = grown.assigned.filter(col("neighbor_id") === 7L).count()
+    assert(physical == 1L, "exactly one physical row for the re-added id")
+    // and a search in its own direction serves it again
+    val probe = Seq((9999L, victim._2)).toDF("vec_id", "embedding")
+    val top = grown.search(probe, "vec_id", "embedding", k = 1, nprobe = 4)
+      .select("neighbor_id").head().getLong(0)
+    assert(top == 7L, "the re-added id must be findable after the stream")
+  }
+
   test("streaming IVFADC append grows the persisted coded index to the " +
       "one-shot bulk append under the same seed model, absorbing " +
       "replayed and duplicate batches") {
