@@ -169,15 +169,17 @@ final class IvfIndex private (val nlist: Int,
     * physically when their count warrants the rewrite.
     */
   def remove(spark: SparkSession, path: String, ids: DataFrame,
-      idCol: String, retainHistory: Boolean = false): IvfIndex = {
+      idCol: String, retainHistory: Boolean = true): IvfIndex = {
     require(persisted,
       "remove tombstones a persisted index — call persist() first")
     AnnDeletes.add(spark, path, ids.select(col(idCol).as("neighbor_id")))
     // the enforced compaction policy: past the bound the mask's
     // broadcast would keep growing, so fold the tombstones into the
-    // lists now ([[AnnDeletes.compactThreshold]]); retainHistory rides
-    // into the triggered compact so a time-traveling deployment cannot
-    // lose versions to a logical delete's side effect
+    // lists now ([[AnnDeletes.compactThreshold]]). retainHistory
+    // defaults TRUE here (unlike explicit compact calls): whether a
+    // logical delete trips the threshold is data-dependent, and a
+    // time-traveling deployment must not lose versions to that side
+    // effect — vacuum stays an explicit-compact decision
     if (AnnDeletes.overThreshold(spark, path))
       compact(spark, path, retainHistory)
     else new IvfIndex(nlist, centroids, assigned, persisted = true,

@@ -186,12 +186,13 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     * ids via a broadcast anti-join until [[compact]].
     */
   def remove(spark: SparkSession, path: String, ids: DataFrame,
-      idCol: String, retainHistory: Boolean = false): IvfPqIndex = {
+      idCol: String, retainHistory: Boolean = true): IvfPqIndex = {
     require(persisted,
       "remove tombstones a persisted index — call persist() first")
     AnnDeletes.add(spark, path, ids.select(col(idCol).as("neighbor_id")))
-    // enforced compaction policy — see [[IvfIndex.remove]]; retain
-    // history through a triggered compact like remove's own doc says
+    // enforced compaction policy — see [[IvfIndex.remove]]: a
+    // data-dependent triggered compact must not vacuum history, so
+    // retainHistory defaults TRUE here (vacuum is explicit-compact-only)
     if (AnnDeletes.overThreshold(spark, path))
       compact(spark, path, retainHistory)
     else new IvfPqIndex(centroids, pq, coded, persisted = true,

@@ -49,7 +49,8 @@ object GoldIncStream {
     * with at least its schema-bearing initial commit.
     */
   def ordersIntakeStream(orders: DataFrame, warehouse: Warehouse,
-      expectedIds: Long = 4L * 1024 * 1024): StreamingQuery =
+      expectedIds: Long = 4L * 1024 * 1024,
+      expectedBatch: Long = ReplayGate.DefaultProbeBatch): StreamingQuery =
     orders.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -64,7 +65,7 @@ object GoldIncStream {
         val bloom = ReplayGate.loadOrSeed(bloomPath,
           () => Some(silver.read(s).select(col("id"))), "id", expectedIds)
         val incoming = batch.toDF().distinct() // in-batch re-sends
-        val sketch = ReplayGate.probeSketch(incoming, "id")
+        val sketch = ReplayGate.probeSketch(incoming, "id", expectedBatch)
         val fresh = ReplayGate.freshRows(incoming, "id", Some(bloom),
             Some(sketch), () => silver.read(s).select(col("id")))
           .persist()

@@ -40,7 +40,7 @@ object IndexStream {
     * returns (knownIds reader, append action).
     */
   private def gatedAppendStream(vectors: DataFrame, idCol: String,
-      vecCol: String, path: String, expectedIds: Long,
+      vecCol: String, path: String, expectedIds: Long, expectedBatch: Long,
       open: SparkSession => (() => DataFrame, DataFrame => Unit)):
       StreamingQuery =
     vectors.writeStream
@@ -53,7 +53,7 @@ object IndexStream {
           idCol, expectedIds)
         val incoming = batch.toDF().select(col(idCol), col(vecCol))
           .distinct() // in-batch re-sends of the same (id, vector)
-        val sketch = ReplayGate.probeSketch(incoming, idCol)
+        val sketch = ReplayGate.probeSketch(incoming, idCol, expectedBatch)
         // persisted across the emptiness probe and the append: without it
         // the branch and the append each re-run the (gated) probe
         val fresh = ReplayGate.freshRows(incoming, idCol, Some(bloom),
@@ -98,8 +98,10 @@ object IndexStream {
 
   def ivfAppendStream(vectors: DataFrame, idCol: String,
       vecCol: String, path: String,
-      expectedIds: Long = 4L * 1024 * 1024): StreamingQuery =
-    gatedAppendStream(vectors, idCol, vecCol, path, expectedIds, { s =>
+      expectedIds: Long = 4L * 1024 * 1024,
+      expectedBatch: Long = ReplayGate.DefaultProbeBatch): StreamingQuery =
+    gatedAppendStream(vectors, idCol, vecCol, path, expectedIds,
+        expectedBatch, { s =>
       val idx = IvfIndex.load(s, path).getOrElse(sys.error(
         s"ivfAppendStream: no persisted index at $path — " +
           "build and persist the seed index first"))
@@ -116,8 +118,10 @@ object IndexStream {
     */
   def ivfPqAppendStream(vectors: DataFrame, idCol: String,
       vecCol: String, path: String,
-      expectedIds: Long = 4L * 1024 * 1024): StreamingQuery =
-    gatedAppendStream(vectors, idCol, vecCol, path, expectedIds, { s =>
+      expectedIds: Long = 4L * 1024 * 1024,
+      expectedBatch: Long = ReplayGate.DefaultProbeBatch): StreamingQuery =
+    gatedAppendStream(vectors, idCol, vecCol, path, expectedIds,
+        expectedBatch, { s =>
       val idx = IvfPqIndex.load(s, path).getOrElse(sys.error(
         s"ivfPqAppendStream: no persisted index at $path — " +
           "build and persist the seed index first"))

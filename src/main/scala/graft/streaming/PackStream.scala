@@ -76,7 +76,8 @@ object PackStream {
     */
   def packingStream(docs: DataFrame, log: ParquetTable, packed: ParquetTable,
       budget: Int, bucketSize: Int,
-      expectedIds: Long = 4L * 1024 * 1024): StreamingQuery =
+      expectedIds: Long = 4L * 1024 * 1024,
+      expectedBatch: Long = ReplayGate.DefaultProbeBatch): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -87,7 +88,7 @@ object PackStream {
           .select(col("doc_id").cast("long").as("doc_id"), col("text"),
             expr(s"CAST(doc_id AS BIGINT) DIV $bucketSize").as("bucket"))
           .dropDuplicates("doc_id") // in-batch re-sends
-        val sketch = ReplayGate.probeSketch(incoming, "doc_id")
+        val sketch = ReplayGate.probeSketch(incoming, "doc_id", expectedBatch)
         val bloom = ReplayGate.loadOrSeed(bloomFile(log),
           () => if (log.exists) Some(log.read(s).select(col("doc_id")))
                 else None,

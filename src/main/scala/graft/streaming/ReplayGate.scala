@@ -167,6 +167,17 @@ object ReplayGate {
     batch.stat.bloomFilter(idExpr(batch, idCol), items, bits)
   }
 
+  /** Default [[probeSketch]] sizing — 64 Ki ids. A deployment whose
+    * micro-batches carry more distinct ids passes its real batch size
+    * through the mirror entry points (IndexStream / PackStream /
+    * RetrievalStream / GoldIncStream all expose `expectedBatch`):
+    * saturating the sketch is never incorrect, but it drives the FP
+    * rate toward 1 and the gated log probe silently degrades to a
+    * near-full log anti-join — the O(batch + FP) bound only holds while
+    * the sketch is sized for the batch.
+    */
+  val DefaultProbeBatch = 65536L
+
   /** The probe-restriction sketch for [[freshRows]], at BATCH-sized
     * geometry: it only has to have NO FALSE NEGATIVES over the batch
     * (any Bloom filter guarantees that at any size — undersizing only
@@ -177,7 +188,8 @@ object ReplayGate {
     * 1 % geometry the serialized sketch is ~77 KB.
     */
   def probeSketch(batch: DataFrame, idCol: String,
-      expectedBatch: Long = 65536L, fpp: Double = 0.01): BloomFilter =
+      expectedBatch: Long = DefaultProbeBatch,
+      fpp: Double = 0.01): BloomFilter =
     batch.stat.bloomFilter(idExpr(batch, idCol), expectedBatch,
       BloomFilter.optimalNumOfBits(expectedBatch, fpp))
 

@@ -45,7 +45,8 @@ object RetrievalStream {
     */
   def statsIntakeStream(docs: DataFrame, statsTable: ParquetTable,
       idCol: String, textCol: String, terms: Seq[String],
-      expectedIds: Long = 16L * 1024 * 1024): StreamingQuery =
+      expectedIds: Long = 16L * 1024 * 1024,
+      expectedBatch: Long = ReplayGate.DefaultProbeBatch): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -60,7 +61,7 @@ object RetrievalStream {
         val incoming = batch.toDF()
           .select(col(idCol).as("doc_id"), col(textCol).as(textCol))
           .dropDuplicates("doc_id") // in-batch re-sends
-        val sketch = ReplayGate.probeSketch(incoming, "doc_id")
+        val sketch = ReplayGate.probeSketch(incoming, "doc_id", expectedBatch)
         val fresh = ReplayGate.freshRows(incoming, "doc_id", Some(bloom),
             Some(sketch),
             () => statsTable.read(s).select(col("doc_id")))

@@ -831,15 +831,25 @@ object Accuracy {
     val fusedOverlap =
       if (fusedExact.isEmpty) 0.0
       else (fusedExact & fusedIvf).size.toDouble / fusedExact.size
-    def contrib(rank: Any): Long = rank match {
-      case null => 0L
-      case i: Integer => 1000000L / (HybridRetrieval.RrfK + i.toLong)
-      case l: java.lang.Long => 1000000L / (HybridRetrieval.RrfK + l)
+    // A non-numeric rank is a SCHEMA DRIFT, not a harness bug: it must
+    // fail THIS gate (agreement < 1), not abort the whole accuracy run
+    // with a MatchError — so contrib is total over Any and reports the
+    // drift as a non-matching row.
+    def contrib(rank: Any): Option[Long] = rank match {
+      case null => Some(0L)
+      case n: java.lang.Number =>
+        Some(1000000L / (HybridRetrieval.RrfK + n.longValue))
+      case other =>
+        System.err.println(s"q112: fused frame surfaced a non-numeric " +
+          s"rank $other (${other.getClass.getName}) — failing the RRF " +
+          "integer-replay gate")
+        None
     }
     val rrfExact = ivfRows.forall { r =>
       val s = if (r.isNullAt(3)) null else r.get(3)
       val d = if (r.isNullAt(4)) null else r.get(4)
-      r.getLong(2) == contrib(s) + contrib(d)
+      (for { cs <- contrib(s); cd <- contrib(d) }
+        yield r.getLong(2) == cs + cd).getOrElse(false)
     }
     // bounds just under the seed-pinned measurements (dense arm 0.60 at
     // BOTH tiers, measured from the arm itself; fused overlap 0.875

@@ -229,10 +229,23 @@ class AnnDeleteSpec extends AnyFunSuite {
       val r1 = idx.remove(spark, path, Seq(2L, 5L).toDF("vec_id"), "vec_id")
       assert(AnnDeletes.read(spark, path).get.count() == 2,
         "under the bound, tombstones accumulate (no rewrite)")
+      val preCompactV = new graft.io.ParquetTable(path,
+        partitionColumns = Seq("cell")).version
       // this remove crosses the bound (2 + 2 >= 3) → compaction fires
       val r2 = r1.remove(spark, path, Seq(11L, 17L).toDF("vec_id"), "vec_id")
       assert(AnnDeletes.read(spark, path).get.isEmpty,
         "at the bound, remove must fold tombstones into the lists")
+      // the triggered compact is a data-dependent side effect of a
+      // LOGICAL delete — it must not vacuum time-travel history (vacuum
+      // stays an explicit-compact decision); the pre-compact version
+      // must still be readable, deleted rows included
+      val preCompact = new graft.io.ParquetTable(path,
+          partitionColumns = Seq("cell"))
+        .readVersion(spark, preCompactV)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(Seq(11L, 17L).forall(preCompact.contains),
+        "remove-triggered compaction must retain prior versions " +
+          "(history-safe by default)")
       val left = new graft.io.ParquetTable(path,
         partitionColumns = Seq("cell")).read(spark)
         .select("neighbor_id").collect().map(_.getLong(0)).toSet

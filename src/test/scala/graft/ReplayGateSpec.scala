@@ -128,6 +128,18 @@ class ReplayGateSpec extends AnyFunSuite {
     assert((0L until 100L).forall(probe.mightContainLong))
   }
 
+  test("probeSketch scales with expectedBatch: a deployment whose " +
+      "micro-batches exceed the default sizes the sketch up through the " +
+      "mirror entry points, keeping the O(batch + FP) probe bound") {
+    val batch = (0L until 100L).toDF("doc_id")
+    val dflt = ReplayGate.probeSketch(batch, "doc_id")
+    val big = ReplayGate.probeSketch(batch, "doc_id",
+      expectedBatch = 16L * ReplayGate.DefaultProbeBatch)
+    assert(big.bitSize() > dflt.bitSize(),
+      "a larger expectedBatch must grow the sketch geometry")
+    assert((0L until 100L).forall(big.mightContainLong))
+  }
+
   test("commitToFilter small-batch path updates the filter driver-side " +
       "and is geometry-immune (works against a filter written at any " +
       "other geometry — no incompatible-merge case exists)") {
