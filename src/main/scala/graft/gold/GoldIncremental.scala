@@ -72,6 +72,17 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
 
   private val Marker = "_cdf_applied_sources"
 
+  /** Broadcast bound (rows) for the changes-sized frames that probe
+    * corpus-sized silver reads (the affected-anchor set and the
+    * pair-loss key set): one narrow key column, so 1M rows ≈ tens of MB
+    * on the driver — comfortably broadcastable — while a mass-change
+    * advance past the bound degrades to the shuffled semi-join, never
+    * an OOM. Tunable per deployment via `graft.gold.broadcastAnchors`.
+    */
+  private def maxBroadcastAnchors: Long =
+    spark.conf.getOption("graft.gold.broadcastAnchors")
+      .flatMap(_.toLongOption).getOrElse(1L << 20)
+
   /** An additive measure: the stored column is sum(of) over J. */
   private final case class Measure(name: String, of: Column)
   private def countRows(name: String) = Measure(name, lit(1L))
@@ -184,8 +195,30 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
         // semi-joins — without a persist its whole subtree (the CDF's
         // full-width diff plus any reverse-lookup semi-joins) executes
         // twice inside the one fold job; released before returning
-        val aff = affected(cdfs, oldF, newF).toDF("__anchor").distinct()
+        // scratch-profiling seam (graft.gold.profile=true): forces each
+        // fold phase separately so wall/job attribution is readable;
+        // OFF in production — the phases then fuse into two jobs
+        val profiling = java.lang.Boolean.getBoolean("graft.gold.profile") ||
+          sys.env.get("GRAFT_GOLD_PROFILE").contains("true")
+        def prof[A](label: String)(f: => A): A =
+          if (!profiling) f else {
+            val t0 = System.nanoTime(); val r = f
+            println(f"[gprof] $label%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            r
+          }
+        val affRaw = affected(cdfs, oldF, newF).toDF("__anchor").distinct()
           .persist()
+        // the anchor set is changes-sized; the restricted derivations
+        // probe the CORPUS-sized silver frames with it, so past any real
+        // scale the semi-joins must be broadcast (the corpus side then
+        // never shuffles). The count is free (it materializes the
+        // persist the phases below need anyway) and bounds the hint: a
+        // mass-change advance whose anchor set outgrows the bound falls
+        // back to the shuffled semi-join instead of an OOM broadcast.
+        val aff = prof("aff") {
+          if (affRaw.count() <= maxBroadcastAnchors) broadcast(affRaw)
+          else affRaw
+        }
         // with distinct measures the two restricted derivations feed the
         // signed delta AND the sketch fold's pair-loss/new-side subtrees
         // (up to 3 evaluations each) — persist them for that case; the
@@ -195,6 +228,9 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
         val (oldJ, newJ) =
           if (distincts.isEmpty) (oldJ0, newJ0)
           else (oldJ0.persist(), newJ0.persist())
+        prof("oldJ/newJ")(if (profiling && distincts.nonEmpty) {
+          oldJ.count(); newJ.count(); ()
+        } else ())
         // signed union → one grouped delta (old contributions −, new +)
         val sign = col("__sign")
         val signed = oldJ
@@ -225,11 +261,11 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
           .filter(col(rowMeasure) > 0)
         val (folded, cleanup) =
           if (distincts.isEmpty) (folded0, () => ())
-          else foldSketches(folded0, oldJ, newJ, keys, distincts,
-            () => derive(newF, None))
-        try gold.overwrite(withDerived(folded))
+          else prof("foldSketches")(foldSketches(folded0, oldJ, newJ, keys,
+            distincts, () => derive(newF, None)))
+        try prof("overwrite")(gold.overwrite(withDerived(folded)))
         finally {
-          aff.unpersist()
+          affRaw.unpersist()
           if (distincts.nonEmpty) { oldJ.unpersist(); newJ.unpersist() }
           cleanup()
           ()
@@ -265,17 +301,22 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
           hll_sketch_agg(col(d.src)).as(s"__ns_${d.name}")): _*)
     // a pair disappeared ⇔ some old (keys, value) row has no null-safe
     // match on the new side — both frames affected-anchor-sized
-    val lost = distincts.map { d =>
+    val lostRaw = distincts.map { d =>
       val cols = (keys :+ d.src).map(col)
       val o = oldJ.select(cols: _*).alias("o")
       val n = newJ.select(cols: _*).alias("n")
       val c = (keys :+ d.src)
         .map(x => col(s"o.$x") <=> col(s"n.$x")).reduce(_ && _)
       o.join(n, c, "left_anti").select(keys.map(col): _*)
-    }.reduce(_ unionByName _).distinct().persist();
+    }.reduce(_ unionByName _).distinct().persist()
+    // lost-group keys probe the CORPUS-sized re-derived J below — same
+    // broadcast-when-bounded discipline as the affected-anchor set
+    val lostN = lostRaw.count()
+    val lost = if (lostN <= maxBroadcastAnchors) broadcast(lostRaw)
+               else lostRaw;
     {
       val rs =
-        if (lost.isEmpty) None
+        if (lostN == 0L) None
         else {
           val keyCond = keys.map(k =>
             col(s"src.$k") <=> col(s"aff.$k")).reduce(_ && _)
@@ -307,7 +348,7 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
             .otherwise(unioned)
          else unioned).as(d.sketchCol)
       }
-      (out.select((keep ++ sketches): _*), () => { lost.unpersist(); () })
+      (out.select((keep ++ sketches): _*), () => { lostRaw.unpersist(); () })
     }
   }
 
