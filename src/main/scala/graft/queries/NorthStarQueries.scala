@@ -770,6 +770,96 @@ object NorthStarQueries {
     BpeLearn.mergesToDF(s, BpeLearn.learnMerges(vocab, BpeNumMerges))
   }
 
+  /** Unigram-LM training constants (q113/q114) — the values the accuracy
+    * gate's independent replay must also apply. Word cap bounds the EM
+    * word table like [[BpeVocabCap]] bounds the merge loop's input;
+    * seed/target/maxLen are SentencePiece-shaped (seed ≫ target, prune
+    * to 75 % per round).
+    */
+  val UnigramWordCap = 20000
+  val UnigramSeedSize = 2000
+  // below the synthetic corpus's ~380 distinct substrings, so the
+  // loss-ranked prune loop actually executes in-query at both tiers
+  val UnigramTargetVocab = 200
+  val UnigramMaxPieceLen = 6
+  val UnigramEmIters = 2
+
+  /** The capped word table both unigram queries train from — shared with
+    * [[auditPlans]] (same cap discipline as [[q88VocabPlan]]; the corpus
+    * stage is [[graft.northstar.BpeLearn.pieceCounts]], literally shared
+    * with q88, so BPE and unigram see the identical normalization).
+    */
+  private def q113WordPlan(s: SparkSession, dir: String): DataFrame =
+    graft.northstar.BpeLearn.topVocabPlan(
+      graft.northstar.BpeLearn
+        .pieceCounts(t(s, dir, "documents"), "text", BpePiecePattern),
+      UnigramWordCap)
+
+  private def q113Train(s: SparkSession, dir: String,
+      words: DataFrame): graft.northstar.UnigramLm.Model =
+    graft.northstar.UnigramLm.train(words, UnigramTargetVocab,
+      UnigramMaxPieceLen, UnigramSeedSize, UnigramEmIters)
+
+  /** Unigram-LM tokenizer training (q113) — the OTHER production
+    * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
+    * `--model_type=unigram`): seed substring vocabulary → EM over the
+    * capped word table (each E-step ONE shuffle of integer micro-unit
+    * expected counts — see [[graft.northstar.UnigramLm]]'s determinism
+    * contract) → SentencePiece-style loss-ranked pruning to the target
+    * vocabulary. Iterative (the model rewrites per round) → rows-only
+    * correctness; [[graft.tools.Accuracy]] gates the learned (piece,
+    * logp_micro) table EXACTLY against an independently-coded in-memory
+    * reference, at both tiers — the integer quantization is what makes an
+    * exact cross-implementation gate possible at all.
+    */
+  def q113UnigramLearn(s: SparkSession, dir: String): DataFrame = {
+    val words = q113WordPlan(s, dir).persist()
+    try {
+      words.count() // EM iterates over it; never recompute the corpus scan
+      graft.northstar.UnigramLm.modelToDF(s, q113Train(s, dir, words))
+    } finally { words.unpersist(); () }
+  }
+
+  /** Unigram-LM tokenization (q114) — q92's word-cache shape on the
+    * q113 model: Viterbi segmentation (exact micro-nat LONG dp, explicit
+    * longest-piece tiebreak) runs once per DISTINCT piece, the corpus
+    * side broadcast-joins piece → (token count, score) and rolls up per
+    * document. 2 shuffles at any corpus size. Rows-only (the segmenter
+    * is iterative); the Accuracy gate replays every document DIRECTLY
+    * (no piece cache) in the independent reference, so the cache-join
+    * shape itself is cross-checked — the q92 discipline.
+    */
+  def q114UnigramTokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.northstar.{BpeLearn, UnigramLm}
+    val docs = t(s, dir, "documents")
+    // persisted: the capped trainer collect AND the distinct-piece
+    // tokenize stage both read the piece table
+    val vocabDf = BpeLearn.pieceCounts(docs, "text", BpePiecePattern)
+      .persist()
+    try {
+      val words = BpeLearn.topVocabPlan(vocabDf, UnigramWordCap)
+      val model = q113Train(s, dir, words)
+      val bc = s.sparkContext.broadcast(model)
+      // vocabulary-sized imperative stage: segment each DISTINCT piece
+      val pieceTok = vocabDf.select(col("piece")).as[String]
+        .map { p =>
+          val (pieces, score) = UnigramLm.viterbi(p, bc.value)
+          (p, pieces.length, score)
+        }
+        .toDF("piece", "piece_tokens", "piece_logp_micro")
+      docs
+        .select(col("doc_id"),
+          explode(BpeLearn.pieceArray(col("text"), BpePiecePattern))
+            .as("piece"))
+        .join(broadcast(pieceTok), Seq("piece"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pieces"),
+          sum(col("piece_tokens")).cast("long").as("n_tokens"),
+          sum(col("piece_logp_micro")).as("logp_micro"))
+    } finally { vocabDf.unpersist(); () }
+  }
+
   /** Substitute plans for queries whose data-scale stage executes EAGERLY
     * inside the query constructor, so the returned frame is driver-local
     * and its plan says nothing about the distributed work.
@@ -779,6 +869,10 @@ object NorthStarQueries {
     */
   val auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_bpe_learn" -> (q88VocabPlan _),
+    // q113's data-scale stages: the corpus word fold (shared with q88's
+    // cap discipline) — the EM loop itself iterates collect-sized
+    // aggregates over this table's persisted form
+    "q113_unigram_learn" -> (q113WordPlan _),
     // q107/q108 materialize the BM25 arm eagerly (Bm25.topK persists and
     // counts), so the registered frame's plan is a cached-relation scan;
     // audit the real stages instead — stats cached-and-materialized like
@@ -2646,6 +2740,8 @@ object NorthStarQueries {
     "q110_ann_delete" -> (q110AnnDelete _),
     "q111_gold_distinct_ivm" -> (q111GoldDistinctIvm _),
     "q112_hybrid_rrf_ivf" -> (q112HybridRrfIvf _),
+    "q113_unigram_learn" -> (q113UnigramLearn _),
+    "q114_unigram_tokenize" -> (q114UnigramTokenize _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),

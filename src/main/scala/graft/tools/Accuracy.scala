@@ -489,11 +489,17 @@ object Accuracy {
   final class RefMemo {
     private var texts: Option[Seq[String]] = None
     private var merges: Option[Vector[(String, String)]] = None
+    private var unigram: Option[Map[String, Long]] = None
     private[Accuracy] def docTexts(spark: SparkSession,
         dir: String): Seq[String] = texts.getOrElse {
       val t = Tables.read(spark, dir, "documents")
         .select(col("text")).collect().map(_.getString(0)).toSeq
       texts = Some(t); t
+    }
+    private[Accuracy] def refUnigramFor(spark: SparkSession,
+        dir: String): Map[String, Long] = unigram.getOrElse {
+      val m = refUnigram(docTexts(spark, dir))
+      unigram = Some(m); m
     }
     private[Accuracy] def refMergesFor(spark: SparkSession,
         dir: String): Vector[(String, String)] = merges.getOrElse {
@@ -506,24 +512,28 @@ object Accuracy {
     * (immutable lists, groupMapReduce counting, explicit UTF-8-byte cap
     * tiebreak — none of BpeLearn's representations).
     */
+  /** Cap tiebreak replicating the engine's orderBy: Spark compares
+    * strings as UTF-8 BYTES, which diverges from Java's UTF-16 order for
+    * supplementary-plane code points — so compare the encoded bytes.
+    * Shared by the q88/q92 merge reference and the q113/q114 unigram
+    * reference (both cap by (weight desc, piece asc) in this order).
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(ba.length, bb.length)
+    var i = 0
+    while (i < n) {
+      if (ba(i) != bb(i)) return (ba(i) & 0xff) < (bb(i) & 0xff)
+      i += 1
+    }
+    ba.length < bb.length
+  }
+
   private def refMerges(texts: Seq[String]): Vector[(String, String)] = {
     import graft.queries.NorthStarQueries
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     for (t <- texts; p <- refPieces(t))
       counts.update(p, counts.getOrElse(p, 0L) + 1L)
-    // cap tiebreak replicates the engine's orderBy: Spark compares strings
-    // as UTF-8 BYTES, which diverges from Java's UTF-16 order for
-    // supplementary-plane code points — so compare the encoded bytes
-    def utf8Less(a: String, b: String): Boolean = {
-      val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-      val n = math.min(ba.length, bb.length)
-      var i = 0
-      while (i < n) {
-        if (ba(i) != bb(i)) return (ba(i) & 0xff) < (bb(i) & 0xff)
-        i += 1
-      }
-      ba.length < bb.length
-    }
     val vocab = counts.toSeq
       .sortWith { case ((pa, ca), (pb, cb)) =>
         if (ca != cb) ca > cb else utf8Less(pa, pb)
@@ -564,6 +574,221 @@ object Accuracy {
       }
     }
     ref.result()
+  }
+
+  /** The independent unigram-LM reference trainer for the q113/q114
+    * gates: replays the WHOLE training schedule (cap → substring seed →
+    * EM → loss-ranked prune → final EM) on the collected raw text with
+    * none of [[graft.northstar.UnigramLm]]'s representations — plain
+    * maps, Vector code points, while-loop lattices. The arithmetic
+    * CONTRACT (ascending-span incremental log1p log-sum-exp over
+    * StrictMath, round-quantized contributions, floor-quantized M-step)
+    * is shared by spec — that is what makes exact equality gateable.
+    * Returns piece → micro-nat log prob.
+    */
+  private def refUnigram(texts: Seq[String]): Map[String, Long] = {
+    import graft.queries.NorthStarQueries._
+    val Micro = 1000000L
+    val Floor = -69L * Micro
+    def cpSyms(s: String): Vector[String] =
+      s.codePoints().toArray.toVector.map(cp =>
+        new String(Character.toChars(cp)))
+    def qLog(num: Long, den: Long): Long =
+      if (num <= 0L) Floor
+      else math.floor(Micro.toDouble *
+        StrictMath.log(num.toDouble / den.toDouble)).toLong
+    // word table: counts capped like the engine's topVocabPlan
+    val wordCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    for (t <- texts; p <- refPieces(t))
+      wordCounts.update(p, wordCounts.getOrElse(p, 0L) + 1L)
+    val words = wordCounts.toVector
+      .sortWith { case ((pa, ca), (pb, cb)) =>
+        if (ca != cb) ca > cb else utf8Less(pa, pb)
+      }
+      .take(UnigramWordCap)
+      .map { case (w, c) => (cpSyms(w), c) }
+    // seed: occurrence-weighted substrings, top-S + the single floor
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((cps, wt) <- words; i <- cps.indices;
+         l <- 1 to math.min(UnigramMaxPieceLen, cps.length - i))
+      sub.update(cps.slice(i, i + l).mkString,
+        sub.getOrElse(cps.slice(i, i + l).mkString, 0L) + wt)
+    val topSeed = sub.toVector
+      .sortWith { case ((pa, ca), (pb, cb)) =>
+        if (ca != cb) ca > cb else utf8Less(pa, pb)
+      }
+      .take(UnigramSeedSize)
+    val singles = sub.toVector.filter(p => cpSyms(p._1).length == 1)
+    val seed = (topSeed ++ singles).distinct
+    val seedTotal = seed.map(_._2).sum
+    var model: Map[String, Long] =
+      seed.map { case (p, w) => p -> qLog(w, seedTotal) }.toMap
+    var maxLenSeen = UnigramMaxPieceLen
+    // per-word lattice E-step contribution, the spec'd fold order
+    def lse(acc: Double, x: Double): Double =
+      if (x.isNegInfinity) acc
+      else if (acc.isNegInfinity) x
+      else if (acc >= x) acc + StrictMath.log1p(StrictMath.exp(x - acc))
+      else x + StrictMath.log1p(StrictMath.exp(acc - x))
+    def eStepWord(cps: Vector[String], wt: Long,
+        m: Map[String, Long],
+        into: scala.collection.mutable.HashMap[String, Long]): Unit = {
+      val n = cps.length
+      if (n == 0) return
+      val lp = (j: Int, i: Int) =>
+        m.get(cps.slice(j, i).mkString)
+          .fold(Double.NegativeInfinity)(_.toDouble / Micro.toDouble)
+      val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+      alpha(0) = 0.0
+      for (i <- 1 to n) {
+        var a = Double.NegativeInfinity
+        for (j <- math.max(0, i - maxLenSeen) until i)
+          if (!alpha(j).isNegInfinity && !lp(j, i).isNegInfinity)
+            a = lse(a, alpha(j) + lp(j, i))
+        alpha(i) = a
+      }
+      if (alpha(n).isNegInfinity) return
+      val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+      beta(n) = 0.0
+      for (j <- (n - 1) to 0 by -1) {
+        var b = Double.NegativeInfinity
+        for (i <- j + 1 to math.min(n, j + maxLenSeen))
+          if (!beta(i).isNegInfinity && !lp(j, i).isNegInfinity)
+            b = lse(b, lp(j, i) + beta(i))
+        beta(j) = b
+      }
+      val z = alpha(n)
+      for (j <- 0 until n; i <- j + 1 to math.min(n, j + maxLenSeen)) {
+        val l = lp(j, i)
+        if (!l.isNegInfinity && !alpha(j).isNegInfinity &&
+            !beta(i).isNegInfinity) {
+          val c = math.round(wt.toDouble *
+            StrictMath.exp(alpha(j) + l + beta(i) - z) * Micro.toDouble)
+          if (c > 0L) {
+            val k = cps.slice(j, i).mkString
+            into.update(k, into.getOrElse(k, 0L) + c)
+          }
+        }
+      }
+    }
+    var lastCounts = Map.empty[String, Long]
+    def emOnce(): Unit = {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((cps, wt) <- words) eStepWord(cps, wt, model, counts)
+      val total = counts.valuesIterator.sum
+      model = model.map { case (p, _) =>
+        p -> qLog(counts.getOrElse(p, 0L), total)
+      }
+      lastCounts = counts.toMap
+    }
+    def em(): Unit = for (_ <- 1 to UnigramEmIters) emOnce()
+    val nSingles = model.keysIterator.count(p => cpSyms(p).length == 1)
+    val targetMulti = math.max(0, UnigramTargetVocab - nSingles)
+    em()
+    while (model.size - nSingles > targetMulti) {
+      val multi = model.filter { case (p, _) => cpSyms(p).length > 1 }
+      val keep = math.max(targetMulti, (multi.size * 3) / 4)
+      val ranked = multi.toVector.map { case (p, lpM) =>
+        val alt = refUniViterbi(cpSyms(p), model - p, maxLenSeen)._2
+        (p, lastCounts.getOrElse(p, 0L).toDouble * (lpM - alt).toDouble)
+      }.sortBy { case (p, loss) => (-loss, p) }
+      val kept = ranked.take(keep).map(_._1).toSet
+      model = model.filter { case (p, _) =>
+        cpSyms(p).length == 1 || kept(p)
+      }
+      em()
+    }
+    model
+  }
+
+  /** Independent Viterbi for the unigram reference: descending-j scan
+    * with >= keeps the smallest start on ties — the same longest-last-
+    * piece total order as the engine, expressed the other way around.
+    * Exact micro-nat LONG arithmetic; out-of-model singles take the
+    * floor penalty.
+    */
+  private def refUniViterbi(cps: Vector[String], m: Map[String, Long],
+      maxLen: Int): (Vector[String], Long) = {
+    val Floor = -69L * 1000000L
+    val n = cps.length
+    if (n == 0) return (Vector.empty, 0L)
+    val dp = Array.fill(n + 1)(Long.MinValue); dp(0) = 0L
+    val back = Array.fill(n + 1)(-1)
+    for (i <- 1 to n; j <- (i - 1) to math.max(0, i - maxLen) by -1)
+      if (dp(j) != Long.MinValue) {
+        val piece = cps.slice(j, i).mkString
+        val lpOpt =
+          if (i - j == 1) Some(m.getOrElse(piece, Floor)) else m.get(piece)
+        lpOpt.foreach { lpM =>
+          if (dp(j) + lpM >= dp(i)) { dp(i) = dp(j) + lpM; back(i) = j }
+        }
+      }
+    val out = Vector.newBuilder[String]
+    var i = n
+    val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (i > 0) { val j = back(i); rev += cps.slice(j, i).mkString; i = j }
+    rev.reverseIterator.foreach(out += _)
+    (out.result(), dp(n))
+  }
+
+  /** q113 — unigram-LM training is exactly reproducible by construction
+    * (integer micro-unit EM), so it gates at EXACT model agreement
+    * against [[refUnigram]]: same pieces, same micro-nat log probs.
+    */
+  def q113Gates(spark: SparkSession, dir: String,
+      memo: RefMemo = new RefMemo): Seq[Gate] = {
+    val expected = memo.refUnigramFor(spark, dir)
+    val got = graft.SparkEntry.queries("q113_unigram_learn")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val agree =
+      if (expected.isEmpty && got.isEmpty) 1.0
+      else (expected.toSet & got.toSet).size.toDouble /
+        (expected.toSet | got.toSet).size
+    Seq(
+      Gate("q113_unigram_learn", "model_agreement_vs_reference",
+        agree, "==", 1.0),
+      Gate("q113_unigram_learn", "pieces_learned",
+        got.size.toDouble, ">=", 1.0))
+  }
+
+  /** q114 — the reference tokenizes every document DIRECTLY (no
+    * distinct-piece cache), so the query's cache + broadcast-join shape
+    * is cross-checked, not just the segmenter — the q92 discipline.
+    */
+  def q114Gates(spark: SparkSession, dir: String,
+      memo: RefMemo = new RefMemo): Seq[Gate] = {
+    import graft.queries.NorthStarQueries._
+    val model = memo.refUnigramFor(spark, dir)
+    def cpSyms(s: String): Vector[String] =
+      s.codePoints().toArray.toVector.map(cp =>
+        new String(Character.toChars(cp)))
+    val docs = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val pieces = refPieces(text)
+      if (pieces.isEmpty) None
+      else {
+        val segs = pieces.map(p =>
+          refUniViterbi(cpSyms(p), model, UnigramMaxPieceLen))
+        Some(id -> (pieces.size.toLong,
+          segs.map(_._1.length.toLong).sum, segs.map(_._2).sum))
+      }
+    }.toMap
+    val got = graft.SparkEntry.queries("q114_unigram_tokenize")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val agree =
+      if (expected.isEmpty && got.isEmpty) 1.0
+      else if (expected.keySet != got.keySet) 0.0
+      else expected.count { case (k, v) => got(k) == v }.toDouble /
+        expected.size
+    Seq(
+      Gate("q114_unigram_tokenize", "per_doc_agreement_vs_reference",
+        agree, "==", 1.0),
+      Gate("q114_unigram_tokenize", "docs_tokenized",
+        got.size.toDouble, ">=", 1.0))
   }
 
   def q88Gates(spark: SparkSession, dir: String,
@@ -872,7 +1097,9 @@ object Accuracy {
       q75Gates(spark, dir) ++ q81Gates(spark, dir) ++ q82Gates(spark, dir) ++
       q84Gates(spark, dir) ++ q86Gates(spark, dir) ++
       q88Gates(spark, dir, memo) ++ q92Gates(spark, dir, memo) ++
-      q110Gates(spark, dir) ++ q111Gates(spark, dir) ++ q112Gates(spark, dir)
+      q110Gates(spark, dir) ++ q111Gates(spark, dir) ++
+      q112Gates(spark, dir) ++
+      q113Gates(spark, dir, memo) ++ q114Gates(spark, dir, memo)
   }
 
   /** Per-tier overrides for the measurement-TUNED bounds (keyed

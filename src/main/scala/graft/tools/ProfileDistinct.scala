@@ -85,6 +85,13 @@ object ProfileDistinct {
       }
       time("read gold") {
         wh.gold("customer_reach_by_city").read(spark).count() }
+      val goldDir = java.nio.file.Paths.get(
+        wh.gold("customer_reach_by_city").currentPath)
+      val w = java.nio.file.Files.walk(goldDir)
+      val nf = try w.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).count()
+      finally w.close()
+      println(s"[prof] gold parquet files: $nf")
       graft.io.FsUtil.deleteRecursively(whP)
     }
     spark.stop()
