@@ -602,6 +602,20 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(col("piece")).agg(sum(col("weight")).as("weight"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(logCounts === vocab.toMap)
+    // the maintained log drives the OTHER tokenizer family with zero new
+    // maintenance code: unigram training over the log's aggregated piece
+    // table is bit-identical to training on the batch word table — the
+    // trainer's integer micro-unit EM makes this an exact equality, not
+    // a tolerance (replay double-counts or drifted weights would shift
+    // expected counts and break it)
+    val logWords = log.read(spark).filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("weight")).as("weight"))
+    val batchWords = graft.northstar.BpeLearn.pieceCounts(docs, "text", pat)
+    val mStream = graft.northstar.UnigramLm.train(logWords,
+      targetVocab = 12, maxLen = 4, seedSize = 40)
+    val mBatch = graft.northstar.UnigramLm.train(batchWords,
+      targetVocab = 12, maxLen = 4, seedSize = 40)
+    assert(mStream.logp === mBatch.logp)
   }
 
   test("streaming BM25 stats maintenance equals the batch stage: scoring " +
