@@ -306,6 +306,38 @@ object UnigramLm {
       .toDF("piece", "logp_micro")
   }
 
+  /** Rehydrate a model from its table form. The DP window is the max
+    * piece length IN the model — deriving it from the data is always
+    * sufficient (no span longer than the longest piece can ever match)
+    * and self-consistent across prune/persist cycles.
+    */
+  def modelFromDF(df: DataFrame): Model = {
+    val logp = df.select(col("piece"), col("logp_micro")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxLen = if (logp.isEmpty) 1
+      else logp.keysIterator.map(BpeLearn.initialSymbols(_).length).max
+    Model(logp, math.max(1, maxLen))
+  }
+
+  /** Persist the model as a versioned [[graft.io.ParquetTable]] — the
+    * serving artifact a tokenize job loads instead of retraining (the
+    * [[IvfIndex.persist]] contract for the tokenizer family: trained at
+    * most once per corpus version, consumed by many jobs). The model is
+    * vocabulary-sized, so the table is a single tiny file; time travel
+    * and atomic swap ride along from the table layout.
+    */
+  def persist(spark: SparkSession, path: String, model: Model): Unit = {
+    new graft.io.ParquetTable(path)
+      .overwrite(modelToDF(spark, model).coalesce(1))
+    ()
+  }
+
+  /** Load a persisted model, or None when no table exists at `path`. */
+  def load(spark: SparkSession, path: String): Option[Model] = {
+    val t = new graft.io.ParquetTable(path)
+    if (!t.exists) None else Some(modelFromDF(t.read(spark)))
+  }
+
   // ----------------------------------------------------------- tokenize
 
   /** Viterbi segmentation in exact micro-nat LONG arithmetic: dp over

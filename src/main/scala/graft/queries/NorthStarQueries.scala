@@ -482,11 +482,12 @@ object NorthStarQueries {
     * data vintage changes the fingerprint, so stale indexes simply miss
     * and the probe rebuilds. Metadata-only — no data job.
     */
-  private def indexScratch(prefix: String, dir: String): String = {
+  private def indexScratch(prefix: String, dir: String,
+      srcFile: String = "embeddings.parquet"): String = {
     val fp =
       try {
         val attrs = java.nio.file.Files.readAttributes(
-          java.nio.file.Paths.get(dir, "embeddings.parquet"),
+          java.nio.file.Paths.get(dir, srcFile),
           classOf[java.nio.file.attribute.BasicFileAttributes])
         java.lang.Long.toHexString(
           attrs.lastModifiedTime.toMillis ^ (attrs.size * 1315423911L))
@@ -800,6 +801,15 @@ object NorthStarQueries {
     graft.northstar.UnigramLm.train(words, UnigramTargetVocab,
       UnigramMaxPieceLen, UnigramSeedSize, UnigramEmIters)
 
+  /** The shared fingerprinted tokenizer-model path — the q50/q112
+    * serving contract for the tokenizer family: q113 trains and persists
+    * once per corpus vintage (documents.parquet metadata fingerprint),
+    * q114 loads it instead of retraining. A new data vintage changes the
+    * fingerprint, so stale models simply miss and retrain.
+    */
+  private def unigramScratch(dir: String): String =
+    indexScratch("uni", dir, "documents.parquet")
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -813,10 +823,15 @@ object NorthStarQueries {
     * exact cross-implementation gate possible at all.
     */
   def q113UnigramLearn(s: SparkSession, dir: String): DataFrame = {
+    import graft.northstar.UnigramLm
     val words = q113WordPlan(s, dir).persist()
     try {
       words.count() // EM iterates over it; never recompute the corpus scan
-      graft.northstar.UnigramLm.modelToDF(s, q113Train(s, dir, words))
+      val model = q113Train(s, dir, words)
+      // the serving artifact: q114 (and any tokenize job of this corpus
+      // vintage) loads this instead of retraining — q50's build contract
+      UnigramLm.persist(s, unigramScratch(dir), model)
+      UnigramLm.modelToDF(s, model)
     } finally { words.unpersist(); () }
   }
 
@@ -838,8 +853,15 @@ object NorthStarQueries {
     val vocabDf = BpeLearn.pieceCounts(docs, "text", BpePiecePattern)
       .persist()
     try {
-      val words = BpeLearn.topVocabPlan(vocabDf, UnigramWordCap)
-      val model = q113Train(s, dir, words)
+      // the q112 serving shape: load the shared fingerprinted model when
+      // q113 already trained this corpus vintage; train-and-persist once
+      // otherwise (training is deterministic, so load ≡ retrain exactly)
+      val model = UnigramLm.load(s, unigramScratch(dir)).getOrElse {
+        val m = q113Train(s, dir, BpeLearn.topVocabPlan(vocabDf,
+          UnigramWordCap))
+        UnigramLm.persist(s, unigramScratch(dir), m)
+        m
+      }
       val bc = s.sparkContext.broadcast(model)
       // vocabulary-sized imperative stage: segment each DISTINCT piece
       val pieceTok = vocabDf.select(col("piece")).as[String]

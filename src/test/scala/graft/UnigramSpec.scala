@@ -158,6 +158,28 @@ class UnigramSpec extends AnyFunSuite {
     } finally { words.unpersist(); () }
   }
 
+  test("persist/load round-trip: the loaded model is bit-identical and " +
+      "tokenizes identically (the serving contract q114 loads through)") {
+    val words = Seq(("lower", 40L), ("low", 30L), ("newest", 25L))
+      .toDF("piece", "weight")
+    val trained = UnigramLm.train(words, targetVocab = 10, maxLen = 4,
+      seedSize = 25)
+    val path = java.nio.file.Files.createTempDirectory("graft_uni")
+      .toString + "/model"
+    UnigramLm.persist(spark, path, trained)
+    val loaded = UnigramLm.load(spark, path).get
+    assert(loaded.logp === trained.logp)
+    // the derived DP window never exceeds the trained one and spans
+    // longer than any model piece cannot match — segmentations agree
+    assert(loaded.maxLen <= trained.maxLen)
+    for (w <- Seq("lowest", "newlow", "zzz", "lower")) {
+      val (pl, sl) = UnigramLm.viterbi(w, loaded)
+      val (pt, st) = UnigramLm.viterbi(w, trained)
+      assert((pl.toSeq, sl) === ((pt.toSeq, st)))
+    }
+    assert(UnigramLm.load(spark, path + "_absent").isEmpty)
+  }
+
   test("train hits the target vocabulary exactly when the seed is " +
       "bigger, keeping all singles") {
     val words = Seq(("abcabc", 50L), ("bca", 20L), ("cab", 10L),
