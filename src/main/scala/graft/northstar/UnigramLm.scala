@@ -254,9 +254,12 @@ object UnigramLm {
     }
     if (multi.size <= keep) model
     else {
-      val without = (p: String) => Model(model.logp - p, model.maxLen)
       val ranked = multi.toSeq.map { case (p, lpM) =>
-        val alt = viterbi(p, without(p))._2
+        // exclusion-aware Viterbi, NOT `model - p`: rebuilding a
+        // vocabulary-sized map per candidate would make the prune pass
+        // O(V²) in map copies — at SentencePiece's 1M-piece seeds that
+        // is the difference between seconds and hours
+        val alt = viterbi(p, model, exclude = p)._2
         val loss = counts.getOrElse(p, 0L).toDouble * (lpM - alt).toDouble
         (p, lpM, loss)
       }.sortBy { case (p, _, loss) => (-loss, p) }
@@ -345,9 +348,13 @@ object UnigramLm {
     * single for out-of-model characters, keeping the DP total on unseen
     * input). Tiebreak on equal score: the LONGER last piece (smaller
     * start index) — an explicit total order shared with any reference.
-    * Returns (pieces, score in micro-nats).
+    * Returns (pieces, score in micro-nats). `exclude` drops ONE piece
+    * from consideration without copying the model (the prune pass's
+    * alternative-segmentation probe; an excluded single falls back to
+    * the floor penalty like any out-of-model character).
     */
-  def viterbi(word: String, model: Model): (Array[String], Long) = {
+  def viterbi(word: String, model: Model,
+      exclude: String = null): (Array[String], Long) = {
     val cps = BpeLearn.initialSymbols(word)
     val n = cps.length
     if (n == 0) return (Array.empty, 0L)
@@ -360,7 +367,10 @@ object UnigramLm {
         if (dp(j) != NoScore) {
           val piece = cps.slice(j, i).mkString
           val lpOpt =
-            if (i - j == 1) Some(model.logp.getOrElse(piece, FloorLogpMicro))
+            if (piece == exclude)
+              (if (i - j == 1) Some(FloorLogpMicro) else None)
+            else if (i - j == 1)
+              Some(model.logp.getOrElse(piece, FloorLogpMicro))
             else model.logp.get(piece)
           lpOpt.foreach { lpM =>
             val cand = dp(j) + lpM
