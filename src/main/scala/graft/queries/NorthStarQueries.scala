@@ -810,6 +810,44 @@ object NorthStarQueries {
   private def unigramScratch(dir: String): String =
     indexScratch("uni", dir, "documents.parquet")
 
+  /** The q115 dictionary — single-sourced so the engine's positional
+    * phrase ids and the generated oracle can never drift. Deliberately
+    * adversarial for a matcher: entries that are substrings of other
+    * entries ("scan" vs "scan scan"), phrases sharing prefixes, and
+    * self-overlapping phrases ("table table" occurs TWICE in
+    * "table table table" — overlapping semantics, the textbook AC
+    * contract).
+    */
+  val DictPhrases: Seq[String] = Seq(
+    "spark", "hash join", "table table", "scan", "scan scan",
+    "merge batch", "value fast", "customer stream", "group value",
+    "slow filter", "the line sort", "query big", "sort column",
+    "window table", "a a", "stream window")
+
+  /** Dictionary-scale phrase matching (q115): the matching stage a
+    * blocklist/PII/decontamination pipeline needs where regex
+    * alternation dies — an Aho–Corasick automaton
+    * ([[graft.functions.DictMatchCounts]], Aho & Corasick 1975) matches
+    * the WHOLE dictionary in one pass per byte, O(text + matches)
+    * independent of dictionary size, against `rlike`'s O(text × N).
+    * The automaton builds once on the driver and rides into the
+    * whole-stage-codegen span as a reference object: the entire sweep —
+    * match, posexplode, hit filter — is scan-stage work, ZERO shuffles
+    * at any corpus or dictionary size.
+    * Overlapping occurrences count (the exit-link chain); the oracle
+    * replays every (doc, phrase) count by brute-force position
+    * enumeration in DuckDB, so the automaton never gets the benefit of
+    * the doubt.
+    */
+  def q115DictionaryMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val counts = GraftBridge.toColumn(graft.functions.DictMatchCounts(
+      GraftBridge.toExpression(col("text")), DictPhrases))
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(counts).as(Seq("phrase_id", "n_matches")))
+      .filter(col("n_matches") > 0)
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -2764,6 +2802,7 @@ object NorthStarQueries {
     "q112_hybrid_rrf_ivf" -> (q112HybridRrfIvf _),
     "q113_unigram_learn" -> (q113UnigramLearn _),
     "q114_unigram_tokenize" -> (q114UnigramTokenize _),
+    "q115_dictionary_match" -> (q115DictionaryMatch _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -2787,7 +2826,35 @@ object NorthStarQueries {
     s"""len(list_filter($tokensSql, t -> len(t) > 0 AND lower(t) IN (${
       profile.map(w => s"'$w'").mkString(", ")})))"""
 
+  /** q115's oracle, GENERATED from [[DictPhrases]] so ids and strings
+    * cannot drift: every (doc, phrase) count recomputed by brute-force
+    * position enumeration — `substr` equality at every start position,
+    * which counts OVERLAPPING occurrences exactly like the automaton's
+    * exit chain. Character positions equal byte positions here because
+    * the dictionary is ASCII and an ASCII pattern can never match
+    * starting inside a multi-byte UTF-8 character.
+    */
+  private def q115OracleSql: String = {
+    val dict = DictPhrases.zipWithIndex
+      .map { case (p, i) => s"($i, '$p', ${p.length})" }
+      .mkString(", ")
+    s"""WITH RECURSIVE pos(i) AS (
+          SELECT 1
+          UNION ALL
+          SELECT i + 1 FROM pos
+          WHERE i < (SELECT max(len(text)) FROM documents)
+        )
+        SELECT d.doc_id, CAST(ph.phrase_id AS INTEGER) AS phrase_id,
+          count(*) AS n_matches
+        FROM documents d
+        JOIN pos ON pos.i <= len(d.text)
+        JOIN (VALUES $dict) ph(phrase_id, phrase, plen)
+          ON substr(d.text, pos.i, ph.plen) = ph.phrase
+        GROUP BY 1, 2"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q115_dictionary_match" -> q115OracleSql,
     "q20_token_stats" ->
       s"""SELECT lang, count(*) AS docs,
           CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens,

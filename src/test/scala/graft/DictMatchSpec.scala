@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{AhoCorasick, DictMatchCounts}
+
+/** Aho–Corasick dictionary matching against the 1975 paper's own example
+  * and the matcher's edge laws: overlapping/nested occurrences, shared
+  * prefixes, dictionary entries that are substrings of each other,
+  * multi-byte safety of the byte-domain scan, and the codegen'd
+  * expression end-to-end.
+  */
+class DictMatchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def counts(dict: Seq[String], text: String): Map[String, Long] = {
+    val c = AhoCorasick.build(dict).countAll(UTF8String.fromString(text))
+    dict.zip(c).toMap
+  }
+
+  test("the Aho–Corasick 1975 example: {he, she, his, hers} on 'ushers'") {
+    assert(counts(Seq("he", "she", "his", "hers"), "ushers") ===
+      Map("he" -> 1L, "she" -> 1L, "his" -> 0L, "hers" -> 1L))
+  }
+
+  test("overlapping occurrences all count: 'aa' on 'aaaa' is 3") {
+    assert(counts(Seq("aa"), "aaaa") === Map("aa" -> 3L))
+  }
+
+  test("nested dictionary entries: {a, aa, aaa} on 'aaa'") {
+    assert(counts(Seq("a", "aa", "aaa"), "aaa") ===
+      Map("a" -> 3L, "aa" -> 2L, "aaa" -> 1L))
+  }
+
+  test("an entry that is a substring of another: both count " +
+      "independently ('scan' inside 'scan scan')") {
+    assert(counts(Seq("scan", "scan scan"), "scan scan scan") ===
+      Map("scan" -> 3L, "scan scan" -> 2L))
+  }
+
+  test("shared prefixes resolve through fail links mid-pattern") {
+    // after reading "shi" the 'she' branch fails into 'his'
+    assert(counts(Seq("she", "his", "is"), "shis") ===
+      Map("she" -> 0L, "his" -> 1L, "is" -> 1L))
+  }
+
+  test("byte-domain scan is multi-byte safe: an ASCII pattern never " +
+      "matches inside a multi-byte character, and multi-byte patterns " +
+      "match exactly") {
+    // 'ぁ' is E3 81 81 — contains no ASCII byte, so 'a' must count 1
+    assert(counts(Seq("a"), "ぁaぁ") === Map("a" -> 1L))
+    assert(counts(Seq("ぁa"), "ぁaぁ") === Map("ぁa" -> 1L))
+    assert(counts(Seq("héllo"), "héllo héllo") === Map("héllo" -> 2L))
+  }
+
+  test("no match at all yields zero counts, not absent entries") {
+    assert(counts(Seq("zz", "qq"), "spark") ===
+      Map("zz" -> 0L, "qq" -> 0L))
+  }
+
+  test("build refuses empty/duplicate dictionaries loudly") {
+    intercept[IllegalArgumentException](AhoCorasick.build(Nil))
+    intercept[IllegalArgumentException](AhoCorasick.build(Seq("a", "")))
+    intercept[IllegalArgumentException](AhoCorasick.build(Seq("a", "a")))
+  }
+
+  test("the expression runs codegen'd end-to-end in a DataFrame and " +
+      "NULL text yields NULL counts") {
+    val dict = Seq("he", "she", "hers")
+    val df = Seq((1L, "ushers she"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val c = GraftBridge.toColumn(
+      DictMatchCounts(GraftBridge.toExpression(col("t")), dict))
+    // "ushers she": he at ushErs + sHE = 2; she at uSHErs + " she" = 2;
+    // hers at usHERS = 1
+    val rows = df.select(col("id"), c.as("c")).orderBy("id").collect()
+    assert(rows(0).getSeq[Long](1) === Seq(2L, 2L, 1L))
+    assert(rows(1).isNullAt(1))
+    // and the posexplode consumer shape q115 uses
+    val exploded = df.filter(col("t").isNotNull)
+      .select(col("id"), posexplode(c).as(Seq("pid", "n")))
+      .filter(col("n") > 0).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(exploded === Set((0, 2L), (1, 2L), (2, 1L)))
+  }
+}
