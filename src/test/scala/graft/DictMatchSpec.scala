@@ -63,6 +63,22 @@ class DictMatchSpec extends AnyFunSuite {
       Map("zz" -> 0L, "qq" -> 0L))
   }
 
+  test("a 5000-entry dictionary builds and matches exactly (deep tries, " +
+      "long fail chains — the million-entry memory shape in miniature)") {
+    // phrases w0000…w4999 plus nested prefixes of a long run
+    val dict = (0 until 5000).map(i => f"w$i%04d") ++
+      (1 to 30).map("x" * _)
+    val ac = AhoCorasick.build(dict)
+    val text = "w0042 w4999 " + ("x" * 40) + " w0042w0042"
+    val c = dict.zip(ac.countAll(UTF8String.fromString(text))).toMap
+    assert(c("w0042") === 3L)
+    assert(c("w4999") === 1L)
+    assert(c("w0000") === 0L)
+    // "x"*k in "x"*40 occurs 40-k+1 times (overlapping)
+    for (k <- 1 to 30) assert(c("x" * k) === (41L - k),
+      s"x^$k expected ${41 - k}")
+  }
+
   test("build refuses empty/duplicate dictionaries loudly") {
     intercept[IllegalArgumentException](AhoCorasick.build(Nil))
     intercept[IllegalArgumentException](AhoCorasick.build(Seq("a", "")))
