@@ -137,19 +137,16 @@ object AhoCorasick {
         queue += v
       }
     }
+    // freeze per-node edges sorted by SIGNED byte — the order the
+    // binary search in step() compares in
     val keysArr = new Array[Array[Byte]](n)
     val toArr = new Array[Array[Int]](n)
     for (i <- 0 until n) {
-      val sorted = edges(i).toArray.sortBy(_._1)
-      keysArr(i) = sorted.map(e => (e._1 & 0xff).toByte)
+      val sorted = edges(i).toArray
+        .map { case (k, t) => ((k & 0xff).toByte, t) }
+        .sortBy(_._1)
+      keysArr(i) = sorted.map(_._1)
       toArr(i) = sorted.map(_._2)
-    }
-    // the sorted-byte binary search compares SIGNED bytes — re-sort keys
-    // by signed value with targets riding along
-    for (i <- 0 until n) {
-      val zipped = keysArr(i).zip(toArr(i)).sortBy(_._1)
-      keysArr(i) = zipped.map(_._1)
-      toArr(i) = zipped.map(_._2)
     }
     new AhoCorasick(keysArr, toArr, fail, exit, phraseAtB.toArray,
       phrases.length)

@@ -161,10 +161,14 @@ object UnigramLm {
     val n = cps.length
     if (n == 0) return Iterator.empty
     val NegInf = Double.NegativeInfinity
-    // piece log-probs per span, nats
-    val lp = Array.ofDim[Double](n + 1, n + 1)
+    // piece log-probs per span, nats — BANDED storage (only spans of
+    // ≤ maxLen code points exist), so a pathological single-run word
+    // costs O(n·maxLen), not an O(n²) matrix that would OOM the E-step
+    // on a 100k-char unbroken piece
+    val band = Array.fill(n, model.maxLen)(NegInf)
+    def lpGet(j: Int, i: Int): Double = band(j)(i - j - 1)
     for (j <- 0 until n; i <- j + 1 to math.min(n, j + model.maxLen)) {
-      lp(j)(i) = model.logp.get(cps.slice(j, i).mkString)
+      band(j)(i - j - 1) = model.logp.get(cps.slice(j, i).mkString)
         .fold(NegInf)(_.toDouble / Micro.toDouble)
     }
     def lse(acc: Double, x: Double): Double =
@@ -177,8 +181,8 @@ object UnigramLm {
       var a = NegInf
       var j = math.max(0, i - model.maxLen)
       while (j < i) { // fixed ascending-j fold order
-        if (alpha(j) != NegInf && lp(j)(i) != NegInf)
-          a = lse(a, alpha(j) + lp(j)(i))
+        if (alpha(j) != NegInf && lpGet(j, i) != NegInf)
+          a = lse(a, alpha(j) + lpGet(j, i))
         j += 1
       }
       alpha(i) = a
@@ -191,16 +195,16 @@ object UnigramLm {
       var i = j + 1
       val hi = math.min(n, j + model.maxLen)
       while (i <= hi) {
-        if (beta(i) != NegInf && lp(j)(i) != NegInf)
-          b = lse(b, lp(j)(i) + beta(i))
+        if (beta(i) != NegInf && lpGet(j, i) != NegInf)
+          b = lse(b, lpGet(j, i) + beta(i))
         i += 1
       }
       beta(j) = b
     }
     val out = mutable.ArrayBuffer.empty[(String, Long)]
     for (j <- 0 until n; i <- j + 1 to math.min(n, j + model.maxLen)) {
-      if (lp(j)(i) != NegInf && alpha(j) != NegInf && beta(i) != NegInf) {
-        val marginal = StrictMath.exp(alpha(j) + lp(j)(i) + beta(i) - z)
+      if (lpGet(j, i) != NegInf && alpha(j) != NegInf && beta(i) != NegInf) {
+        val marginal = StrictMath.exp(alpha(j) + lpGet(j, i) + beta(i) - z)
         val c = math.round(weight.toDouble * marginal * Micro.toDouble)
         if (c > 0L) out += ((cps.slice(j, i).mkString, c))
       }

@@ -808,7 +808,13 @@ object NorthStarQueries {
     * fingerprint, so stale models simply miss and retrain.
     */
   private def unigramScratch(dir: String): String =
-    indexScratch("uni", dir, "documents.parquet")
+    // the training constants are part of the model's identity: folding
+    // them into the prefix means a tuned-constants code change can never
+    // serve a stale model trained under the old hyperparameters — it
+    // simply misses and retrains (same contract as a data-vintage change)
+    indexScratch("uni" + UnigramTargetVocab + "s" + UnigramSeedSize +
+        "l" + UnigramMaxPieceLen + "w" + UnigramWordCap + "e" +
+        UnigramEmIters, dir, "documents.parquet")
 
   /** The q115 dictionary — single-sourced so the engine's positional
     * phrase ids and the generated oracle can never drift. Deliberately
@@ -895,11 +901,20 @@ object NorthStarQueries {
       // q113 already trained this corpus vintage; train-and-persist once
       // otherwise (training is deterministic, so load ≡ retrain exactly)
       val model = UnigramLm.load(s, unigramScratch(dir)).getOrElse {
-        val m = q113Train(s, dir, BpeLearn.topVocabPlan(vocabDf,
-          UnigramWordCap))
-        UnigramLm.persist(s, unigramScratch(dir), m)
-        m
+        // the q113 discipline: EM iterates over the capped table, so the
+        // fallback must persist it too or every seed/E-step pass re-runs
+        // the global sort+limit
+        val words = BpeLearn.topVocabPlan(vocabDf, UnigramWordCap).persist()
+        try {
+          words.count()
+          val m = q113Train(s, dir, words)
+          UnigramLm.persist(s, unigramScratch(dir), m)
+          m
+        } finally { words.unpersist(); () }
       }
+      // lives for the returned frame's lifetime (the lazy pieceTok stage
+      // reads it on every execution) — reclaimed by the ContextCleaner
+      // when the frame goes out of scope, the q92 bcRanks contract
       val bc = s.sparkContext.broadcast(model)
       // vocabulary-sized imperative stage: segment each DISTINCT piece
       val pieceTok = vocabDf.select(col("piece")).as[String]

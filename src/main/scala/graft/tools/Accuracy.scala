@@ -508,10 +508,6 @@ object Accuracy {
     }
   }
 
-  /** The independent reference merge LEARN shared by the q88/q92 gates
-    * (immutable lists, groupMapReduce counting, explicit UTF-8-byte cap
-    * tiebreak — none of BpeLearn's representations).
-    */
   /** Cap tiebreak replicating the engine's orderBy: Spark compares
     * strings as UTF-8 BYTES, which diverges from Java's UTF-16 order for
     * supplementary-plane code points — so compare the encoded bytes.
@@ -529,6 +525,10 @@ object Accuracy {
     ba.length < bb.length
   }
 
+  /** The independent reference merge LEARN shared by the q88/q92 gates
+    * (immutable lists, groupMapReduce counting, explicit UTF-8-byte cap
+    * tiebreak — none of BpeLearn's representations).
+    */
   private def refMerges(texts: Seq[String]): Vector[(String, String)] = {
     import graft.queries.NorthStarQueries
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
