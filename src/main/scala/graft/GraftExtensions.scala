@@ -17,7 +17,8 @@ import graft.io.Tables
   *
   * Injects the native functions — `cosine_sim(array<double>,
   * array<double>)`, `dot_product(array<double>, array<double>)`,
-  * `shingle_hashes(string, k)` — into every session built with the
+  * `shingle_hashes(string, k)`, `dict_match_counts(string,
+  * array<string> literal)` — into every session built with the
   * extension (no per-session register() call needed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -45,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.VecSub].getName, "vec_sub"),
       (exprs: Seq[Expression]) =>
         graft.functions.VecSub(exprs.head, exprs(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("dict_match_counts"),
+      new ExpressionInfo(classOf[graft.functions.DictMatchCounts].getName,
+        "dict_match_counts"),
+      (exprs: Seq[Expression]) => graft.functions.DictMatchCounts(exprs.head,
+        GraftExtensions.literalStrings(exprs(1),
+          "dict_match_counts phrases"))))
   }
 }
 
@@ -56,6 +64,29 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  /** The dictionary must be a foldable array of string literals — it
+    * parameterizes the automaton (built once, driver-side), it is not a
+    * per-row input. Accepts both the `array('a','b')` constructor form
+    * and an already-folded array literal.
+    */
+  private[graft] def literalStrings(e: Expression, what: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    e match {
+      case CreateArray(items, _) => items.map {
+        case Literal(v: UTF8String, StringType) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"$what must be string literals, got $other")
+      }
+      case Literal(a: ArrayData, ArrayType(StringType, _)) =>
+        a.toArray[UTF8String](StringType).toSeq.map(_.toString)
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array of string literals, got $other")
+    }
   }
 }
 

@@ -192,6 +192,10 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction(
       "vec_sub", exprs => VecSub(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "dict_match_counts", exprs => DictMatchCounts(exprs(0),
+        graft.GraftExtensions.literalStrings(exprs(1),
+          "dict_match_counts phrases")), "scala_udf")
   }
 
   /** Column-API entry point for the native elementwise subtract. */

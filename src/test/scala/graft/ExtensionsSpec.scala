@@ -29,6 +29,17 @@ class ExtensionsSpec extends AnyFunSuite {
       val sh = extended.sql(
         "SELECT size(shingle_hashes('a b c d', 3))").head.getInt(0)
       assert(sh == 2)
+      // the dictionary parameterizes the automaton: array of string
+      // LITERALS folds at plan time, counts are per-phrase positional
+      val dm = extended.sql(
+        "SELECT dict_match_counts('ushers she', array('he','she','hers'))")
+        .head.getSeq[Long](0)
+      assert(dm == Seq(2L, 2L, 1L))
+      val err = intercept[Exception](extended.sql(
+        "SELECT dict_match_counts(t, array(t)) FROM (SELECT 'x' AS t)")
+        .collect())
+      assert(err.getMessage.contains("string literals"),
+        s"non-literal dictionary must fail loudly, got: ${err.getMessage}")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
