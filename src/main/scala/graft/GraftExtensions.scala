@@ -22,41 +22,70 @@ import graft.io.Tables
   * extension (no per-session register() call needed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.arity
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "cosine_sim(vec, vec)")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "dot_product(vec, vec)")
+        DotProduct(exprs.head, exprs(1))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
-        GraftExtensions.literalInt(exprs(1), "shingle_hashes k"))))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "shingle_hashes(text, k)")
+        ShingleHashes(exprs.head,
+          GraftExtensions.literalInt(exprs(1), "shingle_hashes k"))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("token_collision_stats"),
       new ExpressionInfo(classOf[TokenCollisionStats].getName,
         "token_collision_stats"),
-      (exprs: Seq[Expression]) => TokenCollisionStats(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 1, "token_collision_stats(text)")
+        TokenCollisionStats(exprs.head)
+      }))
     extensions.injectFunction((
       FunctionIdentifier("vec_sub"),
       new ExpressionInfo(classOf[graft.functions.VecSub].getName, "vec_sub"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.VecSub(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "vec_sub(vec, vec)")
+        graft.functions.VecSub(exprs.head, exprs(1))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("dict_match_counts"),
       new ExpressionInfo(classOf[graft.functions.DictMatchCounts].getName,
         "dict_match_counts"),
-      (exprs: Seq[Expression]) => graft.functions.DictMatchCounts(exprs.head,
-        GraftExtensions.literalStrings(exprs(1),
-          "dict_match_counts phrases"))))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "dict_match_counts(text, array_of_string_literals)")
+        graft.functions.DictMatchCounts(exprs.head,
+          GraftExtensions.literalStrings(exprs(1),
+            "dict_match_counts phrases"))
+      }))
   }
 }
 
 object GraftExtensions {
+
+  /** Arity guard for the injected builders: a wrong-arg-count SQL call
+    * must surface as an analysis-style error naming the signature, not
+    * an IndexOutOfBoundsException from `exprs(1)`.
+    */
+  private[graft] def arity(exprs: Seq[Expression], n: Int,
+      signature: String): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"wrong number of arguments: expected $n as $signature, " +
+        s"got ${exprs.length}")
+
   /** k must be a foldable int literal — it parameterizes the expression,
     * it is not a per-row input.
     */
@@ -83,7 +112,14 @@ object GraftExtensions {
           s"$what must be string literals, got $other")
       }
       case Literal(a: ArrayData, ArrayType(StringType, _)) =>
-        a.toArray[UTF8String](StringType).toSeq.map(_.toString)
+        // folded array literals (Column-API arrays, optimizer constant
+        // folding) can carry null ELEMENTS — raise the same loud error
+        // as the constructor form, not a raw NullPointerException
+        a.toArray[UTF8String](StringType).toSeq.map { v =>
+          if (v == null) throw new IllegalArgumentException(
+            s"$what must be string literals, got a null element")
+          v.toString
+        }
       case other => throw new IllegalArgumentException(
         s"$what must be an array of string literals, got $other")
     }

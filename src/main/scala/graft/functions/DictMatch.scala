@@ -165,11 +165,22 @@ case class DictMatchCounts(child: Expression, phrases: Seq[String])
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && phrases.nonEmpty)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"dict_match_counts expects (string, non-empty dictionary), got " +
-        s"${child.dataType.simpleString}, ${phrases.length} phrases")
+    if (child.dataType != StringType || phrases.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"dict_match_counts expects (string, non-empty dictionary), got " +
+          s"${child.dataType.simpleString}, ${phrases.length} phrases")
+    // mirror AhoCorasick.build's requires HERE so a malformed dictionary
+    // fails at ANALYSIS time with a typed error — the automaton is
+    // @transient lazy and would otherwise first force (and throw) at
+    // codegen or executor eval, after the plan was accepted
+    else if (phrases.exists(_.isEmpty))
+      TypeCheckResult.TypeCheckFailure(
+        "dict_match_counts: dictionary phrases must be non-empty strings")
+    else if (phrases.distinct.length != phrases.length)
+      TypeCheckResult.TypeCheckFailure(
+        "dict_match_counts: dictionary phrases must be distinct " +
+          "(match-count ids are positional)")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "dict_match_counts"

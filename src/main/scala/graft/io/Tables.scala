@@ -116,6 +116,15 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   /** In-flight reservation marker (see [[reserveNextDir]]/[[vacuum]]). */
   private val StagingMarker = "_staging"
 
+  /** Per-version WRITE-SIDE change feed (see [[overwriteWithChanges]]):
+    * a parquet dir inside the version holding the commit's row-level
+    * multiset delta vs the previous version, `_change_type`
+    * insert/delete. Underscore-prefixed, so table scans never see it
+    * (Spark's hidden-path filter), and it lives and dies with its
+    * version (vacuum, crash-cleanup of staged dirs).
+    */
+  private val ChangesDir = "_changes"
+
   def exists: Boolean = Files.exists(pointer)
 
   private def currentVersion: Option[String] =
@@ -184,7 +193,7 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     * swap is last-writer-wins — use [[overwriteIf]] when a stale commit
     * must FAIL instead of clobbering.
     */
-  def overwrite(df: DataFrame): ParquetTable = commitNew(df, None)
+  def overwrite(df: DataFrame): ParquetTable = commitNew(df, None, None)
 
   /** Optimistic-concurrency commit — the Delta/Iceberg conditional-commit
     * shape on a plain filesystem. The caller reads [[version]] (0 = table
@@ -199,7 +208,36 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     * seam is the store's conditional put / commit service.
     */
   def overwriteIf(df: DataFrame, expectedVersion: Int): ParquetTable =
-    commitNew(df, Some(expectedVersion))
+    commitNew(df, Some(expectedVersion), None)
+
+  /** [[overwrite]] with WRITE-SIDE change capture — the actual Delta CDF
+    * design: the writer, which already knows its row-level delta (a
+    * keyed merge knows its matched/changed rows; a maintenance harness
+    * knows its update batch), persists it at commit time into the new
+    * version's `_changes/` dir, so [[changesBetween]] later serves the
+    * feed in O(|changes|) instead of diffing two full snapshots — the
+    * cost that dominates overwrite-chain incremental maintenance at any
+    * real scale (an append chain already has the file-set fast path).
+    *
+    * `changes` contract: the new version's columns plus `_change_type`
+    * (string, `insert`/`delete`), holding EXACTLY the multiset delta
+    * previous-live → `df` (one row per changed copy; an update is its
+    * delete+insert pair). The delta is the WRITER'S claim — set
+    * `spark.conf graft.cdf.verifyDeclaredChanges=true` (specs do) to
+    * have the commit recompute the snapshot diff and fail loudly on any
+    * divergence; production leaves it off, which is precisely the cost
+    * model that makes write-side CDF worth having. A feed declared on
+    * the FIRST write of a table must be `df` itself, all inserts.
+    */
+  def overwriteWithChanges(df: DataFrame, changes: DataFrame): ParquetTable =
+    commitNew(df, None, Some(changes))
+
+  /** [[overwriteIf]] + write-side change capture (see
+    * [[overwriteWithChanges]] for the feed contract).
+    */
+  def overwriteIfWithChanges(df: DataFrame, changes: DataFrame,
+      expectedVersion: Int): ParquetTable =
+    commitNew(df, Some(expectedVersion), Some(changes))
 
   private def versionNum: Int =
     currentVersion.map(_.drop(2).toInt).getOrElse(0)
@@ -230,13 +268,24 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     name
   }
 
-  private def commitNew(df: DataFrame, expected: Option[Int]): ParquetTable = {
+  private def commitNew(df: DataFrame, expected: Option[Int],
+      changes: Option[DataFrame]): ParquetTable = {
+    // validate the declared feed's shape BEFORE any I/O (appendVersion's
+    // fail-in-milliseconds discipline); the baseline for the optional
+    // content verification is the pre-commit live version, read now
+    changes.foreach(validateFeedShape(df, _))
+    val verifyBase: Option[DataFrame] =
+      if (changes.isDefined && feedVerifyEnabled(df))
+        Some(if (exists) read(df.sparkSession) else df.limit(0))
+      else None
     val next = ParquetTable.withCommitLock(path) {
       expected.foreach(e => if (versionNum != e) throw stale(e, versionNum))
       reserveNextDir()
     }
     try {
       writeVersion(df, next)
+      changes.foreach(writeFeed(next, _))
+      verifyBase.foreach(verifyDeclaredFeed(_, df, changes.get))
       ParquetTable.withCommitLock(path) {
         expected.foreach(e => if (versionNum != e) throw stale(e, versionNum))
         swapPointer(next)
@@ -250,6 +299,69 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
         throw t
     }
     this
+  }
+
+  private def feedVerifyEnabled(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("graft.cdf.verifyDeclaredChanges")
+      .contains("true")
+
+  /** Feed shape contract: exactly the new version's columns plus a
+    * string `_change_type`, with matching data-column types — a feed
+    * whose columns drift from the snapshot would poison every
+    * downstream fold silently.
+    */
+  private def validateFeedShape(df: DataFrame, changes: DataFrame): Unit = {
+    val want = df.columns.toSet + "_change_type"
+    require(changes.columns.toSet == want,
+      s"declared change feed columns ${changes.columns.sorted.mkString(",")}" +
+        s" must be exactly the new version's columns plus _change_type " +
+        s"(${want.toSeq.sorted.mkString(",")})")
+    require(changes.schema("_change_type").dataType ==
+        org.apache.spark.sql.types.StringType,
+      "_change_type must be a string column (insert/delete)")
+    df.schema.fields.foreach { f =>
+      val c = changes.schema(f.name)
+      require(org.apache.spark.sql.GraftBridge.sameType(c.dataType, f.dataType),
+        s"declared change feed column ${f.name} (${c.dataType}) conflicts " +
+          s"with the new version's type (${f.dataType})")
+    }
+  }
+
+  /** Persist the declared feed inside the staged version dir — it rides
+    * the commit's atomicity (built before the pointer swap, deleted with
+    * the staging dir on failure). Same empty-write fallback as
+    * [[writeVersion]]: an all-valid batch legitimately declares an empty
+    * feed, and the dir must stay readable.
+    */
+  private def writeFeed(next: String, changes: DataFrame): Unit = {
+    val feedDir = Paths.get(path, next, ChangesDir)
+    changes.write.mode("append").parquet(feedDir.toString)
+    val walk = Files.walk(feedDir)
+    val hasData =
+      try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    if (!hasData)
+      changes.limit(0).coalesce(1).write.mode("append")
+        .parquet(feedDir.toString)
+  }
+
+  /** The spec-mode content check (see [[overwriteWithChanges]]): the
+    * declared feed must equal the computed snapshot diff as a MULTISET.
+    * Runs the exact full-width diff the feed exists to avoid — only ever
+    * under `graft.cdf.verifyDeclaredChanges=true`.
+    */
+  private def verifyDeclaredFeed(prev: DataFrame, df: DataFrame,
+      changes: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val cols = df.columns.toIndexedSeq
+    val expected = multisetDiff(prev.select(cols.map(col): _*),
+      df.select(cols.map(col): _*), cols)
+    val declared = changes.select(cols.map(col) :+ col("_change_type"): _*)
+    val extra = declared.exceptAll(expected).count()
+    val missing = expected.exceptAll(declared).count()
+    require(extra == 0 && missing == 0,
+      s"declared change feed for $path diverges from the computed " +
+        s"snapshot diff: $extra extra row(s), $missing missing row(s)")
   }
 
   private def writeVersion(df: DataFrame, next: String): Unit = {
@@ -366,8 +478,14 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           val flatFallback = partitionColumns.nonEmpty &&
             p.getParent == prevDir && n.endsWith(".parquet")
           if (flatFallback && Files.isRegularFile(p)) skippedFlat += p
+          // never link the BASE version's write-side change feed: it
+          // describes THAT commit's delta, and riding into the new
+          // version would mislabel it as this commit's feed
+          val rel = prevDir.relativize(p)
+          val inFeed = rel.getNameCount > 1 &&
+            rel.getName(0).toString == ChangesDir
           Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".") &&
-            !flatFallback
+            !flatFallback && !inFeed
         }
         .foreach { p =>
           val rel = prevDir.relativize(p)
@@ -526,8 +644,12 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
               (0 until depth).map(i => rel.getName(i).toString).toVector)
           val flatFallback = p.getParent == prevDir && n.endsWith(".parquet")
           if (flatFallback && Files.isRegularFile(p)) skippedFlat += p
+          // the base version's change feed stays with ITS commit
+          // (appendVersion's rationale)
+          val inFeed = rel.getNameCount > 1 &&
+            rel.getName(0).toString == ChangesDir
           Files.isRegularFile(p) && n != "_SUCCESS" && !n.startsWith(".") &&
-            !inReplaced && !flatFallback
+            !inReplaced && !flatFallback && !inFeed
         }
         .foreach { p =>
           val rel = prevDir.relativize(p)
@@ -624,12 +746,26 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       case Some(delta) => return delta
       case None => ()
     }
+    stepDeltas(spark, fromV, toV, to, cols) match {
+      case Some(delta) => return delta
+      case None => ()
+    }
     val from0 = readVersion(spark, fromV)
     val fromAligned = cols
       .foldLeft(from0)((d, c) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(to.schema(c).dataType)))
       .select(cols.map(col): _*)
+    multisetDiff(fromAligned, to, cols)
+  }
+
+  /** The generic full-width snapshot diff (the correctness BASELINE every
+    * fast path must land on): net multiset delta `from` → `to`, one
+    * output row per changed copy. NULL-safe throughout.
+    */
+  private def multisetDiff(fromAligned: DataFrame, to: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val f = fromAligned.groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("__n_from"))
     val t0 = to.groupBy(cols.map(col): _*)
@@ -646,6 +782,94 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       .select(cols.map(c => coalesce(col(c), col(s"__t_$c")).as(c)) :+
         when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
           .as("_change_type"): _*)
+  }
+
+  /** CDF fast path over PERSISTED per-commit feeds: when every step
+    * fromV+1..toV either carries a write-side `_changes/` feed
+    * ([[overwriteWithChanges]]) or is an append-only version (file-set
+    * subset — its step delta is the new files, all inserts), the span's
+    * net multiset delta is the SIGNED SUM of the per-step deltas
+    * (projection onto the TO schema is linear over multiset counts, so
+    * the per-step sum telescopes to snapshot-minus-snapshot even across
+    * schema evolution mid-span). Cost: O(Σ|step changes|) — no snapshot
+    * is ever read; a single uncovered step returns None and the generic
+    * diff stays the baseline. Netting (groupBy over the concatenated
+    * feeds) keeps the output semantics EXACTLY [[multisetDiff]]'s: a row
+    * inserted then deleted inside the span cancels out.
+    */
+  private def stepDeltas(spark: SparkSession, fromV: Int, toV: Int,
+      to: DataFrame, cols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    // feeds only describe FORWARD steps; a reverse span (time-travel
+    // comparisons call changesBetween(2, 1)) is the generic diff's job
+    if (fromV >= toV) return None
+    val steps = ((fromV + 1) to toV).map { v =>
+      readFeed(spark, v).orElse {
+        // append-only step: its exact delta is the new files, all inserts
+        if (Files.exists(Paths.get(path, f"v_${v - 1}%05d")) &&
+            Files.exists(Paths.get(path, f"v_$v%05d"))) {
+          val stepTo = readVersion(spark, v)
+          appendOnlyDelta(spark, v - 1, v, stepTo, stepTo.columns.toIndexedSeq)
+        } else None
+      }
+    }
+    if (steps.exists(_.isEmpty)) None
+    else {
+      // align every step's rows onto the TO schema: missing columns read
+      // as typed NULLs, dropped columns leave the diff, matched columns
+      // cast to the TO type (a no-op unless the span retyped)
+      val aligned = steps.flatten.map { d =>
+        d.select(cols.map { c =>
+          if (d.columns.contains(c)) col(c).cast(to.schema(c).dataType).as(c)
+          else lit(null).cast(to.schema(c).dataType).as(c)
+        } :+ col("_change_type"): _*)
+      }
+      val all = aligned.reduce(_ unionByName _)
+      val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      Some(all.groupBy(cols.map(col): _*)
+        .agg(sum(sign).as("__delta"))
+        .filter(col("__delta") =!= 0)
+        .withColumn("__i", explode(sequence(lit(1L), abs(col("__delta")))))
+        .select(cols.map(col) :+
+          when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
+            .as("_change_type"): _*))
+    }
+  }
+
+  /** The persisted write-side feed of version `v`, read under that
+    * version's COMMITTED schema plus `_change_type` (never footer
+    * inference — the O(1)-resolution rationale of [[storedSchema]]).
+    */
+  private def readFeed(spark: SparkSession, v: Int): Option[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    val verDir = Paths.get(path, f"v_$v%05d")
+    val feedDir = verDir.resolve(ChangesDir)
+    if (!Files.exists(feedDir)) None
+    else {
+      // list the part files explicitly: passing the `_`-prefixed dir as
+      // a root path trips DataSource's hidden-path warning on every read
+      // (the prefix exists to hide the feed from TABLE scans, not from
+      // its own reader); writeFeed guarantees at least one file
+      val files = {
+        val walk = Files.walk(feedDir)
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).toSeq.sorted
+        finally walk.close()
+      }
+      if (files.isEmpty) None // half-written legacy residue: not a feed
+      else {
+        val schema = storedSchema(verDir).map(st =>
+          org.apache.spark.sql.types.StructType(st.fields :+
+            org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType)))
+        Some(schema match {
+          case Some(st) => spark.read.schema(st).parquet(files: _*)
+          case None => spark.read.parquet(files: _*)
+        })
+      }
+    }
   }
 
   /** CDF fast path for append-chain versions: [[appendVersion]] builds
@@ -678,8 +902,16 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     def parquetFiles(d: java.nio.file.Path): Map[String, java.nio.file.Path] = {
       val walk = Files.walk(d)
       try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
+        .filter { p =>
+          // feed files are commit METADATA, not table data: counting
+          // them would break the subset property for any append that
+          // follows a feed-carrying overwrite
+          val rel = d.relativize(p)
+          val inFeed = rel.getNameCount > 1 &&
+            rel.getName(0).toString == ChangesDir
+          Files.isRegularFile(p) && !inFeed &&
+            p.getFileName.toString.endsWith(".parquet")
+        }
         .map(p => d.relativize(p).toString -> p).toMap
       finally walk.close()
     }

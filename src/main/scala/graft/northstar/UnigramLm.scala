@@ -71,6 +71,21 @@ object UnigramLm {
     */
   val FloorLogpMicro: Long = -69L * Micro
 
+  /** Strict UTF-8 byte order — the order Spark's string comparisons
+    * (and every cap-tiebreak orderBy in this engine) use; diverges from
+    * JVM UTF-16 `String` order on supplementary-plane code points.
+    */
+  private[graft] def utf8Less(a: String, b: String): Boolean = {
+    val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(ba.length, bb.length)
+    var i = 0
+    while (i < n) {
+      if (ba(i) != bb(i)) return (ba(i) & 0xff) < (bb(i) & 0xff)
+      i += 1
+    }
+    ba.length < bb.length
+  }
+
   /** A trained model: piece → micro-nat log probability, plus the max
     * piece length in CODE POINTS (the DP window). Single-code-point
     * pieces cover every symbol seen at seed time.
@@ -266,7 +281,14 @@ object UnigramLm {
         val alt = viterbi(p, model, exclude = p)._2
         val loss = counts.getOrElse(p, 0L).toDouble * (lpM - alt).toDouble
         (p, lpM, loss)
-      }.sortBy { case (p, _, loss) => (-loss, p) }
+      }.sortWith { case ((pa, _, la), (pb, _, lb)) =>
+        // UTF-8 byte tiebreak, NOT JVM UTF-16 String order: every other
+        // cap tiebreak in the repo (topVocabPlan's orderBy, the seed cap)
+        // compares strings as Spark does — UTF-8 bytes — and the two
+        // orders diverge on supplementary-plane code points; one ordering
+        // discipline keeps any future SQL replay of this ranking exact
+        if (la != lb) la > lb else utf8Less(pa, pb)
+      }
       Model(singles ++ ranked.take(keep).map(t => t._1 -> t._2),
         model.maxLen)
     }

@@ -691,7 +691,11 @@ object Accuracy {
       val ranked = multi.toVector.map { case (p, lpM) =>
         val alt = refUniViterbi(cpSyms(p), model - p, maxLenSeen)._2
         (p, lastCounts.getOrElse(p, 0L).toDouble * (lpM - alt).toDouble)
-      }.sortBy { case (p, loss) => (-loss, p) }
+      }.sortWith { case ((pa, la), (pb, lb)) =>
+        // UTF-8 byte tiebreak — mirrors UnigramLm.prune's ordering
+        // discipline (one order across all caps, Spark's string order)
+        if (la != lb) la > lb else utf8Less(pa, pb)
+      }
       val kept = ranked.take(keep).map(_._1).toSet
       model = model.filter { case (p, _) =>
         cpSyms(p).length == 1 || kept(p)

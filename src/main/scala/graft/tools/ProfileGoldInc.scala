@@ -59,6 +59,25 @@ object ProfileGoldInc {
         lit("2024-01-01 00:00:00").cast("timestamp")
           .as("silver_ingestion_time"))
     }
+    // mode: "feeds" mirrors q103's write-side change capture (the
+    // production path); "diff" forces the legacy after-the-fact snapshot
+    // diff, so the two runs bracket the CDF cost collapse for BASELINE.md
+    val useFeeds = !args.contains("diff")
+    def ins(d: DataFrame) = d.withColumn("_change_type", lit("insert"))
+    def del(d: DataFrame) = d.withColumn("_change_type", lit("delete"))
+    val orderFeeds = Map(
+      2 -> ins(silverOrders(2).filter(pmod(col("id"), lit(7)) === 0))
+        .unionByName(del(silverOrders(1).filter(
+          pmod(col("id"), lit(5)) === 0 && pmod(col("id"), lit(4)) =!= 0)))
+        .unionByName(ins(silverOrders(2).filter(
+          pmod(col("id"), lit(7)) =!= 0 &&
+            pmod(col("id"), lit(5)) === 0 && pmod(col("id"), lit(4)) =!= 0))),
+      3 -> del(silverOrders(2).filter(pmod(col("id"), lit(11)) === 0)))
+    val addrFeed2 = del(silverAddresses(1)
+        .filter(pmod(col("id"), lit(6)) === 0))
+      .unionByName(ins(silverAddresses(2)
+        .filter(pmod(col("id"), lit(6)) === 0)))
+    println(s"[prof] mode = ${if (useFeeds) "write-side feeds" else "legacy diff"}")
     for (pass <- 1 to 3) {
       val whP = java.nio.file.Paths.get(s"/tmp/prof_goldinc_$pass")
       graft.io.FsUtil.deleteRecursively(whP)
@@ -67,9 +86,13 @@ object ProfileGoldInc {
       println(s"[prof] ---- pass $pass ----")
       for (v <- 1 to 3) {
         time(s"v$v commit orders")(
-          wh.silverByName("orders").overwrite(silverOrders(v)))
+          if (useFeeds && v >= 2) wh.silverByName("orders")
+            .overwriteWithChanges(silverOrders(v), orderFeeds(v))
+          else wh.silverByName("orders").overwrite(silverOrders(v)))
         if (v <= 2) time(s"v$v commit addresses")(
-          wh.silverByName("addresses").overwrite(silverAddresses(v)))
+          if (useFeeds && v == 2) wh.silverByName("addresses")
+            .overwriteWithChanges(silverAddresses(2), addrFeed2)
+          else wh.silverByName("addresses").overwrite(silverAddresses(v)))
         time(s"v$v advance")(inc.ordersByCityYearMonth())
       }
       time("final read")(

@@ -40,6 +40,23 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect())
       assert(err.getMessage.contains("string literals"),
         s"non-literal dictionary must fail loudly, got: ${err.getMessage}")
+      // wrong arity surfaces the signature, not IndexOutOfBounds
+      val ar = intercept[Exception](extended.sql(
+        "SELECT dict_match_counts('x')").collect())
+      assert(ar.getMessage.contains("dict_match_counts(text"),
+        s"one-arg call must name the signature, got: ${ar.getMessage}")
+      // a null ELEMENT in a folded array literal gets the loud literal
+      // error, never a raw NullPointerException
+      val ne = intercept[Exception](extended.sql(
+        "SELECT dict_match_counts('x', array('a', NULL))").collect())
+      assert(ne.getMessage.contains("string literals"),
+        s"null dictionary element must fail loudly, got: ${ne.getMessage}")
+      // duplicate dictionary entries fail at ANALYSIS time (typed check),
+      // not first-eval deep in codegen
+      val dup = intercept[Exception](extended.sql(
+        "SELECT dict_match_counts('x', array('a', 'a'))").collect())
+      assert(dup.getMessage.contains("distinct"),
+        s"duplicate dictionary must fail at analysis, got: ${dup.getMessage}")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

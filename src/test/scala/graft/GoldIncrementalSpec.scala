@@ -154,6 +154,54 @@ class GoldIncrementalSpec extends AnyFunSuite {
     assertMatchesBatch(wh, whB)
   }
 
+  test("write-side change feeds drive the five-table maintenance to the " +
+      "identical result: feed-committed silver (verify mode ON) ≡ batch " +
+      "rebuild across the same commit mix") {
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files.createTempDirectory("graft_goldfeed")
+    val wh = new Warehouse(s"$root/inc")
+    val whB = new Warehouse(s"$root/batch")
+    // the exact net multiset delta, computed independently of the engine
+    // (exceptAll both ways); verify mode cross-checks it a second way
+    def feedFor(old: DataFrame, nw: DataFrame): DataFrame =
+      nw.exceptAll(old).withColumn("_change_type", lit("insert"))
+        .unionByName(old.exceptAll(nw).withColumn("_change_type",
+          lit("delete")))
+    val cust1 = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+      (2L, "individual", "VIP", "2023-06-01"),
+      (3L, "affiliate", "VIP", "2023-07-01"))
+    val addr1 = addressesDf((10L, "berlin"), (11L, "paris"), (12L, "rome"))
+    val ord1 = ordersDf(
+      (100L, 1L, 10L, "2024-01-10", Some("2024-01-15")),
+      (101L, 1L, 11L, "2024-02-10", Some("2024-02-12")),
+      (102L, 2L, 12L, "2024-01-05", None),
+      (103L, 2L, null, "2024-01-20", Some("2024-01-29")))
+    val cust2 = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+      (2L, "affiliate", "VIP", "2023-06-01"),
+      (4L, "individual", "regular", "2023-08-01"))
+    val addr2 = addressesDf((10L, "berlin"), (11L, "lyon"), (12L, "rome"))
+    val ord2 = ordersDf(
+      (101L, 1L, 11L, "2024-02-10", Some("2024-02-12")),
+      (102L, 2L, 12L, "2024-01-05", Some("2024-01-25")),
+      (104L, 2L, 10L, "2024-03-01", Some("2024-03-20")))
+    spark.conf.set("graft.cdf.verifyDeclaredChanges", "true")
+    try {
+      writeSilver(wh, cust1, ord1, addr1)
+      val inc = new GoldIncremental(spark, wh)
+      inc.advanceAll()
+      wh.silverByName("customers").overwriteWithChanges(cust2,
+        feedFor(cust1, cust2))
+      wh.silverByName("orders").overwriteWithChanges(ord2,
+        feedFor(ord1, ord2))
+      wh.silverByName("addresses").overwriteWithChanges(addr2,
+        feedFor(addr1, addr2))
+      inc.advanceAll()
+    } finally spark.conf.unset("graft.cdf.verifyDeclaredChanges")
+    writeSilver(whB, cust2, ord2, addr2)
+    new GoldBuilds(spark, whB).buildAll()
+    assertMatchesBatch(wh, whB)
+  }
+
   test("advanceMinMax: insert-only commits fold extrema with ZERO " +
       "rescans; deletes/updates rescan ONLY the groups that lost rows; " +
       "fold + rescan equals the rebuild incl. NULL-skip and " +

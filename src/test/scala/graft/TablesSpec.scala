@@ -354,6 +354,133 @@ class TablesSpec extends AnyFunSuite {
     TestSpark.assertSameRows(pc, Seq(Seq(2L, "b", 3L, "insert")))
   }
 
+  test("write-side change feed: changesBetween serves persisted feeds, " +
+      "nets insert/delete across the span, and never reads the old " +
+      "snapshot (the overwrite-chain CDF cost collapse)") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/feed")
+    // spec mode: every declared feed is recomputed and cross-checked
+    spark.conf.set("graft.cdf.verifyDeclaredChanges", "true")
+    try {
+      val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      t.overwriteWithChanges(v1, v1.withColumn("_change_type", lit("insert")))
+      // v2: update id=2 (delete+insert pair), insert id=3
+      t.overwriteWithChanges(
+        Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"),
+        Seq((2L, "b", "delete"), (2L, "B", "insert"), (3L, "c", "insert"))
+          .toDF("id", "v", "_change_type"))
+      // v3: delete id=3 (inserted in v2 — must NET away over 1→3), add id=4
+      t.overwriteWithChanges(
+        Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v"),
+        Seq((3L, "c", "delete"), (4L, "d", "insert"))
+          .toDF("id", "v", "_change_type"))
+      // feeds are commit metadata: table reads never see them
+      TestSpark.assertSameRows(t.read(spark), Seq(
+        Seq(1L, "a"), Seq(2L, "B"), Seq(4L, "d")))
+      // single step = the feed's content
+      TestSpark.assertSameRows(t.changesBetween(spark, 2, 3), Seq(
+        Seq(3L, "c", "delete"), Seq(4L, "d", "insert")))
+      // the span nets: id=3's insert-then-delete cancels, exactly the
+      // generic diff's multiset semantics
+      TestSpark.assertSameRows(t.changesBetween(spark, 1, 3), Seq(
+        Seq(2L, "b", "delete"), Seq(2L, "B", "insert"),
+        Seq(4L, "d", "insert")))
+      // structural no-snapshot proof: the CDF scan touches ONLY feed files
+      val scanned = t.changesBetween(spark, 1, 3).inputFiles
+      assert(scanned.nonEmpty && scanned.forall(_.contains("/_changes/")),
+        s"feed-path CDF must read only _changes files, scanned " +
+          scanned.mkString(", "))
+      // stronger: with the old snapshots' DATA gone entirely (vacuumed
+      // history), feed-covered spans still serve — no fallback diff
+      graft.io.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(s"$dir/feed/v_00001"))
+      assert(t.changesBetween(spark, 1, 3).count() == 3)
+    } finally spark.conf.unset("graft.cdf.verifyDeclaredChanges")
+  }
+
+  test("write-side change feed: a mixed feed/append chain is served " +
+      "step-wise; an appended version never inherits the base's feed") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/mix")
+    val v1 = Seq((1L, "a")).toDF("id", "v")
+    t.overwriteWithChanges(v1, v1.withColumn("_change_type", lit("insert")))
+    t.overwriteWithChanges(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      Seq((2L, "b", "insert")).toDF("id", "v", "_change_type"))
+    t.appendVersion(Seq((3L, "c")).toDF("id", "v"))
+    // the hard-link walk must NOT have carried v2's feed into v3
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$dir/mix/v_00003/_changes")),
+      "append must not inherit the base version's change feed")
+    // and the appended version still CDFs correctly after a feed commit
+    // (feed files excluded from the file-subset census)
+    TestSpark.assertSameRows(t.changesBetween(spark, 2, 3),
+      Seq(Seq(3L, "c", "insert")))
+    // mixed span: feed step (v2) + append step (v3), one netted result
+    TestSpark.assertSameRows(t.changesBetween(spark, 1, 3), Seq(
+      Seq(2L, "b", "insert"), Seq(3L, "c", "insert")))
+    // a plain overwrite (no feed) breaks coverage → generic diff still
+    // correct (deletes reappear)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    TestSpark.assertSameRows(t.changesBetween(spark, 1, 4), Seq.empty)
+    TestSpark.assertSameRows(t.changesBetween(spark, 2, 4), Seq(
+      Seq(2L, "b", "delete")))
+  }
+
+  test("write-side change feed: verify mode rejects a divergent feed; " +
+      "shape violations fail before any I/O; empty feeds stay readable") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/guard")
+    val v1 = Seq((1L, "a")).toDF("id", "v")
+    t.overwriteWithChanges(v1, v1.withColumn("_change_type", lit("insert")))
+    // a WRONG declared feed (claims an insert that is not in the diff)
+    // is caught under verify mode and the commit rolls back
+    spark.conf.set("graft.cdf.verifyDeclaredChanges", "true")
+    try {
+      val bad = intercept[IllegalArgumentException] {
+        t.overwriteWithChanges(
+          Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+          Seq((9L, "x", "insert")).toDF("id", "v", "_change_type"))
+      }
+      assert(bad.getMessage.contains("diverges"))
+      assert(t.version == 1, "failed feed verification must not commit")
+      // shape: missing data column
+      val shape = intercept[IllegalArgumentException] {
+        t.overwriteWithChanges(
+          Seq((1L, "a")).toDF("id", "v"),
+          Seq((1L, "insert")).toDF("id", "_change_type"))
+      }
+      assert(shape.getMessage.contains("must be exactly"))
+      // an EMPTY feed (no-change commit) writes, reads and spans fine
+      t.overwriteWithChanges(Seq((1L, "a")).toDF("id", "v"),
+        Seq.empty[(Long, String, String)].toDF("id", "v", "_change_type"))
+      assert(t.version == 2)
+      assert(t.changesBetween(spark, 1, 2).count() == 0)
+      val scanned = t.changesBetween(spark, 1, 2).inputFiles
+      assert(scanned.forall(_.contains("/_changes/")))
+    } finally spark.conf.unset("graft.cdf.verifyDeclaredChanges")
+  }
+
+  test("write-side change feed on a PARTITIONED table: partition " +
+      "discovery ignores the feed dir, the step path serves it") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/pfeed", partitionColumns = Seq("year"))
+    val v1 = Seq((1L, "a", 2024)).toDF("id", "v", "year")
+    t.overwriteWithChanges(v1, v1.withColumn("_change_type", lit("insert")))
+    t.overwriteWithChanges(
+      Seq((1L, "a", 2024), (2L, "b", 2025)).toDF("id", "v", "year"),
+      Seq((2L, "b", 2025, "insert")).toDF("id", "v", "year", "_change_type"))
+    TestSpark.assertSameRows(t.read(spark).select("id", "v", "year"), Seq(
+      Seq(1L, "a", 2024), Seq(2L, "b", 2024 + 1)))
+    TestSpark.assertSameRows(
+      t.changesBetween(spark, 1, 2).select("id", "v", "year", "_change_type"),
+      Seq(Seq(2L, "b", 2025, "insert")))
+  }
+
   test("schema evolution: an appended column reads as null on old rows, " +
       "time travel keeps old schemas, history is not corrupted") {
     val dir = Files.createTempDirectory("graft_tbl").toString

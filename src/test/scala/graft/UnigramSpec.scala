@@ -124,6 +124,18 @@ class UnigramSpec extends AnyFunSuite {
       s"got ${pruned.logp.keySet}")
   }
 
+  test("prune tiebreak orders by UTF-8 bytes, not UTF-16 chars: a " +
+      "supplementary-plane piece sorts AFTER U+FF21 (the Spark order)") {
+    // U+10400 is F0 90 90 80 in UTF-8 but D801 DC00 in UTF-16; U+FF21 is
+    // EF BC A1 / FF21 — the two orders disagree exactly here
+    val supp = new String(Character.toChars(0x10400))
+    assert(UnigramLm.utf8Less("Ａ", supp) &&
+      !UnigramLm.utf8Less(supp, "Ａ"))
+    assert(supp < "Ａ", "precondition: UTF-16 order disagrees")
+    // prefix rule: shorter string first on a shared prefix
+    assert(UnigramLm.utf8Less("ab", "abc"))
+  }
+
   test("train is partition-order deterministic: a repartitioned word " +
       "table learns the bit-identical model (integer micro-unit sums)") {
     val words = Seq(("lower", 40L), ("low", 30L), ("newest", 25L),
