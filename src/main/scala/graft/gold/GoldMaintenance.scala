@@ -182,6 +182,120 @@ object GoldMaintenance {
     (toV, rescanned)
   }
 
+  /** Count/sum/percentiles per group — the PERCENTILE measure kind
+    * (q116): each group stores a deterministic log-bucketed histogram
+    * ([[QuantileHist]]) next to the additive measures, and every
+    * requested percentile is derived from it as `p{num}_{den}` → named
+    * column. NULL values stay outside the histogram (min/max's
+    * NULL-skip convention): an all-NULL group reports NULL percentiles.
+    */
+  def aggregatePercentile(source: DataFrame, keys: Seq[String],
+      value: Column, ps: Seq[(String, Int, Int)]): DataFrame = {
+    val withB = source.select(keys.map(col) :+ value.as("__v") :+
+      QuantileHist.bucketOf(value).as("__b"): _*)
+    val perBucket = withB.groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__bn"),
+        sum(coalesce(col("__v"), lit(0L))).as("__bs"))
+    val hist = perBucket.groupBy(keys.map(col): _*)
+      .agg(sum(col("__bn")).as("__all_n"),
+        sum(col("__bs")).as("value_sum"),
+        sort_array(collect_list(when(col("__b").isNotNull,
+          struct(col("__b").as("b"), col("__bn").as("n")))))
+          .as("value_hist"))
+    // __all_n counts every source row (NULL buckets included) = n_rows;
+    // the NULL-bucket group contributes no hist entry (when → null is
+    // dropped by collect_list)
+    withDerivedPercentiles(
+      hist.withColumnRenamed("__all_n", "n_rows")
+        .withColumn("value_hist", coalesce(col("value_hist"),
+          QuantileHist.emptyHist)), ps)
+  }
+
+  private def withDerivedPercentiles(df: DataFrame,
+      ps: Seq[(String, Int, Int)]): DataFrame =
+    ps.foldLeft(df) { case (d, (name, num, den)) =>
+      d.withColumn(name, QuantileHist.percentile(col("value_hist"), num, den))
+    }
+
+  /** [[advance]] extended to PERCENTILES: the histogram is SIGNED-
+    * foldable (bucket counts are longs — inserts add, deletes subtract
+    * exactly), so unlike [[advanceMinMax]] there is NO rescan path at
+    * all: every advance is O(|changes| + |gold|), even delete-heavy
+    * ones, and fold ≡ rebuild is bit-exact (q116's oracle claim).
+    * Derived percentile columns are recomputed from the folded
+    * histogram after every advance. Crash/replay laws are [[advance]]'s
+    * (same sidecar).
+    */
+  def advancePercentile(spark: SparkSession, source: ParquetTable,
+      gold: ParquetTable, keys: Seq[String], value: Column,
+      ps: Seq[(String, Int, Int)]): Int = {
+    val toV = source.version
+    val fromV = if (gold.exists) appliedVersion(gold) else None
+    fromV match {
+      case Some(v) if v == toV => () // already current — replay no-op
+      case Some(v) =>
+        val changes = source.changesBetween(spark, v, toV)
+        val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+        // one shuffle over the changes: per-(group, bucket) signed counts
+        // plus the additive deltas riding along
+        val withB = changes.select(keys.map(col) :+ sign.as("__sign") :+
+          value.as("__v") :+ QuantileHist.bucketOf(value).as("__b"): _*)
+        val delta = withB.groupBy((keys.map(col) :+ col("__b")): _*)
+          .agg(sum(col("__sign")).as("__dbn"),
+            sum(col("__sign") * coalesce(col("__v"), lit(0L))).as("__dbs"))
+        val deltaG = delta.groupBy(keys.map(col): _*)
+          .agg(sum(col("__dbn")).as("__dn"),
+            sum(col("__dbs")).as("__dv"),
+            // the histogram delta as an array (NULL bucket excluded),
+            // possibly with negative counts — the fold nets them
+            sort_array(collect_list(when(col("__b").isNotNull,
+              struct(col("__b").as("b"), col("__dbn").as("n")))))
+              .as("__dhist"))
+        val deltaR = keys.foldLeft(deltaG)((d, k) =>
+          d.withColumnRenamed(k, s"__k_$k"))
+        val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+        // fold: additive merges + histogram vector add, all inside one
+        // row-local expression (concat two bucket arrays, net by bucket)
+        // — no explode/regroup shuffle; the arrays are bounded (<1k)
+        val mergedHist = {
+          val both = concat(
+            coalesce(col("value_hist"), QuantileHist.emptyHist),
+            coalesce(col("__dhist"), QuantileHist.emptyHist))
+          // distinct buckets present, sorted; then net each bucket's count
+          val buckets = array_sort(array_distinct(
+            transform(both, x => x.getField("b"))))
+          // functions.aggregate spelled fully — the object's own
+          // `aggregate(DataFrame, ...)` shadows the HOF import
+          val netted = transform(buckets, (b: Column) =>
+            struct(b.as("b"),
+              org.apache.spark.sql.functions.aggregate(
+                filter(both, (x: Column) => x.getField("b") === b),
+                lit(0L), (acc: Column, x: Column) =>
+                  acc + x.getField("n")).as("n")))
+          filter(netted, (x: Column) => x.getField("n") > 0L)
+        }
+        val folded = gold.read(spark)
+          .select(keys.map(col) ++ Seq(col("n_rows"), col("value_sum"),
+            col("value_hist")): _*)
+          .join(deltaR, cond, "full_outer")
+          .select(
+            keys.map(k => coalesce(col(k), col(s"__k_$k")).as(k)) ++ Seq(
+              (coalesce(col("n_rows"), lit(0L)) +
+                coalesce(col("__dn"), lit(0L))).as("n_rows"),
+              (coalesce(col("value_sum"), lit(0L)) +
+                coalesce(col("__dv"), lit(0L))).as("value_sum"),
+              mergedHist.as("value_hist")): _*)
+          .filter(col("n_rows") > 0)
+        gold.overwrite(withDerivedPercentiles(folded, ps))
+      case None =>
+        gold.overwrite(aggregatePercentile(source.read(spark), keys, value,
+          ps))
+    }
+    Sidecar.write(java.nio.file.Paths.get(gold.currentPath), AppliedMarker,
+      Seq(toV.toString))
+    toV
+  }
+
   /** Bring `gold` current with `source`'s live version. First call (no
     * gold / no marker) is the one full build; later calls fold only the
     * CDF delta. Returns the source version now reflected. `value` must

@@ -50,8 +50,12 @@ object QuantileHist {
   def bucketOf(v: Column): Column = {
     val one = lit(1L)
     def shl(n: Column) = call_function("shiftleft", one, n)
-    val e0 = floor(log2(v.cast("double"))).cast("int")
-    val e1 = when(shl(e0 + 1) <= v, e0 + 1).otherwise(e0)
+    // clamp to 62: the true exponent of any positive long is ≤ 62, but
+    // the DOUBLE cast rounds values near 2^62/2^63 upward and a naive
+    // correction would then shift by 63 — a signed-long overflow that
+    // flips the comparison (caught by the spec's 2^62−1 edge)
+    val e0 = least(floor(log2(v.cast("double"))).cast("int"), lit(62))
+    val e1 = when(e0 < 62 && shl(e0 + 1) <= v, e0 + 1).otherwise(e0)
     val e = when(shl(e1) > v, e1 - 1).otherwise(e1)
     val sub = call_function("shiftright", v, e - MantissaBits) - Base
     val big = (e - MantissaBits + 1) * Base + sub.cast("int")

@@ -692,6 +692,70 @@ object NorthStarQueries {
       col("n_rows"), col("value_sum"), col("value_min"), col("value_max"))
   }
 
+  /** Percentile gold maintenance (q116): the PERCENTILE measure kind —
+    * real gold tables carry p50/p95 latencies next to counts and sums.
+    * Maintained through [[graft.gold.GoldMaintenance.advancePercentile]]:
+    * each group stores a deterministic HDR-style log-bucketed histogram
+    * ([[graft.gold.QuantileHist]], 2^-4 relative bucket width), which is
+    * SIGNED-FOLDABLE — bucket counts subtract exactly, so deletes fold
+    * like inserts and no rescan path exists at all (the property no
+    * GK/KLL sketch has). Same three-commit history as q105 (insert mix,
+    * %5-key cents bump as update pairs, %3-key mass delete, NULL cents
+    * on %13 keys), committed with write-side change feeds; the oracle
+    * replays the bucket arithmetic and the type-1 integer-rational rank
+    * pick on the FINAL state directly — hash equality is the exactness
+    * claim fold ≡ rebuild, stronger than any accuracy band a sketch
+    * could offer. Scale: the advance is one changes-sized shuffle plus
+    * a gold-sized merge; histograms are ≤ ~1k entries by construction
+    * at ANY data size, so gold rows stay gold-sized at 100 TB.
+    */
+  def q116GoldPercentile(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.GoldMaintenance
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents0"))
+    def withCents(bumped: Boolean) = {
+      val bump = if (bumped)
+        when(pmod(col("o_orderkey"), lit(5)) === 0, 1000L).otherwise(0L)
+      else lit(0L)
+      base.withColumn("cents",
+          when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
+            .otherwise(col("cents0") + bump))
+        .drop("cents0")
+    }
+    val v1 = withCents(bumped = false)
+      .filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val v2 = withCents(bumped = true)
+    val v3 = v2.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    val srcP = scratch("qhist_src", dir)
+    val goldP = scratch("qhist_gold", dir)
+    graft.io.FsUtil.deleteRecursively(srcP)
+    graft.io.FsUtil.deleteRecursively(goldP)
+    val src = new graft.io.ParquetTable(srcP.toString)
+    val gold = new graft.io.ParquetTable(goldP.toString)
+    def ins(d: DataFrame) = d.withColumn("_change_type", lit("insert"))
+    def del(d: DataFrame) = d.withColumn("_change_type", lit("delete"))
+    val k = col("o_orderkey")
+    val bumpedKeys = pmod(k, lit(5)) === 0 && pmod(k, lit(13)) =!= 0
+    val feed2 = ins(v2.filter(pmod(k, lit(7)) === 0))
+      .unionByName(del(v1.filter(bumpedKeys)))
+      .unionByName(ins(v2.filter(pmod(k, lit(7)) =!= 0 && bumpedKeys)))
+    val feed3 = del(v2.filter(pmod(k, lit(3)) === 0))
+    val ps = Seq(("p50", 50, 100), ("p95", 95, 100))
+    src.overwrite(v1)
+    GoldMaintenance.advancePercentile(s, src, gold,
+      keys = Seq("o_orderstatus", "o_orderpriority"), value = col("cents"),
+      ps = ps)
+    for ((v, feed) <- Seq(v2 -> feed2, v3 -> feed3)) {
+      src.overwriteWithChanges(v, feed)
+      GoldMaintenance.advancePercentile(s, src, gold,
+        keys = Seq("o_orderstatus", "o_orderpriority"), value = col("cents"),
+        ps = ps)
+    }
+    gold.read(s).select(col("o_orderstatus"), col("o_orderpriority"),
+      col("n_rows"), col("value_sum"), col("p50"), col("p95"))
+  }
+
   /** End-to-end corpus curation (q100): the COMPOSED pipeline a
     * training-data team actually runs, as one query — heuristic quality
     * gate ([[graft.northstar.CorpusClean.qualityFilter]]) → exact dedup
@@ -2881,6 +2945,7 @@ object NorthStarQueries {
     "q113_unigram_learn" -> (q113UnigramLearn _),
     "q114_unigram_tokenize" -> (q114UnigramTokenize _),
     "q115_dictionary_match" -> (q115DictionaryMatch _),
+    "q116_gold_percentile" -> (q116GoldPercentile _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -2933,6 +2998,81 @@ object NorthStarQueries {
 
   val oracles: Map[String, String] = Map(
     "q115_dictionary_match" -> q115OracleSql,
+    // q116: replays the HDR-style bucket arithmetic (floor-log2 with the
+    // same integer self-correction the engine uses, so a double rounding
+    // step can never diverge the two), the histogram, and the type-1
+    // integer-rational rank pick on the FINAL commit's closed form — the
+    // engine reached the same values through signed histogram folds
+    // across three commits, so hash equality IS fold ≡ rebuild.
+    "q116_gold_percentile" ->
+      """WITH src AS (
+           SELECT o_orderstatus, o_orderpriority,
+                  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                       ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) +
+                            (CASE WHEN o_orderkey % 5 = 0 THEN 1000
+                                  ELSE 0 END)
+                  END AS cents
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         s0 AS (
+           SELECT *, CASE WHEN cents IS NULL OR cents < 16 THEN NULL
+                  ELSE least(CAST(floor(log2(cents)) AS INTEGER), 62)
+                  END AS e0
+           FROM src),
+         s1 AS (
+           SELECT *, CASE WHEN e0 IS NULL THEN NULL
+                  WHEN e0 < 62 AND (CAST(1 AS BIGINT) << (e0 + 1)) <= cents
+                    THEN e0 + 1
+                  ELSE e0 END AS e1
+           FROM s0),
+         s2 AS (
+           SELECT *, CASE WHEN e1 IS NULL THEN NULL
+                  WHEN (CAST(1 AS BIGINT) << e1) > cents THEN e1 - 1
+                  ELSE e1 END AS ee
+           FROM s1),
+         eb AS (
+           SELECT o_orderstatus, o_orderpriority, cents,
+                  CASE WHEN cents IS NULL THEN NULL
+                       WHEN cents < 16 THEN CAST(cents AS INTEGER)
+                       ELSE CAST((ee - 3) * 16 + ((cents >> (ee - 4)) - 16)
+                                 AS INTEGER)
+                  END AS b
+           FROM s2),
+         hist AS (
+           SELECT o_orderstatus, o_orderpriority, b,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM eb WHERE b IS NOT NULL
+           GROUP BY o_orderstatus, o_orderpriority, b),
+         cum AS (
+           SELECT *,
+                  sum(n) OVER (PARTITION BY o_orderstatus, o_orderpriority
+                               ORDER BY b) AS cn,
+                  sum(n) OVER (PARTITION BY o_orderstatus,
+                               o_orderpriority) AS nn
+           FROM hist),
+         picks AS (
+           SELECT o_orderstatus, o_orderpriority,
+                  min(CASE WHEN cn >= (nn * 50 + 99) // 100 THEN b END)
+                    AS b50,
+                  min(CASE WHEN cn >= (nn * 95 + 99) // 100 THEN b END)
+                    AS b95
+           FROM cum GROUP BY o_orderstatus, o_orderpriority),
+         agg AS (
+           SELECT o_orderstatus, o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(coalesce(cents, 0)) AS BIGINT) AS value_sum
+           FROM src GROUP BY o_orderstatus, o_orderpriority)
+         SELECT agg.o_orderstatus, agg.o_orderpriority, n_rows, value_sum,
+                CASE WHEN b50 IS NULL THEN NULL
+                     WHEN b50 < 16 THEN CAST(b50 AS BIGINT)
+                     ELSE CAST(16 + (b50 % 16) AS BIGINT) << (b50 // 16 - 1)
+                END AS p50,
+                CASE WHEN b95 IS NULL THEN NULL
+                     WHEN b95 < 16 THEN CAST(b95 AS BIGINT)
+                     ELSE CAST(16 + (b95 % 16) AS BIGINT) << (b95 // 16 - 1)
+                END AS p95
+         FROM agg LEFT JOIN picks
+           ON agg.o_orderstatus = picks.o_orderstatus
+          AND agg.o_orderpriority = picks.o_orderpriority""",
     "q20_token_stats" ->
       s"""SELECT lang, count(*) AS docs,
           CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens,

@@ -1094,6 +1094,59 @@ object Accuracy {
         if (rrfExact) 1.0 else 0.0, "==", 1.0))
   }
 
+  /** q116 — the histogram percentile's VALUE-error law, measured on the
+    * real data at each tier: the reported representative is a LOWER
+    * bound of the exact type-1 percentile, within the bucket's 2^-4
+    * relative width. The q116 ORACLE already pins fold ≡ rebuild
+    * hash-exactly (the IVM claim); these gates quantify how close the
+    * bucketized answer sits to the un-bucketized truth — a structural
+    * bound, so no tier override (it must hold at every scale).
+    */
+  def q116Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("o_orderstatus", "o_orderpriority")
+    val got = graft.SparkEntry.queries("q116_gold_percentile")(spark, dir)
+      .select((keys.map(col) :+ col("p50") :+ col("p95")): _*)
+    // the final commit's closed form, exact (un-bucketized) percentiles
+    // via rank windows — integer-rational ranks, the engine's definition
+    val src = Tables.read(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
+          .otherwise(round(col("o_totalprice") * 100, 0).cast("long") +
+            when(pmod(col("o_orderkey"), lit(5)) === 0, 1000L)
+              .otherwise(0L)).as("cents"))
+      .filter(col("cents").isNotNull)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("cents"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    def rank(num: Int) = { // ceil(num·nn/100), exact integer arithmetic
+      val a = col("nn") * num + 99
+      ((a - pmod(a, lit(100L))) / 100).cast("long")
+    }
+    val exact = src.withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .groupBy(keys.map(col): _*)
+      .agg(max(when(col("rn") === rank(50), col("cents"))).as("e50"),
+        max(when(col("rn") === rank(95), col("cents"))).as("e95"))
+    val j = got.join(exact, keys, "inner")
+      .select(col("p50"), col("p95"), col("e50"), col("e95"))
+      .collect()
+    require(j.nonEmpty, "q116 gate: no groups to compare")
+    val errs = j.flatMap { r =>
+      Seq((r.getLong(0), r.getLong(2)), (r.getLong(1), r.getLong(3)))
+    }
+    val lowerBoundFrac =
+      errs.count { case (rep, ex) => rep <= ex }.toDouble / errs.length
+    val maxRelErr = errs.map { case (rep, ex) =>
+      if (ex == 0L) 0.0 else (ex - rep).toDouble / ex
+    }.max
+    Seq(
+      Gate("q116_gold_percentile", "rep_is_lower_bound_frac",
+        lowerBoundFrac, "==", 1.0),
+      Gate("q116_gold_percentile", "max_rel_value_err_vs_exact",
+        maxRelErr, "<=", 1.0 / 16))
+  }
+
   def allGates(spark: SparkSession, dir: String): Seq[Gate] = {
     val memo = new RefMemo // scoped to this invocation, shared q88↔q92
     q27Gates(spark, dir) ++ q28Gates(spark, dir) ++ q37Gates(spark, dir) ++
@@ -1103,7 +1156,8 @@ object Accuracy {
       q88Gates(spark, dir, memo) ++ q92Gates(spark, dir, memo) ++
       q110Gates(spark, dir) ++ q111Gates(spark, dir) ++
       q112Gates(spark, dir) ++
-      q113Gates(spark, dir, memo) ++ q114Gates(spark, dir, memo)
+      q113Gates(spark, dir, memo) ++ q114Gates(spark, dir, memo) ++
+      q116Gates(spark, dir)
   }
 
   /** Per-tier overrides for the measurement-TUNED bounds (keyed

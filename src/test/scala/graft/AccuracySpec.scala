@@ -80,4 +80,12 @@ class AccuracySpec extends AnyFunSuite {
     assert(q76.length == 20)
     assert(q76.forall(r => r.getAs[Long]("overcount") >= 0L))
   }
+
+  test("q116 percentile gates: the bucketized report is a lower bound " +
+      "of the exact type-1 percentile within the 2^-4 bucket width") {
+    val gates = graft.tools.Accuracy.q116Gates(spark, dir)
+    assert(gates.nonEmpty && gates.forall(_.pass),
+      gates.map(g => s"${g.metric}=${g.value} ${g.op} ${g.bound}")
+        .mkString("; "))
+  }
 }
