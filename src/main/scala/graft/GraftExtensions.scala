@@ -71,6 +71,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           GraftExtensions.literalStrings(exprs(1),
             "dict_match_counts phrases"))
       }))
+    extensions.injectFunction((
+      FunctionIdentifier("dict_replace"),
+      new ExpressionInfo(classOf[graft.functions.DictReplace].getName,
+        "dict_replace"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 3,
+          "dict_replace(text, array_of_string_literals, replacement)")
+        graft.functions.DictReplace(exprs.head,
+          GraftExtensions.literalStrings(exprs(1), "dict_replace phrases"),
+          GraftExtensions.literalString(exprs(2),
+            "dict_replace replacement"))
+      }))
   }
 }
 
@@ -93,6 +105,18 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  /** A single string-literal parameter (e.g. a replacement tag). */
+  private[graft] def literalString(e: Expression, what: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    e match {
+      case Literal(v: UTF8String, StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
   }
 
   /** The dictionary must be a foldable array of string literals — it

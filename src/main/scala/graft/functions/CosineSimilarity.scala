@@ -196,6 +196,12 @@ object GraftFunctions {
       "dict_match_counts", exprs => DictMatchCounts(exprs(0),
         graft.GraftExtensions.literalStrings(exprs(1),
           "dict_match_counts phrases")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "dict_replace", exprs => DictReplace(exprs(0),
+        graft.GraftExtensions.literalStrings(exprs(1),
+          "dict_replace phrases"),
+        graft.GraftExtensions.literalString(exprs(2),
+          "dict_replace replacement")), "scala_udf")
   }
 
   /** Column-API entry point for the native elementwise subtract. */

@@ -41,6 +41,7 @@ final class AhoCorasick private (
     fail: Array[Int],
     exit: Array[Int], // nearest suffix node ending a phrase, -1
     phraseAt: Array[Int], // phrase id ending EXACTLY here, -1
+    phraseLen: Array[Int], // UTF-8 byte length per phrase id
     val numPhrases: Int) extends Serializable {
 
   private def step(stateIn: Int, b: Byte): Int = {
@@ -82,6 +83,55 @@ final class AhoCorasick private (
       i += 1
     }
     counts
+  }
+
+  /** LEFTMOST-LONGEST non-overlapping replacement — the redaction
+    * semantics (flex/lex and RE2's alternation rule): scan left to
+    * right; at the earliest position where any phrase starts, replace
+    * the LONGEST phrase starting there, then continue AFTER it (matches
+    * beginning inside a replaced span are consumed — `{ab, bcd}` on
+    * `abcd` yields `<r>cd`, never `a<r>`). One automaton pass collects
+    * every occurrence endpoint; the greedy resolution is a sort over
+    * the match list — O(text + matches·log matches), independent of
+    * dictionary size. Byte-domain, multi-byte safe (class header).
+    */
+  def replaceLeftmostLongest(text: UTF8String,
+      replacement: Array[Byte]): UTF8String = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // packed matches: start in the high 32 bits, (MaxValue − len) low —
+    // a plain long sort is then (start asc, len desc), the greedy order
+    val ms = new scala.collection.mutable.ArrayBuffer[Long]()
+    var state = 0
+    var i = 0
+    while (i < n) {
+      state = step(state, bytes(i))
+      var e = if (phraseAt(state) >= 0) state else exit(state)
+      while (e >= 0) {
+        val l = phraseLen(phraseAt(e))
+        ms += ((i + 1 - l).toLong << 32) | (Int.MaxValue - l).toLong
+        e = exit(e)
+      }
+      i += 1
+    }
+    if (ms.isEmpty) return UTF8String.fromBytes(bytes)
+    val sorted = ms.toArray
+    java.util.Arrays.sort(sorted)
+    val out = new java.io.ByteArrayOutputStream(n)
+    var cursor = 0
+    var k = 0
+    while (k < sorted.length) {
+      val s = (sorted(k) >>> 32).toInt
+      val l = Int.MaxValue - (sorted(k) & 0xffffffffL).toInt
+      if (s >= cursor) {
+        out.write(bytes, cursor, s - cursor)
+        out.write(replacement, 0, replacement.length)
+        cursor = s + l
+      }
+      k += 1
+    }
+    out.write(bytes, cursor, n - cursor)
+    UTF8String.fromBytes(out.toByteArray)
   }
 }
 
@@ -149,7 +199,7 @@ object AhoCorasick {
       toArr(i) = sorted.map(_._2)
     }
     new AhoCorasick(keysArr, toArr, fail, exit, phraseAtB.toArray,
-      phrases.length)
+      phrases.map(_.getBytes("UTF-8").length).toArray, phrases.length)
   }
 }
 
@@ -198,6 +248,60 @@ case class DictMatchCounts(child: Expression, phrases: Seq[String])
     defineCodeGen(ctx, ev, c =>
       "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
         s".fromPrimitiveArray($acRef.countAll($c))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: dictionary-scale REDACTION — rewrite the
+  * text with every leftmost-longest non-overlapping dictionary
+  * occurrence replaced by `replacement`
+  * ([[AhoCorasick.replaceLeftmostLongest]]). This is q56's `redactPii`
+  * at blocklist scale: where two regexes suffice for emails/phones, a
+  * compliance term list or benchmark-contamination blocklist runs to
+  * 10³–10⁶ phrases and a regex alternation is O(text × N) — the
+  * automaton rewrites in one pass per byte, scan-stage, zero shuffles.
+  * Same codegen shape as [[DictMatchCounts]]: the automaton and the
+  * replacement bytes ride into generated code as reference objects.
+  */
+case class DictReplace(child: Expression, phrases: Seq[String],
+    replacement: String) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType || phrases.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"dict_replace expects (string, non-empty dictionary, " +
+          s"replacement), got ${child.dataType.simpleString}, " +
+          s"${phrases.length} phrases")
+    else if (phrases.exists(_.isEmpty))
+      TypeCheckResult.TypeCheckFailure(
+        "dict_replace: dictionary phrases must be non-empty strings")
+    else if (phrases.distinct.length != phrases.length)
+      TypeCheckResult.TypeCheckFailure(
+        "dict_replace: dictionary phrases must be distinct")
+    else if (replacement == null)
+      TypeCheckResult.TypeCheckFailure(
+        "dict_replace: replacement must be a non-null string literal " +
+          "(empty = deletion)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "dict_replace"
+
+  @transient private lazy val ac = AhoCorasick.build(phrases)
+  @transient private lazy val replBytes = replacement.getBytes("UTF-8")
+
+  override def nullSafeEval(input: Any): Any =
+    ac.replaceLeftmostLongest(input.asInstanceOf[UTF8String], replBytes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("dictAc", ac,
+      classOf[AhoCorasick].getName)
+    val replRef = ctx.addReferenceObj("dictRepl", replBytes, "byte[]")
+    defineCodeGen(ctx, ev, c =>
+      s"$acRef.replaceLeftmostLongest($c, $replRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

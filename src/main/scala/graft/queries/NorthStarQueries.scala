@@ -934,6 +934,40 @@ object NorthStarQueries {
       .filter(col("n_matches") > 0)
   }
 
+  /** The q117 replacement tag — single-sourced with the oracle; contains
+    * no corpus character ('<' never occurs in documents.text), so tag
+    * occurrences in the output count redactions exactly.
+    */
+  val DictReplaceTag = "<DICT>"
+
+  /** Dictionary-scale redaction (q117): q115's matching stage made a
+    * REWRITE — the PII/blocklist redaction pass (q56's semantics at
+    * dictionary scale): every LEFTMOST-LONGEST non-overlapping
+    * occurrence of the q115 dictionary is replaced by
+    * [[DictReplaceTag]], in one automaton pass per document
+    * ([[graft.functions.DictReplace]]) — O(text + matches) per doc
+    * independent of dictionary size, scan-stage codegen, ZERO shuffles
+    * at any corpus or dictionary size (a regex alternation is
+    * O(text × N) and dies at blocklist scale). The oracle re-derives
+    * every match positionally in DuckDB, replays the leftmost-longest
+    * greedy selection as a recursive CTE, REBUILDS the redacted string
+    * per document and md5-pins it — so the engine's rewrite must be
+    * byte-identical, not just count-identical, including the
+    * adversarial substring/overlap families the dictionary plants.
+    */
+  def q117DictionaryRedact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val red = GraftBridge.toColumn(graft.functions.DictReplace(
+      GraftBridge.toExpression(col("text")), DictPhrases, DictReplaceTag))
+    t(s, dir, "documents")
+      .select(col("doc_id"), red.as("redacted"))
+      .select(col("doc_id"),
+        regexp_count(col("redacted"), lit(DictReplaceTag)).cast("long")
+          .as("n_redactions"),
+        length(col("redacted")).cast("long").as("redacted_len"),
+        md5(col("redacted")).as("redacted_md5"))
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -2946,6 +2980,7 @@ object NorthStarQueries {
     "q114_unigram_tokenize" -> (q114UnigramTokenize _),
     "q115_dictionary_match" -> (q115DictionaryMatch _),
     "q116_gold_percentile" -> (q116GoldPercentile _),
+    "q117_dictionary_redact" -> (q117DictionaryRedact _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -2996,8 +3031,73 @@ object NorthStarQueries {
         GROUP BY 1, 2"""
   }
 
+  /** q117's oracle: re-derive every dictionary occurrence positionally
+    * (q115's machinery), replay the LEFTMOST-LONGEST greedy selection as
+    * a recursive CTE (each step picks the earliest-start longest match
+    * at/after the cursor via NOT-EXISTS-a-better-match — no window
+    * functions inside recursion), rebuild the redacted text from the
+    * chosen spans, and md5-pin it. Character positions in SQL equal the
+    * engine's byte positions as OPERATIONS on the text (UTF-8 matches
+    * are char-boundary aligned), so the rebuilt strings are identical.
+    */
+  private def q117OracleSql: String = {
+    val dict = DictPhrases.zipWithIndex
+      .map { case (p, i) => s"($i, '$p', ${p.length})" }
+      .mkString(", ")
+    s"""WITH RECURSIVE pos(i) AS (
+          SELECT 1
+          UNION ALL
+          SELECT i + 1 FROM pos
+          WHERE i < (SELECT max(len(text)) FROM documents)
+        ),
+        matches AS (
+          SELECT d.doc_id, pos.i AS s, ph.plen AS l
+          FROM documents d
+          JOIN pos ON pos.i <= len(d.text)
+          JOIN (VALUES $dict) ph(phrase_id, phrase, plen)
+            ON substr(d.text, pos.i, ph.plen) = ph.phrase
+        ),
+        chosen(doc_id, s, l, e) AS (
+          SELECT m.doc_id, m.s, m.l, m.s + m.l
+          FROM matches m
+          WHERE NOT EXISTS (
+            SELECT 1 FROM matches m2
+            WHERE m2.doc_id = m.doc_id
+              AND (m2.s < m.s OR (m2.s = m.s AND m2.l > m.l)))
+          UNION ALL
+          SELECT m.doc_id, m.s, m.l, m.s + m.l
+          FROM chosen c
+          JOIN matches m ON m.doc_id = c.doc_id AND m.s >= c.e
+          WHERE NOT EXISTS (
+            SELECT 1 FROM matches m2
+            WHERE m2.doc_id = c.doc_id AND m2.s >= c.e
+              AND (m2.s < m.s OR (m2.s = m.s AND m2.l > m.l)))
+        ),
+        segs AS (
+          SELECT doc_id, s, l, e,
+                 lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s)
+                   AS prev_e
+          FROM chosen),
+        built AS (
+          SELECT sg.doc_id,
+                 string_agg(substr(d.text, sg.prev_e, sg.s - sg.prev_e)
+                   || '$DictReplaceTag', '' ORDER BY sg.s) AS head,
+                 max(sg.e) AS last_e,
+                 CAST(count(*) AS BIGINT) AS n_red
+          FROM segs sg JOIN documents d ON d.doc_id = sg.doc_id
+          GROUP BY sg.doc_id)
+        SELECT d.doc_id,
+               coalesce(b.n_red, 0) AS n_redactions,
+               CAST(len(coalesce(b.head || substr(d.text, b.last_e),
+                 d.text)) AS BIGINT) AS redacted_len,
+               md5(coalesce(b.head || substr(d.text, b.last_e), d.text))
+                 AS redacted_md5
+        FROM documents d LEFT JOIN built b ON d.doc_id = b.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q115_dictionary_match" -> q115OracleSql,
+    "q117_dictionary_redact" -> q117OracleSql,
     // q116: replays the HDR-style bucket arithmetic (floor-log2 with the
     // same integer self-correction the engine uses, so a double rounding
     // step can never diverge the two), the histogram, and the type-1

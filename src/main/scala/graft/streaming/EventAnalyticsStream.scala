@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.io.ParquetTable
+import graft.io.{ParquetTable, Sidecar}
 import graft.northstar.{BpeLearn, EventOps}
 
 /** Streaming mirrors of the q77 funnel / q78 retention event analytics —
@@ -190,38 +190,106 @@ object EventAnalyticsStream {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
-        // cached: feeds the emptiness probe, the piece count, and the
-        // doc-marker rows of the delta
-        val fresh = {
-          val b = batch.toDF().select(col(idCol), col(textCol))
-            .dropDuplicates(idCol) // in-batch re-sends
-          (if (log.exists)
-             b.join(log.read(s).filter(col("__doc_id").isNotNull)
-                 .select(col("__doc_id").as(idCol)),
-               Seq(idCol), "left_anti")
-           else b).cache()
-        }
-        try {
-          if (!fresh.isEmpty) {
-            val delta = fresh
-              .select(col(idCol).as("__doc_id"),
-                lit(null).cast("string").as("piece"),
-                lit(null).cast("long").as("weight"))
-              .unionByName(BpeLearn.pieceCounts(fresh, textCol, pattern)
-                .select(lit(null).cast("long").as("__doc_id"),
-                  col("piece"), col("weight")))
-            if (log.exists) log.appendVersion(delta) else log.overwrite(delta)
-          }
-          // derived: recompute the merge table from the log's piece rows
-          // (runs even on an all-replay batch — cheap, and heals a crash
-          // that landed the log but not the result)
-          val vocab = BpeLearn.topVocab(
+        absorbPieceBatch(batch.toDF(), idCol, textCol, pattern, log)
+        // derived: recompute the merge table from the log's piece rows
+        // (runs even on an all-replay batch — cheap, and heals a crash
+        // that landed the log but not the result)
+        val vocab = BpeLearn.topVocab(
+          log.read(s).filter(col("piece").isNotNull)
+            .groupBy(col("piece")).agg(sum(col("weight")).as("weight")),
+          vocabCap)
+        result.overwrite(
+          BpeLearn.mergesToDF(s, BpeLearn.learnMerges(vocab, numMerges)))
+        log.vacuum(); result.vacuum()
+        ()
+      }
+      .start()
+
+  /** Absorb one micro-batch into the shared doc-marker + piece-partial
+    * log (the [[bpeStatsStream]] crash-safety design: marker and counted
+    * statistic advance together in ONE atomic append). Returns whether
+    * the log advanced — false for an all-replay batch.
+    */
+  private def absorbPieceBatch(batch: DataFrame, idCol: String,
+      textCol: String, pattern: String, log: ParquetTable): Boolean = {
+    val s = batch.sparkSession
+    // cached: feeds the emptiness probe, the piece count, and the
+    // doc-marker rows of the delta
+    val fresh = {
+      val b = batch.select(col(idCol), col(textCol))
+        .dropDuplicates(idCol) // in-batch re-sends
+      (if (log.exists)
+         b.join(log.read(s).filter(col("__doc_id").isNotNull)
+             .select(col("__doc_id").as(idCol)),
+           Seq(idCol), "left_anti")
+       else b).cache()
+    }
+    try {
+      if (fresh.isEmpty) false
+      else {
+        val delta = fresh
+          .select(col(idCol).as("__doc_id"),
+            lit(null).cast("string").as("piece"),
+            lit(null).cast("long").as("weight"))
+          .unionByName(BpeLearn.pieceCounts(fresh, textCol, pattern)
+            .select(lit(null).cast("long").as("__doc_id"),
+              col("piece"), col("weight")))
+        if (log.exists) log.appendVersion(delta) else log.overwrite(delta)
+        true
+      }
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** The marker tying a trained unigram model to the log version it was
+    * trained from (see [[unigramStatsStream]]).
+    */
+  private val UnigramBuiltFrom = "_built_from_log_version"
+
+  /** Incremental q113: maintain the unigram-LM tokenizer from a document
+    * stream — [[bpeStatsStream]]'s log-maintenance shape (the word table
+    * IS the same doc-marker + piece-partial log; `BpeLearn.pieceCounts`
+    * is literally shared, so the streamed and batch word tables cannot
+    * drift) with the q113 training schedule as the derived step. One
+    * deliberate difference from the BPE mirror: training runs EM rounds,
+    * which is NOT worth repeating when nothing changed, so the model
+    * records the log version it was trained from (a [[Sidecar]] inside
+    * the model's live version — crash-safe the [[graft.gold
+    * .GoldMaintenance]] way: a crash between model write and marker
+    * write reads as stale and retrains, never serves a wrong model) and
+    * an all-replay batch SKIPS retraining entirely — zero version churn
+    * on pure replay, O(batch) otherwise plus the capped-vocab training
+    * loop. Training determinism (UnigramLm's integer micro-unit EM)
+    * makes streamed ≡ batch an EXACT equality, spec-pinned.
+    */
+  def unigramStatsStream(docs: DataFrame, idCol: String, textCol: String,
+      pattern: String, wordCap: Int, targetVocab: Int, maxLen: Int,
+      seedSize: Int, emIters: Int, log: ParquetTable,
+      result: ParquetTable): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        absorbPieceBatch(batch.toDF(), idCol, textCol, pattern, log)
+        val builtFrom = Sidecar.read(result.path, Nil, UnigramBuiltFrom)
+          .flatMap(_.headOption).flatMap(_.toIntOption)
+        // retrain ONLY when the log advanced past the model's vintage
+        // (also covers the crash window: model written, marker lost →
+        // builtFrom reads None → retrain)
+        if (!(result.exists && builtFrom.contains(log.version))) {
+          val words = BpeLearn.topVocabPlan(
             log.read(s).filter(col("piece").isNotNull)
               .groupBy(col("piece")).agg(sum(col("weight")).as("weight")),
-            vocabCap)
-          result.overwrite(
-            BpeLearn.mergesToDF(s, BpeLearn.learnMerges(vocab, numMerges)))
-        } finally fresh.unpersist()
+            wordCap).persist()
+          try {
+            words.count() // EM iterates; never recompute the rollup
+            val model = graft.northstar.UnigramLm.train(words, targetVocab,
+              maxLen, seedSize, emIters)
+            result.overwrite(
+              graft.northstar.UnigramLm.modelToDF(s, model))
+          } finally { words.unpersist(); () }
+          Sidecar.write(java.nio.file.Paths.get(result.currentPath),
+            UnigramBuiltFrom, Seq(log.version.toString))
+        }
         log.vacuum(); result.vacuum()
         ()
       }

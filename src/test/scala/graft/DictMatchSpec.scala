@@ -6,7 +6,7 @@ import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{AhoCorasick, DictMatchCounts}
+import graft.functions.{AhoCorasick, DictMatchCounts, DictReplace, GraftFunctions}
 
 /** Aho–Corasick dictionary matching against the 1975 paper's own example
   * and the matcher's edge laws: overlapping/nested occurrences, shared
@@ -103,5 +103,86 @@ class DictMatchSpec extends AnyFunSuite {
       .filter(col("n") > 0).collect()
       .map(r => (r.getInt(1), r.getLong(2))).toSet
     assert(exploded === Set((0, 2L), (1, 2L), (2, 1L)))
+  }
+
+  // ------------------------------------------------ leftmost-longest replace
+
+  private def rep(dict: Seq[String], text: String, r: String = "<R>") =
+    AhoCorasick.build(dict)
+      .replaceLeftmostLongest(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text),
+        r.getBytes("UTF-8")).toString
+
+  test("replaceLeftmostLongest: the overlap laws — leftmost wins over " +
+      "longer-but-later, longest wins at the same start, chosen spans " +
+      "consume overlapping starts") {
+    // leftmost beats longer-but-later: ab@0 wins, bcd is consumed
+    assert(rep(Seq("ab", "bcd"), "abcd") === "<R>cd")
+    // longest at the same start wins over its own prefix
+    assert(rep(Seq("scan", "scan scan"), "scan scan scan") === "<R> <R>")
+    // fail-link match: she@1 wins; he/hers start inside it and are consumed
+    assert(rep(Seq("he", "she", "hers"), "ushers") === "u<R>rs")
+    // self-overlapping phrase: occurrences after a replacement restart
+    // AFTER it — "aa" on "aaaa" replaces twice, never three times
+    assert(rep(Seq("aa"), "aaaa") === "<R><R>")
+    // adjacent, non-overlapping: all replaced
+    assert(rep(Seq("ab"), "ababab") === "<R><R><R>")
+    // no match: text unchanged; empty replacement deletes
+    assert(rep(Seq("zz"), "abc") === "abc")
+    assert(rep(Seq("b"), "abc", r = "") === "ac")
+  }
+
+  test("replaceLeftmostLongest agrees with an independent greedy " +
+      "reference on an adversarial fixture sweep") {
+    // plain-String reference: earliest start, longest phrase there
+    def ref(dict: Seq[String], text: String, r: String): String = {
+      val sb = new StringBuilder
+      var c = 0
+      while (c < text.length) {
+        val starts = dict.flatMap { p =>
+          val i = text.indexOf(p, c)
+          if (i >= 0) Some((i, p.length)) else None
+        }
+        if (starts.isEmpty) { sb.append(text.substring(c)); c = text.length }
+        else {
+          val (s, _) = starts.minBy(_._1)
+          val l = starts.filter(_._1 == s).map(_._2).max
+          sb.append(text.substring(c, s)).append(r)
+          c = s + l
+        }
+      }
+      sb.toString
+    }
+    val dict = graft.queries.NorthStarQueries.DictPhrases
+    val texts = Seq(
+      "table table table scan scan scan spark",
+      "a a a a scan scan hash join window table table",
+      "the line sort column scan query big stream window spark",
+      "scanscan scan scana a a", "hash hash join joins", "",
+      "sort columnsort column", "value fastvalue fast group value")
+    for (t <- texts)
+      assert(rep(dict, t) === ref(dict, t, "<R>"), s"text: '$t'")
+  }
+
+  test("dict_replace is multi-byte safe and SQL-callable; NULL text " +
+      "yields NULL; malformed dictionaries fail at analysis") {
+    // multi-byte: the pattern must not match inside a multi-byte char,
+    // and replacements splice on char boundaries
+    assert(rep(Seq("é"), "café café") === "caf<R> caf<R>")
+    assert(rep(Seq("ab"), "aéb ab") === "aéb <R>")
+    val df = Seq((1L, "ushers she"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val c = GraftBridge.toColumn(DictReplace(
+      GraftBridge.toExpression(col("t")), Seq("he", "she", "hers"), "<R>"))
+    val rows = df.select(col("id"), c.as("r")).orderBy("id").collect()
+    assert(rows(0).getString(1) === "u<R>rs <R>")
+    assert(rows(1).isNullAt(1))
+    GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT dict_replace('ushers', array('he','she','hers'), '<R>')")
+      .head.getString(0) === "u<R>rs")
+    val dup = intercept[Exception](spark.sql(
+      "SELECT dict_replace('x', array('a','a'), 'r')").collect())
+    assert(dup.getMessage.contains("distinct"))
   }
 }

@@ -618,6 +618,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(mStream.logp === mBatch.logp)
   }
 
+  test("streaming unigram-LM stats equal the batch-trained model " +
+      "exactly; a pure-replay batch retrains NOTHING (zero version " +
+      "churn on log AND model)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uni_s").toString
+    val log = new graft.io.ParquetTable(s"$tmp/log")
+    val result = new graft.io.ParquetTable(s"$tmp/result")
+    val pat = graft.queries.NorthStarQueries.BpePiecePattern
+    val b1 = Seq((1L, "low low low lower"), (2L, "newest newest widest"))
+    val b2 = Seq((3L, "newest newest newest widest widest wider"),
+      (4L, "low low lower news"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventAnalyticsStream.unigramStatsStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", pat,
+      wordCap = 100, targetVocab = 12, maxLen = 4, seedSize = 40,
+      emIters = 2, log, result)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      val (lv, rv) = (log.version, result.version)
+      in.addData(b1: _*); q.processAllAvailable() // full replay of batch 1
+      // replay absorbs: no log commit AND no retrain/model rewrite —
+      // the model's log-version marker proves the EM loop never ran
+      assert(log.version === lv, "replay must not advance the log")
+      assert(result.version === rv, "replay must not rewrite the model")
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch mirror: the q113 schedule over the deduplicated corpus —
+    // integer micro-unit EM makes streamed ≡ batch an EXACT equality
+    val docs = (b1 ++ b2).toDF("doc_id", "text")
+    val words = graft.northstar.BpeLearn.topVocabPlan(
+      graft.northstar.BpeLearn.pieceCounts(docs, "text", pat), 100)
+    val mBatch = graft.northstar.UnigramLm.train(words,
+      targetVocab = 12, maxLen = 4, seedSize = 40)
+    val got = result.read(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === mBatch.logp)
+  }
+
   test("streaming BM25 stats maintenance equals the batch stage: scoring " +
       "over the maintained table reproduces Bm25.topK across replayed " +
       "and duplicate batches") {
