@@ -513,7 +513,31 @@ object NorthStarQueries {
     live.toString
   }
 
-  private def ivfScratch(dir: String): String = indexScratch("ivf", dir)
+  /** Serving-index geometry (round-12 recall study, BASELINE.md "q112
+    * dense-arm recall/scan curve"): nlist=32 — at EQUAL scan fraction,
+    * finer cells beat coarser ones on these near-random embeddings
+    * (25 % scan: 32/8 → 0.725 recall@10 vs 16/4 → 0.600 at sf0.1), so
+    * the shared index moved from 16 to 32 cells. nlist folds into the
+    * scratch fingerprint: a geometry change can never serve a stale
+    * index — it misses and rebuilds (the unigram model-identity
+    * discipline).
+    */
+  val ServingIvfNlist = 32
+
+  /** q50's probe width: half the cells (the documented operating point —
+    * recall@5 0.90/0.95 at sf0.01/sf0.1 under nlist=32).
+    */
+  val ServingIvfNprobe: Int = ServingIvfNlist / 2
+
+  /** q112's dense-arm probe width: the sweep's knee — 12/32 = 37.5 %
+    * scan buys recall@10 0.725/0.875 at sf0.01/sf0.1 (vs 0.600/0.725 at
+    * the old 25 % point), a 2.7× scan reduction with the accuracy gate
+    * finally ≥ 0.70 at both tiers.
+    */
+  val Q112DenseNprobe = 12
+
+  private def ivfScratch(dir: String): String =
+    indexScratch("ivf" + ServingIvfNlist, dir)
   private def ivfPqScratch(dir: String): String = indexScratch("ivfpq", dir)
 
   /** The shared fingerprinted serving-index path — q50, q112 and the
@@ -525,7 +549,8 @@ object NorthStarQueries {
 
   def q50IvfBuild(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+    graft.northstar.IvfIndex
+      .build(emb, "vec_id", "embedding", nlist = ServingIvfNlist)
       .persist(s, ivfScratch(dir))
       .assigned
       .groupBy(col("cell"))
@@ -540,17 +565,20 @@ object NorthStarQueries {
     * and ScaleSpec proves the pruned scan. nprobe = half the cells:
     * synthetic near-random embeddings are the quantizer's worst case
     * (neighbors spread ~uniformly over cells, so recall tracks the probed
-    * fraction plus the centroid-ranking lift) — nprobe=4 measured 0.48
-    * recall@5 where 8 holds ≥0.6 ([[graft.tools.Accuracy]] gates it).
+    * fraction plus the centroid-ranking lift) — at nlist=32, half the
+    * cells measures recall@5 0.90/0.95 at sf0.01/sf0.1
+    * ([[graft.tools.Accuracy]] gates it just under; the full
+    * recall/scan curve is BASELINE.md's round-12 sweep).
     */
   def q50IvfProbe(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val idx = graft.northstar.IvfIndex.load(s, ivfScratch(dir))
       .getOrElse(
-        graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+        graft.northstar.IvfIndex
+          .build(emb, "vec_id", "embedding", nlist = ServingIvfNlist)
           .persist(s, ivfScratch(dir)))
     idx.search(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, nprobe = 8)
+      k = 5, nprobe = ServingIvfNprobe)
   }
 
   /** Change-data-feed (q87): the CDF multiset delta between two committed
@@ -2215,7 +2243,8 @@ object NorthStarQueries {
     * (`HybridRetrieval.scala`) actually wired: load-or-build of the
     * SHARED fingerprinted serving index (q50's — built at most once per
     * corpus version, the serving contract) + partition-pruned probe
-    * (nprobe = 4 of nlist = 16, a real 4× scan reduction), so the dense
+    * (nprobe = 12 of nlist = 32, a real 2.7× scan reduction at the
+    * sweep's recall knee — BASELINE.md round 12), so the dense
     * arm touches ~nprobe/nlist of the
     * corpus instead of all of it while the BM25 arm, the probe workload
     * and the integer RRF arithmetic are byte-identical to q108. No
@@ -2237,10 +2266,12 @@ object NorthStarQueries {
     // warm run pays only the probe
     val idx = graft.northstar.IvfIndex.load(s, ivfScratch(dir))
       .getOrElse(
-        graft.northstar.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+        graft.northstar.IvfIndex
+          .build(emb, "vec_id", "embedding", nlist = ServingIvfNlist)
           .persist(s, ivfScratch(dir)))
     val dense = idx
-      .search(probes, "vec_id", "embedding", k = Bm25TopK, nprobe = 4)
+      .search(probes, "vec_id", "embedding", k = Bm25TopK,
+        nprobe = Q112DenseNprobe)
       .select(qidFor.as("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
     val bm25 = Bm25

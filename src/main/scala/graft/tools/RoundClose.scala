@@ -60,12 +60,14 @@ object RoundClose {
     * exactly the drift it exists to catch — so negative-marker lines are
     * excluded from the match. Throws with the full missing list.
     */
-  private def coverageRowCheck(): Unit = {
+  private[graft] def coverageRowCheck(
+      covPath: java.nio.file.Path = Paths.get("COVERAGE.md"),
+      queryKeys: Seq[String] = graft.SparkEntry.queries.keys.toSeq): Unit = {
     // deliberately SHARP markers: broad ones ("missing", "no row")
     // collide with legitimate row prose ("no row-level DLQ", "a
     // survivor missing") and turn the guard into a false alarm
     val negative = Seq("todo", "undocumented")
-    val lines = Files.readAllLines(Paths.get("COVERAGE.md"))
+    val lines = Files.readAllLines(covPath)
     val citable = new StringBuilder
     lines.forEach { l =>
       if (!negative.exists(l.toLowerCase.contains)) {
@@ -73,12 +75,12 @@ object RoundClose {
       }
     }
     val cov = citable.toString
-    val ids = graft.SparkEntry.queries.keys
-      .map(_.takeWhile(_ != '_')).toSeq.distinct.sorted
+    val ids = queryKeys
+      .map(_.takeWhile(_ != '_')).distinct.sorted
     val missing = ids.filterNot(id =>
       ("""\b""" + id + """\b""").r.findFirstIn(cov).nonEmpty)
     require(missing.isEmpty,
-      s"COVERAGE.md cites no row for: ${missing.mkString(", ")} — add " +
+      s"$covPath cites no row for: ${missing.mkString(", ")} — add " +
         "coverage rows before closing the round")
     println(s"round_close: COVERAGE cites all ${ids.length} query ids")
   }
