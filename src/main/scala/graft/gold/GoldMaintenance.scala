@@ -234,59 +234,8 @@ object GoldMaintenance {
     fromV match {
       case Some(v) if v == toV => () // already current — replay no-op
       case Some(v) =>
-        val changes = source.changesBetween(spark, v, toV)
-        val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-        // one shuffle over the changes: per-(group, bucket) signed counts
-        // plus the additive deltas riding along
-        val withB = changes.select(keys.map(col) :+ sign.as("__sign") :+
-          value.as("__v") :+ QuantileHist.bucketOf(value).as("__b"): _*)
-        val delta = withB.groupBy((keys.map(col) :+ col("__b")): _*)
-          .agg(sum(col("__sign")).as("__dbn"),
-            sum(col("__sign") * coalesce(col("__v"), lit(0L))).as("__dbs"))
-        val deltaG = delta.groupBy(keys.map(col): _*)
-          .agg(sum(col("__dbn")).as("__dn"),
-            sum(col("__dbs")).as("__dv"),
-            // the histogram delta as an array (NULL bucket excluded),
-            // possibly with negative counts — the fold nets them
-            sort_array(collect_list(when(col("__b").isNotNull,
-              struct(col("__b").as("b"), col("__dbn").as("n")))))
-              .as("__dhist"))
-        val deltaR = keys.foldLeft(deltaG)((d, k) =>
-          d.withColumnRenamed(k, s"__k_$k"))
-        val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-        // fold: additive merges + histogram vector add, all inside one
-        // row-local expression (concat two bucket arrays, net by bucket)
-        // — no explode/regroup shuffle; the arrays are bounded (<1k)
-        val mergedHist = {
-          val both = concat(
-            coalesce(col("value_hist"), QuantileHist.emptyHist),
-            coalesce(col("__dhist"), QuantileHist.emptyHist))
-          // distinct buckets present, sorted; then net each bucket's count
-          val buckets = array_sort(array_distinct(
-            transform(both, x => x.getField("b"))))
-          // functions.aggregate spelled fully — the object's own
-          // `aggregate(DataFrame, ...)` shadows the HOF import
-          val netted = transform(buckets, (b: Column) =>
-            struct(b.as("b"),
-              org.apache.spark.sql.functions.aggregate(
-                filter(both, (x: Column) => x.getField("b") === b),
-                lit(0L), (acc: Column, x: Column) =>
-                  acc + x.getField("n")).as("n")))
-          filter(netted, (x: Column) => x.getField("n") > 0L)
-        }
-        val folded = gold.read(spark)
-          .select(keys.map(col) ++ Seq(col("n_rows"), col("value_sum"),
-            col("value_hist")): _*)
-          .join(deltaR, cond, "full_outer")
-          .select(
-            keys.map(k => coalesce(col(k), col(s"__k_$k")).as(k)) ++ Seq(
-              (coalesce(col("n_rows"), lit(0L)) +
-                coalesce(col("__dn"), lit(0L))).as("n_rows"),
-              (coalesce(col("value_sum"), lit(0L)) +
-                coalesce(col("__dv"), lit(0L))).as("value_sum"),
-              mergedHist.as("value_hist")): _*)
-          .filter(col("n_rows") > 0)
-        gold.overwrite(withDerivedPercentiles(folded, ps))
+        gold.overwrite(percentileIncrementalPlan(spark, source, gold,
+          keys, value, ps, v, toV))
       case None =>
         gold.overwrite(aggregatePercentile(source.read(spark), keys, value,
           ps))
@@ -294,6 +243,68 @@ object GoldMaintenance {
     Sidecar.write(java.nio.file.Paths.get(gold.currentPath), AppliedMarker,
       Seq(toV.toString))
     toV
+  }
+
+  /** The LAZY fold plan for one percentile advance — split out (the
+    * [[incrementalPlan]] convention) so the plan audit can census the
+    * repeated maintenance unit; [[advancePercentile]] executes it.
+    */
+  def percentileIncrementalPlan(spark: SparkSession, source: ParquetTable,
+      gold: ParquetTable, keys: Seq[String], value: Column,
+      ps: Seq[(String, Int, Int)], fromV: Int, toV: Int): DataFrame = {
+    val changes = source.changesBetween(spark, fromV, toV)
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    // one shuffle over the changes: per-(group, bucket) signed counts
+    // plus the additive deltas riding along
+    val withB = changes.select(keys.map(col) :+ sign.as("__sign") :+
+      value.as("__v") :+ QuantileHist.bucketOf(value).as("__b"): _*)
+    val delta = withB.groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(sum(col("__sign")).as("__dbn"),
+        sum(col("__sign") * coalesce(col("__v"), lit(0L))).as("__dbs"))
+    val deltaG = delta.groupBy(keys.map(col): _*)
+      .agg(sum(col("__dbn")).as("__dn"),
+        sum(col("__dbs")).as("__dv"),
+        // the histogram delta as an array (NULL bucket excluded),
+        // possibly with negative counts — the fold nets them
+        sort_array(collect_list(when(col("__b").isNotNull,
+          struct(col("__b").as("b"), col("__dbn").as("n")))))
+          .as("__dhist"))
+    val deltaR = keys.foldLeft(deltaG)((d, k) =>
+      d.withColumnRenamed(k, s"__k_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    // fold: additive merges + histogram vector add, all inside one
+    // row-local expression (concat two bucket arrays, net by bucket)
+    // — no explode/regroup shuffle; the arrays are bounded (<1k)
+    val mergedHist = {
+      val both = concat(
+        coalesce(col("value_hist"), QuantileHist.emptyHist),
+        coalesce(col("__dhist"), QuantileHist.emptyHist))
+      // distinct buckets present, sorted; then net each bucket's count
+      val buckets = array_sort(array_distinct(
+        transform(both, x => x.getField("b"))))
+      // functions.aggregate spelled fully — the object's own
+      // `aggregate(DataFrame, ...)` shadows the HOF import
+      val netted = transform(buckets, (b: Column) =>
+        struct(b.as("b"),
+          org.apache.spark.sql.functions.aggregate(
+            filter(both, (x: Column) => x.getField("b") === b),
+            lit(0L), (acc: Column, x: Column) =>
+              acc + x.getField("n")).as("n")))
+      filter(netted, (x: Column) => x.getField("n") > 0L)
+    }
+    val folded = gold.read(spark)
+      .select(keys.map(col) ++ Seq(col("n_rows"), col("value_sum"),
+        col("value_hist")): _*)
+      .join(deltaR, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(k), col(s"__k_$k")).as(k)) ++ Seq(
+          (coalesce(col("n_rows"), lit(0L)) +
+            coalesce(col("__dn"), lit(0L))).as("n_rows"),
+          (coalesce(col("value_sum"), lit(0L)) +
+            coalesce(col("__dv"), lit(0L))).as("value_sum"),
+          mergedHist.as("value_hist")): _*)
+      .filter(col("n_rows") > 0)
+    withDerivedPercentiles(folded, ps)
   }
 
   /** Bring `gold` current with `source`'s live version. First call (no

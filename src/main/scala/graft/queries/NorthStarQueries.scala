@@ -1152,6 +1152,17 @@ object NorthStarQueries {
       graft.gold.GoldMaintenance.incrementalPlan(s, src, gold,
         keys = Seq("o_orderstatus"), value = col("cents"),
         fromV = 2, toV = 3)
+    }),
+    // q116's commits + advances run eagerly too (q97's shape) — audit
+    // the repeated percentile-fold unit: feed-served CDF → one
+    // changes-sized shuffle → gold-sized histogram merge
+    "q116_gold_percentile" -> ((s: SparkSession, dir: String) => {
+      q116GoldPercentile(s, dir).count() // ensure the scratch state exists
+      val src = new graft.io.ParquetTable(scratch("qhist_src", dir).toString)
+      val gold = new graft.io.ParquetTable(scratch("qhist_gold", dir).toString)
+      graft.gold.GoldMaintenance.percentileIncrementalPlan(s, src, gold,
+        keys = Seq("o_orderstatus", "o_orderpriority"), value = col("cents"),
+        ps = Seq(("p50", 50, 100), ("p95", 95, 100)), fromV = 2, toV = 3)
     }))
 
   /** Markup → text extraction (q89): each document wrapped in the

@@ -9,6 +9,7 @@ sort columns by name, sort rows, and compare cell values.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -34,7 +35,12 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-written tiers
+        # (e.g. the synthetic sf1 from graft.tools.ScaleUp) are directories
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
