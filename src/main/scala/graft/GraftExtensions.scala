@@ -83,6 +83,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           GraftExtensions.literalString(exprs(2),
             "dict_replace replacement"))
       }))
+    // the q116 quantile-histogram algebra (Column builders bridged
+    // EAGERLY — see GraftBridge.toExpressionEager's rationale)
+    import org.apache.spark.sql.GraftBridge
+    extensions.injectFunction((
+      FunctionIdentifier("qhist_bucket"),
+      new ExpressionInfo(graft.gold.QuantileHist.getClass.getName,
+        "qhist_bucket"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 1, "qhist_bucket(non_negative_long)")
+        GraftBridge.toExpressionEager(
+          graft.gold.QuantileHist.bucketOf(GraftBridge.toColumn(exprs.head)))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("qhist_rep"),
+      new ExpressionInfo(graft.gold.QuantileHist.getClass.getName,
+        "qhist_rep"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 1, "qhist_rep(bucket)")
+        GraftBridge.toExpressionEager(
+          graft.gold.QuantileHist.representative(
+            GraftBridge.toColumn(exprs.head)))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("qhist_percentile"),
+      new ExpressionInfo(graft.gold.QuantileHist.getClass.getName,
+        "qhist_percentile"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 3, "qhist_percentile(hist, num_literal, den_literal)")
+        GraftBridge.toExpressionEager(
+          graft.gold.QuantileHist.percentile(
+            GraftBridge.toColumn(exprs.head),
+            GraftExtensions.literalInt(exprs(1), "qhist_percentile num"),
+            GraftExtensions.literalInt(exprs(2), "qhist_percentile den")))
+      }))
   }
 }
 

@@ -202,6 +202,23 @@ object GraftFunctions {
           "dict_replace phrases"),
         graft.GraftExtensions.literalString(exprs(2),
           "dict_replace replacement")), "scala_udf")
+    // the q116 quantile-histogram algebra (Column builders, exposed to
+    // SQL through the bridge so percentile gold tables are queryable
+    // and maintainable from pure SQL too)
+    reg.createOrReplaceTempFunction(
+      "qhist_bucket", exprs => GraftBridge.toExpressionEager(
+        graft.gold.QuantileHist.bucketOf(GraftBridge.toColumn(exprs(0)))),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "qhist_rep", exprs => GraftBridge.toExpressionEager(
+        graft.gold.QuantileHist.representative(
+          GraftBridge.toColumn(exprs(0)))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "qhist_percentile", exprs => GraftBridge.toExpressionEager(
+        graft.gold.QuantileHist.percentile(GraftBridge.toColumn(exprs(0)),
+          graft.GraftExtensions.literalInt(exprs(1), "qhist_percentile num"),
+          graft.GraftExtensions.literalInt(exprs(2),
+            "qhist_percentile den"))), "scala_udf")
   }
 
   /** Column-API entry point for the native elementwise subtract. */

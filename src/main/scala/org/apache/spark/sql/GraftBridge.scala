@@ -12,6 +12,18 @@ object GraftBridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** EAGER Column → Expression conversion, for FUNCTION-REGISTRY
+    * builders: [[toExpression]] wraps the Column's node tree in a lazy
+    * `ColumnNodeExpression` that only the Dataset API boundary converts —
+    * inside a registered SQL function the wrapper survives analysis
+    * un-converted and codegen rejects it. Converting through the
+    * session's ColumnNode converter up front yields a plain (possibly
+    * unresolved) expression tree the analyzer handles like any parsed
+    * SQL.
+    */
+  def toExpressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Deterministically drop the storage blocks behind a `localCheckpoint`ed
     * Dataset. `Dataset.unpersist` only talks to the CacheManager, which does
     * not track checkpoint RDDs — without this, every superseded iteration of

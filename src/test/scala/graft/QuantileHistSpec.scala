@@ -79,6 +79,20 @@ class QuantileHistSpec extends AnyFunSuite {
     assert(row.getLong(2) == 5L)
   }
 
+  test("the histogram algebra is SQL-callable: qhist_bucket/rep/" +
+      "percentile reproduce the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT qhist_bucket(1000L) AS b, qhist_rep(qhist_bucket(1000L)) AS rep,
+         qhist_percentile(array(struct(3 AS b, 4L AS n),
+                                struct(20 AS b, 6L AS n)), 50, 100) AS p50""")
+      .head
+    assert(r.getInt(0) == refBucket(1000L))
+    assert(r.getLong(1) == refRep(refBucket(1000L)))
+    // rank ceil(0.5*10)=5 falls in bucket 20 → its representative
+    assert(r.getLong(2) == refRep(20))
+  }
+
   test("advancePercentile: fold equals the batch rebuild EXACTLY across " +
       "insert/update/delete commits — including the histogram, NULL " +
       "groups, emptied groups; replay is a no-op; deletes need no rescan") {
