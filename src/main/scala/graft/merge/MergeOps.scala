@@ -99,6 +99,106 @@ object MergeOps {
     kept.unionByName(u)
   }
 
+  /** [[upsert]] that ALSO emits the commit's exact row-level change feed
+    * from the SAME full-outer join — the write-side-CDF production
+    * story ([[graft.io.ParquetTable.overwriteWithChanges]]): a keyed
+    * merge already pairs each matched target row with its update row, so
+    * the multiset delta falls out for free —
+    *
+    *  - matched and IDENTICAL (all columns null-safe-equal): merged
+    *    keeps the row, feed emits NOTHING (the strict feed contract:
+    *    exactly the delta, no self-cancelling pairs);
+    *  - matched and changed: feed = delete(old) + insert(new);
+    *  - update-only key: insert; target-only key: delete under
+    *    `deleteUnmatched`, else pass-through (no feed row).
+    *
+    * Output rows are built through ONE case-array explode off the single
+    * join ([[scdType2]]'s rationale — a union of filtered projections
+    * re-plans the join per branch). Returns (merged, feed); both derive
+    * from the one join, so a caller executing them as two jobs should
+    * persist — [[upsertInto]] is the commit-shaped wrapper that does.
+    */
+  /** The paired-row full-outer join both [[upsertWithFeed]] outputs
+    * derive from — exposed as one frame so a commit can persist it once.
+    */
+  private def upsertJoined(target: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "merge keys must be non-empty")
+    val tCols = target.columns.toIndexedSeq
+    val u0 = aligned(target, updates).dropDuplicates(keys)
+    val uRen = tCols.foldLeft(u0.withColumn("__m", lit(true))) {
+      (d, c) => d.withColumnRenamed(c, s"__u_$c")
+    }
+    val t = target.withColumn("__t", lit(true))
+    val cond = keys.map(c => col(c) <=> col(s"__u_$c")).reduce(_ && _)
+    t.join(uRen, cond, "full_outer")
+  }
+
+  private def fromJoined(joined: DataFrame,
+      targetSchema: org.apache.spark.sql.types.StructType,
+      deleteUnmatched: Boolean): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    val tCols = targetSchema.fields.map(_.name).toIndexedSeq
+    val matched = col("__t").isNotNull && col("__m").isNotNull
+    val identical = tCols.map(c => col(c) <=> col(s"__u_$c")).reduce(_ && _)
+    def tRow = struct(tCols.map(col): _*)
+    def uRow = struct(tCols.map(c => col(s"__u_$c").as(c)): _*)
+    // typed empty array so the when-branches coerce (array() alone is
+    // array<null>, which poisons the common type)
+    def rowType(extra: StructField*) =
+      ArrayType(StructType(targetSchema.fields ++ extra))
+    val merged = joined.select(explode(
+        when(col("__m").isNotNull, array(uRow)) // matched or brand-new
+          .otherwise(if (deleteUnmatched) array().cast(rowType())
+            else array(tRow))).as("__r"))
+      .select(col("__r.*"))
+    def feedRow(r: Column, kind: String) = struct(
+      (tCols.map(c => r.getField(c).as(c)) :+
+        lit(kind).as("_change_type")): _*)
+    val none = array().cast(rowType(StructField("_change_type", StringType)))
+    val feed = joined.select(explode(
+        when(matched && identical, none)
+          .when(matched,
+            array(feedRow(tRow, "delete"), feedRow(uRow, "insert")))
+          .when(col("__t").isNull, array(feedRow(uRow, "insert")))
+          .otherwise(if (deleteUnmatched) array(feedRow(tRow, "delete"))
+            else none)).as("__r"))
+      .select(col("__r.*"))
+    (merged, feed)
+  }
+
+  def upsertWithFeed(target: DataFrame, updates: DataFrame,
+      keys: Seq[String],
+      deleteUnmatched: Boolean = false): (DataFrame, DataFrame) =
+    fromJoined(upsertJoined(target, updates, keys), target.schema,
+      deleteUnmatched)
+
+  /** Commit-shaped wrapper: upsert `updates` into a versioned table WITH
+    * write-side change capture — reads the live version (or initializes
+    * from `updates` with an all-insert feed), derives merged + feed from
+    * ONE persisted join (both writes reuse it; released before return),
+    * and commits through
+    * [[graft.io.ParquetTable.overwriteWithChanges]]. After this, every
+    * CDF consumer (gold IVM, `changesBetween` spans) reads O(changes)
+    * feeds instead of diffing snapshots — the full production loop of
+    * the write-side-CDF design on the MERGE path the reference actually
+    * uses for its silver writes.
+    */
+  def upsertInto(spark: org.apache.spark.sql.SparkSession,
+      table: graft.io.ParquetTable, updates: DataFrame, keys: Seq[String],
+      deleteUnmatched: Boolean = false): graft.io.ParquetTable = {
+    if (!table.exists)
+      return table.overwriteWithChanges(updates,
+        updates.withColumn("_change_type", lit("insert")))
+    val current = table.read(spark)
+    val joined = upsertJoined(current, updates, keys).persist()
+    try {
+      val (merged, feed) = fromJoined(joined, current.schema,
+        deleteUnmatched)
+      table.overwriteWithChanges(merged, feed)
+    } finally { joined.unpersist(); () }
+  }
+
   /** Seed an SCD Type 2 dimension from its first snapshot: every row becomes
     * the current version, open-ended (`valid_to` NULL, typed like
     * `effective` so later merges union cleanly).

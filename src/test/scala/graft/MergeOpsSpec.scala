@@ -144,4 +144,64 @@ class MergeOpsSpec extends AnyFunSuite {
       Seq(null, "y", d2, null, true),
       Seq(1L, null, d1, null, true)))
   }
+
+  test("upsertWithFeed: the feed is EXACTLY the multiset delta — " +
+      "identical-row replacements emit nothing, updates pair " +
+      "delete+insert, deleteUnmatched emits the deletes; merged ≡ " +
+      "upsert()") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, Option.empty[String].orNull, 30))
+      .toDF("id", "v", "n")
+    val updates = Seq((2L, "B", 20), (3L, Option.empty[String].orNull, 30),
+      (4L, "d", 40)).toDF("id", "v", "n")
+    for (delUnmatched <- Seq(false, true)) {
+      val (merged, feed) = MergeOps.upsertWithFeed(target, updates,
+        Seq("id"), delUnmatched)
+      // merged matches the plain upsert exactly
+      TestSpark.assertSameRows(merged,
+        TestSpark.rows(MergeOps.upsert(target, updates, Seq("id"),
+          delUnmatched)))
+      // feed = the independently computed exact diff (exceptAll both ways)
+      val expected = merged.exceptAll(target)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(target.exceptAll(merged)
+          .withColumn("_change_type", lit("delete")))
+      assert(feed.exceptAll(expected).isEmpty &&
+        expected.exceptAll(feed).isEmpty,
+        s"feed != exact diff (deleteUnmatched=$delUnmatched)")
+      // the identical update row (id=3, null v) emits NO feed rows
+      assert(feed.filter(col("id") === 3L).isEmpty,
+        "identical replacement must not appear in the feed")
+    }
+  }
+
+  test("upsertInto commits merge + feed atomically; the gold-IVM loop " +
+      "consumes the feeds without ever diffing snapshots (verify mode ON)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.gold.GoldMaintenance
+    val root = java.nio.file.Files.createTempDirectory("graft_upsfeed")
+    val tbl = new graft.io.ParquetTable(s"$root/t")
+    val gold = new graft.io.ParquetTable(s"$root/g")
+    spark.conf.set("graft.cdf.verifyDeclaredChanges", "true")
+    try {
+      MergeOps.upsertInto(spark, tbl,
+        Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "grp", "cents"),
+        Seq("id"))
+      GoldMaintenance.advance(spark, tbl, gold, Seq("grp"), col("cents"))
+      // v2: update id=2, insert id=3 — committed through the MERGE path
+      MergeOps.upsertInto(spark, tbl,
+        Seq((2L, "a", 25L), (3L, "b", 30L)).toDF("id", "grp", "cents"),
+        Seq("id"))
+      GoldMaintenance.advance(spark, tbl, gold, Seq("grp"), col("cents"))
+      TestSpark.assertSameRows(
+        gold.read(spark).select("grp", "n_rows", "value_sum"),
+        Seq(Seq("a", 2L, 35L), Seq("b", 1L, 30L)))
+      // the CDF the advance consumed was feed-served: scan set is only
+      // _changes files (no snapshot read)
+      val scanned = tbl.changesBetween(spark, 1, 2).inputFiles
+      assert(scanned.nonEmpty && scanned.forall(_.contains("/_changes/")),
+        s"merge-committed CDF must serve from feeds, scanned " +
+          scanned.mkString(", "))
+    } finally spark.conf.unset("graft.cdf.verifyDeclaredChanges")
+  }
 }
