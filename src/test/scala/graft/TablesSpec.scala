@@ -481,6 +481,67 @@ class TablesSpec extends AnyFunSuite {
       Seq(Seq(2L, "b", 2025, "insert")))
   }
 
+  test("property: changesBetween equals the independent multiset diff " +
+      "over a seeded random mix of feed-committed overwrites, appends " +
+      "and plain overwrites, for every version span") {
+    import org.apache.spark.sql.functions.lit
+    val rng = new scala.util.Random(20260815L)
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/prop")
+    spark.conf.set("graft.cdf.verifyDeclaredChanges", "true")
+    try {
+      // state as a Scala map id → value; duplicates exercised via a
+      // fixed always-present doubled row
+      var state = Map(1L -> "a", 2L -> "b")
+      def toDf(m: Map[Long, String]) =
+        (m.toSeq :+ (99L, "dup") :+ (99L, "dup"))
+          .toDF("id", "v")
+      def mutated(step: Int): Map[Long, String] = {
+        var m = state
+        for (_ <- 1 to 1 + rng.nextInt(3)) rng.nextInt(3) match {
+          case 0 => m = m + (rng.nextInt(10).toLong -> s"v$step")
+          case 1 if m.nonEmpty => m = m - m.keys.toSeq(rng.nextInt(m.size))
+          case _ if m.nonEmpty =>
+            val k = m.keys.toSeq(rng.nextInt(m.size))
+            m = m + (k -> s"u$step")
+          case _ => ()
+        }
+        m
+      }
+      t.overwrite(toDf(state))
+      for (step <- 1 to 7) rng.nextInt(3) match {
+        case 2 => // pure-insert step through the hard-link append
+          val added = (100L + step).toLong -> s"n$step"
+          t.appendVersion(Seq(added).toDF("id", "v"))
+          state = state + added
+        case c =>
+          val nextState = mutated(step)
+          if (c == 0) t.overwrite(toDf(nextState)) // legacy: no feed
+          else { // feed-declared overwrite (exact diff, verify-mode ON)
+            val old = toDf(state); val nw = toDf(nextState)
+            t.overwriteWithChanges(nw,
+              nw.exceptAll(old).withColumn("_change_type", lit("insert"))
+                .unionByName(old.exceptAll(nw)
+                  .withColumn("_change_type", lit("delete"))))
+          }
+          state = nextState
+      }
+      val top = t.version
+      for (from <- 1 to top; to <- 1 to top if from != to) {
+        val expected = t.readVersion(spark, to)
+            .exceptAll(t.readVersion(spark, from))
+            .withColumn("_change_type", lit("insert"))
+          .unionByName(t.readVersion(spark, from)
+            .exceptAll(t.readVersion(spark, to))
+            .withColumn("_change_type", lit("delete")))
+        val got = t.changesBetween(spark, from, to)
+        assert(got.exceptAll(expected).isEmpty &&
+          expected.exceptAll(got).isEmpty,
+          s"span $from->$to diverges from the independent diff")
+      }
+    } finally spark.conf.unset("graft.cdf.verifyDeclaredChanges")
+  }
+
   test("schema evolution: an appended column reads as null on old rows, " +
       "time travel keeps old schemas, history is not corrupted") {
     val dir = Files.createTempDirectory("graft_tbl").toString
