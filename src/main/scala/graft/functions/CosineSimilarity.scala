@@ -179,46 +179,77 @@ object GraftFunctions {
     * `dot_product(a, b)`, `shingle_hashes(text, 3)`).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.GraftExtensions.arity
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      "cosine_sim", exprs => {
+        arity(exprs, 2, "cosine_sim(vec, vec)")
+        CosineSimilarity(exprs(0), exprs(1))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      "dot_product", exprs => {
+        arity(exprs, 2, "dot_product(vec, vec)")
+        DotProduct(exprs(0), exprs(1))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs(0),
-        graft.GraftExtensions.literalInt(exprs(1), "shingle_hashes k")), "scala_udf")
+      "shingle_hashes", exprs => {
+        arity(exprs, 2, "shingle_hashes(text, k)")
+        ShingleHashes(exprs(0),
+          graft.GraftExtensions.literalInt(exprs(1), "shingle_hashes k"))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction(
-      "token_collision_stats", exprs => TokenCollisionStats(exprs(0)),
-      "scala_udf")
+      "token_collision_stats", exprs => {
+        arity(exprs, 1, "token_collision_stats(text)")
+        TokenCollisionStats(exprs(0))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction(
-      "vec_sub", exprs => VecSub(exprs(0), exprs(1)), "scala_udf")
+      "vec_sub", exprs => {
+        arity(exprs, 2, "vec_sub(vec, vec)")
+        VecSub(exprs(0), exprs(1))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction(
-      "dict_match_counts", exprs => DictMatchCounts(exprs(0),
-        graft.GraftExtensions.literalStrings(exprs(1),
-          "dict_match_counts phrases")), "scala_udf")
+      "dict_match_counts", exprs => {
+        arity(exprs, 2, "dict_match_counts(text, array_of_string_literals)")
+        DictMatchCounts(exprs(0),
+          graft.GraftExtensions.literalStrings(exprs(1),
+            "dict_match_counts phrases"))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction(
-      "dict_replace", exprs => DictReplace(exprs(0),
-        graft.GraftExtensions.literalStrings(exprs(1),
-          "dict_replace phrases"),
-        graft.GraftExtensions.literalString(exprs(2),
-          "dict_replace replacement")), "scala_udf")
+      "dict_replace", exprs => {
+        arity(exprs, 3,
+          "dict_replace(text, array_of_string_literals, replacement)")
+        DictReplace(exprs(0),
+          graft.GraftExtensions.literalStrings(exprs(1),
+            "dict_replace phrases"),
+          graft.GraftExtensions.literalString(exprs(2),
+            "dict_replace replacement"))
+      }, "scala_udf")
     // the q116 quantile-histogram algebra (Column builders, exposed to
     // SQL through the bridge so percentile gold tables are queryable
     // and maintainable from pure SQL too)
     reg.createOrReplaceTempFunction(
-      "qhist_bucket", exprs => GraftBridge.toExpressionEager(
-        graft.gold.QuantileHist.bucketOf(GraftBridge.toColumn(exprs(0)))),
-      "scala_udf")
+      "qhist_bucket", exprs => {
+        arity(exprs, 1, "qhist_bucket(non_negative_long)")
+        GraftBridge.toExpressionEager(
+          graft.gold.QuantileHist.bucketOf(GraftBridge.toColumn(exprs(0))))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction(
-      "qhist_rep", exprs => GraftBridge.toExpressionEager(
-        graft.gold.QuantileHist.representative(
-          GraftBridge.toColumn(exprs(0)))), "scala_udf")
+      "qhist_rep", exprs => {
+        arity(exprs, 1, "qhist_rep(bucket)")
+        GraftBridge.toExpressionEager(
+          graft.gold.QuantileHist.representative(
+            GraftBridge.toColumn(exprs(0))))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction(
-      "qhist_percentile", exprs => GraftBridge.toExpressionEager(
-        graft.gold.QuantileHist.percentile(GraftBridge.toColumn(exprs(0)),
-          graft.GraftExtensions.literalInt(exprs(1), "qhist_percentile num"),
-          graft.GraftExtensions.literalInt(exprs(2),
-            "qhist_percentile den"))), "scala_udf")
+      "qhist_percentile", exprs => {
+        arity(exprs, 3, "qhist_percentile(hist, num_literal, den_literal)")
+        GraftBridge.toExpressionEager(
+          graft.gold.QuantileHist.percentile(GraftBridge.toColumn(exprs(0)),
+            graft.GraftExtensions.literalInt(exprs(1),
+              "qhist_percentile num"),
+            graft.GraftExtensions.literalInt(exprs(2),
+              "qhist_percentile den")))
+      }, "scala_udf")
   }
 
   /** Column-API entry point for the native elementwise subtract. */

@@ -100,8 +100,10 @@ final class AhoCorasick private (
     val bytes = text.getBytes
     val n = bytes.length
     // packed matches: start in the high 32 bits, (MaxValue − len) low —
-    // a plain long sort is then (start asc, len desc), the greedy order
-    val ms = new scala.collection.mutable.ArrayBuffer[Long]()
+    // a plain long sort is then (start asc, len desc), the greedy order.
+    // ArrayBuilder.ofLong keeps the hot path primitive (countAll's
+    // discipline): an ArrayBuffer[Long] would box every occurrence.
+    val ms = new scala.collection.mutable.ArrayBuilder.ofLong
     var state = 0
     var i = 0
     while (i < n) {
@@ -114,8 +116,8 @@ final class AhoCorasick private (
       }
       i += 1
     }
-    if (ms.isEmpty) return UTF8String.fromBytes(bytes)
-    val sorted = ms.toArray
+    val sorted = ms.result()
+    if (sorted.isEmpty) return UTF8String.fromBytes(bytes)
     java.util.Arrays.sort(sorted)
     val out = new java.io.ByteArrayOutputStream(n)
     var cursor = 0

@@ -106,6 +106,11 @@ object QuantileHist {
     * holds ~10^12 rows, three orders inside the bound).
     */
   def percentile(hist: Column, num: Int, den: Int): Column = {
+    // fail loudly at PLAN time (bucketOf's discipline): den=0 or a
+    // transposed pair would otherwise yield NULL ranks downstream —
+    // indistinguishable from a legitimately empty histogram
+    require(den >= 1 && num >= 0 && num <= den,
+      s"percentile rank must be a rational in [0, 1]: got $num/$den")
     val nn = aggregate(hist, lit(0L), (acc, x) => acc + x.getField("n"))
     val r = {
       val a = nn * num + (den - 1)

@@ -276,7 +276,14 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     changes.foreach(validateFeedShape(df, _))
     val verifyBase: Option[DataFrame] =
       if (changes.isDefined && feedVerifyEnabled(df))
-        Some(if (exists) read(df.sparkSession) else df.limit(0))
+        // first write: a FRESH empty relation, never df.limit(0) — the
+        // latter shares df's plan leaf, and the verification's
+        // diff-vs-declared exceptAll over three frames off one leaf can
+        // trip Catalyst's attribute rebinding (seen with a
+        // dropDuplicates-derived df)
+        Some(if (exists) read(df.sparkSession)
+          else df.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema))
       else None
     val next = ParquetTable.withCommitLock(path) {
       expected.foreach(e => if (versionNum != e) throw stale(e, versionNum))

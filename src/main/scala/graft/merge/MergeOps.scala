@@ -167,6 +167,16 @@ object MergeOps {
     (merged, feed)
   }
 
+  /** PRECONDITION (both feed APIs): the TARGET is unique per key tuple —
+    * the invariant these APIs themselves maintain (updates are deduped,
+    * the seed commit is deduped), and the assumption under which
+    * `merged ≡ upsert()` and the feed's strict exactness hold. A
+    * duplicate-keyed target (only producible by writing the table
+    * through some other path) would replicate the update row per target
+    * copy — caught by `graft.cdf.verifyDeclaredChanges` in spec runs,
+    * garbage-in-garbage-out otherwise (SQL MERGE's own multi-match
+    * behavior class).
+    */
   def upsertWithFeed(target: DataFrame, updates: DataFrame,
       keys: Seq[String],
       deleteUnmatched: Boolean = false): (DataFrame, DataFrame) =
@@ -187,9 +197,15 @@ object MergeOps {
   def upsertInto(spark: org.apache.spark.sql.SparkSession,
       table: graft.io.ParquetTable, updates: DataFrame, keys: Seq[String],
       deleteUnmatched: Boolean = false): graft.io.ParquetTable = {
-    if (!table.exists)
-      return table.overwriteWithChanges(updates,
-        updates.withColumn("_change_type", lit("insert")))
+    if (!table.exists) {
+      // seed commit dedups like every other merge path — otherwise the
+      // table starts duplicate-keyed and every later keyed merge on the
+      // duplicated keys multiplies rows (the unique-key precondition).
+      // No feed on the seed: a version-1 feed is DEAD WEIGHT by
+      // construction (changesBetween spans read feeds of steps ≥ 2
+      // only — v1 is always the base, never a step).
+      return table.overwrite(updates.dropDuplicates(keys))
+    }
     val current = table.read(spark)
     val joined = upsertJoined(current, updates, keys).persist()
     try {

@@ -673,45 +673,20 @@ object NorthStarQueries {
     */
   def q105GoldMinMax(s: SparkSession, dir: String): DataFrame = {
     import graft.gold.GoldMaintenance
-    val base = t(s, dir, "orders").select(col("o_orderkey"),
-      col("o_orderstatus"), col("o_orderpriority"),
-      round(col("o_totalprice") * 100, 0).cast("long").as("cents0"))
-    def withCents(bumped: Boolean) = {
-      val bump = if (bumped)
-        when(pmod(col("o_orderkey"), lit(5)) === 0, 1000L).otherwise(0L)
-      else lit(0L)
-      base.withColumn("cents",
-          when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
-            .otherwise(col("cents0") + bump))
-        .drop("cents0")
-    }
-    val v1 = withCents(bumped = false)
-      .filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
-    val v2 = withCents(bumped = true)
-    val v3 = v2.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    // history + declared feeds single-sourced with q116 (CentsHistory):
+    // write-side change capture makes each advance O(changes); feed
+    // exactness is guarded by the DuckDB oracle on the final state
+    val h = CentsHistory(t(s, dir, "orders"))
     val srcP = scratch("minmax_src", dir)
     val goldP = scratch("minmax_gold", dir)
     graft.io.FsUtil.deleteRecursively(srcP)
     graft.io.FsUtil.deleteRecursively(goldP)
     val src = new graft.io.ParquetTable(srcP.toString)
     val gold = new graft.io.ParquetTable(goldP.toString)
-    // write-side change capture (q103's discipline): v1→v2 is the %7
-    // keys returning plus the %5-key cents bump (non-NULL rows only —
-    // %13 keys are NULL on both sides, no change); v2→v3 deletes the %3
-    // keys. Feeds make each advance O(changes); exactness is guarded by
-    // the DuckDB oracle on the final state.
-    def ins(d: DataFrame) = d.withColumn("_change_type", lit("insert"))
-    def del(d: DataFrame) = d.withColumn("_change_type", lit("delete"))
-    val k = col("o_orderkey")
-    val bumped = pmod(k, lit(5)) === 0 && pmod(k, lit(13)) =!= 0
-    val feed2 = ins(v2.filter(pmod(k, lit(7)) === 0))
-      .unionByName(del(v1.filter(bumped)))
-      .unionByName(ins(v2.filter(pmod(k, lit(7)) =!= 0 && bumped)))
-    val feed3 = del(v2.filter(pmod(k, lit(3)) === 0))
-    src.overwrite(v1)
+    src.overwrite(h.v1)
     GoldMaintenance.advanceMinMax(s, src, gold,
       keys = Seq("o_orderstatus", "o_orderpriority"), value = col("cents"))
-    for ((v, feed) <- Seq(v2 -> feed2, v3 -> feed3)) {
+    for ((v, feed) <- Seq(h.v2 -> h.feed2, h.v3 -> h.feed3)) {
       src.overwriteWithChanges(v, feed)
       GoldMaintenance.advanceMinMax(s, src, gold,
         keys = Seq("o_orderstatus", "o_orderpriority"), value = col("cents"))
@@ -739,42 +714,20 @@ object NorthStarQueries {
     */
   def q116GoldPercentile(s: SparkSession, dir: String): DataFrame = {
     import graft.gold.GoldMaintenance
-    val base = t(s, dir, "orders").select(col("o_orderkey"),
-      col("o_orderstatus"), col("o_orderpriority"),
-      round(col("o_totalprice") * 100, 0).cast("long").as("cents0"))
-    def withCents(bumped: Boolean) = {
-      val bump = if (bumped)
-        when(pmod(col("o_orderkey"), lit(5)) === 0, 1000L).otherwise(0L)
-      else lit(0L)
-      base.withColumn("cents",
-          when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
-            .otherwise(col("cents0") + bump))
-        .drop("cents0")
-    }
-    val v1 = withCents(bumped = false)
-      .filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
-    val v2 = withCents(bumped = true)
-    val v3 = v2.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    // history + declared feeds single-sourced with q105 (CentsHistory)
+    val h = CentsHistory(t(s, dir, "orders"))
     val srcP = scratch("qhist_src", dir)
     val goldP = scratch("qhist_gold", dir)
     graft.io.FsUtil.deleteRecursively(srcP)
     graft.io.FsUtil.deleteRecursively(goldP)
     val src = new graft.io.ParquetTable(srcP.toString)
     val gold = new graft.io.ParquetTable(goldP.toString)
-    def ins(d: DataFrame) = d.withColumn("_change_type", lit("insert"))
-    def del(d: DataFrame) = d.withColumn("_change_type", lit("delete"))
-    val k = col("o_orderkey")
-    val bumpedKeys = pmod(k, lit(5)) === 0 && pmod(k, lit(13)) =!= 0
-    val feed2 = ins(v2.filter(pmod(k, lit(7)) === 0))
-      .unionByName(del(v1.filter(bumpedKeys)))
-      .unionByName(ins(v2.filter(pmod(k, lit(7)) =!= 0 && bumpedKeys)))
-    val feed3 = del(v2.filter(pmod(k, lit(3)) === 0))
     val ps = Seq(("p50", 50, 100), ("p95", 95, 100))
-    src.overwrite(v1)
+    src.overwrite(h.v1)
     GoldMaintenance.advancePercentile(s, src, gold,
       keys = Seq("o_orderstatus", "o_orderpriority"), value = col("cents"),
       ps = ps)
-    for ((v, feed) <- Seq(v2 -> feed2, v3 -> feed3)) {
+    for ((v, feed) <- Seq(h.v2 -> h.feed2, h.v3 -> h.feed3)) {
       src.overwriteWithChanges(v, feed)
       GoldMaintenance.advancePercentile(s, src, gold,
         keys = Seq("o_orderstatus", "o_orderpriority"), value = col("cents"),
@@ -1645,42 +1598,6 @@ object NorthStarQueries {
     import graft.pipeline.Warehouse
     val orders = t(s, dir, "orders")
     val nation = t(s, dir, "nation")
-    def silverOrders(version: Int): DataFrame = {
-      val keep = version match {
-        case 1 => pmod(col("o_orderkey"), lit(7)) =!= 0
-        case 2 => lit(true)
-        case _ => pmod(col("o_orderkey"), lit(11)) =!= 0
-      }
-      val shift = if (version >= 2)
-        when(pmod(col("o_orderkey"), lit(5)) === 0, 2).otherwise(0)
-      else lit(0)
-      orders.filter(keep).select(
-        col("o_orderkey").as("id"),
-        col("o_custkey").as("customer_id"),
-        pmod(col("o_custkey"), lit(25L)).as("address_id"),
-        to_date(col("o_orderdate")).as("created_on"),
-        when(pmod(col("o_orderkey"), lit(4)) =!= 0,
-          date_add(to_date(col("o_orderdate")),
-            (pmod(col("o_orderkey"), lit(30)) + shift).cast("int")))
-          .as("delivered_on"),
-        year(col("o_orderdate")).as("year"),
-        month(col("o_orderdate")).as("month"),
-        lit("2024-01-01 00:00:00").cast("timestamp")
-          .as("silver_ingestion_time"))
-    }
-    def silverAddresses(version: Int): DataFrame = {
-      val base = lower(col("n_name"))
-      val city = if (version >= 2)
-        when(pmod(col("n_nationkey"), lit(6)) === 0, concat(base, lit("_x")))
-          .otherwise(base)
-      else base
-      nation.select(
-        col("n_nationkey").cast("long").as("id"),
-        city.as("city"),
-        lit("2023-12-01 00:00:00").cast("timestamp").as("created_on"),
-        lit("2024-01-01 00:00:00").cast("timestamp")
-          .as("silver_ingestion_time"))
-    }
     val whP = scratch("goldinc_wh", dir)
     graft.io.FsUtil.deleteRecursively(whP)
     val wh = new Warehouse(whP.toString)
@@ -1689,39 +1606,26 @@ object NorthStarQueries {
     // silver writer knows its own deltas — each commit persists them, so
     // every advance's CDF is O(|changes|) feed reads instead of the
     // full-width two-snapshot diff (which BASELINE.md measured dominating
-    // the v2 advance). The declared feeds are the closed-form transition
-    // deltas; their exactness is not taken on faith — the DuckDB oracle
-    // aggregates the final silver independently, so a divergent feed
-    // breaks the gold hash, and GoldIncrementalSpec replays this flow
-    // under graft.cdf.verifyDeclaredChanges=true.
-    def ins(d: DataFrame) = d.withColumn("_change_type", lit("insert"))
-    def del(d: DataFrame) = d.withColumn("_change_type", lit("delete"))
-    val orderFeeds = Map(
-      // v1→v2: every 7th key returns (insert); every 5th key's delivery
-      // date shifts where delivered_on is non-null (%4 ≠ 0) → update pair
-      2 -> ins(silverOrders(2).filter(pmod(col("id"), lit(7)) === 0))
-        .unionByName(del(silverOrders(1).filter(
-          pmod(col("id"), lit(5)) === 0 && pmod(col("id"), lit(4)) =!= 0)))
-        .unionByName(ins(silverOrders(2).filter(
-          pmod(col("id"), lit(7)) =!= 0 &&
-            pmod(col("id"), lit(5)) === 0 && pmod(col("id"), lit(4)) =!= 0))),
-      // v2→v3: every 11th key leaves
-      3 -> del(silverOrders(2).filter(pmod(col("id"), lit(11)) === 0)))
-    // v1→v2: every 6th city renamed → update pair
-    val addrFeed2 = del(silverAddresses(1)
-        .filter(pmod(col("id"), lit(6)) === 0))
-      .unionByName(ins(silverAddresses(2)
-        .filter(pmod(col("id"), lit(6)) === 0)))
+    // the v2 advance). The history and its declared closed-form feeds are
+    // single-sourced in [[GoldIncFixture]] (shared with ProfileGoldInc);
+    // exactness is not taken on faith — the DuckDB oracle aggregates the
+    // final silver independently, so a divergent feed breaks the gold
+    // hash, and GoldIncrementalSpec replays this flow under
+    // graft.cdf.verifyDeclaredChanges=true.
+    import GoldIncFixture.{addressFeed2, orderFeed, silverAddresses, silverOrders}
     for (v <- 1 to 3) {
-      if (v == 1) wh.silverByName("orders").overwrite(silverOrders(1))
+      if (v == 1) wh.silverByName("orders")
+        .overwrite(silverOrders(orders, 1))
       else wh.silverByName("orders")
-        .overwriteWithChanges(silverOrders(v), orderFeeds(v))
+        .overwriteWithChanges(silverOrders(orders, v), orderFeed(orders, v))
       // addresses are unchanged in v3 — not rewriting them exercises the
       // single-source-commit path (no CDF computed for a source whose
       // version did not move), the common production case
-      if (v == 1) wh.silverByName("addresses").overwrite(silverAddresses(1))
+      if (v == 1) wh.silverByName("addresses")
+        .overwrite(silverAddresses(nation, 1))
       else if (v == 2) wh.silverByName("addresses")
-        .overwriteWithChanges(silverAddresses(2), addrFeed2)
+        .overwriteWithChanges(silverAddresses(nation, 2),
+          addressFeed2(nation))
       inc.ordersByCityYearMonth()
     }
     wh.gold("orders_by_city_year_month").read(s)
@@ -4656,4 +4560,126 @@ object NorthStarQueries {
         FROM shared
         WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= $threshold
           $pairPredicate"""
+}
+
+/** The q103/five-table-IVM silver history and its DECLARED write-side
+  * change feeds, single-sourced so the oracle-pinned query
+  * ([[NorthStarQueries.q103GoldIncrementalCity]]) and the stage-budget
+  * profiler (`graft.tools.ProfileGoldInc`) can never drift onto
+  * different workloads: v1 misses every 7th order, v2 inserts them AND
+  * shifts every 5th delivery date AND renames every 6th city, v3
+  * deletes every 11th order.
+  */
+private[graft] object GoldIncFixture {
+  import org.apache.spark.sql.functions._
+
+  def ins(d: DataFrame): DataFrame =
+    d.withColumn("_change_type", lit("insert"))
+  def del(d: DataFrame): DataFrame =
+    d.withColumn("_change_type", lit("delete"))
+
+  def silverOrders(orders: DataFrame, version: Int): DataFrame = {
+    val keep = version match {
+      case 1 => pmod(col("o_orderkey"), lit(7)) =!= 0
+      case 2 => lit(true)
+      case _ => pmod(col("o_orderkey"), lit(11)) =!= 0
+    }
+    val shift = if (version >= 2)
+      when(pmod(col("o_orderkey"), lit(5)) === 0, 2).otherwise(0)
+    else lit(0)
+    orders.filter(keep).select(
+      col("o_orderkey").as("id"),
+      col("o_custkey").as("customer_id"),
+      pmod(col("o_custkey"), lit(25L)).as("address_id"),
+      to_date(col("o_orderdate")).as("created_on"),
+      when(pmod(col("o_orderkey"), lit(4)) =!= 0,
+        date_add(to_date(col("o_orderdate")),
+          (pmod(col("o_orderkey"), lit(30)) + shift).cast("int")))
+        .as("delivered_on"),
+      year(col("o_orderdate")).as("year"),
+      month(col("o_orderdate")).as("month"),
+      lit("2024-01-01 00:00:00").cast("timestamp")
+        .as("silver_ingestion_time"))
+  }
+
+  def silverAddresses(nation: DataFrame, version: Int): DataFrame = {
+    val base = lower(col("n_name"))
+    val city = if (version >= 2)
+      when(pmod(col("n_nationkey"), lit(6)) === 0, concat(base, lit("_x")))
+        .otherwise(base)
+    else base
+    nation.select(
+      col("n_nationkey").cast("long").as("id"),
+      city.as("city"),
+      lit("2023-12-01 00:00:00").cast("timestamp").as("created_on"),
+      lit("2024-01-01 00:00:00").cast("timestamp")
+        .as("silver_ingestion_time"))
+  }
+
+  /** The exact declared feed for the orders transition INTO `toVersion`:
+    * v1→v2 is the %7 keys returning plus the %5-key delivery shift
+    * (non-NULL delivered_on only — %4 ≠ 0) as update pairs; v2→v3
+    * deletes the %11 keys.
+    */
+  def orderFeed(orders: DataFrame, toVersion: Int): DataFrame =
+    toVersion match {
+      case 2 =>
+        ins(silverOrders(orders, 2).filter(pmod(col("id"), lit(7)) === 0))
+          .unionByName(del(silverOrders(orders, 1).filter(
+            pmod(col("id"), lit(5)) === 0 && pmod(col("id"), lit(4)) =!= 0)))
+          .unionByName(ins(silverOrders(orders, 2).filter(
+            pmod(col("id"), lit(7)) =!= 0 &&
+              pmod(col("id"), lit(5)) === 0 &&
+              pmod(col("id"), lit(4)) =!= 0)))
+      case 3 =>
+        del(silverOrders(orders, 2).filter(pmod(col("id"), lit(11)) === 0))
+      case v => throw new IllegalArgumentException(
+        s"no orders feed for version $v (transitions are into 2 and 3)")
+    }
+
+  /** v1→v2 addresses: every 6th city renamed → update pair. */
+  def addressFeed2(nation: DataFrame): DataFrame =
+    del(silverAddresses(nation, 1).filter(pmod(col("id"), lit(6)) === 0))
+      .unionByName(
+        ins(silverAddresses(nation, 2).filter(pmod(col("id"), lit(6)) === 0)))
+}
+
+/** The q105/q116 cents history (count/sum + extrema/percentile measure
+  * kinds share one workload): v1 misses every 7th key, v2 bumps every
+  * 5th non-NULL key's cents by 1000, v3 deletes every 3rd key; every
+  * 13th key carries NULL cents throughout. Single-sourced with the
+  * DECLARED feeds so the two IVM queries cannot drift.
+  */
+private[graft] object CentsHistory {
+  import org.apache.spark.sql.functions._
+  import GoldIncFixture.{del, ins}
+
+  final case class H(v1: DataFrame, v2: DataFrame, v3: DataFrame,
+      feed2: DataFrame, feed3: DataFrame)
+
+  def apply(orders: DataFrame): H = {
+    val base = orders.select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents0"))
+    def withCents(bumped: Boolean) = {
+      val bump = if (bumped)
+        when(pmod(col("o_orderkey"), lit(5)) === 0, 1000L).otherwise(0L)
+      else lit(0L)
+      base.withColumn("cents",
+          when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
+            .otherwise(col("cents0") + bump))
+        .drop("cents0")
+    }
+    val v1 = withCents(bumped = false)
+      .filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val v2 = withCents(bumped = true)
+    val v3 = v2.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    val k = col("o_orderkey")
+    val bumpedKeys = pmod(k, lit(5)) === 0 && pmod(k, lit(13)) =!= 0
+    val feed2 = ins(v2.filter(pmod(k, lit(7)) === 0))
+      .unionByName(del(v1.filter(bumpedKeys)))
+      .unionByName(ins(v2.filter(pmod(k, lit(7)) =!= 0 && bumpedKeys)))
+    val feed3 = del(v2.filter(pmod(k, lit(3)) === 0))
+    H(v1, v2, v3, feed2, feed3)
+  }
 }

@@ -193,14 +193,19 @@ object EventAnalyticsStream {
         absorbPieceBatch(batch.toDF(), idCol, textCol, pattern, log)
         // derived: recompute the merge table from the log's piece rows
         // (runs even on an all-replay batch — cheap, and heals a crash
-        // that landed the log but not the result)
-        val vocab = BpeLearn.topVocab(
-          log.read(s).filter(col("piece").isNotNull)
-            .groupBy(col("piece")).agg(sum(col("weight")).as("weight")),
-          vocabCap)
-        result.overwrite(
-          BpeLearn.mergesToDF(s, BpeLearn.learnMerges(vocab, numMerges)))
-        log.vacuum(); result.vacuum()
+        // that landed the log but not the result). Guarded on the log
+        // existing: a FIRST batch with zero fresh rows (a no-data
+        // trigger) has not created it yet, and an unguarded read would
+        // kill the stream.
+        if (log.exists) {
+          val vocab = BpeLearn.topVocab(
+            log.read(s).filter(col("piece").isNotNull)
+              .groupBy(col("piece")).agg(sum(col("weight")).as("weight")),
+            vocabCap)
+          result.overwrite(
+            BpeLearn.mergesToDF(s, BpeLearn.learnMerges(vocab, numMerges)))
+          log.vacuum(); result.vacuum()
+        }
         ()
       }
       .start()
@@ -272,10 +277,11 @@ object EventAnalyticsStream {
         absorbPieceBatch(batch.toDF(), idCol, textCol, pattern, log)
         val builtFrom = Sidecar.read(result.path, Nil, UnigramBuiltFrom)
           .flatMap(_.headOption).flatMap(_.toIntOption)
-        // retrain ONLY when the log advanced past the model's vintage
+        // retrain ONLY when a log exists at all (a first no-fresh batch
+        // has not created it) AND it advanced past the model's vintage
         // (also covers the crash window: model written, marker lost →
         // builtFrom reads None → retrain)
-        if (!(result.exists && builtFrom.contains(log.version))) {
+        if (log.exists && !(result.exists && builtFrom.contains(log.version))) {
           val words = BpeLearn.topVocabPlan(
             log.read(s).filter(col("piece").isNotNull)
               .groupBy(col("piece")).agg(sum(col("weight")).as("weight")),

@@ -23,60 +23,19 @@ object ProfileGoldInc {
     }
     val orders = graft.io.Tables.read(spark, dir, "orders")
     val nation = graft.io.Tables.read(spark, dir, "nation")
-    def silverOrders(version: Int): DataFrame = {
-      val keep = version match {
-        case 1 => pmod(col("o_orderkey"), lit(7)) =!= 0
-        case 2 => lit(true)
-        case _ => pmod(col("o_orderkey"), lit(11)) =!= 0
-      }
-      val shift = if (version >= 2)
-        when(pmod(col("o_orderkey"), lit(5)) === 0, 2).otherwise(0)
-      else lit(0)
-      orders.filter(keep).select(
-        col("o_orderkey").as("id"),
-        col("o_custkey").as("customer_id"),
-        pmod(col("o_custkey"), lit(25L)).as("address_id"),
-        to_date(col("o_orderdate")).as("created_on"),
-        when(pmod(col("o_orderkey"), lit(4)) =!= 0,
-          date_add(to_date(col("o_orderdate")),
-            (pmod(col("o_orderkey"), lit(30)) + shift).cast("int")))
-          .as("delivered_on"),
-        year(col("o_orderdate")).as("year"),
-        month(col("o_orderdate")).as("month"),
-        lit("2024-01-01 00:00:00").cast("timestamp")
-          .as("silver_ingestion_time"))
-    }
-    def silverAddresses(version: Int): DataFrame = {
-      val base = lower(col("n_name"))
-      val city = if (version >= 2)
-        when(pmod(col("n_nationkey"), lit(6)) === 0, concat(base, lit("_x")))
-          .otherwise(base)
-      else base
-      nation.select(
-        col("n_nationkey").cast("long").as("id"),
-        city.as("city"),
-        lit("2023-12-01 00:00:00").cast("timestamp").as("created_on"),
-        lit("2024-01-01 00:00:00").cast("timestamp")
-          .as("silver_ingestion_time"))
-    }
+    // the WORKLOAD is single-sourced with q103 (queries.GoldIncFixture)
+    // so the profiler can never silently bracket a different history
+    import graft.queries.GoldIncFixture._
+    def silverOrders(version: Int): DataFrame =
+      graft.queries.GoldIncFixture.silverOrders(orders, version)
+    def silverAddresses(version: Int): DataFrame =
+      graft.queries.GoldIncFixture.silverAddresses(nation, version)
     // mode: "feeds" mirrors q103's write-side change capture (the
     // production path); "diff" forces the legacy after-the-fact snapshot
     // diff, so the two runs bracket the CDF cost collapse for BASELINE.md
     val useFeeds = !args.contains("diff")
-    def ins(d: DataFrame) = d.withColumn("_change_type", lit("insert"))
-    def del(d: DataFrame) = d.withColumn("_change_type", lit("delete"))
-    val orderFeeds = Map(
-      2 -> ins(silverOrders(2).filter(pmod(col("id"), lit(7)) === 0))
-        .unionByName(del(silverOrders(1).filter(
-          pmod(col("id"), lit(5)) === 0 && pmod(col("id"), lit(4)) =!= 0)))
-        .unionByName(ins(silverOrders(2).filter(
-          pmod(col("id"), lit(7)) =!= 0 &&
-            pmod(col("id"), lit(5)) === 0 && pmod(col("id"), lit(4)) =!= 0))),
-      3 -> del(silverOrders(2).filter(pmod(col("id"), lit(11)) === 0)))
-    val addrFeed2 = del(silverAddresses(1)
-        .filter(pmod(col("id"), lit(6)) === 0))
-      .unionByName(ins(silverAddresses(2)
-        .filter(pmod(col("id"), lit(6)) === 0)))
+    val orderFeeds = Map(2 -> orderFeed(orders, 2), 3 -> orderFeed(orders, 3))
+    val addrFeed2 = addressFeed2(nation)
     println(s"[prof] mode = ${if (useFeeds) "write-side feeds" else "legacy diff"}")
     for (pass <- 1 to 3) {
       val whP = java.nio.file.Paths.get(s"/tmp/prof_goldinc_$pass")
