@@ -52,6 +52,19 @@ object GoldMaintenance {
     Sidecar.read(gold.path, Nil, AppliedMarker)
       .flatMap(_.headOption).flatMap(_.toIntOption)
 
+  /** The feed-retention horizon a SOURCE table must honor for this set
+    * of consumers ([[ParquetTable.vacuumKeepingFeeds]]): a consumer at
+    * applied version v advances through `changesBetween(v, live)`,
+    * which serves from the per-commit feeds of versions v+1..live — so
+    * the source must keep feeds from `min(applied)+1` up. Consumers
+    * with NO marker take the full-rebuild path on first advance and
+    * need no feeds at all; with no marked consumer the horizon is the
+    * live version (everything below is reclaimable).
+    */
+  def feedHorizon(source: ParquetTable, golds: Seq[ParquetTable]): Int =
+    golds.flatMap(appliedVersion).minOption.map(_ + 1)
+      .getOrElse(source.version)
+
   /** The LAZY merged-gold plan for one advance — the repeated unit a
     * maintenance job runs per commit, split out so the plan audit can
     * census its shape (the q97 query executes eagerly, so its returned

@@ -125,6 +125,14 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     */
   private val ChangesDir = "_changes"
 
+  /** Marker left by [[vacuumKeepingFeeds]] in a version dir whose DATA
+    * files were reclaimed while its commit metadata (feed + schema)
+    * was retained: time travel must fail loudly on it, and the
+    * append-chain CDF fast path must never mistake its emptied file
+    * set for a subset.
+    */
+  private val DataVacuumedMarker = "_data_vacuumed"
+
   def exists: Boolean = Files.exists(pointer)
 
   private def currentVersion: Option[String] =
@@ -274,28 +282,38 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     // fail-in-milliseconds discipline); the baseline for the optional
     // content verification is the pre-commit live version, read now
     changes.foreach(validateFeedShape(df, _))
-    val verifyBase: Option[DataFrame] =
-      if (changes.isDefined && feedVerifyEnabled(df))
-        // first write: a FRESH empty relation, never df.limit(0) — the
-        // latter shares df's plan leaf, and the verification's
-        // diff-vs-declared exceptAll over three frames off one leaf can
-        // trip Catalyst's attribute rebinding (seen with a
-        // dropDuplicates-derived df)
-        Some(if (exists) read(df.sparkSession)
-          else df.sparkSession.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema))
-      else None
-    val next = ParquetTable.withCommitLock(path) {
+    val (next, verifyBase) = ParquetTable.withCommitLock(path) {
       expected.foreach(e => if (versionNum != e) throw stale(e, versionNum))
-      reserveNextDir()
+      // the feed-verification baseline is resolved INSIDE the commit
+      // lock that reserves the version dir: read() pins the predecessor
+      // version's PATH eagerly here, so a concurrent commit landing
+      // after the lock releases cannot repoint the baseline and make
+      // verifyDeclaredFeed diff against the wrong predecessor.
+      // First write: a FRESH empty relation, never df.limit(0) — the
+      // latter shares df's plan leaf, and the verification's
+      // diff-vs-declared exceptAll over three frames off one leaf can
+      // trip Catalyst's attribute rebinding (seen with a
+      // dropDuplicates-derived df)
+      val vb: Option[DataFrame] =
+        if (changes.isDefined && feedVerifyEnabled(df))
+          Some(if (exists) read(df.sparkSession)
+            else df.sparkSession.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema))
+        else None
+      (reserveNextDir(), vb)
     }
     try {
       writeVersion(df, next)
       changes.foreach(writeFeed(next, _))
       verifyBase.foreach(verifyDeclaredFeed(_, df, changes.get))
+      // the version dir is complete — census it for the commit log
+      // OUTSIDE the lock (footer stats reads); an overwrite's adds ARE
+      // the full version, so the record doubles as a full file set
+      val (adds, feedFiles) = commitCensus(next)
       ParquetTable.withCommitLock(path) {
         expected.foreach(e => if (versionNum != e) throw stale(e, versionNum))
         swapPointer(next)
+        logCommit(next, "overwrite", adds, feedFiles, Nil, renamed = false)
       }
     } catch {
       case t: Throwable =>
@@ -307,6 +325,46 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     }
     this
   }
+
+  /** Census of a COMPLETE staged version dir for the commit log: data
+    * files (with footer min/max stats — read here, at commit time, the
+    * ONE footer pass; reads plan off the log afterwards) and feed
+    * files, both relative to the version dir.
+    */
+  private def commitCensus(
+      next: String): (Seq[VersionLog.FileEntry], Seq[String]) = {
+    val verDir = Paths.get(path, next)
+    import scala.jdk.CollectionConverters._
+    val data = Seq.newBuilder[(java.nio.file.Path, String)]
+    val feed = Seq.newBuilder[String]
+    val walk = Files.walk(verDir)
+    try walk.iterator().asScala.foreach { p =>
+      if (Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")) {
+        val rel = verDir.relativize(p).toString
+        if (rel.startsWith(ChangesDir + "/") ||
+            rel.startsWith(ChangesDir + java.io.File.separator)) feed += rel
+        else data += ((p, rel))
+      }
+    } finally walk.close()
+    (VersionLog.collectStats(data.result().sortBy(_._2)),
+      feed.result().sorted)
+  }
+
+  /** Write the commit's [[VersionLog]] record (+ periodic checkpoint).
+    * Called right after a successful pointer swap, still under the
+    * commit lock (serializes checkpoint construction); best-effort by
+    * the log's contract — a commit never fails on log IO.
+    */
+  private def logCommit(next: String, kind: String,
+      adds: Seq[VersionLog.FileEntry], feedFiles: Seq[String],
+      removedPrefixes: Seq[String], renamed: Boolean): Unit =
+    try VersionLog.append(path, VersionLog.Record(next.drop(2).toInt, kind,
+      adds, feedFiles, removedPrefixes, renamed,
+      // partitioned append/replace link walks skip the base's root-level
+      // flat-fallback parquet — the file-set resolution must too
+      dropRootFlat = kind != "overwrite" && partitionColumns.nonEmpty))
+    catch { case _: Exception => () }
 
   private def feedVerifyEnabled(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption("graft.cdf.verifyDeclaredChanges")
@@ -463,6 +521,11 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       val w = df.write.mode("append")
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
        else w).parquet(s"$path/$next")
+      // census BEFORE the link walk: the dir holds exactly the delta's
+      // files here, which is precisely the step delta the commit log
+      // records (and the CDF fast path later serves without walking)
+      val (logAdds, _) = commitCensus(next)
+      var linkRenamed = false
       val nextDir = Paths.get(path, next)
       import scala.jdk.CollectionConverters._
       val skippedFlat = Seq.newBuilder[java.nio.file.Path]
@@ -501,10 +564,11 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           // part-file names carry write UUIDs so collisions are
           // theoretical, but a silent skip would drop data — disambiguate
           val target =
-            if (Files.exists(target0))
+            if (Files.exists(target0)) {
+              linkRenamed = true // poisons log file-SET resolution only
               target0.resolveSibling(s"linked_v$baseV" + "_" +
                 p.getFileName.toString)
-            else target0
+            } else target0
           try Files.createLink(target, p)
           catch {
             case _: UnsupportedOperationException | _: FileSystemException =>
@@ -542,6 +606,7 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
         // link-union, so fail the stale committer like overwriteIf
         if (versionNum != baseV) throw stale(baseV, versionNum)
         swapPointer(next)
+        logCommit(next, "append", logAdds, Nil, Nil, linkRenamed)
       }
     } catch {
       case t: Throwable =>
@@ -633,6 +698,9 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     try {
       df.write.mode("append").partitionBy(partitionColumns: _*)
         .parquet(s"$path/$next")
+      // census BEFORE the link walk (appendVersion's rationale)
+      val (logAdds, _) = commitCensus(next)
+      var linkRenamed = false
       val nextDir = Paths.get(path, next)
       import scala.jdk.CollectionConverters._
       val skippedFlat = Seq.newBuilder[java.nio.file.Path]
@@ -663,10 +731,11 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
           val target0 = nextDir.resolve(rel)
           Files.createDirectories(target0.getParent)
           val target =
-            if (Files.exists(target0))
+            if (Files.exists(target0)) {
+              linkRenamed = true // poisons log file-SET resolution only
               target0.resolveSibling(s"linked_v$baseV" + "_" +
                 p.getFileName.toString)
-            else target0
+            } else target0
           try Files.createLink(target, p)
           catch {
             case _: UnsupportedOperationException | _: FileSystemException =>
@@ -700,6 +769,8 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       ParquetTable.withCommitLock(path) {
         if (versionNum != baseV) throw stale(baseV, versionNum)
         swapPointer(next)
+        logCommit(next, "replace", logAdds, Nil,
+          replaced.toSeq.map(_.mkString("/")).sorted, linkRenamed)
       }
     } catch {
       case t: Throwable =>
@@ -722,8 +793,54 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
   def readVersion(spark: SparkSession, v: Int): DataFrame = {
     val dir = Paths.get(path, f"v_$v%05d")
     require(Files.exists(dir), s"version $v of $path does not exist (vacuumed?)")
+    require(!Files.exists(dir.resolve(DataVacuumedMarker)),
+      s"version $v of $path was data-vacuumed (feed retained) — its " +
+        "snapshot is no longer readable")
     readDir(spark, dir.toString)
   }
+
+  /** DATA-SKIPPING read of the live version (Delta's file-stats design,
+    * task: prune the file list BEFORE Spark plans the scan): files whose
+    * commit-metadata min/max ranges ([[VersionLog]], captured once at
+    * write time) are disjoint from `bounds` are dropped WITHOUT opening
+    * a single parquet footer — at 100 TB, footer sampling is the
+    * scan-planning bottleneck this removes. The result is a SUPERSET of
+    * the rows matching `bounds` (files without stats survive; NULLs
+    * never satisfy a bound): callers apply the real filter on top, and
+    * Catalyst still pushes it into the surviving files' row groups.
+    * Falls back to the full [[read]] when the log cannot resolve the
+    * live file set (legacy/unlogged tables) — pruning is an
+    * optimization, never a correctness dependency.
+    */
+  def readPruned(spark: SparkSession, bounds: Seq[ColumnBound]): DataFrame = {
+    val verDir = Paths.get(currentPath)
+    VersionLog.resolveFiles(path, version) match {
+      case None => read(spark)
+      case Some(files) =>
+        val kept = files.filter(f => ColumnBound.survives(f.stats, bounds))
+        val schema = storedSchema(verDir)
+        if (kept.isEmpty)
+          schema match {
+            case Some(st) => spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+            case None => read(spark).limit(0)
+          }
+        else {
+          val paths = kept.map(f => verDir.resolve(f.rel).toString)
+          val rd = schema.fold(spark.read)(st => spark.read.schema(st))
+          rd.option("basePath", verDir.toString).parquet(paths: _*)
+        }
+    }
+  }
+
+  /** The live version's file count after pruning on `bounds` — the IO
+    * proof seam (ScaleSpec): (kept, total), resolved from the commit
+    * log alone, no footer opens. None when the log cannot resolve.
+    */
+  def prunedFileCensus(bounds: Seq[ColumnBound]): Option[(Int, Int)] =
+    VersionLog.resolveFiles(path, version).map { files =>
+      (files.count(f => ColumnBound.survives(f.stats, bounds)), files.size)
+    }
 
   /** Change-data-feed emulation between two retained versions, with
     * MULTISET semantics: per full-row tuple, the copy-count delta between
@@ -749,6 +866,15 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     require(cols.forall(c => !c.startsWith("__") && c != "_change_type"),
       s"changesBetween: table columns may not use the reserved names " +
         s"__* or _change_type (got ${cols.mkString(", ")})")
+    // commit-log span resolution FIRST: O(span/K) sidecar reads classify
+    // every step (feed / append delta) with ZERO version-dir walks —
+    // the serving-cadence path (thousands of versions); any gap falls
+    // through to the walk-based classifications below, which remain the
+    // correctness baseline for legacy/unlogged tables
+    logSpanDelta(spark, fromV, toV, to, cols) match {
+      case Some(delta) => return delta
+      case None => ()
+    }
     appendOnlyDelta(spark, fromV, toV, to, cols) match {
       case Some(delta) => return delta
       case None => ()
@@ -821,26 +947,116 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       }
     }
     if (steps.exists(_.isEmpty)) None
-    else {
-      // align every step's rows onto the TO schema: missing columns read
-      // as typed NULLs, dropped columns leave the diff, matched columns
-      // cast to the TO type (a no-op unless the span retyped)
-      val aligned = steps.flatten.map { d =>
-        d.select(cols.map { c =>
-          if (d.columns.contains(c)) col(c).cast(to.schema(c).dataType).as(c)
-          else lit(null).cast(to.schema(c).dataType).as(c)
-        } :+ col("_change_type"): _*)
-      }
-      val all = aligned.reduce(_ unionByName _)
-      val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-      Some(all.groupBy(cols.map(col): _*)
-        .agg(sum(sign).as("__delta"))
-        .filter(col("__delta") =!= 0)
-        .withColumn("__i", explode(sequence(lit(1L), abs(col("__delta")))))
-        .select(cols.map(col) :+
-          when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
-            .as("_change_type"): _*))
+    else Some(netSteps(steps.flatten, to, cols))
+  }
+
+  /** Net per-step delta frames into one span delta with EXACTLY
+    * [[multisetDiff]]'s output semantics (a row inserted then deleted
+    * inside the span cancels). Shared by the walk-based and the
+    * commit-log step resolutions so the two paths cannot drift. Aligns
+    * every step onto the TO schema: missing columns read as typed
+    * NULLs, dropped columns leave the diff, matched columns cast to
+    * the TO type (a no-op unless the span retyped).
+    */
+  /** Project one step's delta frame onto the TO schema (missing columns
+    * as typed NULLs, matched columns cast — a no-op unless the span
+    * retyped).
+    */
+  private def alignStep(d: DataFrame, to: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    d.select(cols.map { c =>
+      if (d.columns.contains(c)) col(c).cast(to.schema(c).dataType).as(c)
+      else lit(null).cast(to.schema(c).dataType).as(c)
+    } :+ col("_change_type"): _*)
+  }
+
+  private def netSteps(steps: Seq[DataFrame], to: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val aligned = steps.map(alignStep(_, to, cols))
+    val all = aligned.reduce(_ unionByName _)
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    all.groupBy(cols.map(col): _*)
+      .agg(sum(sign).as("__delta"))
+      .filter(col("__delta") =!= 0)
+      .withColumn("__i", explode(sequence(lit(1L), abs(col("__delta")))))
+      .select(cols.map(col) :+
+        when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("_change_type"): _*)
+  }
+
+  /** CDF span resolution off the COMMIT LOG ([[VersionLog]]): every
+    * step in (fromV, toV] classified from its persisted record —
+    * feed-carrying commits read exactly their recorded feed files,
+    * append commits read exactly their recorded added files as inserts
+    * — in O(span/K) sidecar reads and zero version-dir walks. Any gap
+    * (missing record, unlogged step kind, reclaimed files) returns
+    * None and the walk-based classification stays the baseline.
+    */
+  private def logSpanDelta(spark: SparkSession, fromV: Int, toV: Int,
+      to: DataFrame, cols: Seq[String]): Option[DataFrame] = {
+    if (fromV >= toV) return None
+    VersionLog.resolveSteps(path, fromV, toV).flatMap { recs =>
+      val frames = recs.map(stepFrame(spark, toV, to, _))
+      if (frames.exists(_.isEmpty)) None
+      else if (recs.forall(r => r.kind == "append" && r.feed.isEmpty))
+        // an all-append span only GROWS the multiset: the union of the
+        // per-step adds IS the net delta — skip the netting shuffle
+        // entirely (the walk-based fast path's zero-shuffle shape)
+        Some(frames.flatten.map(alignStep(_, to, cols))
+          .reduce(_ unionByName _))
+      else Some(netSteps(frames.flatten, to, cols))
     }
+  }
+
+  /** One step's delta frame from its log record, or None when the step
+    * is not coverable (a plain overwrite/replace without a feed) or its
+    * recorded files are no longer findable.
+    */
+  private def stepFrame(spark: SparkSession, toV: Int, to: DataFrame,
+      r: VersionLog.Record): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val verDir = Paths.get(path, f"v_${r.v}%05d")
+    if (r.feed.nonEmpty) {
+      val files = r.feed.map(verDir.resolve)
+      if (!files.forall(Files.exists(_))) None
+      else storedSchema(verDir).map { st =>
+        val wide = org.apache.spark.sql.types.StructType(st.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))
+        spark.read.schema(wide).parquet(files.map(_.toString): _*)
+      }
+    } else if (r.kind == "append") {
+      if (r.adds.isEmpty)
+        // an empty append delta: a zero-row step, typed off the TO frame
+        Some(to.limit(0).select(to.columns.map(col).toIndexedSeq :+
+          lit("insert").as("_change_type"): _*))
+      else {
+        // the added files, preferably under their own version dir (its
+        // committed schema reads evolved columns correctly); a
+        // data-reclaimed step serves through the TO dir, where append
+        // chains preserve relative names and the TO schema null-fills
+        val absStep = r.adds.map(f => verDir.resolve(f.rel))
+        val toDir = Paths.get(path, f"v_$toV%05d")
+        val pick: Option[(java.nio.file.Path,
+            org.apache.spark.sql.types.StructType)] =
+          if (absStep.forall(Files.exists(_)))
+            storedSchema(verDir).map(st => (verDir, st))
+          else {
+            val absTo = r.adds.map(f => toDir.resolve(f.rel))
+            if (absTo.forall(Files.exists(_))) Some((toDir, to.schema))
+            else None
+          }
+        pick.map { case (base, st) =>
+          spark.read.schema(st)
+            .option("basePath", base.toString)
+            .parquet(r.adds.map(f => base.resolve(f.rel).toString): _*)
+            .select(st.fields.map(f => col(f.name)).toIndexedSeq :+
+              lit("insert").as("_change_type"): _*)
+        }
+      }
+    } else None
   }
 
   /** The persisted write-side feed of version `v`, read under that
@@ -906,6 +1122,10 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     // descriptive require on the generic path, not a raw
     // NoSuchFileException from the walk here
     if (!Files.exists(fromDir) || !Files.exists(toDir)) return None
+    // a data-vacuumed version's EMPTIED file set would read as a
+    // trivial subset and mislabel the whole TO snapshot as inserts
+    if (Files.exists(fromDir.resolve(DataVacuumedMarker)) ||
+        Files.exists(toDir.resolve(DataVacuumedMarker))) return None
     def parquetFiles(d: java.nio.file.Path): Map[String, java.nio.file.Path] = {
       val walk = Files.walk(d)
       try walk.iterator().asScala
@@ -1019,6 +1239,29 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     * `Long.MaxValue` to never collect marked dirs.
     */
   def vacuum(stagingTtlMs: Long = 24L * 3600 * 1000): ParquetTable =
+    vacuumImpl(stagingTtlMs, Int.MaxValue)
+
+  /** [[vacuum]] for CDF-consumer topologies (the feed retention
+    * policy): version dirs BELOW `keepFeedsFrom` are reclaimed
+    * entirely (their feeds included — every consumer has applied past
+    * them, dead weight), while dirs at/above it keep their commit
+    * METADATA — the `_changes/` feed and `_schema.json` — and reclaim
+    * only the snapshot DATA files, marked [[DataVacuumedMarker]] so
+    * time travel fails loudly instead of reading an empty frame.
+    * Feed-covered CDF spans starting at or above `keepFeedsFrom - 1`
+    * keep serving exactly as before (the feed path never reads old
+    * snapshots), so IVM consumers behind the live version still
+    * advance — TablesSpec proves both halves. Compute `keepFeedsFrom`
+    * from the consumers' applied-version sidecars
+    * ([[graft.gold.GoldMaintenance.feedHorizon]]) or pass an explicit
+    * retention horizon.
+    */
+  def vacuumKeepingFeeds(keepFeedsFrom: Int,
+      stagingTtlMs: Long = 24L * 3600 * 1000): ParquetTable =
+    vacuumImpl(stagingTtlMs, keepFeedsFrom)
+
+  private def vacuumImpl(stagingTtlMs: Long,
+      keepFeedsFrom: Int): ParquetTable =
     ParquetTable.withCommitLock(path) {
     val keep = currentVersion.toSet
     val versions = FsUtil.listDir(Paths.get(path))
@@ -1062,8 +1305,38 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       !keep.contains(n) && n.drop(2).toIntOption.exists(_ < live) &&
         !inFlight
     }
-    old.foreach(FsUtil.deleteRecursively)
+    old.foreach { p =>
+      val v = p.getFileName.toString.drop(2).toIntOption.getOrElse(0)
+      if (v >= keepFeedsFrom) dataVacuumKeepFeed(p)
+      else FsUtil.deleteRecursively(p)
+    }
     this
+  }
+
+  /** Reclaim a superseded version's DATA while retaining its commit
+    * metadata (`_changes/` feed + `_schema.json`) — see
+    * [[vacuumKeepingFeeds]]. Idempotent; leaves [[DataVacuumedMarker]].
+    */
+  private def dataVacuumKeepFeed(verDir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val feedDir = verDir.resolve(ChangesDir)
+    val victims = {
+      val walk = Files.walk(verDir)
+      try walk.iterator().asScala.filter { p =>
+        p != verDir && !p.startsWith(feedDir) && {
+          val n = p.getFileName.toString
+          n != SchemaFile && n != DataVacuumedMarker
+        }
+      }.toList
+      finally walk.close()
+    }
+    // children before parents: a path is lexicographically after every
+    // strict prefix of it, so reverse string order deletes bottom-up
+    victims.sortBy(_.toString)(Ordering[String].reverse).foreach { p =>
+      try Files.deleteIfExists(p)
+      catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+    }
+    Files.writeString(verDir.resolve(DataVacuumedMarker), "")
   }
 }
 
@@ -1093,5 +1366,68 @@ object ParquetTable {
         try body finally lock.release()
       } finally ch.close()
     }
+  }
+}
+
+/** An INCLUSIVE column range for [[ParquetTable.readPruned]]'s
+  * data-skipping: rows of interest satisfy `lower <= column <= upper`
+  * (either side open). Values may be Long/Int (integer/date/timestamp
+  * stats), Double/Float, or String; a bound whose type cannot be
+  * compared against a file's stat type simply never prunes — skipping
+  * is an optimization with a superset guarantee, never a filter.
+  */
+final case class ColumnBound(column: String, lower: Option[Any] = None,
+    upper: Option[Any] = None)
+
+object ColumnBound {
+
+  /** Does a file with `stats` possibly hold rows satisfying every
+    * bound? True unless some bound's range is PROVABLY disjoint from
+    * the file's [min, max] — absent stats or incomparable types always
+    * survive.
+    */
+  private[io] def survives(stats: Map[String, VersionLog.ColStat],
+      bounds: Seq[ColumnBound]): Boolean =
+    bounds.forall { b =>
+      stats.get(b.column) match {
+        case None => true
+        case Some(s) =>
+          // intersects ⇔ file.min <= upper AND file.max >= lower;
+          // an incomparable side (None from cmp) never disqualifies
+          b.upper.forall(u => cmp(s.tpe, s.min, u).forall(_ <= 0)) &&
+            b.lower.forall(l => cmp(s.tpe, s.max, l).forall(_ >= 0))
+      }
+    }
+
+  /** compare(stat value, bound value) under the stat's type; None =
+    * incomparable.
+    */
+  private def cmp(tpe: String, statVal: String, bound: Any): Option[Int] =
+    tpe match {
+      case "long" =>
+        asLong(bound).flatMap(b => statVal.toLongOption.map(_.compareTo(b)))
+      case "double" =>
+        asDouble(bound).flatMap(b =>
+          statVal.toDoubleOption.map(_.compareTo(b)))
+      case "string" => bound match {
+        case s: String => Some(statVal.compareTo(s))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+  private def asDouble(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case l: Long => Some(l.toDouble)
+    case i: Int => Some(i.toDouble)
+    case _ => None
   }
 }

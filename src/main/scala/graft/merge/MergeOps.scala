@@ -124,6 +124,15 @@ object MergeOps {
   private def upsertJoined(target: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "merge keys must be non-empty")
+    // the join below owns the scratch names __m, __t and __u_<col>; a
+    // target already using __m/__t would be silently overwritten by the
+    // withColumn calls (corrupting the matched/unmatched classification
+    // and the emitted feed with it) — fail at plan time instead
+    val reserved = target.columns.filter(c =>
+      c == "__m" || c == "__t" || c.startsWith("__u_"))
+    require(reserved.isEmpty,
+      s"merge target columns may not use the reserved names __m, __t or " +
+        s"__u_* (got ${reserved.mkString(", ")})")
     val tCols = target.columns.toIndexedSeq
     val u0 = aligned(target, updates).dropDuplicates(keys)
     val uRen = tCols.foldLeft(u0.withColumn("__m", lit(true))) {

@@ -891,6 +891,18 @@ object NorthStarQueries {
     "slow filter", "the line sort", "query big", "sort column",
     "window table", "a a", "stream window")
 
+  // The generated q115/q117 oracles embed these as raw single-quoted SQL
+  // literals and use UTF-16 String.length as the oracle's character
+  // count; both are only sound for quote-free ASCII (a supplementary-
+  // plane char would desynchronize the oracle's character semantics from
+  // the engine's byte-length longest-match tiebreak). Assert the
+  // invariant HERE so a dictionary edit fails loudly at class init, not
+  // as a silent engine/oracle divergence.
+  require(DictPhrases.forall(p => p.nonEmpty &&
+      p.forall(c => c < 128 && c != '\'')),
+    "DictPhrases must be non-empty, single-quote-free ASCII — the " +
+      "generated DuckDB oracles embed them as raw SQL literals")
+
   /** Dictionary-scale phrase matching (q115): the matching stage a
     * blocklist/PII/decontamination pipeline needs where regex
     * alternation dies — an Aho–Corasick automaton

@@ -215,6 +215,12 @@ object EventAnalyticsStream {
     * statistic advance together in ONE atomic append). Returns whether
     * the log advanced — false for an all-replay batch.
     */
+  /** Returns whether the absorbed delta carried at least one PIECE row
+    * (false when nothing fresh landed, or when every fresh doc tokenized
+    * to zero pieces — all-empty texts): the unigram mirror keys its
+    * skip-the-EM optimization on it, since a doc-marker-only advance
+    * leaves the piece rollup (and therefore the trained model) unchanged.
+    */
   private def absorbPieceBatch(batch: DataFrame, idCol: String,
       textCol: String, pattern: String, log: ParquetTable): Boolean = {
     val s = batch.sparkSession
@@ -232,15 +238,20 @@ object EventAnalyticsStream {
     try {
       if (fresh.isEmpty) false
       else {
-        val delta = fresh
-          .select(col(idCol).as("__doc_id"),
-            lit(null).cast("string").as("piece"),
-            lit(null).cast("long").as("weight"))
-          .unionByName(BpeLearn.pieceCounts(fresh, textCol, pattern)
-            .select(lit(null).cast("long").as("__doc_id"),
-              col("piece"), col("weight")))
-        if (log.exists) log.appendVersion(delta) else log.overwrite(delta)
-        true
+        // batch-sized; persisted because it feeds both the delta write
+        // and the had-pieces probe below
+        val pieces = BpeLearn.pieceCounts(fresh, textCol, pattern).persist()
+        try {
+          val delta = fresh
+            .select(col(idCol).as("__doc_id"),
+              lit(null).cast("string").as("piece"),
+              lit(null).cast("long").as("weight"))
+            .unionByName(pieces
+              .select(lit(null).cast("long").as("__doc_id"),
+                col("piece"), col("weight")))
+          if (log.exists) log.appendVersion(delta) else log.overwrite(delta)
+          !pieces.isEmpty
+        } finally { pieces.unpersist(); () }
       }
     } finally { fresh.unpersist(); () }
   }
@@ -274,7 +285,9 @@ object EventAnalyticsStream {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
-        absorbPieceBatch(batch.toDF(), idCol, textCol, pattern, log)
+        val prevV = if (log.exists) Some(log.version) else None
+        val hadPieces =
+          absorbPieceBatch(batch.toDF(), idCol, textCol, pattern, log)
         val builtFrom = Sidecar.read(result.path, Nil, UnigramBuiltFrom)
           .flatMap(_.headOption).flatMap(_.toIntOption)
         // retrain ONLY when a log exists at all (a first no-fresh batch
@@ -282,6 +295,18 @@ object EventAnalyticsStream {
         // (also covers the crash window: model written, marker lost →
         // builtFrom reads None → retrain)
         if (log.exists && !(result.exists && builtFrom.contains(log.version))) {
+          // a doc-marker-only advance (fresh docs whose texts tokenized
+          // to ZERO pieces) leaves the piece rollup unchanged, so the
+          // deterministic EM would reproduce the model bit-identically —
+          // skip the wasted training and just re-pin the existing model
+          // to the new log vintage. Only sound when the model was
+          // CURRENT before this batch (builtFrom == prevV); a stale or
+          // crash-window model still takes the retrain path.
+          if (!hadPieces && result.exists && prevV.isDefined &&
+              builtFrom == prevV) {
+            Sidecar.write(java.nio.file.Paths.get(result.currentPath),
+              UnigramBuiltFrom, Seq(log.version.toString))
+          } else {
           val words = BpeLearn.topVocabPlan(
             log.read(s).filter(col("piece").isNotNull)
               .groupBy(col("piece")).agg(sum(col("weight")).as("weight")),
@@ -295,6 +320,7 @@ object EventAnalyticsStream {
           } finally { words.unpersist(); () }
           Sidecar.write(java.nio.file.Paths.get(result.currentPath),
             UnigramBuiltFrom, Seq(log.version.toString))
+          }
         }
         log.vacuum(); result.vacuum()
         ()

@@ -204,4 +204,19 @@ class MergeOpsSpec extends AnyFunSuite {
           scanned.mkString(", "))
     } finally spark.conf.unset("graft.cdf.verifyDeclaredChanges")
   }
+
+  test("upsertWithFeed refuses a target using the reserved scratch " +
+      "names — silent overwrite would corrupt the classification") {
+    import spark.implicits._
+    val bad = Seq((1L, true)).toDF("id", "__m")
+    val upd = Seq((1L, false)).toDF("id", "__m")
+    val err = intercept[IllegalArgumentException] {
+      MergeOps.upsertWithFeed(bad, upd, Seq("id"))
+    }
+    assert(err.getMessage.contains("reserved"))
+    val bad2 = Seq((1L, "x")).toDF("id", "__u_id")
+    assert(intercept[IllegalArgumentException] {
+      MergeOps.upsertWithFeed(bad2, bad2, Seq("id"))
+    }.getMessage.contains("reserved"))
+  }
 }

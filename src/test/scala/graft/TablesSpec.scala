@@ -622,4 +622,75 @@ class TablesSpec extends AnyFunSuite {
     assert(retyped.getMessage.contains("conflicts"))
     assert(t.version == 1, "no failed attempt may have committed")
   }
+
+  test("readPruned skips files by commit-metadata stats — no footer " +
+      "opens at plan time — and stays a superset of the filter") {
+    import org.apache.spark.sql.functions.col
+    import graft.io.ColumnBound
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/pr")
+    t.overwrite(spark.range(0, 8000).selectExpr("id",
+      "cast(id % 97 as string) as tag", "cast(id as double) / 7 as score"))
+    // range-clustered compaction: each file owns a contiguous id range,
+    // recorded in the commit log at write time
+    t.compact(spark, 8, sortCols = Seq("id"))
+    val bounds = Seq(ColumnBound("id", Some(2500L), Some(2600L)))
+    val (kept, total) = t.prunedFileCensus(bounds).get
+    assert(total == 8 && kept < total,
+      s"stats must prune disjoint files (kept $kept of $total)")
+    // the pruned scan reads exactly the surviving files…
+    val pruned = t.readPruned(spark, bounds)
+    assert(pruned.inputFiles.length == kept)
+    // …and filtering it equals filtering the full table (superset law)
+    val want = t.read(spark).filter(col("id").between(2500, 2600))
+    val got = pruned.filter(col("id").between(2500, 2600))
+    assert(got.count() == 101 && want.exceptAll(got).isEmpty &&
+      got.exceptAll(want).isEmpty)
+    // a bound on a column with no stats never prunes (absent ≠ empty)
+    assert(t.prunedFileCensus(
+      Seq(ColumnBound("nope", Some(1L), None))).get._1 == total)
+  }
+
+  test("vacuumKeepingFeeds: pre-horizon versions reclaimed entirely, " +
+      "post-horizon snapshots emptied but feeds serve, and an IVM " +
+      "consumer behind live still advances to rebuild parity") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.gold.GoldMaintenance
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val t = new ParquetTable(s"$dir/src")
+    val v1 = Seq((1L, "g1"), (2L, "g1")).toDF("id", "g")
+    t.overwriteWithChanges(v1, v1.withColumn("_change_type", lit("insert")))
+    // a consumer applies v1, then falls behind two feed commits
+    val gold = new ParquetTable(s"$dir/gold")
+    GoldMaintenance.advance(spark, t, gold, Seq("g"), col("id"))
+    t.overwriteWithChanges(
+      Seq((1L, "g1"), (2L, "g2"), (3L, "g2")).toDF("id", "g"),
+      Seq((2L, "g1", "delete"), (2L, "g2", "insert"), (3L, "g2", "insert"))
+        .toDF("id", "g", "_change_type"))
+    t.overwriteWithChanges(
+      Seq((1L, "g1"), (2L, "g2"), (3L, "g2"), (4L, "g1")).toDF("id", "g"),
+      Seq((4L, "g1", "insert")).toDF("id", "g", "_change_type"))
+    val horizon = GoldMaintenance.feedHorizon(t, Seq(gold))
+    assert(horizon == 2, s"consumer at v1 needs feeds from v2 (got $horizon)")
+    t.vacuumKeepingFeeds(horizon)
+    // v1 (below horizon) is gone entirely; v2 keeps ONLY feed + schema
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/src/v_00001")))
+    val v2dir = java.nio.file.Paths.get(s"$dir/src/v_00002")
+    assert(Files.exists(v2dir.resolve("_changes")))
+    assert(graft.io.FsUtil.listDir(v2dir)
+      .forall(p => !p.getFileName.toString.endsWith(".parquet")),
+      "v2's snapshot data files must be reclaimed")
+    // time travel onto the emptied snapshot fails loudly, never reads
+    // an empty frame as if it were the data
+    val gone = intercept[IllegalArgumentException] {
+      t.readVersion(spark, 2)
+    }
+    assert(gone.getMessage.contains("data-vacuumed"))
+    // the consumer still advances 1→3 through the retained feeds…
+    GoldMaintenance.advance(spark, t, gold, Seq("g"), col("id"))
+    // …and lands exactly on the from-scratch rebuild
+    TestSpark.assertSameRows(
+      gold.read(spark).orderBy("g"),
+      Seq(Seq("g1", 2L, 5L), Seq("g2", 2L, 5L)))
+  }
 }

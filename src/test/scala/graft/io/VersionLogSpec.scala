@@ -1,0 +1,108 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The commit log + checkpoint manifest ([[VersionLog]]): manifest ≡
+  * walk, checkpoint coverage, torn-file safety. In-package so the
+  * private[io] resolution API is testable directly; the public-surface
+  * laws (CDF off the log, pruned reads, feed-retaining vacuum) live in
+  * TablesSpec.
+  */
+class VersionLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("manifest ≡ walk: resolveFiles matches the version-dir walk " +
+      "across overwrite/append/replace chains, through a checkpoint") {
+    val dir = Files.createTempDirectory("graft_vlog").toString
+    val t = new ParquetTable(s"$dir/t", partitionColumns = Seq("bucket"))
+    t.overwrite(Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("id", "v", "bucket"))
+    t.appendVersion(Seq((3L, "c", 2L)).toDF("id", "v", "bucket"))
+    t.replacePartitions(Seq((9L, "B", 1L)).toDF("id", "v", "bucket"))
+    def check(): Unit = {
+      val v = t.version
+      val resolved = VersionLog.resolveFiles(s"$dir/t", v)
+        .map(_.map(_.rel).toSet)
+      val walked = VersionLog.walkDataFiles(
+        Paths.get(s"$dir/t", f"v_$v%05d")).map(_.rel).toSet
+      assert(resolved.contains(walked),
+        s"log resolution $resolved must equal the walk $walked at v$v")
+    }
+    check()
+    // drive past the checkpoint cadence and re-verify — the live set
+    // must now resolve THROUGH the checkpoint, not a full record chain
+    (1 to VersionLog.CheckpointEvery).foreach { i =>
+      t.appendVersion(Seq((100L + i, s"x$i", i.toLong % 3))
+        .toDF("id", "v", "bucket"))
+    }
+    val ckpts = graft.io.FsUtil.listDir(Paths.get(s"$dir/t/_log"))
+      .map(_.getFileName.toString).filter(_.startsWith("ckpt_"))
+    assert(ckpts.nonEmpty, "a checkpoint must exist past the cadence")
+    check()
+  }
+
+  test("resolveSteps classifies every step of a long mixed span; " +
+      "stats ride the records") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("graft_vlog").toString
+    val t = new ParquetTable(s"$dir/m")
+    val v1 = Seq((1L, "a")).toDF("id", "v")
+    t.overwriteWithChanges(v1, v1.withColumn("_change_type", lit("insert")))
+    t.appendVersion(Seq((2L, "b")).toDF("id", "v"))
+    t.overwriteWithChanges(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      Seq((3L, "c", "insert")).toDF("id", "v", "_change_type"))
+    val steps = VersionLog.resolveSteps(s"$dir/m", 1, 3)
+    assert(steps.isDefined, "every step carries a record")
+    val byV = steps.get.map(r => r.v -> r).toMap
+    assert(byV(2).kind == "append" && byV(2).adds.nonEmpty &&
+      byV(2).feed.isEmpty)
+    assert(byV(3).kind == "overwrite" && byV(3).feed.nonEmpty)
+    // commit-time footer stats: the append's added file knows its id
+    // range and null profile without any footer re-open
+    val st = byV(2).adds.head.stats
+    assert(st.get("id").exists(s => s.tpe == "long" && s.min == "2" &&
+      s.max == "2" && !s.hasNulls), s"id stats captured: $st")
+    assert(st.get("v").exists(s => s.tpe == "string" && s.min == "b"),
+      s"string stats captured: $st")
+  }
+
+  test("torn-log safety: a corrupted record file degrades resolution " +
+      "to None while changesBetween stays exact off the walk fallback") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("graft_vlog").toString
+    val t = new ParquetTable(s"$dir/torn")
+    val v1 = Seq((1L, "a")).toDF("id", "v")
+    t.overwriteWithChanges(v1, v1.withColumn("_change_type", lit("insert")))
+    t.overwriteWithChanges(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      Seq((2L, "b", "insert")).toDF("id", "v", "_change_type"))
+    // corrupt v2's record (torn write / bit rot)
+    Files.writeString(Paths.get(s"$dir/torn/_log/r_00002.txt"),
+      "v=2\nkind=")
+    assert(VersionLog.resolveSteps(s"$dir/torn", 1, 2).isEmpty,
+      "a malformed record must fail resolution, not parse partially")
+    assert(VersionLog.resolveFiles(s"$dir/torn", 2).isEmpty)
+    // the CDF answer is unchanged — served by the persisted-feed walk
+    TestSpark.assertSameRows(t.changesBetween(spark, 1, 2),
+      Seq(Seq(2L, "b", "insert")))
+    // a corrupted checkpoint likewise degrades, never corrupts
+    val t2 = new ParquetTable(s"$dir/ck")
+    t2.overwrite(Seq((1L, "x")).toDF("id", "v"))
+    (1 to VersionLog.CheckpointEvery).foreach { i =>
+      t2.appendVersion(Seq((10L + i, s"y$i")).toDF("id", "v"))
+    }
+    val ck = graft.io.FsUtil.listDir(Paths.get(s"$dir/ck/_log"))
+      .find(_.getFileName.toString.startsWith("ckpt_")).get
+    Files.writeString(ck, "ckpt=999\nR1:v=garbage")
+    // resolution survives through loose records
+    val live = VersionLog.resolveFiles(s"$dir/ck", t2.version)
+    val walked = VersionLog.walkDataFiles(
+      Paths.get(s"$dir/ck", f"v_${t2.version}%05d")).map(_.rel).toSet
+    assert(live.map(_.map(_.rel).toSet).contains(walked))
+  }
+}
