@@ -996,17 +996,95 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
     */
   private def logSpanDelta(spark: SparkSession, fromV: Int, toV: Int,
       to: DataFrame, cols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
     if (fromV >= toV) return None
     VersionLog.resolveSteps(path, fromV, toV).flatMap { recs =>
-      val frames = recs.map(stepFrame(spark, toV, to, _))
-      if (frames.exists(_.isEmpty)) None
-      else if (recs.forall(r => r.kind == "append" && r.feed.isEmpty))
-        // an all-append span only GROWS the multiset: the union of the
-        // per-step adds IS the net delta — skip the netting shuffle
-        // entirely (the walk-based fast path's zero-shuffle shape)
-        Some(frames.flatten.map(alignStep(_, to, cols))
-          .reduce(_ unionByName _))
-      else Some(netSteps(frames.flatten, to, cols))
+      // GROUPED reads, not a per-step union: a serving-cadence span has
+      // thousands of steps, and a thousand-way unionByName is a plan
+      // explosion. All feed files sharing a committed schema collapse
+      // into ONE scan (evolution mid-span is the rare extra group), and
+      // every append delta servable from the TO dir (append chains
+      // preserve relative names as hard links) collapses into ONE scan
+      // with partition recovery off the TO basePath. Per-step fallback
+      // reads only appear for data-reclaimed append steps.
+      val toDir = Paths.get(path, f"v_$toV%05d")
+      val feedGroups = scala.collection.mutable.LinkedHashMap[
+        String, Vector[java.nio.file.Path]]()
+      var appendAdds = Vector.empty[java.nio.file.Path]
+      // append steps whose files no longer live in the TO dir (a later
+      // overwrite rewrote the table): for UNPARTITIONED tables they
+      // group by their committed schema into one scan per group — flat
+      // layouts need no basePath; partitioned ones (partition values
+      // live in each version's dir structure) fall back per step
+      val looseGroups = scala.collection.mutable.LinkedHashMap[
+        String, Vector[java.nio.file.Path]]()
+      var loose = Vector.empty[DataFrame]
+      var anyFeed = false
+      recs.foreach { r =>
+        if (r.feed.nonEmpty) {
+          anyFeed = true
+          val verDir = Paths.get(path, f"v_${r.v}%05d")
+          val files = r.feed.map(verDir.resolve)
+          storedSchema(verDir).map(_.json) match {
+            case Some(sj) if files.forall(Files.exists(_)) =>
+              feedGroups(sj) = feedGroups.getOrElse(sj, Vector.empty) ++ files
+            case _ => return None
+          }
+        } else if (r.kind == "append") {
+          if (r.adds.nonEmpty) {
+            val absTo = r.adds.map(f => toDir.resolve(f.rel))
+            if (absTo.forall(Files.exists(_))) appendAdds ++= absTo
+            else {
+              val verDir = Paths.get(path, f"v_${r.v}%05d")
+              val own = r.adds.map(f => verDir.resolve(f.rel))
+              storedSchema(verDir).map(_.json) match {
+                case Some(sj) if partitionColumns.isEmpty &&
+                    own.forall(Files.exists(_)) =>
+                  looseGroups(sj) =
+                    looseGroups.getOrElse(sj, Vector.empty) ++ own
+                case _ => stepFrame(spark, toV, to, r) match {
+                  case Some(d) => loose :+= d
+                  case None => return None
+                }
+              }
+            }
+          } // an empty append delta contributes nothing
+        } else return None
+      }
+      def parseSchema(sj: String) =
+        org.apache.spark.sql.types.DataType.fromJson(sj)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val feedFrames = feedGroups.toSeq.map { case (sj, files) =>
+        val st = parseSchema(sj)
+        val wide = org.apache.spark.sql.types.StructType(st.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))
+        spark.read.schema(wide).parquet(files.map(_.toString): _*)
+      }
+      val appendFrame =
+        if (appendAdds.isEmpty) None
+        else Some(spark.read.schema(to.schema)
+          .option("basePath", toDir.toString)
+          .parquet(appendAdds.map(_.toString): _*)
+          .select(to.schema.fields.map(f => col(f.name)).toIndexedSeq :+
+            lit("insert").as("_change_type"): _*))
+      val looseFrames = looseGroups.toSeq.map { case (sj, files) =>
+        val st = parseSchema(sj)
+        spark.read.schema(st).parquet(files.map(_.toString): _*)
+          .select(st.fields.map(f => col(f.name)).toIndexedSeq :+
+            lit("insert").as("_change_type"): _*)
+      }
+      val frames = feedFrames ++ appendFrame.toSeq ++ looseFrames ++ loose
+      if (frames.isEmpty)
+        // the whole span was empty appends: a typed zero-row delta
+        Some(to.limit(0).select(cols.map(col).toIndexedSeq :+
+          lit("insert").as("_change_type"): _*))
+      else if (!anyFeed)
+        // appends only GROW the multiset: the union of the adds IS the
+        // net delta — skip the netting shuffle entirely (the walk-based
+        // fast path's zero-shuffle shape)
+        Some(frames.map(alignStep(_, to, cols)).reduce(_ unionByName _))
+      else Some(netSteps(frames, to, cols))
     }
   }
 
