@@ -200,6 +200,32 @@ object PlanAudit {
       s.bnlj > BnljAllowlist.getOrElse(n, 0)
     }
 
+  /** Measured-truth censor (round 13): the absolute [[EstimateCeiling]]
+    * misses join-product estimates that are physically implausible yet
+    * numerically modest (q110's delete-mask join estimated ~26 GB where
+    * the task metrics measured 1.5 MB — garbage-in, reported as if
+    * real). With a measured record in hand there is a per-query truth
+    * to censor against: any single exchange ESTIMATE more than 100×
+    * the query's measured total shuffle-write bytes (floored at 1 MiB
+    * so near-zero measurements don't null honest small estimates) is a
+    * stats artifact — nulled, and the query marked
+    * `unreliable_stats`. Volume regressions already compare measured
+    * bytes only; this closes the reporting gap.
+    */
+  def censorAgainstMeasured(shapes: Seq[(String, Shape)],
+      measured: Map[String, Long]): Seq[(String, Shape)] =
+    shapes.map { case (n, s) =>
+      measured.get(n).filter(_ >= 0) match {
+        case Some(m) if s.err.isEmpty =>
+          val bound = BigInt(math.max(m, 1L << 20)) * 100
+          if (!s.shuffleBytes.exists(_.exists(_ > bound))) n -> s
+          else n -> s.copy(
+            shuffleBytes = s.shuffleBytes.map(_.filter(_ <= bound)),
+            unreliableStats = true)
+        case _ => n -> s
+      }
+    }
+
   /** Per-query measured shuffle-write bytes from a Bench detail record
     * (the task-metric truth the estimates are censored against). The
     * file is this repo's own format; absent file → empty map.
@@ -243,8 +269,8 @@ object PlanAudit {
         require(unknown.isEmpty, s"PlanAudit: unknown queries $unknown")
         all.view.filterKeys(subset).toMap
       }
-    val shapes = audit(spark, dir, selected)
     val measured = measuredShuffleWrites(detailPath)
+    val shapes = censorAgainstMeasured(audit(spark, dir, selected), measured)
 
     def jstr(s: String): String =
       "\"" + s.flatMap {

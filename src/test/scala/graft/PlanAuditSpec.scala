@@ -114,4 +114,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "q93_supplier_rank" -> 34567890L))
     assert(PlanAudit.measuredShuffleWrites("/nonexistent/x.json").isEmpty)
   }
+
+  test("measured-truth censor: an estimate >100x the measured bytes is " +
+      "nulled and the query marked unreliable (the q110 shape)") {
+    def shape(est: Seq[Option[BigInt]]) = PlanAudit.Shape(
+      shuffles = est.length, broadcasts = 0, scans = 1, cartesian = false,
+      bnlj = 0, bnljBcastBytes = Nil, shuffleBytes = est,
+      shuffleRows = est.map(_ => BigInt(-1)), unreliableStats = false,
+      err = None)
+    // q110's shape: a 26 GB plan-side estimate against 1.5 MB measured
+    val garbage = shape(Seq(Some(BigInt("27979679779")), Some(BigInt(1000))))
+    val honest = shape(Seq(Some(BigInt(1400000))))
+    val out = PlanAudit.censorAgainstMeasured(
+      Seq("qx" -> garbage, "qy" -> honest),
+      Map("qx" -> 1500000L, "qy" -> 1500000L)).toMap
+    assert(out("qx").unreliableStats, "the implausible estimate must taint")
+    assert(out("qx").shuffleBytes === Seq(None, Some(BigInt(1000))),
+      "only the implausible exchange is nulled; honest ones survive")
+    assert(!out("qy").unreliableStats && out("qy").shuffleBytes ===
+      honest.shuffleBytes, "plausible estimates pass through untouched")
+    // near-zero measurements use the 1 MiB floor, not a zero bound
+    val small = shape(Seq(Some(BigInt(50 << 20))))
+    val flo = PlanAudit.censorAgainstMeasured(
+      Seq("qz" -> small), Map("qz" -> 0L)).toMap
+    assert(!flo("qz").unreliableStats,
+      "50 MB against a 100 MiB floored bound must not taint")
+    // queries without a measured record are untouched (no truth to
+    // censor against)
+    val un = PlanAudit.censorAgainstMeasured(
+      Seq("qx" -> garbage), Map.empty).toMap
+    assert(!un("qx").unreliableStats)
+  }
 }
