@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.gold.GoldIncremental
+import graft.gold.{GoldIncremental, GoldMaintenance}
 import graft.pipeline.Warehouse
 
 /** Streaming maintenance of the five reference gold tables — the
@@ -43,22 +43,57 @@ import graft.pipeline.Warehouse
   */
 object GoldIncStream {
 
+  /** The percentile gold the EXTENDED mirror maintains (delivery-time
+    * distribution per order month) — named here so stream and spec
+    * derive the same columns; the p-list is q116's.
+    */
+  val DeliveryPercentileGold = "orders_delivery_percentiles"
+  val DeliveryPercentiles: Seq[(String, Int, Int)] =
+    Seq(("p50", 50, 100), ("p95", 95, 100))
+
+  /** Advance every maintained gold table to the silver tables' live
+    * versions — the five reference tables always; with
+    * `extendedMeasures` also the two non-additive measure kinds:
+    * the HLL distinct fold ([[GoldIncremental.customerReachByCity]],
+    * q111's machinery) and the signed-foldable percentile histogram
+    * ([[GoldMaintenance.advancePercentile]], q116's) over the silver
+    * orders commit stream. All three families share the same
+    * applied-version sidecar discipline, so a replayed trigger
+    * no-ops with ZERO version churn on every table.
+    */
+  private def advanceGold(s: org.apache.spark.sql.SparkSession,
+      warehouse: Warehouse, extendedMeasures: Boolean): Unit = {
+    val inc = new GoldIncremental(s, warehouse)
+    inc.advanceAll()
+    if (extendedMeasures) {
+      inc.customerReachByCity()
+      GoldMaintenance.advancePercentile(s,
+        warehouse.silverByName("orders"),
+        warehouse.gold(DeliveryPercentileGold),
+        keys = Seq("year", "month"),
+        value = datediff(col("delivered_on"), col("created_on")),
+        ps = DeliveryPercentiles)
+    }
+  }
+
   /** Maintain the warehouse's five gold tables from a stream of silver
     * orders rows (silver schema, `id`-keyed). The silver tables must
     * already exist — customers/addresses as dimensions, orders seeded
-    * with at least its schema-bearing initial commit.
+    * with at least its schema-bearing initial commit. With
+    * `extendedMeasures`, the distinct (HLL) and percentile measure
+    * kinds ride the same trigger — see [[advanceGold]].
     */
   def ordersIntakeStream(orders: DataFrame, warehouse: Warehouse,
       expectedIds: Long = 4L * 1024 * 1024,
-      expectedBatch: Long = ReplayGate.DefaultProbeBatch): StreamingQuery =
+      expectedBatch: Long = ReplayGate.DefaultProbeBatch,
+      extendedMeasures: Boolean = false): StreamingQuery =
     orders.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
-        val inc = new GoldIncremental(s, warehouse)
         // self-heal the appendVersion→advance crash window BEFORE gating:
-        // versions unmoved → five sidecar compares, no jobs
-        inc.advanceAll()
+        // versions unmoved → sidecar compares only, no jobs
+        advanceGold(s, warehouse, extendedMeasures)
         val silver = warehouse.silverByName("orders")
         val bloomPath = java.nio.file.Paths.get(silver.path,
           ReplayGate.BloomFile)
@@ -76,7 +111,7 @@ object GoldIncStream {
             ReplayGate.commitToFilter(bloomPath, bloom, fresh, "id", n,
               expectedIds, () => Some(silver.read(s).select(col("id"))))
             silver.appendVersion(fresh)
-            inc.advanceAll()
+            advanceGold(s, warehouse, extendedMeasures)
           }
         } finally {
           fresh.unpersist()

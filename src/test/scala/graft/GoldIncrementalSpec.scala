@@ -453,6 +453,84 @@ class GoldIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("extended streaming mirror: the HLL distinct fold and the " +
+      "percentile histogram advance with the five tables, absorbing " +
+      "replayed and out-of-order batches with zero version churn on " +
+      "pure replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.gold.GoldMaintenance
+    import graft.streaming.GoldIncStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_goldext")
+    val wh = new Warehouse(s"$root/inc")
+    val cust = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+      (2L, "individual", "VIP", "2023-06-01"))
+    val addr = addressesDf((10L, "berlin"), (11L, "paris"))
+    val ord0 = ordersDf((100L, 1L, 10L, "2024-01-10", Some("2024-01-15")))
+    writeSilver(wh, cust, ord0, addr)
+    def row(id: Long, cu: Long, ad: java.lang.Long, created: String,
+        delivered: Option[String]): OrdRow =
+      (cu, ts(created), Option(ad).map(_.longValue), d(created),
+        delivered.map(d), id, created.take(4).toInt,
+        created.slice(5, 7).toInt, ts("2024-01-01"))
+    def rebuiltLike(rows: OrdRow*): DataFrame = ordersDf(rows.map { r =>
+      (r._6, r._1, r._3.map(java.lang.Long.valueOf).orNull,
+        r._2.toString.take(10), r._5.map(_.toString))
+    }: _*)
+    // batch expectation, built FRESH per step (full first-build path)
+    var step = 0
+    def assertExtendedMatches(rows: OrdRow*): Unit = {
+      step += 1
+      val whB = new Warehouse(s"$root/batch$step")
+      writeSilver(whB, cust, rebuiltLike(rows: _*), addr)
+      val reachB = new GoldIncremental(spark, whB).customerReachByCity()
+        .read(spark).select("city", "year", "order_count",
+          "distinct_customers")
+      val reachI = wh.gold("customer_reach_by_city").read(spark)
+        .select("city", "year", "order_count", "distinct_customers")
+      assert(TestSpark.rows(reachI) == TestSpark.rows(reachB),
+        s"step $step: streamed distinct fold != batch rebuild")
+      val pctB = GoldMaintenance.aggregatePercentile(
+        whB.silverByName("orders").read(spark),
+        Seq("year", "month"),
+        datediff(col("delivered_on"), col("created_on")),
+        GoldIncStream.DeliveryPercentiles)
+        .select("year", "month", "n_rows", "value_sum", "p50", "p95")
+      val pctI = wh.gold(GoldIncStream.DeliveryPercentileGold).read(spark)
+        .select("year", "month", "n_rows", "value_sum", "p50", "p95")
+      assert(TestSpark.rows(pctI) == TestSpark.rows(pctB),
+        s"step $step: streamed percentile fold != batch rebuild")
+    }
+    val in = MemoryStream[OrdRow]
+    val stream = in.toDF().toDF("customer_id", "created_on", "address_id",
+      "delivery_date", "delivered_on", "id", "year", "month",
+      "silver_ingestion_time")
+    val q = GoldIncStream.ordersIntakeStream(stream, wh,
+      expectedIds = 1024, extendedMeasures = true)
+    try {
+      val seed = row(100L, 1L, 10L, "2024-01-10", Some("2024-01-15"))
+      val b1 = Seq(
+        row(101L, 1L, 11L, "2024-02-10", Some("2024-02-12")),
+        row(102L, 2L, 11L, "2024-01-05", None)) // NULL delivery time
+      in.addData(b1 ++ Seq(seed, b1.head)) // replay + in-batch dup
+      q.processAllAvailable()
+      assertExtendedMatches(seed +: b1: _*)
+      // pure replay: NO version churn on either extended gold
+      val rv = wh.gold("customer_reach_by_city").version
+      val pv = wh.gold(GoldIncStream.DeliveryPercentileGold).version
+      in.addData(b1)
+      q.processAllAvailable()
+      assert(wh.gold("customer_reach_by_city").version == rv &&
+        wh.gold(GoldIncStream.DeliveryPercentileGold).version == pv,
+        "an all-replay batch must not rewrite the extended golds")
+      // out-of-order: an OLDER order lands after newer ones, plus replay
+      val b3 = Seq(row(103L, 2L, 10L, "2023-11-20", Some("2023-12-24")))
+      in.addData(b3 ++ b1.take(1))
+      q.processAllAvailable()
+      assertExtendedMatches((seed +: b1) ++ b3: _*)
+    } finally q.stop()
+  }
+
   test("the maintained avg_delivery_time is the derivable sum/count — " +
       "null delivered_on rows stay outside the average, all-null groups " +
       "read NULL (batch avg semantics)") {
