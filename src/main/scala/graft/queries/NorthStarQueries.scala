@@ -536,9 +536,35 @@ object NorthStarQueries {
     */
   val Q112DenseNprobe = 12
 
+  /** The q112 serving arm's IVFADC geometry (round-13: the memory-scale
+    * deployment arm replaces the uncompressed IVF as the served index).
+    * From the recorded (nlist, m, nprobe, rerank) sweep
+    * (`ProfileIvfPqSweep`, BASELINE.md round 13): m=16 4-bit
+    * sub-codebooks on 64 dims (16-byte codes — a 16× scanned-payload
+    * reduction vs float vectors) with an exact re-rank window of
+    * k×32 recovers recall@10 0.725/0.875 at sf0.01/sf0.1 — BIT-equal to
+    * the uncompressed IVF arm at the same nlist=32/nprobe=12 knee, so
+    * the compression is recall-free at the gate's operating point.
+    * m=8 at the same point measured 0.675/0.625 (coarser sub-codebooks
+    * lose the gate); rerank=8 measured 0.725/0.800 (the ADC shortlist
+    * truncates real neighbors at the 10× tier). ksub=16: the sf0.01
+    * tier trains on 500 vectors — 256-way sub-codebooks would memorize
+    * the corpus.
+    */
+  val ServingPqM = 16
+  val ServingPqKsub = 16
+  val Q112Rerank = 32
+
   private def ivfScratch(dir: String): String =
     indexScratch("ivf" + ServingIvfNlist, dir)
   private def ivfPqScratch(dir: String): String = indexScratch("ivfpq", dir)
+
+  /** The q112 serving index's scratch path — geometry folded into the
+    * prefix (the [[ivfScratch]] discipline): an (nlist, m) retune can
+    * never serve a stale layout, it misses and rebuilds.
+    */
+  def servingIvfPqPath(dir: String): String =
+    indexScratch(s"ivfpq${ServingIvfNlist}m$ServingPqM", dir)
 
   /** The shared fingerprinted serving-index path — q50, q112 and the
     * accuracy gates all probe the SAME persisted index per corpus
@@ -2166,19 +2192,23 @@ object NorthStarQueries {
 
   /** Hybrid retrieval with the SERVING-SCALE dense arm (q112): q108's
     * RRF stack with the brute-force cosine arm swapped for the persisted
-    * [[graft.northstar.IvfIndex]] — the documented swap-in
-    * (`HybridRetrieval.scala`) actually wired: load-or-build of the
-    * SHARED fingerprinted serving index (q50's — built at most once per
-    * corpus version, the serving contract) + partition-pruned probe
-    * (nprobe = 12 of nlist = 32, a real 2.7× scan reduction at the
-    * sweep's recall knee — BASELINE.md round 12), so the dense
-    * arm touches ~nprobe/nlist of the
-    * corpus instead of all of it while the BM25 arm, the probe workload
-    * and the integer RRF arithmetic are byte-identical to q108. No
-    * DuckDB oracle by design (the dense arm is approximate); the
-    * Accuracy gates pin dense-arm recall vs the brute arm, fused top-k
-    * overlap vs q108's exact fusion, and bit-exact RRF integer
-    * arithmetic on this path, at both tiers.
+    * [[graft.northstar.IvfPqIndex]] — IVFADC, the billion-scale
+    * deployment geometry (round-13: the served index moved from
+    * uncompressed IVF to the residual-coded arm). Load-or-build of the
+    * fingerprinted serving index (built at most once per corpus version
+    * AND geometry, the q50 serving contract) + partition-pruned probe:
+    * nprobe = 12 of nlist = 32 (the sweep's recall knee — 37.5 % of the
+    * corpus scanned) read as m=16 4-bit residual codes (16 bytes/row vs
+    * 256-byte float vectors) through the fused ADC kernel, with an
+    * exact re-rank of the k×[[Q112Rerank]] shortlist. At the recorded
+    * operating point the coded arm's recall is BIT-equal to the
+    * uncompressed IVF arm it replaced (0.725/0.875 — BASELINE.md round
+    * 13), so the 16× scanned-payload reduction is free at the gate. The
+    * BM25 arm, the probe workload and the integer RRF arithmetic stay
+    * byte-identical to q108. No DuckDB oracle by design (the dense arm
+    * is approximate); the Accuracy gates pin dense-arm recall vs the
+    * brute arm, fused top-k overlap vs q108's exact fusion, and
+    * bit-exact RRF integer arithmetic on this path, at both tiers.
     */
   def q112HybridRrfIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2187,18 +2217,18 @@ object NorthStarQueries {
       case (acc, (qid, vid)) =>
         when(col("query_id") === vid, lit(qid)).otherwise(acc)
     }
-    // the q50 serving contract: ONE fingerprinted index per corpus
-    // version, built at most once and probed by every later job — q112
-    // shares q50's (identical build: same corpus, nlist, seed), so a
-    // warm run pays only the probe
-    val idx = graft.northstar.IvfIndex.load(s, ivfScratch(dir))
+    // the serving contract: ONE fingerprinted index per corpus version,
+    // built at most once and probed by every later job — a warm run
+    // pays only the probe
+    val idx = graft.northstar.IvfPqIndex.load(s, servingIvfPqPath(dir))
       .getOrElse(
-        graft.northstar.IvfIndex
-          .build(emb, "vec_id", "embedding", nlist = ServingIvfNlist)
-          .persist(s, ivfScratch(dir)))
+        graft.northstar.IvfPqIndex
+          .build(s, emb, "vec_id", "embedding", nlist = ServingIvfNlist,
+            m = ServingPqM, ksub = ServingPqKsub)
+          .persist(s, servingIvfPqPath(dir)))
     val dense = idx
       .search(probes, "vec_id", "embedding", k = Bm25TopK,
-        nprobe = Q112DenseNprobe)
+        nprobe = Q112DenseNprobe, rerank = Q112Rerank)
       .select(qidFor.as("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
     val bm25 = Bm25
@@ -4654,6 +4684,54 @@ private[graft] object GoldIncFixture {
     del(silverAddresses(nation, 1).filter(pmod(col("id"), lit(6)) === 0))
       .unionByName(
         ins(silverAddresses(nation, 2).filter(pmod(col("id"), lit(6)) === 0)))
+
+  /** Silver customers derived from the tpch customer table, versioned
+    * like [[silverOrders]]: v1 misses every 9th key, v2 has them all
+    * with every 5th key's status flipped — so a customers commit mixes
+    * pure inserts with update pairs, exercising every gold table whose
+    * grain or joins touch customer type/status
+    * ([[graft.gold.GoldIncremental.customerBreakdown]],
+    * `customerStatusByCity`, `ordersByCustomerWeek`,
+    * `ordersTypeDeliveryTime`). type/status encode the reference's
+    * affiliate/individual × regular/VIP domain
+    * (Gold-Customer-Breakdown.py:29) from stable key arithmetic.
+    */
+  def silverCustomers(customer: DataFrame, version: Int): DataFrame = {
+    val keep =
+      if (version == 1) pmod(col("c_custkey"), lit(9)) =!= 0 else lit(true)
+    val baseStatus =
+      when(col("c_mktsegment") === "BUILDING", "VIP").otherwise("regular")
+    val status = if (version >= 2)
+      when(pmod(col("c_custkey"), lit(5)) === 0,
+        when(baseStatus === "VIP", "regular").otherwise("VIP"))
+        .otherwise(baseStatus)
+    else baseStatus
+    customer.filter(keep).select(
+      col("c_custkey").as("id"),
+      when(pmod(col("c_custkey"), lit(2)) === 0, "affiliate")
+        .otherwise("individual").as("type"),
+      status.as("status"),
+      date_add(lit("2023-01-01").cast("date"),
+        pmod(col("c_custkey"), lit(365)).cast("int")).as("created_on"),
+      lit(2023).as("year"),
+      lit(1).as("month"),
+      lit("2024-01-01 00:00:00").cast("timestamp")
+        .as("silver_ingestion_time"))
+  }
+
+  /** The exact declared feed for customers v1→v2: the %9 keys arriving
+    * as pure inserts, the %5 status flips (not already covered by the
+    * %9 inserts) as delete+insert update pairs.
+    */
+  def customerFeed2(customer: DataFrame): DataFrame = {
+    val nine = pmod(col("id"), lit(9)) === 0
+    val five = pmod(col("id"), lit(5)) === 0
+    ins(silverCustomers(customer, 2).filter(nine))
+      .unionByName(del(silverCustomers(customer, 1)
+        .filter(five && !nine)))
+      .unionByName(ins(silverCustomers(customer, 2)
+        .filter(five && !nine)))
+  }
 }
 
 /** The q105/q116 cents history (count/sum + extrema/percentile measure

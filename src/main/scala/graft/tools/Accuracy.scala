@@ -1046,19 +1046,22 @@ object Accuracy {
         "dense_rank").collect()
     val fusedIvf = ivfRows.map(r => (r.getInt(0), r.getLong(1))).toSet
     // the dense arm's recall measured from the ARM ITSELF (the same
-    // persisted load-or-build q112 serves from) — NOT from the fused
-    // result, whose top-k cut would let sparse-arm score shifts displace
-    // dense pairs and corrupt the metric in either direction
-    val idx = IvfIndex.load(spark,
-        graft.queries.NorthStarQueries.servingIvfPath(dir))
-      .getOrElse(IvfIndex
-        .build(emb, "vec_id", "embedding",
-          graft.queries.NorthStarQueries.ServingIvfNlist)
+    // persisted load-or-build q112 serves from — since round 13 the
+    // IVFADC coded index, not the uncompressed IVF) — NOT from the
+    // fused result, whose top-k cut would let sparse-arm score shifts
+    // displace dense pairs and corrupt the metric in either direction
+    import graft.queries.NorthStarQueries.{Q112DenseNprobe, Q112Rerank,
+      ServingIvfNlist, ServingPqKsub, ServingPqM}
+    val idx = graft.northstar.IvfPqIndex.load(spark,
+        graft.queries.NorthStarQueries.servingIvfPqPath(dir))
+      .getOrElse(graft.northstar.IvfPqIndex
+        .build(spark, emb, "vec_id", "embedding", nlist = ServingIvfNlist,
+          m = ServingPqM, ksub = ServingPqKsub)
         .persist(spark,
-          graft.queries.NorthStarQueries.servingIvfPath(dir)))
+          graft.queries.NorthStarQueries.servingIvfPqPath(dir)))
     val denseIvf = idx
       .search(probes, "vec_id", "embedding", k,
-        nprobe = graft.queries.NorthStarQueries.Q112DenseNprobe)
+        nprobe = Q112DenseNprobe, rerank = Q112Rerank)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val denseRecall =
@@ -1087,12 +1090,15 @@ object Accuracy {
       (for { cs <- contrib(s); cd <- contrib(d) }
         yield r.getLong(2) == cs + cd).getOrElse(false)
     }
-    // bounds just under the seed-pinned measurements at the round-12
-    // operating point (nprobe=12/32, the sweep's knee — BASELINE.md):
-    // dense arm 0.725 audit / 0.875 sf0.1 measured from the arm itself,
-    // fused overlap 0.875/0.925; worst-case random embeddings remain the
-    // constant-budget recall regime q81/q82 document — the gate pins the
-    // FIXED-budget contract at ≥ 0.70 recall for a recorded 37.5 % scan
+    // bounds just under the seed-pinned measurements at the round-13
+    // operating point (IVFADC: nprobe=12/32, m=16, ksub=16, rerank=32 —
+    // the coded sweep's knee, BASELINE.md round 13): dense arm 0.725
+    // audit / 0.875 sf0.1 measured from the coded arm itself (bit-equal
+    // to the uncompressed IVF it replaced), fused overlap re-measured on
+    // the swap; worst-case random embeddings remain the constant-budget
+    // recall regime q81/q82 document — the gate pins the FIXED-budget
+    // contract at ≥ 0.70 recall for a recorded 37.5 % scan of 16-byte
+    // codes
     Seq(
       Gate("q112_hybrid_rrf_ivf", "dense_recall_at_k_vs_brute",
         denseRecall, ">=", 0.70),
@@ -1217,8 +1223,10 @@ object Accuracy {
       //     decay shows in the fusion mix (the dense arm's own recall
       //     holds 0.60 at both tiers, no override).
       "q111_gold_distinct_ivm/fold_vs_exact_max_rel_err" -> 0.015,
-      //   q112 re-pinned for the round-12 nlist=32/nprobe=12 operating
-      //     point (dense 0.725/0.875, fused 0.875/0.925 measured)
+      //   q112 pinned at the nlist=32/nprobe=12 knee (dense 0.725/0.875,
+      //     fused 0.875/0.925 measured) — values UNCHANGED by the
+      //     round-13 move to the IVFADC coded arm (m=16/ksub=16/
+      //     rerank=32 re-measured bit-equal at both tiers)
       "q112_hybrid_rrf_ivf/dense_recall_at_k_vs_brute" -> 0.85,
       "q112_hybrid_rrf_ivf/fused_topk_overlap_vs_exact" -> 0.90))
 
