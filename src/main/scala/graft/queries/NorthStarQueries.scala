@@ -987,6 +987,52 @@ object NorthStarQueries {
         md5(col("redacted")).as("redacted_md5"))
   }
 
+  /** The q118 pruning predicate, single-sourced with the generated
+    * oracle: a key range that is selective at every tier (orderkeys
+    * start at 1) so the commit-metadata skip has real files to drop.
+    */
+  val StatsPruneLo = 500L
+  val StatsPruneHi = 1500L
+
+  /** Commit-metadata data skipping (q118): the Delta data-skipping
+    * design surfaced as a query — per-file min/max stats captured ONCE
+    * at write time into the commit log ([[graft.io.VersionLog]]), so a
+    * selective range predicate drops disjoint files BEFORE Spark plans
+    * the scan ([[graft.io.ParquetTable.readPruned]]): zero footer opens
+    * at plan time, where at 100 TB footer sampling is the scan-planning
+    * bottleneck. The flow: project orders into a versioned table,
+    * range-cluster it (compact sorted by key — each file owns a
+    * contiguous key range, the layout Z-order/range partitioning buys
+    * at scale), then aggregate over the PRUNED read. The pruned scan is
+    * a superset of the predicate (TablesSpec law), so filtering it
+    * yields exactly the full-scan answer — which is what the DuckDB
+    * oracle pins, while the require() makes a silently-skipped prune
+    * (stats missing → full file list) fail loudly rather than
+    * green-wash: at sf0.01 the census keeps 4/16 files, at sf0.1 1/16.
+    * Same single-process scratch contract as q87/q103.
+    */
+  def q118StatsPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").as("id"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val p = scratch("statspr", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString)
+    tbl.overwrite(base)
+    tbl.compact(s, 16, sortCols = Seq("id"))
+    val bounds = Seq(graft.io.ColumnBound("id",
+      Some(StatsPruneLo), Some(StatsPruneHi)))
+    val (kept, total) = tbl.prunedFileCensus(bounds).getOrElse(
+      sys.error("q118: commit log did not resolve — stats skipping " +
+        "silently degraded to the full file list"))
+    require(kept < total,
+      s"q118: range-clustered stats must prune (kept $kept of $total)")
+    tbl.readPruned(s, bounds)
+      .filter(col("id").between(StatsPruneLo, StatsPruneHi))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -2969,6 +3015,7 @@ object NorthStarQueries {
     "q115_dictionary_match" -> (q115DictionaryMatch _),
     "q116_gold_percentile" -> (q116GoldPercentile _),
     "q117_dictionary_redact" -> (q117DictionaryRedact _),
+    "q118_stats_pruned_scan" -> (q118StatsPrunedScan _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3086,6 +3133,17 @@ object NorthStarQueries {
   val oracles: Map[String, String] = Map(
     "q115_dictionary_match" -> q115OracleSql,
     "q117_dictionary_redact" -> q117OracleSql,
+    // q118: the pruned scan is a SUPERSET of the predicate, so the
+    // filtered aggregate equals the plain full-scan aggregate — which is
+    // exactly what DuckDB computes here; the pruning itself is asserted
+    // in-engine (require kept < total) and IO-proven in TablesSpec.
+    "q118_stats_pruned_scan" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                      AS BIGINT) AS sum_cents
+          FROM orders
+          WHERE o_orderkey BETWEEN $StatsPruneLo AND $StatsPruneHi
+          GROUP BY 1""",
     // q116: replays the HDR-style bucket arithmetic (floor-log2 with the
     // same integer self-correction the engine uses, so a double rounding
     // step can never diverge the two), the histogram, and the type-1
