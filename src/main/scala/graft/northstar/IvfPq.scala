@@ -84,17 +84,52 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // deleted ids are masked AFTER cell pruning — broadcast anti-join
     // over the probed rows only (see [[AnnDeletes]])
-    AnnDeletes.alive(corpus, tombstones).join(broadcast(probed), Seq("cell"))
+    val scanned = AnnDeletes.alive(corpus, tombstones)
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__score",
         col("__qdotc") + pq.adcDot(col("__qv"), col("__codes")))
-      .withColumn("__arank", row_number().over(wAdc))
-      .filter(col("__arank") <= k * rerank)
-      .withColumn("cosine",
-        round(GraftFunctions.cosine_sim(col("__qv"), col("__cv")), 6))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    if (persisted) {
+      // The ADC rank window is the probe's only corpus-sized shuffle, so
+      // it must move SLIM rows: (query_id, neighbor_id, __score) — not
+      // the kilobyte rows that carrying both 64-double vector payloads
+      // through the exchange would make (measured 8× the shuffled bytes
+      // and 2× the wall at the bench tier; at 100 TB the rank shuffle IS
+      // the serving cost). The exact re-rank then re-attaches vectors
+      // for the BOUNDED shortlist only: a broadcast join of the
+      // k×rerank×|queries| survivors into the same cell-pruned lists —
+      // column pruning reads (neighbor_id, __cv) and leaves the codes
+      // unread — plus the tiny query frame for __qv. Row-identical to
+      // the single-pass shape: same ADC scores, same (score, id) and
+      // (cosine, id) tiebreaks, same vectors.
+      val shortlist = scanned
+        .select(col("query_id"), col("neighbor_id"), col("__score"))
+        .withColumn("__arank", row_number().over(wAdc))
+        .filter(col("__arank") <= k * rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      corpus.select(col("neighbor_id"), col("__cv"))
+        .join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(broadcast(q.select(col("query_id"), col("__qv"))),
+          Seq("query_id"))
+        .withColumn("cosine",
+          round(GraftFunctions.cosine_sim(col("__qv"), col("__cv")), 6))
+        .withColumn("rank", row_number().over(wExact))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank"))
+    } else
+      // in-memory build-path search: the coded frame is COMPUTED, so a
+      // shortlist rescan would re-encode the corpus — keep the
+      // single-pass shape (callers at scale always probe persisted)
+      scanned
+        .withColumn("__arank", row_number().over(wAdc))
+        .filter(col("__arank") <= k * rerank)
+        .withColumn("cosine",
+          round(GraftFunctions.cosine_sim(col("__qv"), col("__cv")), 6))
+        .withColumn("rank", row_number().over(wExact))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank"))
   }
 
   /** Per-cell coded-list sizes — the build-side observable, mirroring
