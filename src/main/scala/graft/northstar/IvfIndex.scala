@@ -57,17 +57,26 @@ final class IvfIndex private (val nlist: Int,
   /** Per-query nprobe nearest cells → exact cosine rank within them. */
   def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int): DataFrame = {
-    val probed = probeCells(queries, idCol, vecCol, nprobe)
+    val probedPlan = probeCells(queries, idCol, vecCol, nprobe)
     // On a persisted index, resolve the probed cells first and prune the
     // partitioned corpus statically. The probe job reads ONLY the query
     // set (cheap by definition); the collected set is ≤ queries × nprobe
-    // ints. The in-memory path skips this — there is nothing to prune.
-    val corpus =
+    // rows — bounded by the serving contract. The SAME collected rows
+    // then re-enter the join as a LOCAL relation instead of re-planning
+    // the probe expression: the nlist × dims centroid-literal tree is
+    // evaluated (and codegen'd) exactly once per search, and the join's
+    // broadcast side is a plan-free LocalTableScan (doubles round-trip
+    // the collect bit-exactly). The in-memory path skips all of this —
+    // there is nothing to prune.
+    val (corpus, probed) =
       if (persisted) {
-        val cells = probed.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toIndexedSeq
-        assigned.filter(col("cell").isin(cells: _*))
-      } else assigned
+        val rows = probedPlan.collect()
+        val cellIdx = probedPlan.schema.fieldIndex("cell")
+        val cells = rows.map(_.getInt(cellIdx)).distinct.toIndexedSeq
+        val local = queries.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), probedPlan.schema)
+        (assigned.filter(col("cell").isin(cells: _*)), local)
+      } else (assigned, probedPlan)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // deleted ids are masked AFTER cell pruning — broadcast anti-join over

@@ -62,7 +62,7 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
       struct((lit(-1.0) * GraftFunctions.cosine_sim(col("__qv"), typedLit(c)))
         .as("d"), lit(cell).as("cell"), lit(cnorm).as("cnorm"))
     }.toIndexedSeq: _*)
-    val probed = q.withColumn("__cells",
+    val probedPlan = q.withColumn("__cells",
         slice(array_sort(cellScores), 1, nprobe))
       .select(col("query_id"), col("__qv"),
         explode(col("__cells")).as("__p"))
@@ -71,13 +71,19 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     // On a persisted index, resolve the probed cells first and prune the
     // cell-partitioned code table statically (the IvfIndex.search probe
     // order: pick lists, then scan lists). The probe job touches only the
-    // bounded query set — centroids are literals.
-    val corpus =
+    // bounded query set — centroids are literals — and its collected
+    // rows re-enter the join as a LOCAL relation, so the nlist × dims
+    // literal tree is evaluated and codegen'd exactly once per search
+    // (doubles round-trip the collect bit-exactly; see IvfIndex.search).
+    val (corpus, probed) =
       if (persisted) {
-        val cells = probed.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toIndexedSeq
-        coded.filter(col("cell").isin(cells: _*))
-      } else coded
+        val rows = probedPlan.collect()
+        val cellIdx = probedPlan.schema.fieldIndex("cell")
+        val cells = rows.map(_.getInt(cellIdx)).distinct.toIndexedSeq
+        val local = queries.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), probedPlan.schema)
+        (coded.filter(col("cell").isin(cells: _*)), local)
+      } else (coded, probedPlan)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("__score").desc, col("neighbor_id"))
     val wExact = Window.partitionBy(col("query_id"))
@@ -107,10 +113,12 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
         .withColumn("__arank", row_number().over(wAdc))
         .filter(col("__arank") <= k * rerank)
         .select(col("query_id"), col("neighbor_id"))
+      // the re-rank's query vectors come from the SAME local probe
+      // relation (distinct per query), not a re-scan of the query frame
+      val qLocal = probed.select(col("query_id"), col("__qv")).distinct()
       corpus.select(col("neighbor_id"), col("__cv"))
         .join(broadcast(shortlist), Seq("neighbor_id"))
-        .join(broadcast(q.select(col("query_id"), col("__qv"))),
-          Seq("query_id"))
+        .join(broadcast(qLocal), Seq("query_id"))
         .withColumn("cosine",
           round(GraftFunctions.cosine_sim(col("__qv"), col("__cv")), 6))
         .withColumn("rank", row_number().over(wExact))
