@@ -1,0 +1,95 @@
+package graft.io
+
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.types.{
+  ByteType, DateType, DoubleType, FloatType, IntegerType, LongType,
+  ShortType, StringType, TimestampNTZType, TimestampType}
+
+/** Conversion from Catalyst's pushed-down data filters to the commit
+  * log's [[ColumnBound]]s — the seam that makes data skipping
+  * PLANNER-AUTOMATIC: `StatsPrunedFileIndex` hands the filters Catalyst
+  * pushed into the scan to [[bounds]] at listing time, and any file the
+  * commit-metadata stats prove disjoint never becomes a split.
+  *
+  * Deliberately conservative: only shapes whose bound semantics are a
+  * strict SUPERSET of the filter survive the translation —
+  * `attr (=|>|>=|<|<=) literal`, `literal (op) attr`, `attr IN (...)`,
+  * and conjunctions thereof. A strict `>` relaxes to `>=` (the file
+  * holding only the boundary value survives, its rows then drop in the
+  * real filter), disjunctions and casts translate to nothing, and
+  * literal types beyond long/double/string comparability translate to
+  * nothing — pruning is an optimization, never a filter.
+  */
+private[graft] object StatsPruning {
+
+  def bounds(filters: Seq[Expression]): Seq[ColumnBound] =
+    filters.flatMap(conjuncts).flatMap(boundOf)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def boundOf(e: Expression): Option[ColumnBound] = e match {
+    case EqualTo(a: Attribute, l: Literal) => eq(a, l)
+    case EqualTo(l: Literal, a: Attribute) => eq(a, l)
+    case EqualNullSafe(a: Attribute, l: Literal) => eq(a, l)
+    case EqualNullSafe(l: Literal, a: Attribute) => eq(a, l)
+    case GreaterThan(a: Attribute, l: Literal) => lower(a, l)
+    case GreaterThanOrEqual(a: Attribute, l: Literal) => lower(a, l)
+    case LessThan(a: Attribute, l: Literal) => upper(a, l)
+    case LessThanOrEqual(a: Attribute, l: Literal) => upper(a, l)
+    case GreaterThan(l: Literal, a: Attribute) => upper(a, l)
+    case GreaterThanOrEqual(l: Literal, a: Attribute) => upper(a, l)
+    case LessThan(l: Literal, a: Attribute) => lower(a, l)
+    case LessThanOrEqual(l: Literal, a: Attribute) => lower(a, l)
+    case In(a: Attribute, list) if list.nonEmpty &&
+        list.forall(_.isInstanceOf[Literal]) =>
+      val vs = list.map(l => value(l.asInstanceOf[Literal]))
+      if (vs.exists(_.isEmpty)) None
+      else ordered(vs.flatten).map { case (mn, mx) =>
+        ColumnBound(a.name, lower = Some(mn), upper = Some(mx)) }
+    case _ => None
+  }
+
+  private def eq(a: Attribute, l: Literal): Option[ColumnBound] =
+    value(l).map(v => ColumnBound(a.name, Some(v), Some(v)))
+  private def lower(a: Attribute, l: Literal): Option[ColumnBound] =
+    value(l).map(v => ColumnBound(a.name, lower = Some(v)))
+  private def upper(a: Attribute, l: Literal): Option[ColumnBound] =
+    value(l).map(v => ColumnBound(a.name, upper = Some(v)))
+
+  /** Literal → the bound-value domain [[ColumnBound.survives]] compares
+    * (Long / Double / String). Date and timestamp literals ride as their
+    * epoch integers, matching the footer capture's encoding
+    * ([[VersionLog]] stores date32 as epoch days, timestamp64 as epoch
+    * micros — both compare correctly as signed longs). NULL literals
+    * (value == null) translate to nothing: a NULL-compare filter is
+    * never true, but proving emptiness is the optimizer's job, not the
+    * file pruner's.
+    */
+  private def value(l: Literal): Option[Any] =
+    if (l.value == null) None
+    else l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType =>
+        Some(l.value.asInstanceOf[Number].longValue)
+      case FloatType | DoubleType =>
+        Some(l.value.asInstanceOf[Number].doubleValue)
+      case StringType => Some(l.value.toString)
+      case _ => None
+    }
+
+  /** (min, max) of same-kind bound values; None on mixed kinds. */
+  private def ordered(vs: Seq[Any]): Option[(Any, Any)] = vs match {
+    case _ if vs.forall(_.isInstanceOf[Long]) =>
+      val ls = vs.map(_.asInstanceOf[Long]); Some((ls.min, ls.max))
+    case _ if vs.forall(_.isInstanceOf[Double]) =>
+      val ds = vs.map(_.asInstanceOf[Double]); Some((ds.min, ds.max))
+    case _ if vs.forall(_.isInstanceOf[String]) =>
+      val ss = vs.map(_.asInstanceOf[String]); Some((ss.min, ss.max))
+    case _ => None
+  }
+}

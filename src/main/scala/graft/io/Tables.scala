@@ -105,7 +105,18 @@ object Tables {
   * needs this for its read-merge-write loops, e.g.
   * src/ETL/Bronze-Ingestion-Orders.py:49-58).
   */
-final class ParquetTable(val path: String, val partitionColumns: Seq[String] = Nil) {
+final class ParquetTable(val path: String,
+    val partitionColumns: Seq[String] = Nil,
+    /** Capture per-file min/max footer stats into the commit log (the
+      * data-skipping feed for [[readPruned]]). Derived/rebuildable
+      * tables that prune structurally — e.g. an IVF index partitioned
+      * by `cell` — should pass `false`: their reads never consult file
+      * stats, so the commit-time footer pass is pure overhead (the r13
+      * bench census flagged exactly the commit-bearing index queries).
+      * Stats absence only disables skipping, never correctness:
+      * [[readPruned]] keeps stat-less files as a superset read.
+      */
+    val captureStats: Boolean = true) {
   import java.nio.file.{FileSystemException, Files, Paths, StandardCopyOption}
 
   private def pointer = Paths.get(path, "_current")
@@ -172,7 +183,72 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
       case None => spark.read.parquet(dir)
     }
 
-  def read(spark: SparkSession): DataFrame = readDir(spark, currentPath)
+  /** S3: read the live version — with PLANNER-AUTOMATIC data skipping
+    * when the commit log can serve it (Delta's default-read design):
+    * the returned DataFrame's scan hands whatever filters Catalyst
+    * pushes down to the commit-metadata stats at PLANNING time
+    * ([[StatsPruning]] → [[ColumnBound.survives]]), so files provably
+    * disjoint from the predicate never become splits — zero footer
+    * opens, zero extra scan work, any `.filter` shape, no caller
+    * opt-in. Falls back to the plain directory read when the log cannot
+    * resolve the live file set, no file carries stats, or the table
+    * predates schema sidecars — skipping is an optimization, never a
+    * correctness dependency (`graft.read.skipping=off` forces the
+    * fallback; specs pin pruned ≡ plain).
+    */
+  def read(spark: SparkSession): DataFrame = {
+    // pin the pointer ONCE — version dir and log resolution must name
+    // the same commit even if a concurrent writer swaps mid-call
+    val verName = currentVersion.getOrElse(
+      throw new IllegalStateException(s"table at $path does not exist"))
+    val verDir = s"$path/$verName"
+    if (sys.props.get("graft.read.skipping").contains("off"))
+      return readDir(spark, verDir)
+    val vNum = verName.drop(2).toInt
+    (storedSchema(Paths.get(verDir)), resolveFilesCached(vNum)) match {
+      case (Some(st), Some(files)) if files.exists(_.stats.nonEmpty) =>
+        // keyed by file NAME: part names are UUID-unique within a
+        // version, and a collision-renamed version already resolved to
+        // None above
+        val statsByName = files.iterator
+          .map(f => fileName(f.rel) -> f.stats).toMap
+        val pruner: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+            (String => Boolean) = filters => {
+          val bounds = StatsPruning.bounds(filters)
+          if (bounds.isEmpty) _ => true
+          else p => statsByName.get(fileName(p))
+            .forall(s => ColumnBound.survives(s, bounds))
+        }
+        org.apache.spark.sql.GraftScanBridge
+          .statsPrunedParquet(spark, verDir, st, pruner)
+      case _ => readDir(spark, verDir)
+    }
+  }
+
+  private def fileName(p: String): String = {
+    val i = math.max(p.lastIndexOf('/'),
+      p.lastIndexOf(java.io.File.separatorChar))
+    if (i < 0) p else p.substring(i + 1)
+  }
+
+  /** [[VersionLog.resolveFiles]] per (table, version), cached: a version
+    * is immutable once committed, and the bench/serving pattern re-reads
+    * the same live version many times — without the cache every read
+    * pays the O(span/K) sidecar walk again.
+    */
+  private def resolveFilesCached(
+      v: Int): Option[Seq[VersionLog.FileEntry]] = {
+    val key = s"$path@$v"
+    val cached = ParquetTable.resolveCache.get(key)
+    if (cached != null) cached
+    else {
+      val r = VersionLog.resolveFiles(path, v)
+      if (ParquetTable.resolveCache.size > 512)
+        ParquetTable.resolveCache.clear()
+      ParquetTable.resolveCache.put(key, r)
+      r
+    }
+  }
 
   /** The live version's COMMITTED schema, if this table has sidecars —
     * what schema-aware consumers (catalog registration) should declare
@@ -347,8 +423,15 @@ final class ParquetTable(val path: String, val partitionColumns: Seq[String] = N
         else data += ((p, rel))
       }
     } finally walk.close()
-    (VersionLog.collectStats(data.result().sortBy(_._2)),
-      feed.result().sorted)
+    val sorted = data.result().sortBy(_._2)
+    // `graft.log.stats=off` is a measurement override (ProfileCensus)
+    // for timing the footer pass in isolation on the SAME binary
+    val statsOn = captureStats && !sys.props.get("graft.log.stats").contains("off")
+    val adds =
+      if (statsOn) VersionLog.collectStats(sorted)
+      else sorted.map { case (_, rel) =>
+        VersionLog.FileEntry(rel, Map.empty[String, VersionLog.ColStat]) }
+    (adds, feed.result().sorted)
   }
 
   /** Write the commit's [[VersionLog]] record (+ periodic checkpoint).
@@ -1422,6 +1505,13 @@ object ParquetTable {
 
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Committed-version file-set resolutions (immutable once written);
+    * bounded by clear-on-overflow — see
+    * [[ParquetTable.resolveFilesCached]].
+    */
+  private[io] val resolveCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Seq[VersionLog.FileEntry]]]()
 
   /** Commit-window mutual exclusion: a JVM-global monitor per table path
     * (two threads of one JVM serialize here — a second `FileChannel.lock`

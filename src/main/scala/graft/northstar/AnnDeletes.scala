@@ -72,7 +72,7 @@ private[graft] object AnnDeletes {
     read(spark, path).exists(_.count() >= compactThreshold(spark))
 
   def table(path: String): ParquetTable =
-    new ParquetTable(s"$path/$Dir")
+    new ParquetTable(s"$path/$Dir", captureStats = false)
 
   /** The tombstoned ids (column `neighbor_id`), if any were recorded. */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {

@@ -100,7 +100,7 @@ final class IvfIndex private (val nlist: Int,
     */
   def persist(spark: SparkSession, path: String,
       retainHistory: Boolean = false): IvfIndex = {
-    val table = new ParquetTable(path, partitionColumns = Seq("cell"))
+    val table = new ParquetTable(path, partitionColumns = Seq("cell"), captureStats = false)
     // cluster by cell before the partitioned write: without this every
     // upstream task fans out a file into every cell dir (tasks × nlist
     // small files); clustered, each inverted list is one contiguous file
@@ -163,7 +163,7 @@ final class IvfIndex private (val nlist: Int,
     val base = if (readded) compact(spark, path, retainHistory) else this
     val centers = base.centroids.sortBy(_._1).map(_._2.toArray)
     val assigned = IvfIndex.assignToCells(vecs, centers)
-    val table = new ParquetTable(path, partitionColumns = Seq("cell"))
+    val table = new ParquetTable(path, partitionColumns = Seq("cell"), captureStats = false)
     // cluster by cell for the same one-file-per-list layout as persist
     table.appendVersion(assigned.repartition(col("cell")))
     if (!retainHistory) table.vacuum()
@@ -210,7 +210,7 @@ final class IvfIndex private (val nlist: Int,
       retainHistory: Boolean = false): IvfIndex = {
     require(persisted,
       "compact rewrites a persisted index — call persist() first")
-    val table = new ParquetTable(path, partitionColumns = Seq("cell"))
+    val table = new ParquetTable(path, partitionColumns = Seq("cell"), captureStats = false)
     AnnDeletes.read(spark, path).filter(!_.isEmpty).foreach { tombRaw =>
       val tomb = broadcast(tombRaw.select(col("neighbor_id")))
       val live = table.read(spark)
@@ -278,7 +278,7 @@ object IvfIndex {
             }.toArray
             if (centroids.exists(_._2.length != dims)) None
             else {
-              val table = new ParquetTable(path, partitionColumns = Seq("cell"))
+              val table = new ParquetTable(path, partitionColumns = Seq("cell"), captureStats = false)
               // tombstoned deletes survive a cold reload — the mask is
               // part of the index state, not the session
               Some(new IvfIndex(centroids.length, centroids,

@@ -157,7 +157,7 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     */
   def persist(spark: SparkSession, path: String,
       retainHistory: Boolean = false): IvfPqIndex = {
-    val table = new graft.io.ParquetTable(path, partitionColumns = Seq("cell"))
+    val table = new graft.io.ParquetTable(path, partitionColumns = Seq("cell"), captureStats = false)
     table.overwrite(coded.repartition(col("cell")))
     if (!retainHistory) table.vacuum()
     val dims = pq.dims
@@ -216,7 +216,7 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
       })
       .withColumn("__codes", base.pq.encode(col("__res")))
       .select(col("cell"), col("neighbor_id"), col("__cv"), col("__codes"))
-    val table = new graft.io.ParquetTable(path, partitionColumns = Seq("cell"))
+    val table = new graft.io.ParquetTable(path, partitionColumns = Seq("cell"), captureStats = false)
     // cluster by cell for the same one-file-per-list layout as persist
     table.appendVersion(coded.repartition(col("cell")))
     if (!retainHistory) table.vacuum()
@@ -253,7 +253,7 @@ final class IvfPqIndex private (val centroids: Array[(Int, Seq[Double])],
     require(persisted,
       "compact rewrites a persisted index — call persist() first")
     val table = new graft.io.ParquetTable(path,
-      partitionColumns = Seq("cell"))
+      partitionColumns = Seq("cell"), captureStats = false)
     AnnDeletes.read(spark, path).filter(!_.isEmpty).foreach { tombRaw =>
       val tomb = broadcast(tombRaw.select(col("neighbor_id")))
       val live = table.read(spark)
@@ -321,7 +321,7 @@ object IvfPqIndex {
             val pq = ProductQuantizer.fromCodebooks(m, ksub, dims,
               Array.tabulate(m, ksub)((s, j) => cbs((s, j))))
             val table = new graft.io.ParquetTable(path,
-              partitionColumns = Seq("cell"))
+              partitionColumns = Seq("cell"), captureStats = false)
             // tombstoned deletes survive a cold reload
             Some(new IvfPqIndex(cents.toArray, pq, table.read(spark),
               persisted = true,

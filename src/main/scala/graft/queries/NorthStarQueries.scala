@@ -1027,7 +1027,12 @@ object NorthStarQueries {
         "silently degraded to the full file list"))
     require(kept < total,
       s"q118: range-clustered stats must prune (kept $kept of $total)")
-    tbl.readPruned(s, bounds)
+    // PLANNER-AUTOMATIC since round 14: the plain read's FileIndex hands
+    // the pushed-down between-filter to the commit-log stats at planning
+    // time (ParquetTable.read → StatsPruning) — no explicit bounds, no
+    // readPruned call; ScaleSpec proves the executed scan touches
+    // exactly the census's kept files
+    tbl.read(s)
       .filter(col("id").between(StatsPruneLo, StatsPruneHi))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))

@@ -622,4 +622,99 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial"),
       s"delta aggregate must plan a partial (map-side) phase:\n$plan")
   }
+
+  test("planner-automatic data skipping: an ordinary filtered read of a " +
+      "range-clustered table scans only the commit-census's surviving files") {
+    import graft.io.{ColumnBound, ParquetTable}
+    import org.apache.spark.sql.GraftScanBridge.scannedFileCount
+    val base = Tables.read(spark, dir, "orders").select(
+      col("o_orderkey").as("id"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val p = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val tbl = new ParquetTable(p + "/t")
+    tbl.overwrite(base)
+    tbl.compact(spark, targetPartitions = 16, sortCols = Seq("id"))
+
+    val lo = 100L; val hi = 300L
+    val (kept, total) = tbl.prunedFileCensus(
+      Seq(ColumnBound("id", Some(lo), Some(hi)))).get
+    assert(kept < total, s"range clustering must make stats selective " +
+      s"(kept $kept of $total)")
+
+    // the PLAIN read + an ordinary filter — no bounds, no readPruned
+    val pruned = tbl.read(spark).filter(col("id").between(lo, hi))
+    val prunedRows = pruned.collect().map(_.toSeq).toSet
+    assert(scannedFileCount(pruned) == kept,
+      s"planner-automatic skip must scan exactly the census's $kept " +
+        s"files, scanned ${scannedFileCount(pruned)} of $total")
+
+    // parity law: identical rows to the skipping-disabled baseline
+    sys.props("graft.read.skipping") = "off"
+    try {
+      val baseline = tbl.read(spark).filter(col("id").between(lo, hi))
+      assert(baseline.collect().map(_.toSeq).toSet == prunedRows,
+        "skipping must never change results")
+    } finally sys.props.remove("graft.read.skipping")
+
+    // other pushed shapes prune too: equality and IN-list
+    val eqDf = tbl.read(spark).filter(col("id") === 42L)
+    eqDf.collect()
+    assert(scannedFileCount(eqDf) <= 2,
+      s"point lookup must prune to ~1 file, scanned ${scannedFileCount(eqDf)}")
+    val inDf = tbl.read(spark).filter(col("id").isin(5L, 7L, 11L))
+    inDf.collect()
+    assert(scannedFileCount(inDf) <= 2,
+      s"IN-list must prune via its min..max envelope, " +
+        s"scanned ${scannedFileCount(inDf)}")
+
+    // an unfiltered read scans everything and matches the source exactly
+    val full = tbl.read(spark)
+    assert(full.count() == base.count())
+    assert(scannedFileCount(full) == total,
+      "no filter -> no pruning -> all files")
+  }
+
+  test("planner-automatic skipping survives partitioned layouts, " +
+      "appends, and stats-free columns") {
+    import graft.io.ParquetTable
+    import org.apache.spark.sql.GraftScanBridge.scannedFileCount
+    val o = Tables.read(spark, dir, "orders").select(
+      col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val p = java.nio.file.Files.createTempDirectory("graft_skip2").toString
+    val tbl = new ParquetTable(p + "/t", partitionColumns = Seq("status"))
+    tbl.overwrite(o.filter(col("id") <= 1000))
+    tbl.appendVersion(o.filter(col("id") > 1000))
+
+    // hive partition pruning (base class) composes with stats skipping:
+    // rows and schema equal the plain read under every filter shape
+    sys.props("graft.read.skipping") = "off"
+    val plainAll =
+      try tbl.read(spark).collect().map(_.toSeq).toSet
+      finally sys.props.remove("graft.read.skipping")
+    val autoDf = tbl.read(spark)
+    assert(autoDf.collect().map(_.toSeq).toSet == plainAll,
+      "partitioned append table: auto-skipping read must equal plain read")
+    // file sources emit partition columns last; the pruned relation must
+    // match the plain read's order exactly
+    assert(autoDf.columns.toSeq == Seq("id", "cents", "status"),
+      "pruned relation column order must match the plain read")
+
+    val f = tbl.read(spark)
+      .filter(col("status") === "F" && col("id") < 50)
+    val fRows = f.collect().map(_.toSeq).toSet
+    sys.props("graft.read.skipping") = "off"
+    val fPlain =
+      try tbl.read(spark).filter(col("status") === "F" && col("id") < 50)
+        .collect().map(_.toSeq).toSet
+      finally sys.props.remove("graft.read.skipping")
+    assert(fRows == fPlain)
+    // partition filter prunes dirs AND the id range prunes within them:
+    // strictly fewer files than the partition-only filter
+    val partOnly = tbl.read(spark).filter(col("status") === "F")
+    partOnly.collect()
+    assert(scannedFileCount(f) < scannedFileCount(partOnly),
+      s"stats must narrow within surviving partitions: " +
+        s"${scannedFileCount(f)} vs ${scannedFileCount(partOnly)}")
+  }
 }
