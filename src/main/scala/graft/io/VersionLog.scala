@@ -287,7 +287,10 @@ private[graft] object VersionLog {
   def append(path: String, rec: Record): Unit =
     try {
       atomicWrite(recordPath(path, rec.v), recordLines(rec))
-      if (rec.v % CheckpointEvery == 0) writeCheckpoint(path, rec.v)
+      if (rec.v % CheckpointEvery == 0) {
+        writeCheckpoint(path, rec.v)
+        compactRecords(path) // self-maintaining: see compactRecords
+      }
     } catch { case _: Exception => () }
 
   def readRecord(path: String, v: Int): Option[Record] =
@@ -314,11 +317,40 @@ private[graft] object VersionLog {
       walkDataFiles(Paths.get(path, f"v_$v%05d"))
     }
     val prev = latestCheckpointAt(path, v - 1).map(_.v).getOrElse(0)
-    val recs = ((prev + 1) to v).flatMap(i => readRecord(path, i))
+    val ckCache = scala.collection.mutable.Map[Int, Option[Checkpoint]]()
+    val recs = ((prev + 1) to v).flatMap(i => recordAt(path, i, ckCache))
     val lines = Seq(s"ckpt=$v", s"prev=$prev") ++
       live.map(f => s"live=${fileLine(f)}") ++
       recs.flatMap(r => recordLines(r).map(l => s"R${r.v}:$l"))
     atomicWrite(ckptPath(path, v), lines)
+  }
+
+  /** RECLAIM loose record files made redundant by checkpoints — the
+    * metadata-scale cost the log otherwise accretes forever (one
+    * `r_NNNNN.txt` per commit; at serving cadence that is unbounded
+    * tiny-file listing). A record is reclaimable once it is ≤ the
+    * SECOND-newest checkpoint: every such step is embedded in a
+    * retained checkpoint ([[recordAt]] serves it from there), and the
+    * one-checkpoint margin means even a torn/corrupt NEWEST checkpoint
+    * file degrades resolution only to the loose records that still
+    * cover its interval — the walk fallback stays the correctness
+    * baseline below that. Best-effort like all log IO; runs
+    * automatically after each checkpoint ([[append]]), so the steady
+    * state is ≤ ~2K loose records + O(commits/K) checkpoints.
+    */
+  def compactRecords(path: String): Int = {
+    val cks = checkpointVersions(path)
+    if (cks.size < 2) return 0
+    val horizon = cks(cks.size - 2)
+    var n = 0
+    try FsUtil.listDir(logDir(path)).foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("r_") && name.endsWith(".txt"))
+        name.stripPrefix("r_").stripSuffix(".txt").toIntOption.foreach { v =>
+          if (v <= horizon && Files.deleteIfExists(p)) n += 1
+        }
+    } catch { case _: Exception => () }
+    n
   }
 
   /** Data files (rel path + stats if the log knows them) of a version
@@ -345,20 +377,40 @@ private[graft] object VersionLog {
   private final case class Checkpoint(v: Int, prev: Int,
       live: Seq[FileEntry], recs: Map[Int, Record])
 
-  /** Latest checkpoint at or below `v`, parsed. */
-  private def latestCheckpointAt(path: String, v: Int): Option[Checkpoint] =
+  private def checkpointVersions(path: String): Seq[Int] =
     try {
       val ld = logDir(path)
-      if (!Files.isDirectory(ld)) return None
-      val cand = FsUtil.listDir(ld).flatMap { p =>
+      if (!Files.isDirectory(ld)) return Nil
+      FsUtil.listDir(ld).flatMap { p =>
         val n = p.getFileName.toString
         if (n.startsWith("ckpt_") && n.endsWith(".txt"))
           n.stripPrefix("ckpt_").stripSuffix(".txt").toIntOption
-            .filter(_ <= v)
         else None
+      }.sorted
+    } catch { case _: Exception => Nil }
+
+  /** Latest checkpoint at or below `v`, parsed. */
+  private def latestCheckpointAt(path: String, v: Int): Option[Checkpoint] =
+    checkpointVersions(path).filter(_ <= v).maxOption
+      .flatMap(cv => readCheckpoint(path, cv))
+
+  /** Record for step `v`, from its loose file OR from the checkpoint
+    * whose embedded interval (prev, ckpt] covers `v` — the seam that
+    * makes RECORD COMPACTION safe: once a checkpoint embeds an
+    * interval, its loose records are redundant and reclaimable
+    * ([[compactRecords]]), and every resolution path below sources
+    * them from here. `cache` memoizes checkpoint parses within one
+    * resolution (a span can hit the same checkpoint K times).
+    */
+  private def recordAt(path: String, v: Int,
+      cache: scala.collection.mutable.Map[Int, Option[Checkpoint]])
+      : Option[Record] =
+    readRecord(path, v).orElse {
+      checkpointVersions(path).find(_ >= v).flatMap { cv =>
+        cache.getOrElseUpdate(cv, readCheckpoint(path, cv))
+          .filter(_.prev < v).flatMap(_.recs.get(v))
       }
-      cand.maxOption.flatMap(cv => readCheckpoint(path, cv))
-    } catch { case _: Exception => None }
+    }
 
   private def readCheckpoint(path: String, v: Int): Option[Checkpoint] =
     try {
@@ -394,8 +446,9 @@ private[graft] object VersionLog {
   def resolveSteps(path: String, fromV: Int, toV: Int): Option[Seq[Record]] =
     try {
       val out = scala.collection.mutable.Map[Int, Record]()
+      val ckCache = scala.collection.mutable.Map[Int, Option[Checkpoint]]()
       def loose(lo: Int, hi: Int): Boolean = // true = fully resolved
-        (lo to hi).forall(v => readRecord(path, v) match {
+        (lo to hi).forall(v => recordAt(path, v, ckCache) match {
           case Some(r) => out(v) = r; true
           case None => false
         })
@@ -433,8 +486,11 @@ private[graft] object VersionLog {
         case None => (0, None)
       }
       // find the most recent full-set anchor in (baseV, v]: an overwrite
-      // record IS a full set; otherwise start from the checkpoint
-      val recs = ((baseV + 1) to v).map(i => readRecord(path, i) match {
+      // record IS a full set; otherwise start from the checkpoint.
+      // recordAt sources compacted steps from their covering checkpoint
+      // (time travel INTO an old checkpoint interval stays resolvable)
+      val ckCache = scala.collection.mutable.Map[Int, Option[Checkpoint]]()
+      val recs = ((baseV + 1) to v).map(i => recordAt(path, i, ckCache) match {
         case Some(r) => r
         case None => return None
       })

@@ -71,6 +71,17 @@ final class IvfIndex private (val nlist: Int,
     val (corpus, probed) =
       if (persisted) {
         val rows = probedPlan.collect()
+        // the bounded-driver contract, ENFORCED rather than assumed: the
+        // collected probe rows carry the dims-double __qv per row, so
+        // driver memory is queries × nprobe × dims — a caller probing
+        // with a corpus-sized "query set" would OOM the driver silently.
+        // 1M rows ≈ 64 MB of vector payload at dims=64: far above any
+        // serving batch, far below driver heap. Fail loudly past it.
+        require(rows.length <= 1000000,
+          s"IvfIndex.search collected ${rows.length} probe rows " +
+            "(queries × nprobe) — the persisted-probe path is for " +
+            "bounded serving batches; split the query set or search " +
+            "the in-memory index")
         val cellIdx = probedPlan.schema.fieldIndex("cell")
         val cells = rows.map(_.getInt(cellIdx)).distinct.toIndexedSeq
         val local = queries.sparkSession.createDataFrame(

@@ -2246,8 +2246,13 @@ object NorthStarQueries {
     * [[graft.northstar.IvfPqIndex]] — IVFADC, the billion-scale
     * deployment geometry (round-13: the served index moved from
     * uncompressed IVF to the residual-coded arm). Load-or-build of the
-    * fingerprinted serving index (built at most once per corpus version
-    * AND geometry, the q50 serving contract) + partition-pruned probe:
+    * fingerprinted serving index: the q50 DISCIPLINE (built at most
+    * once per corpus version AND geometry, probed by every later job)
+    * applied to a SEPARATE per-geometry build — q50's uncompressed IVF
+    * at [[servingIvfPath]] and this coded index at [[servingIvfPqPath]]
+    * are two distinct serving artifacts of the same corpus, exactly as
+    * a deployment runs a recall-tier and a memory-tier index side by
+    * side. Partition-pruned probe:
     * nprobe = 12 of nlist = 32 (the sweep's recall knee — 37.5 % of the
     * corpus scanned) read as m=16 4-bit residual codes (16 bytes/row vs
     * 256-byte float vectors) through the fused ADC kernel, with an

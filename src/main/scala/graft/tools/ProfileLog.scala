@@ -68,10 +68,13 @@ object ProfileLog {
         }
       }
     }
-    val ckpts = graft.io.FsUtil.listDir(
+    val logNames = graft.io.FsUtil.listDir(
         java.nio.file.Paths.get(s"$root/t/_log"))
-      .count(_.getFileName.toString.startsWith("ckpt_"))
-    println(s"[prof] checkpoints: $ckpts")
+      .map(_.getFileName.toString)
+    println(s"[prof] _log files after $n commits: total ${logNames.size} " +
+      s"(records ${logNames.count(_.startsWith("r_"))}, " +
+      s"checkpoints ${logNames.count(_.startsWith("ckpt_"))}) — " +
+      s"record compaction keeps loose records O(K), not O(commits)")
 
     // ---- CDF spans: log vs walk ----------------------------------------
     def cdf(label: String, from: Int): Long =
@@ -96,12 +99,18 @@ object ProfileLog {
     val bounds = Seq(ColumnBound("id", Some(lo), Some(hi)))
     val census = t.prunedFileCensus(bounds)
     println(s"[prof] pruned file census: $census")
-    val full = time("selective filter, full scan")(
+    sys.props("graft.read.skipping") = "off"
+    val full =
+      try time("selective filter, full scan")(
+        t.read(spark).filter(col("id").between(lo, hi)).count())
+      finally sys.props.remove("graft.read.skipping")
+    val auto = time("selective filter, AUTO-skipping read")(
       t.read(spark).filter(col("id").between(lo, hi)).count())
-    val pruned = time("selective filter, stats-pruned")(
+    val pruned = time("selective filter, explicit readPruned")(
       t.readPruned(spark, bounds)
         .filter(col("id").between(lo, hi)).count())
-    require(full == pruned, s"pruned read must match ($full vs $pruned)")
+    require(full == pruned && full == auto,
+      s"pruned reads must match ($full/$auto/$pruned)")
     println(s"[prof] rows matched: $full")
     graft.io.FsUtil.deleteRecursively(root)
     spark.stop()

@@ -40,10 +40,17 @@ object ProfileQ112 {
           "doc_id", "text", Bm25Queries, Bm25TopK)
         b.count(); b
       }
+      // q112's real vec_id → query_id remap: without it every dense
+      // query would collapse into one RRF partition and the profiled
+      // fuse phase would not reflect q112's fusion workload
+      val qidFor = DenseProbes.foldLeft(lit(null).cast("int")) {
+        case (acc, (qid, vid)) =>
+          when(col("query_id") === vid, lit(qid)).otherwise(acc)
+      }
       time("fuse")(graft.northstar.HybridRetrieval.fuse(
         bm25.select(col("query_id"), col("doc_id"),
           col("rank").as("sparse_rank")),
-        dense.select(lit(1).as("query_id"),
+        dense.select(qidFor.as("query_id"),
           col("neighbor_id").as("doc_id"), col("rank").as("dense_rank")),
         Bm25TopK).count())
       bm25.unpersist(blocking = false)

@@ -224,8 +224,10 @@ class GoldIncrementalSpec extends AnyFunSuite {
           s"dashboard $name: over-maintained != over-rebuilt")
     }
     // the parameterized queries must actually see rows (a wrong week
-    // constant would green-wash D4/D5 on two empty frames)
+    // constant would green-wash D4/D5 on two empty frames) — BOTH of
+    // them: D5 can go empty independently of D4's week filter
     assert(dInc.ordersInWeek(2024, 6).count() > 0)
+    assert(dInc.lowVolumeAffiliates(2024, 6).count() > 0)
   }
 
   test("advanceMinMax: insert-only commits fold extrema with ZERO " +
@@ -476,6 +478,35 @@ class GoldIncrementalSpec extends AnyFunSuite {
           b3: _*), addr)
       new GoldBuilds(spark, whB).buildAll()
       assertMatchesBatch(wh, whB)
+
+      // DASHBOARD parity over the STREAM-maintained gold (the
+      // VERIFY_DASH protocol, streaming edition): after the replayed +
+      // out-of-order intake above (batch 1 mixes Feb-before-Jan rows, a
+      // replay of the seeded order and an in-batch dup; batch 3 lands
+      // after a zero-churn pure-replay trigger), all 8 reference
+      // dashboard queries over the stream-maintained tables equal the
+      // same queries over the batch rebuild — the end-to-end reader
+      // seam table-level parity alone cannot pin
+      val dInc = new graft.gold.Dashboard(spark, wh)
+      val dBat = new graft.gold.Dashboard(spark, whB)
+      def dashboards(d: graft.gold.Dashboard) = Seq(
+        "topVipCities" -> d.topVipCities,
+        "totalCustomers" -> d.totalCustomers,
+        "customerBreakdownShare" -> d.customerBreakdownShare,
+        "ordersInWeek" -> d.ordersInWeek(2024, 6),
+        "lowVolumeAffiliates" -> d.lowVolumeAffiliates(2024, 6),
+        "cityDeliveryProfile" -> d.cityDeliveryProfile("berlin"),
+        "cityAverages" -> d.cityAverages(byYear = true),
+        "lateOrderShare" -> d.lateOrderShare())
+      dashboards(dInc).zip(dashboards(dBat)).foreach {
+        case ((name, qi), (_, qb)) =>
+          assert(TestSpark.rows(qi) == TestSpark.rows(qb),
+            s"dashboard $name: over-streamed-gold != over-rebuilt")
+      }
+      // the parameterized queries must see rows — vacuous-empty frames
+      // would green-wash the week-keyed pair
+      assert(dInc.ordersInWeek(2024, 6).count() > 0)
+      assert(dInc.lowVolumeAffiliates(2024, 6).count() > 0)
     } finally q.stop()
   }
 

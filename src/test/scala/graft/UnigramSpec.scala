@@ -204,4 +204,73 @@ class UnigramSpec extends AnyFunSuite {
     assert(model.logp.size === target,
       s"got ${model.logp.size} pieces: ${model.logp.keySet}")
   }
+
+  test("train on an EMPTY word table yields the empty model, round-trips " +
+      "through every model surface, and EM on an UNCHANGED table is " +
+      "bit-identical (the marker-only stream-batch edges)") {
+    // the edge unigramStatsStream can reach: a first batch whose fresh
+    // docs tokenize to ZERO pieces advances the log with doc markers
+    // only, and the retrain branch then trains on an empty piece rollup
+    val empty = Seq.empty[(String, Long)].toDF("piece", "weight")
+    val model = UnigramLm.train(empty, targetVocab = 12, maxLen = 4,
+      seedSize = 40)
+    assert(model.logp.isEmpty, "no words -> no pieces, not a crash")
+    // every serving surface tolerates the empty model
+    assert(UnigramLm.modelToDF(spark, model).collect().isEmpty)
+    val back = UnigramLm.modelFromDF(UnigramLm.modelToDF(spark, model))
+    assert(back.logp.isEmpty && back.maxLen >= 1)
+    // determinism on an UNCHANGED table — the property the stream's
+    // replay-skip guard banks on when it re-pins instead of retraining:
+    // rerunning the full schedule on the same rollup is bit-identical
+    val words = Seq(("abcabc", 50L), ("bca", 20L), ("cab", 10L))
+      .toDF("piece", "weight")
+    val m1 = UnigramLm.train(words, targetVocab = 6, maxLen = 3,
+      seedSize = 40)
+    val m2 = UnigramLm.train(words, targetVocab = 6, maxLen = 3,
+      seedSize = 40)
+    assert(m1.logp === m2.logp)
+  }
+
+  test("stream edge: a marker-only FIRST batch trains the empty model " +
+      "without churn side effects, and a later real batch recovers the " +
+      "exact batch-trained model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uni_e").toString
+    val log = new graft.io.ParquetTable(s"$tmp/log")
+    val result = new graft.io.ParquetTable(s"$tmp/result")
+    val pat = graft.queries.NorthStarQueries.BpePiecePattern
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventAnalyticsStream.unigramStatsStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", pat,
+      wordCap = 100, targetVocab = 12, maxLen = 4, seedSize = 40,
+      emIters = 2, log, result)
+    val real = Seq((2L, "low low low lower"), (3L, "newest newest widest"))
+    try {
+      // doc 1's text is EMPTY: the piece pattern matches nothing, so the
+      // log advances with a doc marker only and training sees an empty
+      // word table — must commit an (empty) model, not crash
+      in.addData((1L, "")); q.processAllAvailable()
+      assert(log.exists, "marker-only batch must still create the log")
+      assert(result.exists && result.read(spark).isEmpty,
+        "empty corpus -> empty model, committed")
+      val rv = result.version
+      // replaying the marker-only doc is absorbed with zero churn
+      in.addData((1L, "")); q.processAllAvailable()
+      assert(result.version === rv, "replay of a marker-only doc must " +
+        "not rewrite the model")
+      in.addData(real: _*); q.processAllAvailable()
+    } finally q.stop()
+    val words = graft.northstar.BpeLearn.topVocabPlan(
+      graft.northstar.BpeLearn.pieceCounts(
+        real.toDF("doc_id", "text"), "text", pat), 100)
+    val mBatch = UnigramLm.train(words, targetVocab = 12, maxLen = 4,
+      seedSize = 40)
+    val got = result.read(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === mBatch.logp,
+      "the empty-model vintage must not poison later real training")
+  }
 }

@@ -105,4 +105,57 @@ class VersionLogSpec extends AnyFunSuite {
       Paths.get(s"$dir/ck", f"v_${t2.version}%05d")).map(_.rel).toSet
     assert(live.map(_.map(_.rel).toSet).contains(walked))
   }
+
+  test("record compaction: loose records below the second-newest " +
+      "checkpoint are reclaimed and resolution stays ≡ walk across " +
+      "the compaction horizon, including time travel into it") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("graft_vlog").toString
+    val p = s"$dir/cmp"
+    val t = new ParquetTable(p)
+    val v1 = Seq((1L, "a")).toDF("id", "v")
+    t.overwriteWithChanges(v1, v1.withColumn("_change_type", lit("insert")))
+    // drive past TWO checkpoint cadences so compaction fires
+    val target = 2 * VersionLog.CheckpointEvery + 3
+    (2 to target).foreach { i =>
+      t.appendVersion(Seq((i.toLong, s"x$i")).toDF("id", "v"))
+    }
+    val names = FsUtil.listDir(Paths.get(s"$p/_log"))
+      .map(_.getFileName.toString)
+    val ckVs = names.filter(_.startsWith("ckpt_"))
+      .map(_.stripPrefix("ckpt_").stripSuffix(".txt").toInt).sorted
+    assert(ckVs.size >= 2, s"need two checkpoints, got $ckVs")
+    val horizon = ckVs(ckVs.size - 2)
+    val looseVs = names.filter(_.startsWith("r_"))
+      .map(_.stripPrefix("r_").stripSuffix(".txt").toInt)
+    assert(looseVs.forall(_ > horizon),
+      s"records ≤ ckpt $horizon must be reclaimed, found " +
+        s"${looseVs.filter(_ <= horizon).sorted}")
+    assert(looseVs.nonEmpty, "post-horizon records are NOT reclaimed")
+
+    // live resolution ≡ walk
+    def filesEqWalk(v: Int): Unit = {
+      val resolved = VersionLog.resolveFiles(p, v).map(_.map(_.rel).toSet)
+      val walked = VersionLog.walkDataFiles(
+        Paths.get(p, f"v_$v%05d")).map(_.rel).toSet
+      assert(resolved.contains(walked),
+        s"v$v: log $resolved must equal walk $walked")
+    }
+    filesEqWalk(t.version)
+    // time travel INTO the compacted interval (no loose record exists
+    // there any more — recordAt must serve it from the covering
+    // checkpoint) and ONTO a checkpoint version itself
+    filesEqWalk(horizon - 3)
+    filesEqWalk(horizon)
+    // a step span CROSSING the horizon fully classifies, and the CDF
+    // built on it stays exact: inserts of every appended id
+    val steps = VersionLog.resolveSteps(p, 1, target)
+    assert(steps.isDefined && steps.get.size == target - 1,
+      "span across the compaction horizon must classify every step")
+    assert(steps.get.forall(_.kind == "append"))
+    val cdf = t.changesBetween(spark, 1, target)
+    assert(cdf.count() == (target - 1).toLong)
+    assert(cdf.filter(org.apache.spark.sql.functions
+      .col("_change_type") =!= "insert").count() == 0L)
+  }
 }
