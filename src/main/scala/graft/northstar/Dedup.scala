@@ -305,11 +305,28 @@ object Dedup {
     * (symmetric) or containment in either direction without re-joining.
     */
   def sharedShinglePairs(sets: DataFrame,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = None,
+      maxDfFraction: Option[Double] = None): DataFrame = {
+    require(maxDf.isEmpty || maxDfFraction.isEmpty,
+      "pass an ABSOLUTE df cap or a df FRACTION, not both")
+    // the FRACTION mode is the corpus-decade form of the stop-shingle
+    // cap: an absolute cap pinned at one tier SATURATES as the corpus
+    // grows (content that repeats through a decade pushes every
+    // planted shingle's df past it and the operator silently returns
+    // empty — BASELINE.md's recorded q25/q48 finding at sf1), while
+    // cap = max(2, ceil(f · |corpus|)) keeps the same stop-shingle
+    // SELECTIVITY at every scale. Costs one O(1)-result count job;
+    // per-shingle pair fan-out stays bounded at cap² by construction.
+    val cap: Option[Int] =
+      maxDfFraction.fold(maxDf) { f =>
+        require(f > 0 && f <= 1, s"df fraction must be in (0, 1], got $f")
+        Some(math.max(2L, math.ceil(f * sets.count()).toLong)
+          .min(Int.MaxValue).toInt)
+      }
     val postings = sets
       .select(explode(col("sh")).as("g"), struct(col("id"), col("n")).as("e"))
       .groupBy(col("g")).agg(collect_list(col("e")).as("lst"))
-    val bounded = maxDf.fold(postings)(d => postings.filter(size(col("lst")) <= d))
+    val bounded = cap.fold(postings)(d => postings.filter(size(col("lst")) <= d))
     // group on the PAIR alone — the set sizes are functionally dependent
     // on their ids, so they ride as min() aggregates instead of widening
     // the exchange's sort/compare key
@@ -329,13 +346,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
-      maxDocFrequency: Option[Int] = None): DataFrame = {
+      maxDocFrequency: Option[Int] = None,
+      maxDocFrequencyFraction: Option[Double] = None): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize)).as("sh"))
       .withColumn("n", size(col("sh")))
     // |∪| still uses the full per-doc set sizes, so Jaccard is only
     // *under*-estimated for pairs whose overlap was mostly stop-shingles.
-    sharedShinglePairs(sets, maxDocFrequency)
+    sharedShinglePairs(sets, maxDocFrequency, maxDocFrequencyFraction)
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -1174,6 +1174,77 @@ object Accuracy {
       q116Gates(spark, dir)
   }
 
+  /** SF1-ONLY gates (the synthetic ×10 tier `data/sf1` — ScaleUp's 10
+    * key-shifted copies of sf0.1): scale behaviors that have no meaning
+    * at the oracle tiers. Dispatched by tier name in [[main]]; run with
+    * `SPARK_GRAFT_ACC_DIRS=data/sf1`.
+    *
+    * The df-cap saturation gate closes BASELINE.md's recorded q25/q48
+    * finding: the ABSOLUTE `maxDocFrequency = 64` stop-shingle cap (an
+    * oracle-determinism constant pinned at the 5,000-doc bench tier)
+    * saturates at the 50,000-doc decade — repeated content pushes every
+    * planted shingle's df past 64 and the operator silently returns
+    * EMPTY. The df-FRACTION mode (same selectivity re-expressed as
+    * 64/5,000 of the corpus) must re-find the PLANTED near-dups: ScaleUp
+    * builds sf1 so each base doc has 9 key-shifted copies differing only
+    * by a per-copy suffix token — genuine near-duplicates whose
+    * reference Jaccard an independent in-driver trigram computation
+    * pins, the Accuracy discipline.
+    */
+  def sf1Gates(spark: SparkSession, dir: String): Seq[Gate] = {
+    import graft.northstar.Dedup
+    val docs = Tables.read(spark, dir, "documents")
+    val DfFraction = 64.0 / 5000.0
+    val absPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.3, maxDocFrequency = Some(64)).count()
+    val fracPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.3,
+      maxDocFrequencyFraction = Some(DfFraction)).persist()
+    try {
+      val stride = ScaleUp.Stride
+      // deterministic sample of base docs + ALL their copies
+      val sample = docs
+        .filter(col("doc_id") < stride &&
+          pmod(col("doc_id"), lit(97)) === 3)
+        .select(col("doc_id")).orderBy(col("doc_id")).limit(40)
+        .collect().map(_.getLong(0)).toSeq
+      val famDf = docs
+        .filter(pmod(col("doc_id"), lit(stride)).isin(sample: _*))
+        .select(col("doc_id"), col("text"))
+      val fam = famDf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // independent reference: exact word-trigram Jaccard in the driver
+      def shingles(t: String): Set[String] = {
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < 3) Set.empty
+        else toks.sliding(3).map(_.mkString("")).toSet
+      }
+      val expected = (for {
+        b <- sample; i <- 1 to 9
+        a = b + i * stride
+        sa <- fam.get(b).map(shingles)
+        sb <- fam.get(a).map(shingles)
+        union = (sa | sb).size if union > 0
+        if (sa & sb).size.toDouble / union >= 0.3
+      } yield (b, a)).toSet
+      val famIds = fam.keySet.toSeq
+      val got = fracPairs
+        .filter(col("id_a").isin(famIds: _*) && col("id_b").isin(famIds: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall =
+        if (expected.isEmpty) 0.0
+        else (expected & got).size.toDouble / expected.size
+      Seq(
+        Gate("q25_df_fraction", "absolute_cap64_pairs_at_sf1",
+          absPairs.toDouble, "<=", 0.0),
+        Gate("q25_df_fraction", "planted_pairs_expected",
+          expected.size.toDouble, ">=", 100.0),
+        Gate("q25_df_fraction", "planted_recall_fraction_mode",
+          recall, ">=", 0.99),
+        Gate("q25_df_fraction", "fraction_mode_pairs",
+          fracPairs.count().toDouble, ">=", 1.0))
+    } finally { fracPairs.unpersist(); () }
+  }
+
   /** Per-tier overrides for the measurement-TUNED bounds (keyed
     * "query/metric"). The gate builders code the sf0.01 audit-tier
     * values; recall/error bounds are the scale-SENSITIVE kind (more
@@ -1264,7 +1335,9 @@ object Accuracy {
       .config("spark.log.level", "ERROR")
       .getOrCreate()
     val byTier = dirs.map { dir =>
-      val gates = retier(allGates(spark, dir), tierName(dir))
+      val gates =
+        if (tierName(dir) == "sf1") sf1Gates(spark, dir)
+        else retier(allGates(spark, dir), tierName(dir))
       spark.catalog.clearCache()
       (dir, gates)
     }

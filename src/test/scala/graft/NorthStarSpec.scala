@@ -111,6 +111,42 @@ class NorthStarSpec extends AnyFunSuite {
     assert(TestSpark.rows(capped) == TestSpark.rows(uncapped))
   }
 
+  test("df-FRACTION cap scales with the corpus where the absolute cap " +
+      "saturates: a grown corpus re-finds the planted near-dup pair") {
+    import spark.implicits._
+    // 30 docs share the core trigram run ("alpha beta gamma delta") —
+    // df 30 on the shared shingles — and overlap on NOTHING else, so
+    // every true pair's overlap consists entirely of high-df shingles
+    // (the corpus-decade repeated-content shape)
+    val grown = ((1 to 30).map { i =>
+      (i.toLong, s"alpha beta gamma delta x$i")
+    }).toDF("doc_id", "text")
+    // an absolute cap pinned for a small corpus (df ≤ 8) suppresses
+    // EVERY shared shingle once the corpus outgrows it — zero pairs
+    val saturated = Dedup.ngramJaccardPairs(grown, "doc_id", "text", 3,
+      0.3, maxDocFrequency = Some(8))
+    assert(saturated.count() === 0L, "absolute cap must saturate")
+    // the SAME selectivity expressed as a fraction keeps pruning power
+    // proportional: cap = ceil(1.0 × 30) = 30 here admits the shared
+    // run and the planted pair resurfaces with its exact jaccard
+    val fraction = Dedup.ngramJaccardPairs(grown, "doc_id", "text", 3,
+      0.3, maxDocFrequencyFraction = Some(1.0))
+    val pairs = fraction.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"fraction mode must re-find the planted pair, got ${pairs.keySet}")
+    // both modes at once is a caller error, not a silent precedence
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(grown, "doc_id", "text", 3, 0.3,
+        maxDocFrequency = Some(8), maxDocFrequencyFraction = Some(0.5))
+    }
+    // degenerate fractions refuse loudly
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(grown, "doc_id", "text", 3, 0.3,
+        maxDocFrequencyFraction = Some(0.0)).count()
+    }
+  }
+
   test("duplicate-span removal keeps first occurrence, rebuilds docs in order") {
     // spans of 2 tokens: doc 1 = [ab, cd], doc 2 = [ab, ef] (ab repeats),
     // doc 3 = [ab, cd] (everything repeats), doc 4 is span-less
