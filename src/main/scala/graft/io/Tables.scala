@@ -207,28 +207,32 @@ final class ParquetTable(val path: String,
     val vNum = verName.drop(2).toInt
     (storedSchema(Paths.get(verDir)), resolveFilesCached(vNum)) match {
       case (Some(st), Some(files)) if files.exists(_.stats.nonEmpty) =>
-        // keyed by file NAME: part names are UUID-unique within a
-        // version, and a collision-renamed version already resolved to
-        // None above
-        val statsByName = files.iterator
-          .map(f => fileName(f.rel) -> f.stats).toMap
+        // keyed by the FULL rel path, never the file name alone: ONE
+        // partitioned write job reuses the same part-NNNNN-<uuid> name
+        // across every partition dir it writes, so a name-keyed map
+        // would collide and attribute one partition's stats to
+        // another's file — and a mis-attributed range PRUNES rows that
+        // exist (the replay-gate probe bug this comment memorializes)
+        val statsByRel = files.iterator.map(f => f.rel -> f.stats).toMap
+        val verDirPath = Paths.get(verDir).toAbsolutePath.normalize()
+        def relOf(listed: String): Option[String] =
+          try {
+            val p = if (listed.contains(":/"))
+              Paths.get(new java.net.URI(listed))
+            else Paths.get(listed)
+            Some(verDirPath.relativize(p.toAbsolutePath.normalize()).toString)
+          } catch { case _: Exception => None }
         val pruner: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
             (String => Boolean) = filters => {
           val bounds = StatsPruning.bounds(filters)
           if (bounds.isEmpty) _ => true
-          else p => statsByName.get(fileName(p))
+          else p => relOf(p).flatMap(statsByRel.get)
             .forall(s => ColumnBound.survives(s, bounds))
         }
         org.apache.spark.sql.GraftScanBridge
           .statsPrunedParquet(spark, verDir, st, pruner)
       case _ => readDir(spark, verDir)
     }
-  }
-
-  private def fileName(p: String): String = {
-    val i = math.max(p.lastIndexOf('/'),
-      p.lastIndexOf(java.io.File.separatorChar))
-    if (i < 0) p else p.substring(i + 1)
   }
 
   /** [[VersionLog.resolveFiles]] per (table, version), cached: a version

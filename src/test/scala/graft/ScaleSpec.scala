@@ -717,4 +717,34 @@ class ScaleSpec extends AnyFunSuite {
       s"stats must narrow within surviving partitions: " +
         s"${scannedFileCount(f)} vs ${scannedFileCount(partOnly)}")
   }
+
+  test("stats skipping never mis-attributes same-named files across " +
+      "partition dirs: exhaustive point queries over disjoint " +
+      "per-partition ranges") {
+    // ONE partitioned write job reuses the same part-NNNNN-<uuid> file
+    // name in EVERY partition dir it writes; with per-partition id
+    // ranges DISJOINT (the bucket layout), any stats keyed by file name
+    // instead of rel path mis-prunes — exactly the replay-gate probe
+    // regression this spec pins (an id present in the log read as
+    // absent, so a replayed doc committed again)
+    import graft.io.ParquetTable
+    val df = spark.range(64).select(col("id"),
+      (col("id") / 16).cast("long").as("bucket"),
+      (col("id") * 3).as("v"))
+    val p = java.nio.file.Files.createTempDirectory("graft_skip3").toString
+    val tbl = new ParquetTable(p + "/t", partitionColumns = Seq("bucket"))
+    tbl.overwrite(df)
+    (0L until 64L).foreach { i =>
+      val got = tbl.read(spark).filter(col("id") === i).collect()
+      assert(got.length == 1 && got.head.getLong(0) == i,
+        s"point query id=$i must survive stats pruning, got " +
+          s"${got.length} rows")
+    }
+    // and the replay-gate probe shape itself: range+membership filter
+    // over the full domain returns every seen id
+    val probed = tbl.read(spark)
+      .filter(col("id").between(0L, 63L)).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(probed == (0L until 64L).toSet)
+  }
 }
