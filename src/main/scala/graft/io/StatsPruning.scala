@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+  GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.types.{
   ByteType, DateType, DoubleType, FloatType, IntegerType, LongType,
   ShortType, StringType, TimestampNTZType, TimestampType}
@@ -47,12 +47,23 @@ private[graft] object StatsPruning {
     case LessThanOrEqual(l: Literal, a: Attribute) => lower(a, l)
     case In(a: Attribute, list) if list.nonEmpty &&
         list.forall(_.isInstanceOf[Literal]) =>
-      val vs = list.map(l => value(l.asInstanceOf[Literal]))
-      if (vs.exists(_.isEmpty)) None
-      else ordered(vs.flatten).map { case (mn, mx) =>
-        ColumnBound(a.name, lower = Some(mn), upper = Some(mx)) }
+      anyOfBound(a, list.map(l => value(l.asInstanceOf[Literal])))
+    case InSet(a: Attribute, hset) if hset.nonEmpty =>
+      // the optimizer's large-IN form: raw internal values, typed by
+      // the child attribute
+      anyOfBound(a, hset.toSeq.map(internal(_, a.dataType)))
     case _ => None
   }
+
+  /** The DISCRETE bound for an IN-list: the file survives iff ANY value
+    * lands inside its [min, max] — sharper than a min..max envelope for
+    * sparse lists. A NULL/untranslatable member degrades to nothing
+    * (never a bound that could over-prune).
+    */
+  private def anyOfBound(a: Attribute,
+      vs: Seq[Option[Any]]): Option[ColumnBound] =
+    if (vs.isEmpty || vs.exists(_.isEmpty)) None
+    else Some(ColumnBound(a.name, anyOf = Some(vs.flatten)))
 
   private def eq(a: Attribute, l: Literal): Option[ColumnBound] =
     value(l).map(v => ColumnBound(a.name, Some(v), Some(v)))
@@ -82,14 +93,20 @@ private[graft] object StatsPruning {
       case _ => None
     }
 
-  /** (min, max) of same-kind bound values; None on mixed kinds. */
-  private def ordered(vs: Seq[Any]): Option[(Any, Any)] = vs match {
-    case _ if vs.forall(_.isInstanceOf[Long]) =>
-      val ls = vs.map(_.asInstanceOf[Long]); Some((ls.min, ls.max))
-    case _ if vs.forall(_.isInstanceOf[Double]) =>
-      val ds = vs.map(_.asInstanceOf[Double]); Some((ds.min, ds.max))
-    case _ if vs.forall(_.isInstanceOf[String]) =>
-      val ss = vs.map(_.asInstanceOf[String]); Some((ss.min, ss.max))
-    case _ => None
-  }
+  /** RAW internal value (InSet members carry no Literal wrapper) → the
+    * bound-value domain, typed by the attribute. Same translation rules
+    * as [[value]].
+    */
+  private def internal(v: Any, dt: org.apache.spark.sql.types.DataType)
+      : Option[Any] =
+    if (v == null) None
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType =>
+        Some(v.asInstanceOf[Number].longValue)
+      case FloatType | DoubleType =>
+        Some(v.asInstanceOf[Number].doubleValue)
+      case StringType => Some(v.toString)
+      case _ => None
+    }
 }

@@ -1547,9 +1547,15 @@ object ParquetTable {
   * stats), Double/Float, or String; a bound whose type cannot be
   * compared against a file's stat type simply never prunes — skipping
   * is an optimization with a superset guarantee, never a filter.
+  *
+  * `anyOf` is the DISCRETE form (an IN-list): the file survives when
+  * ANY listed value falls inside its [min, max] — strictly sharper than
+  * the min..max envelope a range can express (`IN (5, 9_000_000)`
+  * would otherwise keep every file between the two points). When both
+  * forms are set they AND, like separate bounds.
   */
 final case class ColumnBound(column: String, lower: Option[Any] = None,
-    upper: Option[Any] = None)
+    upper: Option[Any] = None, anyOf: Option[Seq[Any]] = None)
 
 object ColumnBound {
 
@@ -1567,7 +1573,13 @@ object ColumnBound {
           // intersects ⇔ file.min <= upper AND file.max >= lower;
           // an incomparable side (None from cmp) never disqualifies
           b.upper.forall(u => cmp(s.tpe, s.min, u).forall(_ <= 0)) &&
-            b.lower.forall(l => cmp(s.tpe, s.max, l).forall(_ >= 0))
+            b.lower.forall(l => cmp(s.tpe, s.max, l).forall(_ >= 0)) &&
+            // discrete form: ∃ listed value inside [min, max]; a value
+            // incomparable with the stat type conservatively counts as
+            // possibly-present
+            b.anyOf.forall(_.exists(v =>
+              cmp(s.tpe, s.min, v).forall(_ <= 0) &&
+                cmp(s.tpe, s.max, v).forall(_ >= 0)))
       }
     }
 

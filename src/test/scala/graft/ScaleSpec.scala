@@ -664,8 +664,17 @@ class ScaleSpec extends AnyFunSuite {
     val inDf = tbl.read(spark).filter(col("id").isin(5L, 7L, 11L))
     inDf.collect()
     assert(scannedFileCount(inDf) <= 2,
-      s"IN-list must prune via its min..max envelope, " +
-        s"scanned ${scannedFileCount(inDf)}")
+      s"IN-list must prune, scanned ${scannedFileCount(inDf)}")
+    // SPARSE IN-list: per-VALUE pruning, not the min..max envelope — a
+    // list spanning the whole key domain must still touch only the
+    // files holding its members
+    val wide = tbl.read(spark).filter(col("id").isin(5L, 1400L))
+    val wideRows = wide.collect()
+    assert(scannedFileCount(wide) <= 3,
+      s"sparse IN spanning the domain must prune per value " +
+        s"(envelope would keep ~all $total files), scanned " +
+        s"${scannedFileCount(wide)}")
+    assert(wideRows.map(_.getLong(0)).toSet.subsetOf(Set(5L, 1400L)))
 
     // an unfiltered read scans everything and matches the source exactly
     val full = tbl.read(spark)
