@@ -2,7 +2,8 @@ package graft.io
 
 import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+  GreaterThanOrEqual, In, InSet, IsNull, LessThan, LessThanOrEqual,
+  Literal, StartsWith}
 import org.apache.spark.sql.types.{
   ByteType, DateType, DoubleType, FloatType, IntegerType, LongType,
   ShortType, StringType, TimestampNTZType, TimestampType}
@@ -52,6 +53,25 @@ private[graft] object StatsPruning {
       // the optimizer's large-IN form: raw internal values, typed by
       // the child attribute
       anyOfBound(a, hset.toSeq.map(internal(_, a.dataType)))
+    case IsNull(a: Attribute) =>
+      // null-count skipping: IS NULL can only match in files whose
+      // stats admit a NULL (hasNulls captured conservatively)
+      Some(ColumnBound(a.name, requireNulls = true))
+    case StartsWith(a: Attribute, Literal(v, StringType)) if v != null =>
+      // LIKE 'p%' → the [p, p+ε) range under UTF-8 byte order. The
+      // sound inclusive upper needs p's last char bumped WITHOUT
+      // changing its UTF-8 byte length class — only attempted for an
+      // ASCII final char (< 0x7f); otherwise the lower bound alone
+      // still prunes everything below the prefix
+      val p = v.toString
+      if (p.isEmpty) None
+      else {
+        val last = p.charAt(p.length - 1)
+        val upper =
+          if (last < 0x7f) Some(p.substring(0, p.length - 1) + (last + 1).toChar)
+          else None
+        Some(ColumnBound(a.name, lower = Some(p), upper = upper))
+      }
     case _ => None
   }
 

@@ -1553,9 +1553,16 @@ object ParquetTable {
   * the min..max envelope a range can express (`IN (5, 9_000_000)`
   * would otherwise keep every file between the two points). When both
   * forms are set they AND, like separate bounds.
+  *
+  * `requireNulls` is the NULL-count form (Delta's null-count skipping
+  * for `IS NULL` predicates): the file survives only if its captured
+  * stats admit at least one NULL in the column — `hasNulls` is captured
+  * conservatively (missing/unset null counts read as "has nulls"), so
+  * the superset guarantee holds.
   */
 final case class ColumnBound(column: String, lower: Option[Any] = None,
-    upper: Option[Any] = None, anyOf: Option[Seq[Any]] = None)
+    upper: Option[Any] = None, anyOf: Option[Seq[Any]] = None,
+    requireNulls: Boolean = false)
 
 object ColumnBound {
 
@@ -1579,7 +1586,10 @@ object ColumnBound {
             // possibly-present
             b.anyOf.forall(_.exists(v =>
               cmp(s.tpe, s.min, v).forall(_ <= 0) &&
-                cmp(s.tpe, s.max, v).forall(_ >= 0)))
+                cmp(s.tpe, s.max, v).forall(_ >= 0))) &&
+            // null form: an IS NULL predicate can only match in files
+            // whose stats admit a NULL
+            (!b.requireNulls || s.hasNulls)
       }
     }
 
@@ -1594,11 +1604,33 @@ object ColumnBound {
         asDouble(bound).flatMap(b =>
           statVal.toDoubleOption.map(_.compareTo(b)))
       case "string" => bound match {
-        case s: String => Some(statVal.compareTo(s))
+        // UNSIGNED UTF-8 byte order, matching the ordering parquet's
+        // UTF8 binary stats are minimized/maximized under — Java's
+        // compareTo (UTF-16 code units) disagrees for supplementary-
+        // plane text (U+10000 sorts below U+E000 there), which could
+        // mis-prune
+        case s: String => Some(utf8Cmp(statVal, s))
         case _ => None
       }
       case _ => None
     }
+
+  /** Shared with [[VersionLog]]'s row-group stat folding — min/max and
+    * prune comparisons must use ONE ordering or a fold could produce a
+    * "min" the pruner reads as larger than the true minimum.
+    */
+  private[io] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)

@@ -214,13 +214,18 @@ private[graft] object VersionLog {
     case "long" => math.min(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case "double" => math.min(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case _ =>
-      if (a.asInstanceOf[String] <= b.asInstanceOf[String]) a else b
+      // UTF-8 byte order, the parquet UTF8 stats ordering — single-
+      // sourced with the pruner's compare (ColumnBound.utf8Cmp) so the
+      // folded min/max and the prune comparisons can never disagree
+      if (ColumnBound.utf8Cmp(a.asInstanceOf[String],
+          b.asInstanceOf[String]) <= 0) a else b
   }
   private def maxOf(tpe: String, a: Any, b: Any): Any = tpe match {
     case "long" => math.max(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case "double" => math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case _ =>
-      if (a.asInstanceOf[String] >= b.asInstanceOf[String]) a else b
+      if (ColumnBound.utf8Cmp(a.asInstanceOf[String],
+          b.asInstanceOf[String]) >= 0) a else b
   }
 
   // ---- record / checkpoint serialization --------------------------------
