@@ -239,6 +239,14 @@ final class ParquetTable(val path: String,
     * is immutable once committed, and the bench/serving pattern re-reads
     * the same live version many times — without the cache every read
     * pays the O(span/K) sidecar walk again.
+    *
+    * Delete-and-recreate at the same path (the scratch-table pattern)
+    * can serve a STALE entry for a reused version number — harmless by
+    * construction: the stale entry's rel paths can never match the
+    * recreated version's job-unique part file names, so every listed
+    * file misses the stats map and SURVIVES (pruning silently disabled,
+    * results exact). The conservative direction is load-bearing; do not
+    * flip the `.forall` in the pruner.
     */
   private def resolveFilesCached(
       v: Int): Option[Seq[VersionLog.FileEntry]] = {
