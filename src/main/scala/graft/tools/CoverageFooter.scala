@@ -20,11 +20,15 @@ object CoverageFooter {
     val nOracle = graft.SparkEntry.oracleSql.size
     import scala.jdk.CollectionConverters._
     val testDir = Paths.get("src/test/scala/graft")
-    val nSites = Files.list(testDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".scala"))
-      .map(p => "(?m)^\\s*test\\(".r
-        .findAllMatchIn(Files.readString(p)).size)
-      .sum
+    // walk, not list: in-package specs live in subdirs (graft/io)
+    val walk = Files.walk(testDir)
+    val nSites =
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".scala"))
+        .map(p => "(?m)^\\s*test\\(".r
+          .findAllMatchIn(Files.readString(p)).size)
+        .sum
+      finally walk.close()
     val testClause = args.headOption.flatMap(_.toIntOption) match {
       case Some(executed) =>
         s"$executed ScalaTest cases (from the `sbt test` run; " +
