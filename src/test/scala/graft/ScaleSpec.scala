@@ -727,6 +727,35 @@ class ScaleSpec extends AnyFunSuite {
         s"${scannedFileCount(f)} vs ${scannedFileCount(partOnly)}")
   }
 
+  test("planner-automatic skipping composes with z-order: filters on " +
+      "EITHER clustered dimension prune files through the plain read") {
+    import graft.io.ParquetTable
+    import org.apache.spark.sql.GraftScanBridge.scannedFileCount
+    val li = Tables.read(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val p = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+    val zt = new ParquetTable(p + "/z")
+    zt.overwrite(li)
+    zt.compactZOrder(spark, targetPartitions = 8,
+      zCols = Seq("l_orderkey", "l_partkey"))
+    val total = scannedFileCount { val d = zt.read(spark); d.count(); d }
+    def scanned(c: org.apache.spark.sql.Column): Long = {
+      val d = zt.read(spark).filter(c); d.count(); scannedFileCount(d)
+    }
+    // the z-order promise, realized by the DEFAULT read with ordinary
+    // filters: BOTH dimensions' footer ranges collapsed per file
+    // (meanWidth proof above), so commit-metadata skipping prunes on
+    // either — a linear sort would only ever prune its leading column
+    val keyMax = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val partMax = li.agg(max(col("l_partkey"))).head().getLong(0)
+    val byKey = scanned(col("l_orderkey") <= keyMax / 8)
+    val byPart = scanned(col("l_partkey") <= partMax / 8)
+    assert(byKey < total, s"leading-dimension filter must prune " +
+      s"($byKey of $total)")
+    assert(byPart < total, s"SECOND-dimension filter must prune through " +
+      s"the plain read ($byPart of $total) — the z-order payoff")
+  }
+
   test("stats skipping never mis-attributes same-named files across " +
       "partition dirs: exhaustive point queries over disjoint " +
       "per-partition ranges") {
