@@ -25,6 +25,59 @@ import org.apache.spark.sql.types.{
   */
 private[graft] object StatsPruning {
 
+  /** Skipping predicate over one file's stats — the tree form
+    * disjunctions need (Delta's data-skipping expression shape): a flat
+    * bound list can only AND, so `id = 5 OR id = 900` would translate
+    * to nothing; as a tree each disjunct prunes independently and the
+    * file survives iff ANY branch admits it. `True` is the
+    * cannot-translate leaf — it poisons exactly its own OR branch
+    * (keeping the superset guarantee) and is identity under AND.
+    */
+  sealed trait FilePredicate {
+    def survives(stats: Map[String, VersionLog.ColStat]): Boolean
+    /** True when no subtree can ever prune — callers skip the walk. */
+    def trivial: Boolean
+  }
+  case object True extends FilePredicate {
+    def survives(stats: Map[String, VersionLog.ColStat]): Boolean = true
+    def trivial: Boolean = true
+  }
+  final case class Leaf(bound: ColumnBound) extends FilePredicate {
+    def survives(stats: Map[String, VersionLog.ColStat]): Boolean =
+      ColumnBound.survives(stats, Seq(bound))
+    def trivial: Boolean = false
+  }
+  final case class AllOf(children: Seq[FilePredicate])
+      extends FilePredicate {
+    def survives(stats: Map[String, VersionLog.ColStat]): Boolean =
+      children.forall(_.survives(stats))
+    def trivial: Boolean = children.forall(_.trivial)
+  }
+  final case class AnyOf(children: Seq[FilePredicate])
+      extends FilePredicate {
+    def survives(stats: Map[String, VersionLog.ColStat]): Boolean =
+      children.exists(_.survives(stats))
+    def trivial: Boolean = children.exists(_.trivial)
+  }
+
+  /** The pushed-down data filters (an implicit conjunction) as one
+    * skipping predicate.
+    */
+  def predicate(filters: Seq[Expression]): FilePredicate = {
+    val t = AllOf(filters.map(treeOf))
+    if (t.trivial) True else t
+  }
+
+  private def treeOf(e: Expression): FilePredicate = e match {
+    case And(l, r) => AllOf(Seq(treeOf(l), treeOf(r)))
+    case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+      val (tl, tr) = (treeOf(l), treeOf(r))
+      // one unknowable disjunct makes the whole OR unknowable — rows
+      // could satisfy that side in any file
+      if (tl.trivial || tr.trivial) True else AnyOf(Seq(tl, tr))
+    case other => boundOf(other).fold[FilePredicate](True)(Leaf)
+  }
+
   def bounds(filters: Seq[Expression]): Seq[ColumnBound] =
     filters.flatMap(conjuncts).flatMap(boundOf)
 

@@ -224,10 +224,10 @@ final class ParquetTable(val path: String,
           } catch { case _: Exception => None }
         val pruner: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
             (String => Boolean) = filters => {
-          val bounds = StatsPruning.bounds(filters)
-          if (bounds.isEmpty) _ => true
+          val pred = StatsPruning.predicate(filters)
+          if (pred.trivial) _ => true
           else p => relOf(p).flatMap(statsByRel.get)
-            .forall(s => ColumnBound.survives(s, bounds))
+            .forall(pred.survives)
         }
         org.apache.spark.sql.GraftScanBridge
           .statsPrunedParquet(spark, verDir, st, pruner)

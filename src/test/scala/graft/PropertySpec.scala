@@ -470,4 +470,52 @@ class PropertySpec extends AnyFunSuite {
         s"budget=$budget bucket=$bucket")
     }
   }
+
+  test("property: the planner-automatic stats-skipping read equals the " +
+      "skipping-disabled read under randomized filter shapes") {
+    import graft.io.ParquetTable
+    // a table exercising every stat kind: long key, double, string tag,
+    // a nullable column, and enough rows that compaction yields multiple
+    // files with meaningful per-file ranges
+    val rows = (0L until 400L).map { i =>
+      (i, i.toDouble / 3.0, f"t${i % 40}%03d",
+        if (i % 7 == 0) None else Some(i * 2))
+    }
+    val df = rows.toDF("id", "score", "tag", "maybe")
+    val p = java.nio.file.Files.createTempDirectory("graft_prop").toString
+    val tbl = new ParquetTable(p + "/t")
+    tbl.overwrite(df)
+    tbl.compact(spark, targetPartitions = 8, sortCols = Seq("id"))
+
+    val genFilter: Gen[org.apache.spark.sql.Column] = {
+      val id = col("id"); val sc = col("score"); val tg = col("tag")
+      val range = for {
+        lo <- Gen.choose(-50L, 450L); w <- Gen.choose(0L, 200L)
+      } yield id >= lo && id <= lo + w
+      val point = Gen.choose(-10L, 410L).map(id === _)
+      val inList = Gen.listOfN(3, Gen.choose(-10L, 410L)).map(vs =>
+        id.isin(vs.map(Long.box): _*))
+      val dbl = Gen.choose(-5.0, 140.0).map(sc <= _)
+      val str = Gen.choose(0, 45).map(n => tg >= f"t$n%03d")
+      val prefix = Gen.choose(0, 4).map(d => tg.startsWith(s"t$d"))
+      val nul = Gen.const(col("maybe").isNull)
+      val leaf = Gen.oneOf(range, point, inList, dbl, str, prefix, nul)
+      // conjunctions, disjunctions and mixes — the pruner must be a
+      // strict optimization under ALL of them (ORs translate to
+      // nothing today; the law pins that they stay harmless)
+      Gen.oneOf(leaf,
+        Gen.zip(leaf, leaf).map { case (a, b) => a && b },
+        Gen.zip(leaf, leaf).map { case (a, b) => a || b },
+        Gen.zip(leaf, leaf, leaf).map { case (a, b, c) => (a || b) && c })
+    }
+    samples(genFilter, 40).foreach { f =>
+      val auto = tbl.read(spark).filter(f).collect().map(_.toSeq).toSet
+      sys.props("graft.read.skipping") = "off"
+      val plain =
+        try tbl.read(spark).filter(f).collect().map(_.toSeq).toSet
+        finally sys.props.remove("graft.read.skipping")
+      assert(auto == plain, s"filter $f: skipping changed results " +
+        s"(${auto.size} vs ${plain.size} rows)")
+    }
+  }
 }

@@ -107,6 +107,36 @@ class StatsPruningSpec extends AnyFunSuite {
       "file holding U+10000 must survive a >= U+E000 filter")
   }
 
+  test("disjunction tree: an OR prunes per branch; an unknowable " +
+      "disjunct poisons exactly its OR, never a sibling conjunct") {
+    import StatsPruning.{predicate, True}
+    def stats(min: Long, max: Long) =
+      Map("id" -> VersionLog.ColStat("long", min.toString, max.toString,
+        hasNulls = false))
+    // id = 5 OR id = 900: the flat-conjunction form translates to
+    // nothing; the tree prunes any file covering NEITHER point
+    val or = predicate(Seq(
+      org.apache.spark.sql.catalyst.expressions.Or(
+        EqualTo(id, Literal(5L)), EqualTo(id, Literal(900L)))))
+    assert(or != True)
+    assert(or.survives(stats(0, 10)), "covers 5")
+    assert(or.survives(stats(850, 950)), "covers 900")
+    assert(!or.survives(stats(100, 200)), "covers neither -> pruned")
+    // one untranslatable disjunct (id = id) makes the OR unknowable…
+    val poisoned = predicate(Seq(
+      org.apache.spark.sql.catalyst.expressions.Or(
+        EqualTo(id, Literal(5L)), EqualTo(id, id))))
+    assert(poisoned == True)
+    // …but a SIBLING conjunct still prunes: (unknowable-OR) AND id<=50
+    val mixed = predicate(Seq(
+      org.apache.spark.sql.catalyst.expressions.Or(
+        EqualTo(id, Literal(5L)), EqualTo(id, id)),
+      LessThanOrEqual(id, Literal(50L))))
+    assert(mixed.survives(stats(0, 10)))
+    assert(!mixed.survives(stats(100, 200)),
+      "the conjunct's upper bound must still prune")
+  }
+
   test("end-to-end: IS NULL and LIKE-prefix filters prune files via " +
       "the planner-automatic read") {
     import org.apache.spark.sql.GraftScanBridge.scannedFileCount
