@@ -894,6 +894,124 @@ final class ParquetTable(val path: String,
     readDir(spark, dir.toString)
   }
 
+  /** RESTORE (Delta `RESTORE TABLE … TO VERSION AS OF v`): make a
+    * retained version the table's live content again by committing a
+    * FRESH version whose files are hard links to v's — O(#files), zero
+    * data copied, and history stays intact: the rollback itself is a
+    * normal commit, so it is auditable, time-travelable past, and
+    * CDF-diffable like any other write (the Delta semantics — RESTORE
+    * never rewrites history). The commit-log record carries v's
+    * per-file stats RESOLVED FROM THE LOG when it can (zero footer
+    * re-opens; the restored layout mirrors v's rel paths exactly), so
+    * data skipping works on the restored version immediately; an
+    * unresolvable log degrades to the one commit-time footer pass.
+    * Restoring the live version is a no-op. Refuses data-vacuumed
+    * snapshots loudly — their files are gone by declaration.
+    */
+  def restoreVersion(v: Int): ParquetTable = {
+    val curV = ParquetTable.withCommitLock(path)(versionNum)
+    if (v == curV) return this
+    val srcDir = Paths.get(path, f"v_$v%05d")
+    require(Files.exists(srcDir),
+      s"restoreVersion: version $v of $path does not exist (vacuumed?)")
+    require(!Files.exists(srcDir.resolve(DataVacuumedMarker)),
+      s"restoreVersion: version $v of $path was data-vacuumed (feed " +
+        "retained) — its snapshot is no longer restorable")
+    val next = ParquetTable.withCommitLock(path) {
+      if (versionNum != curV) throw stale(curV, versionNum)
+      reserveNextDir()
+    }
+    try {
+      linkSnapshot(srcDir, Paths.get(path, next))
+      val adds = VersionLog.resolveFiles(path, v).getOrElse {
+        val (census, _) = commitCensus(next); census
+      }
+      ParquetTable.withCommitLock(path) {
+        if (versionNum != curV) throw stale(curV, versionNum)
+        swapPointer(next)
+        logCommit(next, "overwrite", adds, Nil, Nil, renamed = false)
+      }
+    } catch {
+      case t: Throwable =>
+        try FsUtil.deleteRecursively(Paths.get(path, next))
+        catch { case _: Exception => () }
+        throw t
+    }
+    this
+  }
+
+  /** Zero-copy CLONE (Delta `CREATE TABLE … CLONE src`): a NEW table at
+    * `destPath` whose v1 hard-links this table's LIVE files — O(#files)
+    * regardless of data size. On a link-capable filesystem the clone is
+    * DURABLE against source vacuum (vacuum unlinks names; shared inodes
+    * survive while the clone references them) — stronger than Delta's
+    * shallow clone, without deep-clone's copy. The clone starts its own
+    * commit history (its own `_log/`, seeded with an overwrite record
+    * carrying the source's per-file stats when the source log resolves,
+    * so data skipping works from the first read) and evolves fully
+    * independently of the source.
+    */
+  def cloneTo(destPath: String): ParquetTable = {
+    val dest = new ParquetTable(destPath, partitionColumns, captureStats)
+    require(!dest.exists,
+      s"cloneTo: a table already exists at $destPath")
+    val srcV = version
+    val srcDir = Paths.get(currentPath)
+    val next = ParquetTable.withCommitLock(destPath) {
+      require(!dest.exists, s"cloneTo: concurrent create at $destPath")
+      dest.reserveNextDir()
+    }
+    try {
+      linkSnapshot(srcDir, Paths.get(destPath, next))
+      val adds = VersionLog.resolveFiles(path, srcV).getOrElse {
+        val (census, _) = dest.commitCensus(next); census
+      }
+      ParquetTable.withCommitLock(destPath) {
+        dest.swapPointer(next)
+        dest.logCommit(next, "overwrite", adds, Nil, Nil, renamed = false)
+      }
+    } catch {
+      case t: Throwable =>
+        try FsUtil.deleteRecursively(Paths.get(destPath, next))
+        catch { case _: Exception => () }
+        throw t
+    }
+    dest
+  }
+
+  /** Hard-link a complete version snapshot's files into a reserved dir,
+    * mirroring rel paths — data files and the `_schema.json` sidecar;
+    * NEVER the source's `_changes/` feed (it describes THAT commit's
+    * delta, not this one's), job markers, or checksum siblings. Falls
+    * back to copying where the filesystem refuses links. Shared by
+    * [[restoreVersion]] and [[cloneTo]].
+    */
+  private def linkSnapshot(srcDir: java.nio.file.Path,
+      dstDir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(srcDir)
+    try walk.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        val rel = srcDir.relativize(p)
+        val inFeed = rel.getNameCount > 1 &&
+          rel.getName(0).toString == ChangesDir
+        Files.isRegularFile(p) && !inFeed && n != "_SUCCESS" &&
+          !n.startsWith(".") && n != StagingMarker &&
+          n != DataVacuumedMarker
+      }
+      .foreach { p =>
+        val target = dstDir.resolve(srcDir.relativize(p))
+        Files.createDirectories(target.getParent)
+        try Files.createLink(target, p)
+        catch {
+          case _: UnsupportedOperationException | _: FileSystemException =>
+            Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    finally walk.close()
+  }
+
   /** DATA-SKIPPING read of the live version (Delta's file-stats design,
     * task: prune the file list BEFORE Spark plans the scan): files whose
     * commit-metadata min/max ranges ([[VersionLog]], captured once at

@@ -1038,6 +1038,84 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** RESTORE as a query (q119): the Delta `RESTORE TABLE … TO VERSION`
+    * semantics on the versioned layout ([[graft.io.ParquetTable
+    * .restoreVersion]]) — a bad deploy (v3 truncates the table to the
+    * %97 keys and zeroes their cents) is rolled back by COMMITTING a
+    * fresh version that hard-links v1's files: O(#files), zero data
+    * copied, history intact (v3 stays auditable), and the rollback is
+    * CDF-diffable like any write. The output pins BOTH halves of that
+    * contract: the `state` rows aggregate the restored live table
+    * (must equal v1's closed form) and the `cdf_*` rows roll up
+    * [[graft.io.ParquetTable.changesBetween]] ACROSS the restore commit
+    * (must equal the exact v3→v1 multiset diff) — the oracle recomputes
+    * both from the version definitions with EXCEPT ALL, the q87
+    * discipline. Same single-process scratch contract as q87/q118.
+    */
+  def q119RestoreRollback(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val v2 = base.withColumn("cents",
+      when(pmod(col("o_orderkey"), lit(5)) === 0, col("cents") + 1)
+        .otherwise(col("cents")))
+    val v3 = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .withColumn("cents", lit(0L))
+    val p = scratch("restore", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString)
+    tbl.overwrite(v1)
+    tbl.overwrite(v2)
+    tbl.overwrite(v3)
+    tbl.restoreVersion(1) // v4 ≡ v1, committed
+    val rollup = Seq(col("o_orderstatus"))
+    val state = tbl.read(s).groupBy(rollup: _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(lit("state").as("kind"), col("o_orderstatus"),
+        col("n_rows"), col("sum_cents"))
+    val cdf = tbl.changesBetween(s, 3, 4)
+      .groupBy(col("_change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(concat(lit("cdf_"), col("_change_type")).as("kind"),
+        col("o_orderstatus"), col("n_rows"), col("sum_cents"))
+    state.unionByName(cdf)
+  }
+
+  /** Zero-copy CLONE as a query (q120): [[graft.io.ParquetTable
+    * .cloneTo]] — the dev/staging snapshot move at 100 TB, where a copy
+    * is off the table by construction: the clone's v1 hard-links the
+    * source's live files (O(#files)), starts its own commit history,
+    * and both sides then DIVERGE — the clone appends the %3 keys at
+    * doubled cents, the source overwrites itself down to its even
+    * keys — without either write touching the other. The output
+    * aggregates BOTH end states; the oracle recomputes them from the
+    * closed-form definitions, so any sharing bug (a clone write
+    * bleeding into source files or vice versa) breaks the hash. Same
+    * single-process scratch contract as q87/q118.
+    */
+  def q120CloneDivergence(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val srcDef = base.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    val delta = base.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .withColumn("cents", col("cents") * 2)
+    val p = scratch("clone", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val src = new graft.io.ParquetTable(s"$p/src")
+    src.overwrite(srcDef)
+    val dst = src.cloneTo(s"$p/dst")
+    dst.appendVersion(delta)
+    src.overwrite(srcDef.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+    def agg(tb: graft.io.ParquetTable, side: String): DataFrame =
+      tb.read(s).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(side).as("side"), col("o_orderstatus"),
+          col("n_rows"), col("sum_cents"))
+    agg(src, "source").unionByName(agg(dst, "clone"))
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -3026,6 +3104,8 @@ object NorthStarQueries {
     "q116_gold_percentile" -> (q116GoldPercentile _),
     "q117_dictionary_redact" -> (q117DictionaryRedact _),
     "q118_stats_pruned_scan" -> (q118StatsPrunedScan _),
+    "q119_restore_rollback" -> (q119RestoreRollback _),
+    "q120_clone_divergence" -> (q120CloneDivergence _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3154,6 +3234,45 @@ object NorthStarQueries {
           FROM orders
           WHERE o_orderkey BETWEEN $StatsPruneLo AND $StatsPruneHi
           GROUP BY 1""",
+    // q119: RESTORE recomputed from the version DEFINITIONS — the
+    // restored state must equal v1's closed form and the CDF across the
+    // restore commit must equal the exact v3 -> v1 multiset diff
+    // (EXCEPT ALL both directions, the q87 discipline)
+    "q119_restore_rollback" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         v1 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+         v3 AS (SELECT o_orderkey, o_orderstatus,
+                       CAST(0 AS BIGINT) AS cents
+                FROM base WHERE o_orderkey % 97 = 0),
+         ins AS (SELECT *, 'cdf_insert' AS kind
+                 FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3)),
+         del AS (SELECT *, 'cdf_delete' AS kind
+                 FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1)),
+         st AS (SELECT *, 'state' AS kind FROM v1),
+         unioned AS (SELECT * FROM st UNION ALL SELECT * FROM ins
+                     UNION ALL SELECT * FROM del)
+         SELECT kind, o_orderstatus, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM unioned GROUP BY 1, 2""",
+    // q120: both diverged end states recomputed from their closed-form
+    // definitions — a sharing bug between clone and source breaks it
+    "q120_clone_divergence" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         src_def AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+         src_fin AS (SELECT * FROM src_def WHERE o_orderkey % 2 = 0),
+         clone_fin AS (SELECT * FROM src_def
+                       UNION ALL
+                       SELECT o_orderkey, o_orderstatus, cents * 2
+                       FROM base WHERE o_orderkey % 3 = 0),
+         sides AS (SELECT 'source' AS side, * FROM src_fin
+                   UNION ALL SELECT 'clone' AS side, * FROM clone_fin)
+         SELECT side, o_orderstatus, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM sides GROUP BY 1, 2""",
     // q116: replays the HDR-style bucket arithmetic (floor-log2 with the
     // same integer self-correction the engine uses, so a double rounding
     // step can never diverge the two), the histogram, and the type-1

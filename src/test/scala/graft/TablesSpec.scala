@@ -693,4 +693,90 @@ class TablesSpec extends AnyFunSuite {
       gold.read(spark).orderBy("g"),
       Seq(Seq("g1", 2L, 5L), Seq("g2", 2L, 5L)))
   }
+
+  test("restoreVersion: rollback is a NORMAL commit — content equals " +
+      "the restored snapshot, history stays intact, CDF diffs across " +
+      "it, stats ride the log, and vacuumed/live edges behave") {
+    import graft.io.{ColumnBound, ParquetTable}
+    val dir = java.nio.file.Files.createTempDirectory("graft_restore")
+    val t = new ParquetTable(s"$dir/t")
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("id", "v")
+    t.overwrite(df((1L, "a"), (2L, "b")))            // v1
+    t.overwrite(df((1L, "a"), (3L, "c"), (4L, "d"))) // v2
+    t.overwrite(df((9L, "z")))                       // v3 (bad deploy)
+    t.restoreVersion(1)                              // v4 ≡ v1
+    assert(t.version == 4, "restore commits a NEW version")
+    assert(TestSpark.rows(t.read(spark)) ==
+      TestSpark.rows(t.readVersion(spark, 1)))
+    // history is untouched: the bad deploy remains auditable
+    assert(TestSpark.rows(t.readVersion(spark, 3)) ==
+      TestSpark.rows(df((9L, "z"))))
+    // CDF across the restore is the exact diff v3 -> v1-content
+    val cdf = t.changesBetween(spark, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(cdf == Set((9L, "z", "delete"), (1L, "a", "insert"),
+      (2L, "b", "insert")))
+    // the restored commit resolves from the log WITH stats — pruning
+    // works immediately (no footer re-opens needed to plan)
+    val census = t.prunedFileCensus(
+      Seq(ColumnBound("id", Some(100L), Some(200L))))
+    assert(census.exists { case (kept, total) =>
+      total > 0 && kept == 0 },
+      s"restored version must carry prunable stats, census $census")
+    // restore of the live version is a no-op
+    val v = t.version
+    t.restoreVersion(v)
+    assert(t.version == v)
+    // a data-vacuumed snapshot refuses loudly
+    val t2 = new ParquetTable(s"$dir/t2")
+    val v1 = df((1L, "a"))
+    t2.overwriteWithChanges(v1,
+      v1.withColumn("_change_type", org.apache.spark.sql.functions.lit("insert")))
+    val v2b = df((1L, "a"), (2L, "b"))
+    t2.overwriteWithChanges(v2b,
+      df((2L, "b")).withColumn("_change_type",
+        org.apache.spark.sql.functions.lit("insert")))
+    t2.vacuumKeepingFeeds(keepFeedsFrom = 1)
+    intercept[IllegalArgumentException] { t2.restoreVersion(1) }
+  }
+
+  test("cloneTo: zero-copy clone shares inodes, carries stats, evolves " +
+      "independently, and survives source vacuum") {
+    import graft.io.{ColumnBound, ParquetTable}
+    val dir = java.nio.file.Files.createTempDirectory("graft_clone")
+    val src = new ParquetTable(s"$dir/src")
+    val rows = (0L until 100L).map(i => (i, s"r$i"))
+    src.overwrite(rows.toDF("id", "v"))
+    src.compact(spark, targetPartitions = 4, sortCols = Seq("id"))
+    val dst = src.cloneTo(s"$dir/dst")
+    assert(TestSpark.rows(dst.read(spark)) == TestSpark.rows(src.read(spark)))
+    // ZERO-copy: the clone's data files are the SAME inodes
+    def firstParquet(p: String) = {
+      val d = java.nio.file.Paths.get(p)
+      graft.io.FsUtil.listDir(
+          java.nio.file.Paths.get(new ParquetTable(p).currentPath))
+        .filter(_.getFileName.toString.endsWith(".parquet")).minBy(_.toString)
+    }
+    def ino(p: java.nio.file.Path): Any =
+      java.nio.file.Files.getAttribute(p, "unix:ino")
+    assert(ino(firstParquet(s"$dir/src")) == ino(firstParquet(s"$dir/dst")),
+      "clone must hard-link, not copy")
+    // stats ride: the clone prunes from its first read
+    val census = dst.prunedFileCensus(
+      Seq(ColumnBound("id", Some(0L), Some(10L))))
+    assert(census.exists { case (kept, total) => kept < total },
+      s"clone must carry the source's stats, census $census")
+    // independence: the clone evolves without touching the source…
+    dst.appendVersion(Seq((999L, "new")).toDF("id", "v"))
+    assert(src.read(spark).count() == 100L)
+    assert(dst.read(spark).count() == 101L)
+    // …and survives the source being vacuumed THEN rewritten (shared
+    // inodes persist while the clone links them)
+    src.overwrite(Seq((1L, "only")).toDF("id", "v"))
+    src.vacuum()
+    assert(dst.read(spark).count() == 101L,
+      "clone must survive source vacuum")
+    // a second clone at an occupied path refuses
+    intercept[IllegalArgumentException] { src.cloneTo(s"$dir/dst") }
+  }
 }
