@@ -779,4 +779,31 @@ class TablesSpec extends AnyFunSuite {
     // a second clone at an occupied path refuses
     intercept[IllegalArgumentException] { src.cloneTo(s"$dir/dst") }
   }
+
+  test("restore is a normal commit to consumers: incremental gold " +
+      "maintenance folds ACROSS a restore and lands on the rebuild") {
+    import graft.gold.GoldMaintenance
+    import graft.io.ParquetTable
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_rgold")
+    val src = new ParquetTable(s"$dir/src")
+    val gold = new ParquetTable(s"$dir/gold")
+    def df(rows: (Long, String, Long)*) = rows.toSeq.toDF("id", "grp", "cents")
+    val v1 = df((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+    src.overwrite(v1)
+    GoldMaintenance.advance(spark, src, gold, Seq("grp"), col("cents"))
+    src.overwrite(df((9L, "z", 1L))) // the bad deploy
+    GoldMaintenance.advance(spark, src, gold, Seq("grp"), col("cents"))
+    src.restoreVersion(1)            // rollback, v3
+    GoldMaintenance.advance(spark, src, gold, Seq("grp"), col("cents"))
+    val got = gold.read(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = GoldMaintenance.aggregate(v1, Seq("grp"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref,
+      "gold maintained across a restore must equal the rebuild of the " +
+        "restored state")
+    assert(GoldMaintenance.appliedVersion(gold).contains(3),
+      "the restore commit must be folded as a normal version")
+  }
 }
