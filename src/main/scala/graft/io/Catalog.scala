@@ -59,6 +59,12 @@ object Catalog {
     */
   def registerTable(spark: SparkSession, database: String, name: String,
       table: ParquetTable): Unit = {
+    // SQL-path data skipping: catalog reads resolve to a plain external
+    // parquet relation (literal S4), so file skipping rides an optimizer
+    // rule that recognizes graft version-dir locations — installed here,
+    // once per session, so every registered table's spark.sql()/
+    // spark.table() reads prune like ParquetTable.read does
+    org.apache.spark.sql.GraftSqlSkipping.install(spark)
     // escape for interpolation: a legal filesystem path may contain a
     // single quote (user dirs like o'brien) or a backslash, and identifiers
     // may carry backticks — unescaped any of these is a ParseException (or

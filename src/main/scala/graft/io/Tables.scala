@@ -204,61 +204,12 @@ final class ParquetTable(val path: String,
     val verDir = s"$path/$verName"
     if (sys.props.get("graft.read.skipping").contains("off"))
       return readDir(spark, verDir)
-    val vNum = verName.drop(2).toInt
-    (storedSchema(Paths.get(verDir)), resolveFilesCached(vNum)) match {
-      case (Some(st), Some(files)) if files.exists(_.stats.nonEmpty) =>
-        // keyed by the FULL rel path, never the file name alone: ONE
-        // partitioned write job reuses the same part-NNNNN-<uuid> name
-        // across every partition dir it writes, so a name-keyed map
-        // would collide and attribute one partition's stats to
-        // another's file — and a mis-attributed range PRUNES rows that
-        // exist (the replay-gate probe bug this comment memorializes)
-        val statsByRel = files.iterator.map(f => f.rel -> f.stats).toMap
-        val verDirPath = Paths.get(verDir).toAbsolutePath.normalize()
-        def relOf(listed: String): Option[String] =
-          try {
-            val p = if (listed.contains(":/"))
-              Paths.get(new java.net.URI(listed))
-            else Paths.get(listed)
-            Some(verDirPath.relativize(p.toAbsolutePath.normalize()).toString)
-          } catch { case _: Exception => None }
-        val pruner: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-            (String => Boolean) = filters => {
-          val pred = StatsPruning.predicate(filters)
-          if (pred.trivial) _ => true
-          else p => relOf(p).flatMap(statsByRel.get)
-            .forall(pred.survives)
-        }
+    (storedSchema(Paths.get(verDir)),
+        ParquetTable.statsPrunerFor(verDir)) match {
+      case (Some(st), Some(pruner)) =>
         org.apache.spark.sql.GraftScanBridge
           .statsPrunedParquet(spark, verDir, st, pruner)
       case _ => readDir(spark, verDir)
-    }
-  }
-
-  /** [[VersionLog.resolveFiles]] per (table, version), cached: a version
-    * is immutable once committed, and the bench/serving pattern re-reads
-    * the same live version many times — without the cache every read
-    * pays the O(span/K) sidecar walk again.
-    *
-    * Delete-and-recreate at the same path (the scratch-table pattern)
-    * can serve a STALE entry for a reused version number — harmless by
-    * construction: the stale entry's rel paths can never match the
-    * recreated version's job-unique part file names, so every listed
-    * file misses the stats map and SURVIVES (pruning silently disabled,
-    * results exact). The conservative direction is load-bearing; do not
-    * flip the `.forall` in the pruner.
-    */
-  private def resolveFilesCached(
-      v: Int): Option[Seq[VersionLog.FileEntry]] = {
-    val key = s"$path@$v"
-    val cached = ParquetTable.resolveCache.get(key)
-    if (cached != null) cached
-    else {
-      val r = VersionLog.resolveFiles(path, v)
-      if (ParquetTable.resolveCache.size > 512)
-        ParquetTable.resolveCache.clear()
-      ParquetTable.resolveCache.put(key, r)
-      r
     }
   }
 
@@ -955,8 +906,17 @@ final class ParquetTable(val path: String,
     val dest = new ParquetTable(destPath, partitionColumns, captureStats)
     require(!dest.exists,
       s"cloneTo: a table already exists at $destPath")
-    val srcV = version
-    val srcDir = Paths.get(currentPath)
+    // pin the SOURCE pointer once (as read() does): version and dir
+    // must name the same commit — reading `version` then `currentPath`
+    // separately lets a concurrent source commit in between link the
+    // NEW version's files under the OLD version's manifest+stats,
+    // silently breaking the clone's manifest-equals-walk invariant.
+    // The pinned dir is immutable once committed, so linking needs no
+    // further re-verification (vacuum-mid-link fails loudly below).
+    val srcName = currentVersion.getOrElse(
+      throw new IllegalStateException(s"cloneTo: table at $path does not exist"))
+    val srcV = srcName.drop(2).toInt
+    val srcDir = Paths.get(path, srcName)
     val next = ParquetTable.withCommitLock(destPath) {
       require(!dest.exists, s"cloneTo: concurrent create at $destPath")
       dest.reserveNextDir()
@@ -1636,12 +1596,103 @@ object ParquetTable {
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Committed-version file-set resolutions (immutable once written);
-    * bounded by clear-on-overflow — see
-    * [[ParquetTable.resolveFilesCached]].
+  /** Committed-version file-set resolutions (immutable once written),
+    * bounded LRU: access-ordered LinkedHashMap evicting the eldest
+    * entry past 512 — hot serving tables stay warm under many-table
+    * workloads instead of the former clear-on-overflow dropping every
+    * entry at once (periodic re-resolution storms on the serving
+    * path). All access goes through the synchronized wrapper; a miss
+    * just re-resolves, so eviction is never a correctness event.
     */
-  private[io] val resolveCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[Seq[VersionLog.FileEntry]]]()
+  private[io] val resolveCache: java.util.Map[
+      String, Option[Seq[VersionLog.FileEntry]]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          String, Option[Seq[VersionLog.FileEntry]]](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+            String, Option[Seq[VersionLog.FileEntry]]]): Boolean =
+          size() > 512
+      })
+
+  /** [[VersionLog.resolveFiles]] per (table, version), cached: a version
+    * is immutable once committed, and the bench/serving pattern re-reads
+    * the same live version many times — without the cache every read
+    * pays the O(span/K) sidecar walk again.
+    *
+    * Delete-and-recreate at the same path (the scratch-table pattern)
+    * can serve a STALE entry for a reused version number — harmless by
+    * construction: the stale entry's rel paths can never match the
+    * recreated version's job-unique part file names, so every listed
+    * file misses the stats map and SURVIVES (pruning silently disabled,
+    * results exact). The conservative direction is load-bearing; do not
+    * flip the `.forall` in the pruner.
+    */
+  private[io] def resolveFilesCached(tablePath: String,
+      v: Int): Option[Seq[VersionLog.FileEntry]] = {
+    val key = s"$tablePath@$v"
+    val cached = resolveCache.get(key)
+    if (cached != null) cached
+    else {
+      val r = VersionLog.resolveFiles(tablePath, v)
+      resolveCache.put(key, r)
+      r
+    }
+  }
+
+  /** Commit-metadata skipping pruner for an arbitrary committed version
+    * dir (`.../table/v_NNNNN`): `Some(pruner)` when the directory name
+    * parses as a version, the table's commit log resolves that
+    * version's file set, and at least one file carries stats — `None`
+    * otherwise (callers fall back to the plain read; skipping is an
+    * optimization, never a correctness dependency). Shared by
+    * [[ParquetTable.read]]'s default path and the SQL-path catalog rule
+    * ([[org.apache.spark.sql.GraftSqlSkipping]]) so both hand
+    * Catalyst's pushed-down filters to the SAME stats predicate.
+    */
+  def statsPrunerFor(verDir: String): Option[
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        (String => Boolean)] = {
+    import java.nio.file.Paths
+    // accept both plain paths and the file: URIs Hadoop root paths
+    // carry (the catalog rule passes `rootPaths.head.toString`)
+    val dirPath =
+      try {
+        val p = if (verDir.contains(":/"))
+          Paths.get(new java.net.URI(verDir))
+        else Paths.get(verDir)
+        p.toAbsolutePath.normalize()
+      } catch { case _: Exception => return None }
+    val verName = Option(dirPath.getFileName).map(_.toString).getOrElse("")
+    val parent = Option(dirPath.getParent).map(_.toString)
+    if (!verName.matches("v_\\d+") || parent.isEmpty) return None
+    val v =
+      try verName.drop(2).toInt
+      catch { case _: NumberFormatException => return None }
+    resolveFilesCached(parent.get, v) match {
+      case Some(files) if files.exists(_.stats.nonEmpty) =>
+        // keyed by the FULL rel path, never the file name alone: ONE
+        // partitioned write job reuses the same part-NNNNN-<uuid> name
+        // across every partition dir it writes, so a name-keyed map
+        // would collide and attribute one partition's stats to
+        // another's file — and a mis-attributed range PRUNES rows that
+        // exist (the replay-gate probe bug this comment memorializes)
+        val statsByRel = files.iterator.map(f => f.rel -> f.stats).toMap
+        def relOf(listed: String): Option[String] =
+          try {
+            val p = if (listed.contains(":/"))
+              Paths.get(new java.net.URI(listed))
+            else Paths.get(listed)
+            Some(dirPath.relativize(p.toAbsolutePath.normalize()).toString)
+          } catch { case _: Exception => None }
+        Some(filters => {
+          val pred = StatsPruning.predicate(filters)
+          if (pred.trivial) _ => true
+          else p => relOf(p).flatMap(statsByRel.get)
+            .forall(pred.survives)
+        })
+      case _ => None
+    }
+  }
 
   /** Commit-window mutual exclusion: a JVM-global monitor per table path
     * (two threads of one JVM serialize here — a second `FileChannel.lock`

@@ -45,7 +45,9 @@ object VerifyDashboardIvm {
       case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
       case d: java.lang.Double => d.toString
       case x => x.toString
-    }.mkString("")).sorted
+    }.mkString("\u0001")).sorted // explicit \u0001 field delimiter:
+    // bare concatenation would let adjacent-column value shifts
+    // (["ab","c"] vs ["a","bc"]) hash identically
     val md = MessageDigest.getInstance("MD5")
     md.update(cols.mkString("|").getBytes("UTF-8"))
     rows.foreach(r => md.update(r.getBytes("UTF-8")))

@@ -785,4 +785,91 @@ class ScaleSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(probed == (0L until 64L).toSet)
   }
+
+  test("SQL-path data skipping: spark.sql over a catalog-registered " +
+      "range-clustered table scans only the commit-census's surviving files") {
+    import graft.io.{Catalog, ColumnBound, ParquetTable}
+    import org.apache.spark.sql.GraftScanBridge.scannedFileCount
+    val base = Tables.read(spark, dir, "orders").select(
+      col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val p = java.nio.file.Files.createTempDirectory("graft_sqlskip").toString
+    val tbl = new ParquetTable(p + "/t")
+    tbl.overwrite(base)
+    tbl.compact(spark, targetPartitions = 16, sortCols = Seq("id"))
+    Catalog.ensureDatabase(spark, "graft_sqlskip_db")
+    Catalog.registerTable(spark, "graft_sqlskip_db", "t", tbl)
+
+    val lo = 100L; val hi = 300L
+    val (kept, total) = tbl.prunedFileCensus(
+      Seq(ColumnBound("id", Some(lo), Some(hi)))).get
+    assert(kept < total, s"range clustering must make stats selective " +
+      s"(kept $kept of $total)")
+
+    // the SQL path — no ParquetTable.read anywhere in the plan
+    val sqlDf = spark.sql(
+      s"SELECT id, cents FROM graft_sqlskip_db.t WHERE id BETWEEN $lo AND $hi")
+    val sqlRows = sqlDf.collect().map(_.toSeq).toSet
+    assert(scannedFileCount(sqlDf) == kept,
+      s"SQL-path skip must scan exactly the census's $kept files, " +
+        s"scanned ${scannedFileCount(sqlDf)} of $total")
+
+    // parity law: identical rows to the skipping-disabled SQL baseline
+    sys.props("graft.read.skipping") = "off"
+    try {
+      val off = spark.sql(
+        s"SELECT id, cents FROM graft_sqlskip_db.t WHERE id BETWEEN $lo AND $hi")
+      assert(off.collect().map(_.toSeq).toSet == sqlRows,
+        "SQL-path skipping must never change results")
+      assert(scannedFileCount(off) == total,
+        "skipping=off must plan the unwrapped full listing")
+    } finally sys.props.remove("graft.read.skipping")
+
+    // spark.table() composes with DataFrame filters the same way
+    val tDf = spark.table("graft_sqlskip_db.t").filter(col("id") === 42L)
+    tDf.collect()
+    assert(scannedFileCount(tDf) <= 2,
+      s"catalog point lookup must prune, scanned ${scannedFileCount(tDf)}")
+
+    // an unfiltered SQL read scans everything and matches the source
+    val full = spark.sql("SELECT * FROM graft_sqlskip_db.t")
+    assert(full.count() == base.count())
+    assert(scannedFileCount(full) == total,
+      "no filter -> no pruning -> all files")
+    spark.sql("DROP TABLE graft_sqlskip_db.t")
+  }
+
+  test("SQL-path skipping prunes within surviving hive partitions on a " +
+      "partitioned registered table") {
+    import graft.io.{Catalog, ParquetTable}
+    import org.apache.spark.sql.GraftScanBridge.scannedFileCount
+    val o = Tables.read(spark, dir, "orders").select(
+      col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val p = java.nio.file.Files.createTempDirectory("graft_sqlskip2").toString
+    val tbl = new ParquetTable(p + "/t", partitionColumns = Seq("status"))
+    // two files per partition with disjoint id ranges, so a selective id
+    // filter must drop files INSIDE the surviving partition
+    tbl.overwrite(o.filter(col("id") <= 700).repartitionByRange(2, col("id")))
+    Catalog.ensureDatabase(spark, "graft_sqlskip_db")
+    Catalog.registerTable(spark, "graft_sqlskip_db", "tp", tbl)
+
+    sys.props("graft.read.skipping") = "off"
+    val offRows =
+      try {
+        val off = spark.sql("SELECT id FROM graft_sqlskip_db.tp " +
+          "WHERE status = 'O' AND id <= 50")
+        val r = off.collect().map(_.getLong(0)).toSet
+        (r, scannedFileCount(off))
+      } finally sys.props.remove("graft.read.skipping")
+
+    val on = spark.sql("SELECT id FROM graft_sqlskip_db.tp " +
+      "WHERE status = 'O' AND id <= 50")
+    assert(on.collect().map(_.getLong(0)).toSet == offRows._1,
+      "partitioned SQL-path skipping must never change results")
+    assert(scannedFileCount(on) < offRows._2,
+      s"id filter must drop files within the surviving partition " +
+        s"(scanned ${scannedFileCount(on)} vs unpruned ${offRows._2})")
+    spark.sql("DROP TABLE graft_sqlskip_db.tp")
+  }
 }

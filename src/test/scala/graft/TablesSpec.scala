@@ -806,4 +806,5 @@ class TablesSpec extends AnyFunSuite {
     assert(GoldMaintenance.appliedVersion(gold).contains(3),
       "the restore commit must be folded as a normal version")
   }
+
 }
