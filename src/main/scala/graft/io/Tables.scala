@@ -845,6 +845,39 @@ final class ParquetTable(val path: String,
     readDir(spark, dir.toString)
   }
 
+  /** Timestamp→version resolution (the address space of Delta's
+    * `TIMESTAMP AS OF`): the LATEST commit stamped ≤ `tsMillis` —
+    * "the table as of yesterday 14:00", the form of time travel
+    * incident response reaches for. Every commit record carries a
+    * wall-clock stamp ([[VersionLog.append]] adjusts it to stay
+    * strictly monotonic per table), so the answer is unique; refuses
+    * LOUDLY — never guesses — when `tsMillis` predates table birth or
+    * an unstamped legacy record makes the boundary ambiguous.
+    */
+  def versionAtTimestamp(tsMillis: Long): Int =
+    VersionLog.versionAt(path, tsMillis, version) match {
+      case Right(v) => v
+      case Left(reason) =>
+        throw new IllegalArgumentException(
+          s"versionAtTimestamp($tsMillis) on $path: $reason")
+    }
+
+  /** Time travel by wall-clock (`TIMESTAMP AS OF`): read the state the
+    * table had at `tsMillis`. Same retention contract as
+    * [[readVersion]] — the resolved version must still be retained
+    * (loud refusal past the vacuum horizon).
+    */
+  def readAsOf(spark: SparkSession, tsMillis: Long): DataFrame =
+    readVersion(spark, versionAtTimestamp(tsMillis))
+
+  /** RESTORE by wall-clock (Delta `RESTORE TABLE … TO TIMESTAMP AS
+    * OF`): [[restoreVersion]] of the timestamp's resolved version — the
+    * rollback is a normal commit like version-addressed restore, so
+    * history stays intact and the restore itself gets a stamp.
+    */
+  def restoreToTimestamp(tsMillis: Long): ParquetTable =
+    restoreVersion(versionAtTimestamp(tsMillis))
+
   /** RESTORE (Delta `RESTORE TABLE … TO VERSION AS OF v`): make a
     * retained version the table's live content again by committing a
     * FRESH version whose files are hard links to v's — O(#files), zero

@@ -74,7 +74,15 @@ private[graft] object VersionLog {
     */
   final case class Record(v: Int, kind: String, adds: Seq[FileEntry],
       feed: Seq[String], removedPrefixes: Seq[String], renamed: Boolean,
-      dropRootFlat: Boolean = false)
+      dropRootFlat: Boolean = false, ts: Option[Long] = None)
+
+  /** Commit wall-clock source, injectable for deterministic specs.
+    * [[append]] stamps every record with `max(clock(), prev ts + 1)` so
+    * recorded timestamps are STRICTLY MONOTONIC per table even when the
+    * host clock steps backwards — Delta's timestamp-adjustment rule,
+    * which makes timestamp→version resolution well-defined.
+    */
+  private[graft] var clock: () => Long = () => System.currentTimeMillis()
 
   val MaxStringStat = 64
 
@@ -249,12 +257,14 @@ private[graft] object VersionLog {
     Seq(s"v=${rec.v}", s"kind=${rec.kind}",
       s"renamed=${if (rec.renamed) 1 else 0}",
       s"dropflat=${if (rec.dropRootFlat) 1 else 0}") ++
+      rec.ts.map(t => s"ts=$t").toSeq ++
       rec.feed.map(f => s"feed=${enc(f)}") ++
       rec.removedPrefixes.map(p => s"rm=${enc(p)}") ++
       rec.adds.map(f => s"add=${fileLine(f)}")
 
   private def parseRecordLines(lines: Seq[String]): Record = {
     var v = -1; var kind = ""; var renamed = false; var dropFlat = false
+    var ts: Option[Long] = None
     val feed = Seq.newBuilder[String]
     val rm = Seq.newBuilder[String]
     val adds = Seq.newBuilder[FileEntry]
@@ -266,6 +276,7 @@ private[graft] object VersionLog {
         case ("kind", x) => kind = x
         case ("renamed", x) => renamed = x == "1"
         case ("dropflat", x) => dropFlat = x == "1"
+        case ("ts", x) => ts = x.toLongOption
         case ("feed", x) => feed += dec(x)
         case ("rm", x) => rm += dec(x)
         case ("add", x) => adds += parseFileLine(x)
@@ -274,7 +285,7 @@ private[graft] object VersionLog {
     }
     require(v > 0 && kind.nonEmpty, "record missing v/kind")
     Record(v, kind, adds.result(), feed.result(), rm.result(), renamed,
-      dropFlat)
+      dropFlat, ts)
   }
 
   private def atomicWrite(target: Path, lines: Seq[String]): Unit = {
@@ -291,12 +302,73 @@ private[graft] object VersionLog {
     */
   def append(path: String, rec: Record): Unit =
     try {
-      atomicWrite(recordPath(path, rec.v), recordLines(rec))
-      if (rec.v % CheckpointEvery == 0) {
-        writeCheckpoint(path, rec.v)
+      // stamp the commit wall-clock (TIMESTAMP AS OF's address space),
+      // adjusted to stay strictly monotonic per table: a backwards host
+      // clock step must never record ts(v) <= ts(v-1) or
+      // timestamp→version resolution loses its one answer. The previous
+      // ts is a loose-record/newest-checkpoint read — O(1) at commit
+      // cadence.
+      val stamped =
+        if (rec.ts.nonEmpty) rec
+        else {
+          val prevTs =
+            if (rec.v <= 1) None
+            else timestampOf(path, rec.v - 1)
+          rec.copy(ts = Some(math.max(clock(),
+            prevTs.map(_ + 1L).getOrElse(Long.MinValue))))
+        }
+      atomicWrite(recordPath(path, stamped.v), recordLines(stamped))
+      if (stamped.v % CheckpointEvery == 0) {
+        writeCheckpoint(path, stamped.v)
         compactRecords(path) // self-maintaining: see compactRecords
       }
     } catch { case _: Exception => () }
+
+  /** Version `v`'s commit wall-clock, resolved from its loose record or
+    * covering checkpoint. None for pre-timestamp legacy records or an
+    * unresolvable step.
+    */
+  def timestampOf(path: String, v: Int): Option[Long] =
+    try recordAt(path, v,
+        scala.collection.mutable.Map[Int, Option[Checkpoint]]()).flatMap(_.ts)
+    catch { case _: Exception => None }
+
+  /** Timestamp→version resolution with Delta's `TIMESTAMP AS OF`
+    * semantics: the LATEST commit whose stamp is ≤ `tsMillis`.
+    * Returns Left(reason) instead of guessing when the answer is not
+    * well-defined: `tsMillis` predates the first stamped commit (before
+    * table birth), or an UNSTAMPED commit (legacy record, unresolvable
+    * step) falls inside the candidate interval — a missing stamp there
+    * could be the true answer, so resolving around it would silently
+    * read the wrong state.
+    */
+  def versionAt(path: String, tsMillis: Long,
+      current: Int): Either[String, Int] = {
+    val ckCache = scala.collection.mutable.Map[Int, Option[Checkpoint]]()
+    val stamps = (1 to current).map(v =>
+      v -> (try recordAt(path, v, ckCache).flatMap(_.ts)
+            catch { case _: Exception => None }))
+    val known = stamps.collect { case (v, Some(t)) => v -> t }
+    val lo = known.filter(_._2 <= tsMillis).map(_._1).maxOption
+    val hi = known.filter(_._2 > tsMillis).map(_._1).minOption
+      .getOrElse(current + 1)
+    lo match {
+      case None =>
+        val birth = known.headOption.map(_._2)
+        Left(birth match {
+          case Some(b) => s"timestamp $tsMillis predates the table's " +
+            s"first stamped commit ($b) — before table birth"
+          case None => s"no commit of the table at $path carries a " +
+            "timestamp (legacy/unstamped log) — timestamp time travel " +
+            "needs stamped records; address by version instead"
+        })
+      case Some(l) if hi == l + 1 => Right(l)
+      case Some(l) =>
+        Left(s"commits ${l + 1}..${hi - 1} carry no timestamp " +
+          s"(legacy/unstamped records) — the state at $tsMillis is " +
+          "ambiguous; address by version instead")
+    }
+  }
 
   def readRecord(path: String, v: Int): Option[Record] =
     try {

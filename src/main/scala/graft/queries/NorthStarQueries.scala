@@ -1116,6 +1116,57 @@ object NorthStarQueries {
     agg(src, "source").unionByName(agg(dst, "clone"))
   }
 
+  /** Timestamp time travel as a query (q121): Delta's `TIMESTAMP AS
+    * OF` / `RESTORE … TO TIMESTAMP AS OF` on the versioned layout
+    * ([[graft.io.ParquetTable.readAsOf]] /
+    * [[graft.io.ParquetTable.restoreToTimestamp]]) — "the table was
+    * right yesterday 14:00", the form of time travel incident response
+    * actually reaches for. Commits run under an INJECTED commit clock
+    * (v1@1000, v2@2000, v3@3000 — [[graft.io.VersionLog.clock]], the
+    * determinism seam), then the output pins the resolution law
+    * `latest commit ≤ ts` at every interesting address: mid-interval
+    * (1500 → v1), exact boundary (2000 → v2), the future (→ live v3),
+    * and a restore-to-timestamp whose restored state must equal v1's
+    * closed form while the restore itself commits as a NORMAL stamped
+    * version. The oracle recomputes every addressed state from the
+    * version definitions — a resolution off by one version breaks the
+    * hash. Same single-process scratch contract as q87/q118.
+    */
+  def q121TimestampTravel(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val v2 = v1.withColumn("cents",
+      when(pmod(col("o_orderkey"), lit(5)) === 0, col("cents") + 1)
+        .otherwise(col("cents")))
+    val v3 = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .withColumn("cents", lit(0L))
+    val p = scratch("tstravel", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString)
+    val prevClock = graft.io.VersionLog.clock
+    try {
+      var now = 1000L
+      graft.io.VersionLog.clock = () => now
+      tbl.overwrite(v1)            // v1 @1000
+      now = 2000L; tbl.overwrite(v2) // v2 @2000
+      now = 3000L; tbl.overwrite(v3) // v3 @3000
+      now = 4000L
+      tbl.restoreToTimestamp(1500L) // resolves v1, commits v4 @4000
+    } finally graft.io.VersionLog.clock = prevClock
+    def agg(df: DataFrame, kind: String): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(kind).as("kind"), col("o_orderstatus"),
+          col("n_rows"), col("sum_cents"))
+    agg(tbl.readAsOf(s, 1500L), "asof_mid")        // v1
+      .unionByName(agg(tbl.readAsOf(s, 2000L), "asof_boundary")) // v2
+      .unionByName(agg(tbl.readAsOf(s, 2999L), "asof_preswap"))  // v2
+      .unionByName(agg(tbl.readAsOf(s, 999999L), "asof_future")) // v4 ≡ v1
+      .unionByName(agg(tbl.read(s), "restored"))   // live ≡ v1
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -3106,6 +3157,7 @@ object NorthStarQueries {
     "q118_stats_pruned_scan" -> (q118StatsPrunedScan _),
     "q119_restore_rollback" -> (q119RestoreRollback _),
     "q120_clone_divergence" -> (q120CloneDivergence _),
+    "q121_timestamp_travel" -> (q121TimestampTravel _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3273,6 +3325,28 @@ object NorthStarQueries {
          SELECT side, o_orderstatus, count(*) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM sides GROUP BY 1, 2""",
+    // q121: every timestamp-addressed state recomputed from the version
+    // DEFINITIONS — asof_mid/restored/asof_future must equal v1's
+    // closed form (the future resolves to the restore commit, itself
+    // ≡ v1), asof_boundary/asof_preswap v2's — a resolution off by one
+    // version breaks the hash
+    "q121_timestamp_travel" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         v1 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+         v2 AS (SELECT o_orderkey, o_orderstatus,
+                       cents + (CASE WHEN o_orderkey % 5 = 0 THEN 1
+                                     ELSE 0 END) AS cents FROM v1),
+         labeled AS (
+           SELECT 'asof_mid' AS kind, * FROM v1
+           UNION ALL SELECT 'asof_boundary' AS kind, * FROM v2
+           UNION ALL SELECT 'asof_preswap' AS kind, * FROM v2
+           UNION ALL SELECT 'asof_future' AS kind, * FROM v1
+           UNION ALL SELECT 'restored' AS kind, * FROM v1)
+         SELECT kind, o_orderstatus, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM labeled GROUP BY 1, 2""",
     // q116: replays the HDR-style bucket arithmetic (floor-log2 with the
     // same integer self-correction the engine uses, so a double rounding
     // step can never diverge the two), the histogram, and the type-1

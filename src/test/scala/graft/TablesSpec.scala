@@ -807,4 +807,91 @@ class TablesSpec extends AnyFunSuite {
       "the restore commit must be folded as a normal version")
   }
 
+  test("timestamp time travel: latest-commit<=ts resolution, boundary " +
+      "ties, monotonic stamps under a backwards clock, loud refusals") {
+    import graft.io.{ParquetTable, VersionLog}
+    import spark.implicits._
+    val prevClock = VersionLog.clock
+    try {
+      var now = 1000L
+      VersionLog.clock = () => now
+      val dir = Files.createTempDirectory("graft_ts").toString
+      val t = new ParquetTable(s"$dir/t")
+      t.overwrite(Seq((1L, "a")).toDF("id", "v"))                // v1 @1000
+      now = 2000L
+      t.appendVersion(Seq((2L, "b")).toDF("id", "v"))            // v2 @2000
+      now = 1500L // host clock steps BACKWARDS before v3
+      t.overwrite(Seq((9L, "z")).toDF("id", "v"))                // v3 @2001
+
+      // boundary tie: ts equal to a commit's stamp IS that commit
+      assert(t.versionAtTimestamp(1000L) == 1)
+      assert(t.versionAtTimestamp(1999L) == 1)
+      assert(t.versionAtTimestamp(2000L) == 2)
+      // monotonic adjustment: v3 must stamp AFTER v2 despite clock=1500
+      assert(VersionLog.timestampOf(s"$dir/t", 3).contains(2001L),
+        "a backwards host clock must adjust to prev+1 (Delta semantics)")
+      assert(t.versionAtTimestamp(2001L) == 3)
+      // a future timestamp resolves to the live version
+      assert(t.versionAtTimestamp(999999L) == 3)
+      // before table birth: loud refusal, never a guess
+      val birth = intercept[IllegalArgumentException] {
+        t.versionAtTimestamp(999L)
+      }
+      assert(birth.getMessage.contains("birth"))
+
+      // state-at-timestamp equals the resolved version's closed form
+      assert(t.readAsOf(spark, 1999L).collect().map(_.getLong(0)).toSet ==
+        Set(1L))
+      assert(t.readAsOf(spark, 2000L).collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L))
+
+      // restoreToTimestamp ≡ restoreVersion of the resolved version —
+      // and the restore is itself a stamped, normal commit
+      now = 3000L
+      t.restoreToTimestamp(2000L) // restore v2's state, committed as v4
+      assert(t.version == 4)
+      assert(t.read(spark).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      assert(VersionLog.timestampOf(s"$dir/t", 4).contains(3000L))
+      assert(t.versionAtTimestamp(3000L) == 4)
+
+      // vacuum horizon: resolving INTO a vacuumed snapshot refuses at
+      // the read, like readVersion
+      t.vacuum(stagingTtlMs = 0L)
+      val gone = intercept[IllegalArgumentException] {
+        t.readAsOf(spark, 1000L) // v1 was vacuumed
+      }
+      assert(gone.getMessage.contains("vacuumed"))
+
+      // an unstamped record inside the candidate interval makes the
+      // answer ambiguous — refuse, never guess around it
+      val dir2 = Files.createTempDirectory("graft_ts2").toString
+      val u = new ParquetTable(s"$dir2/t")
+      now = 100L
+      u.overwrite(Seq((1L, "a")).toDF("id", "v"))     // v1 @100
+      now = 200L
+      u.appendVersion(Seq((2L, "b")).toDF("id", "v")) // v2 @200
+      now = 300L
+      u.appendVersion(Seq((3L, "c")).toDF("id", "v")) // v3 @300
+      // strip v2's stamp (simulates a legacy/pre-timestamp record)
+      val r2 = java.nio.file.Paths.get(s"$dir2/t/_log/r_00002.txt")
+      val stripped = java.nio.file.Files.readString(r2).linesIterator
+        .filterNot(_.startsWith("ts=")).mkString("\n")
+      java.nio.file.Files.writeString(r2, stripped)
+      val amb = intercept[IllegalArgumentException] {
+        u.versionAtTimestamp(250L) // the answer could be v2 — unknown
+      }
+      assert(amb.getMessage.contains("ambiguous"))
+      val amb2 = intercept[IllegalArgumentException] {
+        u.versionAtTimestamp(150L) // v2's unknown stamp straddles 150 too
+      }
+      assert(amb2.getMessage.contains("ambiguous"))
+      // but a boundary the unstamped record cannot affect still resolves
+      assert(u.versionAtTimestamp(300L) == 3)
+      // and before-birth refusal is still the birth message, not ambiguity
+      val birth2 = intercept[IllegalArgumentException] {
+        u.versionAtTimestamp(50L)
+      }
+      assert(birth2.getMessage.contains("birth"))
+    } finally VersionLog.clock = prevClock
+  }
 }
