@@ -320,7 +320,8 @@ private[graft] object VersionLog {
       atomicWrite(recordPath(path, stamped.v), recordLines(stamped))
       if (stamped.v % CheckpointEvery == 0) {
         writeCheckpoint(path, stamped.v)
-        compactRecords(path) // self-maintaining: see compactRecords
+        compactRecords(path)   // self-maintaining: see compactRecords
+        retireCheckpoints(path, stamped.v) // and retireCheckpoints
       }
     } catch { case _: Exception => () }
 
@@ -354,14 +355,22 @@ private[graft] object VersionLog {
       .getOrElse(current + 1)
     lo match {
       case None =>
-        val birth = known.headOption.map(_._2)
-        Left(birth match {
-          case Some(b) => s"timestamp $tsMillis predates the table's " +
-            s"first stamped commit ($b) — before table birth"
-          case None => s"no commit of the table at $path carries a " +
-            "timestamp (legacy/unstamped log) — timestamp time travel " +
-            "needs stamped records; address by version instead"
-        })
+        known.headOption match {
+          case Some((firstV, _)) if firstV > 1 =>
+            // commits below the first resolvable stamp exist but their
+            // records are gone (retired/compacted log) or unstamped —
+            // the Delta log-retention bound on TIMESTAMP AS OF
+            Left(s"timestamp $tsMillis is below the retained log " +
+              s"horizon — commits 1..${firstV - 1} carry no resolvable " +
+              "timestamp; address by version instead")
+          case Some((_, b)) =>
+            Left(s"timestamp $tsMillis predates the table's first " +
+              s"stamped commit ($b) — before table birth")
+          case None =>
+            Left(s"no commit of the table at $path carries a " +
+              "timestamp (legacy/unstamped log) — timestamp time " +
+              "travel needs stamped records; address by version instead")
+        }
       case Some(l) if hi == l + 1 => Right(l)
       case Some(l) =>
         Left(s"commits ${l + 1}..${hi - 1} carry no timestamp " +
@@ -426,6 +435,50 @@ private[graft] object VersionLog {
         name.stripPrefix("r_").stripSuffix(".txt").toIntOption.foreach { v =>
           if (v <= horizon && Files.deleteIfExists(p)) n += 1
         }
+    } catch { case _: Exception => () }
+    n
+  }
+
+  /** Checkpoint retention horizon in COMMITS (not checkpoint count):
+    * checkpoints whose version is older than `current - RetainCommits`
+    * retire, bounding `_log/` at a true steady state — O(K) loose
+    * records + O(RetainCommits/K) checkpoints — instead of the former
+    * O(commits/K) accretion (62 files per 1,000 commits, forever).
+    * Override with `-Dgraft.log.retainCommits=N` (0 disables
+    * retirement). The default is generous relative to every log
+    * consumer's span: feed-driven IVM advances run at serving cadence
+    * (spans of 1–10 commits near head), and a consumer that HAS fallen
+    * further behind only degrades to the walk fallback, never to a
+    * wrong answer. 2,048 commits ≈ 3 weeks of minutely triggers —
+    * the Delta log-retention default's order of magnitude.
+    */
+  val RetainCommits = 2048
+
+  /** RETIRE checkpoints older than the retention horizon. Correctness
+    * contract: log resolution into a retired interval simply fails
+    * (recordAt/resolveFiles/resolveSteps return None) and every caller
+    * falls back to the directory walk that remains the baseline —
+    * VersionLogSpec pins resolution ≡ walk across a retired interval.
+    * What retirement DOES forfeit below the horizon is the log-only
+    * metadata: per-file stats for time-traveled reads (they re-census)
+    * and commit timestamps (timestamp→version resolution refuses below
+    * the horizon and says to address by version — Delta's log-retention
+    * bound on `TIMESTAMP AS OF`, made explicit). The newest two
+    * checkpoints never retire regardless of horizon — compactRecords'
+    * torn-newest-checkpoint margin depends on the second-newest
+    * existing. Best-effort like all log IO.
+    */
+  def retireCheckpoints(path: String, current: Int): Int = {
+    val retain = sys.props.get("graft.log.retainCommits")
+      .flatMap(_.toIntOption).getOrElse(RetainCommits)
+    if (retain <= 0) return 0
+    val cks = checkpointVersions(path)
+    val keep = cks.takeRight(2).toSet // checkpointVersions is sorted
+    val horizon = current - retain
+    var n = 0
+    try cks.foreach { v =>
+      if (v < horizon && !keep(v) &&
+          Files.deleteIfExists(ckptPath(path, v))) n += 1
     } catch { case _: Exception => () }
     n
   }

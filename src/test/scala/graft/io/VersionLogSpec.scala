@@ -158,4 +158,65 @@ class VersionLogSpec extends AnyFunSuite {
     assert(cdf.filter(org.apache.spark.sql.functions
       .col("_change_type") =!= "insert").count() == 0L)
   }
+
+  test("checkpoint retirement: checkpoints below the retention horizon " +
+      "retire, resolution ≡ walk across the retired interval, near-head " +
+      "stays log-served, timestamp travel below the horizon refuses") {
+    val prevRetain = sys.props.get("graft.log.retainCommits")
+    try {
+      sys.props("graft.log.retainCommits") = "10"
+      val dir = Files.createTempDirectory("graft_vlog").toString
+      val p = s"$dir/ret"
+      val t = new ParquetTable(p)
+      t.overwrite(Seq((1L, "x1")).toDF("id", "v"))
+      val target = 3 * VersionLog.CheckpointEvery // 48: ckpts 16, 32, 48
+      (2 to target).foreach { i =>
+        t.appendVersion(Seq((i.toLong, s"x$i")).toDF("id", "v"))
+      }
+      // horizon = 48 - 10 = 38: ckpt 16 is retired, 32+48 kept (newest
+      // two are always exempt)
+      val ckVs = FsUtil.listDir(Paths.get(s"$p/_log"))
+        .map(_.getFileName.toString).filter(_.startsWith("ckpt_"))
+        .map(_.stripPrefix("ckpt_").stripSuffix(".txt").toInt).sorted
+      assert(ckVs == List(2 * VersionLog.CheckpointEvery, target),
+        s"expected ckpts {32, 48}, got $ckVs")
+
+      // the retired interval's records are gone from the log: log
+      // resolution fails CLEANLY (None, not a wrong answer)...
+      assert(VersionLog.resolveFiles(p, 10).isEmpty,
+        "a version inside the retired interval must not log-resolve")
+      // ...and every public surface falls back to the walk with exact
+      // results: time travel INTO the retired interval
+      assert(t.readVersion(spark, 10).collect().map(_.getLong(0)).toSet ==
+        (1L to 10L).toSet)
+      // CDF entirely within and across the retired interval
+      val inRet = t.changesBetween(spark, 2, 12)
+      assert(inRet.count() == 10L && inRet.filter(
+        org.apache.spark.sql.functions.col("_change_type") =!= "insert")
+        .count() == 0L)
+      val across = t.changesBetween(spark, 1, target)
+      assert(across.count() == (target - 1).toLong)
+      // near-head resolution still rides the log (retained checkpoints)
+      assert(VersionLog.resolveFiles(p, target).nonEmpty,
+        "the live version must still log-resolve after retirement")
+      assert(VersionLog.resolveSteps(p, target - 5, target).nonEmpty,
+        "near-head spans must still log-resolve after retirement")
+      // timestamp → version below the horizon refuses (the Delta
+      // log-retention bound on TIMESTAMP AS OF), pointing at
+      // version-addressed travel instead of guessing
+      val tsOld = intercept[IllegalArgumentException] {
+        t.versionAtTimestamp(
+          VersionLog.timestampOf(p, target).get - 1000000L)
+      }
+      assert(tsOld.getMessage.contains("version"))
+      // a timestamp within the retained stamped range still resolves
+      assert(t.versionAtTimestamp(
+        VersionLog.timestampOf(p, target).get) == target)
+    } finally {
+      prevRetain match {
+        case Some(v) => sys.props("graft.log.retainCommits") = v
+        case None => sys.props.remove("graft.log.retainCommits")
+      }
+    }
+  }
 }
