@@ -1772,7 +1772,35 @@ object ParquetTable {
   */
 final case class ColumnBound(column: String, lower: Option[Any] = None,
     upper: Option[Any] = None, anyOf: Option[Seq[Any]] = None,
-    requireNulls: Boolean = false)
+    requireNulls: Boolean = false) {
+
+  /** Sorted-value forms of `anyOf`, computed ONCE per bound and reused
+    * across every file's survive check: the per-file test becomes one
+    * binary search (any value in [min, max] ⇔ the first value ≥ min is
+    * ≤ max) instead of the former O(values) scan — O(files × log V)
+    * total for a V-value IN over the table, not O(files × V). A list
+    * whose members do not ALL convert to the domain stays None and the
+    * check conservatively degrades (an incomparable member always made
+    * the file survive under the scan form too).
+    */
+  @transient private[io] lazy val anyOfLongs: Option[Array[Long]] =
+    anyOf.map { vs =>
+      val a = vs.flatMap(ColumnBound.asLong)
+      if (a.length == vs.length) Some(a.toArray.sorted) else None
+    }.getOrElse(None)
+  @transient private[io] lazy val anyOfDoubles: Option[Array[Double]] =
+    anyOf.map { vs =>
+      val a = vs.flatMap(ColumnBound.asDouble)
+      if (a.length == vs.length) Some(a.toArray.sorted) else None
+    }.getOrElse(None)
+  @transient private[io] lazy val anyOfStrings: Option[Array[String]] =
+    anyOf.map { vs =>
+      val a = vs.collect { case s: String => s }
+      if (a.length == vs.length)
+        Some(a.toArray.sortWith(ColumnBound.utf8Cmp(_, _) < 0))
+      else None
+    }.getOrElse(None)
+}
 
 object ColumnBound {
 
@@ -1791,17 +1819,63 @@ object ColumnBound {
           // an incomparable side (None from cmp) never disqualifies
           b.upper.forall(u => cmp(s.tpe, s.min, u).forall(_ <= 0)) &&
             b.lower.forall(l => cmp(s.tpe, s.max, l).forall(_ >= 0)) &&
-            // discrete form: ∃ listed value inside [min, max]; a value
-            // incomparable with the stat type conservatively counts as
-            // possibly-present
-            b.anyOf.forall(_.exists(v =>
-              cmp(s.tpe, s.min, v).forall(_ <= 0) &&
-                cmp(s.tpe, s.max, v).forall(_ >= 0))) &&
+            // discrete form: ∃ listed value inside [min, max] — one
+            // binary search over the bound's pre-sorted values (see
+            // ColumnBound.anyOfLongs); a list with an incomparable
+            // member, or stats that don't parse under their own type,
+            // conservatively counts as possibly-present
+            b.anyOf.forall(_ => anyOfSurvives(s, b)) &&
             // null form: an IS NULL predicate can only match in files
             // whose stats admit a NULL
             (!b.requireNulls || s.hasNulls)
       }
     }
+
+  /** The IN-list survive check: does any listed value land inside the
+    * file's [min, max]? One lower-bound binary search over the bound's
+    * pre-sorted values per file. Degrades to `true` (never prunes)
+    * when the list doesn't convert to the stat's domain or the stats
+    * don't parse — the same conservative direction the scan form had.
+    * An EMPTY list prunes everything (no row can match an empty IN),
+    * also preserved.
+    */
+  private def anyOfSurvives(s: VersionLog.ColStat, b: ColumnBound)
+      : Boolean = s.tpe match {
+    case "long" =>
+      (b.anyOfLongs, s.min.toLongOption, s.max.toLongOption) match {
+        case (Some(arr), Some(mn), Some(mx)) =>
+          val i = lowerBound(arr.length)(j => arr(j) >= mn)
+          i < arr.length && arr(i) <= mx
+        case _ => true
+      }
+    case "double" =>
+      (b.anyOfDoubles, s.min.toDoubleOption, s.max.toDoubleOption) match {
+        case (Some(arr), Some(mn), Some(mx)) =>
+          val i = lowerBound(arr.length)(j => arr(j).compareTo(mn) >= 0)
+          i < arr.length && arr(i).compareTo(mx) <= 0
+        case _ => true
+      }
+    case "string" =>
+      b.anyOfStrings match {
+        case Some(arr) =>
+          val i = lowerBound(arr.length)(j => utf8Cmp(arr(j), s.min) >= 0)
+          i < arr.length && utf8Cmp(arr(i), s.max) <= 0
+        case None => true
+      }
+    case _ => true
+  }
+
+  /** First index in [0, n) where `ge` holds (n when none) — `ge` must
+    * be monotone over the sorted array it indexes.
+    */
+  private def lowerBound(n: Int)(ge: Int => Boolean): Int = {
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ge(mid)) hi = mid else lo = mid + 1
+    }
+    lo
+  }
 
   /** compare(stat value, bound value) under the stat's type; None =
     * incomparable.
