@@ -37,7 +37,7 @@ import graft.pipeline.Warehouse
   */
 object VerifyDashboardIvm {
 
-  private def canonicalHash(df: DataFrame): (String, Long) = {
+  private[tools] def canonicalHash(df: DataFrame): (String, Long) = {
     val cols = df.columns.sorted
     val proj = df.select(cols.head, cols.tail: _*)
     val rows = proj.collect().map(_.toSeq.map {
