@@ -70,23 +70,33 @@ final class IvfIndex private (val nlist: Int,
     // there is nothing to prune.
     val (corpus, probed) =
       if (persisted) {
-        val rows = probedPlan.collect()
         // the bounded-driver contract, ENFORCED rather than assumed: the
         // collected probe rows carry the dims-double __qv per row, so
         // driver memory is queries × nprobe × dims — a caller probing
         // with a corpus-sized "query set" would OOM the driver silently.
         // 1M rows ≈ 64 MB of vector payload at dims=64: far above any
-        // serving batch, far below driver heap. Fail loudly past it.
-        require(rows.length <= 1000000,
-          s"IvfIndex.search collected ${rows.length} probe rows " +
-            "(queries × nprobe) — the persisted-probe path is for " +
-            "bounded serving batches; split the query set or search " +
-            "the in-memory index")
-        val cellIdx = probedPlan.schema.fieldIndex("cell")
-        val cells = rows.map(_.getInt(cellIdx)).distinct.toIndexedSeq
-        val local = queries.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), probedPlan.schema)
-        (assigned.filter(col("cell").isin(cells: _*)), local)
+        // serving batch, far below driver heap
+        // (`-Dgraft.ivf.probeCollectCap=N` tunes it). The limit runs
+        // DISTRIBUTED, so the driver never materializes past cap+1
+        // rows; a probe set exceeding the cap degrades to the
+        // distributed join path (slower planning, same results) with a
+        // loud note, instead of failing a previously-working call.
+        val cap = sys.props.get("graft.ivf.probeCollectCap")
+          .flatMap(_.toIntOption).getOrElse(1000000)
+        val rows = probedPlan.limit(cap + 1).collect()
+        if (rows.length > cap) {
+          System.err.println(s"[IvfIndex] probe set exceeds the " +
+            s"$cap-row collect cap (queries × nprobe) — falling back " +
+            "to the distributed probe join; split the query set or " +
+            "raise -Dgraft.ivf.probeCollectCap for the pruned path")
+          (assigned, probedPlan)
+        } else {
+          val cellIdx = probedPlan.schema.fieldIndex("cell")
+          val cells = rows.map(_.getInt(cellIdx)).distinct.toIndexedSeq
+          val local = queries.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), probedPlan.schema)
+          (assigned.filter(col("cell").isin(cells: _*)), local)
+        }
       } else (assigned, probedPlan)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -46,6 +46,17 @@ class IvfSpec extends AnyFunSuite {
     // a dir with no index yields None (callers fall back to build), not a throw
     assert(IvfIndex.load(spark, java.nio.file.Files
       .createTempDirectory("graft_ivf_none").toString).isEmpty)
+    // a probe set past the collect cap DEGRADES to the distributed
+    // join path with identical results — never a hard failure of a
+    // previously-working search (the cap is a driver-memory guard,
+    // not a semantics bound)
+    sys.props("graft.ivf.probeCollectCap") = "3"
+    try {
+      val capped = loaded.get.search(q, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      assert(TestSpark.rows(capped) == TestSpark.rows(a),
+        "over-cap probe must fall back with identical results")
+    } finally sys.props.remove("graft.ivf.probeCollectCap")
   }
 
   test("append assigns the delta to existing centroids and grows the " +
