@@ -517,5 +517,23 @@ class PropertySpec extends AnyFunSuite {
       assert(auto == plain, s"filter $f: skipping changed results " +
         s"(${auto.size} vs ${plain.size} rows)")
     }
+
+    // the SQL path takes the same law: a catalog-registered graft table
+    // (GraftSqlSkipping wraps its FileIndex at optimization time) must
+    // be filter-for-filter identical to the skipping-disabled read
+    graft.io.Catalog.ensureDatabase(spark, "graft_prop_db")
+    graft.io.Catalog.registerTable(spark, "graft_prop_db", "t", tbl)
+    samples(genFilter, 20).foreach { f =>
+      val auto = spark.table("graft_prop_db.t").filter(f)
+        .collect().map(_.toSeq).toSet
+      sys.props("graft.read.skipping") = "off"
+      val plain =
+        try spark.table("graft_prop_db.t").filter(f)
+          .collect().map(_.toSeq).toSet
+        finally sys.props.remove("graft.read.skipping")
+      assert(auto == plain, s"filter $f: SQL-path skipping changed " +
+        s"results (${auto.size} vs ${plain.size} rows)")
+    }
+    spark.sql("DROP TABLE graft_prop_db.t")
   }
 }
