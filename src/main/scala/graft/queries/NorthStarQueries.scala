@@ -1038,6 +1038,52 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** SQL-path data skipping as a query (q122): the q118 contract taken
+    * through the CATALOG — the table registered with literal S4 DDL
+    * (`CREATE TABLE … USING parquet LOCATION`, the surface a user
+    * porting the reference runs day one) and the aggregate issued as
+    * `spark.sql(...)`. [[org.apache.spark.sql.GraftSqlSkipping]]
+    * (installed by `Catalog.registerTable`) wraps the resolved
+    * relation's FileIndex so the pushed-down BETWEEN reaches the
+    * commit-log stats at listing time; the require pins that the
+    * executed SQL scan enumerated exactly the census's surviving files
+    * — a silent fall-back to the full listing fails the query, not
+    * just a spec. Oracle: same closed form as q118 (skipping is a
+    * strict optimization, so the SQL aggregate equals DuckDB's plain
+    * full-scan aggregate).
+    */
+  def q122SqlPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").as("id"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val p = scratch("sqlpr", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString)
+    tbl.overwrite(base)
+    tbl.compact(s, 16, sortCols = Seq("id"))
+    val (kept, total) = tbl.prunedFileCensus(Seq(graft.io.ColumnBound("id",
+      Some(StatsPruneLo), Some(StatsPruneHi)))).getOrElse(
+      sys.error("q122: commit log did not resolve"))
+    require(kept < total,
+      s"q122: range-clustered stats must prune (kept $kept of $total)")
+    graft.io.Catalog.ensureDatabase(s, "graft_q122")
+    graft.io.Catalog.registerTable(s, "graft_q122", "orders_clustered", tbl)
+    val out = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+                 sum(cents) AS sum_cents
+          FROM graft_q122.orders_clustered
+          WHERE id BETWEEN $StatsPruneLo AND $StatsPruneHi
+          GROUP BY o_orderstatus""")
+    out.collect() // finalize THIS dataset's AQE plan, then audit it
+    val scanned =
+      org.apache.spark.sql.GraftScanBridge.scannedFileCount(out)
+    require(scanned == kept,
+      s"q122: the SQL scan must enumerate exactly the census's $kept " +
+        s"files, scanned $scanned of $total — SQL-path skipping " +
+        "silently degraded")
+    out
+  }
+
   /** RESTORE as a query (q119): the Delta `RESTORE TABLE … TO VERSION`
     * semantics on the versioned layout ([[graft.io.ParquetTable
     * .restoreVersion]]) — a bad deploy (v3 truncates the table to the
@@ -3158,6 +3204,7 @@ object NorthStarQueries {
     "q119_restore_rollback" -> (q119RestoreRollback _),
     "q120_clone_divergence" -> (q120CloneDivergence _),
     "q121_timestamp_travel" -> (q121TimestampTravel _),
+    "q122_sql_pruned_scan" -> (q122SqlPrunedScan _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3325,6 +3372,16 @@ object NorthStarQueries {
          SELECT side, o_orderstatus, count(*) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM sides GROUP BY 1, 2""",
+    // q122: same closed form as q118 — SQL-path skipping is a strict
+    // optimization, so the catalog-routed aggregate equals DuckDB's
+    // plain full scan (the in-query require pins the file census)
+    "q122_sql_pruned_scan" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                      AS BIGINT) AS sum_cents
+          FROM orders
+          WHERE o_orderkey BETWEEN $StatsPruneLo AND $StatsPruneHi
+          GROUP BY 1""",
     // q121: every timestamp-addressed state recomputed from the version
     // DEFINITIONS — asof_mid/restored/asof_future must equal v1's
     // closed form (the future resolves to the restore commit, itself

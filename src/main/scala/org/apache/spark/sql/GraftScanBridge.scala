@@ -89,6 +89,11 @@ object GraftScanBridge {
   def scannedFileCount(df: Dataset[_]): Long = {
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      // AQE query stages (shuffle/broadcast/result) are LEAF wrappers —
+      // children is Nil and the real subtree hangs off `plan`; without
+      // this case any scan below an exchange is invisible to the census
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
       case s: FileSourceScanExec => Seq(s)
       case other =>
         other.children.flatMap(scans) ++
