@@ -878,6 +878,15 @@ final class ParquetTable(val path: String,
   def restoreToTimestamp(tsMillis: Long): ParquetTable =
     restoreVersion(versionAtTimestamp(tsMillis))
 
+  /** Change-data-feed since a wall-clock: everything that changed AFTER
+    * the state the table had at `tsMillis` — `changesBetween` anchored
+    * by [[versionAtTimestamp]], the "what moved since yesterday 14:00"
+    * form of CDF consumption. Same refusal semantics as timestamp reads
+    * (birth / retained-horizon / ambiguity refuse loudly).
+    */
+  def changesSince(spark: SparkSession, tsMillis: Long): DataFrame =
+    changesBetween(spark, versionAtTimestamp(tsMillis), version)
+
   /** RESTORE (Delta `RESTORE TABLE … TO VERSION AS OF v`): make a
     * retained version the table's live content again by committing a
     * FRESH version whose files are hard links to v's — O(#files), zero

@@ -119,4 +119,73 @@ object GoldIncStream {
         }
       }
       .start()
+
+  /** CDC intake: maintain the gold tables from a stream of orders
+    * CHANGE events, not just inserts — rows in the silver orders schema
+    * plus a string `_op` column (`upsert` | `delete`). Each trigger
+    * applies the batch as one keyed merge (deletes anti-joined out,
+    * upserts through [[graft.merge.MergeOps.upsertWithFeed]] — the S9
+    * machinery, so the written `_changes/` feed is the EXACT delta) and
+    * commits via `overwriteWithChanges`; the gold IVM then advances
+    * O(changes) off the feed like every other write path.
+    *
+    * Replay absorption is SEMANTIC here, not id-gated: re-upserting an
+    * identical row image and re-deleting an absent id both produce an
+    * EMPTY exact feed, and an empty feed skips the commit entirely —
+    * a pure-replay trigger leaves silver AND every gold table at their
+    * versions (the same zero-churn contract as the insert-only intake,
+    * reached through merge exactness instead of a Bloom gate).
+    * Conflicting upsert images for one id within one batch resolve
+    * deterministically to the greatest full-row tuple (a CDC source
+    * with an ordering column should collapse to the latest image
+    * upstream — arrival order inside a shuffled batch is not a
+    * sequence).
+    *
+    * Scale trade, recorded: the merge REWRITES the silver snapshot per
+    * fresh-bearing trigger (O(|snapshot| + |batch|) — the cost of
+    * full-tuple merge on plain parquet; Delta's MERGE pays the same on
+    * touched files). The feed keeps every DOWNSTREAM consumer
+    * O(changes); a deployment where the rewrite dominates batches the
+    * CDC stream into coarser triggers.
+    */
+  def ordersCdcStream(cdc: DataFrame, warehouse: Warehouse,
+      extendedMeasures: Boolean = false): StreamingQuery =
+    cdc.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        // self-heal the commit→advance crash window first (see
+        // ordersIntakeStream): versions unmoved → sidecar reads only
+        advanceGold(s, warehouse, extendedMeasures)
+        val silver = warehouse.silverByName("orders")
+        val b = batch.toDF().distinct() // exact re-sends collapse
+        val dataCols = b.columns.filter(_ != "_op").toIndexedSeq
+        val ups0 = b.filter(col("_op") === "upsert").drop("_op")
+        // deterministic single image per id (greatest full tuple wins)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))
+          .orderBy(struct(dataCols.map(col): _*).desc)
+        val ups = ups0
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val delIds = b.filter(col("_op") === "delete")
+          .select(col("id")).distinct()
+        val current = silver.read(s)
+        val afterDel = current.join(delIds, Seq("id"), "left_anti")
+        val delFeed = current.join(delIds, Seq("id"), "left_semi")
+          .withColumn("_change_type", lit("delete"))
+        val (merged, upsFeed) =
+          graft.merge.MergeOps.upsertWithFeed(afterDel, ups, Seq("id"))
+        val feed = delFeed.unionByName(upsFeed).persist()
+        try {
+          if (!feed.isEmpty) {
+            silver.overwriteWithChanges(merged, feed)
+            advanceGold(s, warehouse, extendedMeasures)
+          } // empty exact feed == semantic no-op: zero version churn
+        } finally {
+          feed.unpersist()
+          ()
+        }
+      }
+      .start()
 }

@@ -29,6 +29,10 @@ class GoldIncrementalSpec extends AnyFunSuite {
   type OrdRow = (Long, Timestamp, Option[Long], Date, Option[Date],
     Long, Int, Int, Timestamp)
 
+  /** An orders CDC event: the row image + `_op`, for MemoryStream. */
+  type CdcRow = (Long, Timestamp, Option[Long], Date, Option[Date],
+    Long, Int, Int, Timestamp, String)
+
   private def customersDf(rows: (Long, String, String, String)*) =
     rows.toSeq.map { case (id, t, st, created) =>
       (id, t, st, ts(created), created.take(4).toInt,
@@ -615,5 +619,97 @@ class GoldIncrementalSpec extends AnyFunSuite {
       .filter(col("city") === "berlin").head
     assert(row1.getAs[Long]("order_count") == 2L)
     assert(row1.getAs[Double]("avg_delivery_time") == 7.0)
+  }
+
+  test("CDC streaming intake (upserts + deletes) drives the gold tables " +
+      "to the batch rebuild; replayed events and semantic no-ops " +
+      "produce zero version churn") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_goldcdc")
+    val wh = new Warehouse(s"$root/inc")
+    val whB = new Warehouse(s"$root/batch")
+
+    val cust = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+      (2L, "individual", "VIP", "2023-06-01"))
+    val addr = addressesDf((10L, "berlin"), (11L, "paris"), (12L, "rome"))
+    val ord0 = ordersDf(
+      (100L, 1L, 10L, "2024-01-10", Some("2024-01-15")),
+      (101L, 1L, 11L, "2024-02-10", Some("2024-02-12")))
+    writeSilver(wh, cust, ord0, addr)
+
+    // CDC event = the silver orders row image + _op (CdcRow, class-level
+    // so the tuple encoder derives)
+    def ev(op: String, id: Long, cu: Long, ad: java.lang.Long,
+        created: String, delivered: Option[String]): CdcRow =
+      (cu, ts(created), Option(ad).map(_.longValue), d(created),
+        delivered.map(d), id, created.take(4).toInt,
+        created.slice(5, 7).toInt, ts("2024-01-01"), op)
+    def rebuiltLike(rows: CdcRow*): DataFrame = ordersDf(rows.map { r =>
+      (r._6, r._1, r._3.map(java.lang.Long.valueOf).orNull,
+        r._2.toString.take(10), r._5.map(_.toString))
+    }: _*)
+
+    val in = MemoryStream[CdcRow]
+    val stream = in.toDF().toDF("customer_id", "created_on", "address_id",
+      "delivery_date", "delivered_on", "id", "year", "month",
+      "silver_ingestion_time", "_op")
+    val q = graft.streaming.GoldIncStream.ordersCdcStream(stream, wh)
+    try {
+      // batch 1: a true CDC mix — insert 102, UPDATE 101 (address move),
+      // DELETE 100
+      val b1 = Seq(
+        ev("upsert", 102L, 2L, 12L, "2024-01-05", None),
+        ev("upsert", 101L, 1L, 10L, "2024-02-10", Some("2024-02-12")),
+        ev("delete", 100L, 1L, 10L, "2024-01-10", Some("2024-01-15")))
+      in.addData(b1)
+      q.processAllAvailable()
+      val fin1 = Seq(
+        ev("x", 101L, 1L, 10L, "2024-02-10", Some("2024-02-12")),
+        ev("x", 102L, 2L, 12L, "2024-01-05", None))
+      writeSilver(whB, cust, rebuiltLike(fin1: _*), addr)
+      new GoldBuilds(spark, whB).buildAll()
+      assertMatchesBatch(wh, whB)
+
+      // batch 2: PURE REPLAY of the same events — re-upserting an
+      // identical image and re-deleting an absent id are semantic
+      // no-ops, so NO silver commit and NO gold advance may happen
+      val silver = wh.silverByName("orders")
+      val sv = silver.version
+      val gvs = GoldNames.map(n => wh.gold(n).version)
+      in.addData(b1)
+      q.processAllAvailable()
+      assert(silver.version == sv,
+        "a replayed CDC batch must not create a silver version")
+      assert(GoldNames.map(n => wh.gold(n).version) == gvs,
+        "a replayed CDC batch must not rewrite any gold table")
+
+      // batch 3: conflicting in-batch images resolve deterministically
+      // (greatest tuple — here the delivered image) and a delete+upsert
+      // of one id in one batch nets to the upserted image
+      val b3 = Seq(
+        ev("upsert", 104L, 2L, 11L, "2024-03-01", None),
+        ev("upsert", 104L, 2L, 11L, "2024-03-01", Some("2024-03-09")),
+        ev("delete", 102L, 2L, 12L, "2024-01-05", None),
+        ev("upsert", 102L, 2L, 10L, "2024-01-06", Some("2024-01-16")))
+      in.addData(b3)
+      q.processAllAvailable()
+      val fin3 = Seq(
+        ev("x", 101L, 1L, 10L, "2024-02-10", Some("2024-02-12")),
+        ev("x", 102L, 2L, 10L, "2024-01-06", Some("2024-01-16")),
+        ev("x", 104L, 2L, 11L, "2024-03-01", Some("2024-03-09")))
+      writeSilver(whB, cust, rebuiltLike(fin3: _*), addr)
+      new GoldBuilds(spark, whB).buildAll()
+      assertMatchesBatch(wh, whB)
+
+      // the written feeds are exact deltas: CDF across the CDC commits
+      // nets 100 out and 102/104's final images in (multiset semantics)
+      val cdf = silver.changesBetween(spark, sv, silver.version)
+      val byType = cdf.groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType.getOrElse("delete", 0L) > 0L &&
+        byType.getOrElse("insert", 0L) > 0L,
+        s"CDC feeds must carry both sides of the net change: $byType")
+    } finally q.stop()
   }
 }

@@ -854,6 +854,15 @@ class TablesSpec extends AnyFunSuite {
       assert(VersionLog.timestampOf(s"$dir/t", 4).contains(3000L))
       assert(t.versionAtTimestamp(3000L) == 4)
 
+      // timestamp-addressed CDF: changesSince(ts) ≡ changesBetween of
+      // the resolved anchor version and the live version
+      val since = t.changesSince(spark, 2000L).collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val span = t.changesBetween(spark, 2, 4).collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(since == span, "changesSince must anchor at the version " +
+        "the timestamp resolves to")
+
       // vacuum horizon: resolving INTO a vacuumed snapshot refuses at
       // the read, like readVersion
       t.vacuum(stagingTtlMs = 0L)
