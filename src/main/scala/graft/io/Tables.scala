@@ -677,10 +677,29 @@ final class ParquetTable(val path: String,
     * path-safe strings (true for the numeric/enum keys this layer uses;
     * values needing hive escaping are refused loudly).
     */
-  def replacePartitions(df: DataFrame): ParquetTable = {
+  def replacePartitions(df: DataFrame): ParquetTable =
+    replaceImpl(df, None, None)
+
+  /** [[replacePartitions]] + write-side change capture (the
+    * [[overwriteWithChanges]] feed contract — `changes` must be the
+    * EXACT row-level delta of this replace) + `alsoReplace`: partition
+    * VALUES to drop even when `df` carries no rows for them. The extra
+    * set exists for copy-on-write merges
+    * ([[graft.merge.MergeOps.upsertIntoPartitioned]]): a merge that
+    * MOVES every row out of a partition produces a df with no rows for
+    * it, and a df-derived replacement set would silently keep the stale
+    * files — the classic dynamic-partition-overwrite pitfall.
+    */
+  def replacePartitionsWithChanges(df: DataFrame, changes: DataFrame,
+      alsoReplace: Option[DataFrame] = None): ParquetTable =
+    replaceImpl(df, Some(changes), alsoReplace)
+
+  private def replaceImpl(df: DataFrame, changes: Option[DataFrame],
+      alsoReplace: Option[DataFrame]): ParquetTable = {
     require(partitionColumns.nonEmpty,
       "replacePartitions needs a partitioned table")
     import org.apache.spark.sql.functions.col
+    changes.foreach(validateFeedShape(df, _))
     val baseV = version // throws if absent — replace needs a base
     val prevDir = Paths.get(currentPath)
     // Schema agreement, validated BEFORE any I/O (appendVersion's check):
@@ -720,22 +739,25 @@ final class ParquetTable(val path: String,
     // links NEXT TO the new rows (duplicates, not replacement). Refuse
     // both loudly: the keys this layer replaces on are numeric/enum.
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val replaced = df.select(partitionColumns.map(col): _*).distinct()
-      .collect()
-      .map(r => partitionColumns.indices.map { i =>
-        require(!r.isNullAt(i),
-          s"replacePartitions: NULL value in partition column " +
-            s"${partitionColumns(i)} — NULL partitions " +
-            "(__HIVE_DEFAULT_PARTITION__) are not replaceable through " +
-            "this path")
-        val raw = r.get(i).toString
-        require(ExternalCatalogUtils.escapePathName(raw) == raw,
-          s"replacePartitions: partition value '$raw' of column " +
-            s"${partitionColumns(i)} needs hive path-escaping — only " +
-            "plain path-safe values are replaceable through this path")
-        s"${partitionColumns(i)}=$raw"
-      }.toVector)
-      .toSet
+    def renderParts(d: DataFrame): Set[Vector[String]] =
+      d.select(partitionColumns.map(col): _*).distinct()
+        .collect()
+        .map(r => partitionColumns.indices.map { i =>
+          require(!r.isNullAt(i),
+            s"replacePartitions: NULL value in partition column " +
+              s"${partitionColumns(i)} — NULL partitions " +
+              "(__HIVE_DEFAULT_PARTITION__) are not replaceable through " +
+              "this path")
+          val raw = r.get(i).toString
+          require(ExternalCatalogUtils.escapePathName(raw) == raw,
+            s"replacePartitions: partition value '$raw' of column " +
+              s"${partitionColumns(i)} needs hive path-escaping — only " +
+              "plain path-safe values are replaceable through this path")
+          s"${partitionColumns(i)}=$raw"
+        }.toVector)
+        .toSet
+    val replaced = renderParts(df) ++
+      alsoReplace.map(renderParts).getOrElse(Set.empty)
     val depth = partitionColumns.size
     val next = ParquetTable.withCommitLock(path) {
       if (versionNum != baseV) throw stale(baseV, versionNum)
@@ -744,8 +766,12 @@ final class ParquetTable(val path: String,
     try {
       df.write.mode("append").partitionBy(partitionColumns: _*)
         .parquet(s"$path/$next")
+      // the declared feed rides the staged version dir (commitNew's
+      // discipline: built before the pointer swap, deleted with the
+      // staging dir on failure)
+      changes.foreach(writeFeed(next, _))
       // census BEFORE the link walk (appendVersion's rationale)
-      val (logAdds, _) = commitCensus(next)
+      val (logAdds, feedFiles) = commitCensus(next)
       var linkRenamed = false
       val nextDir = Paths.get(path, next)
       import scala.jdk.CollectionConverters._
@@ -815,7 +841,7 @@ final class ParquetTable(val path: String,
       ParquetTable.withCommitLock(path) {
         if (versionNum != baseV) throw stale(baseV, versionNum)
         swapPointer(next)
-        logCommit(next, "replace", logAdds, Nil,
+        logCommit(next, "replace", logAdds, feedFiles,
           replaced.toSeq.map(_.mkString("/")).sorted, linkRenamed)
       }
     } catch {

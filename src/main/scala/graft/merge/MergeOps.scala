@@ -224,6 +224,53 @@ object MergeOps {
     } finally { joined.unpersist(); () }
   }
 
+  /** COPY-ON-WRITE keyed upsert into a PARTITIONED versioned table:
+    * rewrite only the partitions the batch touches, hard-link the rest
+    * (Delta MERGE's touched-file behavior at partition granularity —
+    * the scale fix for [[upsertInto]]'s full-snapshot rewrite). Touched
+    * = partitions of the update images ∪ partitions currently holding
+    * the updated keys (the union covers rows a merge MOVES across
+    * partitions: the destination gets the new image, the origin is
+    * rewritten — or dropped outright via `alsoReplace` when the move
+    * emptied it). The merge itself runs on the touched RESTRICTION of
+    * the snapshot, so compute is O(|touched partitions| + |batch|), and
+    * commits through [[graft.io.ParquetTable.replacePartitionsWithChanges]]
+    * with the exact feed — downstream CDF/IVM consumers stay O(changes).
+    * The touched-partition VALUES are collected to the driver (bounded:
+    * partition counts are metadata-scale by design).
+    */
+  def upsertIntoPartitioned(spark: org.apache.spark.sql.SparkSession,
+      table: graft.io.ParquetTable, updates: DataFrame,
+      keys: Seq[String]): graft.io.ParquetTable = {
+    require(table.partitionColumns.nonEmpty,
+      "upsertIntoPartitioned needs a partitioned table — use upsertInto")
+    if (!table.exists)
+      return table.overwrite(updates.dropDuplicates(keys))
+    val pCols = table.partitionColumns
+    val u = updates.dropDuplicates(keys)
+    val current = table.read(spark)
+    val newParts = u.select(pCols.map(col): _*).distinct()
+    val oldParts = current
+      .join(u.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .select(pCols.map(col): _*).distinct()
+    val touched = newParts.unionByName(oldParts).distinct().persist()
+    try {
+      // partition pruning restricts the snapshot read to touched leaves
+      // (the values are literal after the collect)
+      val vals = touched.collect()
+      if (vals.isEmpty) return table // nothing to do (empty batch)
+      val pred = vals.map { r =>
+        pCols.zipWithIndex.map { case (c, i) =>
+          col(c) <=> lit(r.get(i))
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+      val curTouched = current.filter(pred)
+      val (merged, feed) = upsertWithFeed(curTouched, u, keys)
+      table.replacePartitionsWithChanges(merged, feed,
+        alsoReplace = Some(touched.toDF(pCols: _*)))
+    } finally { touched.unpersist(); () }
+  }
+
   /** Seed an SCD Type 2 dimension from its first snapshot: every row becomes
     * the current version, open-ended (`valid_to` NULL, typed like
     * `effective` so later merges union cleanly).
