@@ -1213,6 +1213,60 @@ object NorthStarQueries {
       .unionByName(agg(tbl.read(s), "restored"))   // live ≡ v1
   }
 
+  /** Copy-on-write partitioned MERGE as a query (q123): [[graft.merge
+    * .MergeOps.upsertIntoPartitioned]] — Delta MERGE's touched-file
+    * rewrite at partition granularity on the versioned layout. The
+    * orders table is partitioned by status; one batch mixes the three
+    * merge shapes a CDC upsert produces: in-place updates (%7 keys,
+    * cents bumped — same partition), cross-partition MOVES (%11 keys
+    * re-statused to 'P' — origin partition rewritten or dropped,
+    * destination gains the image), and brand-new keys (%5, absent from
+    * the seed). The merge computes on the touched restriction only and
+    * commits a `replace` with the EXACT feed; the in-query requires pin
+    * exactly that shape (replace kind + logged feed + untouched
+    * partitions never in removedPrefixes), and the output aggregates
+    * the final state PLUS the CDF rolled up across the merge commit.
+    * The oracle recomputes both from the closed-form batch definition —
+    * a stale file in a touched partition, a lost move origin, or an
+    * inexact feed breaks the hash. Scratch contract as q87/q118.
+    */
+  def q123CowMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val seed = base.filter(pmod(col("id"), lit(5)) =!= 0)
+    // batch: priority move > bump; inserts carry the original image
+    val updates = seed
+      .filter(pmod(col("id"), lit(7)) === 0 || pmod(col("id"), lit(11)) === 0)
+      .withColumn("status",
+        when(pmod(col("id"), lit(11)) === 0, lit("P")).otherwise(col("status")))
+      .withColumn("cents",
+        when(pmod(col("id"), lit(11)) =!= 0 && pmod(col("id"), lit(7)) === 0,
+          col("cents") + 100).otherwise(col("cents")))
+    val inserts = base.filter(pmod(col("id"), lit(5)) === 0)
+    val p = scratch("cowmerge", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString,
+      partitionColumns = Seq("status"))
+    tbl.overwrite(seed)
+    graft.merge.MergeOps.upsertIntoPartitioned(s, tbl,
+      updates.unionByName(inserts), Seq("id"))
+    val rec = graft.io.VersionLog.readRecord(p.toString, 2)
+    require(rec.exists(r => r.kind == "replace" && r.feed.nonEmpty),
+      "q123: the merge must commit a feed-carrying replace, not a " +
+        "snapshot overwrite")
+    val state = tbl.read(s).groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(lit("state").as("kind"), col("status"),
+        col("n_rows"), col("sum_cents"))
+    val cdf = tbl.changesBetween(s, 1, 2)
+      .groupBy(col("_change_type"), col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(concat(lit("cdf_"), col("_change_type")).as("kind"),
+        col("status"), col("n_rows"), col("sum_cents"))
+    state.unionByName(cdf)
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -3205,6 +3259,7 @@ object NorthStarQueries {
     "q120_clone_divergence" -> (q120CloneDivergence _),
     "q121_timestamp_travel" -> (q121TimestampTravel _),
     "q122_sql_pruned_scan" -> (q122SqlPrunedScan _),
+    "q123_cow_merge" -> (q123CowMerge _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3382,6 +3437,33 @@ object NorthStarQueries {
           FROM orders
           WHERE o_orderkey BETWEEN $StatsPruneLo AND $StatsPruneHi
           GROUP BY 1""",
+    // q123: the merged state AND the CDF across the merge commit, both
+    // recomputed from the closed-form batch definition (EXCEPT ALL for
+    // the delta — the q87 discipline): seed = %5≠0 keys; the batch
+    // moves %11 keys to status 'P', bumps the remaining %7 keys by 100,
+    // and inserts the %5 keys unmodified
+    "q123_cow_merge" ->
+      """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         seed AS (SELECT * FROM base WHERE id % 5 <> 0),
+         fin AS (
+           SELECT id,
+                  CASE WHEN id % 5 <> 0 AND id % 11 = 0 THEN 'P'
+                       ELSE status END AS status,
+                  CASE WHEN id % 5 <> 0 AND id % 11 <> 0 AND id % 7 = 0
+                       THEN cents + 100 ELSE cents END AS cents
+           FROM base),
+         ins AS (SELECT *, 'cdf_insert' AS kind
+                 FROM (SELECT * FROM fin EXCEPT ALL SELECT * FROM seed)),
+         del AS (SELECT *, 'cdf_delete' AS kind
+                 FROM (SELECT * FROM seed EXCEPT ALL SELECT * FROM fin)),
+         st AS (SELECT *, 'state' AS kind FROM fin),
+         unioned AS (SELECT * FROM st UNION ALL SELECT * FROM ins
+                     UNION ALL SELECT * FROM del)
+         SELECT kind, status, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM unioned GROUP BY 1, 2""",
     // q121: every timestamp-addressed state recomputed from the version
     // DEFINITIONS — asof_mid/restored/asof_future must equal v1's
     // closed form (the future resolves to the restore commit, itself
