@@ -105,6 +105,28 @@ object Catalog {
     if (partitioned)
       spark.catalog.recoverPartitions(s"`$database`.`$name`")
   }
+
+  /** `VERSION AS OF` for the SQL surface: register a session temp view
+    * of a RETAINED version, so `spark.sql("SELECT … FROM <view>")`
+    * time-travels without the DataFrame API. A temp view (not a catalog
+    * table): the snapshot is an immutable, session-scoped address — it
+    * should never survive the session or shadow the live registration.
+    * Refusals (vacuumed / missing version) are [[ParquetTable
+    * .readVersion]]'s, loud at registration time.
+    */
+  def registerVersionView(spark: SparkSession, viewName: String,
+      table: ParquetTable, version: Int): Unit =
+    table.readVersion(spark, version).createOrReplaceTempView(viewName)
+
+  /** `TIMESTAMP AS OF` for the SQL surface: [[registerVersionView]] of
+    * the version the timestamp resolves to ([[ParquetTable
+    * .versionAtTimestamp]] — latest stamped commit ≤ ts, with its loud
+    * birth / retained-horizon / ambiguity refusals).
+    */
+  def registerAsOfView(spark: SparkSession, viewName: String,
+      table: ParquetTable, tsMillis: Long): Unit =
+    registerVersionView(spark, viewName, table,
+      table.versionAtTimestamp(tsMillis))
 }
 
 /** Shared java.nio directory listing with guaranteed stream close — leaked

@@ -863,6 +863,16 @@ class TablesSpec extends AnyFunSuite {
       assert(since == span, "changesSince must anchor at the version " +
         "the timestamp resolves to")
 
+      // the SQL surface: VERSION/TIMESTAMP AS OF as temp views
+      graft.io.Catalog.registerAsOfView(spark, "t_asof_2000", t, 2000L)
+      assert(spark.sql("SELECT id FROM t_asof_2000").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L))
+      graft.io.Catalog.registerVersionView(spark, "t_v3", t, 3)
+      assert(spark.sql("SELECT id FROM t_v3").collect()
+        .map(_.getLong(0)).toSet == Set(9L))
+      spark.catalog.dropTempView("t_asof_2000")
+      spark.catalog.dropTempView("t_v3")
+
       // vacuum horizon: resolving INTO a vacuumed snapshot refuses at
       // the read, like readVersion
       t.vacuum(stagingTtlMs = 0L)
