@@ -111,6 +111,12 @@ object PlanAudit {
   private def allOps(p: SparkPlan): Seq[SparkPlan] =
     p.collectWithSubqueries { case n => n }.flatMap {
       case a: AdaptiveSparkPlanExec => allOps(a.executedPlan)
+      // a FINALIZED adaptive plan (a query executed inside its own
+      // constructor, e.g. q122's scanned-file require) wraps each stage
+      // in a QueryStageExec LEAF — without expanding `.plan`, every op
+      // below an exchange is invisible and the query audits as 0/0/0
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allOps(q.plan)
       case n => Seq(n)
     }
 
