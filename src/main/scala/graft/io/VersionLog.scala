@@ -81,8 +81,22 @@ private[graft] object VersionLog {
     * recorded timestamps are STRICTLY MONOTONIC per table even when the
     * host clock steps backwards — Delta's timestamp-adjustment rule,
     * which makes timestamp→version resolution well-defined.
+    *
+    * The override is a [[scala.util.DynamicVariable]] (thread-scoped,
+    * restored on exit), NOT a process-global var: a global injected
+    * clock would stamp commits of UNRELATED tables in the same JVM
+    * (parallel suites, the bench harness) with the synthetic time,
+    * silently corrupting their `TIMESTAMP AS OF` address space. Commit
+    * stamping happens on the thread that calls the table API, so the
+    * dynamic scope covers exactly the caller's own commits.
     */
-  private[graft] var clock: () => Long = () => System.currentTimeMillis()
+  private val defaultClock: () => Long = () => System.currentTimeMillis()
+  private val clockOverride =
+    new scala.util.DynamicVariable[Option[() => Long]](None)
+  private[graft] def withClock[A](c: () => Long)(body: => A): A =
+    clockOverride.withValue(Some(c))(body)
+  private def clock(): Long =
+    clockOverride.value.getOrElse(defaultClock)()
 
   val MaxStringStat = 64
 
@@ -330,8 +344,7 @@ private[graft] object VersionLog {
     * unresolvable step.
     */
   def timestampOf(path: String, v: Int): Option[Long] =
-    try recordAt(path, v,
-        scala.collection.mutable.Map[Int, Option[Checkpoint]]()).flatMap(_.ts)
+    try recordAt(path, v, new LogCtx(path)).flatMap(_.ts)
     catch { case _: Exception => None }
 
   /** Timestamp→version resolution with Delta's `TIMESTAMP AS OF`
@@ -345,9 +358,9 @@ private[graft] object VersionLog {
     */
   def versionAt(path: String, tsMillis: Long,
       current: Int): Either[String, Int] = {
-    val ckCache = scala.collection.mutable.Map[Int, Option[Checkpoint]]()
+    val ctx = new LogCtx(path)
     val stamps = (1 to current).map(v =>
-      v -> (try recordAt(path, v, ckCache).flatMap(_.ts)
+      v -> (try recordAt(path, v, ctx).flatMap(_.ts)
             catch { case _: Exception => None }))
     val known = stamps.collect { case (v, Some(t)) => v -> t }
     val lo = known.filter(_._2 <= tsMillis).map(_._1).maxOption
@@ -402,9 +415,9 @@ private[graft] object VersionLog {
       // everything after it
       walkDataFiles(Paths.get(path, f"v_$v%05d"))
     }
-    val prev = latestCheckpointAt(path, v - 1).map(_.v).getOrElse(0)
-    val ckCache = scala.collection.mutable.Map[Int, Option[Checkpoint]]()
-    val recs = ((prev + 1) to v).flatMap(i => recordAt(path, i, ckCache))
+    val ctx = new LogCtx(path)
+    val prev = ctx.latestAt(path, v - 1).map(_.v).getOrElse(0)
+    val recs = ((prev + 1) to v).flatMap(i => recordAt(path, i, ctx))
     val lines = Seq(s"ckpt=$v", s"prev=$prev") ++
       live.map(f => s"live=${fileLine(f)}") ++
       recs.flatMap(r => recordLines(r).map(l => s"R${r.v}:$l"))
@@ -507,6 +520,21 @@ private[graft] object VersionLog {
   private final case class Checkpoint(v: Int, prev: Int,
       live: Seq[FileEntry], recs: Map[Int, Record])
 
+  /** One resolution's log-access context: the `_log` checkpoint listing
+    * (ONE directory listing per resolution, not one per [[recordAt]]
+    * miss — a 10k-commit `versionAt` probe was 10k listings before) plus
+    * the parsed-checkpoint memo. Cheap to construct; never shared across
+    * resolutions (the listing must see checkpoints written in between).
+    */
+  private final class LogCtx(path: String) {
+    lazy val ckpts: Seq[Int] = checkpointVersions(path)
+    val cache: scala.collection.mutable.Map[Int, Option[Checkpoint]] =
+      scala.collection.mutable.Map[Int, Option[Checkpoint]]()
+    def latestAt(p: String, v: Int): Option[Checkpoint] =
+      ckpts.filter(_ <= v).maxOption
+        .flatMap(cv => cache.getOrElseUpdate(cv, readCheckpoint(p, cv)))
+  }
+
   private def checkpointVersions(path: String): Seq[Int] =
     try {
       val ld = logDir(path)
@@ -519,11 +547,6 @@ private[graft] object VersionLog {
       }.sorted
     } catch { case _: Exception => Nil }
 
-  /** Latest checkpoint at or below `v`, parsed. */
-  private def latestCheckpointAt(path: String, v: Int): Option[Checkpoint] =
-    checkpointVersions(path).filter(_ <= v).maxOption
-      .flatMap(cv => readCheckpoint(path, cv))
-
   /** Record for step `v`, from its loose file OR from the checkpoint
     * whose embedded interval (prev, ckpt] covers `v` — the seam that
     * makes RECORD COMPACTION safe: once a checkpoint embeds an
@@ -532,12 +555,10 @@ private[graft] object VersionLog {
     * them from here. `cache` memoizes checkpoint parses within one
     * resolution (a span can hit the same checkpoint K times).
     */
-  private def recordAt(path: String, v: Int,
-      cache: scala.collection.mutable.Map[Int, Option[Checkpoint]])
-      : Option[Record] =
+  private def recordAt(path: String, v: Int, ctx: LogCtx): Option[Record] =
     readRecord(path, v).orElse {
-      checkpointVersions(path).find(_ >= v).flatMap { cv =>
-        cache.getOrElseUpdate(cv, readCheckpoint(path, cv))
+      ctx.ckpts.find(_ >= v).flatMap { cv =>
+        ctx.cache.getOrElseUpdate(cv, readCheckpoint(path, cv))
           .filter(_.prev < v).flatMap(_.recs.get(v))
       }
     }
@@ -576,15 +597,15 @@ private[graft] object VersionLog {
   def resolveSteps(path: String, fromV: Int, toV: Int): Option[Seq[Record]] =
     try {
       val out = scala.collection.mutable.Map[Int, Record]()
-      val ckCache = scala.collection.mutable.Map[Int, Option[Checkpoint]]()
+      val ctx = new LogCtx(path)
       def loose(lo: Int, hi: Int): Boolean = // true = fully resolved
-        (lo to hi).forall(v => recordAt(path, v, ckCache) match {
+        (lo to hi).forall(v => recordAt(path, v, ctx) match {
           case Some(r) => out(v) = r; true
           case None => false
         })
       var hi = toV
       while (hi > fromV) {
-        latestCheckpointAt(path, hi) match {
+        ctx.latestAt(path, hi) match {
           case Some(ck) if ck.v > fromV =>
             // loose tail above the checkpoint, then its embedded interval
             if (!loose(ck.v + 1, hi)) return None
@@ -609,7 +630,8 @@ private[graft] object VersionLog {
     */
   def resolveFiles(path: String, v: Int): Option[Seq[FileEntry]] =
     try {
-      val ck = latestCheckpointAt(path, v)
+      val ctx = new LogCtx(path)
+      val ck = ctx.latestAt(path, v)
       val (baseV, base0) = ck match {
         case Some(c) if c.v == v => return Some(c.live)
         case Some(c) => (c.v, Some(c.live))
@@ -619,8 +641,7 @@ private[graft] object VersionLog {
       // record IS a full set; otherwise start from the checkpoint.
       // recordAt sources compacted steps from their covering checkpoint
       // (time travel INTO an old checkpoint interval stays resolvable)
-      val ckCache = scala.collection.mutable.Map[Int, Option[Checkpoint]]()
-      val recs = ((baseV + 1) to v).map(i => recordAt(path, i, ckCache) match {
+      val recs = ((baseV + 1) to v).map(i => recordAt(path, i, ctx) match {
         case Some(r) => r
         case None => return None
       })

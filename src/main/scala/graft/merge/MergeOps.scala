@@ -239,35 +239,114 @@ object MergeOps {
     * The touched-partition VALUES are collected to the driver (bounded:
     * partition counts are metadata-scale by design).
     */
+  /** Touched-partition cap: beyond this many leaf values the literal
+    * restriction predicate stops paying for itself (planning cost grows
+    * with the disjunct count while the rewrite approaches the full
+    * snapshot anyway) — the COW path falls back LOUDLY to the
+    * full-snapshot merge. Overridable via -Dgraft.merge.maxTouchedParts.
+    */
+  private def maxTouchedParts: Int =
+    sys.props.get("graft.merge.maxTouchedParts")
+      .flatMap(_.toIntOption).getOrElse(4096)
+
+  /** The touched-leaf restriction predicate over collected partition
+    * values. Single partition column → ONE flat `IN` list (partition-
+    * prunable, no expression-tree depth); multi-column → an OR of
+    * per-leaf AND tuples, reduced as a BALANCED tree so a
+    * thousands-of-partitions batch cannot build a deep left-leaning
+    * Catalyst tree (planner stack depth is bounded by log₂ n, not n).
+    * Null partition values keep the null-safe `<=>` form — they fail
+    * loudly downstream in the replace commit, never silently.
+    */
+  private def touchedPredicate(pCols: Seq[String],
+      vals: Array[org.apache.spark.sql.Row]): Column = {
+    def balanced(ps: IndexedSeq[Column]): Column =
+      if (ps.length == 1) ps.head
+      else {
+        val (l, r) = ps.splitAt(ps.length / 2)
+        balanced(l) || balanced(r)
+      }
+    val anyNull = vals.exists(r => pCols.indices.exists(r.isNullAt))
+    if (pCols.size == 1 && !anyNull)
+      col(pCols.head).isin(vals.map(_.get(0)).toIndexedSeq: _*)
+    else balanced(vals.map { r =>
+      pCols.zipWithIndex.map { case (c, i) =>
+        col(c) <=> lit(r.get(i))
+      }.reduce(_ && _)
+    }.toIndexedSeq)
+  }
+
   def upsertIntoPartitioned(spark: org.apache.spark.sql.SparkSession,
       table: graft.io.ParquetTable, updates: DataFrame,
-      keys: Seq[String]): graft.io.ParquetTable = {
+      keys: Seq[String]): graft.io.ParquetTable =
+    applyCdcPartitioned(spark, table, updates, None, keys,
+      skipEmptyFeed = false)
+
+  /** The CDC generalization of [[upsertIntoPartitioned]]: one keyed
+    * merge applying `updates` (full row images) AND `deleteKeys` (key
+    * tuples to remove) copy-on-write — touched partitions only, exact
+    * feed, hard links for the rest. Deletes apply FIRST, so an id
+    * carried by both nets to its update image (the per-batch contract a
+    * CDC intake wants). Touched = partitions of the update images ∪
+    * partitions currently holding any updated OR deleted key — the same
+    * move-covering union as the upsert-only form. With `skipEmptyFeed`
+    * a batch whose exact feed is EMPTY (pure replay: identical
+    * re-upserts, deletes of absent keys) commits NOTHING and returns
+    * the table at its version — the streaming zero-churn contract,
+    * reached through merge exactness. Batches touching more than
+    * [[maxTouchedParts]] leaves fall back loudly to the full-snapshot
+    * merge commit ([[graft.io.ParquetTable.overwriteWithChanges]]) —
+    * correctness identical, cost logged.
+    */
+  def applyCdcPartitioned(spark: org.apache.spark.sql.SparkSession,
+      table: graft.io.ParquetTable, updates: DataFrame,
+      deleteKeys: Option[DataFrame], keys: Seq[String],
+      skipEmptyFeed: Boolean): graft.io.ParquetTable = {
     require(table.partitionColumns.nonEmpty,
       "upsertIntoPartitioned needs a partitioned table — use upsertInto")
     if (!table.exists)
+      // deletes against a table with no committed state are no-ops
       return table.overwrite(updates.dropDuplicates(keys))
     val pCols = table.partitionColumns
     val u = updates.dropDuplicates(keys)
+    val dk = deleteKeys.map(_.select(keys.map(col): _*).distinct())
     val current = table.read(spark)
     val newParts = u.select(pCols.map(col): _*).distinct()
-    val oldParts = current
-      .join(u.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    val touchedKeys = dk.foldLeft(u.select(keys.map(col): _*).distinct()) {
+      (a, d) => a.unionByName(d).distinct()
+    }
+    val oldParts = current.join(touchedKeys, keys, "left_semi")
       .select(pCols.map(col): _*).distinct()
     val touched = newParts.unionByName(oldParts).distinct().persist()
     try {
       // partition pruning restricts the snapshot read to touched leaves
-      // (the values are literal after the collect)
+      // (the values are literal after the collect; bounded: partition
+      // counts are metadata-scale by design, and capped below)
       val vals = touched.collect()
       if (vals.isEmpty) return table // nothing to do (empty batch)
-      val pred = vals.map { r =>
-        pCols.zipWithIndex.map { case (c, i) =>
-          col(c) <=> lit(r.get(i))
-        }.reduce(_ && _)
-      }.reduce(_ || _)
-      val curTouched = current.filter(pred)
-      val (merged, feed) = upsertWithFeed(curTouched, u, keys)
-      table.replacePartitionsWithChanges(merged, feed,
-        alsoReplace = Some(touched.toDF(pCols: _*)))
+      val overCap = vals.length > maxTouchedParts
+      if (overCap)
+        System.err.println(s"[MergeOps] batch touches ${vals.length} " +
+          s"leaf partitions of ${table.path} (cap $maxTouchedParts) — " +
+          "falling back to the full-snapshot merge commit; raise " +
+          "-Dgraft.merge.maxTouchedParts to keep the COW path")
+      val scope = if (overCap) current
+        else current.filter(touchedPredicate(pCols, vals))
+      val afterDel = dk.fold(scope)(d => scope.join(d, keys, "left_anti"))
+      val delFeed = dk.map(d => scope.join(d, keys, "left_semi")
+        .withColumn("_change_type", lit("delete")))
+      val joined = upsertJoined(afterDel, u, keys).persist()
+      try {
+        val (merged, upsFeed) = fromJoined(joined, afterDel.schema,
+          deleteUnmatched = false)
+        val feed0 = delFeed.fold(upsFeed)(_.unionByName(upsFeed)).persist()
+        try {
+          if (skipEmptyFeed && feed0.isEmpty) table
+          else if (overCap) table.overwriteWithChanges(merged, feed0)
+          else table.replacePartitionsWithChanges(merged, feed0,
+            alsoReplace = Some(touched.toDF(pCols: _*)))
+        } finally { feed0.unpersist(); () }
+      } finally { joined.unpersist(); () }
     } finally { touched.unpersist(); () }
   }
 

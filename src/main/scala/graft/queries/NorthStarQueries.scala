@@ -1168,7 +1168,7 @@ object NorthStarQueries {
     * [[graft.io.ParquetTable.restoreToTimestamp]]) — "the table was
     * right yesterday 14:00", the form of time travel incident response
     * actually reaches for. Commits run under an INJECTED commit clock
-    * (v1@1000, v2@2000, v3@3000 — [[graft.io.VersionLog.clock]], the
+    * (v1@1000, v2@2000, v3@3000 — [[graft.io.VersionLog.withClock]], the
     * determinism seam), then the output pins the resolution law
     * `latest commit ≤ ts` at every interesting address: mid-interval
     * (1500 → v1), exact boundary (2000 → v2), the future (→ live v3),
@@ -1191,16 +1191,18 @@ object NorthStarQueries {
     val p = scratch("tstravel", dir)
     graft.io.FsUtil.deleteRecursively(p)
     val tbl = new graft.io.ParquetTable(p.toString)
-    val prevClock = graft.io.VersionLog.clock
-    try {
-      var now = 1000L
-      graft.io.VersionLog.clock = () => now
+    // thread-scoped clock injection (VersionLog.withClock): commits of
+    // UNRELATED tables in this JVM — parallel suites, concurrent bench
+    // queries — keep the real clock; only this thread's commits inside
+    // the scope see the synthetic 1000–4000 stamps
+    var now = 1000L
+    graft.io.VersionLog.withClock(() => now) {
       tbl.overwrite(v1)            // v1 @1000
       now = 2000L; tbl.overwrite(v2) // v2 @2000
       now = 3000L; tbl.overwrite(v3) // v3 @3000
       now = 4000L
       tbl.restoreToTimestamp(1500L) // resolves v1, commits v4 @4000
-    } finally graft.io.VersionLog.clock = prevClock
+    }
     def agg(df: DataFrame, kind: String): DataFrame =
       df.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))

@@ -120,35 +120,130 @@ object GoldIncStream {
       }
       .start()
 
-  /** CDC intake: maintain the gold tables from a stream of orders
-    * CHANGE events, not just inserts — rows in the silver orders schema
-    * plus a string `_op` column (`upsert` | `delete`). Each trigger
-    * applies the batch as one keyed merge (deletes anti-joined out,
-    * upserts through [[graft.merge.MergeOps.upsertWithFeed]] — the S9
-    * machinery, so the written `_changes/` feed is the EXACT delta) and
-    * commits via `overwriteWithChanges`; the gold IVM then advances
-    * O(changes) off the feed like every other write path.
-    *
-    * Replay absorption is SEMANTIC here, not id-gated: re-upserting an
-    * identical row image and re-deleting an absent id both produce an
-    * EMPTY exact feed, and an empty feed skips the commit entirely —
-    * a pure-replay trigger leaves silver AND every gold table at their
-    * versions (the same zero-churn contract as the insert-only intake,
-    * reached through merge exactness instead of a Bloom gate).
-    * Conflicting upsert images for one id within one batch resolve
-    * deterministically to the greatest full-row tuple (a CDC source
-    * with an ordering column should collapse to the latest image
-    * upstream — arrival order inside a shuffled batch is not a
-    * sequence).
-    *
-    * Scale trade, recorded: the merge REWRITES the silver snapshot per
-    * fresh-bearing trigger (O(|snapshot| + |batch|) — the cost of
-    * full-tuple merge on plain parquet; Delta's MERGE pays the same on
-    * touched files). The feed keeps every DOWNSTREAM consumer
-    * O(changes); a deployment where the rewrite dominates batches the
-    * CDC stream into coarser triggers.
+  /** A CDC-maintained silver entity: its business keys (the merge
+    * identity) and the partition layout the COW write path uses when
+    * the on-disk silver table actually carries it. The three reference
+    * entities that drive gold tables are predefined; any other silver
+    * table follows the same contract.
     */
-  def ordersCdcStream(cdc: DataFrame, warehouse: Warehouse,
+  final case class CdcEntity(name: String, keys: Seq[String],
+      partitionColumns: Seq[String])
+  object CdcEntity {
+    val Orders: CdcEntity =
+      CdcEntity("orders", Seq("id"), Seq("year", "month"))
+    val Customers: CdcEntity =
+      CdcEntity("customers", Seq("id"), Seq("year", "month"))
+    val Addresses: CdcEntity =
+      CdcEntity("addresses", Seq("id"), Seq("city"))
+    val All: Seq[CdcEntity] = Seq(Orders, Customers, Addresses)
+  }
+
+  /** The silver handle the CDC write path commits through: the
+    * PARTITIONED handle when the live version actually has the
+    * hive-style layout on disk (→ copy-on-write merges rewrite only
+    * touched leaves), the flat handle otherwise (→ full-snapshot merge
+    * commits — correct, just not COW). Layout is detected, not assumed:
+    * a warehouse seeded through the unpartitioned `silverByName` handle
+    * must keep working, and an empty-write flat fallback must not be
+    * misread as partitioned (Catalog.registerTable's rule).
+    */
+  private def silverHandle(warehouse: Warehouse,
+      e: CdcEntity): graft.io.ParquetTable = {
+    val flat = warehouse.silverByName(e.name)
+    if (e.partitionColumns.isEmpty || !flat.exists) return flat
+    val hiveLayout = graft.io.FsUtil
+      .listDir(java.nio.file.Paths.get(flat.currentPath))
+      .exists(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.contains("="))
+    if (hiveLayout)
+      warehouse.table(s"silver_${e.name}", e.partitionColumns)
+    else flat
+  }
+
+  /** Ops this intake accepts. Anything else — 'update', 'insert',
+    * 'UPSERT' from a real CDC source — is REFUSED loudly per batch
+    * (this layer's discipline): silently dropping unknown ops is data
+    * loss, and mapping synonyms is the upstream adapter's job because
+    * only it knows whether its 'update' carries full or partial images.
+    */
+  private val CdcOps = Seq("upsert", "delete")
+
+  private def requireOpDomain(b: DataFrame, entity: String): Unit = {
+    val bad = b.select(col("_op")).filter(!col("_op").isin(CdcOps: _*))
+      .distinct().limit(5).collect().map(r => String.valueOf(r.get(0)))
+    require(bad.isEmpty,
+      s"CDC batch for silver_$entity carries unsupported _op value(s) " +
+        s"${bad.mkString("'", "', '", "'")} — this intake accepts " +
+        s"exactly ${CdcOps.mkString("'", "' | '", "'")} (full row " +
+        "images); map source-specific ops upstream")
+  }
+
+  /** Apply ONE entity's CDC batch (silver-schema row images + `_op`) as
+    * a keyed merge commit; returns whether a commit happened. The write
+    * is COPY-ON-WRITE when the silver table is partitioned
+    * ([[graft.merge.MergeOps.applyCdcPartitioned]] — only touched
+    * year/month (orders, customers) or city (addresses) leaves are
+    * rewritten, everything else rides as hard links; the 100 TB merge
+    * shape), full-snapshot otherwise. Either way the committed feed is
+    * the EXACT delta, so the gold IVM advances O(changes).
+    *
+    * Replay absorption is SEMANTIC, not id-gated: re-upserting an
+    * identical row image and re-deleting an absent key both produce an
+    * EMPTY exact feed, and an empty feed commits NOTHING — a
+    * pure-replay trigger leaves silver and every gold table at their
+    * versions. Conflicting upsert images for one key within one batch
+    * resolve deterministically to the greatest full-row tuple (a CDC
+    * source with an ordering column should collapse to the latest
+    * image upstream — arrival order inside a shuffled batch is not a
+    * sequence); a delete+upsert of one key in one batch nets to the
+    * upserted image (deletes apply first).
+    */
+  private[graft] def applyCdcBatch(s: org.apache.spark.sql.SparkSession,
+      warehouse: Warehouse, e: CdcEntity, batch0: DataFrame): Boolean = {
+    val b = batch0.distinct() // exact re-sends collapse
+    requireOpDomain(b, e.name)
+    val dataCols = b.columns.filter(_ != "_op").toIndexedSeq
+    val ups0 = b.filter(col("_op") === "upsert").drop("_op")
+    // deterministic single image per key (greatest full tuple wins)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(e.keys.map(col): _*)
+      .orderBy(struct(dataCols.map(col): _*).desc)
+    val ups = ups0
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val delKeys = b.filter(col("_op") === "delete")
+      .select(e.keys.map(col): _*).distinct()
+    val silver = silverHandle(warehouse, e)
+    if (silver.partitionColumns.nonEmpty) {
+      val v0 = silver.version
+      graft.merge.MergeOps.applyCdcPartitioned(s, silver, ups,
+        Some(delKeys), e.keys, skipEmptyFeed = true)
+      silver.version != v0
+    } else {
+      val current = silver.read(s)
+      val afterDel = current.join(delKeys, e.keys, "left_anti")
+      val delFeed = current.join(delKeys, e.keys, "left_semi")
+        .withColumn("_change_type", lit("delete"))
+      val (merged, upsFeed) =
+        graft.merge.MergeOps.upsertWithFeed(afterDel, ups, e.keys)
+      val feed = delFeed.unionByName(upsFeed).persist()
+      try {
+        if (feed.isEmpty) false // semantic no-op: zero version churn
+        else { silver.overwriteWithChanges(merged, feed); true }
+      } finally { feed.unpersist(); () }
+    }
+  }
+
+  /** CDC intake for ONE entity: maintain the gold tables from a stream
+    * of that entity's CHANGE events, not just inserts — rows in the
+    * entity's silver schema plus a string `_op` column (`upsert` |
+    * `delete`; anything else refuses loudly). Each trigger applies the
+    * batch through [[applyCdcBatch]] — copy-on-write on partitioned
+    * silver, exact feed either way — and the gold IVM then advances
+    * O(changes) off the feed like every other write path.
+    */
+  def entityCdcStream(cdc: DataFrame, warehouse: Warehouse,
+      entity: CdcEntity,
       extendedMeasures: Boolean = false): StreamingQuery =
     cdc.writeStream
       .outputMode("append")
@@ -157,35 +252,70 @@ object GoldIncStream {
         // self-heal the commit→advance crash window first (see
         // ordersIntakeStream): versions unmoved → sidecar reads only
         advanceGold(s, warehouse, extendedMeasures)
-        val silver = warehouse.silverByName("orders")
-        val b = batch.toDF().distinct() // exact re-sends collapse
-        val dataCols = b.columns.filter(_ != "_op").toIndexedSeq
-        val ups0 = b.filter(col("_op") === "upsert").drop("_op")
-        // deterministic single image per id (greatest full tuple wins)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id"))
-          .orderBy(struct(dataCols.map(col): _*).desc)
-        val ups = ups0
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        val delIds = b.filter(col("_op") === "delete")
-          .select(col("id")).distinct()
-        val current = silver.read(s)
-        val afterDel = current.join(delIds, Seq("id"), "left_anti")
-        val delFeed = current.join(delIds, Seq("id"), "left_semi")
-          .withColumn("_change_type", lit("delete"))
-        val (merged, upsFeed) =
-          graft.merge.MergeOps.upsertWithFeed(afterDel, ups, Seq("id"))
-        val feed = delFeed.unionByName(upsFeed).persist()
+        if (applyCdcBatch(s, warehouse, entity, batch.toDF()))
+          advanceGold(s, warehouse, extendedMeasures)
+      }
+      .start()
+
+  /** [[entityCdcStream]] pinned to orders — the original intake shape,
+    * kept as the named entry point.
+    */
+  def ordersCdcStream(cdc: DataFrame, warehouse: Warehouse,
+      extendedMeasures: Boolean = false): StreamingQuery =
+    entityCdcStream(cdc, warehouse, CdcEntity.Orders, extendedMeasures)
+
+  /** MIXED-entity CDC intake: one stream carrying change events for
+    * several silver entities at once — the shape a real CDC bus
+    * (Debezium topic fan-in, a multiplexed CDC feed) delivers. Rows are
+    * `(_entity, _op, _payload)` where `_payload` is the JSON rendering
+    * of the entity's silver row image (`to_json(struct(*))` on the
+    * producer side); each trigger splits the batch by entity, decodes
+    * payloads against the entity's COMMITTED silver schema (the
+    * `_schema.json` sidecar — never inference), applies each entity's
+    * slice through [[applyCdcBatch]] in [[CdcEntity.All]]-order
+    * (dimensions before facts is the caller's ordering lever), then
+    * advances the gold IVM once if anything committed. Unknown
+    * `_entity` values refuse loudly — same discipline as unknown ops.
+    */
+  def mixedCdcStream(cdc: DataFrame, warehouse: Warehouse,
+      entities: Seq[CdcEntity] = CdcEntity.All,
+      extendedMeasures: Boolean = false): StreamingQuery =
+    cdc.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        advanceGold(s, warehouse, extendedMeasures) // self-heal first
+        val b = batch.toDF().persist()
         try {
-          if (!feed.isEmpty) {
-            silver.overwriteWithChanges(merged, feed)
+          val known = entities.map(_.name)
+          val badEnt = b.select(col("_entity"))
+            .filter(!col("_entity").isin(known: _*))
+            .distinct().limit(5).collect()
+            .map(r => String.valueOf(r.get(0)))
+          require(badEnt.isEmpty,
+            s"mixed CDC batch carries unknown _entity value(s) " +
+              s"${badEnt.mkString("'", "', '", "'")} — this intake " +
+              s"maintains ${known.mkString(", ")}")
+          val committed = entities.map { e =>
+            val slice = b.filter(col("_entity") === e.name)
+            if (slice.isEmpty) false
+            else {
+              val schema = silverHandle(warehouse, e).liveSchema
+                .getOrElse(throw new IllegalStateException(
+                  s"silver_${e.name} carries no committed schema — the " +
+                    "mixed CDC intake decodes payloads against " +
+                    "_schema.json, never inference; seed the silver " +
+                    "table first"))
+              val decoded = slice
+                .select(from_json(col("_payload"), schema).as("__row"),
+                  col("_op"))
+                .select(col("__row.*"), col("_op"))
+              applyCdcBatch(s, warehouse, e, decoded)
+            }
+          }
+          if (committed.contains(true))
             advanceGold(s, warehouse, extendedMeasures)
-          } // empty exact feed == semantic no-op: zero version churn
-        } finally {
-          feed.unpersist()
-          ()
-        }
+        } finally { b.unpersist(); () }
       }
       .start()
 }

@@ -112,12 +112,19 @@ object GraftSqlSkipping extends Rule[LogicalPlan] {
 
   /** Append this rule to `spark`'s user-provided optimizer batch once
     * (idempotent per session — the experimental-methods list is
-    * session-scoped state).
+    * session-scoped state). The contains-check-and-append is a
+    * read-modify-write of shared session state, so it synchronizes on
+    * the session's experimental-methods holder: two concurrent
+    * `registerTable` calls (or one racing a user's own rule
+    * registration through the same lock) must not double-append this
+    * rule or drop the other party's appended optimization.
     */
   def install(spark0: SparkSession): Unit = {
     val spark = spark0.asInstanceOf[classic.SparkSession]
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(GraftSqlSkipping))
-      spark.experimental.extraOptimizations = cur :+ GraftSqlSkipping
+    spark.experimental.synchronized {
+      val cur = spark.experimental.extraOptimizations
+      if (!cur.contains(GraftSqlSkipping))
+        spark.experimental.extraOptimizations = cur :+ GraftSqlSkipping
+    }
   }
 }

@@ -811,10 +811,10 @@ class TablesSpec extends AnyFunSuite {
       "ties, monotonic stamps under a backwards clock, loud refusals") {
     import graft.io.{ParquetTable, VersionLog}
     import spark.implicits._
-    val prevClock = VersionLog.clock
-    try {
-      var now = 1000L
-      VersionLog.clock = () => now
+    var now = 1000L
+    // thread-scoped injection: commits of unrelated tables on other
+    // threads keep the real clock (the withClock contract)
+    VersionLog.withClock(() => now) {
       val dir = Files.createTempDirectory("graft_ts").toString
       val t = new ParquetTable(s"$dir/t")
       t.overwrite(Seq((1L, "a")).toDF("id", "v"))                // v1 @1000
@@ -911,6 +911,6 @@ class TablesSpec extends AnyFunSuite {
         u.versionAtTimestamp(50L)
       }
       assert(birth2.getMessage.contains("birth"))
-    } finally VersionLog.clock = prevClock
+    }
   }
 }
