@@ -712,4 +712,229 @@ class GoldIncrementalSpec extends AnyFunSuite {
         s"CDC feeds must carry both sides of the net change: $byType")
     } finally q.stop()
   }
+
+  /** rel-path → inode map of every data file under a version dir —
+    * the hard-link census: a COW commit must carry every untouched
+    * partition's files as LINKS to the base version's inodes (same
+    * inode), never copies (new inode) and never rewrites.
+    */
+  private def inodeCensus(verDir: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(verDir)
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.getAttribute(p, "unix:ino")
+            .asInstanceOf[Long])
+        .toMap
+    } finally walk.close()
+  }
+
+  test("CDC stream over PARTITIONED silver commits copy-on-write: a " +
+      "trigger rewrites only touched year/month leaves, hard-links " +
+      "every untouched partition's files (inode census), keeps " +
+      "stream == batch parity, and pure replays stay zero-churn") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_goldcow")
+    val wh = new Warehouse(s"$root/inc")
+    val whB = new Warehouse(s"$root/batch")
+
+    val cust = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+      (2L, "individual", "VIP", "2023-06-01"))
+    val addr = addressesDf((10L, "berlin"), (11L, "paris"), (12L, "rome"))
+    val ord0 = ordersDf(
+      (100L, 1L, 10L, "2024-01-10", Some("2024-01-15")),
+      (102L, 2L, 12L, "2024-01-05", None),
+      (101L, 1L, 11L, "2024-02-10", Some("2024-02-12")),
+      (110L, 2L, 11L, "2024-03-03", Some("2024-03-11")))
+    // silver orders seeded PARTITIONED — the deployment shape the COW
+    // stream path exists for; dims stay flat (they are joined, not
+    // CDC-maintained here)
+    wh.silverByName("customers").overwrite(cust)
+    wh.silverByName("addresses").overwrite(addr)
+    val silverPart = wh.table("silver_orders", Seq("year", "month"))
+    silverPart.overwrite(ord0)
+
+    def ev(op: String, id: Long, cu: Long, ad: java.lang.Long,
+        created: String, delivered: Option[String]): CdcRow =
+      (cu, ts(created), Option(ad).map(_.longValue), d(created),
+        delivered.map(d), id, created.take(4).toInt,
+        created.slice(5, 7).toInt, ts("2024-01-01"), op)
+    def rebuiltLike(rows: CdcRow*): DataFrame = ordersDf(rows.map { r =>
+      (r._6, r._1, r._3.map(java.lang.Long.valueOf).orNull,
+        r._2.toString.take(10), r._5.map(_.toString))
+    }: _*)
+
+    val in = MemoryStream[CdcRow]
+    val stream = in.toDF().toDF("customer_id", "created_on", "address_id",
+      "delivery_date", "delivered_on", "id", "year", "month",
+      "silver_ingestion_time", "_op")
+    val q = graft.streaming.GoldIncStream.ordersCdcStream(stream, wh)
+    try {
+      val censusV1 = inodeCensus(silverPart.currentPath)
+      // batch 1 touches ONLY 2024-02 (update 101's delivery) and
+      // 2024-03 (delete 110); 2024-01 must ride as hard links
+      val b1 = Seq(
+        ev("upsert", 101L, 1L, 10L, "2024-02-10", Some("2024-02-20")),
+        ev("delete", 110L, 2L, 11L, "2024-03-03", Some("2024-03-11")))
+      in.addData(b1)
+      q.processAllAvailable()
+
+      assert(silverPart.version == 2,
+        "a fresh-bearing CDC batch must commit exactly one version")
+      val rec = graft.io.VersionLog.readRecord(silverPart.path, 2)
+      assert(rec.exists(r => r.kind == "replace" && r.feed.nonEmpty),
+        s"the CDC commit must be a feed-carrying REPLACE (copy-on-" +
+          s"write), not a snapshot overwrite — got ${rec.map(_.kind)}")
+      val censusV2 = inodeCensus(silverPart.currentPath)
+      val untouchedV1 = censusV1.filter(_._1.startsWith("year=2024/month=1/"))
+      assert(untouchedV1.nonEmpty, "fixture must have an untouched leaf")
+      untouchedV1.foreach { case (rel, ino) =>
+        assert(censusV2.get(rel).contains(ino),
+          s"untouched partition file $rel must ride into the new " +
+            "version as a HARD LINK (same inode), not a rewrite")
+      }
+      assert(!censusV2.keys.exists(r => r.startsWith("year=2024/month=3/") &&
+          censusV1.contains(r)),
+        "the delete-emptied 2024-03 leaf must not carry stale files")
+
+      // parity with the batch rebuild of the final state
+      val fin1 = Seq(
+        ev("x", 100L, 1L, 10L, "2024-01-10", Some("2024-01-15")),
+        ev("x", 102L, 2L, 12L, "2024-01-05", None),
+        ev("x", 101L, 1L, 10L, "2024-02-10", Some("2024-02-20")))
+      writeSilver(whB, cust, rebuiltLike(fin1: _*), addr)
+      new GoldBuilds(spark, whB).buildAll()
+      assertMatchesBatch(wh, whB)
+
+      // pure replay: identical re-upsert + re-delete of an absent key
+      // == empty exact feed == NO commit on silver or any gold table
+      val gvs = GoldNames.map(n => wh.gold(n).version)
+      in.addData(b1)
+      q.processAllAvailable()
+      assert(silverPart.version == 2,
+        "a pure-replay CDC batch must not commit on the COW path")
+      assert(GoldNames.map(n => wh.gold(n).version) == gvs,
+        "a pure-replay CDC batch must not rewrite any gold table")
+    } finally q.stop()
+  }
+
+  test("mixed-entity CDC stream (orders + customers + addresses in one " +
+      "feed) drives the gold tables to the batch rebuild; unknown " +
+      "_entity and _op values refuse loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_goldmix")
+    val wh = new Warehouse(s"$root/inc")
+    val whB = new Warehouse(s"$root/batch")
+
+    val cust0 = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+      (2L, "individual", "VIP", "2023-06-01"),
+      (3L, "affiliate", "VIP", "2023-07-01"))
+    val addr0 = addressesDf((10L, "berlin"), (11L, "paris"), (12L, "rome"))
+    val ord0 = ordersDf(
+      (100L, 1L, 10L, "2024-01-10", Some("2024-01-15")),
+      (101L, 1L, 11L, "2024-02-10", Some("2024-02-12")),
+      (102L, 2L, 12L, "2024-01-05", None))
+    // every silver table seeded PARTITIONED in its deployment layout
+    wh.table("silver_customers", Seq("year", "month")).overwrite(cust0)
+    wh.table("silver_addresses", Seq("city")).overwrite(addr0)
+    wh.table("silver_orders", Seq("year", "month")).overwrite(ord0)
+
+    // producer side: payload = to_json(struct(*)) of the row image —
+    // the same rendering the intake decodes with from_json against the
+    // committed silver schema
+    def payloads(df: DataFrame, entity: String,
+        op: String): Seq[(String, String, String)] =
+      df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*))
+          .as("p")).collect()
+        .map(r => (entity, op, r.getString(0))).toSeq
+
+    val in = MemoryStream[(String, String, String)]
+    val stream = in.toDF().toDF("_entity", "_op", "_payload")
+    val q = graft.streaming.GoldIncStream.mixedCdcStream(stream, wh)
+    try {
+      // one mixed batch: customer 2 status flip, address 11 city RENAME
+      // (a partition MOVE on the city-partitioned silver), order 102
+      // delivered + order 103 inserted + order 100 deleted
+      val b1 =
+        payloads(customersDf((2L, "individual", "regular", "2023-06-01")),
+          "customers", "upsert") ++
+        payloads(addressesDf((11L, "lyon")), "addresses", "upsert") ++
+        payloads(ordersDf(
+          (102L, 2L, 12L, "2024-01-05", Some("2024-01-25")),
+          (103L, 2L, 10L, "2024-02-15", Some("2024-02-18"))),
+          "orders", "upsert") ++
+        payloads(ordersDf(
+          (100L, 1L, 10L, "2024-01-10", Some("2024-01-15"))),
+          "orders", "delete")
+      in.addData(b1)
+      q.processAllAvailable()
+
+      val cust1 = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+        (2L, "individual", "regular", "2023-06-01"),
+        (3L, "affiliate", "VIP", "2023-07-01"))
+      val addr1 = addressesDf((10L, "berlin"), (11L, "lyon"), (12L, "rome"))
+      val ord1 = ordersDf(
+        (101L, 1L, 11L, "2024-02-10", Some("2024-02-12")),
+        (102L, 2L, 12L, "2024-01-05", Some("2024-01-25")),
+        (103L, 2L, 10L, "2024-02-15", Some("2024-02-18")))
+      writeSilver(whB, cust1, ord1, addr1)
+      new GoldBuilds(spark, whB).buildAll()
+      assertMatchesBatch(wh, whB)
+
+      // the address rename moved the row out of city=paris: the new
+      // addresses version must not retain a paris leaf
+      val addrT = wh.table("silver_addresses", Seq("city"))
+      assert(!inodeCensus(addrT.currentPath).keys
+          .exists(_.startsWith("city=paris/")),
+        "a city rename must drop the emptied origin partition")
+
+      // replay of the whole mixed batch: zero churn everywhere
+      val vers = Seq("customers", "addresses", "orders")
+        .map(n => wh.silverByName(n).version)
+      val gvs = GoldNames.map(n => wh.gold(n).version)
+      in.addData(b1)
+      q.processAllAvailable()
+      assert(Seq("customers", "addresses", "orders")
+          .map(n => wh.silverByName(n).version) == vers,
+        "a replayed mixed batch must not commit on any silver table")
+      assert(GoldNames.map(n => wh.gold(n).version) == gvs,
+        "a replayed mixed batch must not rewrite any gold table")
+    } finally q.stop()
+
+    // unknown _entity refuses loudly (no silent drop)
+    val inBad = MemoryStream[(String, String, String)]
+    val qBad = graft.streaming.GoldIncStream.mixedCdcStream(
+      inBad.toDF().toDF("_entity", "_op", "_payload"), wh)
+    try {
+      inBad.addData(Seq(("order_details", "upsert", "{}")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qBad.processAllAvailable()
+      }
+      assert(e.getMessage.contains("unknown _entity") ||
+        Option(e.getCause).exists(_.getMessage.contains("unknown _entity")))
+    } finally qBad.stop()
+
+    // unknown _op refuses loudly too — 'update' from a real CDC source
+    // must never be silently dropped
+    val inOp = MemoryStream[CdcRow]
+    val qOp = graft.streaming.GoldIncStream.ordersCdcStream(
+      inOp.toDF().toDF("customer_id", "created_on", "address_id",
+        "delivery_date", "delivered_on", "id", "year", "month",
+        "silver_ingestion_time", "_op"), wh)
+    try {
+      inOp.addData(Seq((1L, ts("2024-01-10"), Some(10L), d("2024-01-10"),
+        None, 104L, 2024, 1, ts("2024-01-01"), "update")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qOp.processAllAvailable()
+      }
+      assert(e.getMessage.contains("unsupported _op") ||
+        Option(e.getCause).exists(_.getMessage.contains("unsupported _op")))
+    } finally qOp.stop()
+  }
 }
