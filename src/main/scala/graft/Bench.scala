@@ -65,6 +65,7 @@ object Bench {
         (stealTicks() - s0) / 100.0 / probeSec
       }
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -24,6 +24,11 @@ import graft.io.Tables
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.arity
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    // SQL MERGE INTO on graft-registered tables: stock grammar, one
+    // plan rewrite for registered targets (everything else untouched) —
+    // see org.apache.spark.sql.GraftMergeInto
+    extensions.injectParser((session, delegate) =>
+      new org.apache.spark.sql.GraftSqlParser(session, delegate))
     extensions.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

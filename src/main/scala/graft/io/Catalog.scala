@@ -104,6 +104,10 @@ object Catalog {
       s"USING parquet$partClause LOCATION '$loc'")
     if (partitioned)
       spark.catalog.recoverPartitions(s"`$database`.`$name`")
+    // make the registered name a SQL MERGE INTO target (sessions built
+    // with GraftExtensions — the bridge rewrites parsed MergeIntoTable
+    // plans whose target is in this registry)
+    org.apache.spark.sql.GraftMergeInto.register(spark, database, name, table)
   }
 
   /** `VERSION AS OF` for the SQL surface: register a session temp view

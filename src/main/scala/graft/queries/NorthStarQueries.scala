@@ -1269,6 +1269,102 @@ object NorthStarQueries {
     state.unionByName(cdf)
   }
 
+  /** SQL `MERGE INTO` as a query (q124): the q123 merge batch issued
+    * through `spark.sql(...)` on a catalog-registered table — the
+    * warehouse's defining write verb on the SQL deployment surface
+    * (reference: every write is a Delta MERGE,
+    * src/ETL/Bronze-Ingestion-Orders.py:51-58; here the statement form a
+    * SQL user writes). Two statements run: the S9 upsert (`WHEN MATCHED
+    * THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *` — commits
+    * copy-on-write on the status-partitioned table) and a keyed `WHEN
+    * MATCHED THEN DELETE` of the %13 keys. In-query requires pin that
+    * each statement committed a feed-carrying REPLACE at the expected
+    * version (the command's returned `table_version`), that the
+    * post-merge CATALOG read (re-registered by the command) serves the
+    * merged state, and that the SQL path's final state equals the
+    * API-path algebra ([[graft.merge.MergeOps.upsert]]) per status.
+    * The output aggregates the final state read back THROUGH SQL plus
+    * the CDF of both merge commits; the oracle recomputes all of it
+    * from the closed-form batch definitions (EXCEPT ALL deltas — the
+    * q87/q123 discipline). Scratch contract as q87/q118.
+    */
+  def q124SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val seed = base.filter(pmod(col("id"), lit(5)) =!= 0)
+    // the q123 batch: priority move (%11 → 'P') > bump (%7 +100);
+    // inserts carry the %5 keys unmodified
+    val updates = seed
+      .filter(pmod(col("id"), lit(7)) === 0 || pmod(col("id"), lit(11)) === 0)
+      .withColumn("status",
+        when(pmod(col("id"), lit(11)) === 0, lit("P")).otherwise(col("status")))
+      .withColumn("cents",
+        when(pmod(col("id"), lit(11)) =!= 0 && pmod(col("id"), lit(7)) === 0,
+          col("cents") + 100).otherwise(col("cents")))
+    val inserts = base.filter(pmod(col("id"), lit(5)) === 0)
+    val batch = updates.unionByName(inserts)
+    val p = scratch("sqlmerge", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString,
+      partitionColumns = Seq("status"))
+    tbl.overwrite(seed)
+    graft.io.Catalog.ensureDatabase(s, "graft_q124")
+    graft.io.Catalog.registerTable(s, "graft_q124", "orders_cow", tbl)
+    batch.createOrReplaceTempView("q124_updates")
+    base.filter(pmod(col("id"), lit(13)) === 0).select(col("id"))
+      .createOrReplaceTempView("q124_deletes")
+
+    val r1 = s.sql(
+      """MERGE INTO graft_q124.orders_cow t USING q124_updates s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").collect()
+    require(r1.map(_.getLong(0)).toSeq == Seq(2L),
+      s"q124: the SQL upsert must commit version 2, got " +
+        r1.map(_.getLong(0)).mkString(","))
+    val rec2 = graft.io.VersionLog.readRecord(p.toString, 2)
+    require(rec2.exists(r => r.kind == "replace" && r.feed.nonEmpty),
+      "q124: the SQL MERGE must commit a feed-carrying copy-on-write " +
+        s"REPLACE, got ${rec2.map(_.kind)}")
+
+    val r2 = s.sql(
+      """MERGE INTO graft_q124.orders_cow t USING q124_deletes s
+         ON t.id = s.id
+         WHEN MATCHED THEN DELETE""").collect()
+    require(r2.map(_.getLong(0)).toSeq == Seq(3L),
+      "q124: the SQL delete must commit version 3")
+    val rec3 = graft.io.VersionLog.readRecord(p.toString, 3)
+    require(rec3.exists(r => r.kind == "replace" && r.feed.nonEmpty),
+      "q124: the SQL DELETE must commit a feed-carrying copy-on-write " +
+        s"REPLACE, got ${rec3.map(_.kind)}")
+
+    // the catalog entry was re-registered by each command: this read
+    // goes THROUGH the catalog name, not the table handle
+    val state = s.sql(
+      """SELECT 'state' AS kind, status, count(*) AS n_rows,
+                sum(cents) AS sum_cents
+         FROM graft_q124.orders_cow GROUP BY status""")
+    // API-path parity: the same merge as pure MergeOps algebra must
+    // land on the same per-status aggregate (SQL surface ≡ API)
+    val apiState = graft.merge.MergeOps.upsert(seed, batch, Seq("id"))
+      .filter(pmod(col("id"), lit(13)) =!= 0)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(lit("state").as("kind"), col("status"), col("n_rows"),
+        col("sum_cents"))
+    require(state.exceptAll(apiState).isEmpty &&
+        apiState.exceptAll(state).isEmpty,
+      "q124: SQL MERGE final state must equal the API-path merge algebra")
+    def cdf(fromV: Int, toV: Int, tag: String): DataFrame =
+      tbl.changesBetween(s, fromV, toV)
+        .groupBy(col("_change_type"), col("status"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(concat(lit(tag), col("_change_type")).as("kind"),
+          col("status"), col("n_rows"), col("sum_cents"))
+    state.unionByName(cdf(1, 2, "cdf2_")).unionByName(cdf(2, 3, "cdf3_"))
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -3262,6 +3358,7 @@ object NorthStarQueries {
     "q121_timestamp_travel" -> (q121TimestampTravel _),
     "q122_sql_pruned_scan" -> (q122SqlPrunedScan _),
     "q123_cow_merge" -> (q123CowMerge _),
+    "q124_sql_merge" -> (q124SqlMerge _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3463,6 +3560,35 @@ object NorthStarQueries {
          st AS (SELECT *, 'state' AS kind FROM fin),
          unioned AS (SELECT * FROM st UNION ALL SELECT * FROM ins
                      UNION ALL SELECT * FROM del)
+         SELECT kind, status, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM unioned GROUP BY 1, 2""",
+    // q124: the SQL-MERGE statements' closed form — merge 1 is q123's
+    // batch (fin1), merge 2 deletes the %13 keys; state aggregates the
+    // final table, cdf2_*/cdf3_* the EXCEPT-ALL deltas of each commit
+    "q124_sql_merge" ->
+      """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         seed AS (SELECT * FROM base WHERE id % 5 <> 0),
+         fin1 AS (
+           SELECT id,
+                  CASE WHEN id % 5 <> 0 AND id % 11 = 0 THEN 'P'
+                       ELSE status END AS status,
+                  CASE WHEN id % 5 <> 0 AND id % 11 <> 0 AND id % 7 = 0
+                       THEN cents + 100 ELSE cents END AS cents
+           FROM base),
+         fin2 AS (SELECT * FROM fin1 WHERE id % 13 <> 0),
+         ins2 AS (SELECT *, 'cdf2_insert' AS kind
+                  FROM (SELECT * FROM fin1 EXCEPT ALL SELECT * FROM seed)),
+         del2 AS (SELECT *, 'cdf2_delete' AS kind
+                  FROM (SELECT * FROM seed EXCEPT ALL SELECT * FROM fin1)),
+         del3 AS (SELECT *, 'cdf3_delete' AS kind
+                  FROM fin1 WHERE id % 13 = 0),
+         st AS (SELECT *, 'state' AS kind FROM fin2),
+         unioned AS (SELECT * FROM st UNION ALL SELECT * FROM ins2
+                     UNION ALL SELECT * FROM del2
+                     UNION ALL SELECT * FROM del3)
          SELECT kind, status, count(*) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM unioned GROUP BY 1, 2""",

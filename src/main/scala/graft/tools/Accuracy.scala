@@ -1330,6 +1330,7 @@ object Accuracy {
       .getOrElse("/root/testdata/sf0.01,/root/testdata/sf0.1")
       .split(",").toSeq.filter(_.nonEmpty)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .appName("graft-accuracy")
       .config("spark.sql.shuffle.partitions", "32")

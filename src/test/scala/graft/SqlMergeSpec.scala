@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Catalog, ParquetTable}
+
+/** SQL `MERGE INTO` bridge (round-15 verdict item 5): statements parsed
+  * by the stock grammar, rewritten for graft-registered targets, and
+  * executed through the [[graft.merge.MergeOps]] machinery — plus the
+  * refusal surface (unsupported clause shapes name themselves loudly)
+  * and the pass-through contract (unregistered targets keep stock
+  * Spark's behavior).
+  */
+class SqlMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(name: String, df: DataFrame,
+      parts: Seq[String] = Nil): ParquetTable = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlmerge")
+    val t = new ParquetTable(s"$dir/$name", partitionColumns = parts)
+    t.overwrite(df)
+    Catalog.ensureDatabase(spark, "graft_ms")
+    Catalog.registerTable(spark, "graft_ms", name, t)
+    t
+  }
+
+  private def rows(name: String): Set[(Long, String, Long)] =
+    spark.sql(s"SELECT id, status, cents FROM graft_ms.`$name`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("UPDATE SET * + INSERT * == keyed upsert; the catalog read is " +
+      "repointed; bare (current-database) names resolve") {
+    val seed = Seq((1L, "O", 10L), (2L, "O", 20L), (3L, "F", 30L))
+      .toDF("id", "status", "cents")
+    freshTable("t_upsert", seed)
+    Seq((2L, "F", 25L), (4L, "P", 40L)).toDF("id", "status", "cents")
+      .createOrReplaceTempView("ms_updates")
+    spark.catalog.setCurrentDatabase("graft_ms")
+    try {
+      val out = spark.sql(
+        """MERGE INTO t_upsert t USING ms_updates s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(2L),
+        "MERGE must report the committed version")
+    } finally spark.catalog.setCurrentDatabase("default")
+    assert(rows("t_upsert") == Set((1L, "O", 10L), (2L, "F", 25L),
+      (3L, "F", 30L), (4L, "P", 40L)))
+  }
+
+  test("WHEN NOT MATCHED THEN INSERT * alone == insert-if-absent " +
+      "(matched rows untouched)") {
+    val seed = Seq((1L, "O", 10L), (2L, "O", 20L)).toDF("id", "status", "cents")
+    freshTable("t_ins", seed)
+    Seq((2L, "X", 99L), (5L, "P", 50L)).toDF("id", "status", "cents")
+      .createOrReplaceTempView("ms_ins")
+    spark.sql(
+      """MERGE INTO graft_ms.t_ins t USING ms_ins s ON t.id = s.id
+         WHEN NOT MATCHED THEN INSERT *""").collect()
+    assert(rows("t_ins") == Set((1L, "O", 10L), (2L, "O", 20L),
+      (5L, "P", 50L)),
+      "matched rows must pass through unmodified; only absent keys insert")
+  }
+
+  test("WHEN MATCHED THEN DELETE alone on a PARTITIONED table commits a " +
+      "feed-carrying copy-on-write replace") {
+    val seed = Seq((1L, "O", 10L), (2L, "O", 20L), (3L, "F", 30L),
+      (4L, "P", 40L)).toDF("id", "status", "cents")
+    val t = freshTable("t_del", seed, parts = Seq("status"))
+    Seq(Tuple1(2L), Tuple1(99L)).toDF("id")
+      .createOrReplaceTempView("ms_dels")
+    spark.sql(
+      """MERGE INTO graft_ms.t_del t USING ms_dels s ON t.id = s.id
+         WHEN MATCHED THEN DELETE""").collect()
+    assert(rows("t_del") == Set((1L, "O", 10L), (3L, "F", 30L),
+      (4L, "P", 40L)))
+    val rec = graft.io.VersionLog.readRecord(t.path, 2)
+    assert(rec.exists(r => r.kind == "replace" && r.feed.nonEmpty),
+      s"SQL DELETE on a partitioned target must commit COW, " +
+        s"got ${rec.map(_.kind)}")
+    // the F and P leaves were untouched — their files must be LINKS
+    val cdf = t.changesBetween(spark, 1, 2).collect()
+    assert(cdf.map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("_change_type"))).toSet == Set((2L, "delete")),
+      "the delete feed must be exactly the removed row")
+  }
+
+  test("NOT MATCHED BY SOURCE DELETE == full-sync upsert " +
+      "(absent grains drop)") {
+    val seed = Seq((1L, "O", 10L), (2L, "O", 20L), (3L, "F", 30L))
+      .toDF("id", "status", "cents")
+    freshTable("t_sync", seed)
+    Seq((2L, "F", 25L), (9L, "P", 90L)).toDF("id", "status", "cents")
+      .createOrReplaceTempView("ms_sync")
+    spark.sql(
+      """MERGE INTO graft_ms.t_sync t USING ms_sync s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""").collect()
+    assert(rows("t_sync") == Set((2L, "F", 25L), (9L, "P", 90L)))
+  }
+
+  test("unsupported shapes refuse loudly, naming the clause; " +
+      "unregistered targets pass through to stock Spark") {
+    val seed = Seq((1L, "O", 10L)).toDF("id", "status", "cents")
+    freshTable("t_refuse", seed)
+    seed.createOrReplaceTempView("ms_src")
+    // conditional clause
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO graft_ms.t_refuse t USING ms_src s ON t.id = s.id
+           WHEN MATCHED AND s.cents > 5 THEN UPDATE SET *""").collect()
+    }
+    assert(e1.getMessage.contains("not supported"))
+    // differently-named key equality
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO graft_ms.t_refuse t USING ms_src s ON t.id = s.cents
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+    }
+    assert(e2.getMessage.contains("differently-named"))
+    // non-conjunctive ON
+    val e3 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO graft_ms.t_refuse t USING ms_src s
+           ON t.id = s.id OR t.cents = s.cents
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+    }
+    assert(e3.getMessage.contains("ON clause term"))
+    // an UNREGISTERED target keeps stock Spark's analysis error (the
+    // rewrite must not capture tables it does not own)
+    val e4 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO some_unregistered_tbl t USING ms_src s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *""").collect()
+    }
+    assert(e4.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      e4.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+}
