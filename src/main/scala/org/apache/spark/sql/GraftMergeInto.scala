@@ -98,10 +98,17 @@ object GraftMergeInto {
   }
 
   /** Rewrite a parsed [[MergeIntoTable]] into the runnable graft command
-    * when its target is registered; pass anything else through.
+    * when its target is registered, and resolve `VERSION AS OF` /
+    * `TIMESTAMP AS OF` table suffixes (Spark's own time-travel grammar,
+    * parsed into [[org.apache.spark.sql.catalyst.analysis
+    * .RelationTimeTravel]] — which stock analysis then only accepts for
+    * v2 tables) against the graft versioned layout: the node is
+    * replaced by the analyzed plan of `readVersion`/`readAsOf`, so
+    * Delta's SQL time-travel surface works verbatim on registered
+    * tables. Everything unregistered passes through untouched.
     */
-  def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
-    plan match {
+  def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    val merged = plan match {
       case m: MergeIntoTable =>
         identOf(m.targetTable) match {
           case Some(ident) if lookup(spark, ident).nonEmpty =>
@@ -112,6 +119,49 @@ object GraftMergeInto {
         }
       case other => other
     }
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    merged.transformUp {
+      case tt: RelationTimeTravel =>
+        identOf(tt.relation).flatMap(lookup(spark, _)) match {
+          case Some(entry) =>
+            timeTravelPlan(spark, entry, tt.timestamp, tt.version)
+          case None => tt
+        }
+    }
+  }
+
+  /** The analyzed snapshot plan a time-travel suffix resolves to. The
+    * timestamp operand must be a FOLDABLE expression (a literal or a
+    * constant expression — Delta's own restriction); refusals
+    * (non-constant operand, non-integer version, below-horizon
+    * timestamps from `versionAt`) are loud, never a silent live read.
+    */
+  private def timeTravelPlan(spark: SparkSession, entry: Entry,
+      ts: Option[Expression], version: Option[String]): LogicalPlan = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    val df = (ts, version) match {
+      case (None, Some(v)) =>
+        val vn = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"VERSION AS OF on ${entry.database}.${entry.name}: version " +
+            s"'$v' is not an integer — graft versions are 1-based ints"))
+        entry.table.readVersion(s, vn)
+      case (Some(e), None) =>
+        if (!e.foldable) throw new IllegalArgumentException(
+          s"TIMESTAMP AS OF on ${entry.database}.${entry.name}: the " +
+            s"operand '${e.sql}' is not a constant expression")
+        val zone = s.sessionState.conf.sessionLocalTimeZone
+        val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+          e, types.TimestampType, Option(zone)).eval()
+        if (micros == null) throw new IllegalArgumentException(
+          s"TIMESTAMP AS OF on ${entry.database}.${entry.name}: '${e.sql}'" +
+            " did not evaluate to a timestamp")
+        entry.table.readAsOf(s, micros.asInstanceOf[Long] / 1000L)
+      case _ => throw new IllegalArgumentException(
+        s"time travel on ${entry.database}.${entry.name} needs exactly " +
+          "one of VERSION AS OF / TIMESTAMP AS OF")
+    }
+    df.queryExecution.analyzed
+  }
 }
 
 /** The executable MERGE: resolves the registered table, classifies the

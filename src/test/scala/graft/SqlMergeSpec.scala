@@ -103,6 +103,44 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(rows("t_sync") == Set((2L, "F", 25L), (9L, "P", 90L)))
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF table suffixes resolve on " +
+      "registered tables — Delta's SQL time-travel syntax verbatim") {
+    var now = 1000L
+    val t = graft.io.VersionLog.withClock(() => now) {
+      val t0 = freshTable("t_tt",
+        Seq((1L, "O", 10L)).toDF("id", "status", "cents")) // v1 @1000
+      now = 2000L
+      t0.appendVersion(Seq((2L, "F", 20L)).toDF("id", "status", "cents"))
+      t0 // v2 @2000
+    }
+    Catalog.registerTable(spark, "graft_ms", "t_tt", t) // repoint at v2
+    def ids(sql: String): Set[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).toSet
+    assert(ids("SELECT id FROM graft_ms.t_tt VERSION AS OF 1") == Set(1L))
+    assert(ids("SELECT id FROM graft_ms.t_tt VERSION AS OF 2") ==
+      Set(1L, 2L))
+    // FOR is optional in Spark's grammar; session is UTC, commit stamps
+    // are the injected 1000/2000 ms epochs
+    assert(ids("SELECT id FROM graft_ms.t_tt FOR TIMESTAMP AS OF " +
+      "'1970-01-01 00:00:01.5'") == Set(1L))
+    assert(ids("SELECT id FROM graft_ms.t_tt TIMESTAMP AS OF " +
+      "'1970-01-01 00:00:02'") == Set(1L, 2L))
+    // time travel composes with ordinary SQL (join the two snapshots)
+    val n = spark.sql(
+      """SELECT count(*) FROM graft_ms.t_tt VERSION AS OF 2 a
+         JOIN graft_ms.t_tt VERSION AS OF 1 b ON a.id = b.id""")
+      .head.getLong(0)
+    assert(n == 1L)
+    // refusals stay loud through the SQL surface
+    val e = intercept[Exception] {
+      spark.sql("SELECT id FROM graft_ms.t_tt TIMESTAMP AS OF " +
+        "'1969-12-31 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("birth"),
+      s"before-birth must refuse with the birth message, got: " +
+        e.getMessage.take(200))
+  }
+
   test("unsupported shapes refuse loudly, naming the clause; " +
       "unregistered targets pass through to stock Spark") {
     val seed = Seq((1L, "O", 10L)).toDF("id", "status", "cents")
