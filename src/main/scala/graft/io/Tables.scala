@@ -1116,6 +1116,14 @@ final class ParquetTable(val path: String,
       case Some(delta) => return delta
       case None => ()
     }
+    // HYBRID split (a span consumer behind the log-retention horizon):
+    // serve the log-covered suffix from grouped feed/append scans and
+    // pay the walk/diff only for the retired prefix, instead of walking
+    // the WHOLE span
+    hybridSpanDelta(spark, fromV, toV, to, cols) match {
+      case Some(delta) => return delta
+      case None => ()
+    }
     appendOnlyDelta(spark, fromV, toV, to, cols) match {
       case Some(delta) => return delta
       case None => ()
@@ -1225,6 +1233,48 @@ final class ParquetTable(val path: String,
       .select(cols.map(col) :+
         when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
           .as("_change_type"): _*)
+  }
+
+  /** Hybrid CDF resolution for spans straddling the log-retention
+    * horizon (a consumer more than `graft.log.retainCommits` behind):
+    * the retired records below `h` =
+    * [[VersionLog.resolvableSuffixStart]] make [[logSpanDelta]] refuse
+    * the WHOLE span, but the suffix (h, toV] is still fully log-served
+    * — so compute the prefix (fromV, h] through the walk/diff ladder IN
+    * h's OWN schema (append-only file census, per-step walk, snapshot
+    * multiset diff — whichever first applies), take the suffix from the
+    * grouped log path, and NET the two delta frames ([[netSteps]] —
+    * exactly the semantics one diff of the whole span produces, since
+    * multiset deltas telescope). None when the span is entirely
+    * unresolvable or entirely resolvable (the plain ladders own those),
+    * or when a snapshot the prefix needs was vacuumed.
+    */
+  private def hybridSpanDelta(spark: SparkSession, fromV: Int, toV: Int,
+      to: DataFrame, cols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (fromV >= toV) return None
+    val h = VersionLog.resolvableSuffixStart(path, fromV, toV)
+    if (h <= fromV || h >= toV) return None
+    logSpanDelta(spark, h, toV, to, cols).flatMap { sfx =>
+      val toH =
+        try readVersion(spark, h)
+        catch { case _: Exception => return None }
+      val hCols = toH.columns.toIndexedSeq
+      val pre = appendOnlyDelta(spark, fromV, h, toH, hCols)
+        .orElse(stepDeltas(spark, fromV, h, toH, hCols))
+        .getOrElse {
+          val from0 =
+            try readVersion(spark, fromV)
+            catch { case _: Exception => return None }
+          val fromAligned = hCols
+            .foldLeft(from0)((d, c) =>
+              if (d.columns.contains(c)) d
+              else d.withColumn(c, lit(null).cast(toH.schema(c).dataType)))
+            .select(hCols.map(col): _*)
+          multisetDiff(fromAligned, toH, hCols)
+        }
+      Some(netSteps(Seq(pre, sfx), to, cols))
+    }
   }
 
   /** CDF span resolution off the COMMIT LOG ([[VersionLog]]): every

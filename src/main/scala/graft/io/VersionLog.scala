@@ -588,6 +588,22 @@ private[graft] object VersionLog {
       Some(Checkpoint(v, prev, live.result(), recs))
     } catch { case _: Exception => None }
 
+  /** The smallest `h` in [fromV, toV] such that EVERY step in (h, toV]
+    * has a resolvable record — the hybrid-CDF split point: a span
+    * consumer further behind than the log-retention horizon serves the
+    * (h, toV] suffix from the grouped log path and pays the walk/diff
+    * only for the retired (fromV, h] prefix. `toV` (an empty suffix)
+    * when nothing above `fromV` resolves; `fromV` when everything does.
+    * One `_log` listing, memoized checkpoint parses.
+    */
+  def resolvableSuffixStart(path: String, fromV: Int, toV: Int): Int =
+    try {
+      val ctx = new LogCtx(path)
+      var h = toV
+      while (h > fromV && recordAt(path, h, ctx).isDefined) h -= 1
+      h
+    } catch { case _: Exception => toV }
+
   /** Records for every step in (fromV, toV], resolved through
     * checkpoints first (each covers its (prev, ckpt] interval in ONE
     * file read — O(span/K) total) with loose records filling the tails.

@@ -264,6 +264,24 @@ object GoldIncStream {
       extendedMeasures: Boolean = false): StreamingQuery =
     entityCdcStream(cdc, warehouse, CdcEntity.Orders, extendedMeasures)
 
+  /** The payload timestamp contract for [[mixedCdcStream]]: ISO-8601
+    * with SIX fractional digits on both sides — Spark's DEFAULT
+    * `to_json` renders milliseconds, which would silently TRUNCATE
+    * micro-precision timestamps (event times differentiated at micro
+    * grain) and break both replay absorption (a re-sent row would no
+    * longer byte-match its first image) and stream ≡ batch parity.
+    */
+  val PayloadTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private val PayloadOptions = Map("timestampFormat" -> PayloadTimestampFormat)
+
+  /** Producer-side rendering of a silver row image for
+    * [[mixedCdcStream]]: `to_json(struct(*))` under the payload
+    * timestamp contract. Use this (or emit the same format) — see
+    * [[PayloadTimestampFormat]].
+    */
+  def cdcPayload(df: DataFrame): org.apache.spark.sql.Column =
+    to_json(struct(df.columns.map(col).toIndexedSeq: _*), PayloadOptions)
+
   /** MIXED-entity CDC intake: one stream carrying change events for
     * several silver entities at once — the shape a real CDC bus
     * (Debezium topic fan-in, a multiplexed CDC feed) delivers. Rows are
@@ -307,8 +325,8 @@ object GoldIncStream {
                     "_schema.json, never inference; seed the silver " +
                     "table first"))
               val decoded = slice
-                .select(from_json(col("_payload"), schema).as("__row"),
-                  col("_op"))
+                .select(from_json(col("_payload"), schema,
+                  PayloadOptions).as("__row"), col("_op"))
                 .select(col("__row.*"), col("_op"))
               applyCdcBatch(s, warehouse, e, decoded)
             }

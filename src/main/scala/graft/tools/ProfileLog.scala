@@ -93,6 +93,28 @@ object ProfileLog {
       s"log and walk spans must agree ($fullLog/$fullWalk, " +
         s"$nearLog/$nearWalk)")
 
+    // ---- hybrid CDF across the retirement horizon -----------------------
+    // retire checkpoints below n/5 (a consumer far behind, MOST of the
+    // span still log-covered): the hybrid path walks only the retired
+    // prefix and serves the suffix from grouped log scans — the cost
+    // should land near walk(prefix) + log(suffix), not walk(whole span)
+    val prevRetain = sys.props.get("graft.log.retainCommits")
+    val hybridCount = try {
+      sys.props("graft.log.retainCommits") = (n - n / 5).toString
+      val retired = graft.io.VersionLog.retireCheckpoints(s"$root/t", n)
+      val h = graft.io.VersionLog.resolvableSuffixStart(s"$root/t", 1, n)
+      println(s"[prof] retired $retired checkpoints; hybrid split at " +
+        s"$h (walked prefix ${h - 1} steps, log-served suffix ${n - h})")
+      require(h > 1 && h < n, s"split point $h must be inside (1, $n)")
+      cdf("hybrid (walk prefix + log suffix)", 1)
+    } finally prevRetain match {
+      case Some(v) => sys.props("graft.log.retainCommits") = v
+      case None => sys.props.remove("graft.log.retainCommits")
+    }
+    require(hybridCount == fullLog,
+      s"hybrid span must agree with the full-log span " +
+        s"($hybridCount/$fullLog)")
+
     // ---- stats skipping: pruned vs full selective read ------------------
     time("compact(32, sort id)")(t.compact(spark, 32, Seq("id")))
     val lo = 400_000L; val hi = 401_000L

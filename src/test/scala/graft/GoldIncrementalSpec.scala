@@ -845,14 +845,13 @@ class GoldIncrementalSpec extends AnyFunSuite {
     wh.table("silver_addresses", Seq("city")).overwrite(addr0)
     wh.table("silver_orders", Seq("year", "month")).overwrite(ord0)
 
-    // producer side: payload = to_json(struct(*)) of the row image —
-    // the same rendering the intake decodes with from_json against the
-    // committed silver schema
+    // producer side: the canonical payload rendering (micro-precision
+    // timestamp contract) the intake decodes against the committed
+    // silver schema
     def payloads(df: DataFrame, entity: String,
         op: String): Seq[(String, String, String)] =
-      df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*))
-          .as("p")).collect()
-        .map(r => (entity, op, r.getString(0))).toSeq
+      df.select(graft.streaming.GoldIncStream.cdcPayload(df).as("p"))
+        .collect().map(r => (entity, op, r.getString(0))).toSeq
 
     val in = MemoryStream[(String, String, String)]
     val stream = in.toDF().toDF("_entity", "_op", "_payload")

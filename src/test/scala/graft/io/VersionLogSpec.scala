@@ -219,4 +219,80 @@ class VersionLogSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("hybrid CDF across the retirement horizon: the log-covered " +
+      "suffix is served from records, only the retired prefix walks — " +
+      "hybrid ≡ full walk ≡ snapshot patch law on a mixed " +
+      "feed/append span") {
+    import org.apache.spark.sql.functions.col
+    val prevRetain = sys.props.get("graft.log.retainCommits")
+    try {
+      sys.props("graft.log.retainCommits") = "10"
+      val dir = Files.createTempDirectory("graft_vlog").toString
+      val p = s"$dir/hyb"
+      val t = new ParquetTable(p)
+      t.overwrite((1L to 50L).map(i => (i, i * 10)).toDF("id", "v"))
+      val target = 3 * VersionLog.CheckpointEvery // 48: ckpt 16 retires
+      (2 to target).foreach { i =>
+        if (i % 5 == 0) // feed-carrying modify commit (delete+insert)
+          graft.merge.MergeOps.upsertInto(spark, t,
+            Seq((i.toLong, i * 1000L)).toDF("id", "v"), Seq("id"))
+        else t.appendVersion(Seq((1000L + i, i.toLong)).toDF("id", "v"))
+      }
+      val fromV = 3
+      // the hybrid split point must fall strictly INSIDE the span:
+      // steps ≤ 16 are retired (ckpt 16 gone, records compacted), the
+      // suffix (16, 48] is fully log-served
+      val h = VersionLog.resolvableSuffixStart(p, fromV, target)
+      assert(h == 2 * VersionLog.CheckpointEvery ||
+        (h > fromV && h < target),
+        s"split point $h must be inside ($fromV, $target)")
+      assert(VersionLog.resolveSteps(p, fromV, target).isEmpty,
+        "the full span must NOT log-resolve (else the hybrid path is " +
+          "not what this test exercises)")
+      assert(VersionLog.resolveSteps(p, h, target).nonEmpty,
+        "the suffix must be fully log-served")
+
+      def multiset(rows: Seq[org.apache.spark.sql.Row]): Map[Seq[Any], Long] =
+        rows.map(_.toSeq).groupBy(identity).view.mapValues(_.size.toLong)
+          .toMap
+      val cdf = t.changesBetween(spark, fromV, target).collect().toSeq
+      // netting law: no self-cancelling pairs survive
+      val byTuple = cdf.groupBy(_.toSeq.dropRight(1))
+      assert(byTuple.values.forall(rs =>
+          rs.map(_.getString(rs.head.length - 1)).distinct.size == 1),
+        "a netted span delta must never emit insert AND delete of the " +
+          "same tuple")
+      // patch law: from-snapshot + inserts − deletes == to-snapshot
+      val fromM = multiset(t.readVersion(spark, fromV).collect().toSeq)
+      val toM = multiset(t.readVersion(spark, target).collect().toSeq)
+      val patched = cdf.foldLeft(fromM) { (m, r) =>
+        val key = r.toSeq.dropRight(1)
+        val d = if (r.getString(r.length - 1) == "insert") 1L else -1L
+        val n = m.getOrElse(key, 0L) + d
+        if (n == 0L) m - key else m.updated(key, n)
+      }
+      assert(patched == toM,
+        "applying the hybrid span delta to the FROM snapshot must " +
+          "reproduce the TO snapshot exactly (multiset semantics)")
+
+      // hybrid ≡ walk: rename _log away (the ProfileLog methodology) so
+      // every step classifies through the walk paths, and compare
+      val logDir = Paths.get(p, "_log")
+      val off = Paths.get(p, "_log_off")
+      Files.move(logDir, off)
+      try {
+        val walked = t.changesBetween(spark, fromV, target).collect().toSeq
+        assert(multiset(cdf.map(r => org.apache.spark.sql.Row.fromSeq(
+            r.toSeq))) == multiset(walked),
+          "hybrid resolution must equal the walk-based classification " +
+            "row-for-row (multiset)")
+      } finally Files.move(off, logDir)
+    } finally {
+      prevRetain match {
+        case Some(v) => sys.props("graft.log.retainCommits") = v
+        case None => sys.props.remove("graft.log.retainCommits")
+      }
+    }
+  }
 }
