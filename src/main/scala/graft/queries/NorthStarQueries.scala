@@ -1365,6 +1365,49 @@ object NorthStarQueries {
     state.unionByName(cdf(1, 2, "cdf2_")).unionByName(cdf(2, 3, "cdf3_"))
   }
 
+  /** Column-level SQL MERGE as a query (q125): the assignment shapes a
+    * warehouse SQL user writes daily — `UPDATE SET c = expr` evaluated
+    * on the target ⋈ source join and `INSERT (cols) VALUES (exprs)`
+    * with unassigned columns NULL-filled (SQL MERGE's fill rule) — on a
+    * status-partitioned registered table, committing copy-on-write
+    * like q124's star shapes. Matched %3 keys get cents bumped by 7
+    * (expression over the source side); unmatched %3∧%5 keys insert
+    * under a literal 'N' status with cents UNASSIGNED (→ NULL — the
+    * n_priced column pins the fill rule in the hash). Oracle recomputes
+    * the final state closed-form. Scratch contract as q87/q118.
+    */
+  def q125SqlMergeSet(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val seed = base.filter(pmod(col("id"), lit(5)) =!= 0)
+    val p = scratch("sqlmergeset", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString,
+      partitionColumns = Seq("status"))
+    tbl.overwrite(seed)
+    graft.io.Catalog.ensureDatabase(s, "graft_q125")
+    graft.io.Catalog.registerTable(s, "graft_q125", "orders_set", tbl)
+    base.filter(pmod(col("id"), lit(3)) === 0)
+      .createOrReplaceTempView("q125_src")
+    val r = s.sql(
+      """MERGE INTO graft_q125.orders_set t USING q125_src s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET cents = s.cents + 7
+         WHEN NOT MATCHED THEN INSERT (id, status) VALUES (s.id, 'N')""")
+      .collect()
+    require(r.map(_.getLong(0)).toSeq == Seq(2L),
+      "q125: the assignment MERGE must commit version 2")
+    val rec = graft.io.VersionLog.readRecord(p.toString, 2)
+    require(rec.exists(x => x.kind == "replace" && x.feed.nonEmpty),
+      "q125: the assignment MERGE must commit a feed-carrying " +
+        s"copy-on-write REPLACE, got ${rec.map(_.kind)}")
+    s.sql(
+      """SELECT status, count(*) AS n_rows, count(cents) AS n_priced,
+                sum(cents) AS sum_cents
+         FROM graft_q125.orders_set GROUP BY status""")
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -3359,6 +3402,7 @@ object NorthStarQueries {
     "q122_sql_pruned_scan" -> (q122SqlPrunedScan _),
     "q123_cow_merge" -> (q123CowMerge _),
     "q124_sql_merge" -> (q124SqlMerge _),
+    "q125_sql_merge_set" -> (q125SqlMergeSet _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3592,6 +3636,25 @@ object NorthStarQueries {
          SELECT kind, status, count(*) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM unioned GROUP BY 1, 2""",
+    // q125: assignment-MERGE closed form — matched %3 keys (seeded:
+    // %5<>0) bump cents by 7; unmatched %3 keys (%5=0) insert under
+    // status 'N' with cents NULL (the INSERT fill rule — n_priced
+    // counts non-null cents and pins it)
+    "q125_sql_merge_set" ->
+      """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         fin AS (
+           SELECT id, status,
+                  CASE WHEN id % 3 = 0 THEN cents + 7 ELSE cents END
+                    AS cents
+           FROM base WHERE id % 5 <> 0
+           UNION ALL
+           SELECT id, 'N' AS status, CAST(NULL AS BIGINT) AS cents
+           FROM base WHERE id % 5 = 0 AND id % 3 = 0)
+         SELECT status, count(*) AS n_rows, count(cents) AS n_priced,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM fin GROUP BY status""",
     // q121: every timestamp-addressed state recomputed from the version
     // DEFINITIONS — asof_mid/restored/asof_future must equal v1's
     // closed form (the future resolves to the restore commit, itself

@@ -43,13 +43,18 @@ import org.apache.spark.sql.types.StructType
   *    (`deleteUnmatched`);
   *  - `WHEN NOT MATCHED THEN INSERT *` alone → insert-if-absent (S6/S7);
   *  - `WHEN MATCHED THEN DELETE` alone → keyed delete (COW on
-  *    partitioned tables, exact delete feed).
+  *    partitioned tables, exact delete feed);
+  *  - column-level `UPDATE SET c = expr, …` and `INSERT (cols) VALUES
+  *    (exprs)` (and mixed star/assignment combinations) → full row
+  *    IMAGES built on the target ⋈ source join (SET) / the anti-joined
+  *    source (VALUES, unassigned columns typed NULL — SQL MERGE's fill
+  *    rule), routed through the same keyed COW upsert.
   *
   * The ON condition must be a conjunction of same-named column
   * equalities (`t.k = s.k` / `<=>`) — MergeOps' key model. Clause
-  * conditions (`WHEN MATCHED AND …`) and column-level SET/VALUES lists
-  * are not mapped. After the commit the catalog entry is re-registered
-  * so subsequent `spark.sql` reads see the new version.
+  * conditions (`WHEN MATCHED AND …`) are not mapped. After the commit
+  * the catalog entry is re-registered so subsequent `spark.sql` reads
+  * see the new version.
   */
 object GraftMergeInto {
 
@@ -112,9 +117,13 @@ object GraftMergeInto {
       case m: MergeIntoTable =>
         identOf(m.targetTable) match {
           case Some(ident) if lookup(spark, ident).nonEmpty =>
+            val tAlias = m.targetTable match {
+              case SubqueryAlias(id, _) => Some(id.name)
+              case _ => None
+            }
             GraftMergeCommand(ident, new GraftMergeSpec(m.sourceTable,
               m.mergeCondition, m.matchedActions, m.notMatchedActions,
-              m.notMatchedBySourceActions, m.withSchemaEvolution))
+              m.notMatchedBySourceActions, m.withSchemaEvolution, tAlias))
           case _ => m
         }
       case other => other
@@ -181,7 +190,8 @@ final class GraftMergeSpec(val source: LogicalPlan,
     val condition: Expression, val matchedActions: Seq[MergeAction],
     val notMatchedActions: Seq[MergeAction],
     val notMatchedBySourceActions: Seq[MergeAction],
-    val withSchemaEvolution: Boolean) extends Serializable
+    val withSchemaEvolution: Boolean,
+    val targetAlias: Option[String]) extends Serializable
 
 final case class GraftMergeCommand(targetIdent: Seq[String],
     spec: GraftMergeSpec) extends LeafRunnableCommand {
@@ -201,11 +211,13 @@ final case class GraftMergeCommand(targetIdent: Seq[String],
   private def fail(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"MERGE INTO ${targetIdent.mkString(".")}: $what is not supported " +
-        "by the graft MERGE bridge — supported shapes: WHEN MATCHED THEN " +
-        "UPDATE SET * [+ WHEN NOT MATCHED THEN INSERT *] [+ WHEN NOT " +
-        "MATCHED BY SOURCE THEN DELETE]; WHEN NOT MATCHED THEN INSERT * " +
-        "alone; WHEN MATCHED THEN DELETE alone. ON must be a conjunction " +
-        "of same-named key equalities (t.k = s.k)")
+        "by the graft MERGE bridge — supported: WHEN MATCHED THEN UPDATE " +
+        "SET * | SET c = expr, ... (unconditional), WHEN NOT MATCHED " +
+        "THEN INSERT * | INSERT (cols) VALUES (exprs), WHEN NOT MATCHED " +
+        "BY SOURCE THEN DELETE (with star update+insert), WHEN MATCHED " +
+        "THEN DELETE alone. Clause conditions (WHEN ... AND) are not " +
+        "mapped. ON must be a conjunction of same-named key equalities " +
+        "(t.k = s.k)")
 
   /** The ON conjunction as MergeOps key names: every conjunct must be a
     * (null-safe) equality between two attributes whose LAST name part
@@ -235,7 +247,101 @@ final case class GraftMergeCommand(targetIdent: Seq[String],
     case u @ UpdateStarAction(Some(_)) => fail(s"conditional '${u.sql}'")
     case i @ InsertStarAction(Some(_)) => fail(s"conditional '${i.sql}'")
     case d @ DeleteAction(Some(_)) => fail(s"conditional '${d.sql}'")
+    case u @ UpdateAction(Some(_), _, _) => fail(s"conditional '${u.sql}'")
+    case i @ InsertAction(Some(_), _) => fail(s"conditional '${i.sql}'")
     case other => other
+  }
+
+  /** assignment-LHS → Column map of an UPDATE SET / INSERT VALUES list:
+    * LHS must name a target column (last name part), RHS is bridged
+    * verbatim and resolved by the ANALYZER against the frame it is
+    * selected from — qualified refs (`s.x`, `t.x`) resolve through the
+    * statement's own aliases, ambiguous bare names fail loudly with
+    * Spark's standard error.
+    */
+  private def assignMap(assigns: Seq[Assignment],
+      tgtCols: Seq[String]): Map[String, Column] = {
+    val pairs = assigns.map { a =>
+      val name = a.key match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.last
+        case other => fail(s"assignment target '${other.sql}'")
+      }
+      val c = tgtCols.find(_.equalsIgnoreCase(name)).getOrElse(
+        fail(s"assignment to unknown target column '$name'"))
+      c -> GraftBridge.toColumn(a.value)
+    }
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      s"MERGE INTO ${targetIdent.mkString(".")}: duplicate assignment " +
+        s"targets in ${pairs.map(_._1).mkString(", ")}")
+    pairs.toMap
+  }
+
+  /** The generalized image-building merge for assignment-bearing (and
+    * mixed star/assignment) clause shapes: matched rows become update
+    * IMAGES (target row with SET columns replaced, evaluated on the
+    * target ⋈ source join), unmatched source rows become insert IMAGES
+    * (VALUES columns evaluated on the anti-joined source, unassigned
+    * columns typed NULL — SQL MERGE's fill rule), and the union routes
+    * through the same keyed COW upsert as the star shapes — exact
+    * feeds, touched partitions only.
+    */
+  private def assignmentMerge(spark: SparkSession,
+      table: graft.io.ParquetTable, src: classic.DataFrame,
+      keys: Seq[String], tgtCols: Seq[String],
+      mact: Option[MergeAction], nact: Option[MergeAction]): Unit = {
+    import functions.{col, lit}
+    val tA = spec.targetAlias.getOrElse("__graft_t")
+    val current = table.read(spark)
+    val tSchema = current.schema
+    def cast(c: Column, name: String): Column =
+      c.cast(tSchema(tSchema.fieldIndex(name)).dataType)
+    // null-safe key restriction frames (the MergeOps renamed-keys idiom)
+    val curKeys = keys.foldLeft(
+      current.select(keys.map(col).toIndexedSeq: _*).distinct()) {
+      (d, c) => d.withColumnRenamed(c, s"__gk_$c")
+    }
+    val keyCondAnti = keys.map(k => src(k) <=> col(s"__gk_$k")).reduce(_ && _)
+    def alignedSrc: DataFrame = {
+      val missing = tgtCols.filterNot(c =>
+        src.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty, s"UPDATE SET * / INSERT * needs the source " +
+        s"to carry every target column — missing ${missing.mkString(", ")}")
+      src.select(tgtCols.map(col).toIndexedSeq: _*)
+    }
+    val updImages = mact.map {
+      case UpdateStarAction(None) =>
+        alignedSrc.join(curKeys, keyCondAnti, "left_semi")
+      case UpdateAction(None, assigns, _) =>
+        val amap = assignMap(assigns, tgtCols)
+        val joined = current.alias(tA)
+          .join(src, keys.map(k => col(s"$tA.$k") <=> src(k)).reduce(_ && _),
+            "inner")
+        joined.select(tgtCols.map { c =>
+          amap.get(c).map(cast(_, c)).getOrElse(col(s"$tA.$c")).as(c)
+        }.toIndexedSeq: _*)
+      case other => fail(s"'${other.sql}' as the WHEN MATCHED action")
+    }
+    val insImages = nact.map {
+      case InsertStarAction(None) =>
+        alignedSrc.join(curKeys, keyCondAnti, "left_anti")
+      case InsertAction(None, assigns) =>
+        val amap = assignMap(assigns, tgtCols)
+        src.join(curKeys, keyCondAnti, "left_anti")
+          .select(tgtCols.map { c =>
+            amap.get(c).map(cast(_, c))
+              .getOrElse(lit(null).cast(tSchema(tSchema.fieldIndex(c))
+                .dataType)).as(c)
+          }.toIndexedSeq: _*)
+      case other => fail(s"'${other.sql}' as the WHEN NOT MATCHED action")
+    }
+    val updates = (updImages.toSeq ++ insImages.toSeq)
+      .reduce(_ unionByName _)
+    if (table.partitionColumns.nonEmpty)
+      graft.merge.MergeOps.applyCdcPartitioned(spark, table, updates,
+        None, keys, skipEmptyFeed = false)
+    else graft.merge.MergeOps.upsertInto(spark, table, updates, keys)
+    ()
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -298,6 +404,17 @@ final case class GraftMergeCommand(targetIdent: Seq[String],
             .withColumn("_change_type", functions.lit("delete"))
           table.overwriteWithChanges(merged, feed)
         }
+      // assignment-bearing (and mixed star/assignment) shapes: build
+      // full row images, route through the same keyed COW upsert
+      case (m0, n0, Seq()) if m0.size <= 1 && n0.size <= 1 &&
+          (m0.nonEmpty || n0.nonEmpty) &&
+          (m0 ++ n0).forall {
+            case UpdateStarAction(None) | UpdateAction(None, _, _) |
+                 InsertStarAction(None) | InsertAction(None, _) => true
+            case _ => false
+          } =>
+        assignmentMerge(spark, table, src, keys, tgtCols,
+          m0.headOption, n0.headOption)
       case _ => fail("this WHEN-clause combination")
     }
     // repoint the catalog entry at the committed version so subsequent

@@ -103,6 +103,66 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(rows("t_sync") == Set((2L, "F", 25L), (9L, "P", 90L)))
   }
 
+  test("column-level UPDATE SET c = expr evaluates on the target-source " +
+      "join; INSERT (cols) VALUES fills unassigned columns with typed " +
+      "NULLs; mixed star/assignment shapes compose") {
+    val seed = Seq((1L, "O", 10L), (2L, "O", 20L), (3L, "F", 30L))
+      .toDF("id", "status", "cents")
+    freshTable("t_set", seed)
+    Seq((2L, "F", 5L), (7L, "P", 70L)).toDF("id", "status", "cents")
+      .createOrReplaceTempView("ms_set")
+    spark.sql(
+      """MERGE INTO graft_ms.t_set t USING ms_set s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET cents = s.cents + t.cents
+         WHEN NOT MATCHED THEN INSERT (id, status) VALUES (s.id, 'N')""")
+      .collect()
+    val got = spark.sql(
+      "SELECT id, status, cents FROM graft_ms.t_set").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set((1L, "O", Some(10L)), (2L, "O", Some(25L)),
+      (3L, "F", Some(30L)), (7L, "N", None)),
+      "SET must see both sides (s.cents + t.cents), unmatched target " +
+        "rows pass through, INSERT fills cents with NULL")
+    // mixed: star update + assignment insert
+    Seq((3L, "P", 99L), (8L, "X", 80L)).toDF("id", "status", "cents")
+      .createOrReplaceTempView("ms_set2")
+    spark.sql(
+      """MERGE INTO graft_ms.t_set t USING ms_set2 s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT (id, status, cents)
+           VALUES (s.id, s.status, s.cents * 2)""").collect()
+    val got2 = spark.sql(
+      "SELECT id, status, cents FROM graft_ms.t_set WHERE id IN (3, 8)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got2 == Set((3L, "P", 99L), (8L, "X", 160L)))
+    // assignment-only UPDATE (no insert clause): unmatched source rows
+    // contribute nothing
+    Seq((1L, "Z", 1000L), (99L, "Z", 1L)).toDF("id", "status", "cents")
+      .createOrReplaceTempView("ms_set3")
+    spark.sql(
+      """MERGE INTO graft_ms.t_set t USING ms_set3 s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET status = s.status""").collect()
+    val got3 = spark.sql("SELECT id, status, cents FROM graft_ms.t_set")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got3.contains((1L, "Z", Some(10L))),
+      "assignment update must replace ONLY the SET column")
+    assert(!got3.exists(_._1 == 99L),
+      "an UPDATE-only merge must not insert unmatched source rows")
+    // duplicate assignment targets refuse loudly
+    val eDup = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_ms.t_set t USING ms_set3 s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET cents = s.cents, cents = 0""")
+        .collect()
+    }
+    assert(eDup.getMessage.contains("duplicate assignment") ||
+      eDup.getMessage.toLowerCase.contains("duplicate"),
+      s"got: ${eDup.getMessage.take(200)}")
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF table suffixes resolve on " +
       "registered tables — Delta's SQL time-travel syntax verbatim") {
     var now = 1000L
