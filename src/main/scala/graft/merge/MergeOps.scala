@@ -258,7 +258,7 @@ object MergeOps {
     * Null partition values keep the null-safe `<=>` form — they fail
     * loudly downstream in the replace commit, never silently.
     */
-  private def touchedPredicate(pCols: Seq[String],
+  def touchedPredicate(pCols: Seq[String],
       vals: Array[org.apache.spark.sql.Row]): Column = {
     def balanced(ps: IndexedSeq[Column]): Column =
       if (ps.length == 1) ps.head

@@ -1408,6 +1408,71 @@ object NorthStarQueries {
          FROM graft_q125.orders_set GROUP BY status""")
   }
 
+  /** SQL DML as a query (q126): UPDATE / DELETE FROM / INSERT INTO on
+    * a status-partitioned registered table — the three statements stock
+    * Spark either rejects for non-v2 tables (UPDATE/DELETE) or would
+    * execute as RAW FILE writes into the live version dir (INSERT,
+    * bypassing the commit protocol); the graft bridge routes all three
+    * through versioned commits. UPDATE and DELETE commit copy-on-write
+    * REPLACEs with exact feeds, INSERT an append — the in-query
+    * requires pin the commit kinds and versions, and the output
+    * aggregates the final state read THROUGH the catalog plus the CDF
+    * of each DML commit; the oracle recomputes everything closed-form
+    * (the q124 discipline). Scratch contract as q87/q118.
+    */
+  def q126SqlDml(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val seed = base.filter(pmod(col("id"), lit(5)) =!= 0)
+    val p = scratch("sqldml", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString,
+      partitionColumns = Seq("status"))
+    tbl.overwrite(seed)
+    graft.io.Catalog.ensureDatabase(s, "graft_q126")
+    graft.io.Catalog.registerTable(s, "graft_q126", "orders_dml", tbl)
+    base.filter(pmod(col("id"), lit(5)) === 0)
+      .createOrReplaceTempView("q126_new")
+
+    s.sql("UPDATE graft_q126.orders_dml SET cents = cents + 7 " +
+      "WHERE id % 3 = 0").collect()
+    // the delete is CONFINED to one partition (orders has only three
+    // statuses — an unscoped %13 delete touches all of them and the
+    // bridge correctly falls back to the full-snapshot commit; the COW
+    // shape this query pins needs untouched leaves to exist)
+    s.sql("DELETE FROM graft_q126.orders_dml " +
+      "WHERE id % 13 = 0 AND status = 'F'").collect()
+    // explicit column list: a partitioned table's committed order puts
+    // partition columns LAST (Spark's positional-INSERT convention), so
+    // name the columns instead of relying on position
+    s.sql("INSERT INTO graft_q126.orders_dml (id, status, cents) " +
+      "SELECT id, 'N', cents FROM q126_new").collect()
+    require(tbl.version == 4,
+      s"q126: three DML statements must commit versions 2..4, " +
+        s"at ${tbl.version}")
+    Seq(2 -> "replace", 3 -> "replace", 4 -> "append").foreach {
+      case (v, kind) =>
+        val rec = graft.io.VersionLog.readRecord(p.toString, v)
+        require(rec.exists(_.kind == kind),
+          s"q126: v$v must be a $kind commit, got ${rec.map(_.kind)}")
+        if (kind == "replace") require(rec.exists(_.feed.nonEmpty),
+          s"q126: v$v must carry its exact feed")
+    }
+    val state = s.sql(
+      """SELECT 'state' AS kind, status, count(*) AS n_rows,
+                sum(cents) AS sum_cents
+         FROM graft_q126.orders_dml GROUP BY status""")
+    def cdf(fromV: Int, toV: Int, tag: String): DataFrame =
+      tbl.changesBetween(s, fromV, toV)
+        .groupBy(col("_change_type"), col("status"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(concat(lit(tag), col("_change_type")).as("kind"),
+          col("status"), col("n_rows"), col("sum_cents"))
+    state.unionByName(cdf(1, 2, "cdf2_")).unionByName(cdf(2, 3, "cdf3_"))
+      .unionByName(cdf(3, 4, "cdf4_"))
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -3403,6 +3468,7 @@ object NorthStarQueries {
     "q123_cow_merge" -> (q123CowMerge _),
     "q124_sql_merge" -> (q124SqlMerge _),
     "q125_sql_merge_set" -> (q125SqlMergeSet _),
+    "q126_sql_dml" -> (q126SqlDml _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3655,6 +3721,35 @@ object NorthStarQueries {
          SELECT status, count(*) AS n_rows, count(cents) AS n_priced,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM fin GROUP BY status""",
+    // q126: the three DML statements' closed form — UPDATE bumps %3
+    // keys by 7 (all seeded rows: %5<>0), DELETE drops %13 keys, INSERT
+    // appends the %5 keys under status 'N'; cdf2 = update pairs, cdf3 =
+    // the deleted post-update images, cdf4 = the appended rows
+    "q126_sql_dml" ->
+      """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         seed AS (SELECT * FROM base WHERE id % 5 <> 0),
+         afterU AS (SELECT id, status,
+                           CASE WHEN id % 3 = 0 THEN cents + 7
+                                ELSE cents END AS cents FROM seed),
+         afterD AS (SELECT * FROM afterU
+                    WHERE NOT (id % 13 = 0 AND status = 'F')),
+         ins AS (SELECT id, 'N' AS status, cents FROM base
+                 WHERE id % 5 = 0),
+         fin AS (SELECT * FROM afterD UNION ALL SELECT * FROM ins),
+         labeled AS (
+           SELECT 'state' AS kind, * FROM fin
+           UNION ALL SELECT 'cdf2_delete' AS kind, * FROM seed
+             WHERE id % 3 = 0
+           UNION ALL SELECT 'cdf2_insert' AS kind, * FROM afterU
+             WHERE id % 3 = 0
+           UNION ALL SELECT 'cdf3_delete' AS kind, * FROM afterU
+             WHERE id % 13 = 0 AND status = 'F' 
+           UNION ALL SELECT 'cdf4_insert' AS kind, * FROM ins)
+         SELECT kind, status, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM labeled GROUP BY 1, 2""",
     // q121: every timestamp-addressed state recomputed from the version
     // DEFINITIONS — asof_mid/restored/asof_future must equal v1's
     // closed form (the future resolves to the restore commit, itself

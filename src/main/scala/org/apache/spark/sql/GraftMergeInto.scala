@@ -95,8 +95,35 @@ object GraftMergeInto {
     Option(m.get(k))
   }
 
+  /** assignment-LHS → Column map of an UPDATE SET / INSERT VALUES list
+    * (shared by MERGE and the DML commands): LHS must name a target
+    * column (last name part), RHS is bridged verbatim and resolved by
+    * the ANALYZER against the frame it is selected from — qualified
+    * refs resolve through the statement's own aliases, ambiguous bare
+    * names fail loudly with Spark's standard error.
+    */
+  private[sql] def assignMap(ident: Seq[String], assigns: Seq[Assignment],
+      tgtCols: Seq[String]): Map[String, Column] = {
+    def bad(what: String): Nothing = throw new UnsupportedOperationException(
+      s"${ident.mkString(".")}: $what")
+    val pairs = assigns.map { a =>
+      val name = a.key match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.last
+        case other => bad(s"assignment target '${other.sql}' is not a column")
+      }
+      val c = tgtCols.find(_.equalsIgnoreCase(name)).getOrElse(
+        bad(s"assignment to unknown target column '$name'"))
+      c -> GraftBridge.toColumn(a.value)
+    }
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      s"${ident.mkString(".")}: duplicate assignment targets in " +
+        pairs.map(_._1).mkString(", "))
+    pairs.toMap
+  }
+
   /** Strip a target/source alias down to the named relation, if any. */
-  private def identOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
+  private[sql] def identOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
     case SubqueryAlias(_, child) => identOf(child)
     case r: UnresolvedRelation => Some(r.multipartIdentifier)
     case _ => None
@@ -125,6 +152,31 @@ object GraftMergeInto {
               m.mergeCondition, m.matchedActions, m.notMatchedActions,
               m.notMatchedBySourceActions, m.withSchemaEvolution, tAlias))
           case _ => m
+        }
+      // the rest of the DML surface (see GraftSqlDml): UPDATE/DELETE are
+      // v2-only in stock analysis; INSERT INTO the registered location
+      // would bypass the commit protocol entirely
+      case u: UpdateTable =>
+        identOf(u.table) match {
+          case Some(ident) if lookup(spark, ident).nonEmpty =>
+            GraftUpdateCommand(ident,
+              new GraftSqlDml.UpdateSpec(u.assignments, u.condition))
+          case _ => u
+        }
+      case d: DeleteFromTable =>
+        identOf(d.table) match {
+          case Some(ident) if lookup(spark, ident).nonEmpty =>
+            GraftDeleteCommand(ident,
+              new GraftSqlDml.DeleteSpec(d.condition))
+          case _ => d
+        }
+      case i: InsertIntoStatement =>
+        identOf(i.table) match {
+          case Some(ident) if lookup(spark, ident).nonEmpty =>
+            GraftInsertCommand(ident, new GraftSqlDml.InsertSpec(i.query,
+              i.partitionSpec, i.userSpecifiedCols, i.overwrite,
+              i.ifPartitionNotExists, i.byName))
+          case _ => i
         }
       case other => other
     }
@@ -252,30 +304,9 @@ final case class GraftMergeCommand(targetIdent: Seq[String],
     case other => other
   }
 
-  /** assignment-LHS → Column map of an UPDATE SET / INSERT VALUES list:
-    * LHS must name a target column (last name part), RHS is bridged
-    * verbatim and resolved by the ANALYZER against the frame it is
-    * selected from — qualified refs (`s.x`, `t.x`) resolve through the
-    * statement's own aliases, ambiguous bare names fail loudly with
-    * Spark's standard error.
-    */
   private def assignMap(assigns: Seq[Assignment],
-      tgtCols: Seq[String]): Map[String, Column] = {
-    val pairs = assigns.map { a =>
-      val name = a.key match {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          u.nameParts.last
-        case other => fail(s"assignment target '${other.sql}'")
-      }
-      val c = tgtCols.find(_.equalsIgnoreCase(name)).getOrElse(
-        fail(s"assignment to unknown target column '$name'"))
-      c -> GraftBridge.toColumn(a.value)
-    }
-    require(pairs.map(_._1).distinct.size == pairs.size,
-      s"MERGE INTO ${targetIdent.mkString(".")}: duplicate assignment " +
-        s"targets in ${pairs.map(_._1).mkString(", ")}")
-    pairs.toMap
-  }
+      tgtCols: Seq[String]): Map[String, Column] =
+    GraftMergeInto.assignMap(targetIdent, assigns, tgtCols)
 
   /** The generalized image-building merge for assignment-bearing (and
     * mixed star/assignment) clause shapes: matched rows become update
