@@ -1543,6 +1543,34 @@ final class ParquetTable(val path: String,
     * small files per partition; periodic compaction keeps scan task counts
     * and footer overhead bounded.
     */
+  /** Delta `DESCRIBE HISTORY`: the RESOLVABLE commit records as a
+    * DataFrame — version, kind (overwrite/append/replace), the
+    * monotonic commit timestamp, and the commit's file/feed footprint.
+    * History is log-bound: versions whose records retired below the
+    * retention horizon are absent (the timestamp-travel rule); vacuum
+    * reclaims version DIRS but never the `_log`, so history survives
+    * it. Driver-side by construction — the log is metadata-scale
+    * (O(commits/K) checkpoint files after compaction).
+    */
+  def history(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val recs = VersionLog.recordsUpTo(path, version)
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = true),
+      StructField("n_added_files", IntegerType, nullable = false),
+      StructField("n_feed_files", IntegerType, nullable = false),
+      StructField("n_removed_prefixes", IntegerType, nullable = false)))
+    val rows = recs.map { r =>
+      org.apache.spark.sql.Row(r.v, r.kind,
+        r.ts.map(ms => new java.sql.Timestamp(ms)).orNull,
+        r.adds.size, r.feed.size, r.removedPrefixes.size)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   def compact(spark: SparkSession, targetPartitions: Int,
       sortCols: Seq[String] = Nil): ParquetTable = {
     import org.apache.spark.sql.functions.{col, xxhash64}

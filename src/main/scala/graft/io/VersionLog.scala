@@ -588,6 +588,19 @@ private[graft] object VersionLog {
       Some(Checkpoint(v, prev, live.result(), recs))
     } catch { case _: Exception => None }
 
+  /** Every RESOLVABLE record in [1, current] (one `_log` listing,
+    * memoized checkpoints) — the DESCRIBE HISTORY surface. Versions
+    * whose records are retired/compacted-away below the retention
+    * horizon are simply absent (history is log-bound, like timestamp
+    * travel); order is ascending by version.
+    */
+  def recordsUpTo(path: String, current: Int): Seq[Record] = {
+    val ctx = new LogCtx(path)
+    (1 to current).flatMap { v =>
+      try recordAt(path, v, ctx) catch { case _: Exception => None }
+    }
+  }
+
   /** The smallest `h` in [fromV, toV] such that EVERY step in (h, toV]
     * has a resolvable record — the hybrid-CDF split point: a span
     * consumer further behind than the log-retention horizon serves the

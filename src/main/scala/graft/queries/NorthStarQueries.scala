@@ -1473,6 +1473,65 @@ object NorthStarQueries {
       .unionByName(cdf(3, 4, "cdf4_"))
   }
 
+  /** SQL maintenance verbs as a query (q127): `OPTIMIZE … ZORDER BY`,
+    * `VACUUM`, and `DESCRIBE HISTORY` through `spark.sql(...)` — the
+    * statements Delta adds to the grammar, matched by the graft parser
+    * before delegation. Commits run under an injected clock (v1@1000,
+    * v2@2000, the OPTIMIZE's rewrite @3000) so the HISTORY output is
+    * closed-form; the in-query requires pin that VACUUM physically
+    * reclaimed the non-live version dirs while the `_log` (and with it
+    * DESCRIBE HISTORY and the live read) survives, and that the
+    * OPTIMIZE committed a normal overwrite. Output = the history rows
+    * (version/kind/stamp) UNION the post-maintenance state aggregate
+    * read through the re-registered catalog name — data loss through
+    * compact/vacuum, a wrong commit kind, or a non-monotonic stamp all
+    * break the hash. Scratch contract as q87/q118.
+    */
+  def q127SqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val v1 = base.filter(pmod(col("id"), lit(5)) =!= 0)
+    val delta = base.filter(pmod(col("id"), lit(5)) === 0)
+    val p = scratch("sqlmaint", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString)
+    graft.io.Catalog.ensureDatabase(s, "graft_q127")
+    var now = 1000L
+    graft.io.VersionLog.withClock(() => now) {
+      tbl.overwrite(v1)            // v1 @1000
+      now = 2000L
+      tbl.appendVersion(delta)     // v2 @2000
+      graft.io.Catalog.registerTable(s, "graft_q127", "orders_maint", tbl)
+      now = 3000L
+      val r = s.sql(
+        "OPTIMIZE graft_q127.orders_maint ZORDER BY (id, cents)").collect()
+      require(r.map(_.getLong(0)).toSeq == Seq(3L),
+        "q127: OPTIMIZE must commit version 3")
+      s.sql("VACUUM graft_q127.orders_maint").collect()
+    }
+    require(graft.io.VersionLog.readRecord(p.toString, 3)
+        .exists(_.kind == "overwrite"),
+      "q127: the OPTIMIZE rewrite must be a normal overwrite commit")
+    Seq(1, 2).foreach { v =>
+      require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(p.toString, f"v_$v%05d")),
+        s"q127: VACUUM must reclaim the non-live v$v dir")
+    }
+    val hist = s.sql("DESCRIBE HISTORY graft_q127.orders_maint")
+      .select(lit("history").as("kind"), col("version"),
+        col("kind").as("commit"), unix_millis(col("timestamp")).as("ts_ms"),
+        lit(null).cast("long").as("n_rows"),
+        lit(null).cast("long").as("sum_cents"))
+    val state = s.sql(
+      """SELECT count(*) AS n_rows, sum(cents) AS sum_cents
+         FROM graft_q127.orders_maint""")
+      .select(lit("state").as("kind"), lit(null).cast("int").as("version"),
+        lit(null).cast("string").as("commit"),
+        lit(null).cast("long").as("ts_ms"), col("n_rows"), col("sum_cents"))
+    hist.unionByName(state)
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -3469,6 +3528,7 @@ object NorthStarQueries {
     "q124_sql_merge" -> (q124SqlMerge _),
     "q125_sql_merge_set" -> (q125SqlMergeSet _),
     "q126_sql_dml" -> (q126SqlDml _),
+    "q127_sql_maintenance" -> (q127SqlMaintenance _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3750,6 +3810,28 @@ object NorthStarQueries {
          SELECT kind, status, count(*) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM labeled GROUP BY 1, 2""",
+    // q127: DESCRIBE HISTORY under the injected clock is closed-form
+    // (v1 overwrite @1000, v2 append @2000, the OPTIMIZE rewrite
+    // @3000); the state row aggregates the full table (v1 + the
+    // append) — compaction and vacuum must preserve every row
+    "q127_sql_maintenance" ->
+      """WITH base AS (SELECT o_orderkey AS id,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         hist(version, commit, ts_ms) AS (VALUES
+           (1, 'overwrite', 1000), (2, 'append', 2000),
+           (3, 'overwrite', 3000))
+         SELECT 'history' AS kind, version, commit,
+                CAST(ts_ms AS BIGINT) AS ts_ms,
+                CAST(NULL AS BIGINT) AS n_rows,
+                CAST(NULL AS BIGINT) AS sum_cents
+         FROM hist
+         UNION ALL
+         SELECT 'state' AS kind, CAST(NULL AS INTEGER) AS version,
+                CAST(NULL AS VARCHAR) AS commit,
+                CAST(NULL AS BIGINT) AS ts_ms,
+                count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM base""",
     // q121: every timestamp-addressed state recomputed from the version
     // DEFINITIONS — asof_mid/restored/asof_future must equal v1's
     // closed form (the future resolves to the restore commit, itself

@@ -460,12 +460,19 @@ final case class GraftMergeCommand(targetIdent: Seq[String],
   */
 final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
+  // maintenance verbs first (VACUUM / OPTIMIZE / DESCRIBE HISTORY are
+  // not in the stock grammar at all): a non-match or an unregistered
+  // table falls through to the delegate's standard behavior. Both
+  // plan entry points hook identically — spark.sql() arrives through
+  // parsePlanWithParameters, direct parser use through parsePlan.
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftMergeInto.rewrite(spark, delegate.parsePlan(sqlText))
+    GraftMaintenanceSql.tryParse(spark, sqlText).getOrElse(
+      GraftMergeInto.rewrite(spark, delegate.parsePlan(sqlText)))
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
-    GraftMergeInto.rewrite(spark,
-      delegate.parsePlanWithParameters(sqlText, ctx))
+    GraftMaintenanceSql.tryParse(spark, sqlText).getOrElse(
+      GraftMergeInto.rewrite(spark,
+        delegate.parsePlanWithParameters(sqlText, ctx)))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =

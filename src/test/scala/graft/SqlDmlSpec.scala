@@ -117,6 +117,56 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(t.changesBetween(spark, 2, 3).count() == 3L)
   }
 
+  test("maintenance verbs: OPTIMIZE compacts as a normal commit, " +
+      "VACUUM reclaims non-live dirs while DESCRIBE HISTORY (the _log) " +
+      "survives, RETAIN and unregistered targets refuse/fall through") {
+    val seed = (1L to 100L).map(i => (i, if (i % 2 == 0) "O" else "F",
+      i * 10)).toDF("id", "status", "cents")
+    var now = 1000L
+    // the SEED commit must carry the injected stamp too — commit stamps
+    // are monotonic-adjusted (max(clock, prev+1)), so a real-clock v1
+    // would drag every later injected stamp up to prev+1
+    val t = graft.io.VersionLog.withClock(() => now) {
+      freshTable("t_maint", seed)
+    }
+    graft.io.VersionLog.withClock(() => now) {
+      now = 2000L
+      t.appendVersion(Seq((101L, "P", 1010L)).toDF("id", "status", "cents"))
+      now = 3000L
+      val r = spark.sql(
+        "OPTIMIZE graft_dml.t_maint ZORDER BY (id, cents)").collect()
+      assert(r.map(_.getLong(0)).toSeq == Seq(3L))
+    }
+    assert(graft.io.VersionLog.readRecord(t.path, 3)
+      .exists(_.kind == "overwrite"),
+      "OPTIMIZE must commit a normal overwrite")
+    assert(spark.sql("SELECT sum(cents) FROM graft_dml.t_maint")
+      .head.getLong(0) == seed.agg(sum(col("cents"))).head.getLong(0) + 1010L,
+      "compaction must preserve every row")
+    spark.sql("VACUUM graft_dml.t_maint").collect()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t.path, "v_00001")),
+      "VACUUM must reclaim the non-live version dir")
+    val hist = spark.sql("DESCRIBE HISTORY graft_dml.t_maint")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toList
+    assert(hist == List((1, "overwrite"), (2, "append"), (3, "overwrite")),
+      s"history must survive vacuum, got $hist")
+    // history timestamps are the injected monotonic stamps for v2/v3
+    val ts = spark.sql("DESCRIBE HISTORY graft_dml.t_maint")
+      .collect().map(r => r.getAs[java.sql.Timestamp]("timestamp").getTime)
+    assert(ts.toList.drop(1) == List(2000L, 3000L))
+    val eRet = intercept[UnsupportedOperationException] {
+      spark.sql("VACUUM graft_dml.t_maint RETAIN 168 HOURS").collect()
+    }
+    assert(eRet.getMessage.contains("vacuumKeepingFeeds"))
+    // unregistered table: falls through to the stock parse error
+    val eUnreg = intercept[Exception] {
+      spark.sql("VACUUM some_unregistered_table").collect()
+    }
+    assert(eUnreg.isInstanceOf[
+      org.apache.spark.sql.catalyst.parser.ParseException])
+  }
+
   test("INSERT INTO appends through the versioned commit (no raw files " +
       "in version dirs); (cols) fills unassigned with NULL; BY NAME " +
       "reorders; OVERWRITE replaces the snapshot; refusals are loud") {
