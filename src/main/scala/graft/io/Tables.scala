@@ -511,6 +511,13 @@ final class ParquetTable(val path: String,
     Files.writeString(tmp, next)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    // a NEW commit at this path invalidates every cached file-set
+    // resolution for it: delete-and-recreate (the scratch-table
+    // pattern) REUSES version numbers, and a stale entry silently
+    // disabled stats skipping for the recreated version — conservative
+    // but costly (q122's pruning pin failed every same-JVM re-run,
+    // so its bench samples were always cold first runs)
+    ParquetTable.invalidateResolved(path)
   }
 
   /** Append `df` as a NEW version whose files are the delta's writes plus
@@ -1765,13 +1772,16 @@ object ParquetTable {
     * the same live version many times — without the cache every read
     * pays the O(span/K) sidecar walk again.
     *
-    * Delete-and-recreate at the same path (the scratch-table pattern)
-    * can serve a STALE entry for a reused version number — harmless by
-    * construction: the stale entry's rel paths can never match the
-    * recreated version's job-unique part file names, so every listed
-    * file misses the stats map and SURVIVES (pruning silently disabled,
-    * results exact). The conservative direction is load-bearing; do not
-    * flip the `.forall` in the pruner.
+    * Every commit's pointer swap [[ParquetTable.swapPointer]] calls
+    * [[invalidateResolved]] for its path, so delete-and-recreate at the
+    * same path (the scratch-table pattern, which REUSES version
+    * numbers) re-resolves instead of serving a stale entry. Should a
+    * stale entry survive anyway (an out-of-band recreate), the failure
+    * mode stays conservative by construction: the stale rel paths can
+    * never match the recreated version's job-unique part file names, so
+    * every listed file misses the stats map and SURVIVES (pruning
+    * silently disabled, results exact) — do not flip the `.forall` in
+    * the pruner.
     */
   private[io] def resolveFilesCached(tablePath: String,
       v: Int): Option[Seq[VersionLog.FileEntry]] = {
@@ -1782,6 +1792,29 @@ object ParquetTable {
       val r = VersionLog.resolveFiles(tablePath, v)
       resolveCache.put(key, r)
       r
+    }
+  }
+
+  /** Drop every cached resolution of `tablePath` (all versions) — the
+    * commit-time hook: a new commit may reuse a version number after a
+    * delete-and-recreate, and its readers must resolve fresh. The
+    * normalized form matches [[statsPrunerFor]]'s keying; the raw form
+    * covers direct [[resolveFilesCached]] callers. O(cache size ≤ 512)
+    * per commit — noise next to the commit's own IO.
+    */
+  private[io] def invalidateResolved(tablePath: String): Unit = {
+    val raw = tablePath + "@"
+    val norm =
+      try java.nio.file.Paths.get(tablePath).toAbsolutePath.normalize()
+        .toString + "@"
+      catch { case _: Exception => raw }
+    // iteration over a synchronizedMap must hold the map's own monitor
+    resolveCache.synchronized {
+      val it = resolveCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(raw) || k.startsWith(norm)) it.remove()
+      }
     }
   }
 

@@ -36,6 +36,39 @@ class ResolveCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("a commit invalidates the path's cached resolutions: " +
+      "delete-and-recreate at the same path (reused version numbers) " +
+      "stats-skips FRESH instead of silently disabling pruning") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lruinv").toString
+    def build(mult: Long): ParquetTable = {
+      val t = new ParquetTable(s"$dir/t")
+      t.overwrite((1L to 4000L).map(i => (i * mult, s"v$i")).toDF("id", "v"))
+      t.compact(spark, 8, sortCols = Seq("id"))
+      t
+    }
+    def scannedVsKept(t: ParquetTable, lo: Long, hi: Long): (Long, Int) = {
+      val (kept, total) = t.prunedFileCensus(
+        Seq(ColumnBound("id", Some(lo), Some(hi)))).get
+      assert(kept < total, s"fixture must prune (kept $kept of $total)")
+      val out = t.read(spark).filter(col("id").between(lo, hi))
+      out.collect()
+      (org.apache.spark.sql.GraftScanBridge.scannedFileCount(out), kept)
+    }
+    val t1 = build(1L)
+    val (s1, k1) = scannedVsKept(t1, 10L, 20L)
+    assert(s1 == k1, s"first build must prune exactly ($s1 vs $k1)")
+    // the q122 re-run shape: same path, same version numbers, new data
+    graft.io.FsUtil.deleteRecursively(java.nio.file.Paths.get(s"$dir/t"))
+    val t2 = build(3L)
+    val (s2, k2) = scannedVsKept(t2, 30L, 60L)
+    assert(s2 == k2,
+      s"a recreated table must stats-skip fresh, not serve the stale " +
+        s"resolution (scanned $s2 of kept $k2) — commit-time " +
+        "invalidation failed")
+  }
+
   test("eviction is never a correctness event: a read after full " +
       "eviction re-resolves from the commit log") {
     val cache = ParquetTable.resolveCache
