@@ -282,6 +282,59 @@ object MergeOps {
     applyCdcPartitioned(spark, table, updates, None, keys,
       skipEmptyFeed = false)
 
+  /** Layout-dispatching CDC merge: the COW touched-leaf path on
+    * partitioned tables ([[applyCdcPartitioned]]), the full-snapshot
+    * commit otherwise ([[applyCdcSnapshot]]) — one entry point for
+    * callers (SQL MERGE lowering, the streamed CDC intake) that take
+    * whatever handle the warehouse hands them.
+    */
+  def applyCdc(spark: org.apache.spark.sql.SparkSession,
+      table: graft.io.ParquetTable, updates: DataFrame,
+      deleteKeys: Option[DataFrame], keys: Seq[String],
+      skipEmptyFeed: Boolean): graft.io.ParquetTable =
+    if (table.partitionColumns.nonEmpty)
+      applyCdcPartitioned(spark, table, updates, deleteKeys, keys,
+        skipEmptyFeed)
+    else applyCdcSnapshot(spark, table, updates, deleteKeys, keys,
+      skipEmptyFeed)
+
+  /** [[applyCdcPartitioned]]'s semantics on an UNPARTITIONED table:
+    * deletes first, keyed upsert, exact feed, `skipEmptyFeed` replay
+    * absorption — but the commit necessarily rewrites the full
+    * snapshot ([[graft.io.ParquetTable.overwriteWithChanges]]; there
+    * are no leaves to copy-on-write). That cost is announced loudly
+    * per call: at scale a CDC consumer should sit on a partitioned
+    * silver so the COW path runs instead.
+    */
+  def applyCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
+      table: graft.io.ParquetTable, updates: DataFrame,
+      deleteKeys: Option[DataFrame], keys: Seq[String],
+      skipEmptyFeed: Boolean): graft.io.ParquetTable = {
+    if (!table.exists)
+      // deletes against a table with no committed state are no-ops
+      return table.overwrite(updates.dropDuplicates(keys))
+    val current = table.read(spark)
+    val dk = deleteKeys.map(_.select(keys.map(col): _*).distinct())
+    val afterDel = dk.fold(current)(d => current.join(d, keys, "left_anti"))
+    val delFeed = dk.map(d => current.join(d, keys, "left_semi")
+      .withColumn("_change_type", lit("delete")))
+    val joined = upsertJoined(afterDel, updates, keys).persist()
+    try {
+      val (merged, upsFeed) = fromJoined(joined, afterDel.schema,
+        deleteUnmatched = false)
+      val feed = delFeed.fold(upsFeed)(_.unionByName(upsFeed)).persist()
+      try {
+        if (skipEmptyFeed && feed.isEmpty) table
+        else {
+          System.err.println(s"[MergeOps] CDC merge into UNPARTITIONED " +
+            s"${table.path}: rewriting the full snapshot (v${table.version}" +
+            ") — partition the table to get the copy-on-write merge path")
+          table.overwriteWithChanges(merged, feed)
+        }
+      } finally { feed.unpersist(); () }
+    } finally { joined.unpersist(); () }
+  }
+
   /** The CDC generalization of [[upsertIntoPartitioned]]: one keyed
     * merge applying `updates` (full row images) AND `deleteKeys` (key
     * tuples to remove) copy-on-write — touched partitions only, exact

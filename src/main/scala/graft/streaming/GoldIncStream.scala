@@ -214,24 +214,13 @@ object GoldIncStream {
     val delKeys = b.filter(col("_op") === "delete")
       .select(e.keys.map(col): _*).distinct()
     val silver = silverHandle(warehouse, e)
-    if (silver.partitionColumns.nonEmpty) {
-      val v0 = silver.version
-      graft.merge.MergeOps.applyCdcPartitioned(s, silver, ups,
-        Some(delKeys), e.keys, skipEmptyFeed = true)
-      silver.version != v0
-    } else {
-      val current = silver.read(s)
-      val afterDel = current.join(delKeys, e.keys, "left_anti")
-      val delFeed = current.join(delKeys, e.keys, "left_semi")
-        .withColumn("_change_type", lit("delete"))
-      val (merged, upsFeed) =
-        graft.merge.MergeOps.upsertWithFeed(afterDel, ups, e.keys)
-      val feed = delFeed.unionByName(upsFeed).persist()
-      try {
-        if (feed.isEmpty) false // semantic no-op: zero version churn
-        else { silver.overwriteWithChanges(merged, feed); true }
-      } finally { feed.unpersist(); () }
-    }
+    val v0 = silver.version
+    // partitioned → COW touched leaves; unpartitioned → full-snapshot
+    // rewrite per trigger, announced LOUDLY by applyCdcSnapshot (the
+    // non-COW fallback's per-trigger cost must never be silent)
+    graft.merge.MergeOps.applyCdc(s, silver, ups, Some(delKeys), e.keys,
+      skipEmptyFeed = true)
+    silver.version != v0
   }
 
   /** CDC intake for ONE entity: maintain the gold tables from a stream
@@ -324,11 +313,33 @@ object GoldIncStream {
                     "mixed CDC intake decodes payloads against " +
                     "_schema.json, never inference; seed the silver " +
                     "table first"))
-              val decoded = slice
-                .select(from_json(col("_payload"), schema,
+              val parsed = slice
+                .select(col("_payload"), from_json(col("_payload"), schema,
                   PayloadOptions).as("__row"), col("_op"))
-                .select(col("__row.*"), col("_op"))
-              applyCdcBatch(s, warehouse, e, decoded)
+                .persist()
+              try {
+                // UNDECODABLE payloads refuse loudly (same discipline as
+                // unknown _op/_entity): PERMISSIVE from_json turns a
+                // malformed payload into an all-NULL struct (and a NULL
+                // _payload into a NULL struct), whose all-NULL row image
+                // would then MERGE under NULL keys (key equality is
+                // null-safe) — silent silver corruption. The probe
+                // refuses any event whose decoded BUSINESS KEYS are
+                // NULL: this intake's payloads must carry them, so a
+                // NULL key IS a decode failure, whatever produced it.
+                val badPayload = parsed.filter(col("__row").isNull ||
+                    e.keys.map(k => col(s"__row.$k").isNull)
+                      .reduce(_ || _))
+                  .select(col("_payload")).limit(3).collect()
+                  .map(r => String.valueOf(r.get(0)).take(120))
+                require(badPayload.isEmpty,
+                  s"mixed CDC batch for silver_${e.name} carries " +
+                    s"undecodable _payload value(s) (not the committed " +
+                    s"silver schema rendered per cdcPayload): " +
+                    badPayload.mkString("'", "', '", "'"))
+                val decoded = parsed.select(col("__row.*"), col("_op"))
+                applyCdcBatch(s, warehouse, e, decoded)
+              } finally { parsed.unpersist(); () }
             }
           }
           if (committed.contains(true))

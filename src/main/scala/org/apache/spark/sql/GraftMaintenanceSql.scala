@@ -46,11 +46,14 @@ object GraftMaintenanceSql {
   private val HistoryRe =
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$".r
 
+  // Tokenize per SEGMENT (backtick-quoted or bare), never split on raw
+  // '.': a dot INSIDE backticks (VACUUM `a.b`) is part of the name, and
+  // a naive split would miss the registry and surface the delegate's
+  // generic parse error instead of running on the registered table.
+  private val Segment = "`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*)".r
   private def parts(ident: String): Seq[String] =
-    ident.split("\\.").toSeq.map { p =>
-      if (p.startsWith("`") && p.endsWith("`")) p.substring(1, p.length - 1)
-      else p
-    }
+    Segment.findAllMatchIn(ident)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq
 
   private def registered(spark: SparkSession, ident: String): Boolean =
     GraftMergeInto.lookup(spark, parts(ident)).nonEmpty

@@ -33,28 +33,35 @@ import org.apache.spark.sql.types.StructType
   * registration happens in `graft.io.Catalog.registerTable`). Unknown
   * targets pass through untouched — stock Spark behavior, stock error.
   *
-  * Supported shapes (each maps onto one MergeOps call; EVERYTHING else
-  * refuses loudly at execution with the exact unsupported clause named —
-  * never a silent semantic approximation):
+  * Supported surface (anything outside it refuses loudly at execution
+  * with the exact unsupported clause named — never a silent semantic
+  * approximation):
   *
-  *  - `WHEN MATCHED THEN UPDATE SET *` + `WHEN NOT MATCHED THEN INSERT *`
-  *    → keyed upsert (S9) — copy-on-write on partitioned tables;
-  *  - … + `WHEN NOT MATCHED BY SOURCE THEN DELETE` → full-sync upsert
-  *    (`deleteUnmatched`);
-  *  - `WHEN NOT MATCHED THEN INSERT *` alone → insert-if-absent (S6/S7);
-  *  - `WHEN MATCHED THEN DELETE` alone → keyed delete (COW on
-  *    partitioned tables, exact delete feed);
-  *  - column-level `UPDATE SET c = expr, …` and `INSERT (cols) VALUES
-  *    (exprs)` (and mixed star/assignment combinations) → full row
-  *    IMAGES built on the target ⋈ source join (SET) / the anti-joined
-  *    source (VALUES, unassigned columns typed NULL — SQL MERGE's fill
-  *    rule), routed through the same keyed COW upsert.
+  *  - the four canonical unconditional star shapes keep their direct
+  *    MergeOps fast paths: `UPDATE SET * + INSERT *` → keyed upsert
+  *    (S9, copy-on-write on partitioned tables); … + `NOT MATCHED BY
+  *    SOURCE DELETE` → full-sync upsert; `INSERT *` alone →
+  *    insert-if-absent (S6/S7 — the one shape where duplicate source
+  *    keys stay legal); `MATCHED DELETE` alone → keyed COW delete;
+  *  - EVERYTHING else — clause conditions (`WHEN MATCHED AND cond THEN
+  *    …`), multiple ordered clauses (first-true wins), column
+  *    assignments (`UPDATE SET c = expr`, `INSERT (cols) VALUES`,
+  *    unassigned columns typed NULL — SQL MERGE's fill rule), `WHEN
+  *    NOT MATCHED BY SOURCE THEN UPDATE SET …/DELETE`, and `WITH
+  *    SCHEMA EVOLUTION` (source-only columns appended through one
+  *    zero-row hard-link append commit; old versions read NULL) —
+  *    lowers through [[GraftMergeCommand]]'s general image builder
+  *    into ONE CDC batch ([[graft.merge.MergeOps.applyCdc]]):
+  *    update/insert images + delete keys, copy-on-write touched-leaf
+  *    commit on partitioned tables, exact feed either way.
   *
   * The ON condition must be a conjunction of same-named column
-  * equalities (`t.k = s.k` / `<=>`) — MergeOps' key model. Clause
-  * conditions (`WHEN MATCHED AND …`) are not mapped. After the commit
-  * the catalog entry is re-registered so subsequent `spark.sql` reads
-  * see the new version.
+  * equalities (`t.k = s.k` / `<=>`, one operand per side) — MergeOps'
+  * key model. A source with several rows per ON key refuses loudly
+  * whenever a clause can touch existing target rows (SQL MERGE's
+  * multiple-matches error; a silent dedup would commit an arbitrary
+  * image). After the commit the catalog entry is re-registered so
+  * subsequent `spark.sql` reads see the new version.
   */
 object GraftMergeInto {
 
@@ -148,9 +155,14 @@ object GraftMergeInto {
               case SubqueryAlias(id, _) => Some(id.name)
               case _ => None
             }
+            val sAlias = m.sourceTable match {
+              case SubqueryAlias(id, _) => Some(id.name)
+              case _ => None
+            }
             GraftMergeCommand(ident, new GraftMergeSpec(m.sourceTable,
               m.mergeCondition, m.matchedActions, m.notMatchedActions,
-              m.notMatchedBySourceActions, m.withSchemaEvolution, tAlias))
+              m.notMatchedBySourceActions, m.withSchemaEvolution, tAlias,
+              sAlias))
           case _ => m
         }
       // the rest of the DML surface (see GraftSqlDml): UPDATE/DELETE are
@@ -243,15 +255,26 @@ final class GraftMergeSpec(val source: LogicalPlan,
     val notMatchedActions: Seq[MergeAction],
     val notMatchedBySourceActions: Seq[MergeAction],
     val withSchemaEvolution: Boolean,
-    val targetAlias: Option[String]) extends Serializable
+    val targetAlias: Option[String],
+    val sourceAlias: Option[String]) extends Serializable
+
+/** Classified MERGE clause actions — the shared shape the fast-path
+  * dispatch and the general conditional lowering both consume. `cond`
+  * is the clause's `WHEN … AND <cond>` condition (None =
+  * unconditional); `star` marks `UPDATE SET *` / `INSERT *`.
+  */
+private[sql] sealed trait GraftMergeAct { def cond: Option[Expression] }
+private[sql] final case class GraftUpdAct(cond: Option[Expression],
+    star: Boolean, assigns: Seq[Assignment]) extends GraftMergeAct
+private[sql] final case class GraftDelAct(cond: Option[Expression])
+    extends GraftMergeAct
+private[sql] final case class GraftInsAct(cond: Option[Expression],
+    star: Boolean, assigns: Seq[Assignment]) extends GraftMergeAct
 
 final case class GraftMergeCommand(targetIdent: Seq[String],
     spec: GraftMergeSpec) extends LeafRunnableCommand {
   private def source = spec.source
   private def condition = spec.condition
-  private def matchedActions = spec.matchedActions
-  private def notMatchedActions = spec.notMatchedActions
-  private def notMatchedBySourceActions = spec.notMatchedBySourceActions
   private def withSchemaEvolution = spec.withSchemaEvolution
 
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
@@ -263,130 +286,332 @@ final case class GraftMergeCommand(targetIdent: Seq[String],
   private def fail(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"MERGE INTO ${targetIdent.mkString(".")}: $what is not supported " +
-        "by the graft MERGE bridge — supported: WHEN MATCHED THEN UPDATE " +
-        "SET * | SET c = expr, ... (unconditional), WHEN NOT MATCHED " +
-        "THEN INSERT * | INSERT (cols) VALUES (exprs), WHEN NOT MATCHED " +
-        "BY SOURCE THEN DELETE (with star update+insert), WHEN MATCHED " +
-        "THEN DELETE alone. Clause conditions (WHEN ... AND) are not " +
-        "mapped. ON must be a conjunction of same-named key equalities " +
-        "(t.k = s.k)")
+        "by the graft MERGE bridge — supported: ordered [conditional] " +
+        "WHEN MATCHED THEN UPDATE SET * | SET c = expr, ... | DELETE, " +
+        "WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs), " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c = expr, ... | " +
+        "DELETE, WITH SCHEMA EVOLUTION. ON must be a conjunction of " +
+        "same-named key equalities (t.k = s.k)")
 
   /** The ON conjunction as MergeOps key names: every conjunct must be a
     * (null-safe) equality between two attributes whose LAST name part
     * agrees — the same-named business-key model every MergeOps shape
-    * uses. Anything else refuses.
+    * uses — with one operand on the TARGET side and one on the SOURCE
+    * side (a qualified operand must name a known alias/relation;
+    * `t.id = t.id` is not a merge key). Anything else refuses.
     */
-  private def keyColumns(e: Expression): Seq[String] = e match {
+  private def keyColumns(e: Expression, tN: Seq[String],
+      sN: Seq[String]): Seq[String] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-      keyColumns(l) ++ keyColumns(r)
-    case EqualTo(l, r) => Seq(keyOf(l, r))
-    case EqualNullSafe(l, r) => Seq(keyOf(l, r))
+      keyColumns(l, tN, sN) ++ keyColumns(r, tN, sN)
+    case EqualTo(l, r) => Seq(keyOf(l, r, tN, sN))
+    case EqualNullSafe(l, r) => Seq(keyOf(l, r, tN, sN))
     case other => fail(s"ON clause term '${other.sql}'")
   }
 
-  private def keyOf(l: Expression, r: Expression): String = (l, r) match {
+  private def keyOf(l: Expression, r: Expression, tN: Seq[String],
+      sN: Seq[String]): String = (l, r) match {
     case (a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute,
           b: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute) =>
       val (ka, kb) = (a.nameParts.last, b.nameParts.last)
       if (!ka.equalsIgnoreCase(kb))
         fail(s"key equality between differently-named columns " +
           s"'${a.name}' and '${b.name}'")
+      // side validation: a qualified operand must belong to the target
+      // or the source, and the two operands must sit on DIFFERENT
+      // sides — 'ON t.id = t.id' silently running as a keyed upsert
+      // would diverge from SQL MERGE semantics
+      def side(u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute): Option[String] =
+        if (u.nameParts.length < 2) None // bare name: side unknowable
+        else {
+          val q = u.nameParts(u.nameParts.length - 2)
+          val isT = tN.exists(_.equalsIgnoreCase(q))
+          val isS = sN.exists(_.equalsIgnoreCase(q))
+          if (isT && isS) None // alias collision: indistinguishable
+          else if (isT) Some("target")
+          else if (isS) Some("source")
+          else fail(s"ON operand '${u.name}': qualifier '$q' names " +
+            s"neither the target (${tN.mkString("/")}) nor the source " +
+            s"(${sN.mkString("/")})")
+        }
+      (side(a), side(b)) match {
+        case (Some(x), Some(y)) if x == y =>
+          fail(s"ON equality '${a.name} = ${b.name}' with both operands " +
+            s"on the $x side — pair one target column with one source " +
+            "column")
+        case _ => ()
+      }
       ka
     case _ => fail(s"non-column ON operand in '${l.sql} = ${r.sql}'")
-  }
-
-  private def bare(a: MergeAction): MergeAction = a match {
-    case u @ UpdateStarAction(Some(_)) => fail(s"conditional '${u.sql}'")
-    case i @ InsertStarAction(Some(_)) => fail(s"conditional '${i.sql}'")
-    case d @ DeleteAction(Some(_)) => fail(s"conditional '${d.sql}'")
-    case u @ UpdateAction(Some(_), _, _) => fail(s"conditional '${u.sql}'")
-    case i @ InsertAction(Some(_), _) => fail(s"conditional '${i.sql}'")
-    case other => other
   }
 
   private def assignMap(assigns: Seq[Assignment],
       tgtCols: Seq[String]): Map[String, Column] =
     GraftMergeInto.assignMap(targetIdent, assigns, tgtCols)
 
-  /** The generalized image-building merge for assignment-bearing (and
-    * mixed star/assignment) clause shapes: matched rows become update
-    * IMAGES (target row with SET columns replaced, evaluated on the
-    * target ⋈ source join), unmatched source rows become insert IMAGES
-    * (VALUES columns evaluated on the anti-joined source, unassigned
-    * columns typed NULL — SQL MERGE's fill rule), and the union routes
-    * through the same keyed COW upsert as the star shapes — exact
-    * feeds, touched partitions only.
+  private def classify(a: MergeAction, allowed: String): GraftMergeAct =
+    a match {
+      case UpdateStarAction(c) => GraftUpdAct(c, star = true, Nil)
+      case UpdateAction(c, as, _) => GraftUpdAct(c, star = false, as)
+      case DeleteAction(c) => GraftDelAct(c)
+      case InsertStarAction(c) => GraftInsAct(c, star = true, Nil)
+      case InsertAction(c, as) => GraftInsAct(c, star = false, as)
+      case other => fail(s"'${other.sql}' as a $allowed action")
+    }
+
+  /** SQL MERGE forbids several source rows modifying one target row
+    * (Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING...); a silent
+    * dedup would commit an ARBITRARY image. Checked whenever a clause
+    * can touch existing target rows — one bounded aggregation over the
+    * (batch-sized) source. Stricter than Delta on keys that happen not
+    * to match: deliberate, so the refusal does not depend on target
+    * state.
     */
-  private def assignmentMerge(spark: SparkSession,
+  private def requireUniqueSourceKeys(src: DataFrame,
+      keys: Seq[String]): Unit = {
+    val dup = src.groupBy(keys.map(functions.col): _*)
+      .agg(functions.count(functions.lit(1)).as("__n"))
+      .filter(functions.col("__n") > 1).limit(1).collect()
+    if (dup.nonEmpty) {
+      val ex = keys.zipWithIndex
+        .map { case (k, i) => s"$k=${dup.head.get(i)}" }.mkString(", ")
+      throw new IllegalArgumentException(
+        s"MERGE INTO ${targetIdent.mkString(".")}: the source has " +
+          s"multiple rows per ON key (e.g. $ex) — SQL MERGE forbids a " +
+          "target row matching several source rows; collapse to one " +
+          "image per key upstream (latest-by-sequence, greatest-tuple)")
+    }
+  }
+
+  /** `WITH SCHEMA EVOLUTION`: source-only columns are APPENDED to the
+    * committed schema through one zero-row [[graft.io.ParquetTable
+    * .appendVersion]] commit (every base file rides as a hard link, the
+    * sidecar schema widens — existing versions read NULL for the new
+    * columns, the CDF-across-evolution contract). The merge itself then
+    * runs against the widened schema, copy-on-write as usual — schema
+    * evolution costs one metadata-sized commit, never a table rewrite.
+    */
+  private def evolveSchema(spark: SparkSession,
       table: graft.io.ParquetTable, src: classic.DataFrame,
-      keys: Seq[String], tgtCols: Seq[String],
-      mact: Option[MergeAction], nact: Option[MergeAction]): Unit = {
+      tgtCols: Seq[String]): Unit = {
     import functions.{col, lit}
-    val tA = spec.targetAlias.getOrElse("__graft_t")
-    val current = table.read(spark)
-    val tSchema = current.schema
-    def cast(c: Column, name: String): Column =
-      c.cast(tSchema(tSchema.fieldIndex(name)).dataType)
-    // null-safe key restriction frames (the MergeOps renamed-keys idiom)
-    val curKeys = keys.foldLeft(
-      current.select(keys.map(col).toIndexedSeq: _*).distinct()) {
-      (d, c) => d.withColumnRenamed(c, s"__gk_$c")
-    }
-    val keyCondAnti = keys.map(k => src(k) <=> col(s"__gk_$k")).reduce(_ && _)
-    def alignedSrc: DataFrame = {
-      val missing = tgtCols.filterNot(c =>
-        src.columns.exists(_.equalsIgnoreCase(c)))
-      require(missing.isEmpty, s"UPDATE SET * / INSERT * needs the source " +
-        s"to carry every target column — missing ${missing.mkString(", ")}")
-      src.select(tgtCols.map(col).toIndexedSeq: _*)
-    }
-    val updImages = mact.map {
-      case UpdateStarAction(None) =>
-        alignedSrc.join(curKeys, keyCondAnti, "left_semi")
-      case UpdateAction(None, assigns, _) =>
-        val amap = assignMap(assigns, tgtCols)
-        val joined = current.alias(tA)
-          .join(src, keys.map(k => col(s"$tA.$k") <=> src(k)).reduce(_ && _),
-            "inner")
-        joined.select(tgtCols.map { c =>
-          amap.get(c).map(cast(_, c)).getOrElse(col(s"$tA.$c")).as(c)
-        }.toIndexedSeq: _*)
-      case other => fail(s"'${other.sql}' as the WHEN MATCHED action")
-    }
-    val insImages = nact.map {
-      case InsertStarAction(None) =>
-        alignedSrc.join(curKeys, keyCondAnti, "left_anti")
-      case InsertAction(None, assigns) =>
-        val amap = assignMap(assigns, tgtCols)
-        src.join(curKeys, keyCondAnti, "left_anti")
-          .select(tgtCols.map { c =>
-            amap.get(c).map(cast(_, c))
-              .getOrElse(lit(null).cast(tSchema(tSchema.fieldIndex(c))
-                .dataType)).as(c)
-          }.toIndexedSeq: _*)
-      case other => fail(s"'${other.sql}' as the WHEN NOT MATCHED action")
-    }
-    val updates = (updImages.toSeq ++ insImages.toSeq)
-      .reduce(_ unionByName _)
-    if (table.partitionColumns.nonEmpty)
-      graft.merge.MergeOps.applyCdcPartitioned(spark, table, updates,
-        None, keys, skipEmptyFeed = false)
-    else graft.merge.MergeOps.upsertInto(spark, table, updates, keys)
+    val extra = src.schema.fields
+      .filterNot(f => tgtCols.exists(_.equalsIgnoreCase(f.name)))
+      .toIndexedSeq
+    if (extra.isEmpty) return
+    val widened = table.read(spark).limit(0).select(
+      tgtCols.map(col) ++
+        extra.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    table.appendVersion(widened)
     ()
   }
 
+  /** The general conditional lowering — SQL MERGE's full clause algebra
+    * as one CDC batch ([[graft.merge.MergeOps.applyCdc]]: deletes +
+    * update/insert images, copy-on-write on partitioned tables, exact
+    * feed):
+    *
+    *  - matched clauses evaluate on the target ⋈ source inner join;
+    *    the FIRST clause whose condition holds wins (ordered-clause
+    *    semantics via one chained `when` selector), UPDATE builds the
+    *    row image (SET columns replaced; star = source values, target
+    *    fallback under evolution), DELETE contributes the key; rows
+    *    matching no clause pass through untouched (absent from the
+    *    batch);
+    *  - NOT MATCHED clauses evaluate on the anti-joined source —
+    *    INSERT images with unassigned columns typed NULL (SQL MERGE's
+    *    fill rule; star = source values, NULL for evolved columns the
+    *    source lacks);
+    *  - NOT MATCHED BY SOURCE clauses evaluate on the anti-joined
+    *    TARGET — UPDATE images read target columns only, DELETE
+    *    contributes the key.
+    *
+    * A key can never land in both the update and delete sets (each row
+    * takes at most one clause), so applyCdc's delete-first netting is
+    * vacuous here.
+    */
+  private def generalMerge(spark: SparkSession,
+      table: graft.io.ParquetTable, src: classic.DataFrame,
+      keys: Seq[String], tgtCols: Seq[String], mActs: Seq[GraftMergeAct],
+      nActs: Seq[GraftMergeAct], bActs: Seq[GraftMergeAct]): Unit = {
+    import functions.{coalesce, col, lit, when}
+    val tA = spec.targetAlias.getOrElse(targetIdent.last)
+    val current = table.read(spark).alias(tA)
+    val tSchema = table.liveSchema.get
+    def typeOf(name: String) = tSchema(tSchema.fieldIndex(name)).dataType
+    def cast(c: Column, name: String): Column = c.cast(typeOf(name))
+    def nullOf(name: String): Column = lit(null).cast(typeOf(name))
+    def hasSrc(c: String): Boolean =
+      src.columns.exists(_.equalsIgnoreCase(c))
+    def srcCol(c: String): Column =
+      src(src.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
+    // NULL conditions are NOT matched (SQL three-valued WHEN ... AND)
+    def condCol(a: GraftMergeAct): Column =
+      a.cond.map(e => coalesce(GraftBridge.toColumn(e), lit(false)))
+        .getOrElse(lit(true))
+    // first-matching-clause selector: a chained `when` realizes SQL
+    // MERGE's ordered-clause rule in one codegen'd expression
+    def selector(acts: Seq[GraftMergeAct]): Column =
+      acts.zipWithIndex.foldLeft(Option.empty[Column]) {
+        case (acc, (a, i)) => Some(acc match {
+          case None => when(condCol(a), lit(i))
+          case Some(c) => c.when(condCol(a), lit(i))
+        })
+      }.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
+    def requireStarCols(which: String): Unit =
+      if (!withSchemaEvolution) {
+        val missing = tgtCols.filterNot(hasSrc)
+        require(missing.isEmpty, s"$which needs the source to carry " +
+          s"every target column — missing ${missing.mkString(", ")} " +
+          "(or request WITH SCHEMA EVOLUTION semantics)")
+      }
+    // one row image per target column, first-true clause wins; the
+    // frame is pre-filtered to rows some listed clause claimed
+    def firstImage(frame: DataFrame,
+        clauses: Seq[(Int, String => Column)]): DataFrame =
+      frame.filter(col("__act").isin(clauses.map(_._1): _*))
+        .select(tgtCols.map { c =>
+          clauses.tail.foldLeft(
+            when(col("__act") === clauses.head._1, clauses.head._2(c))) {
+            case (acc, (i, img)) => acc.when(col("__act") === i, img(c))
+          }.as(c)
+        }: _*)
+
+    // ---- WHEN MATCHED: target ⋈ source inner join
+    val (mUpd, mDel) = if (mActs.isEmpty) (None, None) else {
+      val joinCond =
+        keys.map(k => col(s"$tA.$k") <=> srcCol(k)).reduce(_ && _)
+      val joined = current.join(src, joinCond, "inner")
+        .withColumn("__act", selector(mActs))
+      val updClauses = mActs.zipWithIndex.collect {
+        case (GraftUpdAct(_, true, _), i) =>
+          requireStarCols("WHEN MATCHED THEN UPDATE SET *")
+          (i, (c: String) =>
+            if (hasSrc(c)) cast(srcCol(c), c) else col(s"$tA.$c"))
+        case (GraftUpdAct(_, false, assigns), i) =>
+          val amap = assignMap(assigns, tgtCols)
+          (i, (c: String) =>
+            amap.get(c).map(cast(_, c)).getOrElse(col(s"$tA.$c")))
+      }
+      val delIdx = mActs.zipWithIndex.collect {
+        case (GraftDelAct(_), i) => i
+      }
+      (if (updClauses.isEmpty) None
+       else Some(firstImage(joined, updClauses)),
+       if (delIdx.isEmpty) None
+       else Some(joined.filter(col("__act").isin(delIdx: _*))
+         .select(keys.map(k => col(s"$tA.$k").as(k)): _*)))
+    }
+
+    // ---- WHEN NOT MATCHED: the anti-joined source
+    val ins = if (nActs.isEmpty) None else {
+      val curKeys = keys.foldLeft(
+        table.read(spark).select(keys.map(col): _*).distinct()) {
+        (d, k) => d.withColumnRenamed(k, s"__gk_$k")
+      }
+      val antiCond =
+        keys.map(k => srcCol(k) <=> col(s"__gk_$k")).reduce(_ && _)
+      val anti = src.join(curKeys, antiCond, "left_anti")
+        .withColumn("__act", selector(nActs))
+      val insClauses = nActs.zipWithIndex.map {
+        case (GraftInsAct(_, true, _), i) =>
+          requireStarCols("WHEN NOT MATCHED THEN INSERT *")
+          (i, (c: String) =>
+            if (hasSrc(c)) cast(srcCol(c), c) else nullOf(c))
+        case (GraftInsAct(_, false, assigns), i) =>
+          val amap = assignMap(assigns, tgtCols)
+          (i, (c: String) => amap.get(c).map(cast(_, c)).getOrElse(nullOf(c)))
+        case (other, _) =>
+          fail(s"'${other.getClass.getSimpleName}' as a NOT MATCHED action")
+      }
+      Some(firstImage(anti, insClauses))
+    }
+
+    // ---- WHEN NOT MATCHED BY SOURCE: the anti-joined target
+    val (bUpd, bDel) = if (bActs.isEmpty) (None, None) else {
+      val srcKeys = keys.foldLeft(
+        src.select(keys.map(k => srcCol(k).as(k)): _*).distinct()) {
+        (d, k) => d.withColumnRenamed(k, s"__sk_$k")
+      }
+      val antiCond =
+        keys.map(k => col(s"$tA.$k") <=> col(s"__sk_$k")).reduce(_ && _)
+      val anti = current.join(srcKeys, antiCond, "left_anti")
+        .withColumn("__act", selector(bActs))
+      val updClauses = bActs.zipWithIndex.collect {
+        case (GraftUpdAct(_, true, _), _) =>
+          fail("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET * (there is " +
+            "no source row to read)")
+        case (GraftUpdAct(_, false, assigns), i) =>
+          val amap = assignMap(assigns, tgtCols)
+          (i, (c: String) =>
+            amap.get(c).map(cast(_, c)).getOrElse(col(s"$tA.$c")))
+      }
+      val delIdx = bActs.zipWithIndex.collect {
+        case (GraftDelAct(_), i) => i
+      }
+      (if (updClauses.isEmpty) None
+       else Some(firstImage(anti, updClauses)),
+       if (delIdx.isEmpty) None
+       else Some(anti.filter(col("__act").isin(delIdx: _*))
+         .select(keys.map(k => col(s"$tA.$k").as(k)): _*)))
+    }
+
+    val updates = (mUpd.toSeq ++ ins.toSeq ++ bUpd.toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(table.read(spark).limit(0)
+        .select(tgtCols.map(col): _*))
+    val delKeys = (mDel.toSeq ++ bDel.toSeq).reduceOption(_ unionByName _)
+    // the image/key frames derive from up to three joins re-consumed by
+    // applyCdc's touched-partition planning — persist the (batch-sized)
+    // results once instead of re-running the joins per job
+    val upsP = updates.persist()
+    val dkP = delKeys.map(_.persist())
+    try {
+      graft.merge.MergeOps.applyCdc(spark, table, upsP, dkP, keys,
+        skipEmptyFeed = false)
+      ()
+    } finally { upsP.unpersist(); dkP.foreach(_.unpersist()); () }
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
-    if (withSchemaEvolution) fail("WITH SCHEMA EVOLUTION")
     val entry = GraftMergeInto.lookup(spark, targetIdent).getOrElse(
       throw new IllegalStateException(
         s"MERGE INTO ${targetIdent.mkString(".")}: table is not (or no " +
           "longer) graft-registered in this session — register it via " +
           "graft.io.Catalog.registerTable first"))
     val table = entry.table
-    val keys = keyColumns(condition).distinct
+    val tNames =
+      (spec.targetAlias.toSeq ++ targetIdent.takeRight(1)).distinct
+    val sNames = (spec.sourceAlias.toSeq ++
+      GraftMergeInto.identOf(source).map(_.last).toSeq).distinct
+    val keys = keyColumns(condition, tNames, sNames).distinct
     require(keys.nonEmpty, "MERGE needs at least one ON key equality")
     val src = classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], source)
+    val mActs = spec.matchedActions
+      .map(classify(_, "WHEN MATCHED (UPDATE/DELETE)"))
+    val nActs = spec.notMatchedActions
+      .map(classify(_, "WHEN NOT MATCHED (INSERT)"))
+    val bActs = spec.notMatchedBySourceActions
+      .map(classify(_, "WHEN NOT MATCHED BY SOURCE (UPDATE/DELETE)"))
+    nActs.foreach {
+      case _: GraftInsAct => ()
+      case other => fail(s"'$other' as a NOT MATCHED action")
+    }
+    (mActs ++ bActs).foreach {
+      case _: GraftInsAct => fail("INSERT outside WHEN NOT MATCHED")
+      case _ => ()
+    }
+    // evolve the committed schema FIRST so the lowering below reads the
+    // final column set (and existing versions serve NULL for new cols)
+    if (withSchemaEvolution) {
+      val tgtCols0 = table.liveSchema.map(_.fieldNames.toSeq).getOrElse(
+        throw new IllegalStateException(
+          s"MERGE INTO ${targetIdent.mkString(".")}: target carries no " +
+            "committed schema"))
+      evolveSchema(spark, table, src, tgtCols0)
+    }
     val tgtCols = table.liveSchema.map(_.fieldNames.toSeq).getOrElse(
       throw new IllegalStateException(
         s"MERGE INTO ${targetIdent.mkString(".")}: target carries no " +
@@ -398,12 +623,13 @@ final case class GraftMergeCommand(targetIdent: Seq[String],
           s"${tgtCols.mkString(", ")}; source has " +
           s"${src.columns.mkString(", ")}")
     }
+    if (mActs.nonEmpty || bActs.nonEmpty) requireUniqueSourceKeys(src, keys)
 
-    val shape = (matchedActions.map(bare), notMatchedActions.map(bare),
-      notMatchedBySourceActions.map(bare))
-    shape match {
+    val uncond = (mActs ++ nActs ++ bActs).forall(_.cond.isEmpty)
+    (mActs, nActs, bActs) match {
       // upsert (S9) — COW on partitioned tables
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
+      case (Seq(GraftUpdAct(None, true, _)), Seq(GraftInsAct(None, true, _)),
+          Seq()) if uncond && !withSchemaEvolution =>
         val missing = tgtCols.filterNot(c =>
           src.columns.exists(_.equalsIgnoreCase(c)))
         require(missing.isEmpty, s"UPDATE SET * / INSERT * needs the " +
@@ -413,40 +639,28 @@ final case class GraftMergeCommand(targetIdent: Seq[String],
           graft.merge.MergeOps.upsertIntoPartitioned(spark, table, src, keys)
         else graft.merge.MergeOps.upsertInto(spark, table, src, keys)
       // full-sync upsert: target grains absent from source are dropped
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
-          Seq(DeleteAction(None))) =>
+      case (Seq(GraftUpdAct(None, true, _)), Seq(GraftInsAct(None, true, _)),
+          Seq(GraftDelAct(None))) if uncond && !withSchemaEvolution =>
         graft.merge.MergeOps.upsertInto(spark, table, src, keys,
           deleteUnmatched = true)
-      // insert-if-absent (S6/S7) — the reference's idempotent intake
-      case (Seq(), Seq(InsertStarAction(None)), Seq()) =>
+      // insert-if-absent (S6/S7) — the reference's idempotent intake;
+      // the ONE shape where duplicate source keys stay legal (Delta
+      // inserts them all; no target row is ever touched)
+      case (Seq(), Seq(GraftInsAct(None, true, _)), Seq())
+          if uncond && !withSchemaEvolution =>
         table.writeMerged(spark, src)(
           graft.merge.MergeOps.insertIfAbsent(_, _, keys))
       // keyed delete — COW on partitioned tables, exact delete feed
-      case (Seq(DeleteAction(None)), Seq(), Seq()) =>
+      case (Seq(GraftDelAct(None)), Seq(), Seq()) if uncond =>
         val delKeys = src.select(keys.map(functions.col): _*).distinct()
-        if (table.partitionColumns.nonEmpty)
-          graft.merge.MergeOps.applyCdcPartitioned(spark, table,
-            table.read(spark).limit(0), Some(delKeys), keys,
-            skipEmptyFeed = false)
-        else {
-          val current = table.read(spark)
-          val merged = current.join(delKeys, keys, "left_anti")
-          val feed = current.join(delKeys, keys, "left_semi")
-            .withColumn("_change_type", functions.lit("delete"))
-          table.overwriteWithChanges(merged, feed)
-        }
-      // assignment-bearing (and mixed star/assignment) shapes: build
-      // full row images, route through the same keyed COW upsert
-      case (m0, n0, Seq()) if m0.size <= 1 && n0.size <= 1 &&
-          (m0.nonEmpty || n0.nonEmpty) &&
-          (m0 ++ n0).forall {
-            case UpdateStarAction(None) | UpdateAction(None, _, _) |
-                 InsertStarAction(None) | InsertAction(None, _) => true
-            case _ => false
-          } =>
-        assignmentMerge(spark, table, src, keys, tgtCols,
-          m0.headOption, n0.headOption)
-      case _ => fail("this WHEN-clause combination")
+        graft.merge.MergeOps.applyCdc(spark, table,
+          table.read(spark).limit(0), Some(delKeys), keys,
+          skipEmptyFeed = false)
+      // everything else — conditional clauses, multiple ordered
+      // clauses, assignment shapes, NOT MATCHED BY SOURCE UPDATE,
+      // schema evolution — lowers through the general image builder
+      case _ =>
+        generalMerge(spark, table, src, keys, tgtCols, mActs, nActs, bActs)
     }
     // repoint the catalog entry at the committed version so subsequent
     // spark.sql reads of the registered name see the merge

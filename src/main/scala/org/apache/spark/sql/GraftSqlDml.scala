@@ -215,6 +215,13 @@ final case class GraftInsertCommand(targetIdent: Seq[String],
           tgtCols.find(_.equalsIgnoreCase(n)).getOrElse(
             fail(s"unknown column '$n' in the insert column list"))
         }
+        // a duplicated name would pass the arity check but collapse in
+        // the byPos map — one query column silently dropped, another
+        // NULL-filled; reject like Spark/Delta do
+        require(specified.distinct.size == specified.size,
+          s"INSERT INTO ${targetIdent.mkString(".")}: duplicate column " +
+            s"in the insert column list (${spec.userSpecifiedCols
+              .mkString(", ")})")
         require(df.columns.length == specified.length,
           s"INSERT (cols) arity mismatch: ${specified.length} columns " +
             s"listed, query produces ${df.columns.length}")

@@ -919,6 +919,23 @@ class GoldIncrementalSpec extends AnyFunSuite {
         Option(e.getCause).exists(_.getMessage.contains("unknown _entity")))
     } finally qBad.stop()
 
+    // an UNDECODABLE payload refuses loudly too: PERMISSIVE from_json
+    // would otherwise decode it to a NULL struct whose all-NULL image
+    // merges under NULL keys (null-safe equality) — silent corruption
+    val inPay = MemoryStream[(String, String, String)]
+    val qPay = graft.streaming.GoldIncStream.mixedCdcStream(
+      inPay.toDF().toDF("_entity", "_op", "_payload"), wh)
+    try {
+      inPay.addData(Seq(("orders", "upsert", "not json at all")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qPay.processAllAvailable()
+      }
+      assert(e.getMessage.contains("undecodable _payload") ||
+        Option(e.getCause).exists(_.getMessage.contains(
+          "undecodable _payload")),
+        s"got: ${e.getMessage.take(300)}")
+    } finally qPay.stop()
+
     // unknown _op refuses loudly too — 'update' from a real CDC source
     // must never be silently dropped
     val inOp = MemoryStream[CdcRow]

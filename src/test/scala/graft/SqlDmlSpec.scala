@@ -200,5 +200,35 @@ class SqlDmlSpec extends AnyFunSuite {
     }
     assert(eAr.getMessage.contains("arity"),
       s"got: ${eAr.getMessage.take(200)}")
+    // a DUPLICATED name in the column list refuses (it would pass the
+    // arity check but silently drop a query column in the byPos map)
+    val eDup = intercept[Exception] {
+      spark.sql("INSERT INTO graft_dml.t_ins (id, id) SELECT 5L, 6L")
+        .collect()
+    }
+    assert(eDup.getMessage.contains("duplicate column"),
+      s"got: ${eDup.getMessage.take(200)}")
+  }
+
+  test("maintenance-verb identifiers tokenize backtick-quoted segments: " +
+      "a registered name CONTAINING a dot resolves instead of falling " +
+      "through to the delegate's parse error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqldml")
+    val t = new ParquetTable(s"$dir/dotted",
+      partitionColumns = Nil)
+    t.overwrite(Seq((1L, "O", 10L)).toDF("id", "status", "cents"))
+    t.appendVersion(Seq((2L, "F", 20L)).toDF("id", "status", "cents"))
+    // registry-only registration (the spark catalog refuses dots in
+    // table names; the maintenance verbs resolve through the graft
+    // registry, which is exactly what the tokenizer feeds)
+    org.apache.spark.sql.GraftMergeInto.register(spark, "graft_dml",
+      "a.b", t)
+    val hist = spark.sql("DESCRIBE HISTORY graft_dml.`a.b`").collect()
+    assert(hist.length == 2,
+      s"DESCRIBE HISTORY on the dotted name must serve both commits, " +
+        s"got ${hist.length}")
+    val v = spark.sql("VACUUM graft_dml.`a.b`").collect()
+    assert(v.map(_.getLong(0)).toSeq == Seq(2L),
+      "VACUUM on the dotted name must run on the registered table")
   }
 }

@@ -201,18 +201,186 @@ class SqlMergeSpec extends AnyFunSuite {
         e.getMessage.take(200))
   }
 
+  test("conditional UPDATE + conditional DELETE in one statement: " +
+      "ordered clauses, first-true wins, unmatched-condition rows pass " +
+      "through; COW + exact feed on a partitioned target") {
+    val seed = Seq((1L, "O", 10L), (2L, "O", 20L), (3L, "F", 30L),
+      (4L, "P", 40L), (5L, "P", 50L)).toDF("id", "status", "cents")
+    val t = freshTable("t_cond", seed, parts = Seq("status"))
+    // op column drives the clause conditions (the CDC/SCD shape)
+    Seq((1L, "drop", 0L), (2L, "bump", 7L), (3L, "bump", 9L),
+      (4L, "noop", 99L), (9L, "new", 90L))
+      .toDF("id", "op", "delta").createOrReplaceTempView("ms_cond")
+    spark.sql(
+      """MERGE INTO graft_ms.t_cond t USING ms_cond s ON t.id = s.id
+         WHEN MATCHED AND s.op = 'drop' THEN DELETE
+         WHEN MATCHED AND s.op = 'bump' THEN
+           UPDATE SET cents = t.cents + s.delta
+         WHEN NOT MATCHED AND s.op = 'new' THEN
+           INSERT (id, status, cents) VALUES (s.id, 'N', s.delta)""")
+      .collect()
+    assert(rows("t_cond") == Set((2L, "O", 27L), (3L, "F", 39L),
+      (4L, "P", 40L), (5L, "P", 50L), (9L, "N", 90L)),
+      "delete id=1, bump 2/3, pass 4 (no clause matched) and 5 " +
+        "(unmatched target) through, insert 9")
+    // COW: the commit must be a feed-carrying replace with the exact feed
+    val rec = graft.io.VersionLog.readRecord(t.path, 2)
+    assert(rec.exists(r => r.kind == "replace" && r.feed.nonEmpty),
+      s"conditional MERGE on a partitioned target must commit COW, " +
+        s"got ${rec.map(_.kind)}")
+    val cdf = t.changesBetween(spark, 1, 2).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type")))
+      .toSet
+    assert(cdf == Set((1L, "delete"), (2L, "delete"), (2L, "insert"),
+      (3L, "delete"), (3L, "insert"), (9L, "insert")),
+      s"exact feed: delete 1, update pairs for 2/3, insert 9 — got $cdf")
+  }
+
+  test("clause ORDER decides when several conditions hold (first-true " +
+      "wins), and the SQL path equals the MergeOps algebra") {
+    val seed = Seq((1L, "O", 10L), (2L, "O", 200L)).toDF("id", "status",
+      "cents")
+    freshTable("t_order", seed)
+    Seq((1L, 5L), (2L, 5L)).toDF("id", "delta")
+      .createOrReplaceTempView("ms_order")
+    // both clauses' conditions hold for id=2 (cents>100 AND delta=5):
+    // the FIRST clause must win → delete, not update
+    spark.sql(
+      """MERGE INTO graft_ms.t_order t USING ms_order s ON t.id = s.id
+         WHEN MATCHED AND t.cents > 100 THEN DELETE
+         WHEN MATCHED AND s.delta = 5 THEN
+           UPDATE SET cents = t.cents + s.delta""").collect()
+    assert(rows("t_order") == Set((1L, "O", 15L)),
+      "id=2 takes the FIRST matching clause (DELETE); id=1 updates")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET builds target-side " +
+      "images; conditional variant scopes it") {
+    val seed = Seq((1L, "O", 10L), (2L, "O", 20L), (3L, "F", 30L))
+      .toDF("id", "status", "cents")
+    freshTable("t_nmbs", seed)
+    Seq((1L, "O", 11L)).toDF("id", "status", "cents")
+      .createOrReplaceTempView("ms_nmbs")
+    spark.sql(
+      """MERGE INTO graft_ms.t_nmbs t USING ms_nmbs s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED BY SOURCE AND t.status = 'O' THEN
+           UPDATE SET status = 'X'""").collect()
+    assert(rows("t_nmbs") == Set((1L, "O", 11L), (2L, "X", 20L),
+      (3L, "F", 30L)),
+      "id=2 (unmatched, status O) flips to X; id=3 fails the condition " +
+        "and passes through")
+  }
+
+  test("duplicate source ON keys refuse loudly when a clause touches " +
+      "existing target rows (SQL MERGE's multiple-matches error)") {
+    val seed = Seq((1L, "O", 10L)).toDF("id", "status", "cents")
+    freshTable("t_dup", seed)
+    Seq((1L, "A", 1L), (1L, "B", 2L)).toDF("id", "status", "cents")
+      .createOrReplaceTempView("ms_dup")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """MERGE INTO graft_ms.t_dup t USING ms_dup s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+    }
+    assert(e.getMessage.contains("multiple rows per ON key"),
+      s"got: ${e.getMessage.take(200)}")
+    // insert-only keeps Delta's semantics: duplicates are all inserted
+    Seq((7L, "A", 1L), (7L, "B", 2L)).toDF("id", "status", "cents")
+      .createOrReplaceTempView("ms_dup_ins")
+    spark.sql(
+      """MERGE INTO graft_ms.t_dup t USING ms_dup_ins s ON t.id = s.id
+         WHEN NOT MATCHED THEN INSERT *""").collect()
+    assert(rows("t_dup") == Set((1L, "O", 10L), (7L, "A", 1L),
+      (7L, "B", 2L)),
+      "insert-if-absent must keep BOTH duplicate-keyed source rows")
+  }
+
+  test("WITH SCHEMA EVOLUTION appends source-only columns via a " +
+      "zero-row hard-link commit; old versions and the CDF read NULL " +
+      "for them") {
+    val seed = Seq((1L, "O", 10L), (2L, "O", 20L), (3L, "F", 30L))
+      .toDF("id", "status", "cents")
+    val t = freshTable("t_evo", seed, parts = Seq("status"))
+    Seq((2L, "F", 25L, "eu"), (4L, "P", 40L, "us"))
+      .toDF("id", "status", "cents", "region")
+      .createOrReplaceTempView("ms_evo")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_ms.t_evo t
+         USING ms_evo s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").collect()
+    // v2 = the schema-widening append (zero rows added), v3 = the merge
+    assert(t.version == 3, s"evolution commit + merge commit, at " +
+      s"${t.version}")
+    val rec2 = graft.io.VersionLog.readRecord(t.path, 2)
+    assert(rec2.exists(_.kind == "append"),
+      s"the widening commit must be an append, got ${rec2.map(_.kind)}")
+    val got = spark.sql(
+      "SELECT id, status, cents, region FROM graft_ms.t_evo").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set((1L, "O", 10L, None), (2L, "F", 25L, Some("eu")),
+      (3L, "F", 30L, None), (4L, "P", 40L, Some("us"))),
+      "pre-evolution rows read NULL region; merged rows carry it")
+    // CDF across the evolution horizon: v1 content read at the evolved
+    // schema serves NULL for the new column (the read-side law), and
+    // the merge feed carries the evolved schema
+    val v1 = t.readVersion(spark, 1)
+    assert(!v1.columns.contains("region"),
+      "the v1 snapshot keeps its committed (pre-evolution) schema")
+    val feed = t.changesBetween(spark, 2, 3)
+    assert(feed.columns.contains("region"),
+      "the merge feed must carry the evolved schema")
+    val insRegions = feed.filter($"_change_type" === "insert")
+      .select("id", "region").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(insRegions == Set((2L, Some("eu")), (4L, Some("us"))))
+  }
+
+  test("ON-side validation: both operands on one side, or an unknown " +
+      "qualifier, refuse loudly") {
+    val seed = Seq((1L, "O", 10L)).toDF("id", "status", "cents")
+    freshTable("t_sides", seed)
+    seed.createOrReplaceTempView("ms_sides")
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO graft_ms.t_sides t USING ms_sides s ON t.id = t.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+    }
+    assert(e1.getMessage.contains("both operands"),
+      s"got: ${e1.getMessage.take(200)}")
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO graft_ms.t_sides t USING ms_sides s ON t.id = x.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+    }
+    assert(e2.getMessage.contains("names neither"),
+      s"got: ${e2.getMessage.take(200)}")
+  }
+
   test("unsupported shapes refuse loudly, naming the clause; " +
       "unregistered targets pass through to stock Spark") {
     val seed = Seq((1L, "O", 10L)).toDF("id", "status", "cents")
     freshTable("t_refuse", seed)
     seed.createOrReplaceTempView("ms_src")
-    // conditional clause
-    val e1 = intercept[UnsupportedOperationException] {
+    // a NMBS SET reading a source/unknown qualifier has no row to read
+    // from — must fail loudly (Spark's standard unresolved error)
+    val e1 = intercept[Exception] {
       spark.sql(
         """MERGE INTO graft_ms.t_refuse t USING ms_src s ON t.id = s.id
-           WHEN MATCHED AND s.cents > 5 THEN UPDATE SET *""").collect()
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cents = q.cents""")
+        .collect()
     }
-    assert(e1.getMessage.contains("not supported"))
+    assert(e1.getMessage.contains("not supported") ||
+      e1.getMessage.contains("UNRESOLVED") ||
+      e1.getMessage.toLowerCase.contains("cannot resolve"),
+      s"a NMBS SET reading a non-target qualifier must fail loudly, " +
+        s"got: ${e1.getMessage.take(200)}")
     // differently-named key equality
     val e2 = intercept[UnsupportedOperationException] {
       spark.sql(
