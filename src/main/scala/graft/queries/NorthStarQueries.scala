@@ -1532,6 +1532,88 @@ object NorthStarQueries {
     hist.unionByName(state)
   }
 
+  /** Conditional SQL MERGE as a query (q128): the clause algebra a real
+    * CDC/SCD merge writes — ordered `WHEN MATCHED AND <cond>` clauses
+    * (DELETE before UPDATE, first-true wins) plus a conditional
+    * `WHEN NOT MATCHED AND <cond> THEN INSERT` — in ONE statement on a
+    * status-partitioned registered table. The lowering builds row
+    * images/delete keys per clause on the target ⋈ source join and
+    * commits them as one copy-on-write CDC batch (exact feed, touched
+    * leaves only — the q123/q124 commit shape, pinned in-query at the
+    * VersionLog level). Source rows: the %3 keys with `delta = id%10`;
+    * matched ∧ delta≥5 → DELETE, else matched ∧ even cents → bump by
+    * delta, unmatched ∧ delta<5 → INSERT under status 'N' (cents =
+    * delta). In-query requires additionally pin SQL ≡ the MergeOps
+    * algebra (the same clause semantics as upsert-after-delete over
+    * closed-form images) per status. Output = final state read THROUGH
+    * the catalog + the CDF aggregate of the merge commit; the oracle
+    * recomputes everything closed-form (EXCEPT ALL deltas — the q123
+    * discipline). Scratch contract as q87/q118.
+    */
+  def q128SqlMergeCond(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val seed = base.filter(pmod(col("id"), lit(5)) =!= 0)
+    val srcDf = base.filter(pmod(col("id"), lit(3)) === 0)
+      .select(col("id"), pmod(col("id"), lit(10)).as("delta"))
+    val p = scratch("sqlmergecond", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    val tbl = new graft.io.ParquetTable(p.toString,
+      partitionColumns = Seq("status"))
+    tbl.overwrite(seed)
+    graft.io.Catalog.ensureDatabase(s, "graft_q128")
+    graft.io.Catalog.registerTable(s, "graft_q128", "orders_cond", tbl)
+    srcDf.createOrReplaceTempView("q128_src")
+    val r = s.sql(
+      """MERGE INTO graft_q128.orders_cond t USING q128_src s
+         ON t.id = s.id
+         WHEN MATCHED AND s.delta >= 5 THEN DELETE
+         WHEN MATCHED AND t.cents % 2 = 0 THEN
+           UPDATE SET cents = t.cents + s.delta
+         WHEN NOT MATCHED AND s.delta < 5 THEN
+           INSERT (id, status, cents) VALUES (s.id, 'N', s.delta)""")
+      .collect()
+    require(r.map(_.getLong(0)).toSeq == Seq(2L),
+      "q128: the conditional MERGE must commit version 2")
+    val rec = graft.io.VersionLog.readRecord(p.toString, 2)
+    require(rec.exists(x => x.kind == "replace" && x.feed.nonEmpty),
+      "q128: the conditional MERGE must commit a feed-carrying " +
+        s"copy-on-write REPLACE, got ${rec.map(_.kind)}")
+    val state = s.sql(
+      """SELECT 'state' AS kind, status, count(*) AS n_rows,
+                sum(cents) AS sum_cents
+         FROM graft_q128.orders_cond GROUP BY status""")
+    // API-path parity: the same clause semantics as MergeOps algebra —
+    // delete the matched delta≥5 keys, then upsert the closed-form
+    // update images and the conditional inserts
+    val delIds = srcDf.filter(col("delta") >= 5).select(col("id"))
+    val afterDel = seed.join(delIds, Seq("id"), "left_anti")
+    val updImages = seed.join(srcDf.filter(col("delta") < 5), Seq("id"))
+      .filter(pmod(col("cents"), lit(2)) === 0)
+      .select(col("id"), col("status"),
+        (col("cents") + col("delta")).as("cents"))
+    val inserts = srcDf.filter(col("delta") < 5)
+      .join(seed.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit("N").as("status"), col("delta").as("cents"))
+    val apiState = graft.merge.MergeOps
+      .upsert(afterDel, updImages.unionByName(inserts), Seq("id"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(lit("state").as("kind"), col("status"), col("n_rows"),
+        col("sum_cents"))
+    require(state.exceptAll(apiState).isEmpty &&
+        apiState.exceptAll(state).isEmpty,
+      "q128: the conditional SQL MERGE final state must equal the " +
+        "MergeOps-algebra closed form")
+    val cdf = tbl.changesBetween(s, 1, 2)
+      .groupBy(col("_change_type"), col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(concat(lit("cdf_"), col("_change_type")).as("kind"),
+        col("status"), col("n_rows"), col("sum_cents"))
+    state.unionByName(cdf)
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -3529,6 +3611,7 @@ object NorthStarQueries {
     "q125_sql_merge_set" -> (q125SqlMergeSet _),
     "q126_sql_dml" -> (q126SqlDml _),
     "q127_sql_maintenance" -> (q127SqlMaintenance _),
+    "q128_sql_merge_cond" -> (q128SqlMergeCond _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3810,6 +3893,40 @@ object NorthStarQueries {
          SELECT kind, status, count(*) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM labeled GROUP BY 1, 2""",
+    // q128: the conditional MERGE's closed form — source = %3 keys with
+    // delta = id%10; matched ∧ delta≥5 deletes (first clause wins),
+    // else matched ∧ even cents bumps by delta, unmatched ∧ delta<5
+    // inserts under 'N'; cdf_* are the EXCEPT-ALL deltas of the commit
+    "q128_sql_merge_cond" ->
+      """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         seed AS (SELECT * FROM base WHERE id % 5 <> 0),
+         src AS (SELECT id, id % 10 AS delta FROM base WHERE id % 3 = 0),
+         fin_seed AS (
+           SELECT t.id, t.status,
+                  CASE WHEN u.id IS NOT NULL AND u.delta < 5
+                            AND t.cents % 2 = 0
+                       THEN t.cents + u.delta ELSE t.cents END AS cents
+           FROM seed t LEFT JOIN src u ON t.id = u.id
+           WHERE u.id IS NULL OR u.delta < 5),
+         ins AS (SELECT u.id, 'N' AS status, CAST(u.delta AS BIGINT)
+                          AS cents
+                 FROM src u LEFT JOIN seed t ON u.id = t.id
+                 WHERE t.id IS NULL AND u.delta < 5),
+         fin AS (SELECT * FROM fin_seed UNION ALL SELECT * FROM ins),
+         insf AS (SELECT *, 'cdf_insert' AS kind
+                  FROM (SELECT * FROM fin EXCEPT ALL
+                        SELECT * FROM seed)),
+         delf AS (SELECT *, 'cdf_delete' AS kind
+                  FROM (SELECT * FROM seed EXCEPT ALL
+                        SELECT * FROM fin)),
+         st AS (SELECT *, 'state' AS kind FROM fin),
+         unioned AS (SELECT * FROM st UNION ALL SELECT * FROM insf
+                     UNION ALL SELECT * FROM delf)
+         SELECT kind, status, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM unioned GROUP BY 1, 2""",
     // q127: DESCRIBE HISTORY under the injected clock is closed-form
     // (v1 overwrite @1000, v2 append @2000, the OPTIMIZE rewrite
     // @3000); the state row aggregates the full table (v1 + the
