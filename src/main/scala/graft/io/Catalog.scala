@@ -104,10 +104,39 @@ object Catalog {
       s"USING parquet$partClause LOCATION '$loc'")
     if (partitioned)
       spark.catalog.recoverPartitions(s"`$database`.`$name`")
+    // Commit-metadata statistics → Catalyst: a partitioned catalog table
+    // resolves through a lazy CatalogFileIndex and would otherwise report
+    // defaultSizeInBytes (Long.MaxValue) as its plan size — garbage into
+    // every pre-AQE join/broadcast decision. The live version's exact
+    // data footprint is one directory walk at registration time.
+    org.apache.spark.sql.GraftCatalogStats.set(spark, database, name,
+      liveDataBytes(table))
     // make the registered name a SQL MERGE INTO target (sessions built
     // with GraftExtensions — the bridge rewrites parsed MergeIntoTable
     // plans whose target is in this registry)
     org.apache.spark.sql.GraftMergeInto.register(spark, database, name, table)
+  }
+
+  /** Exact data-file bytes of the live version (the number fed to
+    * [[org.apache.spark.sql.GraftCatalogStats]]): every `.parquet`
+    * under the version dir except the `_changes/` feed and other
+    * `_`-prefixed metadata (which table scans never read either). One
+    * `Files.walk` with per-file `size` attributes — no footer opens, no
+    * data reads; at any scale this is O(live files) metadata calls, the
+    * same census a commit already pays.
+    */
+  private def liveDataBytes(table: ParquetTable): Long = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(table.currentPath)
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala.foldLeft(0L) { (acc, p) =>
+      val rel = root.relativize(p).toString
+      if (java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !rel.startsWith("_"))
+        acc + java.nio.file.Files.size(p)
+      else acc
+    } finally walk.close()
   }
 
   /** `VERSION AS OF` for the SQL surface: register a session temp view
