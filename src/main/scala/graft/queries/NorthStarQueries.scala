@@ -1614,6 +1614,79 @@ object NorthStarQueries {
     state.unionByName(cdf)
   }
 
+  /** SQL-only deployment loop (q129): a graft table taken through its
+    * ENTIRE life purely via `spark.sql(…)` — `CREATE TABLE … USING
+    * graft PARTITIONED BY … AS SELECT` (CTAS initializes version 1 at
+    * the location and registers it: catalog entry + commit-metadata
+    * stats + the DML registry), `MERGE INTO` (the q124 upsert batch —
+    * copy-on-write replace with exact feed, pinned at the VersionLog
+    * level), a live read THROUGH the catalog name, SQL time travel
+    * (`VERSION AS OF 1` must serve the pre-merge CTAS snapshot), and
+    * `DESCRIBE HISTORY` (closed-form commit kinds: one overwrite, one
+    * replace). This is the reference's declarative table lifecycle
+    * (reference: src/ETL/Bronze-Ingestion-Orders.py:16-17,40-45 creates
+    * database + tables before the first merge) with zero Scala in the
+    * loop — the [[org.apache.spark.sql.GraftSqlDdl]] surface. Oracle
+    * recomputes state, v1 snapshot and history closed-form. Scratch
+    * contract as q87/q118.
+    */
+  def q129SqlDdl(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val seed = base.filter(pmod(col("id"), lit(5)) =!= 0)
+    // the q124 merge batch: priority move (%11 → 'P') > bump (%7 +100);
+    // inserts carry the %5 keys unmodified
+    val updates = seed
+      .filter(pmod(col("id"), lit(7)) === 0 || pmod(col("id"), lit(11)) === 0)
+      .withColumn("status",
+        when(pmod(col("id"), lit(11)) === 0, lit("P")).otherwise(col("status")))
+      .withColumn("cents",
+        when(pmod(col("id"), lit(11)) =!= 0 && pmod(col("id"), lit(7)) === 0,
+          col("cents") + 100).otherwise(col("cents")))
+    val batch = updates.unionByName(base.filter(pmod(col("id"), lit(5)) === 0))
+    val p = scratch("sqlddl", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    seed.createOrReplaceTempView("q129_seed")
+    batch.createOrReplaceTempView("q129_batch")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_q129")
+    // same-session rerun: retire any previous registration (the data
+    // dir is already gone) so CREATE exercises the fresh path
+    s.sql("DROP TABLE IF EXISTS graft_q129.orders_ddl")
+    val r0 = s.sql(
+      s"""CREATE TABLE graft_q129.orders_ddl USING graft
+          PARTITIONED BY (status) LOCATION '$p'
+          AS SELECT * FROM q129_seed""").collect()
+    require(r0.map(_.getLong(0)).toSeq == Seq(1L),
+      "q129: CTAS must initialize version 1")
+    val r1 = s.sql(
+      """MERGE INTO graft_q129.orders_ddl t USING q129_batch s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").collect()
+    require(r1.map(_.getLong(0)).toSeq == Seq(2L),
+      "q129: the SQL MERGE must commit version 2")
+    val rec = graft.io.VersionLog.readRecord(p.toString, 2)
+    require(rec.exists(r => r.kind == "replace" && r.feed.nonEmpty),
+      "q129: the merge must commit a feed-carrying copy-on-write " +
+        s"REPLACE, got ${rec.map(_.kind)}")
+    val state = s.sql(
+      """SELECT 'state' AS kind, status, count(*) AS n_rows,
+                sum(cents) AS sum_cents
+         FROM graft_q129.orders_ddl GROUP BY status""")
+    // SQL time travel: VERSION AS OF 1 is the CTAS snapshot (= seed)
+    val v1 = s.sql(
+      """SELECT 'v1' AS kind, status, count(*) AS n_rows,
+                sum(cents) AS sum_cents
+         FROM graft_q129.orders_ddl VERSION AS OF 1 GROUP BY status""")
+    // DESCRIBE HISTORY: closed-form commit kinds (overwrite, replace)
+    val hist = s.sql("DESCRIBE HISTORY graft_q129.orders_ddl")
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_rows"))
+      .select(lit("history").as("kind"), col("kind").as("status"),
+        col("n_rows"), lit(null).cast("long").as("sum_cents"))
+    state.unionByName(v1).unionByName(hist)
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -3612,6 +3685,7 @@ object NorthStarQueries {
     "q126_sql_dml" -> (q126SqlDml _),
     "q127_sql_maintenance" -> (q127SqlMaintenance _),
     "q128_sql_merge_cond" -> (q128SqlMergeCond _),
+    "q129_sql_ddl" -> (q129SqlDdl _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3893,6 +3967,35 @@ object NorthStarQueries {
          SELECT kind, status, count(*) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM labeled GROUP BY 1, 2""",
+    // q129: the SQL-only lifecycle's closed form — state = the q124
+    // upsert result (fin1), v1 = the CTAS seed snapshot, history = one
+    // overwrite (CTAS) + one replace (MERGE) commit
+    "q129_sql_ddl" ->
+      """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         seed AS (SELECT * FROM base WHERE id % 5 <> 0),
+         fin1 AS (
+           SELECT id,
+                  CASE WHEN id % 5 <> 0 AND id % 11 = 0 THEN 'P'
+                       ELSE status END AS status,
+                  CASE WHEN id % 5 <> 0 AND id % 11 <> 0 AND id % 7 = 0
+                       THEN cents + 100 ELSE cents END AS cents
+           FROM base),
+         st AS (SELECT 'state' AS kind, status, count(*) AS n_rows,
+                       CAST(sum(cents) AS BIGINT) AS sum_cents
+                FROM fin1 GROUP BY status),
+         v1 AS (SELECT 'v1' AS kind, status, count(*) AS n_rows,
+                       CAST(sum(cents) AS BIGINT) AS sum_cents
+                FROM seed GROUP BY status),
+         hist AS (SELECT 'history' AS kind, 'overwrite' AS status,
+                         CAST(1 AS BIGINT) AS n_rows,
+                         CAST(NULL AS BIGINT) AS sum_cents
+                  UNION ALL
+                  SELECT 'history', 'replace', CAST(1 AS BIGINT),
+                         CAST(NULL AS BIGINT))
+         SELECT * FROM st UNION ALL SELECT * FROM v1
+         UNION ALL SELECT * FROM hist""",
     // q128: the conditional MERGE's closed form — source = %3 keys with
     // delta = id%10; matched ∧ delta≥5 deletes (first clause wins),
     // else matched ∧ even cents bumps by delta, unmatched ∧ delta<5

@@ -90,6 +90,12 @@ object GraftMergeInto {
         _ => new ConcurrentHashMap[String, Entry]())
       .put(key(database, name), Entry(database, name, table))
 
+  /** Called by [[GraftDropTableCommand]]: retire a registration. */
+  private[sql] def unregister(spark: SparkSession, database: String,
+      name: String): Unit =
+    Option(registry.get(uuid(spark)))
+      .foreach { m => m.remove(key(database, name)); () }
+
   private[sql] def lookup(spark: SparkSession,
       ident: Seq[String]): Option[Entry] = {
     val m = registry.get(uuid(spark))
@@ -189,6 +195,59 @@ object GraftMergeInto {
               i.partitionSpec, i.userSpecifiedCols, i.overwrite,
               i.ifPartitionNotExists, i.byName))
           case _ => i
+        }
+      // SQL DDL for graft tables (see GraftSqlDdl): CREATE / CTAS /
+      // [CREATE OR] REPLACE whose USING provider is `graft`, and DROP
+      // on a registered name; other providers/names pass through
+      case ct: CreateTable if GraftSqlDdl.isGraftProvider(ct.tableSpec) =>
+        GraftSqlDdl.identOf(ct.name) match {
+          case Some(ident) => GraftCreateTableCommand(ident,
+            new GraftSqlDdl.CreateSpec(ct.columns, ct.partitioning,
+              ct.tableSpec, None, ct.ignoreIfExists, replace = false,
+              orCreate = false))
+          case None => ct
+        }
+      case ct: CreateTableAsSelect
+          if GraftSqlDdl.isGraftProvider(ct.tableSpec) =>
+        GraftSqlDdl.identOf(ct.name) match {
+          case Some(ident) =>
+            if (ct.writeOptions.nonEmpty) throw new
+                UnsupportedOperationException(s"CREATE TABLE " +
+                  s"${ident.mkString(".")} … AS SELECT: write OPTIONS " +
+                  "are not supported on graft tables")
+            GraftCreateTableCommand(ident,
+              new GraftSqlDdl.CreateSpec(Nil, ct.partitioning,
+                ct.tableSpec, Some(ct.query), ct.ignoreIfExists,
+                replace = false, orCreate = false))
+          case None => ct
+        }
+      case rt: ReplaceTable if GraftSqlDdl.isGraftProvider(rt.tableSpec) =>
+        GraftSqlDdl.identOf(rt.name) match {
+          case Some(ident) => GraftCreateTableCommand(ident,
+            new GraftSqlDdl.CreateSpec(rt.columns, rt.partitioning,
+              rt.tableSpec, None, ignoreIfExists = false, replace = true,
+              orCreate = rt.orCreate))
+          case None => rt
+        }
+      case rt: ReplaceTableAsSelect
+          if GraftSqlDdl.isGraftProvider(rt.tableSpec) =>
+        GraftSqlDdl.identOf(rt.name) match {
+          case Some(ident) =>
+            if (rt.writeOptions.nonEmpty) throw new
+                UnsupportedOperationException(s"REPLACE TABLE " +
+                  s"${ident.mkString(".")} … AS SELECT: write OPTIONS " +
+                  "are not supported on graft tables")
+            GraftCreateTableCommand(ident,
+              new GraftSqlDdl.CreateSpec(Nil, rt.partitioning,
+                rt.tableSpec, Some(rt.query), ignoreIfExists = false,
+                replace = true, orCreate = rt.orCreate))
+          case None => rt
+        }
+      case dt: DropTable =>
+        GraftSqlDdl.identOf(dt.child) match {
+          case Some(ident) if lookup(spark, ident).nonEmpty =>
+            GraftDropTableCommand(ident, dt.ifExists, dt.purge)
+          case _ => dt
         }
       case other => other
     }
