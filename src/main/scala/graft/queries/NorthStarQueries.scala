@@ -1687,6 +1687,62 @@ object NorthStarQueries {
     state.unionByName(v1).unionByName(hist)
   }
 
+  /** SQL RESTORE + SHALLOW CLONE lifecycle (q130): the rollback and
+    * branching verbs purely via `spark.sql(…)` — CTAS seed (v1), a SQL
+    * UPDATE (v2, COW replace), `RESTORE TABLE … TO VERSION AS OF 1`
+    * (v3: rollback as ONE MORE COMMIT — hard links, history intact,
+    * q119's semantics now SQL-addressable), then `CREATE TABLE …
+    * SHALLOW CLONE …` (zero-copy branch, q120's semantics) and an
+    * insert-only SQL MERGE into the clone that must NOT leak back into
+    * the source. Output: per-status state of BOTH tables plus the
+    * source's commit-kind census off `DESCRIBE HISTORY`; the oracle
+    * recomputes everything closed-form (restored state ≡ the seed,
+    * clone ≡ seed ∪ the inserted keys, history = 2 overwrites + 1
+    * replace). Scratch contract as q87/q118.
+    */
+  def q130SqlRestoreClone(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val seed = base.filter(pmod(col("id"), lit(5)) =!= 0)
+    val p = scratch("sqlrestore", dir)
+    val pc = scratch("sqlclone", dir)
+    graft.io.FsUtil.deleteRecursively(p)
+    graft.io.FsUtil.deleteRecursively(pc)
+    seed.createOrReplaceTempView("q130_seed")
+    base.filter(pmod(col("id"), lit(5)) === 0)
+      .createOrReplaceTempView("q130_inserts")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_q130")
+    s.sql("DROP TABLE IF EXISTS graft_q130.src")
+    s.sql("DROP TABLE IF EXISTS graft_q130.branch")
+    s.sql(s"""CREATE TABLE graft_q130.src USING graft
+              PARTITIONED BY (status) LOCATION '$p'
+              AS SELECT * FROM q130_seed""").collect()
+    s.sql("UPDATE graft_q130.src SET cents = cents + 7 WHERE id % 3 = 0")
+      .collect()
+    val rv = s.sql("RESTORE TABLE graft_q130.src TO VERSION AS OF 1")
+      .collect()
+    require(rv.map(_.getLong(0)).toSeq == Seq(3L),
+      "q130: the restore must be commit #3 (rollback never rewrites " +
+        "history)")
+    val cv = s.sql("CREATE TABLE graft_q130.branch SHALLOW CLONE " +
+      s"graft_q130.src LOCATION '$pc'").collect()
+    require(cv.map(_.getLong(0)).toSeq == Seq(1L),
+      "q130: the clone must start its own history at version 1")
+    s.sql("""MERGE INTO graft_q130.branch t USING q130_inserts s
+             ON t.id = s.id
+             WHEN NOT MATCHED THEN INSERT *""").collect()
+    def agg(table: String, kind: String): DataFrame =
+      s.sql(s"""SELECT '$kind' AS kind, status, count(*) AS n_rows,
+                       sum(cents) AS sum_cents
+                FROM graft_q130.$table GROUP BY status""")
+    val hist = s.sql("DESCRIBE HISTORY graft_q130.src")
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_rows"))
+      .select(lit("hist").as("kind"), col("kind").as("status"),
+        col("n_rows"), lit(null).cast("long").as("sum_cents"))
+    agg("src", "src").unionByName(agg("branch", "clone")).unionByName(hist)
+  }
+
   /** Unigram-LM tokenizer training (q113) — the OTHER production
     * tokenizer family next to q88's BPE (Kudo 2018; SentencePiece
     * `--model_type=unigram`): seed substring vocabulary → EM over the
@@ -3686,6 +3742,7 @@ object NorthStarQueries {
     "q127_sql_maintenance" -> (q127SqlMaintenance _),
     "q128_sql_merge_cond" -> (q128SqlMergeCond _),
     "q129_sql_ddl" -> (q129SqlDdl _),
+    "q130_sql_restore_clone" -> (q130SqlRestoreClone _),
     "q92_bpe_tokenize" -> (q92BpeTokenize _),
     "q93_supplier_rank" -> (q93SupplierRank _),
     "q94_leakage_free_split" -> (q94LeakageFreeSplit _),
@@ -3967,6 +4024,29 @@ object NorthStarQueries {
          SELECT kind, status, count(*) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM labeled GROUP BY 1, 2""",
+    // q130: the rollback/branch verbs' closed form — the restored
+    // source is the seed again; the clone is seed ∪ the %5 inserts;
+    // source history = CTAS overwrite + UPDATE replace + restore
+    // overwrite
+    "q130_sql_restore_clone" ->
+      """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+         seed AS (SELECT * FROM base WHERE id % 5 <> 0),
+         src AS (SELECT 'src' AS kind, status, count(*) AS n_rows,
+                        CAST(sum(cents) AS BIGINT) AS sum_cents
+                 FROM seed GROUP BY status),
+         cl AS (SELECT 'clone' AS kind, status, count(*) AS n_rows,
+                       CAST(sum(cents) AS BIGINT) AS sum_cents
+                FROM base GROUP BY status),
+         hist AS (SELECT 'hist' AS kind, 'overwrite' AS status,
+                         CAST(2 AS BIGINT) AS n_rows,
+                         CAST(NULL AS BIGINT) AS sum_cents
+                  UNION ALL
+                  SELECT 'hist', 'replace', CAST(1 AS BIGINT),
+                         CAST(NULL AS BIGINT))
+         SELECT * FROM src UNION ALL SELECT * FROM cl
+         UNION ALL SELECT * FROM hist""",
     // q129: the SQL-only lifecycle's closed form — state = the q124
     // upsert result (fin1), v1 = the CTAS seed snapshot, history = one
     // overwrite (CTAS) + one replace (MERGE) commit

@@ -45,6 +45,16 @@ object GraftMaintenanceSql {
     s"(?is)^\\s*OPTIMIZE\\s+$Tbl\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*$$".r
   private val HistoryRe =
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$".r
+  private val RestoreVRe =
+    s"(?is)^\\s*RESTORE\\s+TABLE\\s+$Tbl\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
+  private val RestoreTRe =
+    s"(?is)^\\s*RESTORE\\s+TABLE\\s+$Tbl\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$".r
+  private val CloneRe =
+    (s"(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$Tbl\\s+" +
+      s"SHALLOW\\s+CLONE\\s+$Tbl(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*$$").r
+  private val DeepCloneRe =
+    (s"(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$Tbl\\s+" +
+      s"DEEP\\s+CLONE\\s+$Tbl\\b.*$$").r
 
   // Tokenize per SEGMENT (backtick-quoted or bare), never split on raw
   // '.': a dot INSIDE backticks (VACUUM `a.b`) is part of the name, and
@@ -80,8 +90,47 @@ object GraftMaintenanceSql {
         val entry = GraftSqlDml.lookupOrFail(spark, parts(ident))
         Some(entry.table.history(
           spark.asInstanceOf[classic.SparkSession]).queryExecution.analyzed)
+      // RESTORE TABLE … TO VERSION/TIMESTAMP AS OF — Delta's rollback
+      // verb; the restore is ONE MORE COMMIT (history intact), served by
+      // ParquetTable.restoreVersion/restoreToTimestamp
+      case RestoreVRe(ident, v) if registered(spark, ident) =>
+        Some(GraftRestoreCommand(parts(ident), Some(v.toInt), None))
+      case RestoreTRe(ident, ts) if registered(spark, ident) =>
+        Some(GraftRestoreCommand(parts(ident), None, Some(parseTs(ts))))
+      // CREATE TABLE dst SHALLOW CLONE src — zero-copy hard-link clone
+      // (ParquetTable.cloneTo); DEEP CLONE refuses loudly: the shallow
+      // clone here is already vacuum-durable (shared inodes), so the
+      // copy would buy nothing but the write
+      case CloneRe(ine, dst, src, loc) if registered(spark, src) =>
+        Some(GraftCloneCommand(parts(src), parts(dst), Option(loc),
+          ifNotExists = ine != null))
+      case DeepCloneRe(_, src) if registered(spark, src) =>
+        throw new UnsupportedOperationException(
+          s"CREATE TABLE … DEEP CLONE $src: graft clones are hard-link " +
+            "snapshots, durable against source vacuum (shared inodes) — " +
+            "use SHALLOW CLONE; a deep copy would buy nothing but the " +
+            "write")
       case _ => None
     }
+
+  /** RESTORE's timestamp operand, interpreted in UTC (the engine's
+    * session timezone contract): `yyyy-MM-dd HH:mm:ss[.SSS]` or an
+    * ISO-8601 instant; anything else refuses loudly.
+    */
+  private def parseTs(s: String): Long = {
+    val local = try {
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss[.SSS]")
+      Some(java.time.LocalDateTime.parse(s.trim, fmt)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    } catch { case _: java.time.format.DateTimeParseException => None }
+    local.orElse {
+      try Some(java.time.Instant.parse(s.trim).toEpochMilli)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"RESTORE TABLE … TO TIMESTAMP AS OF: cannot parse '$s' — use " +
+        "'yyyy-MM-dd HH:mm:ss[.SSS]' (UTC) or an ISO-8601 instant"))
+  }
 
   private[sql] def targetPartitions(spark: SparkSession): Int =
     sys.props.get("graft.optimize.targetPartitions").flatMap(_.toIntOption)
@@ -119,5 +168,69 @@ final case class GraftOptimizeCommand(targetIdent: Seq[String],
     graft.io.Catalog.registerTable(spark, entry.database, entry.name,
       entry.table)
     Seq(Row(entry.table.version.toLong))
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION/TIMESTAMP AS OF …`: rollback as ONE MORE
+  * COMMIT (hard links to the target snapshot, history intact — Delta's
+  * RESTORE semantics via [[graft.io.ParquetTable.restoreVersion]] /
+  * `restoreToTimestamp`); refusals (vacuumed snapshot, below-horizon
+  * timestamp) are the table API's own, loud. The catalog entry repoints
+  * at the restored version.
+  */
+final case class GraftRestoreCommand(targetIdent: Seq[String],
+    version: Option[Int], tsMillis: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val entry = GraftSqlDml.lookupOrFail(spark, targetIdent)
+    (version, tsMillis) match {
+      case (Some(v), _) => entry.table.restoreVersion(v)
+      case (_, Some(ms)) => entry.table.restoreToTimestamp(ms)
+      case _ => throw new IllegalStateException(
+        "RESTORE needs a version or a timestamp")
+    }
+    graft.io.Catalog.registerTable(spark, entry.database, entry.name,
+      entry.table)
+    Seq(Row(entry.table.version.toLong))
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [LOCATION '…']`: zero-copy
+  * hard-link clone ([[graft.io.ParquetTable.cloneTo]] — O(#files) at
+  * any data size, own commit history seeded with the source's per-file
+  * stats, durable against source vacuum). Default location = the
+  * session catalog's standard path for `dst`; `IF NOT EXISTS` over an
+  * existing graft layout just registers it.
+  */
+final case class GraftCloneCommand(srcIdent: Seq[String],
+    dstIdent: Seq[String], location: Option[String],
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    val src = GraftSqlDml.lookupOrFail(spark, srcIdent)
+    val (db, name) = GraftSqlDdl.resolveIdent(spark, dstIdent)
+    require(spark.catalog.databaseExists(db),
+      s"CREATE TABLE ${dstIdent.mkString(".")} SHALLOW CLONE: database " +
+        s"'$db' does not exist — CREATE DATABASE it first")
+    val loc = location.getOrElse(java.nio.file.Paths.get(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(name, Some(db))))
+      .toString)
+    val existing = new graft.io.ParquetTable(loc,
+      src.table.partitionColumns)
+    val cloned =
+      if (existing.exists) {
+        if (!ifNotExists) throw new IllegalStateException(
+          s"CREATE TABLE ${dstIdent.mkString(".")} SHALLOW CLONE: a " +
+            s"graft table already exists at $loc — use IF NOT EXISTS " +
+            "to adopt it or DROP it first")
+        existing
+      } else src.table.cloneTo(loc)
+    graft.io.Catalog.registerTable(spark, db, name, cloned)
+    Seq(Row(cloned.version.toLong))
   }
 }

@@ -152,6 +152,72 @@ class SqlDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_ddl.plain")
   }
 
+  test("RESTORE TABLE TO VERSION/TIMESTAMP AS OF via SQL: rollback is " +
+      "one more commit with history intact; SHALLOW CLONE creates a " +
+      "zero-copy registered table that diverges independently; DEEP " +
+      "CLONE refuses loudly") {
+    val loc = s"${freshDir()}/r"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_ddl")
+    graft.io.VersionLog.withClock(() => 1000L) {
+      spark.sql("CREATE TABLE graft_ddl.t_restore USING graft " +
+        s"LOCATION '$loc' AS SELECT 1L AS id, 10L AS cents").collect()
+    }
+    graft.io.VersionLog.withClock(() => 2000L) {
+      spark.sql("UPDATE graft_ddl.t_restore SET cents = 99").collect()
+    }
+    // version rollback: one more commit, content = v1, history intact
+    val rv = spark.sql(
+      "RESTORE TABLE graft_ddl.t_restore TO VERSION AS OF 1").collect()
+    assert(rv.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(spark.sql("SELECT cents FROM graft_ddl.t_restore")
+      .head().getLong(0) == 10L)
+    assert(spark.sql("DESCRIBE HISTORY graft_ddl.t_restore").count() == 3)
+
+    // timestamp rollback (UTC literal): back to the post-UPDATE state
+    val rt = spark.sql("RESTORE TABLE graft_ddl.t_restore TO TIMESTAMP " +
+      "AS OF '1970-01-01 00:00:02'").collect()
+    assert(rt.map(_.getLong(0)).toSeq == Seq(4L))
+    assert(spark.sql("SELECT cents FROM graft_ddl.t_restore")
+      .head().getLong(0) == 99L)
+
+    // shallow clone: registered, equal content, independent divergence
+    val cloc = s"${freshDir()}/c"
+    val cv = spark.sql("CREATE TABLE graft_ddl.t_clone SHALLOW CLONE " +
+      s"graft_ddl.t_restore LOCATION '$cloc'").collect()
+    assert(cv.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql("SELECT cents FROM graft_ddl.t_clone")
+      .head().getLong(0) == 99L)
+    spark.sql("UPDATE graft_ddl.t_clone SET cents = 7").collect()
+    assert(spark.sql("SELECT cents FROM graft_ddl.t_clone")
+      .head().getLong(0) == 7L)
+    assert(spark.sql("SELECT cents FROM graft_ddl.t_restore")
+      .head().getLong(0) == 99L,
+      "the source must not see the clone's writes")
+    // occupied destination without IF NOT EXISTS refuses; with it, adopts
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_ddl.t_clone2 SHALLOW CLONE " +
+        s"graft_ddl.t_restore LOCATION '$cloc'").collect()
+    }
+    assert(e.getMessage.contains("already exists"))
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_ddl.t_clone2 SHALLOW " +
+      s"CLONE graft_ddl.t_restore LOCATION '$cloc'").collect()
+    assert(spark.sql("SELECT cents FROM graft_ddl.t_clone2")
+      .head().getLong(0) == 7L)
+
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_ddl.t_deep DEEP CLONE " +
+        "graft_ddl.t_restore").collect()
+    }
+    assert(e2.getMessage.contains("SHALLOW CLONE"))
+
+    // unregistered source: falls through to the delegate's parse error,
+    // never a half-parsed graft action
+    intercept[Exception] {
+      spark.sql("RESTORE TABLE graft_ddl.no_such TO VERSION AS OF 1")
+        .collect()
+    }
+  }
+
   test("CREATE TABLE without LOCATION lands at the session catalog's " +
       "standard path and a bare (current-database) name resolves") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_ddl2")
