@@ -120,6 +120,39 @@ object GoldIncStream {
       }
       .start()
 
+  /** DECOUPLED gold maintenance — the follower shape the graft-table
+    * streaming source exists for: a consumer that does NOT write silver
+    * (a separate job, even a separate cluster) tails the silver orders
+    * table through `readStream.format("graft-table")` and advances the
+    * gold IVM once per silver commit. Correctness is entirely the
+    * sidecar IVM's ([[advanceGold]] folds every silver version since
+    * the last one each gold table applied; a replayed trigger no-ops
+    * with zero version churn); the SOURCE supplies cadence and
+    * restart-resume: offsets are silver versions, so a restarted
+    * follower resumes at exactly the version it stopped at, and an
+    * idle table never fires a trigger at all (getOffset is two pointer
+    * reads, no data IO). The batch CONTENT is deliberately unused —
+    * the advance reads the commit feeds itself — and foreachBatch
+    * never runs an action on it, so no per-trigger jobs are spent on
+    * the stream frame; the change-stream is the WAKE-UP SIGNAL, the
+    * feeds are the data. At 100 TB this splits intake and serving:
+    * writers commit silver at their own pace, any number of followers
+    * maintain their gold marts independently, each with its own
+    * checkpoint.
+    */
+  def goldFollowStream(spark: org.apache.spark.sql.SparkSession,
+      warehouse: Warehouse, extendedMeasures: Boolean = false,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val src = spark.readStream.format("graft-table")
+      .option("path", warehouse.silverByName("orders").path)
+      .load()
+    val w = src.writeStream.outputMode("append")
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      advanceGold(batch.sparkSession, warehouse, extendedMeasures)
+    }.start()
+  }
+
   /** A CDC-maintained silver entity: its business keys (the merge
     * identity) and the partition layout the COW write path uses when
     * the on-disk silver table actually carries it. The three reference

@@ -953,4 +953,55 @@ class GoldIncrementalSpec extends AnyFunSuite {
         Option(e.getCause).exists(_.getMessage.contains("unsupported _op")))
     } finally qOp.stop()
   }
+
+  test("a DECOUPLED gold follower driven by the silver table's own " +
+      "change stream (graft-table source) reaches the batch rebuild, " +
+      "resumes after a restart at exactly the stopped version, and an " +
+      "idle table fires no trigger and churns no gold version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_goldfollow")
+    val wh = new Warehouse(s"$root/inc")
+    val whB = new Warehouse(s"$root/batch")
+    val cust = customersDf((1L, "affiliate", "regular", "2023-05-01"),
+      (2L, "individual", "VIP", "2023-06-01"))
+    val addr = addressesDf((10L, "berlin"), (11L, "paris"))
+    writeSilver(wh, cust,
+      ordersDf((100L, 1L, 10L, "2024-01-10", Some("2024-01-15"))), addr)
+    val ckpt = s"$root/ck"
+
+    def rebuildAndCompare(): Unit = {
+      writeSilver(whB, cust,
+        wh.silverByName("orders").read(spark), addr)
+      new GoldBuilds(spark, whB).buildAll()
+      assertMatchesBatch(wh, whB)
+    }
+
+    // follower session one: builds gold from the seeded silver
+    val q1 = graft.streaming.GoldIncStream.goldFollowStream(spark, wh,
+      checkpoint = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    rebuildAndCompare()
+
+    // silver advances WHILE THE FOLLOWER IS DOWN: an append commit and
+    // a keyed CDC commit (update + delete)
+    val silver = wh.silverByName("orders")
+    silver.appendVersion(ordersDf(
+      (101L, 2L, 11L, "2024-02-01", None),
+      (102L, 1L, 11L, "2024-02-05", Some("2024-02-09"))))
+    graft.merge.MergeOps.applyCdc(spark, silver,
+      ordersDf((101L, 2L, 11L, "2024-02-01", Some("2024-02-20"))),
+      Some(Seq(100L).toDF("id")), Seq("id"), skipEmptyFeed = false)
+
+    // follower session two (same checkpoint): catches up exactly
+    val q2 = graft.streaming.GoldIncStream.goldFollowStream(spark, wh,
+      checkpoint = Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      rebuildAndCompare()
+      // idle: no new silver version -> no trigger -> zero gold churn
+      val gvs = GoldNames.map(n => wh.gold(n).version)
+      q2.processAllAvailable()
+      assert(GoldNames.map(n => wh.gold(n).version) == gvs,
+        "an idle follower must not rewrite any gold table")
+    } finally q2.stop()
+  }
 }
