@@ -249,6 +249,45 @@ object GraftMergeInto {
             GraftDropTableCommand(ident, dt.ifExists, dt.purge)
           case _ => dt
         }
+      // ALTER TABLE ADD COLUMNS → one zero-row widening commit;
+      // TRUNCATE → the unconditional DELETE (stock truncate would
+      // delete raw files INSIDE the live version dir — the INSERT
+      // rationale again); any other ALTER on a registered table
+      // refuses loudly rather than half-applying through stock v2
+      // analysis
+      case ac: AddColumns =>
+        GraftSqlDdl.identOf(ac.table) match {
+          case Some(ident) if lookup(spark, ident).nonEmpty =>
+            GraftAddColumnsCommand(ident,
+              new GraftSqlDdl.AddColumnsSpec(ac.columnsToAdd))
+          case _ => ac
+        }
+      case tt: TruncateTable =>
+        GraftSqlDdl.identOf(tt.table) match {
+          case Some(ident) if lookup(spark, ident).nonEmpty =>
+            GraftDeleteCommand(ident, new GraftSqlDml.DeleteSpec(
+              org.apache.spark.sql.catalyst.expressions.Literal
+                .TrueLiteral))
+          case _ => tt
+        }
+      case tp: TruncatePartition =>
+        GraftSqlDdl.identOf(tp.table) match {
+          case Some(ident) if lookup(spark, ident).nonEmpty =>
+            throw new UnsupportedOperationException(
+              s"TRUNCATE TABLE ${ident.mkString(".")} PARTITION (…): " +
+                "use DELETE FROM with a partition-column predicate — " +
+                "it commits copy-on-write with an exact feed")
+          case _ => tp
+        }
+      case al: AlterTableCommand =>
+        GraftSqlDdl.identOf(al.table) match {
+          case Some(ident) if lookup(spark, ident).nonEmpty =>
+            throw new UnsupportedOperationException(
+              s"${al.getClass.getSimpleName} on graft table " +
+                s"${ident.mkString(".")} is not supported — supported " +
+                "ALTERs: ADD COLUMNS (one zero-row widening commit)")
+          case _ => al
+        }
       case other => other
     }
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel

@@ -64,8 +64,19 @@ object GraftSqlDdl {
   private[sql] def identOf(name: LogicalPlan): Option[Seq[String]] =
     name match {
       case UnresolvedIdentifier(parts, _) => Some(parts)
+      // ALTER TABLE / TRUNCATE parse their target as UnresolvedTable
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        Some(t.multipartIdentifier)
       case _ => None
     }
+
+  /** Opaque carrier for ALTER TABLE ADD COLUMNS' parsed column list
+    * (QualifiedColType holds a default-value expression tree — same
+    * non-Product rationale as [[CreateSpec]]).
+    */
+  final class AddColumnsSpec(
+      val columns: Seq[org.apache.spark.sql.catalyst.plans.logical.QualifiedColType])
+    extends Serializable
 
   private[sql] def isGraftProvider(spec: TableSpecBase): Boolean =
     spec match {
@@ -218,6 +229,56 @@ final case class GraftCreateTableCommand(targetIdent: Seq[String],
       table.overwrite(data)
     }
     graft.io.Catalog.registerTable(spark, db, name, table)
+    Seq(Row(table.version.toLong))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMNS (c TYPE [COMMENT …], …)` on a registered
+  * graft table — schema evolution as ONE zero-row hard-link commit (the
+  * append path's widening: every base file rides as a link, the
+  * `_schema.json` sidecar gains the columns, existing versions and CDF
+  * read NULL for them — the `WITH SCHEMA EVOLUTION` machinery, now
+  * SQL-addressable without a MERGE). Nested paths, column POSITIONs
+  * (FIRST/AFTER — the sidecar appends), DEFAULTs and NOT NULL refuse
+  * loudly; name collisions with existing columns refuse before any IO.
+  */
+final case class GraftAddColumnsCommand(targetIdent: Seq[String],
+    spec: GraftSqlDdl.AddColumnsSpec) extends LeafRunnableCommand {
+  import org.apache.spark.sql.functions.{col, lit}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table_version", LongType, nullable = false)())
+
+  private def fail(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"ALTER TABLE ${targetIdent.mkString(".")} ADD COLUMNS: $what is " +
+        "not supported on graft tables")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val entry = GraftSqlDml.lookupOrFail(spark, targetIdent)
+    val table = entry.table
+    val existing = GraftSqlDml.targetCols(targetIdent, table)
+    val added = spec.columns.map { qc =>
+      if (qc.path.isDefined)
+        fail(s"a nested column path '${qc.path.get.name.mkString(".")}'")
+      if (qc.position.isDefined)
+        fail(s"a column POSITION on '${qc.colName}' (new columns append)")
+      if (qc.default.isDefined) fail(s"a DEFAULT on '${qc.colName}'")
+      if (!qc.nullable) fail(s"NOT NULL on '${qc.colName}'")
+      if (existing.exists(_.equalsIgnoreCase(qc.colName)))
+        throw new IllegalArgumentException(
+          s"ALTER TABLE ${targetIdent.mkString(".")} ADD COLUMNS: " +
+            s"column '${qc.colName}' already exists")
+      (qc.colName, qc.dataType)
+    }
+    require(added.map(_._1.toLowerCase).distinct.size == added.size,
+      s"ALTER TABLE ${targetIdent.mkString(".")} ADD COLUMNS: duplicate " +
+        "column names in the add list")
+    val widened = table.read(spark).limit(0).select(
+      existing.map(col) ++
+        added.map { case (n, dt) => lit(null).cast(dt).as(n) }: _*)
+    table.appendVersion(widened)
+    graft.io.Catalog.registerTable(spark, entry.database, entry.name, table)
     Seq(Row(table.version.toLong))
   }
 }

@@ -218,6 +218,56 @@ class SqlDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS is one zero-row widening commit (old " +
+      "versions read NULL, CDF unaffected); TRUNCATE empties through " +
+      "the versioned DELETE with an exact feed; other ALTERs and " +
+      "TRUNCATE PARTITION refuse loudly") {
+    val loc = s"${freshDir()}/a"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_ddl")
+    spark.sql("CREATE TABLE graft_ddl.t_alter USING graft " +
+      s"LOCATION '$loc' AS SELECT 1L AS id, 10L AS cents").collect()
+    val av = spark.sql("ALTER TABLE graft_ddl.t_alter ADD COLUMNS " +
+      "(note STRING, score DOUBLE)").collect()
+    assert(av.map(_.getLong(0)).toSeq == Seq(2L))
+    val t = new ParquetTable(loc)
+    // the widening is an append commit (hard links, no data rewrite)
+    assert(graft.io.VersionLog.readRecord(loc, 2).exists(_.kind == "append"))
+    // live reads NULL for the new columns; v1 still reads (as NULL too)
+    val live = spark.table("graft_ddl.t_alter").collect()
+    assert(live.length == 1 && live.head.isNullAt(2) && live.head.isNullAt(3))
+    assert(t.readVersion(spark, 1).columns.toSeq == Seq("id", "cents"))
+    // the widened column is writable
+    spark.sql("INSERT INTO graft_ddl.t_alter (id, cents, note) " +
+      "VALUES (2, 20, 'x')").collect()
+    assert(spark.sql("SELECT count(note) FROM graft_ddl.t_alter")
+      .head().getLong(0) == 1)
+
+    def refuse(sql: String, needle: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    refuse("ALTER TABLE graft_ddl.t_alter ADD COLUMNS (id BIGINT)",
+      "already exists")
+    refuse("ALTER TABLE graft_ddl.t_alter ADD COLUMNS (nn STRING NOT NULL)",
+      "NOT NULL")
+    refuse("ALTER TABLE graft_ddl.t_alter RENAME COLUMN note TO memo",
+      "not supported")
+
+    // TRUNCATE: versioned empty commit + all-delete feed, table readable
+    val vBefore = t.version
+    spark.sql("TRUNCATE TABLE graft_ddl.t_alter").collect()
+    assert(spark.table("graft_ddl.t_alter").count() == 0)
+    val cdf = t.changesBetween(spark, vBefore, t.version)
+    assert(cdf.filter(cdf("_change_type") === "delete").count() == 2)
+    refuse("TRUNCATE TABLE graft_ddl.t_alter PARTITION (id = 1)",
+      "DELETE FROM")
+    // truncating the already-empty table is a semantic no-op
+    val vEmpty = t.version
+    spark.sql("TRUNCATE TABLE graft_ddl.t_alter").collect()
+    assert(t.version == vEmpty, "truncate of empty must commit nothing")
+  }
+
   test("CREATE TABLE without LOCATION lands at the session catalog's " +
       "standard path and a bare (current-database) name resolves") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_ddl2")
