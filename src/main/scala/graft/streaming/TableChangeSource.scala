@@ -79,8 +79,12 @@ final class GraftTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new GraftTableSource(sqlContext.sparkSession, pathOf(parameters),
       parameters.get("startingVersion").map { v =>
-        v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
           s"graft-table source: startingVersion '$v' is not an integer"))
+        require(n >= 1, s"graft-table source: startingVersion $n — graft " +
+          "versions are 1-based; omit the option to start from the " +
+          "initial snapshot instead")
+        n
       },
       parameters.get("maxVersionsPerTrigger").map { v =>
         val n = v.toIntOption.getOrElse(0)
