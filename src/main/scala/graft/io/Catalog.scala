@@ -103,7 +103,9 @@ object Catalog {
     spark.sql(s"CREATE TABLE ${qid(database)}.${qid(name)}$schemaDdl " +
       s"USING parquet$partClause LOCATION '$loc'")
     if (partitioned)
-      spark.catalog.recoverPartitions(s"`$database`.`$name`")
+      JobLabel(spark, s"catalog:recoverPartitions $database.$name") {
+        spark.catalog.recoverPartitions(s"`$database`.`$name`")
+      }
     // Commit-metadata statistics → Catalyst: a partitioned catalog table
     // resolves through a lazy CatalogFileIndex and would otherwise report
     // defaultSizeInBytes (Long.MaxValue) as its plan size — garbage into
@@ -160,6 +162,21 @@ object Catalog {
       table: ParquetTable, tsMillis: Long): Unit =
     registerVersionView(spark, viewName, table,
       table.versionAtTimestamp(tsMillis))
+}
+
+/** Job-description labels for the storage layer's internal Spark jobs
+  * (guide discipline: label your jobs) — a multi-commit query launches
+  * dozens of jobs and an unlabeled profile cannot attribute them. The
+  * label is thread-local and restored after the block, so user-set
+  * descriptions on the outer query survive.
+  */
+private[graft] object JobLabel {
+  def apply[A](spark: SparkSession, label: String)(f: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(label)
+    try f finally sc.setJobDescription(prev)
+  }
 }
 
 /** Shared java.nio directory listing with guaranteed stream close — leaked

@@ -446,7 +446,16 @@ final class ParquetTable(val path: String,
     */
   private def writeFeed(next: String, changes: DataFrame): Unit = {
     val feedDir = Paths.get(path, next, ChangesDir)
-    changes.write.mode("append").parquet(feedDir.toString)
+    // keyless rebalance (feeds are unpartitioned): a feed built as a
+    // union of two 32-partition frames otherwise writes 64 near-empty
+    // files per commit — sizedForWrite's rationale, minus the keys
+    val sized =
+      if (changes.sparkSession.conf.getOption("graft.write.rebalance")
+          .contains("off")) changes
+      else changes.hint("rebalance")
+    JobLabel(changes.sparkSession, s"graft:writeFeed $path/$next") {
+      sized.write.mode("append").parquet(feedDir.toString)
+    }
     val walk = Files.walk(feedDir)
     val hasData =
       try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
@@ -475,15 +484,69 @@ final class ParquetTable(val path: String,
         s"snapshot diff: $extra extra row(s), $missing missing row(s)")
   }
 
+  /** Right-size a version/feed write (optimized-write, the Delta
+    * `optimizeWrite` shape): an AQE REBALANCE immediately before the
+    * write sizes writer partitions to
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes`, so a
+    * post-shuffle frame at the session's shuffle parallelism (a merge
+    * join at 32 partitions holding kilobytes each) collapses to the few
+    * files its bytes justify instead of tasks × partition-dirs tiny
+    * files, while a 100 TB write still fans out to ~advisory-sized
+    * files (guide §6: small files hurt twice — driver listing/census
+    * AND per-file open on every later read; aim for 128 MB–1 GB).
+    * Partitioned writes rebalance BY the partition columns so each
+    * writer task holds whole leaf dirs (one file per leaf, not one per
+    * task×leaf — the `write.distribution-mode=hash` shape), and AQE's
+    * rebalance SPLITS oversized values, so one hot partition value
+    * cannot recreate the single-writer skew trap. Scale-adaptive by
+    * construction: nothing here depends on the local core count.
+    * `graft.write.rebalance=off` restores the raw write; the hint is
+    * also skipped when AQE is disabled (without AQE a REBALANCE is just
+    * an extra unconditional shuffle).
+    */
+  private def sizedForWrite(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val on = !conf.getOption("graft.write.rebalance").contains("off") &&
+      conf.getOption("spark.sql.adaptive.enabled").forall(_ == "true") &&
+      !hasExplicitLayout(df)
+    if (!on) df
+    else if (partitionColumns.nonEmpty)
+      df.hint("rebalance", partitionColumns: _*)
+    else df.hint("rebalance")
+  }
+
+  /** A caller that ends its frame in a repartition/sort DECLARED the
+    * write layout (compaction's `repartitionByRange` + z-order's
+    * clustered rewrite exist precisely to control per-file content for
+    * data skipping) — rebalancing over it would scramble that
+    * clustering at any scale. Walked through projections/aliases only:
+    * anything deeper is computation, not a layout declaration.
+    */
+  private def hasExplicitLayout(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @annotation.tailrec
+    def walk(p: LogicalPlan): Boolean = p match {
+      case _: RepartitionOperation => true
+      case _: RebalancePartitions => true
+      case _: Sort => true
+      case pr: Project => walk(pr.child)
+      case sa: SubqueryAlias => walk(sa.child)
+      case _ => false
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
   private def writeVersion(df: DataFrame, next: String): Unit = {
     // mode("append"), NOT "overwrite": the reserved dir is empty, so the
     // two are equivalent for content — but overwrite DELETES the dir
     // before recreating it, and in that window a concurrent writer's
     // reserveNextDir would see the number as free and stage into the same
     // dir (the exact collision reservation exists to prevent)
-    val w = df.write.mode("append")
-    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
-      .parquet(s"$path/$next")
+    val w = sizedForWrite(df).write.mode("append")
+    JobLabel(df.sparkSession, s"graft:writeVersion $path/$next") {
+      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+       else w).parquet(s"$path/$next")
+    }
     // An EMPTY partitioned write leaves no parquet files at all (there are
     // no partition values to create dirs for), which makes the version
     // unreadable — schema inference has nothing to read. Detect via a free
@@ -571,9 +634,11 @@ final class ParquetTable(val path: String,
     }
     try {
       // append mode: same no-delete rationale as writeVersion
-      val w = df.write.mode("append")
-      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
-       else w).parquet(s"$path/$next")
+      val w = sizedForWrite(df).write.mode("append")
+      JobLabel(df.sparkSession, s"graft:appendWrite $path/$next") {
+        (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+         else w).parquet(s"$path/$next")
+      }
       // census BEFORE the link walk: the dir holds exactly the delta's
       // files here, which is precisely the step delta the commit log
       // records (and the CDF fast path later serves without walking)
@@ -701,8 +766,25 @@ final class ParquetTable(val path: String,
       alsoReplace: Option[DataFrame] = None): ParquetTable =
     replaceImpl(df, Some(changes), alsoReplace)
 
+  /** [[replacePartitionsWithChanges]] for callers that ALREADY hold the
+    * replaced leaf-partition values as collected rows (the COW merge
+    * collects its touched set to build the snapshot restriction
+    * predicate before it ever reaches this commit). CONTRACT:
+    * `replacedVals` must be the complete replacement set — a superset
+    * of `df`'s own partition values — or stale files of an uncovered
+    * value would ride along as links next to df's rows (duplicates).
+    * Skips the two `distinct().collect()` jobs the DataFrame form pays
+    * per commit to re-derive what the caller just collected.
+    */
+  private[graft] def replacePartitionsWithChangesCovering(df: DataFrame,
+      changes: DataFrame,
+      replacedVals: Array[org.apache.spark.sql.Row]): ParquetTable =
+    replaceImpl(df, Some(changes), None, Some(replacedVals))
+
   private def replaceImpl(df: DataFrame, changes: Option[DataFrame],
-      alsoReplace: Option[DataFrame]): ParquetTable = {
+      alsoReplace: Option[DataFrame],
+      preCollected: Option[Array[org.apache.spark.sql.Row]] = None)
+      : ParquetTable = {
     require(partitionColumns.nonEmpty,
       "replacePartitions needs a partitioned table")
     import org.apache.spark.sql.functions.col
@@ -746,33 +828,40 @@ final class ParquetTable(val path: String,
     // links NEXT TO the new rows (duplicates, not replacement). Refuse
     // both loudly: the keys this layer replaces on are numeric/enum.
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def renderRows(
+        rows: Array[org.apache.spark.sql.Row]): Set[Vector[String]] =
+      rows.map(r => partitionColumns.indices.map { i =>
+        require(!r.isNullAt(i),
+          s"replacePartitions: NULL value in partition column " +
+            s"${partitionColumns(i)} — NULL partitions " +
+            "(__HIVE_DEFAULT_PARTITION__) are not replaceable through " +
+            "this path")
+        val raw = r.get(i).toString
+        require(ExternalCatalogUtils.escapePathName(raw) == raw,
+          s"replacePartitions: partition value '$raw' of column " +
+            s"${partitionColumns(i)} needs hive path-escaping — only " +
+            "plain path-safe values are replaceable through this path")
+        s"${partitionColumns(i)}=$raw"
+      }.toVector).toSet
     def renderParts(d: DataFrame): Set[Vector[String]] =
-      d.select(partitionColumns.map(col): _*).distinct()
-        .collect()
-        .map(r => partitionColumns.indices.map { i =>
-          require(!r.isNullAt(i),
-            s"replacePartitions: NULL value in partition column " +
-              s"${partitionColumns(i)} — NULL partitions " +
-              "(__HIVE_DEFAULT_PARTITION__) are not replaceable through " +
-              "this path")
-          val raw = r.get(i).toString
-          require(ExternalCatalogUtils.escapePathName(raw) == raw,
-            s"replacePartitions: partition value '$raw' of column " +
-              s"${partitionColumns(i)} needs hive path-escaping — only " +
-              "plain path-safe values are replaceable through this path")
-          s"${partitionColumns(i)}=$raw"
-        }.toVector)
-        .toSet
-    val replaced = renderParts(df) ++
-      alsoReplace.map(renderParts).getOrElse(Set.empty)
+      renderRows(JobLabel(d.sparkSession, s"graft:renderParts $path") {
+        d.select(partitionColumns.map(col): _*).distinct().collect()
+      })
+    val replaced = preCollected match {
+      case Some(rows) => renderRows(rows)
+      case None => renderParts(df) ++
+        alsoReplace.map(renderParts).getOrElse(Set.empty)
+    }
     val depth = partitionColumns.size
     val next = ParquetTable.withCommitLock(path) {
       if (versionNum != baseV) throw stale(baseV, versionNum)
       reserveNextDir()
     }
     try {
-      df.write.mode("append").partitionBy(partitionColumns: _*)
-        .parquet(s"$path/$next")
+      JobLabel(df.sparkSession, s"graft:replaceWrite $path/$next") {
+        sizedForWrite(df).write.mode("append")
+          .partitionBy(partitionColumns: _*).parquet(s"$path/$next")
+      }
       // the declared feed rides the staged version dir (commitNew's
       // discipline: built before the pointer swap, deleted with the
       // staging dir on failure)

@@ -375,7 +375,9 @@ object MergeOps {
       // partition pruning restricts the snapshot read to touched leaves
       // (the values are literal after the collect; bounded: partition
       // counts are metadata-scale by design, and capped below)
-      val vals = touched.collect()
+      val vals = graft.io.JobLabel(spark, s"merge:touchedParts ${table.path}") {
+        touched.collect()
+      }
       if (vals.isEmpty) return table // nothing to do (empty batch)
       val overCap = vals.length > maxTouchedParts
       if (overCap)
@@ -394,10 +396,16 @@ object MergeOps {
           deleteUnmatched = false)
         val feed0 = delFeed.fold(upsFeed)(_.unionByName(upsFeed)).persist()
         try {
-          if (skipEmptyFeed && feed0.isEmpty) table
+          if (skipEmptyFeed && graft.io.JobLabel(spark,
+              s"merge:feedEmpty? ${table.path}")(feed0.isEmpty)) table
           else if (overCap) table.overwriteWithChanges(merged, feed0)
-          else table.replacePartitionsWithChanges(merged, feed0,
-            alsoReplace = Some(touched.toDF(pCols: _*)))
+          // the collected touched set IS the replacement cover (merged's
+          // partition values ⊆ touched by construction: merged derives
+          // from the touched restriction + update images, whose values
+          // seeded the set) — hand it down instead of having the commit
+          // re-collect it from two more distinct() jobs
+          else table.replacePartitionsWithChangesCovering(merged, feed0,
+            vals)
         } finally { feed0.unpersist(); () }
       } finally { joined.unpersist(); () }
     } finally { touched.unpersist(); () }
