@@ -263,7 +263,8 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
           if (distincts.isEmpty) (folded0, () => ())
           else prof("foldSketches")(foldSketches(folded0, oldJ, newJ, keys,
             distincts, () => derive(newF, None)))
-        try prof("overwrite")(gold.overwrite(withDerived(folded)))
+        try prof("overwrite")(gold.overwrite(
+          GoldMaintenance.goldSized(withDerived(folded))))
         finally {
           affRaw.unpersist()
           if (distincts.nonEmpty) { oldJ.unpersist(); newJ.unpersist() }
@@ -272,8 +273,8 @@ final class GoldIncremental(spark: SparkSession, warehouse: Warehouse) {
         }
       case None =>
         // first build (or crash-window fallback): the one full pass
-        gold.overwrite(withDerived(
-          aggAll(derive(newF, None), keys, measures, distincts)))
+        gold.overwrite(GoldMaintenance.goldSized(withDerived(
+          aggAll(derive(newF, None), keys, measures, distincts))))
     }
     Sidecar.write(java.nio.file.Paths.get(gold.currentPath), Marker,
       sources.map { case (n, _) => s"$n=${newVs(n)}" })

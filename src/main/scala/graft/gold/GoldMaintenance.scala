@@ -34,6 +34,23 @@ object GoldMaintenance {
 
   private val AppliedMarker = "_cdf_applied"
 
+  /** Right-size a gold write: gold relations are GROUP-cardinality
+    * bounded by design (every table in this module aggregates to its
+    * grain), but a fold plan's output sits at the session's shuffle
+    * parallelism, so the raw write emits `spark.sql.shuffle.partitions`
+    * near-empty files per version — each one a footer for the commit
+    * census and a scan task for the next advance's `gold.read`. A
+    * keyless AQE REBALANCE (shuffling only gold-sized bytes — KBs at
+    * any corpus scale) lets AQE collapse the write to the few files the
+    * bytes justify; at a deployment where a gold table ever grows, the
+    * same hint sizes files to `advisoryPartitionSizeInBytes` instead of
+    * one-file-per-reducer. No-op when AQE is disabled.
+    */
+  private[gold] def goldSized(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.sql.adaptive.enabled")
+        .forall(_ == "true")) df.hint("rebalance")
+    else df
+
   /** The maintained aggregate: per-`keys` row count and `value` sum.
     * `value` should be an EXACT type (integer cents, not doubles) —
     * signed folding re-associates additions, which is only
@@ -185,10 +202,12 @@ object GoldMaintenance {
                   .otherwise(col("value_max")).as("value_max"),
                 col("__has_del")): _*)
           }
-          gold.overwrite(folded.filter(col("n_rows") > 0).drop("__has_del"))
+          gold.overwrite(goldSized(folded.filter(col("n_rows") > 0)
+            .drop("__has_del")))
         } finally delta.unpersist()
       case None =>
-        gold.overwrite(aggregateMinMax(source.read(spark), keys, value))
+        gold.overwrite(goldSized(aggregateMinMax(source.read(spark), keys,
+          value)))
     }
     Sidecar.write(java.nio.file.Paths.get(gold.currentPath), AppliedMarker,
       Seq(toV.toString))
@@ -247,11 +266,11 @@ object GoldMaintenance {
     fromV match {
       case Some(v) if v == toV => () // already current — replay no-op
       case Some(v) =>
-        gold.overwrite(percentileIncrementalPlan(spark, source, gold,
-          keys, value, ps, v, toV))
+        gold.overwrite(goldSized(percentileIncrementalPlan(spark, source,
+          gold, keys, value, ps, v, toV)))
       case None =>
-        gold.overwrite(aggregatePercentile(source.read(spark), keys, value,
-          ps))
+        gold.overwrite(goldSized(aggregatePercentile(source.read(spark),
+          keys, value, ps)))
     }
     Sidecar.write(java.nio.file.Paths.get(gold.currentPath), AppliedMarker,
       Seq(toV.toString))
@@ -333,10 +352,10 @@ object GoldMaintenance {
     fromV match {
       case Some(v) if v == toV => () // already current — replay no-op
       case Some(v) =>
-        gold.overwrite(
-          incrementalPlan(spark, source, gold, keys, value, v, toV))
+        gold.overwrite(goldSized(
+          incrementalPlan(spark, source, gold, keys, value, v, toV)))
       case None =>
-        gold.overwrite(aggregate(source.read(spark), keys, value))
+        gold.overwrite(goldSized(aggregate(source.read(spark), keys, value)))
     }
     Sidecar.write(java.nio.file.Paths.get(gold.currentPath), AppliedMarker,
       Seq(toV.toString))

@@ -446,15 +446,8 @@ final class ParquetTable(val path: String,
     */
   private def writeFeed(next: String, changes: DataFrame): Unit = {
     val feedDir = Paths.get(path, next, ChangesDir)
-    // keyless rebalance (feeds are unpartitioned): a feed built as a
-    // union of two 32-partition frames otherwise writes 64 near-empty
-    // files per commit — sizedForWrite's rationale, minus the keys
-    val sized =
-      if (changes.sparkSession.conf.getOption("graft.write.rebalance")
-          .contains("off")) changes
-      else changes.hint("rebalance")
     JobLabel(changes.sparkSession, s"graft:writeFeed $path/$next") {
-      sized.write.mode("append").parquet(feedDir.toString)
+      changes.write.mode("append").parquet(feedDir.toString)
     }
     val walk = Files.walk(feedDir)
     val hasData =
@@ -484,35 +477,42 @@ final class ParquetTable(val path: String,
         s"snapshot diff: $extra extra row(s), $missing missing row(s)")
   }
 
-  /** Right-size a version/feed write (optimized-write, the Delta
-    * `optimizeWrite` shape): an AQE REBALANCE immediately before the
-    * write sizes writer partitions to
-    * `spark.sql.adaptive.advisoryPartitionSizeInBytes`, so a
-    * post-shuffle frame at the session's shuffle parallelism (a merge
-    * join at 32 partitions holding kilobytes each) collapses to the few
-    * files its bytes justify instead of tasks × partition-dirs tiny
-    * files, while a 100 TB write still fans out to ~advisory-sized
-    * files (guide §6: small files hurt twice — driver listing/census
-    * AND per-file open on every later read; aim for 128 MB–1 GB).
-    * Partitioned writes rebalance BY the partition columns so each
-    * writer task holds whole leaf dirs (one file per leaf, not one per
-    * task×leaf — the `write.distribution-mode=hash` shape), and AQE's
-    * rebalance SPLITS oversized values, so one hot partition value
-    * cannot recreate the single-writer skew trap. Scale-adaptive by
-    * construction: nothing here depends on the local core count.
-    * `graft.write.rebalance=off` restores the raw write; the hint is
-    * also skipped when AQE is disabled (without AQE a REBALANCE is just
-    * an extra unconditional shuffle).
+  /** Right-size a COPY-ON-WRITE replace's output (the Delta
+    * `optimizeWrite` shape, applied exactly where the measured
+    * pathology is): an AQE REBALANCE by the partition columns
+    * immediately before the replace write. A COW merge's output frame
+    * is post-join — it sits at the session's shuffle parallelism with
+    * kilobytes per partition locally (and advisory-sized pieces at
+    * scale), so the raw dynamic-partition write emits tasks ×
+    * touched-dirs near-empty files (measured: 128 parquet files for a
+    * 2 MiB version); every later consumer pays for them — the commit
+    * census reads each footer, the link walk links them,
+    * recoverPartitions lists them, readbacks fan out one task per file
+    * (guide §6: small files hurt twice). Rebalancing by the partition
+    * columns clusters each writer task on whole leaf dirs (the
+    * `write.distribution-mode=hash` shape) and AQE sizes/splits the
+    * partitions to `advisoryPartitionSizeInBytes`, so one hot value
+    * cannot recreate single-writer skew. The shuffle it adds moves only
+    * the COW output — O(touched partitions + batch), never the table —
+    * the same trade Delta's optimized writes make by default.
+    *
+    * Deliberately NOT applied to plain overwrite/append/feed writes:
+    * those frames are typically scan-shaped (few, right-sized tasks),
+    * so a blanket rebalance added a payload shuffle with no file-count
+    * win — measured as a pure regression (q120/q121 +0.2–0.5 s and 3
+    * MiB of new shuffle volume each) before being scoped back to the
+    * replace path. Skipped when the caller declared a layout
+    * ([[hasExplicitLayout]]), when AQE is off (a REBALANCE without AQE
+    * is just an unconditional extra shuffle), and under
+    * `graft.write.rebalance=off`.
     */
   private def sizedForWrite(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
     val on = !conf.getOption("graft.write.rebalance").contains("off") &&
       conf.getOption("spark.sql.adaptive.enabled").forall(_ == "true") &&
       !hasExplicitLayout(df)
-    if (!on) df
-    else if (partitionColumns.nonEmpty)
-      df.hint("rebalance", partitionColumns: _*)
-    else df.hint("rebalance")
+    if (!on || partitionColumns.isEmpty) df
+    else df.hint("rebalance", partitionColumns: _*)
   }
 
   /** A caller that ends its frame in a repartition/sort DECLARED the
@@ -542,7 +542,7 @@ final class ParquetTable(val path: String,
     // before recreating it, and in that window a concurrent writer's
     // reserveNextDir would see the number as free and stage into the same
     // dir (the exact collision reservation exists to prevent)
-    val w = sizedForWrite(df).write.mode("append")
+    val w = df.write.mode("append")
     JobLabel(df.sparkSession, s"graft:writeVersion $path/$next") {
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
        else w).parquet(s"$path/$next")
@@ -634,7 +634,7 @@ final class ParquetTable(val path: String,
     }
     try {
       // append mode: same no-delete rationale as writeVersion
-      val w = sizedForWrite(df).write.mode("append")
+      val w = df.write.mode("append")
       JobLabel(df.sparkSession, s"graft:appendWrite $path/$next") {
         (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
          else w).parquet(s"$path/$next")

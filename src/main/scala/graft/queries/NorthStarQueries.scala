@@ -1353,8 +1353,11 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
       .select(lit("state").as("kind"), col("status"), col("n_rows"),
         col("sum_cents"))
-    require(state.exceptAll(apiState).isEmpty &&
-        apiState.exceptAll(state).isEmpty,
+    // both exceptAll directions in ONE action (a union probe) — two
+    // separate isEmpty calls pay two full job launches for frames this
+    // computation already proves tiny
+    require(state.exceptAll(apiState)
+        .unionByName(apiState.exceptAll(state)).isEmpty,
       "q124: SQL MERGE final state must equal the API-path merge algebra")
     def cdf(fromV: Int, toV: Int, tag: String): DataFrame =
       tbl.changesBetween(s, fromV, toV)
@@ -1602,8 +1605,9 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
       .select(lit("state").as("kind"), col("status"), col("n_rows"),
         col("sum_cents"))
-    require(state.exceptAll(apiState).isEmpty &&
-        apiState.exceptAll(state).isEmpty,
+    // one-action parity probe (q124's rationale)
+    require(state.exceptAll(apiState)
+        .unionByName(apiState.exceptAll(state)).isEmpty,
       "q128: the conditional SQL MERGE final state must equal the " +
         "MergeOps-algebra closed form")
     val cdf = tbl.changesBetween(s, 1, 2)
