@@ -281,9 +281,21 @@ object Bench {
         readPriorVolumes(priorDetailPath)
       else Map.empty[String, Long]
     val VolumeFloorBytes = 1L << 20
+    // MIN across the run set, not the first run: load-or-build serving
+    // queries (q112's fingerprinted index) legitimately run a one-time
+    // build job on a cold scratch whose shuffle volume is NOT the
+    // query's steady-state plan — a census keyed to the first run then
+    // flags or misses depending on scratch warmth, which is a
+    // measurement bug, not a signal (r17: q112 flagged purely because
+    // the prior round's detail recorded a warm probe). The min is the
+    // steady-state plan's volume and is deterministic; the first run's
+    // number is still recorded per query as shuffle_write_bytes_first.
+    def steadyVolume(n: String): Option[Long] = {
+      val ok = runs(n).filter(!_.failed)
+      if (ok.isEmpty) None else Some(ok.map(_.shuffleWrite).min)
+    }
     val volumeRegressed = names.sorted.filter { n =>
-      val cur = runs(n).filter(!_.failed).headOption.map(_.shuffleWrite)
-      (cur, priorVolumes.get(n)) match {
+      (steadyVolume(n), priorVolumes.get(n)) match {
         case (Some(c), Some(p)) if p >= 0 =>
           c > math.max(1.5 * p, p + VolumeFloorBytes)
         case _ => false
@@ -304,14 +316,17 @@ object Bench {
       val rs = runs(n)
       val secs = rs.map(r => fmt(if (r.failed) -1.0 else r.sec)).mkString("[", ",", "]")
       val st = rs.map(r => fmt(r.stealSec)).mkString("[", ",", "]")
-      // measured shuffle volume from the first successful run (volume is a
-      // property of the plan, not the wall clock — any non-failed run's
-      // numbers are the query's numbers; spill CAN vary, so it is the max)
+      // measured shuffle volume: MIN across successful runs = the
+      // steady-state plan's volume (see steadyVolume — a load-or-build
+      // query's first cold run includes one-time build jobs); the first
+      // run's number rides along for cold-cost readers. Spill CAN vary,
+      // so it is the max.
       val okRuns = rs.filter(!_.failed)
-      val sw = okRuns.headOption.map(_.shuffleWrite).getOrElse(-1L)
-      val sr = okRuns.headOption.map(_.shuffleRead).getOrElse(-1L)
+      val sw = if (okRuns.isEmpty) -1L else okRuns.map(_.shuffleWrite).min
+      val swF = okRuns.headOption.map(_.shuffleWrite).getOrElse(-1L)
+      val sr = if (okRuns.isEmpty) -1L else okRuns.map(_.shuffleRead).min
       val sp = if (okRuns.isEmpty) -1L else okRuns.map(_.spilled).max
-      s""""$n":{"best":${fmt(best(n))},"first":${fmt(if (rs.head.failed) -1.0 else rs.head.sec)},"runs":$secs,"steal":$st,"shuffle_write_bytes":$sw,"shuffle_read_bytes":$sr,"spill_bytes":$sp}"""
+      s""""$n":{"best":${fmt(best(n))},"first":${fmt(if (rs.head.failed) -1.0 else rs.head.sec)},"runs":$secs,"steal":$st,"shuffle_write_bytes":$sw,"shuffle_write_bytes_first":$swF,"shuffle_read_bytes":$sr,"spill_bytes":$sp}"""
     }.mkString("{", ",", "}")
     // -1.0 failure markers must not be summed — they would understate the
     // total and make it non-monotonic with failures

@@ -48,7 +48,9 @@ object GoldMaintenance {
     */
   private[gold] def goldSized(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.getOption("spark.sql.adaptive.enabled")
-        .forall(_ == "true")) df.hint("rebalance")
+        .forall(_ == "true") &&
+      !df.sparkSession.conf.getOption("graft.write.rebalance")
+        .contains("off")) df.hint("rebalance")
     else df
 
   /** The maintained aggregate: per-`keys` row count and `value` sum.

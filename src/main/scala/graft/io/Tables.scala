@@ -536,12 +536,35 @@ final class ParquetTable(val path: String,
     walk(df.queryExecution.analyzed)
   }
 
+  /** Evidence hook (optimization rounds): with
+    * `-Dgraft.write.explainDir=<dir>`, every versioned write appends
+    * its final frame's formatted physical plan to
+    * `<dir>/<table>__<kind>.txt` before executing — the write-side
+    * plans (rebalance, clustering) never appear in a query's RETURNED
+    * frame, so this is how plans/rNN before/after captures are made.
+    * Off (absent prop) in every measured path.
+    */
+  private def explainWrite(df: DataFrame, kind: String): Unit =
+    sys.props.get("graft.write.explainDir").foreach { d =>
+      try {
+        val name = Paths.get(path).getFileName.toString
+        val f = Paths.get(d, s"${name}__$kind.txt")
+        Files.createDirectories(f.getParent)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(f, s"== $kind write of $path ==\n$plan\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Exception => () }
+    }
+
   private def writeVersion(df: DataFrame, next: String): Unit = {
     // mode("append"), NOT "overwrite": the reserved dir is empty, so the
     // two are equivalent for content — but overwrite DELETES the dir
     // before recreating it, and in that window a concurrent writer's
     // reserveNextDir would see the number as free and stage into the same
     // dir (the exact collision reservation exists to prevent)
+    explainWrite(df, "version")
     val w = df.write.mode("append")
     JobLabel(df.sparkSession, s"graft:writeVersion $path/$next") {
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
@@ -858,8 +881,10 @@ final class ParquetTable(val path: String,
       reserveNextDir()
     }
     try {
+      val sized = sizedForWrite(df)
+      explainWrite(sized, "replace")
       JobLabel(df.sparkSession, s"graft:replaceWrite $path/$next") {
-        sizedForWrite(df).write.mode("append")
+        sized.write.mode("append")
           .partitionBy(partitionColumns: _*).parquet(s"$path/$next")
       }
       // the declared feed rides the staged version dir (commitNew's
