@@ -799,10 +799,29 @@ final class ParquetTable(val path: String,
     * Skips the two `distinct().collect()` jobs the DataFrame form pays
     * per commit to re-derive what the caller just collected.
     */
-  private[graft] def replacePartitionsWithChangesCovering(df: DataFrame,
+  def replacePartitionsWithChangesCovering(df: DataFrame,
       changes: DataFrame,
       replacedVals: Array[org.apache.spark.sql.Row]): ParquetTable =
     replaceImpl(df, Some(changes), None, Some(replacedVals))
+
+  /** Distinct live LEAF-partition count, read from the hive dir layout
+    * of the live version — one metadata walk, no Spark job (the
+    * "did this predicate touch every partition?" decision otherwise
+    * costs a full-snapshot distinct scan). None when the live version
+    * has no hive-style dirs (unpartitioned handle, or the empty-write
+    * schema-only fallback).
+    */
+  def livePartitionLeafCount: Option[Int] = {
+    if (partitionColumns.isEmpty || !exists) return None
+    def count(p: java.nio.file.Path, depth: Int): Int =
+      if (depth == 0) 1
+      else FsUtil.listDir(p).iterator
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.contains("="))
+        .map(count(_, depth - 1)).sum
+    val n = count(Paths.get(currentPath), partitionColumns.size)
+    if (n == 0) None else Some(n)
+  }
 
   private def replaceImpl(df: DataFrame, changes: Option[DataFrame],
       alsoReplace: Option[DataFrame],

@@ -122,7 +122,7 @@ object MergeOps {
     * derive from — exposed as one frame so a commit can persist it once.
     */
   private def upsertJoined(target: DataFrame, updates: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], preDeduped: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "merge keys must be non-empty")
     // the join below owns the scratch names __m, __t and __u_<col>; a
     // target already using __m/__t would be silently overwritten by the
@@ -134,7 +134,12 @@ object MergeOps {
       s"merge target columns may not use the reserved names __m, __t or " +
         s"__u_* (got ${reserved.mkString(", ")})")
     val tCols = target.columns.toIndexedSeq
-    val u0 = aligned(target, updates).dropDuplicates(keys)
+    // preDeduped: the CDC paths dedup (and persist) the batch once for
+    // their touched-partition planning — re-deduplicating here would
+    // pay one more full exchange of the batch per commit for nothing
+    val u0 =
+      if (preDeduped) aligned(target, updates)
+      else aligned(target, updates).dropDuplicates(keys)
     val uRen = tCols.foldLeft(u0.withColumn("__m", lit(true))) {
       (d, c) => d.withColumnRenamed(c, s"__u_$c")
     }
@@ -314,11 +319,15 @@ object MergeOps {
       // deletes against a table with no committed state are no-ops
       return table.overwrite(updates.dropDuplicates(keys))
     val current = table.read(spark)
+    // dedup ONCE, persisted: the batch feeds the delete anti/semi joins
+    // AND the upsert join — without the persist each action re-pays the
+    // dedup exchange
+    val u = updates.dropDuplicates(keys).persist()
     val dk = deleteKeys.map(_.select(keys.map(col): _*).distinct())
     val afterDel = dk.fold(current)(d => current.join(d, keys, "left_anti"))
     val delFeed = dk.map(d => current.join(d, keys, "left_semi")
       .withColumn("_change_type", lit("delete")))
-    val joined = upsertJoined(afterDel, updates, keys).persist()
+    val joined = upsertJoined(afterDel, u, keys, preDeduped = true).persist()
     try {
       val (merged, upsFeed) = fromJoined(joined, afterDel.schema,
         deleteUnmatched = false)
@@ -332,7 +341,7 @@ object MergeOps {
           table.overwriteWithChanges(merged, feed)
         }
       } finally { feed.unpersist(); () }
-    } finally { joined.unpersist(); () }
+    } finally { joined.unpersist(); u.unpersist(); () }
   }
 
   /** The CDC generalization of [[upsertIntoPartitioned]]: one keyed
@@ -361,7 +370,10 @@ object MergeOps {
       // deletes against a table with no committed state are no-ops
       return table.overwrite(updates.dropDuplicates(keys))
     val pCols = table.partitionColumns
-    val u = updates.dropDuplicates(keys)
+    // dedup ONCE, persisted: the deduped batch feeds the touched-set
+    // planning (newParts, touchedKeys) AND the upsert join — without a
+    // persist each of those actions re-pays the dedup exchange
+    val u = updates.dropDuplicates(keys).persist()
     val dk = deleteKeys.map(_.select(keys.map(col): _*).distinct())
     val current = table.read(spark)
     val newParts = u.select(pCols.map(col): _*).distinct()
@@ -390,7 +402,8 @@ object MergeOps {
       val afterDel = dk.fold(scope)(d => scope.join(d, keys, "left_anti"))
       val delFeed = dk.map(d => scope.join(d, keys, "left_semi")
         .withColumn("_change_type", lit("delete")))
-      val joined = upsertJoined(afterDel, u, keys).persist()
+      val joined = upsertJoined(afterDel, u, keys, preDeduped = true)
+        .persist()
       try {
         val (merged, upsFeed) = fromJoined(joined, afterDel.schema,
           deleteUnmatched = false)
@@ -408,7 +421,7 @@ object MergeOps {
             vals)
         } finally { feed0.unpersist(); () }
       } finally { joined.unpersist(); () }
-    } finally { touched.unpersist(); () }
+    } finally { touched.unpersist(); u.unpersist(); () }
   }
 
   /** Seed an SCD Type 2 dimension from its first snapshot: every row becomes

@@ -118,8 +118,11 @@ final case class GraftUpdateCommand(targetIdent: Seq[String],
         else {
           val scope = current.filter(
             graft.merge.MergeOps.touchedPredicate(pCols, vals))
-          table.replacePartitionsWithChanges(transform(scope), feed,
-            alsoReplace = Some(touched))
+          // vals covers the written frame by construction (old ∪ new
+          // image partition values) — hand the collected rows down
+          // instead of two more distinct().collect() jobs in the commit
+          table.replacePartitionsWithChangesCovering(transform(scope),
+            feed, vals)
           ()
         }
       } else if (!changed.isEmpty) {
@@ -152,9 +155,12 @@ final case class GraftDeleteCommand(targetIdent: Seq[String],
       if (pCols.nonEmpty) {
         val touched = matched.select(pCols.map(col): _*).distinct()
         val vals = touched.collect()
+        // live leaf count from the hive layout (metadata walk) — the
+        // Spark-job fallback only for layouts without hive dirs
+        def liveLeaves: Long = table.livePartitionLeafCount.map(_.toLong)
+          .getOrElse(current.select(pCols.map(col): _*).distinct().count())
         if (vals.isEmpty) () // nothing matched: zero version churn
-        else if (vals.length >=
-            current.select(pCols.map(col): _*).distinct().count()) {
+        else if (vals.length >= liveLeaves) {
           // every live partition is touched (incl. the unconditional
           // truncate): the replace path would stage an all-empty
           // partitioned write — commit the snapshot form instead, whose
@@ -164,8 +170,10 @@ final case class GraftDeleteCommand(targetIdent: Seq[String],
         } else {
           val scope = current.filter(
             graft.merge.MergeOps.touchedPredicate(pCols, vals))
-          table.replacePartitionsWithChanges(scope.filter(!hit), feed,
-            alsoReplace = Some(touched))
+          // survivors' partition values ⊆ the matched rows' (vals) —
+          // covering form skips the commit's re-collection
+          table.replacePartitionsWithChangesCovering(scope.filter(!hit),
+            feed, vals)
           ()
         }
       } else if (!matched.isEmpty) {

@@ -913,4 +913,56 @@ class TablesSpec extends AnyFunSuite {
       assert(birth2.getMessage.contains("birth"))
     }
   }
+
+  test("livePartitionLeafCount reads the hive layout without a Spark job; None on flat/empty layouts") {
+    val dir = Files.createTempDirectory("graft_leafcount").toString
+    val t = new ParquetTable(s"$dir/t", partitionColumns = Seq("status"))
+    t.overwrite(Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "A", 30L))
+      .toDF("id", "status", "cents"))
+    // two distinct status values -> two leaf dirs
+    assert(t.livePartitionLeafCount.contains(2))
+    // must agree with the Spark-side distinct count (the job it replaces)
+    assert(t.livePartitionLeafCount.get.toLong ==
+      t.read(spark).select("status").distinct().count())
+    // unpartitioned handle: no hive layout -> None
+    val flat = new ParquetTable(s"$dir/flat")
+    flat.overwrite(Seq((1L, "x")).toDF("id", "v"))
+    assert(flat.livePartitionLeafCount.isEmpty)
+    // empty partitioned write -> schema-only flat fallback -> None
+    val empty = new ParquetTable(s"$dir/empty", partitionColumns = Seq("status"))
+    empty.overwrite(Seq.empty[(Long, String, Long)]
+      .toDF("id", "status", "cents"))
+    assert(empty.livePartitionLeafCount.isEmpty)
+  }
+
+  test("replacePartitionsWithChangesCovering replaces exactly the covered leaves (hard links elsewhere) like the DataFrame form") {
+    val dir = Files.createTempDirectory("graft_covering").toString
+    val t = new ParquetTable(s"$dir/t", partitionColumns = Seq("status"))
+    t.overwrite(Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "C", 30L))
+      .toDF("id", "status", "cents"))
+    val df = Seq((1L, "A", 11L)).toDF("id", "status", "cents")
+    val feed = Seq((1L, "A", 10L, "delete"), (1L, "A", 11L, "insert"))
+      .toDF("id", "status", "cents", "_change_type")
+    val vals = df.select("status").distinct().collect()
+    t.replacePartitionsWithChangesCovering(df, feed, vals)
+    TestSpark.assertSameRows(
+      t.read(spark).select("id", "status", "cents"),
+      Seq(Seq(1L, "A", 11L), Seq(2L, "B", 20L), Seq(3L, "C", 30L)))
+    // the untouched B/C leaves rode along as hard links (inode census)
+    import scala.jdk.CollectionConverters._
+    def leafFiles(v: String, leaf: String) = {
+      val d = java.nio.file.Paths.get(s"$dir/t/$v/$leaf")
+      val l = java.nio.file.Files.list(d)
+      try l.iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      finally l.close()
+    }
+    def ino(p: java.nio.file.Path) = java.nio.file.Files
+      .readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      .fileKey()
+    val oldB = leafFiles("v_00001", "status=B").map(ino).toSet
+    val newB = leafFiles("v_00002", "status=B").map(ino).toSet
+    assert(oldB == newB && oldB.nonEmpty,
+      "untouched leaf must be hard-linked, not rewritten")
+  }
 }
