@@ -342,18 +342,18 @@ final class ParquetTable(val path: String,
       (reserveNextDir(), vb)
     }
     try {
-      writeVersion(df, next)
-      changes.foreach(writeFeed(next, _))
+      cprof("overwrite:write")(writeVersion(df, next))
+      changes.foreach(c => cprof("overwrite:feed")(writeFeed(next, c)))
       verifyBase.foreach(verifyDeclaredFeed(_, df, changes.get))
       // the version dir is complete — census it for the commit log
       // OUTSIDE the lock (footer stats reads); an overwrite's adds ARE
       // the full version, so the record doubles as a full file set
-      val (adds, feedFiles) = commitCensus(next)
-      ParquetTable.withCommitLock(path) {
+      val (adds, feedFiles) = cprof("overwrite:census")(commitCensus(next))
+      cprof("overwrite:swap+log")(ParquetTable.withCommitLock(path) {
         expected.foreach(e => if (versionNum != e) throw stale(e, versionNum))
         swapPointer(next)
         logCommit(next, "overwrite", adds, feedFiles, Nil, renamed = false)
-      }
+      })
     } catch {
       case t: Throwable =>
         // never leave a staged-but-uncommitted dir behind; the pointer
@@ -364,6 +364,20 @@ final class ParquetTable(val path: String,
     }
     this
   }
+
+  /** Driver-phase commit profiler (`-Dgraft.commit.profile=true`):
+    * the storage layer's job labels attribute executor time, but the
+    * commit protocol's census/link/log/swap work is driver-side and
+    * shows up only as inter-job gaps — this names it. Off by default.
+    */
+  private def cprof[A](label: String)(f: => A): A =
+    if (!java.lang.Boolean.getBoolean("graft.commit.profile")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[cprof] $label%-22s ${(System.nanoTime() - t0) / 1e9}%.3f s  ($path)")
+      r
+    }
 
   /** Census of a COMPLETE staged version dir for the commit log: data
     * files (with footer min/max stats — read here, at commit time, the
@@ -909,9 +923,9 @@ final class ParquetTable(val path: String,
       // the declared feed rides the staged version dir (commitNew's
       // discipline: built before the pointer swap, deleted with the
       // staging dir on failure)
-      changes.foreach(writeFeed(next, _))
+      changes.foreach(c => cprof("replace:feed")(writeFeed(next, c)))
       // census BEFORE the link walk (appendVersion's rationale)
-      val (logAdds, feedFiles) = commitCensus(next)
+      val (logAdds, feedFiles) = cprof("replace:census")(commitCensus(next))
       var linkRenamed = false
       val nextDir = Paths.get(path, next)
       import scala.jdk.CollectionConverters._
